@@ -1,13 +1,169 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Md5Partition.md5_partition
+import graft.operators.BrokerQueries
+import graft.operators.BrokerQueries.MsgRef
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry (plus a DuckDB oracle) per
+  * implemented operator from SURVEY.md §2. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    BrokerQueries.requestLast(
+      Tables.streamData(spark, "/root/testdata/sf0.001"), "click", 3, 100)
+
+  // Fixed query constants (UTC, within the 2024-01-01..2024-01-30 data span).
+  private val FromTs  = MsgRef(1705276800000L, 4)  // 2024-01-15
+  private val RangeFrom = MsgRef(1704672000000L, 3) // 2024-01-08
+  private val RangeTo   = MsgRef(1705881600000L, 9) // 2024-01-22
+  private val RetentionCutoff = MsgRef(1704844800000L, 0) // 2024-01-10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- broker cold-path reads (SURVEY §2.5 T1/T2, §2.2 F2-F5) ----
+    "q_last_n" -> ((s, dir) =>
+      BrokerQueries.requestLast(Tables.streamData(s, dir), "click", 3, 100)),
+
+    "q_from_seq" -> ((s, dir) =>
+      BrokerQueries.requestFrom(Tables.streamData(s, dir), "view", 5, FromTs)),
+
+    "q_range_pub" -> ((s, dir) =>
+      BrokerQueries.requestRange(Tables.streamData(s, dir), "purchase", 5,
+        RangeFrom, RangeTo, publisher = Some("pub-1"), msgChain = Some("1"))),
+
+    // ---- metadata aggregates (§2.4 A2-A4, A6) ----
+    "q_metadata" -> ((s, dir) =>
+      BrokerQueries.metadata(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"))),
+
+    "q_distinct_parts" -> ((s, dir) =>
+      BrokerQueries.distinctStreamParts(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"))),
+
+    "q_bucket_stats" -> ((s, dir) =>
+      BrokerQueries.bucketStats(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"), col("bucket_ts"))),
+
+    // ---- retention (§2.2 F9, §2.4 A5) ----
+    "q_retention" -> ((s, dir) =>
+      BrokerQueries.expiredBuckets(Tables.streamData(s, dir), RetentionCutoff)
+        .orderBy(col("stream_id"), col("stream_partition"), col("bucket_ts"))),
+
+    // ---- md5 partitioner golden vectors (§2.7 C1) ----
+    "q_partitioner" -> ((s, _) =>
+      s.range(100).select(
+        col("id").as("i"),
+        md5_partition(concat(lit("key-"), col("id").cast("string")), lit(10)).as("p"))
+        .orderBy(col("i"))),
+
+    // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
+    "q1_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.time.LocalDateTime.parse("1998-09-02T00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
+  )
+
+  /** DuckDB-runnable oracle for every SQL-expressible query above.
+    * Column names and row order must match the Spark plans exactly. */
+  def oracleSql: Map[String, String] = {
+    val sd = Tables.StreamDataSql
+    Map(
+      "q_last_n" ->
+        s"""$sd
+           |SELECT * FROM (
+           |  SELECT * FROM stream_data
+           |  WHERE stream_id = 'click' AND stream_partition = 3
+           |  ORDER BY ts DESC, sequence_no DESC, publisher_id DESC, msg_chain_id DESC
+           |  LIMIT 100
+           |) ORDER BY ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
+
+      "q_from_seq" ->
+        s"""$sd
+           |SELECT * FROM stream_data
+           |WHERE stream_id = 'view' AND stream_partition = 5
+           |  AND (ts > TIMESTAMP '2024-01-15 00:00:00'
+           |       OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND sequence_no >= 4))
+           |ORDER BY ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
+
+      "q_range_pub" ->
+        s"""$sd
+           |SELECT * FROM stream_data
+           |WHERE stream_id = 'purchase' AND stream_partition = 5
+           |  AND (ts > TIMESTAMP '2024-01-08 00:00:00'
+           |       OR (ts = TIMESTAMP '2024-01-08 00:00:00' AND sequence_no >= 3))
+           |  AND (ts < TIMESTAMP '2024-01-22 00:00:00'
+           |       OR (ts = TIMESTAMP '2024-01-22 00:00:00' AND sequence_no <= 9))
+           |  AND publisher_id = 'pub-1' AND msg_chain_id = '1'
+           |ORDER BY ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
+
+      "q_metadata" ->
+        s"""$sd
+           |SELECT stream_id, stream_partition,
+           |       count(*) AS message_count,
+           |       sum(strlen(payload)) AS total_bytes,
+           |       min(ts) AS first_ts, max(ts) AS last_ts
+           |FROM stream_data GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_distinct_parts" ->
+        s"""$sd
+           |SELECT DISTINCT stream_id, stream_partition
+           |FROM stream_data ORDER BY 1, 2""".stripMargin,
+
+      "q_bucket_stats" ->
+        s"""$sd
+           |SELECT stream_id, stream_partition,
+           |       date_trunc('hour', ts) AS bucket_ts,
+           |       count(*) AS records,
+           |       sum(strlen(payload)) AS size
+           |FROM stream_data GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+      "q_retention" ->
+        s"""$sd
+           |SELECT stream_id, stream_partition, bucket_ts FROM (
+           |  SELECT stream_id, stream_partition,
+           |         date_trunc('hour', ts) AS bucket_ts, max(ts) AS max_ts
+           |  FROM stream_data GROUP BY 1, 2, 3
+           |) WHERE max_ts < TIMESTAMP '2024-01-10 00:00:00'
+           |ORDER BY 1, 2, 3""".stripMargin,
+
+      "q_partitioner" ->
+        """WITH k AS (
+          |  SELECT range AS i, md5('key-' || CAST(range AS VARCHAR)) AS hx FROM range(100)
+          |), b AS (
+          |  SELECT i,
+          |    (position(substr(hx,1,1) IN '0123456789abcdef')-1)*16 + (position(substr(hx,2,1) IN '0123456789abcdef')-1) AS b0,
+          |    (position(substr(hx,3,1) IN '0123456789abcdef')-1)*16 + (position(substr(hx,4,1) IN '0123456789abcdef')-1) AS b1,
+          |    (position(substr(hx,5,1) IN '0123456789abcdef')-1)*16 + (position(substr(hx,6,1) IN '0123456789abcdef')-1) AS b2,
+          |    (position(substr(hx,7,1) IN '0123456789abcdef')-1)*16 + (position(substr(hx,8,1) IN '0123456789abcdef')-1) AS b3
+          |  FROM k
+          |), n AS (
+          |  SELECT i, CAST(b0 + 256*b1 + 65536*b2 + 16777216*b3 AS BIGINT) AS u FROM b
+          |)
+          |SELECT i, CAST(abs(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 10 AS INT) AS p
+          |FROM n ORDER BY i""".stripMargin,
+
+      "q1_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+          |       count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    )
+  }
 }
