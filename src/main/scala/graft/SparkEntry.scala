@@ -112,7 +112,7 @@ object SparkEntry {
         s"""$sd
            |SELECT stream_id, stream_partition,
            |       count(*) AS message_count,
-           |       sum(strlen(payload)) AS total_bytes,
+           |       CAST(sum(strlen(payload)) AS BIGINT) AS total_bytes,
            |       min(ts) AS first_ts, max(ts) AS last_ts
            |FROM stream_data GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -126,7 +126,7 @@ object SparkEntry {
            |SELECT stream_id, stream_partition,
            |       date_trunc('hour', ts) AS bucket_ts,
            |       count(*) AS records,
-           |       sum(strlen(payload)) AS size
+           |       CAST(sum(strlen(payload)) AS BIGINT) AS size
            |FROM stream_data GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
       "q_retention" ->

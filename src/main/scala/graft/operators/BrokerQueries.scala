@@ -54,6 +54,15 @@ object BrokerQueries {
   def toBound(to: MsgRef): Column =
     col("ts") < to.ntz || (col("ts") === to.ntz && col("sequence_no") <= to.seq)
 
+  /** Optional publisher/msgChain equality filter.
+    *
+    * Intentional deviations from `Storage.ts` `requestFrom`/`requestRange`
+    * (a bug-fixed superset — do not "fix" tests/oracles back to reference
+    * behavior): (1) partial combinations (publisher-only or msgChain-only)
+    * are accepted, where the reference throws 'Invalid combination' unless
+    * both or neither are given; (2) sequence-number bounds are always
+    * applied, where the reference ignores them on the no-publisher path
+    * (the NET-268 TODO at `Storage.ts:200-208,214-223`). */
   private def publisherFilter(publisher: Option[String], msgChain: Option[String]): Column =
     Seq(
       publisher.map(col("publisher_id") === _),

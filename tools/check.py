@@ -28,11 +28,20 @@ def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # Mirror the driver: an int64-vs-float64 dtype mismatch fails
+            # outright (the driver hashes values incl. dtype repr), and any
+            # value difference — however small — is a failure; `close` is
+            # reported as a diagnostic only.
+            if av.dtype.kind != bv.dtype.kind:
+                errs.append(f"col {c}: dtype mismatch spark={av.dtype} "
+                            f"oracle={bv.dtype} (driver hash would fail)")
+                continue
             bad = ~((av.isna() & bv.isna()) | (av == bv))
             nexact = int(bad.sum())
             if nexact:
                 close = ((av - bv).abs() < 1e-9 * (1 + bv.abs()))[bad].all()
-                errs.append(f"col {c}: {nexact} float diffs (close={close}) "
+                errs.append(f"col {c}: {nexact} float diffs (FAIL even if "
+                            f"close={close}) "
                             f"e.g. {av[bad].iloc[0]!r} vs {bv[bad].iloc[0]!r}")
         else:
             astr, bstr = av.astype(str), bv.astype(str)
