@@ -7,6 +7,7 @@ import graft.functions.Md5Partition.md5_partition
 import graft.operators.BrokerQueries
 import graft.operators.BrokerQueries.MsgRef
 import graft.sources.Tables
+import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry (plus a DuckDB oracle) per
   * implemented operator from SURVEY.md §2. */
@@ -60,6 +61,17 @@ object SparkEntry {
         md5_partition(concat(lit("key-"), col("id").cast("string")), lit(10)).as("p"))
         .orderBy(col("i"))),
 
+    // ---- text analysis for training-data pipelines ----
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "q_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -79,6 +91,18 @@ object SparkEntry {
     * Column names and row order must match the Spark plans exactly. */
   def oracleSql: Map[String, String] = {
     val sd = Tables.StreamDataSql
+    // DuckDB twins of the TextAnalysis constants, generated from the same
+    // Scala values so Spark plan and oracle can never drift.
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val langScoreCols = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      val markers = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($markers))) AS INT) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val langCase = langs.init.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
     Map(
       "q_last_n" ->
         s"""$sd
@@ -153,6 +177,48 @@ object SparkEntry {
           |)
           |SELECT i, CAST(abs(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 10 AS INT) AS p
           |FROM n ORDER BY i""".stripMargin,
+
+      "q_text_stats" ->
+        s"""WITH s AS (
+           |  SELECT doc_id, n_chars,
+           |         string_split(text, ' ') AS toks,
+           |         regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}') AS bpe,
+           |         regexp_extract_all(text, '[^A-Za-z0-9 ]') AS punct
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, n_chars,
+           |         CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+           |         CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+           |         CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS token_chars,
+           |         CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS stopword_count,
+           |         CAST(len(punct) AS BIGINT) AS punct_count
+           |  FROM s
+           |)
+           |SELECT doc_id, n_ws_tokens, n_bpe_tokens, token_chars, stopword_count, punct_count,
+           |       CAST(token_chars AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE) AS avg_token_len,
+           |       CAST(stopword_count AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE) * 0.5
+           |         + (1.0 - CAST(punct_count AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5 AS quality_score
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "q_lang_confusion" ->
+        s"""WITH s AS (
+           |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+           |), sc AS (
+           |  SELECT doc_id, lang,
+           |    $langScoreCols
+           |  FROM s
+           |)
+           |SELECT lang, $langCase AS pred_lang, count(*) AS n
+           |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_concat([CAST(0 AS BIGINT)],
+           |      list_transform(string_split(text, ' '),
+           |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+           |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,

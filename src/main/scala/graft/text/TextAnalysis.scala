@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents(doc_id, text, lang, source, n_chars)` relation: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  *
+  * All operators are single-pass narrow projections (no shuffle) — at 100 TB
+  * they run as a map stage fused into the parquet scan by whole-stage
+  * codegen, with column pruning reading only `text` (+ keys). Every value is
+  * either an exact integer or a double derived from exact integers through a
+  * fixed expression tree, so results are bit-identical across engines (the
+  * DuckDB oracle twin lives in [[graft.SparkEntry.oracleSql]]).
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, or single punctuation
+    * marks — the pre-tokenization split most BPE vocabularies apply. Kept to
+    * a subset understood identically by Java regex and RE2 (DuckDB). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Fixed stopword list used for the quality ratio (ordinary English
+    * function words that occur in the corpus vocabulary). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Marker vocabularies for language-ID scoring. With natural corpora these
+    * would be per-language character n-grams/function words; the synthetic
+    * corpus shares one vocabulary across langs, so markers are fixed word
+    * sets — the scoring/argmax machinery is the operator under test, and the
+    * prediction is deterministic regardless of corpus. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "group"),
+    "en" -> Seq("the", "data", "row"),
+    "es" -> Seq("column", "line", "value"),
+    "fr" -> Seq("merge", "join", "key"),
+    "zh" -> Seq("hash", "scan", "sort"))
+
+  /** Whitespace tokens (single-space separated corpus). */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** 32-bit integer hash of a string via md5 — identical in any engine with
+    * a standard md5 (reference partitioner uses the same md5-prefix trick,
+    * `src/helpers/partition.ts:10-12`). */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Per-document token counts + quality features. One row per doc:
+    * whitespace tokens, BPE-ish tokens, char sum of tokens, stopword count,
+    * punctuation count, and a composite [0,1]-ish quality score
+    * (length/stopword/punct ratios — the standard heuristic trio). */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks)
+    val charSum = aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+    val stopCount = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val punctCount = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+    // counts as BIGINT so engine outputs hash-compare identically
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      charSum.cast("long").as("token_chars"),
+      stopCount.cast("long").as("stopword_count"),
+      punctCount.cast("long").as("punct_count"),
+      (charSum.cast("double") / nTok.cast("double")).as("avg_token_len"),
+      (stopCount.cast("double") / nTok.cast("double") * lit(0.5)
+        + (lit(1.0) - punctCount.cast("double") / col("n_chars").cast("double")) * lit(0.5))
+        .as("quality_score"))
+  }
+
+  /** Language-ID: score each language's marker set against the document's
+    * tokens (with multiplicity); predicted language = argmax with
+    * alphabetical tiebreak. Emitted per doc with the true label for
+    * downstream confusion analysis. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang") +:
+        LangMarkers.map { case (l, markers) =>
+          size(filter(toks, t => t.isInCollection(markers))).as(s"score_$l")
+        }): _*)
+    // alphabetical-preference argmax: first lang whose score >= all others
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Confusion-matrix rollup of [[langId]]: one shuffle of ≤|langs|² rows. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Rolling polynomial fingerprint over the token sequence:
+    * `acc = (acc*31 + md5Int32(token)) mod P` with P = 1e12+39 (prime; keeps
+    * every intermediate < 3.2e13, exact in int64 on any engine). Equal
+    * fingerprints ⇔ equal token sequences (mod collisions) — the cheap
+    * near-exact-dup key for a 100 TB corpus: one narrow map + one groupBy
+    * on an 8-byte key instead of text-length shuffles. */
+  val FingerprintMod = 1000000000039L
+
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        wsTokens(col("text")),
+        lit(0L),
+        (acc, t) => (acc * lit(31L) + md5Int32(t)) % lit(FingerprintMod))
+        .as("fp"))
+}
