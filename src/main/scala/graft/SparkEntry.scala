@@ -7,6 +7,7 @@ import graft.functions.Md5Partition.md5_partition
 import graft.operators.BrokerQueries
 import graft.operators.BrokerQueries.MsgRef
 import graft.sources.Tables
+import graft.dedup.Dedup
 import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry (plus a DuckDB oracle) per
@@ -61,6 +62,28 @@ object SparkEntry {
         md5_partition(concat(lit("key-"), col("id").cast("string")), lit(10)).as("p"))
         .orderBy(col("i"))),
 
+    // ---- deduplication for training-data pipelines ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("canonical_id"))),
+
+    "q_dedup_ingest" -> ((s, dir) => {
+      val sd = Tables.streamData(s, dir)
+      Dedup.ingestDedup(sd.unionByName(sd.filter(col("sequence_no") < 8)))
+        .groupBy(col("stream_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("stream_id"))
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 3, threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), bits = 32).orderBy(col("doc_id"))),
+
     // ---- text analysis for training-data pipelines ----
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(Tables.documents(s, dir)).orderBy(col("doc_id"))),
@@ -103,6 +126,16 @@ object SparkEntry {
       val ge = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"WHEN $ge THEN '$l'"
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    // Shared shingle CTE (distinct word 3-grams per doc) for dedup oracles.
+    val shingleCte =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        |       FROM toks WHERE len(t) >= 3)""".stripMargin
+    val simhashSums = (0 until 32).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
+    val simhashVal = (0 until 32)
+      .map(j => s"CASE WHEN 2*s$j >= n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
     Map(
       "q_last_n" ->
         s"""$sd
@@ -177,6 +210,68 @@ object SparkEntry {
           |)
           |SELECT i, CAST(abs(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 10 AS INT) AS p
           |FROM n ORDER BY i""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+          |       count(*) AS dup_count
+          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+      "q_dedup_ingest" ->
+        s"""$sd, u AS (
+           |  SELECT * FROM stream_data
+           |  UNION ALL
+           |  SELECT * FROM stream_data WHERE sequence_no < 8
+           |)
+           |SELECT stream_id, count(*) AS n FROM (
+           |  SELECT DISTINCT stream_id, stream_partition, ts, sequence_no,
+           |         publisher_id, msg_chain_id FROM u
+           |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_ngram_jaccard" ->
+        s"""$shingleCte,
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |          FROM sh a JOIN sh b USING (shingle)
+           |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_size,
+           |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+           |FROM pairs
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_minhash_lsh" ->
+        s"""$shingleCte,
+           |mh AS (SELECT doc_id, i,
+           |         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT) AS h
+           |       FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+           |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
+           |bands AS (SELECT doc_id, b,
+           |            md5(CAST(sig[4*b+1] AS VARCHAR) || ',' || CAST(sig[4*b+2] AS VARCHAR)
+           |              || ',' || CAST(sig[4*b+3] AS VARCHAR) || ',' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
+           |          FROM sig CROSS JOIN range(4) rb(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS matches,
+           |       CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 16.0 AS est_sim
+           |FROM cand
+           |JOIN sig sa ON doc_a = sa.doc_id
+           |JOIN sig sb ON doc_b = sb.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_simhash" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
+           |  FROM documents
+           |), agg AS (
+           |  SELECT doc_id, count(*) AS n, $simhashSums FROM tok GROUP BY 1
+           |)
+           |SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash
+           |FROM agg ORDER BY doc_id""".stripMargin,
 
       "q_text_stats" ->
         s"""WITH s AS (

@@ -1,0 +1,162 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.StreamMessage
+import graft.text.TextAnalysis.md5Int32
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash, and the
+  * broker's ingest-replay dedup (`dropDuplicates` on the message uniqueness
+  * key — the Spark equivalent of the reference's Cassandra primary-key
+  * upsert, SURVEY §2.6 / §7.4).
+  *
+  * Scale design: everything is expressed as narrow maps + key-partitioned
+  * shuffles. At 100 TB the only all-pairs-shaped step is the LSH candidate
+  * self-join, which shuffles on (band, bandKey) — cardinality ≈ corpus size ×
+  * bands, with join fan-out bounded by bucket occupancy rather than n². The
+  * exact-Jaccard verifier joins on shared shingles, which is the standard
+  * candidate-generation trick (pairs only materialize where overlap exists).
+  * Hashes are md5-derived so any engine (and the DuckDB oracle) reproduces
+  * them bit-for-bit.
+  */
+object Dedup {
+
+  /** Distinct word k-gram shingles of a single-space-tokenized text; empty
+    * array when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup groups: one row per distinct text hash, with the canonical
+    * (minimum) doc id and the duplicate count. One shuffle on a 16-byte key
+    * regardless of document size. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup: keep one row per distinct text (the minimum doc_id). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.join(
+      exactGroups(docs).select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Ingest-replay dedup over the message uniqueness key — reproduces the
+    * reference's last-write-wins upsert semantics for at-least-once
+    * delivery (SURVEY §2.6; key: `Storage.ts:109-112`). */
+  def ingestDedup(streamData: DataFrame): DataFrame =
+    streamData.dropDuplicates(StreamMessage.uniqueKey)
+
+  /** (doc_id, shingle) pairs, distinct per document. */
+  private def shingleTable(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
+    * clearing `threshold`. Pairs materialize via the shared-shingle join —
+    * never n² — then one aggregation per pair. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val sh = shingleTable(docs, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("union_size", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_size").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"), col("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes column-wise minima of md5-derived hash
+    * families over the shingle set. One groupBy on doc_id. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = shingleTable(docs, k)
+    val mins = (0 until numHashes).map(i =>
+      min(md5Int32(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: signature split into `bands` bands whose md5
+    * keys bucket candidate pairs; each surviving pair is scored by exact
+    * signature agreement (matches / numHashes estimates Jaccard). */
+  def minhashLshPairs(
+      docs: DataFrame, k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, k, numHashes)
+    val bandEntries = sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat_ws(",",
+            (0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1).cast("string")): _*)).as("bkey"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bkey").as("bkey"))
+    val cand = bandEntries.as("a")
+      .join(bandEntries.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("matches",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+          .cast("long"))
+      .withColumn("est_sim", col("matches").cast("double") / lit(numHashes.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("est_sim"))
+  }
+
+  /** SimHash fingerprint (default 32 bits): bit j is set when the majority
+    * of token hashes (with multiplicity) have bit j set — i.e.
+    * `2*Σ bit_j(h) >= n`. Explode + one aggregation; each doc reduces to
+    * (count, 32 partial sums) map-side, so the shuffle carries one row per
+    * document. */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), md5Int32(col("t")).as("h"))
+    val sums = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"s$j") * 2 >= col("n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming. The pair join
+    * here is blocked on the top `blockBits` bits of the fingerprint (docs
+    * whose near-dups flip only low bits stay comparable; the standard
+    * multi-probe trick rotates the block — one rotation kept for the
+    * deterministic surface). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blockBits: Int = 8,
+      bits: Int = 32): DataFrame = {
+    val s = simhash(docs, bits)
+    val withBlock = s.withColumn("block", shiftright(col("simhash"), bits - blockBits))
+    withBlock.as("a")
+      .join(withBlock.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+}

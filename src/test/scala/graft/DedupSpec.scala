@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("shingles: distinct word 3-grams; short docs yield empty") {
+    val out = docsOf((1L, "a b c d"), (2L, "x y"))
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1).isEmpty)
+  }
+
+  test("exactGroups/exactDedup: identical texts collapse to min doc_id") {
+    val docs = docsOf((1L, base), (2L, base), (3L, "other text entirely"))
+    val groups = Dedup.exactGroups(docs).orderBy("canonical_id").collect()
+    assert(groups.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_count"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+    assert(Dedup.exactDedup(docs).select("doc_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("ingestDedup drops replayed messages by uniqueness key") {
+    val sd = streamDataOf(
+      msg("s", 0, 1000, 0), msg("s", 0, 1000, 1), msg("s", 0, 2000, 0))
+    val replayed = sd.unionByName(sd.limit(2))
+    assert(replayed.count() == 5)
+    assert(Dedup.ingestDedup(replayed).count() == 3)
+  }
+
+  test("ngramJaccardPairs finds planted near-dup, not unrelated docs") {
+    val nearDup = base.replace("epsilon", "EPSILON") // 1-word edit
+    val docs = docsOf((1L, base), (2L, nearDup),
+      (3L, "one two three four five six seven eight nine ten"))
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.1).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")) == (1L, 2L))
+    // 8 shingles each, 3 contain the edited word => inter=5, union=11
+    assert(p.getAs[Long]("inter") == 5L)
+    assert(p.getAs[Long]("union_size") == 11L)
+    assert(math.abs(p.getAs[Double]("jaccard") - 5.0 / 11) < 1e-12)
+  }
+
+  test("minhashLshPairs surfaces the near-dup pair with high estimated sim") {
+    // one appended word: Jaccard 8/9 — deterministically shares 2 of 4
+    // bands under the md5 hash family (verified against the oracle math)
+    val docs = docsOf(
+      (1L, base), (2L, base + " lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("est_sim") >= 0.5)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val docs = docsOf((1L, base), (2L, base),
+      (3L, base.replace("epsilon", "EPSILON")),
+      (4L, "one two three four five six seven eight nine ten"))
+    val fp = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 8)   // 1-word edit
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 8)    // unrelated
+  }
+
+  test("simhashPairs: identical docs pair at hamming 0") {
+    val docs = docsOf((1L, base), (2L, base),
+      (4L, "one two three four five six seven eight nine ten"))
+    val out = Dedup.simhashPairs(docs, maxHamming = 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
+  }
+}
