@@ -8,6 +8,7 @@ import graft.operators.BrokerQueries
 import graft.operators.BrokerQueries.MsgRef
 import graft.sources.Tables
 import graft.dedup.Dedup
+import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry (plus a DuckDB oracle) per
@@ -61,6 +62,25 @@ object SparkEntry {
         col("id").as("i"),
         md5_partition(concat(lit("key-"), col("id").cast("string")), lit(10)).as("p"))
         .orderBy(col("i"))),
+
+    // ---- similarity search over embeddings ----
+    "q_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5, signBits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_embed_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("label"), col("vec_a"), col("vec_b"))),
 
     // ---- deduplication for training-data pipelines ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -132,6 +152,17 @@ object SparkEntry {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
         |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
         |       FROM toks WHERE len(t) >= 3)""".stripMargin
+    // Quantized-embedding CTE shared by the similarity oracles: 1e-6
+    // fixed-point vectors with exact integer squared norms.
+    val quantCte =
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qe,
+        |    CAST(list_sum(list_transform(range(len(qe)), i -> qe[i+1]*qe[i+1])) AS BIGINT) AS nq
+        |  FROM q)""".stripMargin
+    val dotExpr = // exact integer dot product of two quantized lists a/b
+      "CAST(list_sum(list_transform(range(len(%s)), i -> %s[i+1]*%s[i+1])) AS BIGINT)"
     val simhashSums = (0 until 32).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
     val simhashVal = (0 until 32)
       .map(j => s"CASE WHEN 2*s$j >= n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
@@ -210,6 +241,49 @@ object SparkEntry {
           |)
           |SELECT i, CAST(abs(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 10 AS INT) AS p
           |FROM n ORDER BY i""".stripMargin,
+
+      "q_ann_topk" ->
+        s"""$quantCte,
+           |scored AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+           |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM n c, n qs WHERE c.vec_id >= 8 AND qs.vec_id < 8
+           |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+           |      FROM scored)
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      "q_ann_ivf" ->
+        s"""$quantCte,
+           |bkt AS (SELECT vec_id, qe, nq,
+           |    (CASE WHEN qe[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN qe[2] >= 0 THEN 2 ELSE 0 END)
+           |  + (CASE WHEN qe[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN qe[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+           |  FROM n),
+           |scored AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+           |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM bkt c JOIN bkt qs ON c.bucket = qs.bucket
+           |  WHERE c.vec_id >= 8 AND qs.vec_id < 8
+           |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+           |      FROM scored)
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      "q_embed_dup" ->
+        s"""$quantCte
+           |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       ${dotExpr.format("a.qe", "a.qe", "b.qe")}
+           |         / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cos
+           |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${dotExpr.format("a.qe", "a.qe", "b.qe")}
+           |        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.4
+           |ORDER BY a.label, vec_a, vec_b""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,

@@ -1,0 +1,117 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`): brute-force
+  * cosine top-k as the exact baseline, an IVF-style sign-bucketed variant as
+  * the scale path, and near-duplicate pair detection.
+  *
+  * Determinism: embeddings are quantized to 1e-6 fixed point
+  * (`floor(x * 1e6)` in int64), so dot products and norms are exact integers
+  * on any engine; cosine is then one division of exact values — bit-identical
+  * across Spark and the DuckDB oracle, which makes ranks reproducible.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *  - the query side is always broadcast (`broadcast(queries)`) — the corpus
+  *    never shuffles for scoring; scoring is a map stage fused into the scan;
+  *  - top-k uses two-phase selection: a salted per-partition `row_number`
+  *    keeps ≤k rows per (query, salt) slice in parallel, then the global
+  *    `row_number` ranks the tiny survivor set — no single-reducer sort of
+  *    the full corpus per query;
+  *  - the IVF variant prunes candidates by a sign-pattern coarse quantizer
+  *    (bucket = low bits of the first dims' signs), turning the cross
+  *    product into a bucket-equality join.
+  */
+object Similarity {
+
+  /** Fixed-point resolution: 1e-6 per unit. |x| ≤ ~500 stays overflow-safe
+    * in the 64-dim dot product (5e8² × 64 ≪ 2^63). */
+  val QuantScale = 1000000.0
+
+  /** floor-quantize a float vector to int64 fixed point (floor, not round:
+    * floor semantics are identical on every engine; round-half ties are
+    * engine-dependent). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(QuantScale)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from exact integer dot + norms (deterministic double). */
+  def cosineQ(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Corpus with quantized embedding and its exact squared norm. */
+  def prepared(embeddings: DataFrame): DataFrame = {
+    val qe = quantize(col("embedding"))
+    embeddings.select(col("vec_id"), col("label"), qe.as("qe"))
+      .withColumn("nq", dotQ(col("qe"), col("qe")))
+  }
+
+  /** IVF-style coarse quantizer: bucket = bitmask of the first `signBits`
+    * dimensions' signs. 2^signBits buckets, assignment is a narrow map. */
+  def signBucket(qe: Column, signBits: Int = 8): Column =
+    (0 until signBits).map { j =>
+      when(element_at(qe, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Distributed top-k per group: salted local row_number (parallel, keeps
+    * ≤k per slice) then global row_number over the survivors. */
+  private def topKPerGroup(scored: DataFrame, k: Int, slices: Int = 32): DataFrame = {
+    val order = Seq(col("cos").desc, col("neighbor_id").asc)
+    val local = scored
+      .withColumn("salt", pmod(spark_partition_id(), lit(slices)))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("query_id"), col("salt")).orderBy(order: _*)))
+      .filter(col("lr") <= k)
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(order: _*)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Exact brute-force cosine top-k: corpus × broadcast(queries) map-side
+    * scoring, two-phase selection. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = prepared(corpus)
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** IVF-bucketed approximate top-k: candidates restricted to the query's
+    * sign bucket — trades recall for a 2^signBits-fold candidate cut. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, signBits: Int = 8): DataFrame = {
+    val c = prepared(corpus).withColumn("bucket", signBucket(col("qe"), signBits))
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nq").as("q_nq"))
+      .withColumn("bucket", signBucket(col("q_qe"), signBits))
+    val scored = c.join(broadcast(q), "bucket")
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` (at 100 TB
+    * the blocking key is whatever cheap partition exists — cluster id,
+    * shard, LSH bucket — so the self-join shuffles per block, never n²). */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val p = prepared(embeddings)
+    val a = p.select(col("label"), col("vec_id").as("vec_a"),
+      col("qe").as("qe_a"), col("nq").as("nq_a"))
+    val b = p.select(col("label"), col("vec_id").as("vec_b"),
+      col("qe").as("qe_b"), col("nq").as("nq_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineQ(dotQ(col("qe_a"), col("qe_b")), col("nq_a"), col("nq_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecsOf(rows: (Long, Seq[Float], Int)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+  }
+
+  private def pad(v: Seq[Float]): Seq[Float] = v ++ Seq.fill(8 - v.size)(0f)
+
+  test("bruteForceTopK ranks by exact cosine, self-dup first") {
+    val corpus = vecsOf(
+      (10L, pad(Seq(1f, 0f)), 0),    // identical direction to query
+      (11L, pad(Seq(0.9f, 0.1f)), 0), // close
+      (12L, pad(Seq(0f, 1f)), 0),    // orthogonal
+      (13L, pad(Seq(-1f, 0f)), 0))   // opposite
+    val queries = vecsOf((1L, pad(Seq(2f, 0f)), 0))
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(got.map(_._2).toSeq == Seq(10L, 11L, 12L))
+    assert(math.abs(got(0)._3 - 1.0) < 1e-9)
+    assert(math.abs(got(2)._3) < 1e-9)
+  }
+
+  test("topK returns at most k with deterministic tiebreak on neighbor_id") {
+    val corpus = vecsOf((1L to 10L).map(i => (i + 100, pad(Seq(1f, 0f)), 0)): _*)
+    val queries = vecsOf((1L, pad(Seq(1f, 0f)), 0))
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 4).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(101L, 102L, 103L, 104L))
+  }
+
+  test("ivfTopK only searches the query's sign bucket") {
+    val corpus = vecsOf(
+      (10L, pad(Seq(1f, 1f, 1f, 1f)), 0),     // bucket 1111
+      (11L, pad(Seq(1f, 1f, 1f, -1f)), 0))    // bucket 0111
+    val queries = vecsOf((1L, pad(Seq(2f, 2f, 2f, 2f)), 0))
+    val got = Similarity.ivfTopK(corpus, queries, k = 5, signBits = 4).collect()
+    // vec 11 is cosine-closer than orthogonal but in a different bucket
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L))
+  }
+
+  test("nearDupPairs finds same-label near-identical vectors only") {
+    val vecs = vecsOf(
+      (1L, pad(Seq(1f, 0f, 0f)), 0),
+      (2L, pad(Seq(0.999f, 0.001f, 0f)), 0),  // near-dup of 1, same label
+      (3L, pad(Seq(1f, 0f, 0f)), 1),          // identical but different label
+      (4L, pad(Seq(0f, 1f, 0f)), 0))          // same label, orthogonal
+    val got = Similarity.nearDupPairs(vecs, threshold = 0.95).collect()
+    assert(got.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq == Seq((1L, 2L)))
+    assert(got.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("quantization is exact: integer dot of known vectors") {
+    val df = vecsOf((1L, pad(Seq(0.5f, -0.25f)), 0))
+      .select(Similarity.quantize(col("embedding")).as("qe"))
+    val qe = df.collect().head.getSeq[Long](0)
+    assert(qe.take(2) == Seq(500000L, -250000L))
+  }
+}
