@@ -8,6 +8,9 @@ import graft.operators.BrokerQueries
 import graft.operators.BrokerQueries.MsgRef
 import graft.sources.Tables
 import graft.dedup.Dedup
+import graft.ingest.Validate
+import graft.metrics.Metrics
+import graft.serve.Formats
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
@@ -55,6 +58,30 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       BrokerQueries.expiredBuckets(Tables.streamData(s, dir), RetentionCutoff)
         .orderBy(col("stream_id"), col("stream_partition"), col("bucket_ts"))),
+
+    // ---- serve formats (§2.1 S10) ----
+    "q_serve_object" -> ((s, dir) =>
+      Formats.format(
+        BrokerQueries.requestLast(Tables.streamData(s, dir), "click", 3, 100), "object")),
+
+    "q_serve_protocol" -> ((s, dir) =>
+      Formats.format(
+        BrokerQueries.requestFrom(Tables.streamData(s, dir), "view", 5, FromTs), "protocol")),
+
+    // ---- ingest validation (§2.2 F7/F8) ----
+    "q_ingest_validate" -> ((s, dir) =>
+      Validate.verdictCounts(Tables.streamData(s, dir),
+        lit(java.time.LocalDateTime.parse("2024-01-20T00:00:00")))
+        .orderBy(col("stream_id"), col("verdict"))),
+
+    // ---- metrics (§2.4 A7-A9) ----
+    "q_ewma" -> ((s, dir) =>
+      Metrics.ewmaRates(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"))),
+
+    "q_metrics_rollup" -> ((s, dir) =>
+      Metrics.hourlyRollup(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"), col("hour"))),
 
     // ---- md5 partitioner golden vectors (§2.7 C1) ----
     "q_partitioner" -> ((s, _) =>
@@ -167,6 +194,15 @@ object SparkEntry {
     val simhashVal = (0 until 32)
       .map(j => s"CASE WHEN 2*s$j >= n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
+    // DuckDB twin of Formats.jsonEscape (same replace chain, same order).
+    def jsonEsc(e: String): String =
+      s"replace(replace(replace(replace(replace($e, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    val minuteCte =
+      s"""mc AS (
+         |  SELECT stream_id, stream_partition, date_trunc('minute', ts) AS minute,
+         |         count(*) AS msgs, CAST(sum(strlen(payload)) AS BIGINT) AS bytes
+         |  FROM stream_data GROUP BY 1, 2, 3
+         |)""".stripMargin
     Map(
       "q_last_n" ->
         s"""$sd
@@ -241,6 +277,62 @@ object SparkEntry {
           |)
           |SELECT i, CAST(abs(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 10 AS INT) AS p
           |FROM n ORDER BY i""".stripMargin,
+
+      "q_serve_object" ->
+        s"""$sd
+           |SELECT '{"streamId":"' || ${jsonEsc("stream_id")} ||
+           |  '","streamPartition":' || stream_partition ||
+           |  ',"timestamp":' || epoch_ms(ts) ||
+           |  ',"sequenceNumber":' || sequence_no ||
+           |  ',"publisherId":"' || ${jsonEsc("publisher_id")} ||
+           |  '","msgChainId":"' || ${jsonEsc("msg_chain_id")} ||
+           |  '","content":"' || ${jsonEsc("payload")} || '"}' AS msg
+           |FROM (
+           |  SELECT * FROM stream_data
+           |  WHERE stream_id = 'click' AND stream_partition = 3
+           |  ORDER BY ts DESC, sequence_no DESC, publisher_id DESC, msg_chain_id DESC
+           |  LIMIT 100
+           |)""".stripMargin,
+
+      "q_serve_protocol" ->
+        s"""$sd
+           |SELECT '[31,["' || ${jsonEsc("stream_id")} ||
+           |  '",' || stream_partition ||
+           |  ',' || epoch_ms(ts) ||
+           |  ',' || sequence_no ||
+           |  ',"' || ${jsonEsc("publisher_id")} ||
+           |  '","' || ${jsonEsc("msg_chain_id")} ||
+           |  '"],null,27,0,"' || ${jsonEsc("payload")} || '",0,null]' AS msg
+           |FROM stream_data
+           |WHERE stream_id = 'view' AND stream_partition = 5
+           |  AND (ts > TIMESTAMP '2024-01-15 00:00:00'
+           |       OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND sequence_no >= 4))""".stripMargin,
+
+      "q_ingest_validate" ->
+        s"""$sd
+           |SELECT stream_id,
+           |       CASE WHEN ts > TIMESTAMP '2024-01-20 00:05:00' THEN 'rejected_future'
+           |            WHEN NOT json_valid(payload) THEN 'rejected_json'
+           |            ELSE 'accepted' END AS verdict,
+           |       count(*) AS n
+           |FROM stream_data GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_ewma" ->
+        s"""$sd, $minuteCte
+           |SELECT stream_id, stream_partition,
+           |       CAST(count(*) AS BIGINT) AS n_minutes,
+           |       list_reduce(list(CAST(msgs AS DOUBLE) ORDER BY minute),
+           |                   (a, b) -> a * 0.8 + b * 0.2) AS rate_ewma
+           |FROM mc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_metrics_rollup" ->
+        s"""$sd, $minuteCte
+           |SELECT stream_id, stream_partition, date_trunc('hour', minute) AS hour,
+           |       CAST(count(*) AS BIGINT) AS n_minutes,
+           |       CAST(sum(msgs) AS BIGINT) AS msgs,
+           |       CAST(sum(bytes) AS BIGINT) AS bytes,
+           |       CAST(sum(msgs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_msgs_per_min
+           |FROM mc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
       "q_ann_topk" ->
         s"""$quantCte,

@@ -1,0 +1,46 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest-side validation — the reference's publish gate
+  * (`src/Publisher.ts:34-51`): future-timestamp rejection (F7) and
+  * JSON-validity (F8), as declarative filters with an error side-output.
+  * At scale these run inside the streaming micro-batch as narrow maps; the
+  * rejected side-output feeds a quarantine sink instead of throwing per-row
+  * errors like the reference's HTTP 400 path.
+  */
+object Validate {
+
+  /** Publish-time clock-skew tolerance: +300 000 ms (`Publisher.ts:5-9`). */
+  val FutureToleranceMs = 300000L
+
+  /** F7 — message timestamp beyond now + tolerance ⇒ FUTURE_TIMESTAMP
+    * reject (`Publisher.ts:35-41`). `now` is the ingest batch clock. */
+  def isFuture(ts: Column, now: Column): Column =
+    ts > (now + expr(s"INTERVAL ${FutureToleranceMs / 1000} SECONDS"))
+
+  /** F8 — content must parse as JSON (`Publisher.ts:46` getContent(true)).
+    * get_json_object returns null on malformed input. */
+  def isValidJson(payload: Column): Column =
+    get_json_object(payload, "$").isNotNull
+
+  /** Annotate a message batch with its validation verdict:
+    * `accepted` | `rejected_future` | `rejected_json` (first failure wins,
+    * future checked first like the reference's ordering). */
+  def verdict(df: DataFrame, now: Column): DataFrame =
+    df.withColumn("verdict",
+      when(isFuture(col("ts"), now), lit("rejected_future"))
+        .when(!isValidJson(col("payload")), lit("rejected_json"))
+        .otherwise(lit("accepted")))
+
+  /** Accepted subset (the rows that proceed to partition + store). */
+  def accepted(df: DataFrame, now: Column): DataFrame =
+    verdict(df, now).filter(col("verdict") === "accepted").drop("verdict")
+
+  /** Per-stream verdict counts — the ingest observability surface. */
+  def verdictCounts(df: DataFrame, now: Column): DataFrame =
+    verdict(df, now)
+      .groupBy(col("stream_id"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,61 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Metric aggregation — the reference's VolumeLogger / StreamMetrics
+  * surface (A7-A9): fixed-interval windowed counts, hierarchical time
+  * rollups, and EWMA smoothing (`throttledAvg(avg,x) = 0.8*avg + 0.2*x`,
+  * `src/StreamMetrics.ts:7-9`).
+  *
+  * Batch shape: two shuffles total — one to the finest window, one to the
+  * stream-part — regardless of input size; the EWMA fold runs on the
+  * per-group minute series (bounded by time range, not data volume).
+  */
+object Metrics {
+
+  /** Per-(stream-part, minute) message counts and byte totals — the
+    * windowed metric base (A7; `VolumeLogger.ts:167-291`). */
+  def minuteCounts(streamData: DataFrame): DataFrame =
+    streamData
+      .groupBy(col("stream_id"), col("stream_partition"),
+        date_trunc("minute", col("ts")).cast("timestamp_ntz").as("minute"))
+      .agg(count(lit(1)).as("msgs"), sum(octet_length(col("payload"))).as("bytes"))
+
+  /** Hierarchical rollup minute→hour (A8; `StreamMetrics.ts:55-77`): each
+    * hour reports the sum plus the average of its minute reports. */
+  def hourlyRollup(streamData: DataFrame): DataFrame =
+    minuteCounts(streamData)
+      .groupBy(col("stream_id"), col("stream_partition"),
+        date_trunc("hour", col("minute")).cast("timestamp_ntz").as("hour"))
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        sum(col("msgs")).as("msgs"),
+        sum(col("bytes")).as("bytes"),
+        (sum(col("msgs")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_msgs_per_min"))
+
+  /** EWMA fold over an ordered numeric series: seeded with the first
+    * element, then `0.8*acc + 0.2*x` per step (`StreamMetrics.ts:7-9,
+    * 133-143`). Deterministic double sequence ⇒ engine-independent. */
+  def ewmaFold(sortedValues: Column): Column = {
+    val rest = slice(sortedValues, lit(2), greatest(size(sortedValues) - 1, lit(0)))
+    aggregate(rest, element_at(sortedValues, 1).cast("double"),
+      (acc, x) => acc * lit(0.8) + x.cast("double") * lit(0.2))
+  }
+
+  /** Per-stream-part EWMA of the per-minute message rate (A9). The minute
+    * series is collected per group (bounded by the time range), sorted, and
+    * folded — `array_sort` on (minute, msgs) structs orders by minute since
+    * minutes are unique within a group. */
+  def ewmaRates(streamData: DataFrame): DataFrame =
+    minuteCounts(streamData)
+      .groupBy(col("stream_id"), col("stream_partition"))
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        collect_list(struct(col("minute"), col("msgs"))).as("series"))
+      .select(
+        col("stream_id"), col("stream_partition"), col("n_minutes"),
+        ewmaFold(transform(array_sort(col("series")), s => s.getField("msgs")))
+          .as("rate_ewma"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Validate
+import graft.metrics.Metrics
+import graft.serve.Formats
+
+class ServeIngestMetricsSpec extends SparkSpec {
+
+  test("objectJson: field order, epoch-ms timestamp, escaped content") {
+    val sd = streamDataOf(msg("s\"x", 2, 1545144750494L, 1, "pub", "c",
+      payload = """{"hello":"wo\rld"}"""))
+    val out = Formats.format(sd, "object").collect().head.getString(0)
+    assert(out ==
+      """{"streamId":"s\"x","streamPartition":2,"timestamp":1545144750494,""" +
+        """"sequenceNumber":1,"publisherId":"pub","msgChainId":"c",""" +
+        """"content":"{\"hello\":\"wo\\rld\"}"}""")
+  }
+
+  test("protocolJson: v31 array shape; raw aliases protocol") {
+    val sd = streamDataOf(msg("s", 0, 1000L, 0, "p", "c", payload = "{}"))
+    val proto = Formats.format(sd, "protocol").collect().head.getString(0)
+    assert(proto == """[31,["s",0,1000,0,"p","c"],null,27,0,"{}",0,null]""")
+    assert(Formats.format(sd, "raw").collect().head.getString(0) == proto)
+  }
+
+  test("validate: future beyond +300s rejected, invalid JSON rejected, rest accepted") {
+    val now = ldt(1000000L)
+    val sd = streamDataOf(
+      msg("s", 0, 1000000L, 0),                       // now => accepted
+      msg("s", 0, 1000000L + 300000L, 1),             // exactly +300s => accepted
+      msg("s", 0, 1000000L + 300001L, 2),             // beyond => rejected_future
+      msg("s", 0, 999999L, 3, payload = "not json"))  // => rejected_json
+    val got = Validate.verdict(sd, lit(now))
+      .select("sequence_no", "verdict").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(0 -> "accepted", 1 -> "accepted",
+      2 -> "rejected_future", 3 -> "rejected_json"))
+    assert(Validate.accepted(sd, lit(now)).count() == 2)
+  }
+
+  test("minuteCounts + hourlyRollup aggregate counts and bytes") {
+    val sd = streamDataOf(
+      msg("s", 0, 0L, 0, payload = "abc"),        // minute 0
+      msg("s", 0, 1000L, 1, payload = "de"),      // minute 0
+      msg("s", 0, 60000L, 2, payload = "fghi"),   // minute 1
+      msg("s", 0, 3600000L, 3, payload = "j"))    // next hour
+    val mc = Metrics.minuteCounts(sd).orderBy("minute").collect()
+    assert(mc.map(r => (r.getAs[Long]("msgs"), r.getAs[Long]("bytes"))).toSeq ==
+      Seq((2L, 5L), (1L, 4L), (1L, 1L)))
+    val hr = Metrics.hourlyRollup(sd).orderBy("hour").collect()
+    assert(hr.map(r => (r.getAs[Long]("n_minutes"), r.getAs[Long]("msgs"),
+      r.getAs[Long]("bytes"), r.getAs[Double]("avg_msgs_per_min"))).toSeq ==
+      Seq((2L, 3L, 9L, 1.5), (1L, 1L, 1L, 1.0)))
+  }
+
+  test("ewma: seeded with first value, 0.8/0.2 fold in minute order") {
+    val sd = streamDataOf(
+      msg("s", 0, 0L, 0), msg("s", 0, 1000L, 1),   // minute 0: 2 msgs
+      msg("s", 0, 60000L, 2),                       // minute 1: 1 msg
+      msg("s", 0, 120000L, 3), msg("s", 0, 121000L, 4), msg("s", 0, 122000L, 5)) // minute 2: 3
+    val r = Metrics.ewmaRates(sd).collect().head
+    assert(r.getAs[Long]("n_minutes") == 3L)
+    // fold: seed 2.0; 2.0*0.8 + 1*0.2 = 1.8; 1.8*0.8 + 3*0.2 = 2.04
+    assert(math.abs(r.getAs[Double]("rate_ewma") - 2.04) < 1e-12)
+  }
+}
