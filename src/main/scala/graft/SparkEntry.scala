@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Md5Partition.md5_partition
-import graft.operators.BrokerQueries
+import graft.operators.{BrokerQueries, Relational}
 import graft.operators.BrokerQueries.MsgRef
 import graft.sources.Tables
 import graft.dedup.Dedup
@@ -141,6 +141,15 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    // ---- relational joins: broadcast star joins + window top-k ----
+    "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+
+    "q5_local" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+
+    "q_top_events" -> ((s, dir) =>
+      Relational.topEventsPerType(s, dir, k = 3)
+        .orderBy(col("event_type"), col("rank"))),
 
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>
@@ -480,6 +489,38 @@ object SparkEntry {
            |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
            |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q3_shipping" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+          |FROM customer, orders, lineitem
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q5_local" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+          |FROM region, nation, customer, supplier, orders, lineitem
+          |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+          |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+          |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+      "q_top_events" ->
+        """SELECT event_type, event_id, user_id, value, "rank" FROM (
+          |  SELECT event_type, event_id, user_id, value,
+          |    CAST(row_number() OVER (PARTITION BY event_type
+          |      ORDER BY value DESC, event_id) AS BIGINT) AS "rank"
+          |  FROM events
+          |) WHERE "rank" <= 3 ORDER BY event_type, "rank"""".stripMargin,
 
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,

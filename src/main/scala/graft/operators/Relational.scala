@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational/star-join surface over the TPC-H-ish harness tables —
+  * exercises the join strategies a 100 TB deployment depends on: broadcast
+  * hash joins for dimensions, shuffle hash/sort-merge for fact-fact, and
+  * windowed top-k per group.
+  *
+  * Money math is done in DECIMAL (exact, engine-independent) and cast to
+  * double only at the output boundary, the same discipline as q1_pricing.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+    * Dimension side (filtered customer) is broadcast — the lineitem⋈orders
+    * fact join shuffles on orderkey only. */
+  def shippingPriority(
+      spark: SparkSession, dir: String,
+      segment: String = "BUILDING",
+      cutoff: LocalDateTime = LocalDateTime.parse("1997-06-15T00:00:00")): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: local-supplier revenue per nation in one region — a
+    * six-table star join; region→nation→(customer,supplier) dimensions all
+    * broadcast, facts shuffle once on orderkey and once on (suppkey). */
+  def localSupplierVolume(
+      spark: SparkSession, dir: String,
+      region: String = "ASIA",
+      from: LocalDateTime = LocalDateTime.parse("1996-01-01T00:00:00"),
+      until: LocalDateTime = LocalDateTime.parse("1998-01-01T00:00:00")): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k events per type by value — the per-group window top-k pattern
+    * (T1's per-group variant, SURVEY §2.5). */
+  def topEventsPerType(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shippingPriority: broadcasts dimensions, pushes filters, top-10") {
+    val df = Relational.shippingPriority(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no sort-merge join expected at this scale")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must reach the scan")
+    val rows = df.collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)), "descending revenue order")
+  }
+
+  test("localSupplierVolume: six-table star join stays broadcast-shaped") {
+    val df = Relational.localSupplierVolume(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    // nations of the chosen region only (<= 25 nations total)
+    assert(rows.length <= 25)
+  }
+
+  test("topEventsPerType: at most k per group, rank starts at 1") {
+    val rows = Relational.topEventsPerType(spark, dir, k = 3).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    byType.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+      val vals = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("value"))
+      assert(vals.sameElements(vals.sortBy(-_)))
+    }
+  }
+}
