@@ -54,6 +54,15 @@ object SparkEntry {
       BrokerQueries.bucketStats(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"), col("bucket_ts"))),
 
+    // ---- physical store roundtrip (§1.2, S3-S5): write the relation
+    // through the bucketed partition layout, read it back, aggregate ----
+    "q_store_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_store_rt").toString
+      graft.store.MessageStore.append(Tables.streamData(s, dir), path)
+      BrokerQueries.metadata(graft.store.MessageStore.open(s, path))
+        .orderBy(col("stream_id"), col("stream_partition"))
+    }),
+
     // ---- retention (§2.2 F9, §2.4 A5) ----
     "q_retention" -> ((s, dir) =>
       BrokerQueries.expiredBuckets(Tables.streamData(s, dir), RetentionCutoff)
@@ -242,6 +251,14 @@ object SparkEntry {
            |ORDER BY ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
 
       "q_metadata" ->
+        s"""$sd
+           |SELECT stream_id, stream_partition,
+           |       count(*) AS message_count,
+           |       CAST(sum(strlen(payload)) AS BIGINT) AS total_bytes,
+           |       min(ts) AS first_ts, max(ts) AS last_ts
+           |FROM stream_data GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_store_roundtrip" -> // roundtrip must preserve rows exactly => same oracle as q_metadata
         s"""$sd
            |SELECT stream_id, stream_partition,
            |       count(*) AS message_count,

@@ -1,0 +1,75 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.BrokerQueries.MsgRef
+
+/** The physical message store: the reference's Cassandra
+  * `stream_data`/`bucket` pair (`src/storage/BatchManager.ts:8-14`,
+  * `BucketManager.ts:327-344`) re-expressed as a parquet table partitioned
+  * by `(stream_id, stream_partition, bucket)`.
+  *
+  * The bucket is a derived *hour truncation of ts* (sortable string
+  * partition value), which replaces the reference's stateful BucketManager
+  * entirely (SURVEY §4): bucket routing is a map-stage expression, late
+  * rows land in their historical bucket by construction (R2 — no watermark
+  * on the persist path), and Catalyst prunes bucket directories from `ts`
+  * predicates because the bucket is a monotone function of ts.
+  *
+  * At 100 TB: stream-part query pruning happens at the directory level
+  * before any I/O; per-bucket file counts stay bounded by the ingest
+  * micro-batch cadence (one file per bucket per batch per writer task);
+  * retention is a metadata-only directory drop, mirroring the reference's
+  * bucket-granular DELETE (`DeleteExpiredCmd.ts:135-161`).
+  */
+object MessageStore {
+
+  /** Hour-bucket partition value of a message timestamp (sortable,
+    * filesystem-safe). */
+  def bucketOf(ts: Column): Column = date_format(ts, "yyyy-MM-dd-HH")
+
+  /** Append a message batch into the partitioned layout. */
+  def append(messages: DataFrame, path: String): Unit =
+    messages
+      .withColumn("bucket", bucketOf(col("ts")))
+      .write
+      .partitionBy("stream_id", "stream_partition", "bucket")
+      .mode("append")
+      .parquet(path)
+
+  /** Open the store (partition columns recovered from directory names). */
+  def open(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The `bucket` index/statistics view (records + bytes per bucket),
+    * computed from the store — SURVEY §2.4 A1-A3. */
+  def bucketStats(store: DataFrame): DataFrame =
+    store.groupBy(col("stream_id"), col("stream_partition"), col("bucket"))
+      .agg(
+        count(lit(1)).as("records"),
+        sum(octet_length(col("payload"))).as("size"),
+        max(col("ts")).as("max_ts"))
+
+  /** Buckets whose MAX(ts) is older than the cutoff — the data-aware
+    * expiry rule (F9, `DeleteExpiredCmd.ts:135-161`). */
+  def expiredBuckets(store: DataFrame, cutoff: MsgRef): DataFrame =
+    bucketStats(store)
+      .filter(col("max_ts") < cutoff.ntz)
+      .select(col("stream_id"), col("stream_partition"), col("bucket"))
+
+  /** Retention enforcement: drop expired bucket directories (metadata-only,
+    * no rewrite — the Spark analog of the reference's bucket-granular
+    * delete job). Returns the dropped partition paths. */
+  def dropExpiredBuckets(spark: SparkSession, path: String, cutoff: MsgRef): Seq[String] = {
+    val store = open(spark, path)
+    val expired = expiredBuckets(store, cutoff).collect().map { r =>
+      s"$path/stream_id=${r.getAs[String]("stream_id")}" +
+        s"/stream_partition=${r.getAs[Int]("stream_partition")}" +
+        s"/bucket=${r.getAs[String]("bucket")}"
+    }.toSeq
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    expired.filter(p => fs.delete(new Path(p), true))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dedup.Dedup
+import graft.ingest.Validate
+import graft.store.MessageStore
+
+/** The hot-path ingest pipeline (SURVEY §3.3): validated, partitioned,
+  * deduplicated micro-batches appended to the bucketed [[MessageStore]].
+  *
+  * Mirrors the reference's publish→store chain — future-timestamp reject
+  * (`Publisher.ts:35-41`), JSON validity (`Publisher.ts:46`), storage
+  * assignment filter (`Storage.ts:65-69`), bucket routing
+  * (`BucketManager.ts:72-97`) — with the reference's ~550 LoC of
+  * batch/bucket FSMs collapsed into the micro-batch engine (S3-S5).
+  *
+  * Design notes for scale:
+  *  - NO watermark on the persist path: the reference accepts arbitrarily
+  *    late rows into historical buckets (R2); the derived bucket column
+  *    routes them correctly by construction.
+  *  - Dedup within each micro-batch on the uniqueness key reproduces the
+  *    Cassandra primary-key upsert for intra-batch duplicates; cross-batch
+  *    replay safety comes from checkpointed source offsets (exactly-once
+  *    file sink), so unbounded dedup state is unnecessary.
+  *  - The assignment filter is a small broadcast set refreshed per batch —
+  *    the slowly-changing-state analog of StorageConfig polling (R7).
+  */
+object IngestPipeline {
+
+  /** One micro-batch through the validation/partition/dedup chain.
+    * `assigned` is the optional set of "stream_id::partition" keys this
+    * node stores (None ⇒ store everything). */
+  def prepareBatch(
+      batch: DataFrame,
+      nowMs: Long,
+      assigned: Option[Set[String]] = None): DataFrame = {
+    val now = lit(new java.sql.Timestamp(nowMs)).cast("timestamp_ntz")
+    val validated = Validate.accepted(batch, now)
+    val scoped = assigned match {
+      case Some(keys) =>
+        // F6 — storage-assignment filter against a broadcast-able set
+        // (StorageConfig.hasStream, `src/storage/StorageConfig.ts:83-86`)
+        validated.filter(
+          concat_ws("::", col("stream_id"), col("stream_partition"))
+            .isInCollection(keys))
+      case None => validated
+    }
+    Dedup.ingestDedup(scoped)
+  }
+
+  /** Start the streaming ingest: source → prepare → bucketed store append.
+    * `onBatch` is the subscriber fan-out hook (R1) — called with each
+    * prepared micro-batch so a serving layer can dispatch to live
+    * subscriptions while the same rows are persisted. */
+  def start(
+      source: DataFrame,
+      storePath: String,
+      checkpointPath: String,
+      assigned: Option[Set[String]] = None,
+      triggerMs: Long = 1000L,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prepared =
+          prepareBatch(batch, System.currentTimeMillis(), assigned).cache()
+        try {
+          MessageStore.append(prepared, storePath)
+          onBatch(prepared, batchId)
+        } finally prepared.unpersist()
+      }
+      .start()
+}

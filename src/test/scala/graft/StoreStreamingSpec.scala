@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.StreamMessage
+import graft.operators.BrokerQueries
+import graft.operators.BrokerQueries.MsgRef
+import graft.store.MessageStore
+import graft.streaming.IngestPipeline
+
+class StoreStreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("store roundtrip: bucket layout, late data routed to historical bucket") {
+    val path = tmpDir("graft-store")
+    MessageStore.append(streamDataOf(
+      msg("s", 0, 1700000000000L, 0),           // 2023-11-14 22:xx
+      msg("s", 0, 1700003600000L, 1),           // next hour
+      msg("s", 1, 1700000000000L, 0)), path)
+    // late arrival: much older ts appended later lands in its own bucket
+    MessageStore.append(streamDataOf(msg("s", 0, 1600000000000L, 5)), path)
+
+    val dirs = new java.io.File(s"$path/stream_id=s/stream_partition=0").list().sorted
+    assert(dirs.toSeq == Seq("bucket=2020-09-13-12", "bucket=2023-11-14-22", "bucket=2023-11-14-23"))
+
+    val store = MessageStore.open(spark, path)
+    assert(store.count() == 4)
+    // requestLast over the store returns the latest-N ascending (the late
+    // 1600000000000 row is correctly older and excluded)
+    val got = keysOf(BrokerQueries.requestLast(store, "s", 0, 2))
+    assert(got == Seq(
+      (1700000000000L, 0, "publisher", "1"), (1700003600000L, 1, "publisher", "1")))
+  }
+
+  test("stream-part predicate prunes partition directories") {
+    val path = tmpDir("graft-prune")
+    MessageStore.append(streamDataOf(
+      msg("a", 0, 1700000000000L, 0), msg("b", 1, 1700000000000L, 0)), path)
+    val store = MessageStore.open(spark, path)
+    val plan = BrokerQueries.requestLast(store, "a", 0, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "partition filters expected in scan")
+    assert(plan.contains("stream_id"), plan)
+  }
+
+  test("retention drops expired bucket directories, metadata-only") {
+    val path = tmpDir("graft-retention")
+    MessageStore.append(streamDataOf(
+      msg("s", 0, 1600000000000L, 0),   // old bucket — expired
+      msg("s", 0, 1700000000000L, 1)), path) // recent bucket — kept
+    val dropped = MessageStore.dropExpiredBuckets(spark, path, MsgRef(1650000000000L, 0))
+    assert(dropped.size == 1 && dropped.head.contains("bucket=2020-09-13-12"))
+    val left = MessageStore.open(spark, path)
+    assert(keysOf(left) == Seq((1700000000000L, 1, "publisher", "1")))
+  }
+
+  test("streaming ingest: validates, dedups, persists; fan-out hook fires") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("graft-ingest")
+    val ckpt = tmpDir("graft-ckpt")
+    val now = System.currentTimeMillis()
+
+    val input = MemoryStream[StreamMessage](s)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = IngestPipeline.start(
+      input.toDF(), path, ckpt,
+      assigned = Some(Set("s::0")),
+      onBatch = (batch, _) => seen.addAndGet(batch.count()))
+
+    input.addData(
+      msg("s", 0, now - 1000, 0),                         // accepted
+      msg("s", 0, now - 1000, 0),                         // duplicate -> dropped
+      msg("s", 0, now + 600000L, 1),                      // future -> rejected
+      msg("s", 0, now - 1000, 2, payload = "not json"),   // invalid -> rejected
+      msg("other", 3, now - 1000, 0))                     // unassigned -> dropped
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = MessageStore.open(spark, path).collect()
+    assert(stored.length == 1)
+    assert(stored.head.getAs[String]("stream_id") == "s")
+    assert(stored.head.getAs[Int]("sequence_no") == 0)
+    assert(seen.get() == 1)
+  }
+}
