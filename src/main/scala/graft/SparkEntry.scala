@@ -118,6 +118,12 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("label"), col("vec_a"), col("vec_b"))),
 
+    // ---- multimodal binary-column plumbing (metadata-only path) ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.metaSummary(
+        graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+
     // ---- deduplication for training-data pipelines ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("canonical_id"))),
@@ -402,6 +408,14 @@ object SparkEntry {
            |WHERE ${dotExpr.format("a.qe", "a.qe", "b.qe")}
            |        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.4
            |ORDER BY a.label, vec_a, vec_b""".stripMargin,
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id AS media_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(ceil(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) / 4) AS BIGINT) AS n_frames
+          |FROM documents ORDER BY media_id""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,

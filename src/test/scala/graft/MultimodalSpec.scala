@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.StubCodec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("mediaFromDocuments: binary column with modality metadata") {
+    val media = Multimodal.mediaFromDocuments(docsOf((0L, "abc"), (1L, "defg"))).collect()
+    val img = media.find(_.getAs[Long]("media_id") == 0L).get
+    assert(img.getAs[String]("kind") == "image")
+    assert(img.getAs[Array[Byte]]("data").toSeq == "abc".getBytes("UTF-8").toSeq)
+    assert(img.getAs[Int]("sample_rate") == -1)
+    val aud = media.find(_.getAs[Long]("media_id") == 1L).get
+    assert(aud.getAs[String]("kind") == "audio")
+    assert(aud.getAs[Int]("sample_rate") == 16000)
+    assert(aud.getAs[Long]("duration_ms") == 40L)
+  }
+
+  test("extractFeatures: deterministic stub features, L1-normalized") {
+    val media = Multimodal.asMedia(Multimodal.mediaFromDocuments(docsOf((0L, "abc"))))
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 3L)
+    assert(f.features.length == StubCodec.FeatureDim)
+    // 'a'=0x61,'b'=0x62,'c'=0x63 -> all high-nibble 6
+    assert(f.features(6) == 1.0f)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-6)
+  }
+
+  test("sampleFrames: every stride-th fixed-size window, indexed") {
+    val bytes = Array.tabulate[Byte](1024)(i => (i % 127).toByte)
+    val frames = StubCodec.sampleFrames(bytes, frameBytes = 256, stride = 2)
+    assert(frames.length == 2) // windows 0 and 2 of 4
+    assert(frames.head.length == 256)
+
+    val media = Multimodal.asMedia(Multimodal.mediaFromDocuments(docsOf((0L, "x" * 1024))))
+    val df = Multimodal.sampleFrames(media, frameBytes = 256, stride = 2)
+    assert(df.count() == 2)
+    assert(df.select(max(col("frame_idx"))).collect().head.getInt(0) == 1)
+  }
+
+  test("metaSummary never touches the data column (column pruning)") {
+    val media = Multimodal.mediaFromDocuments(docsOf((0L, "y" * 600), (1L, "z" * 100)))
+    val out = Multimodal.metaSummary(media).orderBy("media_id").collect()
+    assert(out(0).getAs[Long]("n_bytes") == 600L)
+    assert(out(0).getAs[Long]("n_frames") == 1L) // ceil(ceil(600/256)=3 /4)=1
+    assert(out(1).getAs[Long]("n_frames") == 1L)
+  }
+}
