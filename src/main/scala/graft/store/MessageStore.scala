@@ -26,14 +26,29 @@ import graft.operators.BrokerQueries.MsgRef
   */
 object MessageStore {
 
-  /** Hour-bucket partition value of a message timestamp (sortable,
-    * filesystem-safe). */
-  def bucketOf(ts: Column): Column = date_format(ts, "yyyy-MM-dd-HH")
+  /** Bucket granularity — like the reference's size-capped buckets
+    * (100 MB / 500k records, `BucketManager.ts:50-51`), the right bucket
+    * width depends on per-stream volume: day for ordinary streams, hour
+    * for hot ones. Day is the default; hour-granular pruning is still
+    * available through ts predicates on the row-level min/max stats. */
+  val DayBucket = "yyyy-MM-dd"
+  val HourBucket = "yyyy-MM-dd-HH"
 
-  /** Append a message batch into the partitioned layout. */
-  def append(messages: DataFrame, path: String): Unit =
+  /** Bucket partition value of a message timestamp (sortable,
+    * filesystem-safe). */
+  def bucketOf(ts: Column, granularity: String = DayBucket): Column =
+    date_format(ts, granularity)
+
+  /** Append a message batch into the partitioned layout.
+    *
+    * The repartition on the partition columns is load-bearing at scale:
+    * without it every write task emits a file into every bucket directory
+    * (tasks × buckets small files); with it each bucket is written by
+    * exactly one task — one file per bucket per batch. */
+  def append(messages: DataFrame, path: String, granularity: String = DayBucket): Unit =
     messages
-      .withColumn("bucket", bucketOf(col("ts")))
+      .withColumn("bucket", bucketOf(col("ts"), granularity))
+      .repartition(col("stream_id"), col("stream_partition"), col("bucket"))
       .write
       .partitionBy("stream_id", "stream_partition", "bucket")
       .mode("append")

@@ -26,7 +26,7 @@ class StoreStreamingSpec extends SparkSpec {
     MessageStore.append(streamDataOf(msg("s", 0, 1600000000000L, 5)), path)
 
     val dirs = new java.io.File(s"$path/stream_id=s/stream_partition=0").list().sorted
-    assert(dirs.toSeq == Seq("bucket=2020-09-13-12", "bucket=2023-11-14-22", "bucket=2023-11-14-23"))
+    assert(dirs.toSeq == Seq("bucket=2020-09-13", "bucket=2023-11-14"))
 
     val store = MessageStore.open(spark, path)
     assert(store.count() == 4)
@@ -54,7 +54,7 @@ class StoreStreamingSpec extends SparkSpec {
       msg("s", 0, 1600000000000L, 0),   // old bucket — expired
       msg("s", 0, 1700000000000L, 1)), path) // recent bucket — kept
     val dropped = MessageStore.dropExpiredBuckets(spark, path, MsgRef(1650000000000L, 0))
-    assert(dropped.size == 1 && dropped.head.contains("bucket=2020-09-13-12"))
+    assert(dropped.size == 1 && dropped.head.contains("bucket=2020-09-13"))
     val left = MessageStore.open(spark, path)
     assert(keysOf(left) == Seq((1700000000000L, 1, "publisher", "1")))
   }
