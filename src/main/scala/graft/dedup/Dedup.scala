@@ -53,13 +53,17 @@ object Dedup {
   def ingestDedup(streamData: DataFrame): DataFrame =
     streamData.dropDuplicates(StreamMessage.uniqueKey)
 
-  /** (doc_id, shingle) pairs, distinct per document. */
+  /** (doc_id, shingle) pairs, distinct per document. Kept to exactly one
+    * expensive expression per row: carrying derived columns (e.g. set
+    * sizes) alongside the explode looks free but makes ProjectCollapse
+    * inline — and thus recompute — the whole shingle array per reference. */
   private def shingleTable(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
     * clearing `threshold`. Pairs materialize via the shared-shingle join —
-    * never n² — then one aggregation per pair. */
+    * never n² — then one aggregation per pair; per-doc set sizes come from
+    * a cheap count over the exploded table (broadcast back to the pairs). */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.1): DataFrame = {
     val sh = shingleTable(docs, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -96,9 +100,10 @@ object Dedup {
       docs: DataFrame, k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, k, numHashes)
-    val bandEntries = sig.select(
-      col("doc_id"),
+    // signatures ride along with the band entries so the corpus is
+    // signed once per join side instead of re-aggregated for scoring
+    val bandEntries = minhashSignatures(docs, k, numHashes).select(
+      col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
@@ -106,19 +111,15 @@ object Dedup {
             (0 until rows).map(r =>
               element_at(col("sig"), b * rows + r + 1).cast("string")): _*)).as("bkey"))
       }: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bkey").as("bkey"))
-    val cand = bandEntries.as("a")
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bkey").as("bkey"))
+    bandEntries.as("a")
       .join(bandEntries.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("matches",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
-          .cast("long"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), v => v))
+          .cast("long").as("matches"))
+      .distinct() // pairs sharing >1 band collapse (matches is pair-determined)
       .withColumn("est_sim", col("matches").cast("double") / lit(numHashes.toDouble))
       .select(col("doc_a"), col("doc_b"), col("matches"), col("est_sim"))
   }
