@@ -23,6 +23,18 @@ object SparkEntry {
     BrokerQueries.requestLast(
       Tables.streamData(spark, "/root/testdata/sf0.001"), "click", 3, 100)
 
+  /** The documents table arrives as a single parquet row group locally, so
+    * CPU-heavy narrow maps (regex, per-token hashing) would run on one
+    * core; spreading to the session's parallelism costs one tiny shuffle.
+    * At production scale the source has >= cores splits and this is a
+    * no-op decision made by file layout instead. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      docs.repartition(s.sparkContext.defaultParallelism)
+    else docs
+  }
+
   // Fixed query constants (UTC, within the 2024-01-01..2024-01-30 data span).
   private val FromTs  = MsgRef(1705276800000L, 4)  // 2024-01-15
   private val RangeFrom = MsgRef(1704672000000L, 3) // 2024-01-08
@@ -136,26 +148,26 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), k = 3, threshold = 0.1)
+      Dedup.ngramJaccardPairs(docsParallel(s, dir), k = 3, threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, bands = 4)
+      Dedup.minhashLshPairs(docsParallel(s, dir), k = 3, numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir), bits = 32).orderBy(col("doc_id"))),
+      Dedup.simhash(docsParallel(s, dir), bits = 32).orderBy(col("doc_id"))),
 
     // ---- text analysis for training-data pipelines ----
     "q_text_stats" -> ((s, dir) =>
-      TextAnalysis.stats(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+      TextAnalysis.stats(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
     "q_lang_confusion" -> ((s, dir) =>
-      TextAnalysis.langConfusion(Tables.documents(s, dir))
+      TextAnalysis.langConfusion(docsParallel(s, dir))
         .orderBy(col("lang"), col("pred_lang"))),
 
     "q_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+      TextAnalysis.fingerprint(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
     // ---- relational joins: broadcast star joins + window top-k ----
     "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
@@ -481,7 +493,7 @@ object SparkEntry {
 
       "q_text_stats" ->
         s"""WITH s AS (
-           |  SELECT doc_id, n_chars,
+           |  SELECT doc_id, n_chars, text,
            |         string_split(text, ' ') AS toks,
            |         regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}') AS bpe,
            |         regexp_extract_all(text, '[^A-Za-z0-9 ]') AS punct
@@ -490,7 +502,7 @@ object SparkEntry {
            |  SELECT doc_id, n_chars,
            |         CAST(len(toks) AS BIGINT) AS n_ws_tokens,
            |         CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
-           |         CAST(list_sum(list_transform(toks, t -> strlen(t))) AS BIGINT) AS token_chars,
+           |         CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS token_chars,
            |         CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS stopword_count,
            |         CAST(len(punct) AS BIGINT) AS punct_count
            |  FROM s

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.QuantizedDot.quantized_dot
+
 /** Similarity search over an embedding column (`Array[Float]`): brute-force
   * cosine top-k as the exact baseline, an IVF-style sign-bucketed variant as
   * the scale path, and near-duplicate pair detection.
@@ -36,9 +38,11 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(QuantScale)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — a native codegen
+    * [[graft.functions.QuantizedDot]] expression (the `aggregate(zip_with)`
+    * composition computes the same value but interprets three lambdas and
+    * allocates an intermediate array per row). */
+  def dotQ(a: Column, b: Column): Column = quantized_dot(a, b)
 
   /** Cosine from exact integer dot + norms (deterministic double). */
   def cosineQ(dot: Column, na: Column, nb: Column): Column =

@@ -53,15 +53,17 @@ object TextAnalysis {
   def stats(docs: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     val nTok = size(toks)
-    val charSum = aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+    // sum of token lengths == non-space char count (true for any number of
+    // consecutive spaces, since extra spaces yield empty tokens) — one
+    // codegen'd replace instead of an interpreted aggregate(transform(...))
+    val charSum = length(regexp_replace(col("text"), " ", ""))
     val stopCount = size(filter(toks, t => t.isInCollection(Stopwords)))
-    val punctCount = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+    val punctCount = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("int")
     // counts as BIGINT so engine outputs hash-compare identically
     docs.select(
       col("doc_id"),
       nTok.cast("long").as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
-        .cast("long").as("n_bpe_tokens"),
+      regexp_count(col("text"), lit(BpeTokenPattern)).cast("long").as("n_bpe_tokens"),
       charSum.cast("long").as("token_chars"),
       stopCount.cast("long").as("stopword_count"),
       punctCount.cast("long").as("punct_count"),

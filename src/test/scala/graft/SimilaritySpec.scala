@@ -57,6 +57,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("quantized_dot: exact integer dot product (codegen expression)") {
+    import graft.functions.QuantizedDot.quantized_dot
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1L, 2L, -3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    assert(df.select(quantized_dot(col("a"), col("b"))).collect().head.getLong(0)
+      == (4 + 10 - 18))
+  }
+
   test("quantization is exact: integer dot of known vectors") {
     val df = vecsOf((1L, pad(Seq(0.5f, -0.25f)), 0))
       .select(Similarity.quantize(col("embedding")).as("qe"))
