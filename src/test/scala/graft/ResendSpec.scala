@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.BrokerQueries.MsgRef
+import graft.serve.{Resend, SubscriptionRegistry}
+
+class ResendSpec extends SparkSpec {
+
+  test("resend envelope: resending, ascending unicasts, resent (RequestHandler.ts:151-215)") {
+    val sd = streamDataOf(
+      msg("s", 0, 3000, 0), msg("s", 0, 1000, 0), msg("s", 0, 2000, 0))
+    val frames = Resend.last(sd, "s", 0, 2).toSeq
+    assert(frames.map(_.kind) == Seq("resending", "unicast", "unicast", "resent"))
+    val ts = frames.collect { case Resend.Unicast(m) =>
+      "\"timestamp\":(\\d+)".r.findFirstMatchIn(m).get.group(1).toLong }
+    assert(ts == Seq(2000L, 3000L)) // latest-2, ascending
+  }
+
+  test("empty resend yields a single no_resend (broker.test.ts empty-resend [])") {
+    val sd = streamDataOf(msg("s", 0, 1000, 0))
+    assert(Resend.last(sd, "unknown", 0, 10).toSeq == Seq(Resend.NoResend()))
+    assert(Resend.from(sd, "s", 99, MsgRef(0, 0)).toSeq == Seq(Resend.NoResend()))
+    assert(Resend.range(sd, "s", 0, MsgRef(5000, 0), MsgRef(9000, 0)).toSeq ==
+      Seq(Resend.NoResend()))
+  }
+
+  test("fan-out: subscribers receive only their stream-part (local-propagation)") {
+    val reg = new SubscriptionRegistry()
+    val a = reg.subscribe("client-a", "s", 0)
+    val b = reg.subscribe("client-b", "t", 1)
+    reg.dispatch(streamDataOf(
+      msg("s", 0, 1000, 0), msg("s", 1, 1000, 0), msg("t", 1, 2000, 0)), 0L)
+    assert(a.queue.size() == 1)
+    assert(a.queue.poll().contains("\"streamId\":\"s\""))
+    assert(b.queue.size() == 1)
+    assert(b.queue.poll().contains("\"timestamp\":2000"))
+    reg.unsubscribe("client-a")
+    reg.dispatch(streamDataOf(msg("s", 0, 3000, 0)), 1L)
+    assert(a.queue.isEmpty)
+  }
+
+  test("resend-while-live: historical envelope first, then queued live rows") {
+    val reg = new SubscriptionRegistry()
+    val sd = streamDataOf(msg("s", 0, 1000, 0))
+    // live rows arrive before the client drains: queued behind the resend
+    val it = reg.resendThenLive(sd, "c1", "s", 0, lastN = 10)
+    reg.dispatch(streamDataOf(msg("s", 0, 5000, 1)), 0L)
+    val frames = it.toSeq
+    assert(frames.map(_.kind) == Seq("resending", "unicast", "resent", "unicast"))
+    assert(frames.last.asInstanceOf[Resend.Unicast].msg.contains("\"timestamp\":5000"))
+  }
+}
