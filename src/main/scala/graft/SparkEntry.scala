@@ -104,6 +104,26 @@ object SparkEntry {
       Metrics.hourlyRollup(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"), col("hour"))),
 
+    // ---- scalar surface (§2.7 C2/C4/C5, §2.1 S8) ----
+    "q_scalars" -> ((s, dir) => {
+      import graft.functions.Scalars
+      Tables.streamData(s, dir)
+        .filter(col("stream_id") === "click")
+        .select(
+          Scalars.streamPartKey(col("stream_id"), col("stream_partition")).as("stream_key"),
+          col("ts"), col("sequence_no"), col("publisher_id"), col("msg_chain_id"),
+          Scalars.payloadField(col("payload"), "$.k").as("k_val"),
+          Scalars.parseTimestampMs(unix_millis(col("ts").cast("timestamp")).cast("string"))
+            .as("ms_from_digits"),
+          Scalars.parseTimestampMs(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+            .as("ms_from_iso"),
+          Scalars.mqttWrap(lit("plain text")).as("mqtt_wrapped"))
+        .withColumn("key_stream", graft.functions.Scalars.keyStreamId(col("stream_key")))
+        .withColumn("key_part", graft.functions.Scalars.keyPartition(col("stream_key")))
+        .orderBy(col("stream_key"), col("ts"), col("sequence_no"),
+          col("publisher_id"), col("msg_chain_id"))
+    }),
+
     // ---- md5 partitioner golden vectors (§2.7 C1) ----
     "q_partitioner" -> ((s, _) =>
       s.range(100).select(
@@ -321,6 +341,20 @@ object SparkEntry {
           |)
           |SELECT i, CAST(abs(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 10 AS INT) AS p
           |FROM n ORDER BY i""".stripMargin,
+
+      "q_scalars" ->
+        s"""$sd
+           |SELECT stream_id || '::' || stream_partition AS stream_key,
+           |       ts, sequence_no, publisher_id, msg_chain_id,
+           |       json_extract_string(payload, '$$.k') AS k_val,
+           |       epoch_ms(ts) AS ms_from_digits,
+           |       epoch_ms(date_trunc('second', ts)) AS ms_from_iso,
+           |       '{"mqttPayload":"plain text"}' AS mqtt_wrapped,
+           |       string_split(stream_id || '::' || stream_partition, '::')[1] AS key_stream,
+           |       CAST(string_split(stream_id || '::' || stream_partition, '::')[2] AS INT) AS key_part
+           |FROM stream_data
+           |WHERE stream_id = 'click'
+           |ORDER BY stream_key, ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
 
       "q_serve_object" ->
         s"""$sd
