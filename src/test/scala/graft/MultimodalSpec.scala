@@ -48,6 +48,23 @@ class MultimodalSpec extends SparkSpec {
     assert(df.select(max(col("frame_idx"))).collect().head.getInt(0) == 1)
   }
 
+  test("features feed similarity search: identical media rank first at cos 1.0") {
+    val docs = docsOf((1L, "same bytes here"), (2L, "same bytes here"),
+      (3L, "completely different content Z9!"))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(Multimodal.mediaFromDocuments(docs)))
+      .toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"),
+        lit(0).as("label"))
+    val got = graft.similarity.Similarity.bruteForceTopK(
+      feats.filter(col("vec_id") =!= 1L), feats.filter(col("vec_id") === 1L), k = 2)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("neighbor_id") == 2L)
+    assert(math.abs(got.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    assert(got(1).getAs[Long]("neighbor_id") == 3L)
+    assert(got(1).getAs[Double]("cos") < 1.0)
+  }
+
   test("metaSummary never touches the data column (column pruning)") {
     val media = Multimodal.mediaFromDocuments(docsOf((0L, "y" * 600), (1L, "z" * 100)))
     val out = Multimodal.metaSummary(media).orderBy("media_id").collect()
