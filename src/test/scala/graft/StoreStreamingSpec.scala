@@ -48,6 +48,34 @@ class StoreStreamingSpec extends SparkSpec {
     assert(plan.contains("stream_id"), plan)
   }
 
+  test("last-N spanning multiple buckets matches single-relation semantics " +
+    "(Storage.test.ts:295-313 analog)") {
+    val path = tmpDir("graft-multibucket")
+    val dayMs = 86400000L
+    val base = 1700000000000L
+    // 60 messages across 3 day-buckets (20 per day)
+    val msgs = (0 until 60).map(i =>
+      msg("s", 0, base + (i / 20) * dayMs + (i % 20) * 1000L, i % 4))
+    MessageStore.append(streamDataOf(msgs: _*), path)
+    val store = MessageStore.open(spark, path)
+    assert(new java.io.File(s"$path/stream_id=s/stream_partition=0").list().length == 3)
+
+    // last-25 spans the bucket boundary: 20 from day 3 + 5 from day 2
+    val got = keysOf(BrokerQueries.requestLast(store, "s", 0, 25)).map(_._1)
+    val want = msgs.sortBy(m => (m.ts.toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+      m.sequence_no)).takeRight(25)
+      .map(_.ts.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    assert(got == want)
+
+    // range queries across each bucket boundary
+    val r1 = BrokerQueries.requestRange(store, "s", 0,
+      MsgRef(base + 19000L, 0), MsgRef(base + dayMs + 1000L, 99))
+    assert(r1.count() == 3) // 19s day1, 0s + 1s day2
+    val r2 = BrokerQueries.requestRange(store, "s", 0,
+      MsgRef(base, 0), MsgRef(base + 2 * dayMs + 19000L, 99))
+    assert(r2.count() == 60)
+  }
+
   test("retention drops expired bucket directories, metadata-only") {
     val path = tmpDir("graft-retention")
     MessageStore.append(streamDataOf(
