@@ -46,6 +46,11 @@ object SparkEntry {
     "q_last_n" -> ((s, dir) =>
       BrokerQueries.requestLast(Tables.streamData(s, dir), "click", 3, 100)),
 
+    "q_last_grouped" -> ((s, dir) =>
+      BrokerQueries.requestLastGrouped(Tables.streamData(s, dir), 5)
+        .orderBy(col("stream_id"), col("stream_partition"), col("ts"),
+          col("sequence_no"), col("publisher_id"), col("msg_chain_id"))),
+
     "q_from_seq" -> ((s, dir) =>
       BrokerQueries.requestFrom(Tables.streamData(s, dir), "view", 5, FromTs)),
 
@@ -268,6 +273,18 @@ object SparkEntry {
            |  ORDER BY ts DESC, sequence_no DESC, publisher_id DESC, msg_chain_id DESC
            |  LIMIT 100
            |) ORDER BY ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
+
+      "q_last_grouped" ->
+        s"""$sd
+           |SELECT stream_id, stream_partition, ts, sequence_no,
+           |       publisher_id, msg_chain_id, payload
+           |FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY stream_id, stream_partition
+           |    ORDER BY ts DESC, sequence_no DESC, publisher_id DESC, msg_chain_id DESC) AS rn
+           |  FROM stream_data
+           |) WHERE rn <= 5
+           |ORDER BY stream_id, stream_partition, ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
 
       "q_from_seq" ->
         s"""$sd

@@ -83,6 +83,22 @@ object BrokerQueries {
       .orderBy(ascending: _*)
   }
 
+  /** Per-stream-part last-N — the grouped variant of [[requestLast]]
+    * (SURVEY §2.5 T1): one windowed pass over all stream-parts instead of
+    * one query per part, for bulk serving/metadata jobs. Ascending within
+    * each part like the single-part contract. */
+  def requestLastGrouped(streamData: DataFrame, limit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = math.min(math.max(limit, 0), MaxResendLast)
+    val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
+      .orderBy(col("ts").desc, col("sequence_no").desc,
+        col("publisher_id").desc, col("msg_chain_id").desc)
+    streamData
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
   /** All messages at-or-after `from`, ascending (`Storage.ts:196-208`). */
   def requestFrom(
       streamData: DataFrame,

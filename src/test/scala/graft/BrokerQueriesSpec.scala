@@ -31,6 +31,19 @@ class BrokerQueriesSpec extends SparkSpec {
     assert(BrokerQueries.requestLast(sd, sid, 99, 3).count() == 0)
   }
 
+  test("requestLastGrouped: per-part last-N matches per-part requestLast") {
+    val sd = streamDataOf(
+      msg(sid, 10, 0, 0), msg(sid, 10, 1000, 0), msg(sid, 10, 2000, 0),
+      msg(sid, 10, 3000, 0), msg(sid, 10, 3000, 1),
+      msg(sid, 666, 8000, 0), msg(s"$sid-b", 10, 500, 0))
+    val grouped = BrokerQueries.requestLastGrouped(sd, 2)
+    assert(grouped.count() == 4) // 2 + 1 + 1 across the three parts
+    val part10 = keysOf(grouped
+      .filter(col("stream_id") === sid && col("stream_partition") === 10)
+      .orderBy(col("ts"), col("sequence_no")))
+    assert(part10 == keysOf(BrokerQueries.requestLast(sd, sid, 10, 2)))
+  }
+
   test("requestFrom: happy path (Storage.test.ts:178-204)") {
     val sd = streamDataOf(
       msg(sid, 10, 0, 0), msg(sid, 10, 1000, 0), msg(sid, 10, 2000, 0),
