@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.StreamMessage
+import graft.streaming.MetricsStream
+
+class MetricsStreamSpec extends SparkSpec {
+
+  test("minuteRates: tumbling windowed counts over a live stream") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[StreamMessage](s)
+    val q = MetricsStream.minuteRates(input.toDF())
+      .writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        msg("s", 0, 60000L, 0, payload = "abc"),
+        msg("s", 0, 61000L, 1, payload = "de"),
+        msg("s", 0, 120000L, 2, payload = "fghi"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT win.start, msgs, bytes FROM rates ORDER BY win.start")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((60000L, 2L, 5L), (120000L, 1L, 4L)))
+    } finally q.stop()
+  }
+
+  test("ewmaPerBatch: keyed state carries the 0.8/0.2 average across batches") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[StreamMessage](s)
+    val q = MetricsStream.ewmaPerBatch(input.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(msg("s", 0, 1000L, 0), msg("s", 0, 2000L, 1)) // batch 1: x=2
+      q.processAllAvailable()
+      input.addData(msg("s", 0, 3000L, 2))                        // batch 2: x=1
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT avg, batches FROM ewma ORDER BY batches")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      // seed 2.0; then 2.0*0.8 + 1*0.2 = 1.8
+      assert(got.toSeq == Seq((2.0, 1L), (1.8, 2L)))
+    } finally q.stop()
+  }
+}
