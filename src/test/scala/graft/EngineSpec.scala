@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.BrokerQueries.MsgRef
+import graft.serve.Resend
+
+/** End-to-end facade spec: publish → query → subscribe → expire through
+  * one GraftEngine over one store. */
+class EngineSpec extends SparkSpec {
+
+  test("publish/query/metadata/subscribe/retention lifecycle") {
+    val engine = new GraftEngine(spark,
+      Files.createTempDirectory("graft-engine").toString)
+    val now = System.currentTimeMillis()
+
+    // live subscriber attached before publish sees the batch
+    val sub = engine.subscribe("c1", "s", 0)
+
+    // publish: 3 valid rows for s::0, one future-reject, one duplicate
+    val accepted = engine.publish(streamDataOf(
+      msg("s", 0, 1000L, 0, payload = "{\"a\":1}"),
+      msg("s", 0, 2000L, 0), msg("s", 0, 3000L, 0),
+      msg("s", 0, 2000L, 0),                 // duplicate
+      msg("s", 0, now + 600000L, 9)), now)   // future
+    assert(accepted == 3)
+    assert(sub.queue.size() == 3)
+
+    // resend-last envelope
+    val frames = engine.last("s", 0, 2).toSeq
+    assert(frames.map(_.kind) == Seq("resending", "unicast", "unicast", "resent"))
+
+    // protocol format serves the serialized array shape
+    val proto = engine.from("s", 0, MsgRef(2000L, 0), format = "protocol").toSeq
+    assert(proto.collect { case Resend.Unicast(m) => m }.forall(_.startsWith("[31,[")))
+
+    // metadata endpoint
+    val Some((count, bytes, firstTs, lastTs)) = engine.metadata("s", 0)
+    assert(count == 3 && bytes > 0 && firstTs == 1000L && lastTs == 3000L)
+    assert(engine.metadata("nope", 0).isEmpty)
+
+    // a second publish batch is deduplicated against itself, appended
+    assert(engine.publish(streamDataOf(
+      msg("s", 0, 4000L, 0), msg("s", 0, 4000L, 0)), now) == 1)
+    assert(engine.metadata("s", 0).get._1 == 4)
+
+    // retention at 0 days drops everything (all rows are in the past)
+    val dropped = engine.deleteExpired(retentionDays = 0, nowMs = now)
+    assert(dropped.nonEmpty)
+    assert(engine.last("s", 0, 10).toSeq == Seq(Resend.NoResend()))
+  }
+}
