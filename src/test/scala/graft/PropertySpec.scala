@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters, Passed, Proved}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Md5Partition
+import graft.model.StreamMessage
+import graft.operators.BrokerQueries
+import graft.operators.BrokerQueries.MsgRef
+
+/** Property tests (SURVEY §5): partitioner range, ordering invariants,
+  * and query-algebra relations over randomized message sets. Small
+  * deterministic-seed corpora per property — each case spins real Spark
+  * plans, so counts stay modest. */
+class PropertySpec extends SparkSpec {
+
+  private val params = Parameters.default
+    .withMinSuccessfulTests(30)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def holds(p: Prop): Unit = {
+    val r = check(params, p)
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
+  test("partitioner: result always in [0, n) and total over long strings") {
+    holds(Prop.forAll(Gen.asciiPrintableStr, Gen.choose(1, 100)) { (key, n) =>
+      val p = Md5Partition.partition(UTF8String.fromString(key), n)
+      p >= 0 && p < n
+    })
+  }
+
+  private val genMsgs: Gen[List[StreamMessage]] = for {
+    n <- Gen.choose(0, 25)
+    msgs <- Gen.listOfN(n, for {
+      ts <- Gen.choose(0L, 5000L)
+      seq <- Gen.choose(0, 3)
+      pub <- Gen.oneOf("p1", "p2")
+    } yield msg("s", 0, ts * 1000L, seq, pub))
+  } yield msgs.distinct
+
+  test("requestLast: ascending output, correct size, suffix of the ordered set") {
+    holds(Prop.forAll(genMsgs, Gen.choose(0, 30)) { (msgs, limit) =>
+      val sorted = msgs.map(m =>
+        (m.ts.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, m.sequence_no,
+          m.publisher_id, m.msg_chain_id)).sorted
+      val got = keysOf(BrokerQueries.requestLast(streamDataOf(msgs: _*), "s", 0, limit))
+      got == sorted.takeRight(math.min(limit, msgs.size))
+    })
+  }
+
+  test("requestRange(from, to) == requestFrom(from) intersect toBound") {
+    holds(Prop.forAll(genMsgs, Gen.choose(0L, 5000L), Gen.choose(0L, 5000L)) {
+      (msgs, a, b) =>
+        val (lo, hi) = (math.min(a, b) * 1000L, math.max(a, b) * 1000L)
+        val sd = streamDataOf(msgs: _*)
+        val fromRef = MsgRef(lo, 1)
+        val toRef = MsgRef(hi, 2)
+        val range = keysOf(BrokerQueries.requestRange(sd, "s", 0, fromRef, toRef))
+        val fromOnly = keysOf(BrokerQueries.requestFrom(sd, "s", 0, fromRef))
+        val expected = fromOnly.filter { case (ts, seq, _, _) =>
+          ts < hi || (ts == hi && seq <= toRef.seq)
+        }
+        range == expected
+    })
+  }
+}
