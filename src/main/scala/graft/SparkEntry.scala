@@ -183,6 +183,13 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docsParallel(s, dir), bits = 32).orderBy(col("doc_id"))),
 
+    "q_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> (1, 10), "de" -> (1, 2)))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
     // ---- text analysis for training-data pipelines ----
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docsParallel(s, dir)).orderBy(col("doc_id"))),
@@ -541,6 +548,14 @@ object SparkEntry {
            |)
            |SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash
            |FROM agg ORDER BY doc_id""".stripMargin,
+
+      "q_sample" ->
+        """SELECT lang, count(*) AS n FROM documents
+          |WHERE CASE
+          |  WHEN lang = 'en' THEN ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 1
+          |  WHEN lang = 'de' THEN ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 < 1
+          |  ELSE TRUE END
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_stats" ->
         s"""WITH s AS (
