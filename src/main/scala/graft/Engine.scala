@@ -27,6 +27,12 @@ final class GraftEngine(
     val storePath: String,
     assigned: Option[Set[String]] = None) {
 
+  // The engine's NTZ columns carry UTC wall-clock (epoch-ms in the
+  // reference); pin the session zone so TIMESTAMP casts (serve-format
+  // epoch rendering, window functions) agree with that convention
+  // regardless of host JVM zone.
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
+
   val subscriptions = new SubscriptionRegistry()
 
   /** The store as a relation (empty store ⇒ empty relation). */

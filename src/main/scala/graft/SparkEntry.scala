@@ -74,7 +74,14 @@ object SparkEntry {
     // ---- physical store roundtrip (§1.2, S3-S5): write the relation
     // through the bucketed partition layout, read it back, aggregate ----
     "q_store_roundtrip" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_store_rt").toString
+      // fixed per-sfDir path, wiped before each write: repeated
+      // Verify/Bench/ExplainAudit runs reuse it instead of accumulating
+      // temp copies of the relation
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_rt_" +
+        Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       graft.store.MessageStore.append(Tables.streamData(s, dir), path)
       BrokerQueries.metadata(graft.store.MessageStore.open(s, path))
         .orderBy(col("stream_id"), col("stream_partition"))

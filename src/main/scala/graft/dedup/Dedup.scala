@@ -47,11 +47,22 @@ object Dedup {
       exactGroups(docs).select(col("canonical_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
-  /** Ingest-replay dedup over the message uniqueness key — reproduces the
-    * reference's last-write-wins upsert semantics for at-least-once
-    * delivery (SURVEY §2.6; key: `Storage.ts:109-112`). */
-  def ingestDedup(streamData: DataFrame): DataFrame =
-    streamData.dropDuplicates(StreamMessage.uniqueKey)
+  /** Ingest-replay dedup over the message uniqueness key (SURVEY §2.6;
+    * key: `Storage.ts:109-112`). The reference's Cassandra upsert is
+    * last-WRITE-wins; a batch engine has no arrival order inside a batch,
+    * so the winner is chosen deterministically instead (max payload
+    * lexicographically) — same observable semantics for true replays
+    * (identical payloads), deterministic rather than arbitrary when a
+    * redelivery mutated the body. */
+  def ingestDedup(streamData: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(StreamMessage.uniqueKey.map(col): _*)
+      .orderBy(col("payload").desc)
+    streamData
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** (doc_id, shingle) pairs, distinct per document. Kept to exactly one
     * expensive expression per row: carrying derived columns (e.g. set

@@ -16,7 +16,10 @@ object Scalars {
     * (`DataProduceEndpoints.ts:25-40`): digit strings parse as epoch ms,
     * anything else goes through timestamp parsing (null when invalid). */
   def parseTimestampMs(c: Column): Column =
-    when(c.rlike("^-?[0-9]+$"), c.cast("long"))
+    // digit guard bounded to 18 digits: anything longer would overflow
+    // long and throw under ANSI; it falls through to timestamp parsing
+    // (null) instead
+    when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long"))
       .otherwise(unix_millis(try_to_timestamp(c)))
 
   /** C5 — `"{id}::{partition}"` key build/split

@@ -97,6 +97,7 @@ object BrokerQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .drop("rn")
+      .orderBy(col("stream_id") +: col("stream_partition") +: ascending: _*)
   }
 
   /** All messages at-or-after `from`, ascending (`Storage.ts:196-208`). */

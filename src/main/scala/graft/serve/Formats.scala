@@ -23,6 +23,10 @@ object Formats {
     Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
       .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
 
+  /** NTZ → epoch ms under the engine's NTZ-as-UTC convention. The cast
+    * goes through the session timezone, which [[graft.GraftEngine]] and
+    * every main pin to UTC — callers embedding Formats elsewhere must do
+    * the same (a non-UTC session would shift every served timestamp). */
   private def epochMs(ts: Column): Column = unix_millis(ts.cast("timestamp"))
 
   /** `object` format — the reference's `toObject()` JSON shape

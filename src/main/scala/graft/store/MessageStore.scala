@@ -78,11 +78,16 @@ object MessageStore {
     * no rewrite — the Spark analog of the reference's bucket-granular
     * delete job). Returns the dropped partition paths. */
   def dropExpiredBuckets(spark: SparkSession, path: String, cutoff: MsgRef): Seq[String] = {
+    // partition directory names are escaped by the writer (e.g. '/' in a
+    // stream id becomes %2F) — escape identically or deletes silently miss
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val store = open(spark, path)
     val expired = expiredBuckets(store, cutoff).collect().map { r =>
-      s"$path/stream_id=${r.getAs[String]("stream_id")}" +
+      // bucket comes back as DATE when partition type inference recognizes
+      // the day format — its toString round-trips the directory value
+      s"$path/stream_id=${escapePathName(r.getAs[String]("stream_id"))}" +
         s"/stream_partition=${r.getAs[Int]("stream_partition")}" +
-        s"/bucket=${r.getAs[String]("bucket")}"
+        s"/bucket=${escapePathName(String.valueOf(r.getAs[Any]("bucket")))}"
     }.toSeq
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     expired.filter(p => fs.delete(new Path(p), true))

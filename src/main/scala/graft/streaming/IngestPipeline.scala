@@ -22,9 +22,13 @@ import graft.store.MessageStore
   *    late rows into historical buckets (R2); the derived bucket column
   *    routes them correctly by construction.
   *  - Dedup within each micro-batch on the uniqueness key reproduces the
-  *    Cassandra primary-key upsert for intra-batch duplicates; cross-batch
-  *    replay safety comes from checkpointed source offsets (exactly-once
-  *    file sink), so unbounded dedup state is unnecessary.
+  *    Cassandra primary-key upsert for intra-batch duplicates. foreachBatch
+  *    is at-least-once: a crash between append and checkpoint commit
+  *    replays the batch, so appends are guarded by per-batch commit
+  *    markers (skip when the marker exists). The residual window — crash
+  *    after append, before marker — leaves duplicates that the uniqueness
+  *    key makes harmless: read paths can apply [[Dedup.ingestDedup]], the
+  *    observable-semantics analog of the reference's upsert.
   *  - The assignment filter is a small broadcast set refreshed per batch —
   *    the slowly-changing-state analog of StorageConfig polling (R7).
   */
@@ -37,7 +41,10 @@ object IngestPipeline {
       batch: DataFrame,
       nowMs: Long,
       assigned: Option[Set[String]] = None): DataFrame = {
-    val now = lit(new java.sql.Timestamp(nowMs)).cast("timestamp_ntz")
+    // NTZ literal built directly from the UTC instant — session-timezone
+    // independent (a Timestamp lit + cast would shift by the session zone)
+    val now = lit(java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(nowMs), java.time.ZoneOffset.UTC))
     val validated = Validate.accepted(batch, now)
     val scoped = assigned match {
       case Some(keys) =>
@@ -66,12 +73,19 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prepared =
-          prepareBatch(batch, System.currentTimeMillis(), assigned).cache()
-        try {
-          MessageStore.append(prepared, storePath)
-          onBatch(prepared, batchId)
-        } finally prepared.unpersist()
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpointPath/graft-committed/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) { // replay guard: skip already-appended batches
+          val prepared =
+            prepareBatch(batch, System.currentTimeMillis(), assigned).cache()
+          try {
+            MessageStore.append(prepared, storePath)
+            fs.create(marker, true).close()
+            onBatch(prepared, batchId)
+          } finally prepared.unpersist()
+        }
       }
       .start()
 }

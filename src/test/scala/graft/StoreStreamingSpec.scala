@@ -87,6 +87,17 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(left) == Seq((1700000000000L, 1, "publisher", "1")))
   }
 
+  test("retention handles escaped partition values (stream id with '/')") {
+    val path = tmpDir("graft-escape")
+    MessageStore.append(streamDataOf(
+      msg("0xabc/path", 0, 1600000000000L, 0),
+      msg("0xabc/path", 0, 1700000000000L, 1)), path)
+    val dropped = MessageStore.dropExpiredBuckets(spark, path, MsgRef(1650000000000L, 0))
+    assert(dropped.size == 1 && dropped.head.contains("stream_id=0xabc%2Fpath"))
+    assert(keysOf(MessageStore.open(spark, path)) ==
+      Seq((1700000000000L, 1, "publisher", "1")))
+  }
+
   test("streaming ingest: validates, dedups, persists; fan-out hook fires") {
     val s = spark
     import s.implicits._

@@ -27,6 +27,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> list[str]:
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # int-width mismatches (int32 vs int64) also diverge in the
+        # driver's dtype-inclusive hash, not just int-vs-float
+        if (av.dtype.kind in "iu" and bv.dtype.kind in "iu"
+                and av.dtype.itemsize != bv.dtype.itemsize):
+            errs.append(f"col {c}: int width mismatch spark={av.dtype} "
+                        f"oracle={bv.dtype} (driver hash would fail)")
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             # Mirror the driver: an int64-vs-float64 dtype mismatch fails
             # outright (the driver hashes values incl. dtype repr), and any
