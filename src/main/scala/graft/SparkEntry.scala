@@ -213,6 +213,8 @@ object SparkEntry {
 
     "q5_local" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
 
+    "q6_forecast" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
+
     "q_top_events" -> ((s, dir) =>
       Relational.topEventsPerType(s, dir, k = 3)
         .orderBy(col("event_type"), col("rank"))),
@@ -629,6 +631,15 @@ object SparkEntry {
           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+      "q6_forecast" ->
+        """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |  * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin,
 
       "q_top_events" ->
         """SELECT event_type, event_id, user_id, value, "rank" FROM (

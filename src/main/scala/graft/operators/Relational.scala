@@ -74,6 +74,20 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q6 shape: forecast-revenue change — a pure selective scan-agg
+    * with every predicate pushed to parquet (row-group min/max skipping
+    * does the heavy lifting at scale; no join, no shuffle beyond the
+    * single partial-agg merge). */
+  def forecastRevenue(
+      spark: SparkSession, dir: String,
+      from: LocalDateTime = LocalDateTime.parse("1996-01-01T00:00:00"),
+      until: LocalDateTime = LocalDateTime.parse("1997-01-01T00:00:00")): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+
   /** Top-k events per type by value — the per-group window top-k pattern
     * (T1's per-group variant, SURVEY §2.5). */
   def topEventsPerType(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
