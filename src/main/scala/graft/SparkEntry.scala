@@ -215,6 +215,9 @@ object SparkEntry {
 
     "q6_forecast" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
 
+    "q_semi_anti" -> ((s, dir) =>
+      Relational.customerOrderPresence(s, dir).orderBy(col("c_nationkey"))),
+
     "q_top_events" -> ((s, dir) =>
       Relational.topEventsPerType(s, dir, k = 3)
         .orderBy(col("event_type"), col("rank"))),
@@ -640,6 +643,14 @@ object SparkEntry {
           |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           |  AND l_discount BETWEEN 0.05 AND 0.07
           |  AND l_quantity < 24""".stripMargin,
+
+      "q_semi_anti" ->
+        """WITH d AS (SELECT DISTINCT o_custkey FROM orders)
+          |SELECT c_nationkey,
+          |       CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+          |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+          |FROM customer LEFT JOIN d ON c_custkey = o_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_top_events" ->
         """SELECT event_type, event_id, user_id, value, "rank" FROM (

@@ -74,6 +74,21 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Semi/anti-join surface (SURVEY §2.3): per-nation counts of customers
+    * with and without orders, via LeftSemi and LeftAnti physical joins
+    * against the distinct order keys (both broadcast at dimension scale,
+    * shuffle-on-key at fact scale). */
+  def customerOrderPresence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("without_orders"))
+    semi.join(anti, Seq("c_nationkey"), "full_outer")
+      .na.fill(0L, Seq("with_orders", "without_orders"))
+  }
+
   /** TPC-H Q6 shape: forecast-revenue change — a pure selective scan-agg
     * with every predicate pushed to parquet (row-group min/max skipping
     * does the heavy lifting at scale; no join, no shuffle beyond the
