@@ -74,6 +74,39 @@ object MessageStore {
       .filter(col("max_ts") < cutoff.ntz)
       .select(col("stream_id"), col("stream_partition"), col("bucket"))
 
+  /** Compact one stream-part's buckets: micro-batch ingest leaves one file
+    * per bucket per batch, so long-lived buckets accumulate small files —
+    * the engine-side analog of the reference's size-capped bucket rolling
+    * (`BucketManager.ts:50-51`). Rewrites each multi-file bucket directory
+    * to `targetFiles` files via a staging dir + swap. Returns the number of
+    * buckets compacted. */
+  def compactStreamPart(
+      spark: SparkSession, path: String, streamId: String, partition: Int,
+      targetFiles: Int = 1, minFiles: Int = 2): Int = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val partDir = new Path(
+      s"$path/stream_id=${escapePathName(streamId)}/stream_partition=$partition")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(partDir)) return 0
+    val buckets = fs.listStatus(partDir).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("bucket="))
+    var compacted = 0
+    buckets.foreach { b =>
+      val dataFiles = fs.listStatus(b.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length >= minFiles) {
+        val staging = new Path(b.getPath.getParent, s".${b.getPath.getName}.compact")
+        spark.read.parquet(b.getPath.toString)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(staging.toString)
+        fs.delete(b.getPath, true)
+        fs.rename(staging, b.getPath)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Retention enforcement: drop expired bucket directories (metadata-only,
     * no rewrite — the Spark analog of the reference's bucket-granular
     * delete job). Returns the dropped partition paths. */

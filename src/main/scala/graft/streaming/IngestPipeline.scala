@@ -58,6 +58,34 @@ object IngestPipeline {
     Dedup.ingestDedup(scoped)
   }
 
+  /** One micro-batch commit: prepare → append → mark. The per-batch marker
+    * makes replays (foreachBatch is at-least-once) idempotent — a
+    * re-delivered batchId whose marker exists is skipped entirely.
+    * Returns true when the batch was (newly) applied. */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      checkpointPath: String,
+      assigned: Option[Set[String]] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$checkpointPath/graft-committed/$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false // replay guard: already appended
+    else {
+      val prepared = prepareBatch(batch, nowMs, assigned).cache()
+      try {
+        MessageStore.append(prepared, storePath)
+        fs.create(marker, true).close()
+        onBatch(prepared, batchId)
+        true
+      } finally prepared.unpersist()
+    }
+  }
+
   /** Start the streaming ingest: source → prepare → bucketed store append.
     * `onBatch` is the subscriber fan-out hook (R1) — called with each
     * prepared micro-batch so a serving layer can dispatch to live
@@ -73,19 +101,8 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$checkpointPath/graft-committed/$batchId")
-        val fs = marker.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) { // replay guard: skip already-appended batches
-          val prepared =
-            prepareBatch(batch, System.currentTimeMillis(), assigned).cache()
-          try {
-            MessageStore.append(prepared, storePath)
-            fs.create(marker, true).close()
-            onBatch(prepared, batchId)
-          } finally prepared.unpersist()
-        }
+        processBatch(batch, batchId, storePath, checkpointPath, assigned,
+          onBatch = onBatch); ()
       }
       .start()
 }

@@ -98,6 +98,40 @@ class StoreStreamingSpec extends SparkSpec {
       Seq((1700000000000L, 1, "publisher", "1")))
   }
 
+  test("processBatch replay guard: same batchId appends exactly once") {
+    val path = tmpDir("graft-replay")
+    val ckpt = tmpDir("graft-replay-ckpt")
+    val batch = streamDataOf(msg("s", 0, 1000L, 0), msg("s", 0, 2000L, 1))
+    assert(graft.streaming.IngestPipeline.processBatch(
+      batch, 7L, path, ckpt, nowMs = 10000L))
+    // at-least-once redelivery of the same batch id is a no-op
+    assert(!graft.streaming.IngestPipeline.processBatch(
+      batch, 7L, path, ckpt, nowMs = 10000L))
+    assert(MessageStore.open(spark, path).count() == 2)
+    // a new batch id still appends
+    assert(graft.streaming.IngestPipeline.processBatch(
+      streamDataOf(msg("s", 0, 3000L, 2)), 8L, path, ckpt, nowMs = 10000L))
+    assert(MessageStore.open(spark, path).count() == 3)
+  }
+
+  test("compactStreamPart merges per-batch small files, preserving rows") {
+    val path = tmpDir("graft-compact")
+    // three appends -> three files in the same day bucket
+    (0 until 3).foreach { i =>
+      MessageStore.append(streamDataOf(msg("s", 0, 1700000000000L + i * 1000, i)), path)
+    }
+    val bucketDir = new java.io.File(
+      s"$path/stream_id=s/stream_partition=0/bucket=2023-11-14")
+    def files = bucketDir.listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files == 3)
+    val before = keysOf(MessageStore.open(spark, path)).sorted
+    assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 1)
+    assert(files == 1)
+    assert(keysOf(MessageStore.open(spark, path)).sorted == before)
+    // idempotent: nothing left to compact
+    assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 0)
+  }
+
   test("streaming ingest: validates, dedups, persists; fan-out hook fires") {
     val s = spark
     import s.implicits._
