@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions, so `spark.sql("SELECT md5_partition(key, 10) ...")` works the
+  * same as the Column API (SURVEY §2.9 — the engine's function-registry
+  * analog of the reference's adapter registry).
+  *
+  * Install via `SparkSession.builder.withExtensions(new GraftExtensions)`,
+  * config `spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("md5_partition"),
+      info("md5_partition",
+        "md5_partition(key, n) - reference stream partitioner: abs(int32LE(md5(key))) % n"),
+      { args =>
+        require(args.size == 2, "md5_partition(key, partitionCount)")
+        Md5Partition(Cast(args.head, StringType), Cast(args(1), IntegerType))
+      }),
+    (FunctionIdentifier("quantized_dot"),
+      info("quantized_dot",
+        "quantized_dot(a, b) - exact integer dot product of two array<bigint> vectors"),
+      { args =>
+        require(args.size == 2, "quantized_dot(a, b)")
+        QuantizedDot(args.head, args(1))
+      }))
+
+  /** Register on an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
