@@ -253,12 +253,16 @@ object SparkEntry {
       val ge = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"WHEN $ge THEN '$l'"
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-    // Shared shingle CTE (distinct word 3-grams per doc) for dedup oracles.
+    // Shared shingle CTE (distinct word 3-grams per doc, hashed to the
+    // same 60-bit md5 key as Dedup.shingleTable) for dedup oracles.
     val shingleCte =
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
-        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
-        |       FROM toks WHERE len(t) >= 3)""".stripMargin
+        |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+        |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
+        |        FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id,
+        |         ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle
+        |       FROM shs)""".stripMargin
     // Quantized-embedding CTE shared by the similarity oracles: 1e-6
     // fixed-point vectors with exact integer squared norms.
     val quantCte =
@@ -532,7 +536,7 @@ object SparkEntry {
       "q_minhash_lsh" ->
         s"""$shingleCte,
            |mh AS (SELECT doc_id, i,
-           |         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT) AS h
+           |         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(shingle AS VARCHAR)), 1, 8))::BIGINT) AS h
            |       FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
            |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
            |bands AS (SELECT doc_id, b,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamMessage
-import graft.text.TextAnalysis.md5Int32
+import graft.text.TextAnalysis.{md5Int32, md5Int60}
 
 /** Deduplication operators for large-scale training-data pipelines: exact
   * (hash groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash, and the
@@ -64,12 +64,17 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** (doc_id, shingle) pairs, distinct per document. Kept to exactly one
-    * expensive expression per row: carrying derived columns (e.g. set
-    * sizes) alongside the explode looks free but makes ProjectCollapse
-    * inline — and thus recompute — the whole shingle array per reference. */
+  /** (doc_id, shingle) pairs, distinct per document, with the shingle
+    * hashed to a fixed-width 60-bit key — strings this hot in a join/
+    * shuffle path should never travel as strings (collisions are ~2e-7 at
+    * a million distinct shingles, and occur identically on any engine, so
+    * oracle parity holds). Kept to exactly one expensive expression per
+    * row: carrying derived columns (e.g. set sizes) alongside the explode
+    * looks free but makes ProjectCollapse inline — and thus recompute —
+    * the whole shingle array per reference. */
   private def shingleTable(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh_str"))
+      .select(col("doc_id"), md5Int60(col("sh_str")).as("shingle"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
     * clearing `threshold`. Pairs materialize via the shared-shingle join —
@@ -97,7 +102,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = shingleTable(docs, k)
     val mins = (0 until numHashes).map(i =>
-      min(md5Int32(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+      min(md5Int32(concat(lit(s"$i:"), col("shingle").cast("string")))).as(s"h$i"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),

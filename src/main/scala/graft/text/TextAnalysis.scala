@@ -46,6 +46,12 @@ object TextAnalysis {
   def md5Int32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit variant (15 hex chars — stays inside signed int64): the
+    * fixed-width join/shuffle key for shingles and similar high-cardinality
+    * strings. */
+  def md5Int60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Per-document token counts + quality features. One row per doc:
     * whitespace tokens, BPE-ish tokens, char sum of tokens, stopword count,
     * punctuation count, and a composite [0,1]-ish quality score
