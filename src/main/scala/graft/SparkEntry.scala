@@ -218,6 +218,10 @@ object SparkEntry {
     "q_semi_anti" -> ((s, dir) =>
       Relational.customerOrderPresence(s, dir).orderBy(col("c_nationkey"))),
 
+    "q_sessions" -> ((s, dir) =>
+      graft.operators.Sessionize.userSessions(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
     "q_top_events" -> ((s, dir) =>
       Relational.topEventsPerType(s, dir, k = 3)
         .orderBy(col("event_type"), col("rank"))),
@@ -655,6 +659,31 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
           |FROM customer LEFT JOIN d ON c_custkey = o_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_sessions" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+          |  FROM events
+          |), marked AS (
+          |  SELECT user_id, event_id, tms,
+          |    CASE WHEN lag(tms) OVER w IS NULL
+          |           OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+          |), sess AS (
+          |  SELECT user_id, tms,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+          |      ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          |  FROM marked
+          |), per AS (
+          |  SELECT user_id, session_id, count(*) AS events,
+          |         max(tms) - min(tms) AS duration_ms
+          |  FROM sess GROUP BY 1, 2
+          |)
+          |SELECT user_id, count(*) AS n_sessions,
+          |       CAST(sum(events) AS BIGINT) AS n_events,
+          |       CAST(max(events) AS BIGINT) AS max_session_events,
+          |       CAST(max(duration_ms) AS BIGINT) AS max_session_ms
+          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_top_events" ->
         """SELECT event_type, event_id, user_id, value, "rank" FROM (
