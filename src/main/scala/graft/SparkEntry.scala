@@ -218,6 +218,28 @@ object SparkEntry {
     "q_semi_anti" -> ((s, dir) =>
       Relational.customerOrderPresence(s, dir).orderBy(col("c_nationkey"))),
 
+    // approximate distinct-count sketch (HLL++ — merge-commutative, so
+    // deterministic for fixed data); no SQL oracle: DuckDB's sketch
+    // differs, driver records the weaker rows-only check
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.streamData(s, dir)
+        .groupBy(col("stream_id"))
+        .agg(
+          approx_count_distinct(col("publisher_id")).as("approx_publishers"),
+          countDistinct(col("publisher_id")).as("exact_publishers"),
+          approx_count_distinct(concat_ws("::", col("stream_id"), col("stream_partition")))
+            .as("approx_parts"))
+        .orderBy(col("stream_id"))),
+
+    "q_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        .orderBy(col("event_type"))),
+
     "q_sessions" -> ((s, dir) =>
       graft.operators.Sessionize.userSessions(Tables.events(s, dir))
         .orderBy(col("user_id"))),
@@ -659,6 +681,12 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
           |FROM customer LEFT JOIN d ON c_custkey = o_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_percentiles" ->
+        """SELECT event_type, count(*) AS n,
+          |       quantile_cont(value, 0.5) AS p50,
+          |       quantile_cont(value, 0.95) AS p95
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_sessions" ->
         """WITH e AS (
