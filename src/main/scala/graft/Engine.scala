@@ -70,11 +70,13 @@ final class GraftEngine(
 
   def from(streamId: String, partition: Int, ref: MsgRef,
       format: String = "object"): Iterator[Resend.Frame] =
-    Resend.from(table, streamId, partition, ref, format)
+    Resend.from(MessageStore.pruneTime(table, Some(ref.tsMs), None),
+      streamId, partition, ref, format)
 
   def range(streamId: String, partition: Int, fromRef: MsgRef, toRef: MsgRef,
       format: String = "object"): Iterator[Resend.Frame] =
-    Resend.range(table, streamId, partition, fromRef, toRef, format)
+    Resend.range(MessageStore.pruneTime(table, Some(fromRef.tsMs), Some(toRef.tsMs)),
+      streamId, partition, fromRef, toRef, format)
 
   /** Metadata endpoints (count/bytes/first/last per stream-part). */
   def metadata(streamId: String, partition: Int): Option[(Long, Long, Long, Long)] =

@@ -58,6 +58,28 @@ object MessageStore {
   def open(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Inject the bucket partition predicate implied by a ts bound. Catalyst
+    * does NOT infer `bucket >= trunc(from)` from `ts >= from` (the bucket
+    * is our derived column), so without this a time-bounded read of a
+    * year-deep stream-part still lists and footer-reads every bucket
+    * directory; with it, directory-level partition pruning kicks in before
+    * any I/O. The bucket value is a monotone truncation of ts, so bounding
+    * by the truncated endpoints is exact: the lower bound's floor IS the
+    * reference's covering-first-bucket trick (`BucketManager.ts:228-264` —
+    * the bucket containing `from` can hold earlier rows, and row-level ts
+    * predicates still filter inside it). */
+  def pruneTime(store: DataFrame, fromMs: Option[Long], toMs: Option[Long],
+      granularity: String = DayBucket): DataFrame = {
+    if (!store.columns.contains("bucket")) return store
+    def bucketStr(ms: Long): String = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(granularity))
+    val b = col("bucket").cast("string")
+    val lower = fromMs.map(ms => b >= bucketStr(ms))
+    val upper = toMs.map(ms => b <= bucketStr(ms))
+    (lower ++ upper).reduceOption(_ && _).map(store.filter).getOrElse(store)
+  }
+
   /** The `bucket` index/statistics view (records + bytes per bucket),
     * computed from the store — SURVEY §2.4 A1-A3. */
   def bucketStats(store: DataFrame): DataFrame =

@@ -98,6 +98,22 @@ class StoreStreamingSpec extends SparkSpec {
       Seq((1700000000000L, 1, "publisher", "1")))
   }
 
+  test("pruneTime injects bucket partition filters for time-bounded reads") {
+    val path = tmpDir("graft-prunetime")
+    MessageStore.append(streamDataOf(
+      msg("s", 0, 1600000000000L, 0),   // bucket 2020-09-13
+      msg("s", 0, 1700000000000L, 1)), path) // bucket 2023-11-14
+    val store = MessageStore.open(spark, path)
+    val pruned = MessageStore.pruneTime(store, Some(1690000000000L), None)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // only the newer bucket's rows survive; correctness preserved
+    assert(keysOf(pruned) == Seq((1700000000000L, 1, "publisher", "1")))
+    // widened-bound safety: a from inside a bucket keeps that bucket
+    val mid = MessageStore.pruneTime(store, Some(1700000005000L), None)
+    assert(mid.count() == 1)
+  }
+
   test("processBatch replay guard: same batchId appends exactly once") {
     val path = tmpDir("graft-replay")
     val ckpt = tmpDir("graft-replay-ckpt")
