@@ -66,7 +66,11 @@ final class GraftEngine(
   // ---- reads (§3.1): resend envelope over the chosen format ----
   def last(streamId: String, partition: Int, n: Int,
       format: String = "object"): Iterator[Resend.Frame] =
-    Resend.last(table, streamId, partition, n, format)
+    // bounded scan: newest buckets only (Storage.ts:142-181 analog)
+    Resend.envelope(Formats.format(
+      MessageStore.requestLastBounded(spark, storePath, streamId, partition,
+        math.min(math.max(n, 0), BrokerQueries.MaxResendLast)),
+      format))
 
   def from(streamId: String, partition: Int, ref: MsgRef,
       format: String = "object"): Iterator[Resend.Frame] =

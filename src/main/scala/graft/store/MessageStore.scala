@@ -96,6 +96,44 @@ object MessageStore {
       .filter(col("max_ts") < cutoff.ntz)
       .select(col("stream_id"), col("stream_partition"), col("bucket"))
 
+  /** Bounded last-N over the physical layout — the reference's iterative
+    * bucket expansion (`Storage.ts:142-181`): walk bucket directories
+    * newest→oldest accumulating row counts (parquet metadata-only counts,
+    * no data I/O) until they cover `limit`, then top-K over just those
+    * buckets. A deep stream-part answers last-N from its newest buckets
+    * instead of scanning years of history. Falls back to the whole part
+    * when it holds fewer than `limit` rows. */
+  def requestLastBounded(
+      spark: SparkSession, path: String, streamId: String, partition: Int,
+      limit: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    import graft.operators.BrokerQueries
+    val partDir = new Path(
+      s"$path/stream_id=${escapePathName(streamId)}/stream_partition=$partition")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(partDir))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.StreamMessage.schema)
+    val buckets = fs.listStatus(partDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.toString).sorted.reverse // newest first (sortable format)
+    var covered = 0L
+    val needed = buckets.takeWhile { b =>
+      val take = covered < limit
+      if (take) covered += spark.read.parquet(b).count() // metadata-only count
+      take
+    }
+    if (needed.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.StreamMessage.schema)
+    val subset = spark.read.parquet(needed: _*)
+      .withColumn("stream_id", lit(streamId))
+      .withColumn("stream_partition", lit(partition))
+    BrokerQueries.requestLast(subset, streamId, partition, limit)
+  }
+
   /** Compact one stream-part's buckets: micro-batch ingest leaves one file
     * per bucket per batch, so long-lived buckets accumulate small files —
     * the engine-side analog of the reference's size-capped bucket rolling

@@ -98,6 +98,29 @@ class StoreStreamingSpec extends SparkSpec {
       Seq((1700000000000L, 1, "publisher", "1")))
   }
 
+  test("requestLastBounded: newest buckets only, matches full-scan result") {
+    val path = tmpDir("graft-lastbounded")
+    val dayMs = 86400000L
+    val base = 1700000000000L
+    val msgs = (0 until 30).map(i =>
+      msg("s", 0, base + (i / 10) * dayMs + (i % 10) * 1000L, 0))
+    MessageStore.append(streamDataOf(msgs: _*), path)
+
+    // N=5 is covered by the newest bucket alone
+    val bounded = MessageStore.requestLastBounded(spark, path, "s", 0, 5)
+    val full = BrokerQueries.requestLast(MessageStore.open(spark, path), "s", 0, 5)
+    assert(keysOf(bounded) == keysOf(full))
+    // N spanning two buckets still matches
+    val bounded15 = MessageStore.requestLastBounded(spark, path, "s", 0, 15)
+    assert(keysOf(bounded15) ==
+      keysOf(BrokerQueries.requestLast(MessageStore.open(spark, path), "s", 0, 15)))
+    // limit beyond total falls back to everything
+    assert(MessageStore.requestLastBounded(spark, path, "s", 0, 100).count() == 30)
+    // unknown stream-part: empty, correct schema
+    val none = MessageStore.requestLastBounded(spark, path, "nope", 0, 5)
+    assert(none.count() == 0 && none.columns.contains("payload"))
+  }
+
   test("pruneTime injects bucket partition filters for time-bounded reads") {
     val path = tmpDir("graft-prunetime")
     MessageStore.append(streamDataOf(
