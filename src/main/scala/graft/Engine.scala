@@ -98,6 +98,11 @@ final class GraftEngine(
   def subscribe(subscriberId: String, streamId: String, partition: Int) =
     subscriptions.subscribe(subscriberId, streamId, partition)
 
+  /** Maintenance: merge per-batch small files of a stream-part's buckets
+    * (the reference's bucket-rolling analog). Returns buckets compacted. */
+  def compact(streamId: String, partition: Int): Int =
+    MessageStore.compactStreamPart(spark, storePath, streamId, partition)
+
   /** Retention: drop buckets whose newest row is older than
     * `retentionDays` (default 365 like the reference,
     * `DeleteExpiredCmd.ts:91`). Returns dropped bucket paths. */
