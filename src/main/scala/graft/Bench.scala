@@ -20,7 +20,9 @@ object Bench {
     catch { case _: Throwable => () }
     // noop v2 sink: executes the full plan (all columns materialized, sorts
     // retained) without count()'s column pruning / sort elimination.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // stable alphabetical execution order: map-hash order shuffled which
+    // query followed the heavy store write, making attribution noisy
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -30,7 +32,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
