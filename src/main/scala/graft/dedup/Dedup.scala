@@ -80,8 +80,20 @@ object Dedup {
     * clearing `threshold`. Pairs materialize via the shared-shingle join —
     * never n² — then one aggregation per pair; per-doc set sizes come from
     * a cheap count over the exploded table (broadcast back to the pairs). */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val sh = shingleTable(docs, k)
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.1,
+      maxDocFrequency: Option[Int] = None): DataFrame = {
+    val shAll = shingleTable(docs, k)
+    // Optional stop-shingle cap: a shingle present in > maxDocFrequency
+    // docs contributes O(df²) join rows while carrying no near-dup signal
+    // — dropping them bounds the worst-case pair fan-out at corpus scale.
+    // Opt-in because it changes scores (union sizes shrink).
+    val sh = maxDocFrequency match {
+      case Some(cap) =>
+        val common = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shingle"))
+        shAll.join(common, Seq("shingle"), "left_anti")
+      case None => shAll
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),

@@ -53,6 +53,19 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(p.getAs[Double]("jaccard") - 5.0 / 11) < 1e-12)
   }
 
+  test("ngramJaccardPairs: maxDocFrequency drops ubiquitous shingles") {
+    // 'x y z' appears in every doc; with the cap it stops linking docs
+    val docs = docsOf(
+      (1L, "x y z unrelated alpha beta"),
+      (2L, "x y z other gamma delta"),
+      (3L, "x y z more epsilon zeta"))
+    val without = Dedup.ngramJaccardPairs(docs, threshold = 0.01)
+    assert(without.count() == 3) // all pairs linked by the shared shingle
+    val withCap = Dedup.ngramJaccardPairs(docs, threshold = 0.01,
+      maxDocFrequency = Some(2))
+    assert(withCap.count() == 0)
+  }
+
   test("minhashLshPairs surfaces the near-dup pair with high estimated sim") {
     // one appended word: Jaccard 8/9 — deterministically shares 2 of 4
     // bands under the md5 hash family (verified against the oracle math)
