@@ -220,15 +220,24 @@ object SparkEntry {
 
     // approximate distinct-count sketch (HLL++ — merge-commutative, so
     // deterministic for fixed data); no SQL oracle: DuckDB's sketch
-    // differs, driver records the weaker rows-only check
+    // differs, driver records the weaker rows-only check. The exact
+    // companion (q_exact_distinct) carries the oracle-hashed gate.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.streamData(s, dir)
         .groupBy(col("stream_id"))
         .agg(
           approx_count_distinct(col("publisher_id")).as("approx_publishers"),
-          countDistinct(col("publisher_id")).as("exact_publishers"),
           approx_count_distinct(concat_ws("::", col("stream_id"), col("stream_partition")))
             .as("approx_parts"))
+        .orderBy(col("stream_id"))),
+
+    // exact distinct counts — the hash-gated twin of q_approx_distinct
+    "q_exact_distinct" -> ((s, dir) =>
+      Tables.streamData(s, dir)
+        .groupBy(col("stream_id"))
+        .agg(
+          countDistinct(col("publisher_id")).as("exact_publishers"),
+          countDistinct(col("stream_partition")).as("exact_parts"))
         .orderBy(col("stream_id"))),
 
     "q_percentiles" -> ((s, dir) =>
@@ -681,6 +690,13 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
           |FROM customer LEFT JOIN d ON c_custkey = o_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_exact_distinct" ->
+        s"""$sd
+           |SELECT stream_id,
+           |       CAST(count(DISTINCT publisher_id) AS BIGINT) AS exact_publishers,
+           |       CAST(count(DISTINCT stream_partition) AS BIGINT) AS exact_parts
+           |FROM stream_data GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_percentiles" ->
         """SELECT event_type, count(*) AS n,

@@ -74,13 +74,30 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Semi/anti-join surface (SURVEY §2.3): per-nation counts of customers
-    * with and without orders, via LeftSemi and LeftAnti physical joins
-    * against the distinct order keys (both broadcast at dimension scale,
-    * shuffle-on-key at fact scale). */
+  /** Per-nation counts of customers with and without orders — the
+    * production plan (SURVEY §2.3): ONE scan of each table, one left join
+    * against the distinct order keys, and a conditional aggregation. The
+    * earlier semi+anti formulation ([[customerOrderPresenceSemiAnti]])
+    * scanned and shuffled both inputs twice for the same answer — at fact
+    * scale that doubles the heaviest exchange, so the single-scan shape is
+    * the default. */
   def customerOrderPresence(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
     val o = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("with_orders"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("without_orders"))
+  }
+
+  /** The explicit LeftSemi/LeftAnti formulation of
+    * [[customerOrderPresence]], kept as the §2.3 semi/anti operator
+    * exercise. The distinct key set is cached so both branches reuse one
+    * scan+distinct instead of recomputing it per join. */
+  def customerOrderPresenceSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey")).distinct().cache()
     val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
     val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")

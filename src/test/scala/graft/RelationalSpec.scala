@@ -29,6 +29,23 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length <= 25)
   }
 
+  test("customerOrderPresence: single-scan plan matches the semi/anti formulation") {
+    val single = Relational.customerOrderPresence(spark, dir)
+    // production shape: exactly one scan each of customer and orders
+    val plan = single.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").count(_ => true) - 1 <= 2,
+      s"expected at most one scan per table, plan:\n$plan")
+    val a = single.orderBy("c_nationkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val b = Relational.customerOrderPresenceSemiAnti(spark, dir)
+      .orderBy("c_nationkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(a.nonEmpty && a.sameElements(b))
+    // every customer is counted exactly once across the two columns
+    val totalCustomers = a.map(t => t._2 + t._3).sum
+    assert(totalCustomers == graft.sources.Tables.customer(spark, dir).count())
+  }
+
   test("topEventsPerType: at most k per group, rank starts at 1") {
     val rows = Relational.topEventsPerType(spark, dir, k = 3).collect()
     val byType = rows.groupBy(_.getAs[String]("event_type"))
