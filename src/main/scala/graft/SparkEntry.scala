@@ -101,6 +101,15 @@ object SparkEntry {
       Formats.format(
         BrokerQueries.requestFrom(Tables.streamData(s, dir), "view", 5, FromTs), "protocol")),
 
+    // encrypted-content round-trip (reference contract:
+    // test/integration/storage/Storage.test.ts:24-44,150): AES-marked rows
+    // serve their stored ciphertext + signature verbatim in protocol format
+    "q_serve_encrypted" -> ((s, dir) =>
+      Formats.format(
+        Tables.streamData(s, dir)
+          .filter(col("stream_id") === "purchase" && col("encryption_type") === 2),
+        "protocol")),
+
     // ---- ingest validation (§2.2 F7/F8) ----
     "q_ingest_validate" -> ((s, dir) =>
       Validate.verdictCounts(Tables.streamData(s, dir),
@@ -316,6 +325,24 @@ object SparkEntry {
     // DuckDB twin of Formats.jsonEscape (same replace chain, same order).
     def jsonEsc(e: String): String =
       s"replace(replace(replace(replace(replace($e, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    // DuckDB twins of Formats.prevRefJson / Formats.signatureJson.
+    val prevRefJson =
+      "CASE WHEN prev_ts IS NOT NULL THEN '[' || epoch_ms(prev_ts) || ',' || prev_sequence_no || ']' ELSE 'null' END"
+    val signatureJson =
+      s"CASE WHEN signature IS NOT NULL THEN '\"' || ${jsonEsc("signature")} || '\"' ELSE 'null' END"
+    // DuckDB twin of Formats.protocolJson over a stream_data row.
+    val protocolMsg =
+      s"""'[31,["' || ${jsonEsc("stream_id")} ||
+         |  '",' || stream_partition ||
+         |  ',' || epoch_ms(ts) ||
+         |  ',' || sequence_no ||
+         |  ',"' || ${jsonEsc("publisher_id")} ||
+         |  '","' || ${jsonEsc("msg_chain_id")} ||
+         |  '"],' || $prevRefJson ||
+         |  ',27,' || encryption_type ||
+         |  ',"' || ${jsonEsc("payload")} ||
+         |  '",' || signature_type ||
+         |  ',' || $signatureJson || ']' AS msg""".stripMargin
     val minuteCte =
       s"""mc AS (
          |  SELECT stream_id, stream_partition, date_trunc('minute', ts) AS minute,
@@ -335,7 +362,8 @@ object SparkEntry {
       "q_last_grouped" ->
         s"""$sd
            |SELECT stream_id, stream_partition, ts, sequence_no,
-           |       publisher_id, msg_chain_id, payload
+           |       publisher_id, msg_chain_id, payload, prev_ts,
+           |       prev_sequence_no, encryption_type, signature_type, signature
            |FROM (
            |  SELECT *, row_number() OVER (
            |    PARTITION BY stream_id, stream_partition
@@ -439,7 +467,11 @@ object SparkEntry {
            |  ',"sequenceNumber":' || sequence_no ||
            |  ',"publisherId":"' || ${jsonEsc("publisher_id")} ||
            |  '","msgChainId":"' || ${jsonEsc("msg_chain_id")} ||
-           |  '","content":"' || ${jsonEsc("payload")} || '"}' AS msg
+           |  '","prevMsgRef":' || $prevRefJson ||
+           |  ',"encryptionType":' || encryption_type ||
+           |  ',"content":"' || ${jsonEsc("payload")} ||
+           |  '","signatureType":' || signature_type ||
+           |  ',"signature":' || $signatureJson || '}' AS msg
            |FROM (
            |  SELECT * FROM stream_data
            |  WHERE stream_id = 'click' AND stream_partition = 3
@@ -449,23 +481,23 @@ object SparkEntry {
 
       "q_serve_protocol" ->
         s"""$sd
-           |SELECT '[31,["' || ${jsonEsc("stream_id")} ||
-           |  '",' || stream_partition ||
-           |  ',' || epoch_ms(ts) ||
-           |  ',' || sequence_no ||
-           |  ',"' || ${jsonEsc("publisher_id")} ||
-           |  '","' || ${jsonEsc("msg_chain_id")} ||
-           |  '"],null,27,0,"' || ${jsonEsc("payload")} || '",0,null]' AS msg
+           |SELECT $protocolMsg
            |FROM stream_data
            |WHERE stream_id = 'view' AND stream_partition = 5
            |  AND (ts > TIMESTAMP '2024-01-15 00:00:00'
            |       OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND sequence_no >= 4))""".stripMargin,
 
+      "q_serve_encrypted" ->
+        s"""$sd
+           |SELECT $protocolMsg
+           |FROM stream_data
+           |WHERE stream_id = 'purchase' AND encryption_type = 2""".stripMargin,
+
       "q_ingest_validate" ->
         s"""$sd
            |SELECT stream_id,
            |       CASE WHEN ts > TIMESTAMP '2024-01-20 00:05:00' THEN 'rejected_future'
-           |            WHEN NOT json_valid(payload) THEN 'rejected_json'
+           |            WHEN encryption_type = 0 AND NOT json_valid(payload) THEN 'rejected_json'
            |            ELSE 'accepted' END AS verdict,
            |       count(*) AS n
            |FROM stream_data GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -27,12 +27,20 @@ object Validate {
 
   /** Annotate a message batch with its validation verdict:
     * `accepted` | `rejected_future` | `rejected_json` (first failure wins,
-    * future checked first like the reference's ordering). */
-  def verdict(df: DataFrame, now: Column): DataFrame =
+    * future checked first like the reference's ordering). The JSON check
+    * applies only to plaintext content — encrypted payloads are opaque
+    * ciphertext strings the reference stores without parsing
+    * (`Publisher.ts:46` parses via getContent(true) only for unencrypted
+    * messages; ciphertext round-trips verbatim, `Storage.test.ts:150`). */
+  def verdict(df: DataFrame, now: Column): DataFrame = {
+    val plaintext =
+      if (df.columns.contains("encryption_type")) col("encryption_type") === 0
+      else lit(true)
     df.withColumn("verdict",
       when(isFuture(col("ts"), now), lit("rejected_future"))
-        .when(!isValidJson(col("payload")), lit("rejected_json"))
+        .when(plaintext && !isValidJson(col("payload")), lit("rejected_json"))
         .otherwise(lit("accepted")))
+  }
 
   /** Accepted subset (the rows that proceed to partition + store). */
   def accepted(df: DataFrame, now: Column): DataFrame =

@@ -3,7 +3,7 @@ package graft.model
 import org.apache.spark.sql.types._
 
 /** The engine's canonical message-envelope row — the reference's
-  * StreamMessage (`src/http/DataProduceEndpoints.ts:101-114`) flattened into
+  * StreamMessage (`src/http/DataProduceEndpoints.ts:86-114`) flattened into
   * columns, with the serialized body kept as an opaque `payload` just like
   * the reference's Cassandra `stream_data` blob
   * (`src/storage/BatchManager.ts:8-14`).
@@ -12,6 +12,15 @@ import org.apache.spark.sql.types._
   * uniqueness key `(stream_id, stream_partition, ts, sequence_no,
   * publisher_id, msg_chain_id)` (the reference's clustering columns,
   * `src/storage/Storage.ts:109-112`).
+  *
+  * The trailing envelope fields complete the reference's wire contract
+  * (`test/integration/storage/Storage.test.ts:24-44`): the previous-message
+  * reference used for gap detection (`prev_ts`/`prev_sequence_no`, nullable
+  * — first message of a chain has none), the content encryption marker
+  * (`encryption_type`: 0 = NONE, 1 = RSA, 2 = AES), and the message
+  * signature (`signature_type`: 0 = none, 1 = legacy, 2 = ETH; `signature`
+  * nullable hex string). They are stored and served verbatim — the engine
+  * never interprets them, exactly like the reference's storage node.
   */
 final case class StreamMessage(
     stream_id: String,
@@ -20,7 +29,12 @@ final case class StreamMessage(
     sequence_no: Int,
     publisher_id: String,
     msg_chain_id: String,
-    payload: String)
+    payload: String,
+    prev_ts: Option[java.time.LocalDateTime] = None,
+    prev_sequence_no: Option[Int] = None,
+    encryption_type: Int = 0,
+    signature_type: Int = 0,
+    signature: Option[String] = None)
 
 object StreamMessage {
   val schema: StructType = StructType(Seq(
@@ -30,7 +44,12 @@ object StreamMessage {
     StructField("sequence_no", IntegerType, nullable = false),
     StructField("publisher_id", StringType, nullable = false),
     StructField("msg_chain_id", StringType, nullable = false),
-    StructField("payload", StringType, nullable = false)))
+    StructField("payload", StringType, nullable = false),
+    StructField("prev_ts", TimestampNTZType, nullable = true),
+    StructField("prev_sequence_no", IntegerType, nullable = true),
+    StructField("encryption_type", IntegerType, nullable = false),
+    StructField("signature_type", IntegerType, nullable = false),
+    StructField("signature", StringType, nullable = true)))
 
   /** Columns forming the uniqueness/upsert key (dedup key on ingest). */
   val uniqueKey: Seq[String] =

@@ -29,8 +29,28 @@ object Formats {
     * the same (a non-UTC session would shift every served timestamp). */
   private def epochMs(ts: Column): Column = unix_millis(ts.cast("timestamp"))
 
+  /** Previous-message reference as a JSON fragment: `[epochMs,seq]`, or
+    * the literal `null` for a chain-head message (prevMsgRef is nullable in
+    * the reference contract, `Storage.test.ts:24-44`). Built with
+    * when/otherwise because `concat` over a null child would null the whole
+    * message string. */
+  private def prevRefJson: Column =
+    when(col("prev_ts").isNotNull,
+      concat(lit("["), epochMs(col("prev_ts")), lit(","),
+        col("prev_sequence_no"), lit("]")))
+      .otherwise(lit("null"))
+
+  /** Signature as a JSON fragment: quoted string or literal `null`. */
+  private def signatureJson: Column =
+    when(col("signature").isNotNull,
+      concat(lit("\""), jsonEscape(col("signature")), lit("\"")))
+      .otherwise(lit("null"))
+
   /** `object` format — the reference's `toObject()` JSON shape
-    * (`DataQueryFormat.ts:33-36`), field order fixed. */
+    * (`DataQueryFormat.ts:33-36`), field order fixed. Serves the complete
+    * stored envelope: prev-ref, encryption marker, and signature round-trip
+    * verbatim (encrypted content is served as stored — the engine never
+    * decrypts, `DataProduceEndpoints.ts:86-113`). */
   def objectJson: Column =
     concat(
       lit("{\"streamId\":\""), jsonEscape(col("stream_id")),
@@ -39,13 +59,18 @@ object Formats {
       lit(",\"sequenceNumber\":"), col("sequence_no"),
       lit(",\"publisherId\":\""), jsonEscape(col("publisher_id")),
       lit("\",\"msgChainId\":\""), jsonEscape(col("msg_chain_id")),
-      lit("\",\"content\":\""), jsonEscape(col("payload")),
-      lit("\"}"))
+      lit("\",\"prevMsgRef\":"), prevRefJson,
+      lit(",\"encryptionType\":"), col("encryption_type"),
+      lit(",\"content\":\""), jsonEscape(col("payload")),
+      lit("\",\"signatureType\":"), col("signature_type"),
+      lit(",\"signature\":"), signatureJson,
+      lit("}"))
 
   /** `protocol`/`raw` format — v31-shaped serialized array
     * `[version,[msgId...],prevRef,contentType,encryptionType,content,
-    * sigType,signature]` (`FIXTURES.md §3`; prevRef/signature not stored in
-    * the fact table ⇒ null, matching a no-signature deployment). */
+    * sigType,signature]` (`FIXTURES.md §3`). Every envelope field comes
+    * from the stored row — nothing is hardcoded, so signed and encrypted
+    * messages round-trip exactly as the reference stores them. */
   def protocolJson: Column =
     concat(
       lit("[31,[\""), jsonEscape(col("stream_id")),
@@ -54,8 +79,12 @@ object Formats {
       lit(","), col("sequence_no"),
       lit(",\""), jsonEscape(col("publisher_id")),
       lit("\",\""), jsonEscape(col("msg_chain_id")),
-      lit("\"],null,27,0,\""), jsonEscape(col("payload")),
-      lit("\",0,null]"))
+      lit("\"],"), prevRefJson,
+      lit(",27,"), col("encryption_type"),
+      lit(",\""), jsonEscape(col("payload")),
+      lit("\","), col("signature_type"),
+      lit(","), signatureJson,
+      lit("]"))
 
   /** Apply a named format (`object` | `protocol` | `raw`) as the single
     * output column, mirroring `DataQueryFormat.getFormat`

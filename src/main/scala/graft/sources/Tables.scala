@@ -49,16 +49,36 @@ object Tables {
   /** The `events` table viewed as the reference's `stream_data` fact table
     * (schema: FIXTURES.md §1): stream-part = (event_type, user_id mod 8),
     * deterministic sequence/publisher/chain derivations, payload = props.
-    */
-  def streamData(spark: SparkSession, sfDir: String): DataFrame =
+    *
+    * The envelope fields the driver testdata lacks are derived
+    * deterministically so every downstream operator (store, serve formats,
+    * dedup) carries the full reference contract
+    * (`src/http/DataProduceEndpoints.ts:86-113`): prev-ref present for
+    * every non-chain-head message, a 1-in-16 AES-encrypted slice, mostly
+    * ETH signatures with a legacy minority, and an md5-derived hex
+    * signature over the message id — all expressed identically in
+    * [[StreamDataSql]] so the oracle sees the same bytes. */
+  def streamData(spark: SparkSession, sfDir: String): DataFrame = {
+    val seqNo = (col("event_id") % 16).cast("int")
+    val pub = concat(lit("pub-"), (col("user_id") % 4).cast("string"))
     events(spark, sfDir).select(
       col("event_type").as("stream_id"),
       (col("user_id") % 8).cast("int").as("stream_partition"),
       col("ts"),
-      (col("event_id") % 16).cast("int").as("sequence_no"),
-      concat(lit("pub-"), (col("user_id") % 4).cast("string")).as("publisher_id"),
+      seqNo.as("sequence_no"),
+      pub.as("publisher_id"),
       (col("user_id") % 2).cast("string").as("msg_chain_id"),
-      col("props").as("payload"))
+      col("props").as("payload"),
+      when(seqNo > 0, col("ts") - expr("INTERVAL 1 SECOND")).as("prev_ts"),
+      when(seqNo > 0, seqNo - 1).cast("int").as("prev_sequence_no"),
+      when(col("event_id") % 16 === 0, 2).otherwise(0).cast("int").as("encryption_type"),
+      when(col("event_id") % 10 === 0, 1).otherwise(2).cast("int").as("signature_type"),
+      concat(lit("0x"), md5(concat_ws(":",
+        col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).cast("string"),
+        seqNo.cast("string"),
+        pub))).as("signature"))
+  }
 
   /** DuckDB CTE computing the identical stream_data relation from raw
     * `events` — prepended to every broker-query oracle. */
@@ -70,7 +90,17 @@ object Tables {
       |         CAST(event_id % 16 AS INT) AS sequence_no,
       |         'pub-' || CAST(user_id % 4 AS VARCHAR) AS publisher_id,
       |         CAST(user_id % 2 AS VARCHAR) AS msg_chain_id,
-      |         props AS payload
+      |         props AS payload,
+      |         CASE WHEN event_id % 16 > 0
+      |              THEN CAST(ts AS TIMESTAMP) - INTERVAL 1 SECOND END AS prev_ts,
+      |         CASE WHEN event_id % 16 > 0
+      |              THEN CAST(event_id % 16 - 1 AS INT) END AS prev_sequence_no,
+      |         CAST(CASE WHEN event_id % 16 = 0 THEN 2 ELSE 0 END AS INT) AS encryption_type,
+      |         CAST(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 2 END AS INT) AS signature_type,
+      |         '0x' || md5(event_type || ':' ||
+      |           CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||
+      |           CAST(event_id % 16 AS VARCHAR) || ':' ||
+      |           'pub-' || CAST(user_id % 4 AS VARCHAR)) AS signature
       |  FROM events
       |)""".stripMargin
 }

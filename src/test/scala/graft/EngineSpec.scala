@@ -49,4 +49,19 @@ class EngineSpec extends SparkSpec {
     assert(dropped.nonEmpty)
     assert(engine.last("s", 0, 10).toSeq == Seq(Resend.NoResend()))
   }
+
+  test("envelope (prevRef/signature/encryption) round-trips through the store") {
+    val engine = new GraftEngine(spark,
+      Files.createTempDirectory("graft-envelope").toString)
+    val now = 10000L
+    val signed = msg("e", 1, 5000L, 3, "p", "c", payload = "ciphertext")
+      .copy(prev_ts = Some(ldt(4000L)), prev_sequence_no = Some(2),
+        encryption_type = 2, signature_type = 2, signature = Some("0xfeed"))
+    assert(engine.publish(streamDataOf(signed, msg("e", 1, 1000L, 0)), now) == 2)
+    val served = engine.last("e", 1, 10, format = "protocol")
+      .collect { case Resend.Unicast(m) => m }.toSeq
+    assert(served == Seq(
+      """[31,["e",1,1000,0,"publisher","1"],null,27,0,"{}",0,null]""",
+      """[31,["e",1,5000,3,"p","c"],[4000,2],27,2,"ciphertext",2,"0xfeed"]"""))
+  }
 }

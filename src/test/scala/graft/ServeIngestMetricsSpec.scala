@@ -15,7 +15,8 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(out ==
       """{"streamId":"s\"x","streamPartition":2,"timestamp":1545144750494,""" +
         """"sequenceNumber":1,"publisherId":"pub","msgChainId":"c",""" +
-        """"content":"{\"hello\":\"wo\\rld\"}"}""")
+        """"prevMsgRef":null,"encryptionType":0,""" +
+        """"content":"{\"hello\":\"wo\\rld\"}","signatureType":0,"signature":null}""")
   }
 
   test("protocolJson: v31 array shape; raw aliases protocol") {
@@ -23,6 +24,20 @@ class ServeIngestMetricsSpec extends SparkSpec {
     val proto = Formats.format(sd, "protocol").collect().head.getString(0)
     assert(proto == """[31,["s",0,1000,0,"p","c"],null,27,0,"{}",0,null]""")
     assert(Formats.format(sd, "raw").collect().head.getString(0) == proto)
+  }
+
+  test("envelope fields round-trip through both formats (signed + encrypted)") {
+    val m = msg("s", 0, 5000L, 3, "p", "c", payload = "deadbeef")
+      .copy(prev_ts = Some(ldt(4000L)), prev_sequence_no = Some(2),
+        encryption_type = 2, signature_type = 2, signature = Some("0xabc123"))
+    val sd = streamDataOf(m)
+    val proto = Formats.format(sd, "protocol").collect().head.getString(0)
+    assert(proto ==
+      """[31,["s",0,5000,3,"p","c"],[4000,2],27,2,"deadbeef",2,"0xabc123"]""")
+    val obj = Formats.format(sd, "object").collect().head.getString(0)
+    assert(obj.contains(""""prevMsgRef":[4000,2]"""))
+    assert(obj.contains(""""encryptionType":2"""))
+    assert(obj.contains(""""signatureType":2,"signature":"0xabc123""""))
   }
 
   test("validate: future beyond +300s rejected, invalid JSON rejected, rest accepted") {
