@@ -125,6 +125,26 @@ object SparkEntry {
       Metrics.hourlyRollup(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"), col("hour"))),
 
+    "q_metrics_daily" -> ((s, dir) =>
+      Metrics.dailyRollup(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"), col("day"))),
+
+    // skew utilities: salted join + salted two-phase agg must be
+    // observationally identical to the plain formulations (the oracle IS
+    // the plain plan)
+    "q_skew" -> ((s, dir) => {
+      import graft.operators.Skew
+      val sd = Tables.streamData(s, dir)
+      val small = sd.groupBy(col("stream_id"))
+        .agg(countDistinct(col("stream_partition")).as("n_parts"))
+      val joined = Skew.saltedJoin(sd, small, Seq("stream_id"), buckets = 8,
+        saltCols = Seq("stream_partition", "ts", "sequence_no"))
+      Skew.saltedAgg(joined, Seq("stream_id", "n_parts"), buckets = 8,
+        saltCols = Seq("stream_partition", "ts"),
+        agg = sum(octet_length(col("payload"))), merge = sum, as = "total_bytes")
+        .orderBy(col("stream_id"))
+    }),
+
     // ---- scalar surface (§2.7 C2/C4/C5, §2.1 S8) ----
     "q_scalars" -> ((s, dir) => {
       import graft.functions.Scalars
@@ -188,7 +208,16 @@ object SparkEntry {
         .orderBy(col("stream_id"))
     }),
 
+    // production shape: document-frequency cap ON (stop-shingles above the
+    // cap carry no near-dup signal but drive the O(df²) join fan-out — at
+    // corpus scale the cap is what bounds the pair explosion)
     "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsParallel(s, dir), k = 3, threshold = 0.1,
+        maxDocFrequency = Some(5))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // exact (uncapped) variant — the precise Jaccard over all shingles
+    "q_ngram_jaccard_exact" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsParallel(s, dir), k = 3, threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -519,6 +548,28 @@ object SparkEntry {
            |       CAST(sum(msgs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_msgs_per_min
            |FROM mc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+      "q_metrics_daily" ->
+        s"""$sd, $minuteCte, hc AS (
+           |  SELECT stream_id, stream_partition, date_trunc('hour', minute) AS hour,
+           |         count(*) AS n_minutes, CAST(sum(msgs) AS BIGINT) AS msgs,
+           |         CAST(sum(bytes) AS BIGINT) AS bytes
+           |  FROM mc GROUP BY 1, 2, 3
+           |)
+           |SELECT stream_id, stream_partition, date_trunc('day', hour) AS day,
+           |       CAST(count(*) AS BIGINT) AS n_hours,
+           |       CAST(sum(n_minutes) AS BIGINT) AS n_minutes,
+           |       CAST(sum(msgs) AS BIGINT) AS msgs,
+           |       CAST(sum(bytes) AS BIGINT) AS bytes,
+           |       CAST(sum(msgs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_msgs_per_hour
+           |FROM hc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+      "q_skew" -> // the plain (unsalted) plan — salting must not change results
+        s"""$sd
+           |SELECT stream_id,
+           |       CAST(count(DISTINCT stream_partition) AS BIGINT) AS n_parts,
+           |       CAST(sum(strlen(payload)) AS BIGINT) AS total_bytes
+           |FROM stream_data GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_ann_topk" ->
         s"""$quantCte,
            |scored AS (
@@ -586,7 +637,23 @@ object SparkEntry {
            |         publisher_id, msg_chain_id FROM u
            |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      "q_ngram_jaccard" ->
+      "q_ngram_jaccard" -> // df-capped: drop shingles present in > 5 docs
+        s"""$shingleCte,
+           |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
+           |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |          FROM shc a JOIN shc b USING (shingle)
+           |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_size,
+           |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+           |FROM pairs
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_ngram_jaccard_exact" ->
         s"""$shingleCte,
            |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
            |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

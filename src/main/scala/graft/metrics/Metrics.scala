@@ -14,13 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  /** Per-(stream-part, minute) message counts and byte totals — the
-    * windowed metric base (A7; `VolumeLogger.ts:167-291`). */
-  def minuteCounts(streamData: DataFrame): DataFrame =
+  /** Per-(stream-part, second) message counts and byte totals — the finest
+    * level of the reference's sec→min→hour→day metric cascade
+    * (`StreamMetrics.ts:55-77` runs one StreamMetrics per level, each
+    * feeding the next). */
+  def secondCounts(streamData: DataFrame): DataFrame =
     streamData
       .groupBy(col("stream_id"), col("stream_partition"),
-        date_trunc("minute", col("ts")).cast("timestamp_ntz").as("minute"))
+        date_trunc("second", col("ts")).cast("timestamp_ntz").as("second"))
       .agg(count(lit(1)).as("msgs"), sum(octet_length(col("payload"))).as("bytes"))
+
+  /** Per-(stream-part, minute) message counts and byte totals — the
+    * windowed metric base (A7; `VolumeLogger.ts:167-291`). Cascades from
+    * [[secondCounts]] like the reference's level chain: each level
+    * aggregates the previous level's reports, so at scale the coarser
+    * levels aggregate pre-reduced rows, never the raw firehose (partial
+    * map-side aggregation makes the extra level nearly free — the
+    * second-level shuffle already reduced the data to one row per active
+    * second). */
+  def minuteCounts(streamData: DataFrame): DataFrame =
+    secondCounts(streamData)
+      .groupBy(col("stream_id"), col("stream_partition"),
+        date_trunc("minute", col("second")).cast("timestamp_ntz").as("minute"))
+      .agg(sum(col("msgs")).as("msgs"), sum(col("bytes")).as("bytes"))
 
   /** Hierarchical rollup minute→hour (A8; `StreamMetrics.ts:55-77`): each
     * hour reports the sum plus the average of its minute reports. */
@@ -34,6 +50,21 @@ object Metrics {
         sum(col("bytes")).as("bytes"),
         (sum(col("msgs")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_msgs_per_min"))
+
+  /** Hierarchical rollup hour→day — the top of the cascade (A8;
+    * `StreamMetrics.ts:55-77`): each day reports the sum of its hour
+    * reports plus the average message volume per active hour. */
+  def dailyRollup(streamData: DataFrame): DataFrame =
+    hourlyRollup(streamData)
+      .groupBy(col("stream_id"), col("stream_partition"),
+        date_trunc("day", col("hour")).cast("timestamp_ntz").as("day"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n_minutes")).as("n_minutes"),
+        sum(col("msgs")).as("msgs"),
+        sum(col("bytes")).as("bytes"),
+        (sum(col("msgs")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_msgs_per_hour"))
 
   /** EWMA fold over an ordered numeric series: seeded with the first
     * element, then `0.8*acc + 0.2*x` per step (`StreamMetrics.ts:7-9,
