@@ -8,7 +8,7 @@ import graft.operators.BrokerQueries
 import graft.operators.BrokerQueries.MsgRef
 import graft.serve.{Formats, Resend, SubscriptionRegistry}
 import graft.store.MessageStore
-import graft.streaming.IngestPipeline
+import graft.streaming.{DynamicAssignment, IngestPipeline}
 
 /** The engine facade — the reference broker's storage-node API surface
   * (SURVEY §3) over one bucketed store:
@@ -35,20 +35,44 @@ final class GraftEngine(
 
   val subscriptions = new SubscriptionRegistry()
 
-  /** The store as a relation (empty store ⇒ empty relation). */
-  def table: DataFrame =
-    try MessageStore.open(spark, storePath)
-    catch {
-      case _: Throwable =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          graft.model.StreamMessage.schema)
-    }
+  /** R7 — live storage-assignment state: seeded from the constructor,
+    * refreshed via [[updateAssignment]]; the streaming ingest re-reads it
+    * every micro-batch (`StorageConfig.ts:96-149`). */
+  val assignment = new DynamicAssignment(assigned)
+
+  /** Refresh the storage assignment (polling/event-stream callback site).
+    * Returns the (added, removed) stream-part delta (U2). Takes effect on
+    * the next micro-batch / publish — no restart. */
+  def updateAssignment(next: Option[Set[String]]): (Set[String], Set[String]) =
+    assignment.update(next)
+
+  /** The store as a relation. Only the genuinely-empty cases map to an
+    * empty relation — the store not yet created, or a directory tree whose
+    * data files have all been retention-dropped (schema inference finds
+    * nothing). A corrupt or unreadable store (permissions, bad footers)
+    * propagates its error: an unreadable store must not masquerade as an
+    * empty one (reads silently answering no_resend would hide the fault). */
+  def table: DataFrame = {
+    def emptyRelation = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.StreamMessage.schema)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) emptyRelation
+    else
+      try MessageStore.open(spark, storePath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              String.valueOf(e.getMessage).contains("Unable to infer schema") =>
+          emptyRelation
+      }
+  }
 
   /** Batch publish: one prepared micro-batch through the ingest chain,
     * persisted and fanned out. Returns accepted-row count. */
   def publish(messages: DataFrame, nowMs: Long = System.currentTimeMillis()): Long = {
-    val prepared = IngestPipeline.prepareBatch(messages, nowMs, assigned).cache()
+    val prepared = IngestPipeline.prepareBatch(messages, nowMs, assignment.get()).cache()
     try {
       val n = prepared.count()
       if (n > 0) MessageStore.append(prepared, storePath)
@@ -57,11 +81,13 @@ final class GraftEngine(
     } finally prepared.unpersist()
   }
 
-  /** Streaming publish (the hot path). */
+  /** Streaming publish (the hot path). The assignment supplier is read at
+    * every batch boundary, so [[updateAssignment]] reshapes a running
+    * ingest without restart. */
   def startIngest(source: DataFrame, checkpointPath: String,
       triggerMs: Long = 1000L): StreamingQuery =
-    IngestPipeline.start(source, storePath, checkpointPath, assigned, triggerMs,
-      onBatch = subscriptions.dispatch)
+    IngestPipeline.start(source, storePath, checkpointPath, assignment.get _,
+      triggerMs, onBatch = subscriptions.dispatch)
 
   // ---- reads (§3.1): resend envelope over the chosen format ----
   def last(streamId: String, partition: Int, n: Int,
@@ -99,9 +125,12 @@ final class GraftEngine(
     subscriptions.subscribe(subscriberId, streamId, partition)
 
   /** Maintenance: merge per-batch small files of a stream-part's buckets
-    * (the reference's bucket-rolling analog). Returns buckets compacted. */
-  def compact(streamId: String, partition: Int): Int =
+    * (the reference's bucket-rolling analog). Crashed compactions from an
+    * earlier run are recovered first. Returns buckets compacted. */
+  def compact(streamId: String, partition: Int): Int = {
+    MessageStore.recoverCompaction(spark, storePath)
     MessageStore.compactStreamPart(spark, storePath, streamId, partition)
+  }
 
   /** Retention: drop buckets whose newest row is older than
     * `retentionDays` (default 365 like the reference,
@@ -110,4 +139,21 @@ final class GraftEngine(
       nowMs: Long = System.currentTimeMillis()): Seq[String] =
     MessageStore.dropExpiredBuckets(spark, storePath,
       MsgRef(nowMs - retentionDays * 86400000L, 0))
+
+  /** Per-stream retention (`DeleteExpiredCmd.ts:86-107`): each stream
+    * expires against its own `storageDays`, defaulting like the reference
+    * to 365 for streams without an explicit policy. */
+  def deleteExpired(storageDays: Map[String, Int], defaultDays: Int,
+      nowMs: Long): Seq[String] =
+    MessageStore.dropExpiredBucketsPerStream(spark, storePath, streamId =>
+      MsgRef(nowMs - storageDays.getOrElse(streamId, defaultDays) * 86400000L, 0))
+
+  /** S4 TTL sweep — the non-storage node's transient-relay window
+    * (`USING TTL 259200`, `BatchManager.ts:12-14`): age-expire whole
+    * buckets from directory names only (zero data I/O). Default TTL is
+    * the reference's 3 days. Returns dropped bucket paths. */
+  def ttlSweep(ttlSeconds: Long = 259200L,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    MessageStore.dropAgedBuckets(spark, storePath,
+      MsgRef(nowMs - ttlSeconds * 1000L, 0))
 }

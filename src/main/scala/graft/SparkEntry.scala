@@ -74,11 +74,12 @@ object SparkEntry {
     // ---- physical store roundtrip (§1.2, S3-S5): write the relation
     // through the bucketed partition layout, read it back, aggregate ----
     "q_store_roundtrip" -> ((s, dir) => {
-      // fixed per-sfDir path, wiped before each write: repeated
-      // Verify/Bench/ExplainAudit runs reuse it instead of accumulating
-      // temp copies of the relation
+      // per-(sfDir, process) path, wiped before each write: repeated runs
+      // in one JVM reuse it instead of accumulating temp copies, while the
+      // PID suffix keeps concurrent processes (Bench and Verify on the
+      // same sfDir) from clobbering each other's store mid-read
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_rt_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_p" + ProcessHandle.current().pid()
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Exact integer dot product of two `array<bigint>` quantized vectors as a
   * native codegen expression — the hot inner loop of the similarity-search
@@ -25,6 +26,21 @@ case class QuantizedDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
+
+  /** Analysis-time contract: both sides must be `array<bigint>` — the
+    * SQL-registered function over e.g. array<int>/array<double> would
+    * otherwise pass analysis and fail (or silently mis-read) inside
+    * `ArrayData.getLong` at execution. Narrower inputs need an explicit
+    * `CAST(v AS ARRAY<BIGINT>)`, making the quantization step visible at
+    * the call site. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>) inputs, " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     QuantizedDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -57,50 +57,80 @@ object Resend {
       BrokerQueries.requestRange(streamData, streamId, partition, fromRef, toRef), format))
 }
 
-/** Live-subscription registry (R1): bounded queues per subscriber, routed
-  * by stream-part key. Plugs into `IngestPipeline.start(onBatch = registry
-  * .dispatch)`; `resendThenLive` serves the R5 contract. */
-final class SubscriptionRegistry(queueCapacity: Int = 10000) {
+/** Live-subscription registry (R1): bounded queues per (subscriber,
+  * stream-part), routed by stream-part key — one subscriber may hold many
+  * concurrent subscriptions, like one reference connection subscribing to
+  * many stream-parts (`WebsocketServer.ts:327-345`). Plugs into
+  * `IngestPipeline.start(onBatch = registry.dispatch)`; `resendThenLive`
+  * serves the R5 contract.
+  *
+  * Dispatch is executor-side: the routing/format pass runs distributed and
+  * each partition's rows are offered straight into the matching queues via
+  * a process-local registry lookup (`foreachPartition`, no driver
+  * `collect()`). In local mode every partition resolves the same registry;
+  * on a multi-executor cluster each executor resolves its node-local
+  * registry instance, which is the delivery topology a distributed serving
+  * layer wants anyway — the subscriber's connection is drained wherever
+  * its rows land, never funneled through the driver. */
+final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseable {
 
-  final case class Subscription(streamId: String, partition: Int,
+  final case class Subscription(subscriberId: String, streamId: String, partition: Int,
       queue: LinkedBlockingQueue[String])
 
-  private val subs = new ConcurrentHashMap[String, Subscription]()
+  /** Registry handle resolvable from executor-side task closures in the
+    * same process (a String travels through the closure; the queues never
+    * get serialized). */
+  private val registryId: String = java.util.UUID.randomUUID().toString
+  SubscriptionRegistry.register(registryId, this)
+
+  private val subs = new ConcurrentHashMap[(String, String, Int), Subscription]()
 
   private def key(streamId: String, partition: Int) = s"$streamId::$partition"
 
   def subscribe(subscriberId: String, streamId: String, partition: Int): Subscription = {
-    val s = Subscription(streamId, partition, new LinkedBlockingQueue[String](queueCapacity))
-    subs.put(subscriberId, s)
+    val s = Subscription(subscriberId, streamId, partition,
+      new LinkedBlockingQueue[String](queueCapacity))
+    subs.put((subscriberId, streamId, partition), s)
     s
   }
 
-  def unsubscribe(subscriberId: String): Unit = subs.remove(subscriberId)
+  /** Drop one subscription of the subscriber (others stay live). */
+  def unsubscribe(subscriberId: String, streamId: String, partition: Int): Unit =
+    subs.remove((subscriberId, streamId, partition))
 
-  /** Route a prepared micro-batch to matching subscriptions. The batch is
-    * collected once per distinct stream-part present in it (micro-batches
-    * are small by construction); a full queue drops oldest-first, the
-    * bounded-buffer behavior of the reference's backpressure close
-    * (`Connection.ts:17-18` + `RequestHandler.ts:356-363`). */
-  def dispatch(batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, concat_ws}
-    val active = subs.values().asScala.toSeq
-    if (active.isEmpty) return
-    val wanted = active.map(s => key(s.streamId, s.partition)).toSet
-    // one distributed format+filter pass; only subscribed stream-parts are
-    // collected, grouped driver-side by exact routing key
-    val routed = batch
-      .filter(concat_ws("::", col("stream_id"), col("stream_partition"))
-        .isInCollection(wanted))
-      .select(col("stream_id"), col("stream_partition"), Formats.objectJson.as("msg"))
-      .collect()
-      .groupBy(r => key(r.getString(0), r.getInt(1)))
-    active.foreach { s =>
-      routed.getOrElse(key(s.streamId, s.partition), Array.empty).foreach { r =>
-        val msg = r.getString(2)
+  /** Drop ALL the subscriber's subscriptions (connection close). */
+  def unsubscribe(subscriberId: String): Unit =
+    subs.keySet().asScala.filter(_._1 == subscriberId).foreach(subs.remove)
+
+  /** Offer a formatted message to every subscription of its stream-part; a
+    * full queue drops oldest-first, the bounded-buffer behavior of the
+    * reference's backpressure close (`Connection.ts:17-18` +
+    * `RequestHandler.ts:356-363`). Called from executor task threads. */
+  private[serve] def offer(streamId: String, partition: Int, msg: String): Unit =
+    subs.values().asScala.foreach { s =>
+      if (s.streamId == streamId && s.partition == partition) {
         if (!s.queue.offer(msg)) { s.queue.poll(); s.queue.offer(msg) }
       }
     }
+
+  /** Route a prepared micro-batch to matching subscriptions: one
+    * distributed filter+format pass, rows pushed to queues per-partition
+    * where they are produced — the driver never materializes the batch. */
+  def dispatch(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val wanted = subs.values().asScala
+      .map(s => key(s.streamId, s.partition)).toSet
+    if (wanted.isEmpty) return
+    val rid = registryId
+    batch
+      .filter(concat_ws("::", col("stream_id"), col("stream_partition"))
+        .isInCollection(wanted))
+      .select(col("stream_id"), col("stream_partition"), Formats.objectJson.as("msg"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        SubscriptionRegistry.lookup(rid).foreach { reg =>
+          rows.foreach(r => reg.offer(r.getString(0), r.getInt(1), r.getString(2)))
+        }
+      }
   }
 
   /** R5 — historical resend frames first, then the live queue's drain
@@ -114,4 +144,16 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) {
         .takeWhile(_ != null)
         .map(Resend.Unicast.apply)
   }
+
+  /** Release the process-local handle (engine shutdown). */
+  override def close(): Unit = SubscriptionRegistry.unregister(registryId)
+}
+
+/** Process-local registry directory: lets executor task closures reach the
+  * live queues by id without serializing them. */
+object SubscriptionRegistry {
+  private val instances = new ConcurrentHashMap[String, SubscriptionRegistry]()
+  private def register(id: String, r: SubscriptionRegistry): Unit = instances.put(id, r)
+  private def unregister(id: String): Unit = instances.remove(id)
+  private def lookup(id: String): Option[SubscriptionRegistry] = Option(instances.get(id))
 }

@@ -97,38 +97,49 @@ object MessageStore {
       .select(col("stream_id"), col("stream_partition"), col("bucket"))
 
   /** Bounded last-N over the physical layout — the reference's iterative
-    * bucket expansion (`Storage.ts:142-181`): walk bucket directories
-    * newest→oldest accumulating row counts (parquet metadata-only counts,
-    * no data I/O) until they cover `limit`, then top-K over just those
+    * bucket expansion (`Storage.ts:142-181`): per-bucket row counts decide
+    * how many newest buckets cover `limit`, then top-K over just those
     * buckets. A deep stream-part answers last-N from its newest buckets
     * instead of scanning years of history. Falls back to the whole part
-    * when it holds fewer than `limit` rows. */
+    * when it holds fewer than `limit` rows.
+    *
+    * All bucket counts come from ONE distributed job (a groupBy on the
+    * `bucket` partition column reads parquet footers only — no data
+    * pages); the earlier shape launched one serial driver-side count job
+    * per bucket, which a sparse stream-part spanning hundreds of buckets
+    * paid as hundreds of sequential job launches. */
   def requestLastBounded(
       spark: SparkSession, path: String, streamId: String, partition: Int,
       limit: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{escapePathName, unescapePathName}
     import graft.operators.BrokerQueries
     val partDir = new Path(
       s"$path/stream_id=${escapePathName(streamId)}/stream_partition=$partition")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(partDir))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.model.StreamMessage.schema)
-    val buckets = fs.listStatus(partDir)
+    def emptyRelation = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.StreamMessage.schema)
+    if (!fs.exists(partDir)) return emptyRelation
+    val bucketDirs = fs.listStatus(partDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map(_.getPath.toString).sorted.reverse // newest first (sortable format)
+      .map(p => unescapePathName(p.getPath.getName.stripPrefix("bucket=")) ->
+        p.getPath.toString)
+      .toMap
+    if (bucketDirs.isEmpty) return emptyRelation
+    // one job: per-bucket counts, newest first (bucket format is sortable)
+    val counts = spark.read.parquet(partDir.toString)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)(Ordering[String].reverse)
     var covered = 0L
-    val needed = buckets.takeWhile { b =>
+    val needed = counts.takeWhile { case (_, n) =>
       val take = covered < limit
-      if (take) covered += spark.read.parquet(b).count() // metadata-only count
+      if (take) covered += n
       take
-    }
-    if (needed.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.model.StreamMessage.schema)
-    val subset = spark.read.parquet(needed: _*)
+    }.flatMap { case (b, _) => bucketDirs.get(b) }
+    if (needed.isEmpty) return emptyRelation
+    val subset = spark.read.parquet(needed.toIndexedSeq: _*)
       .withColumn("stream_id", lit(streamId))
       .withColumn("stream_partition", lit(partition))
     BrokerQueries.requestLast(subset, streamId, partition, limit)
@@ -138,8 +149,18 @@ object MessageStore {
     * per bucket per batch, so long-lived buckets accumulate small files —
     * the engine-side analog of the reference's size-capped bucket rolling
     * (`BucketManager.ts:50-51`). Rewrites each multi-file bucket directory
-    * to `targetFiles` files via a staging dir + swap. Returns the number of
-    * buckets compacted. */
+    * to `targetFiles` files. Returns the number of buckets compacted.
+    *
+    * Safe against concurrent ingest and crashes:
+    *  - the exact file set that was staged is re-checked after the staging
+    *    write; a file appended to the bucket meanwhile aborts that bucket's
+    *    swap (nothing is lost — the bucket is left as-is and a later
+    *    compaction pass picks it up);
+    *  - the swap is rename(live→trash), rename(staging→live),
+    *    delete(trash) — committed data is never in a deleted state, so a
+    *    crash at any point leaves it recoverable from the trash or staging
+    *    directory (both hidden from readers; [[recoverCompaction]] sweeps
+    *    them on the next maintenance run). */
   def compactStreamPart(
       spark: SparkSession, path: String, streamId: String, partition: Int,
       targetFiles: Int = 1, minFiles: Int = 2): Int = {
@@ -152,30 +173,88 @@ object MessageStore {
       .filter(_.getPath.getName.startsWith("bucket="))
     var compacted = 0
     buckets.foreach { b =>
-      val dataFiles = fs.listStatus(b.getPath)
+      def dataFiles = fs.listStatus(b.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (dataFiles.length >= minFiles) {
+        .map(f => (f.getPath.getName, f.getLen)).toSet
+      val staged = dataFiles
+      if (staged.size >= minFiles) {
         val staging = new Path(b.getPath.getParent, s".${b.getPath.getName}.compact")
+        val trash = new Path(b.getPath.getParent, s".${b.getPath.getName}.trash")
+        fs.delete(staging, true) // stale staging from an earlier crash
         spark.read.parquet(b.getPath.toString)
           .coalesce(targetFiles)
           .write.mode("overwrite").parquet(staging.toString)
-        fs.delete(b.getPath, true)
-        fs.rename(staging, b.getPath)
-        compacted += 1
+        // concurrent-append guard: only swap if the live file set is
+        // exactly what was staged
+        if (dataFiles == staged && !fs.exists(trash) &&
+            fs.rename(b.getPath, trash)) {
+          // live dir gone for one rename's duration only; both staging and
+          // trash hold the full committed content
+          if (fs.rename(staging, b.getPath)) { fs.delete(trash, true); compacted += 1 }
+          else fs.rename(trash, b.getPath) // restore on failed swap-in
+        } else fs.delete(staging, true) // bucket changed mid-compact: abort
       }
     }
     compacted
   }
 
+  /** Recover buckets left in a crashed-compaction state: a live bucket
+    * missing but its `.bucket=...trash` (or `.compact`) twin present is
+    * renamed back in. Returns recovered bucket paths. Idempotent; run
+    * before/after compaction sweeps. */
+  def recoverCompaction(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val recovered = scala.collection.mutable.ArrayBuffer[String]()
+    for {
+      stream <- fs.listStatus(root) if stream.isDirectory
+      part <- fs.listStatus(stream.getPath) if part.isDirectory
+      hidden <- fs.listStatus(part.getPath)
+      name = hidden.getPath.getName
+      if hidden.isDirectory && name.startsWith(".bucket=")
+    } {
+      val live = new Path(part.getPath,
+        name.stripPrefix(".").stripSuffix(".trash").stripSuffix(".compact"))
+      if (!fs.exists(live)) {
+        // crash window: restore committed data (trash preferred — it is
+        // the pre-compaction original; a .compact twin is equivalent rows)
+        if (fs.rename(hidden.getPath, live)) recovered += live.toString
+      } else if (name.endsWith(".trash") || name.endsWith(".compact")) {
+        fs.delete(hidden.getPath, true) // live dir healthy: drop leftovers
+      }
+    }
+    recovered.toSeq
+  }
+
   /** Retention enforcement: drop expired bucket directories (metadata-only,
     * no rewrite — the Spark analog of the reference's bucket-granular
     * delete job). Returns the dropped partition paths. */
-  def dropExpiredBuckets(spark: SparkSession, path: String, cutoff: MsgRef): Seq[String] = {
+  def dropExpiredBuckets(spark: SparkSession, path: String, cutoff: MsgRef): Seq[String] =
+    dropExpiredBucketsPerStream(spark, path, _ => cutoff)
+
+  /** Per-stream retention (`DeleteExpiredCmd.ts:86-107`): each stream's
+    * buckets expire against that stream's own cutoff (the reference reads
+    * `storageDays` per stream, defaulting 365). The expiry rule stays
+    * data-aware — a bucket is dropped only when its MAX(ts) is older than
+    * its stream's cutoff — and the cutoff lookup happens driver-side on
+    * the already-aggregated bucket stats (one row per bucket), so the
+    * distributed work is independent of how many streams have custom
+    * retention. */
+  def dropExpiredBucketsPerStream(
+      spark: SparkSession, path: String, cutoffFor: String => MsgRef): Seq[String] = {
     // partition directory names are escaped by the writer (e.g. '/' in a
     // stream id becomes %2F) — escape identically or deletes silently miss
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val store = open(spark, path)
-    val expired = expiredBuckets(store, cutoff).collect().map { r =>
+    val stats = bucketStats(store)
+      .select(col("stream_id"), col("stream_partition"), col("bucket"), col("max_ts"))
+      .collect()
+    val expired = stats.filter { r =>
+      val cutoffMs = cutoffFor(r.getAs[String]("stream_id")).tsMs
+      r.getAs[java.time.LocalDateTime]("max_ts")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli < cutoffMs
+    }.map { r =>
       // bucket comes back as DATE when partition type inference recognizes
       // the day format — its toString round-trips the directory value
       s"$path/stream_id=${escapePathName(r.getAs[String]("stream_id"))}" +
@@ -184,5 +263,36 @@ object MessageStore {
     }.toSeq
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     expired.filter(p => fs.delete(new Path(p), true))
+  }
+
+  /** Age-based bucket drop — the S4 TTL analog (`USING TTL 259200`,
+    * `src/storage/BatchManager.ts:12-14`): a non-storage node keeps only a
+    * transient relay window, expiring data by AGE rather than per-stream
+    * retention policy. The decision is made purely from the bucket
+    * directory name (the bucket value is the hour/day truncation of the
+    * data's ts), so the sweep is pure filesystem metadata — zero reads.
+    * Late-arriving rows land in old buckets and therefore expire earlier
+    * than wall-clock TTL would — acceptable for the transient-relay use
+    * the reference puts TTL writes to. Returns dropped bucket paths. */
+  def dropAgedBuckets(
+      spark: SparkSession, path: String, cutoff: MsgRef,
+      granularity: String = DayBucket): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val cutoffBucket = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(cutoff.tsMs), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(granularity))
+    val dropped = for {
+      stream <- fs.listStatus(root) if stream.isDirectory
+      part <- fs.listStatus(stream.getPath) if part.isDirectory
+      bucket <- fs.listStatus(part.getPath)
+      name = bucket.getPath.getName
+      if bucket.isDirectory && name.startsWith("bucket=")
+      // sortable truncation format: name-order comparison IS time order
+      if name.stripPrefix("bucket=") < cutoffBucket
+      if fs.delete(bucket.getPath, true)
+    } yield bucket.getPath.toString
+    dropped.toSeq
   }
 }

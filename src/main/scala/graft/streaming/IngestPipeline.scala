@@ -67,7 +67,7 @@ object IngestPipeline {
       batchId: Long,
       storePath: String,
       checkpointPath: String,
-      assigned: Option[Set[String]] = None,
+      assigned: () => Option[Set[String]] = () => None,
       nowMs: Long = System.currentTimeMillis(),
       onBatch: (DataFrame, Long) => Unit = (_, _) => ()): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(
@@ -76,7 +76,10 @@ object IngestPipeline {
       batch.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false // replay guard: already appended
     else {
-      val prepared = prepareBatch(batch, nowMs, assigned).cache()
+      // R7: the assignment supplier is re-evaluated at each batch boundary
+      // (DynamicAssignment.get) — assignment changes apply to the next
+      // micro-batch without restarting the query (StorageConfig.ts:96-149)
+      val prepared = prepareBatch(batch, nowMs, assigned()).cache()
       try {
         MessageStore.append(prepared, storePath)
         fs.create(marker, true).close()
@@ -94,7 +97,7 @@ object IngestPipeline {
       source: DataFrame,
       storePath: String,
       checkpointPath: String,
-      assigned: Option[Set[String]] = None,
+      assigned: () => Option[Set[String]] = () => None,
       triggerMs: Long = 1000L,
       onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
     source.writeStream

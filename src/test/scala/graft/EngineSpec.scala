@@ -50,6 +50,40 @@ class EngineSpec extends SparkSpec {
     assert(engine.last("s", 0, 10).toSeq == Seq(Resend.NoResend()))
   }
 
+  test("per-stream retention: each stream expires against its own storageDays") {
+    val engine = new GraftEngine(spark,
+      Files.createTempDirectory("graft-perstream").toString)
+    val dayMs = 86400000L
+    val now = 1700000000000L
+    // "short" stream: data 5 days old; "long" stream: data 5 and 40 days old
+    assert(engine.publish(streamDataOf(
+      msg("short", 0, now - 5 * dayMs, 0),
+      msg("long", 0, now - 5 * dayMs, 0),
+      msg("long", 0, now - 40 * dayMs, 1)), now) == 3)
+    // short expires at 2 days, long at 30; default 365 untouched
+    val dropped = engine.deleteExpired(
+      Map("short" -> 2, "long" -> 30), defaultDays = 365, nowMs = now)
+    assert(dropped.size == 2)
+    assert(dropped.exists(_.contains("stream_id=short")))
+    assert(dropped.exists(p => p.contains("stream_id=long")))
+    val left = engine.table.select("stream_id", "sequence_no").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(left == Set(("long", 0))) // only long's recent bucket survives
+  }
+
+  test("ttlSweep expires by age with the reference's 3-day default") {
+    val engine = new GraftEngine(spark,
+      Files.createTempDirectory("graft-ttlsweep").toString)
+    val dayMs = 86400000L
+    val now = 1700000000000L
+    assert(engine.publish(streamDataOf(
+      msg("s", 0, now - 10 * dayMs, 0),
+      msg("s", 0, now - 1000L, 1)), now) == 2)
+    val dropped = engine.ttlSweep(nowMs = now) // 259200 s = 3 days
+    assert(dropped.size == 1)
+    assert(engine.metadata("s", 0).get._1 == 1)
+  }
+
   test("envelope (prevRef/signature/encryption) round-trips through the store") {
     val engine = new GraftEngine(spark,
       Files.createTempDirectory("graft-envelope").toString)

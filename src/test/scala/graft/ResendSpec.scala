@@ -38,6 +38,20 @@ class ResendSpec extends SparkSpec {
     assert(a.queue.isEmpty)
   }
 
+  test("one subscriber holds many stream-part subscriptions; partial unsubscribe") {
+    val reg = new SubscriptionRegistry()
+    val s0 = reg.subscribe("client", "s", 0)
+    val t1 = reg.subscribe("client", "t", 1) // second subscription, same client
+    reg.dispatch(streamDataOf(msg("s", 0, 1000, 0), msg("t", 1, 2000, 0)), 0L)
+    assert(s0.queue.size() == 1 && t1.queue.size() == 1) // both live at once
+    reg.unsubscribe("client", "s", 0) // drop one, keep the other
+    reg.dispatch(streamDataOf(msg("s", 0, 3000, 0), msg("t", 1, 4000, 0)), 1L)
+    assert(s0.queue.size() == 1 && t1.queue.size() == 2)
+    reg.unsubscribe("client") // connection close drops the rest
+    reg.dispatch(streamDataOf(msg("t", 1, 5000, 0)), 2L)
+    assert(t1.queue.size() == 2)
+  }
+
   test("resend-while-live: historical envelope first, then queued live rows") {
     val reg = new SubscriptionRegistry()
     val sd = streamDataOf(msg("s", 0, 1000, 0))

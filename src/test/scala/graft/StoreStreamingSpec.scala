@@ -121,6 +121,82 @@ class StoreStreamingSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.contains("payload"))
   }
 
+  test("requestLastBounded: N spanning several of many buckets, one count job") {
+    val path = tmpDir("graft-manybuckets")
+    val dayMs = 86400000L
+    val base = 1700000000000L
+    // 25 day-buckets, 2 rows each
+    val msgs = (0 until 50).map(i =>
+      msg("s", 0, base + (i / 2) * dayMs + (i % 2) * 1000L, 0))
+    MessageStore.append(streamDataOf(msgs: _*), path)
+    assert(new java.io.File(s"$path/stream_id=s/stream_partition=0").list().length == 25)
+    // N=7 needs the newest 4 buckets (2 rows each)
+    val got = keysOf(MessageStore.requestLastBounded(spark, path, "s", 0, 7))
+    val want = keysOf(BrokerQueries.requestLast(MessageStore.open(spark, path), "s", 0, 7))
+    assert(got == want && got.length == 7)
+  }
+
+  test("ttl sweep drops aged buckets from directory names only") {
+    val path = tmpDir("graft-ttl")
+    val dayMs = 86400000L
+    val base = 1700000000000L // 2023-11-14
+    MessageStore.append(streamDataOf(
+      msg("s", 0, base - 10 * dayMs, 0),  // old — beyond TTL
+      msg("s", 0, base, 1)), path)        // recent — kept
+    val dropped = MessageStore.dropAgedBuckets(spark, path,
+      MsgRef(base - 3 * dayMs, 0))
+    assert(dropped.size == 1 && dropped.head.contains("bucket=2023-11-04"))
+    assert(keysOf(MessageStore.open(spark, path)) ==
+      Seq((base, 1, "publisher", "1")))
+  }
+
+  test("dynamic assignment: stream-part added mid-stream persists, removed stops") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("graft-dynassign")
+    val ckpt = tmpDir("graft-dynassign-ckpt")
+    val now = System.currentTimeMillis()
+    val assignment = new graft.streaming.DynamicAssignment(Some(Set("s::0")))
+
+    val input = MemoryStream[StreamMessage](s)
+    val q = IngestPipeline.start(input.toDF(), path, ckpt, assignment.get _)
+    input.addData(msg("s", 0, now - 5000, 0), msg("t", 0, now - 5000, 0))
+    q.processAllAvailable()
+
+    // refresh: t gains assignment, s loses it (diff reported)
+    val (added, removed) = assignment.update(Some(Set("t::0")))
+    assert(added == Set("t::0") && removed == Set("s::0"))
+    input.addData(msg("s", 0, now - 4000, 1), msg("t", 0, now - 4000, 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = MessageStore.open(spark, path)
+      .select($"stream_id", $"sequence_no").as[(String, Int)].collect().toSet
+    assert(stored == Set(("s", 0), ("t", 1)))
+  }
+
+  test("compact: crashed swap is recoverable; concurrent append aborts the swap") {
+    val path = tmpDir("graft-compact-crash")
+    (0 until 2).foreach { i =>
+      MessageStore.append(streamDataOf(msg("s", 0, 1700000000000L + i * 1000, i)), path)
+    }
+    val partDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+    val live = new java.io.File(partDir, "bucket=2023-11-14")
+    val trash = new java.io.File(partDir, ".bucket=2023-11-14.trash")
+    // simulate a crash after rename(live→trash): live dir missing
+    assert(live.renameTo(trash))
+    assert(MessageStore.recoverCompaction(spark, path).size == 1)
+    assert(keysOf(MessageStore.open(spark, path)).length == 2)
+    // stale staging next to a healthy live dir is swept
+    val staging = new java.io.File(partDir, ".bucket=2023-11-14.compact")
+    assert(staging.mkdir())
+    assert(MessageStore.recoverCompaction(spark, path).isEmpty)
+    assert(!staging.exists())
+    // compaction still works end-to-end after recovery
+    assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 1)
+    assert(keysOf(MessageStore.open(spark, path)).length == 2)
+  }
+
   test("pruneTime injects bucket partition filters for time-bounded reads") {
     val path = tmpDir("graft-prunetime")
     MessageStore.append(streamDataOf(
@@ -182,7 +258,7 @@ class StoreStreamingSpec extends SparkSpec {
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val q = IngestPipeline.start(
       input.toDF(), path, ckpt,
-      assigned = Some(Set("s::0")),
+      assigned = () => Some(Set("s::0")),
       onBatch = (batch, _) => seen.addAndGet(batch.count()))
 
     input.addData(
