@@ -32,24 +32,55 @@ object MetricsStream {
   /** Keyed EWMA state carried across micro-batches: per stream-part, the
     * running `0.8*avg + 0.2*x` over per-batch message counts — the
     * reference's throttledAvg as `mapGroupsWithState`
-    * (`StreamMetrics.ts:7-9,133-143`). */
+    * (`StreamMetrics.ts:7-9,133-143`).
+    *
+    * `backfill` is the reference's restart seeding: on startup each
+    * StreamMetrics level fetches its last stored report by resend-last and
+    * continues the average from there instead of resetting
+    * (`StreamMetrics.ts:150-203`). Pass the last stored reports (e.g.
+    * [[lastReports]] over the metrics sink) and the fold resumes exactly
+    * where the previous run stopped. */
   final case class EwmaState(avg: Double, batches: Long)
   final case class EwmaReport(stream_id: String, stream_partition: Int,
       avg: Double, batches: Long)
 
-  def ewmaPerBatch(stream: Dataset[StreamMessage]): Dataset[EwmaReport] = {
+  def ewmaPerBatch(
+      stream: Dataset[StreamMessage],
+      backfill: Option[Dataset[EwmaReport]] = None): Dataset[EwmaReport] = {
     import stream.sparkSession.implicits._
-    stream
-      .groupByKey(m => (m.stream_id, m.stream_partition))
-      .mapGroupsWithState[EwmaState, EwmaReport](GroupStateTimeout.NoTimeout) {
-        case ((sid, part), rows, state: GroupState[EwmaState]) =>
-          val x = rows.size.toDouble
-          val next = state.getOption match {
-            case Some(EwmaState(avg, n)) => EwmaState(avg * 0.8 + x * 0.2, n + 1)
-            case None                    => EwmaState(x, 1L) // seed with first value
-          }
-          state.update(next)
-          EwmaReport(sid, part, next.avg, next.batches)
-      }
+    val step: ((String, Int), Iterator[StreamMessage], GroupState[EwmaState]) => EwmaReport = {
+      case ((sid, part), rows, state) =>
+        val x = rows.size.toDouble
+        val next = state.getOption match {
+          case Some(EwmaState(avg, n)) => EwmaState(avg * 0.8 + x * 0.2, n + 1)
+          case None                    => EwmaState(x, 1L) // seed with first value
+        }
+        state.update(next)
+        EwmaReport(sid, part, next.avg, next.batches)
+    }
+    val grouped = stream.groupByKey(m => (m.stream_id, m.stream_partition))
+    backfill match {
+      case Some(reports) =>
+        val initial = reports
+          .groupByKey(r => (r.stream_id, r.stream_partition))
+          .mapValues(r => EwmaState(r.avg, r.batches))
+        grouped.mapGroupsWithState[EwmaState, EwmaReport](
+          GroupStateTimeout.NoTimeout, initial)(step)
+      case None =>
+        grouped.mapGroupsWithState[EwmaState, EwmaReport](
+          GroupStateTimeout.NoTimeout)(step)
+    }
+  }
+
+  /** Newest stored report per stream-part — the resend-last(1) lookup the
+    * reference performs per level on startup (`StreamMetrics.ts:150-203`).
+    * `reports` is a batch view of the metrics sink with a `batches` column
+    * ordering reports within a stream-part. */
+  def lastReports(reports: Dataset[EwmaReport]): Dataset[EwmaReport] = {
+    import reports.sparkSession.implicits._
+    reports
+      .groupByKey(r => (r.stream_id, r.stream_partition))
+      .reduceGroups((a, b) => if (a.batches >= b.batches) a else b)
+      .map(_._2)
   }
 }

@@ -47,4 +47,31 @@ class MetricsStreamSpec extends SparkSpec {
       assert(got.toSeq == Seq((2.0, 1L), (1.8, 2L)))
     } finally q.stop()
   }
+
+  test("ewmaPerBatch backfill: restart resumes from the last stored report") {
+    val s = spark
+    import s.implicits._
+    // last run's stored reports: s::0 at avg 1.8 after 2 batches (plus an
+    // older report that lastReports must discard)
+    val stored = Seq(
+      MetricsStream.EwmaReport("s", 0, 2.0, 1L),
+      MetricsStream.EwmaReport("s", 0, 1.8, 2L)).toDS()
+    val seed = MetricsStream.lastReports(stored)
+    assert(seed.collect().toSeq == Seq(MetricsStream.EwmaReport("s", 0, 1.8, 2L)))
+
+    val input = MemoryStream[StreamMessage](s)
+    val q = MetricsStream.ewmaPerBatch(input.toDS(), backfill = Some(seed))
+      .writeStream.format("memory").queryName("ewma_resumed")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(msg("s", 0, 4000L, 3), msg("s", 0, 5000L, 4),
+        msg("s", 0, 6000L, 5)) // x=3 continues the old fold, not a reseed
+      q.processAllAvailable()
+      val got = spark.sql("SELECT avg, batches FROM ewma_resumed")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      // 1.8*0.8 + 3*0.2 = 2.04, batch counter continues at 3
+      assert(got.toSeq.map { case (a, n) => (math.round(a * 1e12) / 1e12, n) } ==
+        Seq((2.04, 3L)))
+    } finally q.stop()
+  }
 }
