@@ -50,6 +50,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("assignment diff: partitions both sets; update applies its own delta") {
+    import graft.streaming.DynamicAssignment
+    val genSet = Gen.containerOf[Set, String](Gen.oneOf("a", "b", "c", "d", "e"))
+    holds(Prop.forAll(genSet, genSet) { (before, after) =>
+      val (added, removed) = DynamicAssignment.diff(Some(before), Some(after))
+      added == (after -- before) && removed == (before -- after) &&
+        (before -- removed) ++ added == after &&  // applying the delta lands on `after`
+        (added & removed).isEmpty
+    })
+    holds(Prop.forAll(genSet) { s =>
+      val d = new DynamicAssignment(Some(s))
+      val (add1, rem1) = d.update(None) // scope up to universal
+      val (add2, rem2) = d.update(Some(s)) // and back down
+      d.get().contains(s) && add1.isEmpty && rem1.isEmpty &&
+        add2.isEmpty && rem2.isEmpty
+    })
+  }
+
   test("requestRange(from, to) == requestFrom(from) intersect toBound") {
     holds(Prop.forAll(genMsgs, Gen.choose(0L, 5000L), Gen.choose(0L, 5000L)) {
       (msgs, a, b) =>
