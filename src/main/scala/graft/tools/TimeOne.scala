@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm docs
+    spark.read.parquet(s"$sfDir/documents.parquet").write.format("noop").mode("overwrite").save()
+    names.foreach { n =>
+      (1 to 2).foreach { run =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"$n run$run ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
