@@ -82,7 +82,21 @@ object IngestPipeline {
       val prepared = prepareBatch(batch, nowMs, assigned()).cache()
       try {
         MessageStore.append(prepared, storePath)
-        fs.create(marker, true).close()
+        // the marker doubles as the batch-statistics record (A10): rows,
+        // commit time, and the batch's ts span — IngestStats aggregates
+        // these into the BatchManager-style observability surface
+        val stats = prepared.agg(
+          count(lit(1)), min(unix_millis(col("ts").cast("timestamp"))),
+          max(unix_millis(col("ts").cast("timestamp")))).collect().head
+        val (rows, minTs, maxTs) =
+          (stats.getLong(0),
+            if (stats.isNullAt(1)) nowMs else stats.getLong(1),
+            if (stats.isNullAt(2)) nowMs else stats.getLong(2))
+        val out = fs.create(marker, true)
+        out.write(
+          s"""{"batch_id":$batchId,"rows":$rows,"committed_ms":$nowMs,"min_ts_ms":$minTs,"max_ts_ms":$maxTs}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
         onBatch(prepared, batchId)
         true
       } finally prepared.unpersist()

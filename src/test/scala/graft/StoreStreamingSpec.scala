@@ -175,6 +175,26 @@ class StoreStreamingSpec extends SparkSpec {
     assert(stored == Set(("s", 0), ("t", 1)))
   }
 
+  test("ingest batch statistics: commit markers aggregate to the A10 surface") {
+    val path = tmpDir("graft-stats")
+    val ckpt = tmpDir("graft-stats-ckpt")
+    assert(IngestPipeline.processBatch(
+      streamDataOf((0 until 12).map(i => msg("s", 0, 1000L + i, i % 4)): _*),
+      0L, path, ckpt, nowMs = 10000L))
+    assert(IngestPipeline.processBatch(
+      streamDataOf(msg("s", 0, 5000L, 0), msg("s", 0, 6000L, 1)),
+      1L, path, ckpt, nowMs = 20000L))
+    val s = graft.streaming.IngestStats.summary(spark, ckpt).collect().head
+    assert(s.getAs[Long]("n_batches") == 2L)
+    assert(s.getAs[Long]("total_rows") == 14L)
+    assert(s.getAs[Double]("mean_batch_rows") == 7.0)
+    // ages at commit: 10000-1011=8989 and 20000-6000=14000 → mean 11494.5
+    assert(s.getAs[Double]("mean_age_ms") == 11494.5)
+    assert(s.getAs[Long]("batches_ge_5") == 1L)
+    assert(s.getAs[Long]("batches_ge_10") == 1L)
+    assert(s.getAs[Long]("batches_ge_100") == 0L)
+  }
+
   test("compact: crashed swap is recoverable; concurrent append aborts the swap") {
     val path = tmpDir("graft-compact-crash")
     (0 until 2).foreach { i =>
