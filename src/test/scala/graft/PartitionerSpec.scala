@@ -38,4 +38,25 @@ class PartitionerSpec extends SparkSpec {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("partitionOrSpread: keyed rows route by key, keyless rows spread") {
+    val rows = spark.range(200)
+      .select(
+        when(col("id") % 2 === 0, concat(lit("key-"), col("id").cast("string")))
+          .as("key"), // odd ids: no partition key
+        col("id").cast("string").as("nonce"))
+      .select(col("key"),
+        Md5Partition.partitionOrSpread(col("key"), lit(10), col("nonce")).as("p"))
+      .collect()
+    assert(rows.forall(r => { val p = r.getInt(1); p >= 0 && p < 10 }))
+    // keyed rows match the plain partitioner exactly
+    val keyed = rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    keyed.foreach { case (k, p) =>
+      assert(p == Md5Partition.partition(UTF8String.fromString(k), 10))
+    }
+    // keyless rows spread over many partitions (uniform-ish, deterministic)
+    val keyless = rows.filter(_.isNullAt(0)).map(_.getInt(1))
+    assert(keyless.distinct.length >= 8)
+  }
 }

@@ -68,6 +68,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("capped Jaccard with a non-binding cap equals the exact self-join path") {
+    import graft.dedup.Dedup
+    val s = spark
+    import s.implicits._
+    // random word-soup corpora over a tiny vocabulary force shared shingles
+    val genDocs: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(3, 12)
+        words <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield words.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val cappedParams = params.withMinSuccessfulTests(10) // real Spark jobs per case
+    val r = check(cappedParams, Prop.forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          math.round(r.getDouble(4) * 1e12))).sortBy(t => (t._1, t._2)).toSeq
+      // cap larger than any possible df => identical semantics, distinct plans
+      val capped = key(Dedup.ngramJaccardPairs(df, 3, 0.0, Some(1000)).collect())
+      val exact = key(Dedup.ngramJaccardPairs(df, 3, 0.0, None).collect())
+      capped == exact
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
   test("requestRange(from, to) == requestFrom(from) intersect toBound") {
     holds(Prop.forAll(genMsgs, Gen.choose(0L, 5000L), Gen.choose(0L, 5000L)) {
       (msgs, a, b) =>
