@@ -120,9 +120,11 @@ final class GraftEngine(
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
       }
 
-  /** Live subscription (R1); returns the bounded queue to drain. */
-  def subscribe(subscriberId: String, streamId: String, partition: Int) =
-    subscriptions.subscribe(subscriberId, streamId, partition)
+  /** Live subscription (R1); returns the bounded queue to drain. `format`
+    * picks the delivered wire shape (object | protocol | raw). */
+  def subscribe(subscriberId: String, streamId: String, partition: Int,
+      format: String = "object") =
+    subscriptions.subscribe(subscriberId, streamId, partition, format)
 
   /** Maintenance: merge per-batch small files of a stream-part's buckets
     * (the reference's bucket-rolling analog). Crashed compactions from an

@@ -75,7 +75,7 @@ object Resend {
 final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseable {
 
   final case class Subscription(subscriberId: String, streamId: String, partition: Int,
-      queue: LinkedBlockingQueue[String])
+      queue: LinkedBlockingQueue[String], format: String = "object")
 
   /** Registry handle resolvable from executor-side task closures in the
     * same process (a String travels through the closure; the queues never
@@ -87,9 +87,13 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
 
   private def key(streamId: String, partition: Int) = s"$streamId::$partition"
 
-  def subscribe(subscriberId: String, streamId: String, partition: Int): Subscription = {
+  /** Register a subscription; `format` picks the wire shape of delivered
+    * messages (`object` | `protocol` | `raw`), like the reference's
+    * per-connection payload format. */
+  def subscribe(subscriberId: String, streamId: String, partition: Int,
+      format: String = "object"): Subscription = {
     val s = Subscription(subscriberId, streamId, partition,
-      new LinkedBlockingQueue[String](queueCapacity))
+      new LinkedBlockingQueue[String](queueCapacity), format)
     subs.put((subscriberId, streamId, partition), s)
     s
   }
@@ -102,20 +106,27 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
   def unsubscribe(subscriberId: String): Unit =
     subs.keySet().asScala.filter(_._1 == subscriberId).foreach(subs.remove)
 
-  /** Offer a formatted message to every subscription of its stream-part; a
-    * full queue drops oldest-first, the bounded-buffer behavior of the
-    * reference's backpressure close (`Connection.ts:17-18` +
-    * `RequestHandler.ts:356-363`). Called from executor task threads. */
-  private[serve] def offer(streamId: String, partition: Int, msg: String): Unit =
+  /** Offer a message to every subscription of its stream-part, each in its
+    * own format; a full queue drops oldest-first, the bounded-buffer
+    * behavior of the reference's backpressure close (`Connection.ts:17-18`
+    * + `RequestHandler.ts:356-363`). Called from executor task threads. */
+  private[serve] def offer(streamId: String, partition: Int,
+      objectMsg: String, protocolMsg: String): Unit =
     subs.values().asScala.foreach { s =>
       if (s.streamId == streamId && s.partition == partition) {
+        val msg = s.format match {
+          case "protocol" | "raw" => protocolMsg
+          case _                  => objectMsg
+        }
         if (!s.queue.offer(msg)) { s.queue.poll(); s.queue.offer(msg) }
       }
     }
 
   /** Route a prepared micro-batch to matching subscriptions: one
-    * distributed filter+format pass, rows pushed to queues per-partition
-    * where they are produced — the driver never materializes the batch. */
+    * distributed filter+format pass (both wire shapes rendered in-plan —
+    * two narrow string concats per row), rows pushed to queues
+    * per-partition where they are produced — the driver never
+    * materializes the batch. */
   def dispatch(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, concat_ws}
     val wanted = subs.values().asScala
@@ -125,10 +136,12 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
     batch
       .filter(concat_ws("::", col("stream_id"), col("stream_partition"))
         .isInCollection(wanted))
-      .select(col("stream_id"), col("stream_partition"), Formats.objectJson.as("msg"))
+      .select(col("stream_id"), col("stream_partition"),
+        Formats.objectJson.as("msg_object"), Formats.protocolJson.as("msg_protocol"))
       .foreachPartition { (rows: Iterator[Row]) =>
         SubscriptionRegistry.lookup(rid).foreach { reg =>
-          rows.foreach(r => reg.offer(r.getString(0), r.getInt(1), r.getString(2)))
+          rows.foreach(r =>
+            reg.offer(r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
         }
       }
   }
@@ -137,9 +150,10 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
     * iterator (caller polls the queue for subsequent batches). */
   def resendThenLive(
       streamData: DataFrame, subscriberId: String,
-      streamId: String, partition: Int, lastN: Int): Iterator[Resend.Frame] = {
-    val sub = subscribe(subscriberId, streamId, partition)
-    Resend.last(streamData, streamId, partition, lastN) ++
+      streamId: String, partition: Int, lastN: Int,
+      format: String = "object"): Iterator[Resend.Frame] = {
+    val sub = subscribe(subscriberId, streamId, partition, format)
+    Resend.last(streamData, streamId, partition, lastN, format) ++
       Iterator.continually(sub.queue.poll())
         .takeWhile(_ != null)
         .map(Resend.Unicast.apply)

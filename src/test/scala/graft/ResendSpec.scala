@@ -38,6 +38,16 @@ class ResendSpec extends SparkSpec {
     assert(a.queue.isEmpty)
   }
 
+  test("per-subscription format: protocol subscriber gets the v31 array shape") {
+    val reg = new SubscriptionRegistry()
+    val obj = reg.subscribe("obj-client", "s", 0) // default object
+    val proto = reg.subscribe("proto-client", "s", 0, format = "protocol")
+    reg.dispatch(streamDataOf(msg("s", 0, 1000, 0, payload = "{}")), 0L)
+    assert(obj.queue.poll().startsWith("{\"streamId\":\"s\""))
+    assert(proto.queue.poll() ==
+      """[31,["s",0,1000,0,"publisher","1"],null,27,0,"{}",0,null]""")
+  }
+
   test("one subscriber holds many stream-part subscriptions; partial unsubscribe") {
     val reg = new SubscriptionRegistry()
     val s0 = reg.subscribe("client", "s", 0)
