@@ -158,4 +158,8 @@ final class GraftEngine(
       nowMs: Long = System.currentTimeMillis()): Seq[String] =
     MessageStore.dropAgedBuckets(spark, storePath,
       MsgRef(nowMs - ttlSeconds * 1000L, 0))
+
+  /** Release the engine's process-local serving resources (the
+    * subscription registry handle). The SparkSession is caller-owned. */
+  def close(): Unit = subscriptions.close()
 }
