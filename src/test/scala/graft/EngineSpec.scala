@@ -84,6 +84,32 @@ class EngineSpec extends SparkSpec {
     assert(engine.metadata("s", 0).get._1 == 1)
   }
 
+  test("streaming lifecycle: startIngest persists, fans out live, serves resend") {
+    val s = spark
+    import s.implicits._
+    val engine = new GraftEngine(spark,
+      Files.createTempDirectory("graft-stream-life").toString)
+    val ckpt = Files.createTempDirectory("graft-stream-life-ckpt").toString
+    val now = System.currentTimeMillis()
+    val sub = engine.subscribe("live-1", "s", 0, format = "protocol")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.model.StreamMessage](s)
+    val q = engine.startIngest(input.toDF(), ckpt, triggerMs = 100L)
+    try {
+      input.addData(msg("s", 0, now - 2000, 0), msg("s", 0, now - 1000, 1))
+      q.processAllAvailable()
+      // live fan-out delivered in the subscription's format
+      assert(sub.queue.size() == 2)
+      assert(sub.queue.peek().startsWith("[31,[\"s\""))
+      // persisted and servable through the resend path
+      val frames = engine.last("s", 0, 10).toSeq
+      assert(frames.map(_.kind) == Seq("resending", "unicast", "unicast", "resent"))
+      // batch statistics recorded for the committed micro-batch
+      val stats = graft.streaming.IngestStats.summary(spark, ckpt).collect().head
+      assert(stats.getAs[Long]("total_rows") == 2L)
+    } finally { q.stop(); engine.close() }
+  }
+
   test("envelope (prevRef/signature/encryption) round-trips through the store") {
     val engine = new GraftEngine(spark,
       Files.createTempDirectory("graft-envelope").toString)
