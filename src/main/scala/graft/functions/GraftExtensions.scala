@@ -39,6 +39,13 @@ object GraftExtensions {
       { args =>
         require(args.size == 2, "quantized_dot(a, b)")
         QuantizedDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("md5_int"),
+      info("md5_int",
+        "md5_int(key, n) - first n hex digits of md5(key) as a BIGINT (n in [1,15])"),
+      { args =>
+        require(args.size == 2, "md5_int(key, hexDigits)")
+        Md5Int(Cast(args.head, StringType), Cast(args(1), IntegerType))
       }))
 
   /** Register on an existing session (tests, notebooks). */

@@ -42,15 +42,17 @@ object TextAnalysis {
 
   /** 32-bit integer hash of a string via md5 — identical in any engine with
     * a standard md5 (reference partitioner uses the same md5-prefix trick,
-    * `src/helpers/partition.ts:10-12`). */
+    * `src/helpers/partition.ts:10-12`). Native codegen expression
+    * ([[graft.functions.Md5Int]]) — value-identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)` without the hex round-trip. */
   def md5Int32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Int.md5_int(c, 8)
 
   /** 60-bit variant (15 hex chars — stays inside signed int64): the
     * fixed-width join/shuffle key for shingles and similar high-cardinality
     * strings. */
   def md5Int60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Int.md5_int(c, 15)
 
   /** Per-document token counts + quality features. One row per doc:
     * whitespace tokens, BPE-ish tokens, char sum of tokens, stopword count,
