@@ -66,6 +66,16 @@ object Multimodal {
       data.grouped(frameBytes).zipWithIndex
         .collect { case (chunk, idx) if idx % stride == 0 => chunk }
         .toSeq
+
+    /** "Resize": reduce the payload to exactly `targetBytes` by uniform
+      * byte sampling — the plumbing twin of image downscaling (fixed-size
+      * output regardless of input size; deterministic index arithmetic
+      * stands in for pixel interpolation). Inputs smaller than the target
+      * pass through unchanged, like a no-upscale resize policy. */
+    def resize(data: Array[Byte], targetBytes: Int): Array[Byte] =
+      if (data.length <= targetBytes) data
+      else Array.tabulate(targetBytes)(i =>
+        data((i.toLong * data.length / targetBytes).toInt))
   }
   // ======================= end stub codec =============================
 
@@ -91,6 +101,27 @@ object Multimodal {
       rows.map { r =>
         MediaFeatures(r.media_id, r.kind, r.data.length.toLong,
           StubCodec.decodeFeatures(r.data))
+      }
+    }
+  }
+
+  /** Resize stage: bound every payload to `targetBytes` (no upscaling) —
+    * the heavy-media normalization pass that runs BEFORE feature
+    * extraction at scale, so downstream stages shuffle bounded rows. The
+    * metadata columns ride along; `width`/`height` are rescaled in
+    * proportion like a real resize would. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 4096): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.data.length <= targetBytes) r
+        else {
+          val scale = targetBytes.toDouble / r.data.length
+          r.copy(
+            data = StubCodec.resize(r.data, targetBytes),
+            width = if (r.width >= 0) math.max(1, (r.width * scale).toInt) else r.width,
+            height = if (r.height >= 0) math.max(1, (r.height * scale).toInt) else r.height)
+        }
       }
     }
   }

@@ -19,4 +19,16 @@ class ExtensionsSpec extends SparkSpec {
         |) WHERE part BETWEEN 0 AND 3""".stripMargin).collect().head.getLong(0)
     assert(n == 100)
   }
+
+  test("SQL md5_int matches the declarative conv(substring(md5)) form") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT md5_int(CAST(id AS STRING), 15) AS fast,
+        |       CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS slow
+        |FROM range(500)""".stripMargin).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    // digits outside [1,15] is an analysis-time error, not runtime garbage
+    val e = intercept[Exception](spark.sql("SELECT md5_int('x', 16)").collect())
+    assert(e.getMessage.contains("md5_int") || e.getMessage.contains("DATATYPE"))
+  }
 }

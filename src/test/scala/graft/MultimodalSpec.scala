@@ -48,6 +48,26 @@ class MultimodalSpec extends SparkSpec {
     assert(df.select(max(col("frame_idx"))).collect().head.getInt(0) == 1)
   }
 
+  test("resize: bounds payloads to target, rescales dims, passes small media through") {
+    val small = "tiny"
+    val big = "y" * 10000
+    val media = Multimodal.asMedia(Multimodal.mediaFromDocuments(
+      docsOf((0L, big), (2L, small))))
+    val out = Multimodal.resize(media, targetBytes = 1000).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(0L).data.length == 1000) // downsampled to target
+    assert(out(0L).width == (out(0L).width.toDouble).toInt && out(0L).width >= 1)
+    assert(out(2L).data.sameElements(small.getBytes("UTF-8"))) // no upscale
+    // deterministic: same input, same bytes
+    val again = Multimodal.resize(media, targetBytes = 1000).collect()
+      .find(_.media_id == 0L).get
+    assert(again.data.sameElements(out(0L).data))
+    // resized features still extract downstream
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resize(media, targetBytes = 1000)).collect()
+    assert(feats.forall(_.features.length == StubCodec.FeatureDim))
+  }
+
   test("features feed similarity search: identical media rank first at cos 1.0") {
     val docs = docsOf((1L, "same bytes here"), (2L, "same bytes here"),
       (3L, "completely different content Z9!"))
