@@ -81,55 +81,40 @@ object Dedup {
     *
     * With `maxDocFrequency = Some(cap)` (the production shape): shingles
     * present in more than `cap` documents are dropped — they carry no
-    * near-dup signal but drive an O(df²) pair fan-out — and pair
-    * generation becomes enumeration over per-shingle document lists, each
-    * bounded by the cap: count df (partial-agg shuffle, skew-safe), keep
-    * low-df shingles, collect the ≤cap doc ids per shingle (the groupBy
-    * reuses the join's shingle partitioning — no extra shuffle), explode
-    * the C(df,2) ordered combinations, and count per pair. No self-join
-    * exists in the plan, and no aggregation buffer can exceed `cap`
-    * elements, so the worst-case hot shingle costs C(cap,2) rows instead
-    * of df².
+    * near-dup signal but drive an O(df²) pair fan-out — then pairs
+    * materialize exactly like the exact variant, via the shared-shingle
+    * self-join of the kept table. The cap bounds the worst-case per-key
+    * join fan-out at C(cap,2) rows, and the whole path stays inside
+    * whole-stage codegen (no collected lists, no interpreted higher-order
+    * functions).
     *
-    * Uncapped (`None`): the exact variant — pairs materialize via the
-    * shared-shingle self-join (never n²; pairs only where overlap exists),
-    * then one aggregation per pair. Semantics-changing cap => the two
-    * variants are gated by separate oracles. */
+    * Uncapped (`None`): the exact variant — the same self-join with no df
+    * filter (never n²; pairs only where overlap exists). Semantics-changing
+    * cap => the two variants are gated by separate oracles.
+    *
+    * One shingle materialization per plan: the scan → explode → md5 subtree
+    * is routed through a single explicit `repartition(shingle)` exchange, so
+    * every consumer (df count, both self-join sides, per-doc sizes) reads
+    * that one shuffle output — Spark's ReuseExchange / AQE stage reuse
+    * dedupes the identical exchange subtrees, and the downstream
+    * shingle-keyed aggregate and join need no further shuffle because the
+    * required distribution is already satisfied. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.1,
       maxDocFrequency: Option[Int] = None): DataFrame = {
-    val sh = shingleTable(docs, k)
-    val (pairs, sizes) = maxDocFrequency match {
+    val sh = shingleTable(docs, k).repartition(col("shingle"))
+    val shc = maxDocFrequency match {
       case Some(cap) =>
         val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select(col("shingle"))
-        val byShingle = sh.join(kept, Seq("shingle"))
-          .groupBy(col("shingle"))
-          .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-        val sizes = byShingle
-          .select(explode(col("ds")).as("doc_id"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        // ordered combinations of the sorted ≤cap-element list: doc_a < doc_b
-        // holds by construction, matching the self-join's a.doc_id < b.doc_id
-        val combos = flatten(transform(
-          sequence(lit(0), size(col("ds")) - 2),
-          i => transform(
-            slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
-            b => struct(element_at(col("ds"), i + 1).as("doc_a"), b.as("doc_b")))))
-        val pairs = byShingle
-          .filter(size(col("ds")) >= 2) // guard: sequence(0, -1) descends
-          .select(explode(combos).as("p"))
-          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        (pairs, sizes)
-      case None =>
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a")
-          .join(sh.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        (pairs, sizes)
+        sh.join(kept, Seq("shingle"))
+      case None => sh
     }
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = shc.as("a")
+      .join(shc.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
