@@ -64,24 +64,20 @@ object Resend {
   * `IngestPipeline.start(onBatch = registry.dispatch)`; `resendThenLive`
   * serves the R5 contract.
   *
-  * Dispatch is executor-side: the routing/format pass runs distributed and
-  * each partition's rows are offered straight into the matching queues via
-  * a process-local registry lookup (`foreachPartition`, no driver
-  * `collect()`). In local mode every partition resolves the same registry;
-  * on a multi-executor cluster each executor resolves its node-local
-  * registry instance, which is the delivery topology a distributed serving
-  * layer wants anyway — the subscriber's connection is drained wherever
-  * its rows land, never funneled through the driver. */
+  * Dispatch runs the routing/format pass distributed (filter + both wire
+  * shapes rendered in-plan), then delivers driver-side through
+  * `toLocalIterator` — one result partition in driver memory at a time,
+  * never a full `collect()`. Delivery must be driver-side because the
+  * subscription queues live in the JVM that called `subscribe` (the
+  * driver): an executor-side `foreachPartition` would resolve an empty
+  * process-local registry on any multi-executor cluster and silently drop
+  * every message. The delivered stream is small by construction — already
+  * filtered to subscribed stream-parts — so the driver hop is bounded by
+  * subscriber demand, not batch size. */
 final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseable {
 
   final case class Subscription(subscriberId: String, streamId: String, partition: Int,
       queue: LinkedBlockingQueue[String], format: String = "object")
-
-  /** Registry handle resolvable from executor-side task closures in the
-    * same process (a String travels through the closure; the queues never
-    * get serialized). */
-  private val registryId: String = java.util.UUID.randomUUID().toString
-  SubscriptionRegistry.register(registryId, this)
 
   private val subs = new ConcurrentHashMap[(String, String, Int), Subscription]()
 
@@ -124,26 +120,22 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
 
   /** Route a prepared micro-batch to matching subscriptions: one
     * distributed filter+format pass (both wire shapes rendered in-plan —
-    * two narrow string concats per row), rows pushed to queues
-    * per-partition where they are produced — the driver never
-    * materializes the batch. */
+    * two narrow string concats per row), then a driver-side pull over
+    * `toLocalIterator` into the queues. The queues only exist in this JVM,
+    * so delivery happens here; the distributed plan has already shrunk the
+    * batch to subscribed stream-parts. */
   def dispatch(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, concat_ws}
     val wanted = subs.values().asScala
       .map(s => key(s.streamId, s.partition)).toSet
     if (wanted.isEmpty) return
-    val rid = registryId
     batch
       .filter(concat_ws("::", col("stream_id"), col("stream_partition"))
         .isInCollection(wanted))
       .select(col("stream_id"), col("stream_partition"),
         Formats.objectJson.as("msg_object"), Formats.protocolJson.as("msg_protocol"))
-      .foreachPartition { (rows: Iterator[Row]) =>
-        SubscriptionRegistry.lookup(rid).foreach { reg =>
-          rows.foreach(r =>
-            reg.offer(r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
-        }
-      }
+      .toLocalIterator().asScala
+      .foreach(r => offer(r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
   }
 
   /** R5 — historical resend frames first, then the live queue's drain
@@ -159,15 +151,6 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
         .map(Resend.Unicast.apply)
   }
 
-  /** Release the process-local handle (engine shutdown). */
-  override def close(): Unit = SubscriptionRegistry.unregister(registryId)
-}
-
-/** Process-local registry directory: lets executor task closures reach the
-  * live queues by id without serializing them. */
-object SubscriptionRegistry {
-  private val instances = new ConcurrentHashMap[String, SubscriptionRegistry]()
-  private def register(id: String, r: SubscriptionRegistry): Unit = instances.put(id, r)
-  private def unregister(id: String): Unit = instances.remove(id)
-  private def lookup(id: String): Option[SubscriptionRegistry] = Option(instances.get(id))
+  /** Drop all subscriptions (engine shutdown). */
+  override def close(): Unit = subs.clear()
 }

@@ -151,16 +151,23 @@ object MessageStore {
     * (`BucketManager.ts:50-51`). Rewrites each multi-file bucket directory
     * to `targetFiles` files. Returns the number of buckets compacted.
     *
-    * Safe against concurrent ingest and crashes:
-    *  - the exact file set that was staged is re-checked after the staging
-    *    write; a file appended to the bucket meanwhile aborts that bucket's
-    *    swap (nothing is lost — the bucket is left as-is and a later
-    *    compaction pass picks it up);
-    *  - the swap is rename(live→trash), rename(staging→live),
-    *    delete(trash) — committed data is never in a deleted state, so a
-    *    crash at any point leaves it recoverable from the trash or staging
-    *    directory (both hidden from readers; [[recoverCompaction]] sweeps
-    *    them on the next maintenance run). */
+    * Crash-safe, and defensive against a concurrent writer (though
+    * compaction is designed to run from the maintenance path, not to race
+    * an active ingest — schedule it off-peak or per idle stream-part):
+    *  - the staged file set is re-checked after the staging write AND
+    *    re-verified from the trash directory after the rename(live→trash)
+    *    — the rename is the commit point, so a file that slipped in
+    *    between check and rename is detected and the bucket is restored,
+    *    never deleted;
+    *  - rename(staging→live) runs only when the live path is absent (a
+    *    Hadoop rename onto an existing directory would nest the source
+    *    inside it); if a concurrent writer recreated the live dir, the
+    *    original files are moved back file-by-file (part-file names are
+    *    globally unique) and the compaction aborts;
+    *  - the swap order rename(live→trash), rename(staging→live),
+    *    delete(trash) keeps committed data live-or-recoverable at every
+    *    instant; [[recoverCompaction]] sweeps leftover hidden dirs on the
+    *    next maintenance run. */
   def compactStreamPart(
       spark: SparkSession, path: String, streamId: String, partition: Int,
       targetFiles: Int = 1, minFiles: Int = 2): Int = {
@@ -188,14 +195,41 @@ object MessageStore {
         // exactly what was staged
         if (dataFiles == staged && !fs.exists(trash) &&
             fs.rename(b.getPath, trash)) {
-          // live dir gone for one rename's duration only; both staging and
-          // trash hold the full committed content
-          if (fs.rename(staging, b.getPath)) { fs.delete(trash, true); compacted += 1 }
-          else fs.rename(trash, b.getPath) // restore on failed swap-in
+          // the rename is the commit point — re-verify from the trash side
+          // that nothing landed between the re-check and the rename
+          val trashed = fs.listStatus(trash)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => (f.getPath.getName, f.getLen)).toSet
+          // swap-in precondition: live must be absent (rename onto an
+          // existing dir would nest staging inside it)
+          if (trashed == staged && !fs.exists(b.getPath) &&
+              fs.rename(staging, b.getPath)) {
+            fs.delete(trash, true); compacted += 1
+          } else {
+            // late append detected, live dir recreated by a concurrent
+            // writer, or swap-in failed: restore originals and abort
+            restoreBucket(fs, trash, b.getPath)
+            fs.delete(staging, true)
+          }
         } else fs.delete(staging, true) // bucket changed mid-compact: abort
       }
     }
     compacted
+  }
+
+  /** Put a trashed bucket back: whole-dir rename when the live path is
+    * free (atomic), else file-by-file moves into the recreated live dir —
+    * part-file names are globally unique, so nothing can collide with what
+    * a concurrent writer added. */
+  private def restoreBucket(fs: org.apache.hadoop.fs.FileSystem,
+      trash: Path, live: Path): Unit = {
+    if (!fs.exists(live) && fs.rename(trash, live)) return
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).filter(_.isFile).foreach { f =>
+        fs.rename(f.getPath, new Path(live, f.getPath.getName))
+      }
+      fs.delete(trash, true)
+    }
   }
 
   /** Recover buckets left in a crashed-compaction state: a live bucket

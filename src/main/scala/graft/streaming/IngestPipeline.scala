@@ -85,13 +85,17 @@ object IngestPipeline {
         // the marker doubles as the batch-statistics record (A10): rows,
         // commit time, and the batch's ts span — IngestStats aggregates
         // these into the BatchManager-style observability surface
+        // ts is TIMESTAMP_NTZ: aggregate it as-is and convert to epoch-ms
+        // driver-side with an explicit UTC interpretation — unix_millis on
+        // a cast would shift with spark.sql.session.timeZone, diverging
+        // from Engine.metadata's UTC-pinned conversion of the same data
         val stats = prepared.agg(
-          count(lit(1)), min(unix_millis(col("ts").cast("timestamp"))),
-          max(unix_millis(col("ts").cast("timestamp")))).collect().head
-        val (rows, minTs, maxTs) =
-          (stats.getLong(0),
-            if (stats.isNullAt(1)) nowMs else stats.getLong(1),
-            if (stats.isNullAt(2)) nowMs else stats.getLong(2))
+          count(lit(1)), min(col("ts")), max(col("ts"))).collect().head
+        def epochMs(i: Int): Long =
+          if (stats.isNullAt(i)) nowMs
+          else stats.getAs[java.time.LocalDateTime](i)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val (rows, minTs, maxTs) = (stats.getLong(0), epochMs(1), epochMs(2))
         val out = fs.create(marker, true)
         out.write(
           s"""{"batch_id":$batchId,"rows":$rows,"committed_ms":$nowMs,"min_ts_ms":$minTs,"max_ts_ms":$maxTs}"""
