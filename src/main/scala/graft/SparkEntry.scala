@@ -102,6 +102,18 @@ object SparkEntry {
       Formats.format(
         BrokerQueries.requestFrom(Tables.streamData(s, dir), "view", 5, FromTs), "protocol")),
 
+    // protocol `version` parameter (DataQueryEndpoints.ts:72-95): the same
+    // read served in a client-pinned wire version
+    "q_serve_protocol_v30" -> ((s, dir) =>
+      Formats.format(
+        BrokerQueries.requestFrom(Tables.streamData(s, dir), "view", 5, FromTs),
+        "protocol", Some(30))),
+
+    "q_serve_protocol_v32" -> ((s, dir) =>
+      Formats.format(
+        BrokerQueries.requestFrom(Tables.streamData(s, dir), "view", 5, FromTs),
+        "protocol", Some(32))),
+
     // encrypted-content round-trip (reference contract:
     // test/integration/storage/Storage.test.ts:24-44,150): AES-marked rows
     // serve their stored ciphertext + signature verbatim in protocol format
@@ -360,18 +372,36 @@ object SparkEntry {
       "CASE WHEN prev_ts IS NOT NULL THEN '[' || epoch_ms(prev_ts) || ',' || prev_sequence_no || ']' ELSE 'null' END"
     val signatureJson =
       s"CASE WHEN signature IS NOT NULL THEN '\"' || ${jsonEsc("signature")} || '\"' ELSE 'null' END"
-    // DuckDB twin of Formats.protocolJson over a stream_data row.
-    val protocolMsg =
-      s"""'[31,["' || ${jsonEsc("stream_id")} ||
+    // DuckDB twin of Formats.msgIdJson.
+    val msgIdJson =
+      s"""'["' || ${jsonEsc("stream_id")} ||
          |  '",' || stream_partition ||
          |  ',' || epoch_ms(ts) ||
          |  ',' || sequence_no ||
          |  ',"' || ${jsonEsc("publisher_id")} ||
-         |  '","' || ${jsonEsc("msg_chain_id")} ||
-         |  '"],' || $prevRefJson ||
+         |  '","' || ${jsonEsc("msg_chain_id")} || '"]'""".stripMargin
+    // DuckDB twins of Formats.protocolJson(version) over a stream_data row.
+    val protocolMsg =
+      s"""'[31,' || $msgIdJson ||
+         |  ',' || $prevRefJson ||
          |  ',27,' || encryption_type ||
          |  ',"' || ${jsonEsc("payload")} ||
          |  '",' || signature_type ||
+         |  ',' || $signatureJson || ']' AS msg""".stripMargin
+    val prevRefJsonV30 =
+      "CASE WHEN prev_ts IS NOT NULL THEN '[' || epoch_ms(prev_ts) || ',' || prev_sequence_no || ']' ELSE '[null,null]' END"
+    val protocolMsgV30 =
+      s"""'[30,' || $msgIdJson ||
+         |  ',' || $prevRefJsonV30 ||
+         |  ',27,"' || ${jsonEsc("payload")} ||
+         |  '",' || signature_type ||
+         |  ',' || $signatureJson || ']' AS msg""".stripMargin
+    val protocolMsgV32 =
+      s"""'[32,' || $msgIdJson ||
+         |  ',' || $prevRefJson ||
+         |  ',27,0,' || encryption_type ||
+         |  ',null,"' || ${jsonEsc("payload")} ||
+         |  '",null,' || signature_type ||
          |  ',' || $signatureJson || ']' AS msg""".stripMargin
     val minuteCte =
       s"""mc AS (
@@ -522,6 +552,22 @@ object SparkEntry {
            |SELECT $protocolMsg
            |FROM stream_data
            |WHERE stream_id = 'purchase' AND encryption_type = 2""".stripMargin,
+
+      "q_serve_protocol_v30" ->
+        s"""$sd
+           |SELECT $protocolMsgV30
+           |FROM stream_data
+           |WHERE stream_id = 'view' AND stream_partition = 5
+           |  AND (ts > TIMESTAMP '2024-01-15 00:00:00'
+           |       OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND sequence_no >= 4))""".stripMargin,
+
+      "q_serve_protocol_v32" ->
+        s"""$sd
+           |SELECT $protocolMsgV32
+           |FROM stream_data
+           |WHERE stream_id = 'view' AND stream_partition = 5
+           |  AND (ts > TIMESTAMP '2024-01-15 00:00:00'
+           |       OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND sequence_no >= 4))""".stripMargin,
 
       "q_ingest_validate" ->
         s"""$sd

@@ -29,16 +29,18 @@ object Formats {
     * the same (a non-UTC session would shift every served timestamp). */
   private def epochMs(ts: Column): Column = unix_millis(ts.cast("timestamp"))
 
-  /** Previous-message reference as a JSON fragment: `[epochMs,seq]`, or
-    * the literal `null` for a chain-head message (prevMsgRef is nullable in
-    * the reference contract, `Storage.test.ts:24-44`). Built with
-    * when/otherwise because `concat` over a null child would null the whole
-    * message string. */
-  private def prevRefJson: Column =
+  /** Previous-message reference `[epochMs,seq]`, SQL-NULL for a chain-head
+    * message (prevMsgRef is nullable in the reference contract,
+    * `Storage.test.ts:24-44`). Built with `when` (no otherwise) so each
+    * version picks its own absent-ref rendering; kept out of bare `concat`,
+    * which would null the whole message string. */
+  private def prevRefJsonNotNull: Column =
     when(col("prev_ts").isNotNull,
       concat(lit("["), epochMs(col("prev_ts")), lit(","),
         col("prev_sequence_no"), lit("]")))
-      .otherwise(lit("null"))
+
+  /** Absent prev-ref as the literal `null` (v31/v32 and object format). */
+  private def prevRefJson: Column = coalesce(prevRefJsonNotNull, lit("null"))
 
   /** Signature as a JSON fragment: quoted string or literal `null`. */
   private def signatureJson: Column =
@@ -66,33 +68,80 @@ object Formats {
       lit(",\"signature\":"), signatureJson,
       lit("}"))
 
-  /** `protocol`/`raw` format — v31-shaped serialized array
-    * `[version,[msgId...],prevRef,contentType,encryptionType,content,
-    * sigType,signature]` (`FIXTURES.md §3`). Every envelope field comes
-    * from the stored row — nothing is hardcoded, so signed and encrypted
-    * messages round-trip exactly as the reference stores them. */
-  def protocolJson: Column =
+  /** Message-id tuple shared by every protocol version:
+    * `["streamId",partition,ts,seq,"publisherId","msgChainId"]`. */
+  private def msgIdJson: Column =
     concat(
-      lit("[31,[\""), jsonEscape(col("stream_id")),
+      lit("[\""), jsonEscape(col("stream_id")),
       lit("\","), col("stream_partition"),
       lit(","), epochMs(col("ts")),
       lit(","), col("sequence_no"),
       lit(",\""), jsonEscape(col("publisher_id")),
       lit("\",\""), jsonEscape(col("msg_chain_id")),
-      lit("\"],"), prevRefJson,
-      lit(",27,"), col("encryption_type"),
-      lit(",\""), jsonEscape(col("payload")),
-      lit("\","), col("signature_type"),
-      lit(","), signatureJson,
-      lit("]"))
+      lit("\"]"))
+
+  /** `protocol`/`raw` format, version-parameterized like the reference's
+    * `streamMessage.serialize(version)` (`DataQueryFormat.ts:11-46`, version
+    * threaded from the query string in `DataQueryEndpoints.ts:72-95`).
+    * Supported shapes follow the public streamr-client-protocol message
+    * serializers:
+    *  - 30: `[30,[msgId...],prevRefOr[null,null],contentType,content,
+    *    sigType,signature]` — no encryption marker; an absent prev-ref
+    *    serializes as `[null,null]`, not `null`;
+    *  - 31 (default, `FIXTURES.md §3`): `[31,[msgId...],prevRefOrNull,
+    *    contentType,encryptionType,content,sigType,signature]`;
+    *  - 32: `[32,[msgId...],prevRefOrNull,messageType,contentType,
+    *    encryptionType,groupKeyId,content,newGroupKey,sigType,signature]`
+    *    — v32 renumbered: messageType 27 (stream message), contentType 0
+    *    (JSON); the engine's envelope carries no group-key rotation
+    *    columns, so `groupKeyId`/`newGroupKey` serialize as `null`.
+    * Every envelope field comes from the stored row — nothing is
+    * hardcoded, so signed and encrypted messages round-trip exactly as the
+    * reference stores them. Unknown versions fall back to 31, mirroring
+    * the endpoint's default when the parameter is absent. */
+  def protocolJson(version: Int): Column = version match {
+    case 30 =>
+      concat(
+        lit("[30,"), msgIdJson,
+        lit(","), coalesce(prevRefJsonNotNull, lit("[null,null]")),
+        lit(",27,\""), jsonEscape(col("payload")),
+        lit("\","), col("signature_type"),
+        lit(","), signatureJson,
+        lit("]"))
+    case 32 =>
+      concat(
+        lit("[32,"), msgIdJson,
+        lit(","), prevRefJson,
+        lit(",27,0,"), col("encryption_type"),
+        lit(",null,\""), jsonEscape(col("payload")),
+        lit("\",null,"), col("signature_type"),
+        lit(","), signatureJson,
+        lit("]"))
+    case _ =>
+      concat(
+        lit("[31,"), msgIdJson,
+        lit(","), prevRefJson,
+        lit(",27,"), col("encryption_type"),
+        lit(",\""), jsonEscape(col("payload")),
+        lit("\","), col("signature_type"),
+        lit(","), signatureJson,
+        lit("]"))
+  }
+
+  /** Default-version (v31) protocol shape. */
+  def protocolJson: Column = protocolJson(31)
 
   /** Apply a named format (`object` | `protocol` | `raw`) as the single
     * output column, mirroring `DataQueryFormat.getFormat`
     * (`DataQueryFormat.ts:43-46`; unknown names fall back to object like
-    * the endpoint's 400 guard). `raw` and `protocol` differ only in HTTP
-    * framing, which lives in the serving layer. */
-  def format(messages: DataFrame, name: String): DataFrame = name match {
-    case "protocol" | "raw" => messages.select(protocolJson.as("msg"))
-    case _                  => messages.select(objectJson.as("msg"))
-  }
+    * the endpoint's 400 guard) with the optional protocol `version`
+    * (`DataQueryEndpoints.ts:79`; None = the protocol's current default).
+    * `raw` and `protocol` differ only in HTTP framing, which lives in the
+    * serving layer. */
+  def format(messages: DataFrame, name: String, version: Option[Int] = None): DataFrame =
+    name match {
+      case "protocol" | "raw" =>
+        messages.select(protocolJson(version.getOrElse(31)).as("msg"))
+      case _ => messages.select(objectJson.as("msg"))
+    }
 }

@@ -26,6 +26,23 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(Formats.format(sd, "raw").collect().head.getString(0) == proto)
   }
 
+  test("protocolJson versions: v30 drops encryption + [null,null] prev-ref; v32 adds type/groupKey slots") {
+    val head = msg("s", 0, 1000L, 0, "p", "c", payload = "{}")
+    val chained = msg("s", 0, 5000L, 3, "p", "c", payload = "x")
+      .copy(prev_ts = Some(ldt(4000L)), prev_sequence_no = Some(2),
+        encryption_type = 2, signature_type = 2, signature = Some("0xabc"))
+    def serve(m: model.StreamMessage, v: Int) =
+      Formats.format(streamDataOf(m), "protocol", Some(v)).collect().head.getString(0)
+    assert(serve(head, 30) == """[30,["s",0,1000,0,"p","c"],[null,null],27,"{}",0,null]""")
+    assert(serve(chained, 30) == """[30,["s",0,5000,3,"p","c"],[4000,2],27,"x",2,"0xabc"]""")
+    assert(serve(head, 32) == """[32,["s",0,1000,0,"p","c"],null,27,0,0,null,"{}",null,0,null]""")
+    assert(serve(chained, 32) == """[32,["s",0,5000,3,"p","c"],[4000,2],27,0,2,null,"x",null,2,"0xabc"]""")
+    // unknown / unpinned versions fall back to the v31 default
+    assert(serve(head, 99) == serve(head, 31))
+    assert(Formats.format(streamDataOf(head), "protocol").collect().head.getString(0)
+      == serve(head, 31))
+  }
+
   test("envelope fields round-trip through both formats (signed + encrypted)") {
     val m = msg("s", 0, 5000L, 3, "p", "c", payload = "deadbeef")
       .copy(prev_ts = Some(ldt(4000L)), prev_sequence_no = Some(2),
