@@ -396,12 +396,16 @@ object SparkEntry {
          |  ',27,"' || ${jsonEsc("payload")} ||
          |  '",' || signature_type ||
          |  ',' || $signatureJson || ']' AS msg""".stripMargin
+    def quotedOrNull(e: String): String =
+      s"""CASE WHEN $e IS NOT NULL THEN '"' || ${jsonEsc(e)} || '"' ELSE 'null' END"""
     val protocolMsgV32 =
       s"""'[32,' || $msgIdJson ||
          |  ',' || $prevRefJson ||
          |  ',27,0,' || encryption_type ||
-         |  ',null,"' || ${jsonEsc("payload")} ||
-         |  '",null,' || signature_type ||
+         |  ',' || ${quotedOrNull("group_key_id")} ||
+         |  ',"' || ${jsonEsc("payload")} ||
+         |  '",' || ${quotedOrNull("new_group_key")} ||
+         |  ',' || signature_type ||
          |  ',' || $signatureJson || ']' AS msg""".stripMargin
     val minuteCte =
       s"""mc AS (
@@ -423,7 +427,8 @@ object SparkEntry {
         s"""$sd
            |SELECT stream_id, stream_partition, ts, sequence_no,
            |       publisher_id, msg_chain_id, payload, prev_ts,
-           |       prev_sequence_no, encryption_type, signature_type, signature
+           |       prev_sequence_no, encryption_type, group_key_id,
+           |       new_group_key, signature_type, signature
            |FROM (
            |  SELECT *, row_number() OVER (
            |    PARTITION BY stream_id, stream_partition

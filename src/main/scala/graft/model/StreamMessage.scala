@@ -17,10 +17,13 @@ import org.apache.spark.sql.types._
   * (`test/integration/storage/Storage.test.ts:24-44`): the previous-message
   * reference used for gap detection (`prev_ts`/`prev_sequence_no`, nullable
   * — first message of a chain has none), the content encryption marker
-  * (`encryption_type`: 0 = NONE, 1 = RSA, 2 = AES), and the message
-  * signature (`signature_type`: 0 = none, 1 = legacy, 2 = ETH; `signature`
-  * nullable hex string). They are stored and served verbatim — the engine
-  * never interprets them, exactly like the reference's storage node.
+  * (`encryption_type`: 0 = NONE, 1 = RSA, 2 = AES), the AES group-key
+  * envelope of the v32 wire format (`group_key_id` identifies the key that
+  * encrypted the content; `new_group_key` carries an in-band key rotation —
+  * both null for unencrypted rows), and the message signature
+  * (`signature_type`: 0 = none, 1 = legacy, 2 = ETH; `signature` nullable
+  * hex string). They are stored and served verbatim — the engine never
+  * interprets or resolves them, exactly like the reference's storage node.
   */
 final case class StreamMessage(
     stream_id: String,
@@ -33,6 +36,8 @@ final case class StreamMessage(
     prev_ts: Option[java.time.LocalDateTime] = None,
     prev_sequence_no: Option[Int] = None,
     encryption_type: Int = 0,
+    group_key_id: Option[String] = None,
+    new_group_key: Option[String] = None,
     signature_type: Int = 0,
     signature: Option[String] = None)
 
@@ -48,6 +53,8 @@ object StreamMessage {
     StructField("prev_ts", TimestampNTZType, nullable = true),
     StructField("prev_sequence_no", IntegerType, nullable = true),
     StructField("encryption_type", IntegerType, nullable = false),
+    StructField("group_key_id", StringType, nullable = true),
+    StructField("new_group_key", StringType, nullable = true),
     StructField("signature_type", IntegerType, nullable = false),
     StructField("signature", StringType, nullable = true)))
 

@@ -42,11 +42,13 @@ object Formats {
   /** Absent prev-ref as the literal `null` (v31/v32 and object format). */
   private def prevRefJson: Column = coalesce(prevRefJsonNotNull, lit("null"))
 
-  /** Signature as a JSON fragment: quoted string or literal `null`. */
-  private def signatureJson: Column =
-    when(col("signature").isNotNull,
-      concat(lit("\""), jsonEscape(col("signature")), lit("\"")))
+  /** Nullable string field as a JSON fragment: quoted or literal `null`. */
+  private def quotedOrNull(c: Column): Column =
+    when(c.isNotNull, concat(lit("\""), jsonEscape(c), lit("\"")))
       .otherwise(lit("null"))
+
+  /** Signature as a JSON fragment: quoted string or literal `null`. */
+  private def signatureJson: Column = quotedOrNull(col("signature"))
 
   /** `object` format — the reference's `toObject()` JSON shape
     * (`DataQueryFormat.ts:33-36`), field order fixed. Serves the complete
@@ -93,12 +95,15 @@ object Formats {
     *  - 32: `[32,[msgId...],prevRefOrNull,messageType,contentType,
     *    encryptionType,groupKeyId,content,newGroupKey,sigType,signature]`
     *    — v32 renumbered: messageType 27 (stream message), contentType 0
-    *    (JSON); the engine's envelope carries no group-key rotation
-    *    columns, so `groupKeyId`/`newGroupKey` serialize as `null`.
+    *    (JSON); `groupKeyId`/`newGroupKey` serve the stored envelope
+    *    columns (null for unencrypted rows), so AES rows served in v32
+    *    are key-resolvable by a protocol client.
     * Every envelope field comes from the stored row — nothing is
     * hardcoded, so signed and encrypted messages round-trip exactly as the
-    * reference stores them. Unknown versions fall back to 31, mirroring
-    * the endpoint's default when the parameter is absent. */
+    * reference stores them. An unsupported version throws
+    * `IllegalArgumentException`, mirroring the reference's
+    * `UnsupportedVersionError` from `streamMessage.serialize(version)` —
+    * only an *absent* version parameter defaults to 31 (see [[format]]). */
   def protocolJson(version: Int): Column = version match {
     case 30 =>
       concat(
@@ -113,11 +118,13 @@ object Formats {
         lit("[32,"), msgIdJson,
         lit(","), prevRefJson,
         lit(",27,0,"), col("encryption_type"),
-        lit(",null,\""), jsonEscape(col("payload")),
-        lit("\",null,"), col("signature_type"),
+        lit(","), quotedOrNull(col("group_key_id")),
+        lit(",\""), jsonEscape(col("payload")),
+        lit("\","), quotedOrNull(col("new_group_key")),
+        lit(","), col("signature_type"),
         lit(","), signatureJson,
         lit("]"))
-    case _ =>
+    case 31 =>
       concat(
         lit("[31,"), msgIdJson,
         lit(","), prevRefJson,
@@ -126,6 +133,8 @@ object Formats {
         lit("\","), col("signature_type"),
         lit(","), signatureJson,
         lit("]"))
+    case v => throw new IllegalArgumentException(
+      s"Unsupported protocol version $v (supported: 30, 31, 32)")
   }
 
   /** Default-version (v31) protocol shape. */

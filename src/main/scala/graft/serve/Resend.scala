@@ -105,7 +105,8 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
   /** Offer a message to every subscription of its stream-part, each in its
     * own format; a full queue drops oldest-first, the bounded-buffer
     * behavior of the reference's backpressure close (`Connection.ts:17-18`
-    * + `RequestHandler.ts:356-363`). Called from executor task threads. */
+    * + `RequestHandler.ts:356-363`). Called from the driver-side dispatch
+    * loop ([[dispatch]] pulls formatted rows via `toLocalIterator`). */
   private[serve] def offer(streamId: String, partition: Int,
       objectMsg: String, protocolMsg: String): Unit =
     subs.values().asScala.foreach { s =>

@@ -54,13 +54,16 @@ object Tables {
     * deterministically so every downstream operator (store, serve formats,
     * dedup) carries the full reference contract
     * (`src/http/DataProduceEndpoints.ts:86-113`): prev-ref present for
-    * every non-chain-head message, a 1-in-16 AES-encrypted slice, mostly
-    * ETH signatures with a legacy minority, and an md5-derived hex
-    * signature over the message id — all expressed identically in
-    * [[StreamDataSql]] so the oracle sees the same bytes. */
+    * every non-chain-head message, a 1-in-16 AES-encrypted slice carrying
+    * its group-key id (1 in 10 of those also rotating the key in-band, the
+    * v32 `newGroupKey` slot), mostly ETH signatures with a legacy minority,
+    * and an md5-derived hex signature over the message id — all expressed
+    * identically in [[StreamDataSql]] so the oracle sees the same bytes. */
   def streamData(spark: SparkSession, sfDir: String): DataFrame = {
     val seqNo = (col("event_id") % 16).cast("int")
     val pub = concat(lit("pub-"), (col("user_id") % 4).cast("string"))
+    val groupKeyId = when(col("event_id") % 16 === 0,
+      concat(lit("GK-"), col("event_type"), lit("-"), pub))
     events(spark, sfDir).select(
       col("event_type").as("stream_id"),
       (col("user_id") % 8).cast("int").as("stream_partition"),
@@ -72,6 +75,9 @@ object Tables {
       when(seqNo > 0, col("ts") - expr("INTERVAL 1 SECOND")).as("prev_ts"),
       when(seqNo > 0, seqNo - 1).cast("int").as("prev_sequence_no"),
       when(col("event_id") % 16 === 0, 2).otherwise(0).cast("int").as("encryption_type"),
+      groupKeyId.as("group_key_id"),
+      when(col("event_id") % 160 === 0, md5(concat(lit("rot:"), groupKeyId)))
+        .as("new_group_key"),
       when(col("event_id") % 10 === 0, 1).otherwise(2).cast("int").as("signature_type"),
       concat(lit("0x"), md5(concat_ws(":",
         col("event_type"),
@@ -96,6 +102,12 @@ object Tables {
       |         CASE WHEN event_id % 16 > 0
       |              THEN CAST(event_id % 16 - 1 AS INT) END AS prev_sequence_no,
       |         CAST(CASE WHEN event_id % 16 = 0 THEN 2 ELSE 0 END AS INT) AS encryption_type,
+      |         CASE WHEN event_id % 16 = 0
+      |              THEN 'GK-' || event_type || '-pub-' || CAST(user_id % 4 AS VARCHAR)
+      |         END AS group_key_id,
+      |         CASE WHEN event_id % 160 = 0
+      |              THEN md5('rot:GK-' || event_type || '-pub-' || CAST(user_id % 4 AS VARCHAR))
+      |         END AS new_group_key,
       |         CAST(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 2 END AS INT) AS signature_type,
       |         '0x' || md5(event_type || ':' ||
       |           CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR) || ':' ||

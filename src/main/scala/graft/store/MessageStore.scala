@@ -204,7 +204,21 @@ object MessageStore {
           // existing dir would nest staging inside it)
           if (trashed == staged && !fs.exists(b.getPath) &&
               fs.rename(staging, b.getPath)) {
-            fs.delete(trash, true); compacted += 1
+            // TOCTOU re-check: a writer recreating live between the exists
+            // check and the rename makes Hadoop nest staging INSIDE the new
+            // live dir (rename still returns true). Verify the swap landed
+            // flat before the trash delete — that delete is the only
+            // destructive step. Restore order matters for crash recovery:
+            // originals back first, THEN drop the nested copy (so a
+            // leftover nested dir always means originals are already live,
+            // which is what recoverCompaction assumes).
+            val nested = new Path(b.getPath, staging.getName)
+            if (fs.exists(nested)) {
+              restoreBucket(fs, trash, b.getPath)
+              fs.delete(nested, true)
+            } else {
+              fs.delete(trash, true); compacted += 1
+            }
           } else {
             // late append detected, live dir recreated by a concurrent
             // writer, or swap-in failed: restore originals and abort
@@ -232,9 +246,27 @@ object MessageStore {
     }
   }
 
-  /** Recover buckets left in a crashed-compaction state: a live bucket
-    * missing but its `.bucket=...trash` (or `.compact`) twin present is
-    * renamed back in. Returns recovered bucket paths. Idempotent; run
+  /** Recover buckets left in a crashed-compaction state. Per bucket, the
+    * surviving (live, `.trash`, `.compact`, nested-`.compact`) combination
+    * identifies exactly where the crash fell in [[compactStreamPart]]'s
+    * swap protocol, and each state has one safe action:
+    *  - live missing, trash/compact twin present → rename the twin back in
+    *    (trash preferred — it is the pre-compaction original; a `.compact`
+    *    twin is equivalent rows);
+    *  - live recreated by a concurrent writer while originals sat in trash
+    *    (trash + part-level `.compact`, or trash + a `.compact` dir nested
+    *    INSIDE live by the rename race) → merge the trashed originals back
+    *    file-by-file (part-file names are globally unique), then drop the
+    *    staged copy;
+    *  - live present with only a trash twin and no staged copy anywhere →
+    *    the compacted swap committed and only the trash delete was lost:
+    *    drop the trash (its rows are equivalent to the live compacted
+    *    files);
+    *  - a nested `.compact` with no trash → originals were already
+    *    restored (compactStreamPart restores before dropping the nested
+    *    copy, in that order precisely so this state is unambiguous): drop
+    *    the nested dir.
+    * Returns recovered/restored live bucket paths. Idempotent; run
     * before/after compaction sweeps. */
   def recoverCompaction(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(path)
@@ -254,10 +286,41 @@ object MessageStore {
         // crash window: restore committed data (trash preferred — it is
         // the pre-compaction original; a .compact twin is equivalent rows)
         if (fs.rename(hidden.getPath, live)) recovered += live.toString
-      } else if (name.endsWith(".trash") || name.endsWith(".compact")) {
-        fs.delete(hidden.getPath, true) // live dir healthy: drop leftovers
+      } else if (name.endsWith(".trash")) {
+        val stagedFlat = new Path(part.getPath, s"$name".stripSuffix(".trash") + ".compact")
+        val stagedNested = new Path(live, stagedFlat.getName)
+        if (fs.exists(stagedFlat) || fs.exists(stagedNested)) {
+          // writer recreated live mid-swap: live holds only the writer's
+          // new files — merge the originals back, then drop staged copies
+          restoreBucket(fs, hidden.getPath, live)
+          fs.delete(stagedFlat, true)
+          fs.delete(stagedNested, true)
+          recovered += live.toString
+        } else {
+          // flat swap committed (live IS the compacted rows); only the
+          // trash delete was lost
+          fs.delete(hidden.getPath, true)
+        }
+      } else {
+        // pre-swap .compact leftover — but when a sibling .trash exists it
+        // is this bucket's disambiguation signal (writer-recreated-live vs
+        // committed-swap), so leave both for the .trash branch to resolve
+        // regardless of listing order
+        val trashTwin = new Path(part.getPath,
+          name.stripSuffix(".compact") + ".trash")
+        if (!fs.exists(trashTwin)) fs.delete(hidden.getPath, true)
       }
     }
+    // nested staging dirs with no part-level trash: originals are already
+    // restored (see compactStreamPart's restore-then-delete order) — sweep
+    for {
+      stream <- fs.listStatus(root) if stream.isDirectory
+      part <- fs.listStatus(stream.getPath) if part.isDirectory
+      bucket <- fs.listStatus(part.getPath)
+      if bucket.isDirectory && bucket.getPath.getName.startsWith("bucket=")
+      nested <- fs.listStatus(bucket.getPath)
+      if nested.isDirectory && nested.getPath.getName.startsWith(".bucket=")
+    } fs.delete(nested.getPath, true)
     recovered.toSeq
   }
 

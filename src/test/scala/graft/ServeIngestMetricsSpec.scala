@@ -37,8 +37,15 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(serve(chained, 30) == """[30,["s",0,5000,3,"p","c"],[4000,2],27,"x",2,"0xabc"]""")
     assert(serve(head, 32) == """[32,["s",0,1000,0,"p","c"],null,27,0,0,null,"{}",null,0,null]""")
     assert(serve(chained, 32) == """[32,["s",0,5000,3,"p","c"],[4000,2],27,0,2,null,"x",null,2,"0xabc"]""")
-    // unknown / unpinned versions fall back to the v31 default
-    assert(serve(head, 99) == serve(head, 31))
+    // v32 serves the stored group-key envelope (AES rows are key-resolvable)
+    val keyed = chained.copy(group_key_id = Some("GK-s-p"),
+      new_group_key = Some("feedface"))
+    assert(serve(keyed, 32) ==
+      """[32,["s",0,5000,3,"p","c"],[4000,2],27,0,2,"GK-s-p","x","feedface",2,"0xabc"]""")
+    assert(serve(keyed, 31) == serve(chained, 31)) // v31 has no group-key slots
+    // only an ABSENT version parameter defaults to 31; an unsupported pin
+    // throws like the reference's UnsupportedVersionError
+    intercept[IllegalArgumentException](Formats.protocolJson(99))
     assert(Formats.format(streamDataOf(head), "protocol").collect().head.getString(0)
       == serve(head, 31))
   }

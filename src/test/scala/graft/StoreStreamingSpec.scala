@@ -217,6 +217,36 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(MessageStore.open(spark, path)).length == 2)
   }
 
+  test("compact: writer-recreated-live race states restore originals, not delete them") {
+    // state A: trash holds originals, a concurrent writer recreated live,
+    // part-level staged .compact still present (crash before swap-in)
+    val path = tmpDir("graft-compact-race")
+    (0 until 2).foreach { i =>
+      MessageStore.append(streamDataOf(msg("s", 0, 1700000000000L + i * 1000, i)), path)
+    }
+    val partDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+    val live = new java.io.File(partDir, "bucket=2023-11-14")
+    val trash = new java.io.File(partDir, ".bucket=2023-11-14.trash")
+    val staging = new java.io.File(partDir, ".bucket=2023-11-14.compact")
+    assert(live.renameTo(trash))
+    // "concurrent writer" recreates the live dir with a new row
+    MessageStore.append(streamDataOf(msg("s", 0, 1700000002000L, 2)), path)
+    assert(staging.mkdir())
+    assert(MessageStore.recoverCompaction(spark, path).size == 1)
+    assert(keysOf(MessageStore.open(spark, path)).length == 3) // 2 originals + 1 new
+    assert(!trash.exists() && !staging.exists())
+
+    // state B: the rename(staging→live) nested staging INSIDE the
+    // recreated live dir (the TOCTOU the inline guard detects)
+    assert(live.renameTo(trash))
+    MessageStore.append(streamDataOf(msg("s", 0, 1700000003000L, 3)), path)
+    val nested = new java.io.File(live, ".bucket=2023-11-14.compact")
+    assert(nested.mkdir())
+    assert(MessageStore.recoverCompaction(spark, path).size == 1)
+    assert(keysOf(MessageStore.open(spark, path)).length == 4) // 3 restored + 1 new
+    assert(!trash.exists() && !nested.exists())
+  }
+
   test("pruneTime injects bucket partition filters for time-bounded reads") {
     val path = tmpDir("graft-prunetime")
     MessageStore.append(streamDataOf(
