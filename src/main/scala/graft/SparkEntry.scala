@@ -241,6 +241,13 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docsParallel(s, dir), bits = 32).orderBy(col("doc_id"))),
 
+    // multi-probe blocked Hamming pairs: 4 disjoint 8-bit blocks cover
+    // maxHamming<=3 by pigeonhole, so the blocked plan must EQUAL the
+    // oracle's exact all-pairs Hamming join — the gate checks recall 1.0
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docsParallel(s, dir), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q_sample" -> ((s, dir) =>
       graft.operators.Sampling.stratifiedSample(
         Tables.documents(s, dir), col("doc_id"), col("lang"),
@@ -750,6 +757,24 @@ object SparkEntry {
            |)
            |SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash
            |FROM agg ORDER BY doc_id""".stripMargin,
+
+      // exact all-pairs Hamming — deliberately NOT the blocked plan: the
+      // multi-probe rotations must reach recall 1.0 at maxHamming 3
+      "q_simhash_pairs" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
+           |  FROM documents
+           |), agg AS (
+           |  SELECT doc_id, count(*) AS n, $simhashSums FROM tok GROUP BY 1
+           |), sh AS (
+           |  SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash FROM agg
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_sample" ->
         """SELECT lang, count(*) AS n FROM documents

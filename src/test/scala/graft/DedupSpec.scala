@@ -95,4 +95,25 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.simhashPairs(docs, maxHamming = 0).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
   }
+
+  test("simhashPairs multi-probe: recall 1.0 vs exact all-pairs Hamming when maxHamming < rotations") {
+    // varied corpus: singleton word edits produce fingerprints whose
+    // differing bits land in arbitrary blocks — including the top block a
+    // single-rotation plan is blind to
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = docsOf((0 until 40).map { i =>
+      val mutated = words.updated(i % words.length, s"w$i").mkString(" ")
+      (i.toLong, if (i % 3 == 0) base else mutated)
+    }: _*)
+    val fp = Dedup.simhash(docs)
+    val exact = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty) // the corpus must actually exercise the path
+    assert(blocked == exact) // pigeonhole: no pair within distance 3 is missed
+  }
 }
