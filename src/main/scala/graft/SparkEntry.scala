@@ -200,6 +200,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // learned-centroid IVF: hash-seeded Lloyd's (2 iterations, 8 centroids)
+    // + nprobe=2 candidate pruning; the oracle replays the identical
+    // fixed-point/IEEE arithmetic CTE by CTE
+    "q_ann_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfKmeansTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_embed_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("label"), col("vec_a"), col("vec_b"))),
@@ -367,6 +377,26 @@ object SparkEntry {
         |  FROM q)""".stripMargin
     val dotExpr = // exact integer dot product of two quantized lists a/b
       "CAST(list_sum(list_transform(range(len(%s)), i -> %s[i+1]*%s[i+1])) AS BIGINT)"
+    // Learned-centroid IVF oracle helpers: squared L2 to a centroid list
+    // folded left-to-right over the dims — the same association as
+    // Similarity.ivfKmeansTopK's codegen fold, so IEEE doubles agree
+    // bit-for-bit — and per-cluster exact-integer-sum/count means.
+    val kmDim = 64
+    def kmDist(qe: String, c: String): String =
+      (1 to kmDim).map(i =>
+        s"(CAST($qe[$i] AS DOUBLE)-$c[$i])*(CAST($qe[$i] AS DOUBLE)-$c[$i])")
+        .mkString(" + ")
+    val kmMean = (1 to kmDim).map(i => s"CAST(sum(qe[$i]) AS DOUBLE)/count(*)").mkString(", ")
+    def kmAssign(name: String, cents: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id, qe, nq, cid FROM (
+         |  SELECT t.vec_id, t.qe, t.nq, c.cid,
+         |         row_number() OVER (PARTITION BY t.vec_id
+         |           ORDER BY ${kmDist("t.qe", "c.c")}, c.cid) AS rn
+         |  FROM corp t CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def kmStep(i: Int): String = // new means from a$i; empty clusters carry over
+      s"""c${i}n AS MATERIALIZED (SELECT cid, list_value($kmMean) AS c FROM a$i GROUP BY cid),
+         |c$i AS MATERIALIZED (SELECT * FROM c${i}n UNION ALL
+         |        SELECT * FROM c${i - 1} WHERE cid NOT IN (SELECT cid FROM c${i}n))""".stripMargin
     val simhashSums = (0 until 32).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
     val simhashVal = (0 until 32)
       .map(j => s"CASE WHEN 2*s$j >= n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
@@ -656,6 +686,38 @@ object SparkEntry {
            |  FROM bkt c JOIN bkt qs ON c.bucket = qs.bucket
            |  WHERE c.vec_id >= 8 AND qs.vec_id < 8
            |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+           |      FROM scored)
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      // replays ivfKmeansTopK CTE by CTE: hash-seeded init, two Lloyd
+      // iterations (integer sums / count means), final assignment, nprobe=2
+      // probing, exact integer-cosine scoring
+      "q_ann_kmeans" ->
+        s"""$quantCte,
+           |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n WHERE vec_id >= 8),
+           |qs AS MATERIALIZED (SELECT vec_id AS query_id, qe, nq FROM n WHERE vec_id < 8),
+           |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+           |              list_transform(qe, x -> CAST(x AS DOUBLE)) AS c
+           |       FROM (SELECT vec_id, qe FROM corp
+           |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+           |${kmAssign("a1", "c0")},
+           |${kmStep(1)},
+           |${kmAssign("a2", "c1")},
+           |${kmStep(2)},
+           |${kmAssign("a3", "c2")},
+           |probe AS MATERIALIZED (SELECT query_id, qe, nq, cid FROM (
+           |  SELECT q.query_id, q.qe, q.nq, c.cid,
+           |         row_number() OVER (PARTITION BY q.query_id
+           |           ORDER BY ${kmDist("q.qe", "c.c")}, c.cid) AS rn
+           |  FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+           |scored AS MATERIALIZED (
+           |  SELECT p.query_id, t.vec_id AS neighbor_id,
+           |         ${dotExpr.format("t.qe", "t.qe", "p.qe")}
+           |           / (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(t.nq AS DOUBLE))) AS cos
+           |  FROM probe p JOIN a3 t USING (cid)),
            |r AS (SELECT query_id, neighbor_id, cos,
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
            |      FROM scored)

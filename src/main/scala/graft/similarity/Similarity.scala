@@ -103,6 +103,74 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Learned-centroid IVF: deterministic hash-seeded Lloyd's k-means over
+    * the quantized corpus, then nprobe-nearest-centroid candidate pruning.
+    * This is the "ANN you'd ship" upgrade over [[ivfTopK]]'s fixed sign
+    * quantizer: centroids adapt to the data distribution, so bucket
+    * occupancy is balanced and recall at equal candidate budget is higher.
+    *
+    * Determinism (oracle-exact): seeds are the `kClusters` vectors with the
+    * smallest `(md5(vec_id), vec_id)` — no RNG; centroid means are
+    * `exactIntegerSum/count` in IEEE doubles (sums stay < 2^53, division is
+    * correctly rounded, so any engine computes the identical double);
+    * distances fold left-to-right over the dims, and every argmin
+    * tie-breaks by centroid id. The DuckDB oracle replays the same
+    * arithmetic and must hash-match bit-for-bit.
+    *
+    * Scale: centroids are driver-held k×dim metadata (the MLlib KMeans
+    * shape); each Lloyd iteration is ONE map+aggregate pass over the corpus
+    * (assignment is a codegen'd fold over literal centroids — no join, no
+    * shuffle beyond the k-row aggregate), so `iters` iterations cost
+    * `iters + 1` corpus scans; persist the prepared corpus at real scale.
+    * Serving joins candidates per (query, probed-centroid) — fan-out
+    * bounded by nprobe × bucket occupancy, never n². Empty clusters keep
+    * their previous centroid. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val c = prepared(corpus)
+    var centroids: Seq[Array[Double]] = c
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kClusters)
+      .select(col("qe")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray).toSeq
+    // squared L2 to a literal centroid, summed left-to-right (the oracle
+    // folds in the same order — IEEE doubles then agree bit-for-bit)
+    def distTo(qe: Column, cent: Array[Double]): Column =
+      (0 until dim).map { i =>
+        val d = element_at(qe, i + 1).cast("double") - lit(cent(i))
+        d * d
+      }.reduce(_ + _)
+    def distStructs(qe: Column): Seq[Column] =
+      centroids.zipWithIndex.map { case (cent, j) =>
+        struct(distTo(qe, cent).as("d"), lit(j.toLong).as("cid"))
+      }
+    def nearest(qe: Column): Column = least(distStructs(qe): _*).getField("cid")
+    for (_ <- 1 to iters) {
+      val stats = c.groupBy(nearest(col("qe")).as("cid"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => sum(element_at(col("qe"), i + 1)).as(s"s$i")): _*)
+        .collect()
+        .map(r => r.getLong(0) -> r).toMap
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        stats.get(j.toLong) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            (0 until dim).map(i => r.getLong(i + 2).toDouble / n).toArray
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    val assigned = c.withColumn("cid", nearest(col("qe")))
+    val q = prepared(queries).select(
+      col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val probes = q.select(col("query_id"), col("q_qe"), col("q_nq"),
+      explode(slice(array_sort(array(distStructs(col("q_qe")): _*)), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("q_qe"), col("q_nq"), col("p.cid").as("cid"))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (at 100 TB
     * the blocking key is whatever cheap partition exists — cluster id,
     * shard, LSH bucket — so the self-join shuffles per block, never n²). */

@@ -46,6 +46,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L))
   }
 
+  test("ivfKmeansTopK: full-probe equals brute force; 1-probe recalls the query's cluster") {
+    // two well-separated direction clusters
+    val clusterA = (0 until 6).map(i => (100L + i, pad(Seq(1f, 0.01f * i)), 0))
+    val clusterB = (0 until 6).map(i => (200L + i, pad(Seq(-1f, 1f - 0.01f * i)), 0))
+    val corpus = vecsOf(clusterA ++ clusterB: _*)
+    val queries = vecsOf((1L, pad(Seq(1f, 0.02f)), 0), (2L, pad(Seq(-1f, 0.97f)), 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+    val brute = rows(Similarity.bruteForceTopK(corpus, queries, k = 4))
+    // probing every centroid searches the whole corpus => exact equality
+    val full = rows(Similarity.ivfKmeansTopK(corpus, queries, k = 4,
+      kClusters = 2, iters = 2, nprobe = 2, dim = 8))
+    assert(full == brute)
+    // one probe still recalls everything for queries inside a cluster
+    // (k <= cluster size, clusters well separated)
+    val one = rows(Similarity.ivfKmeansTopK(corpus, queries, k = 4,
+      kClusters = 2, iters = 2, nprobe = 1, dim = 8))
+    assert(one == brute)
+  }
+
   test("nearDupPairs finds same-label near-identical vectors only") {
     val vecs = vecsOf(
       (1L, pad(Seq(1f, 0f, 0f)), 0),
