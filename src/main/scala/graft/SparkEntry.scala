@@ -634,7 +634,9 @@ object SparkEntry {
            |       CAST(count(*) AS BIGINT) AS n_minutes,
            |       CAST(sum(msgs) AS BIGINT) AS msgs,
            |       CAST(sum(bytes) AS BIGINT) AS bytes,
-           |       CAST(sum(msgs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_msgs_per_min
+           |       CAST(sum(msgs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_msgs_per_min,
+           |       list_reduce(list(CAST(msgs AS DOUBLE) ORDER BY minute),
+           |                   (a, b) -> a * 0.8 + b * 0.2) AS ewma_msgs_per_min
            |FROM mc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
       "q_metrics_daily" ->
@@ -649,7 +651,9 @@ object SparkEntry {
            |       CAST(sum(n_minutes) AS BIGINT) AS n_minutes,
            |       CAST(sum(msgs) AS BIGINT) AS msgs,
            |       CAST(sum(bytes) AS BIGINT) AS bytes,
-           |       CAST(sum(msgs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_msgs_per_hour
+           |       CAST(sum(msgs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_msgs_per_hour,
+           |       list_reduce(list(CAST(msgs AS DOUBLE) ORDER BY hour),
+           |                   (a, b) -> a * 0.8 + b * 0.2) AS ewma_msgs_per_hour
            |FROM hc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
       "q_skew" -> // the plain (unsalted) plan — salting must not change results

@@ -39,7 +39,13 @@ object Metrics {
       .agg(sum(col("msgs")).as("msgs"), sum(col("bytes")).as("bytes"))
 
   /** Hierarchical rollup minute→hour (A8; `StreamMetrics.ts:55-77`): each
-    * hour reports the sum plus the average of its minute reports. */
+    * hour reports the sum, the plain average, AND the `throttledAvg`-
+    * smoothed average of its minute reports — the reference smooths at
+    * every cascade level as it aggregates the level below
+    * (`StreamMetrics.ts:133-143`), so spiky minutes read differently in
+    * `ewma_msgs_per_min` than in the plain mean. The smoothed fold runs on
+    * the already-reduced per-minute rows (≤60 per hour group), so the
+    * extra column costs a bounded collect_list per group, never a scan. */
   def hourlyRollup(streamData: DataFrame): DataFrame =
     minuteCounts(streamData)
       .groupBy(col("stream_id"), col("stream_partition"),
@@ -49,11 +55,17 @@ object Metrics {
         sum(col("msgs")).as("msgs"),
         sum(col("bytes")).as("bytes"),
         (sum(col("msgs")).cast("double") / count(lit(1)).cast("double"))
-          .as("avg_msgs_per_min"))
+          .as("avg_msgs_per_min"),
+        collect_list(struct(col("minute"), col("msgs"))).as("__series"))
+      .withColumn("ewma_msgs_per_min",
+        ewmaFold(transform(array_sort(col("__series")), s => s.getField("msgs"))))
+      .drop("__series")
 
   /** Hierarchical rollup hour→day — the top of the cascade (A8;
     * `StreamMetrics.ts:55-77`): each day reports the sum of its hour
-    * reports plus the average message volume per active hour. */
+    * reports, the average message volume per active hour, and the
+    * per-level EWMA over the ordered hour reports (`StreamMetrics.ts:
+    * 133-143` — each level smooths the series the level below emits). */
   def dailyRollup(streamData: DataFrame): DataFrame =
     hourlyRollup(streamData)
       .groupBy(col("stream_id"), col("stream_partition"),
@@ -64,7 +76,11 @@ object Metrics {
         sum(col("msgs")).as("msgs"),
         sum(col("bytes")).as("bytes"),
         (sum(col("msgs")).cast("double") / count(lit(1)).cast("double"))
-          .as("avg_msgs_per_hour"))
+          .as("avg_msgs_per_hour"),
+        collect_list(struct(col("hour"), col("msgs"))).as("__series"))
+      .withColumn("ewma_msgs_per_hour",
+        ewmaFold(transform(array_sort(col("__series")), s => s.getField("msgs"))))
+      .drop("__series")
 
   /** EWMA fold over an ordered numeric series: seeded with the first
     * element, then `0.8*acc + 0.2*x` per step (`StreamMetrics.ts:7-9,

@@ -92,6 +92,14 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(hr.map(r => (r.getAs[Long]("n_minutes"), r.getAs[Long]("msgs"),
       r.getAs[Long]("bytes"), r.getAs[Double]("avg_msgs_per_min"))).toSeq ==
       Seq((2L, 3L, 9L, 1.5), (1L, 1L, 1L, 1.0)))
+    // per-level EWMA (StreamMetrics.ts:133-143): hour 0 minute series is
+    // (2, 1) -> 0.8*2 + 0.2*1 = 1.8; singleton series seeds itself
+    assert(hr.map(_.getAs[Double]("ewma_msgs_per_min")).toSeq == Seq(1.8, 1.0))
+    val dr = Metrics.dailyRollup(sd).collect()
+    // day series over hours (3, 1) -> 0.8*3 + 0.2*1 (same IEEE fold)
+    assert(dr.map(r => (r.getAs[Long]("n_hours"),
+      r.getAs[Double]("ewma_msgs_per_hour"))).toSeq ==
+      Seq((2L, 0.8 * 3.0 + 0.2 * 1.0)))
   }
 
   test("ewma: seeded with first value, 0.8/0.2 fold in minute order") {
