@@ -88,6 +88,24 @@ object SparkEntry {
         .orderBy(col("stream_id"), col("stream_partition"))
     }),
 
+    // ---- physical bounded last-N (§2.5 T1 over the store layout):
+    // Engine.last's production read path — per-bucket footer counts pick
+    // the newest buckets covering the limit, top-K over just those. The
+    // oracle is q_last_n's: the physical path must be observationally
+    // identical to the logical-relation read ----
+    "q_last_bounded" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_lb_" +
+        Integer.toHexString(dir.hashCode) + "_p" + ProcessHandle.current().pid()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.store.MessageStore.append(
+        Tables.streamData(s, dir)
+          .filter(col("stream_id") === "click" && col("stream_partition") === 3),
+        path)
+      graft.store.MessageStore.requestLastBounded(s, path, "click", 3, 100)
+    }),
+
     // ---- retention (§2.2 F9, §2.4 A5) ----
     "q_retention" -> ((s, dir) =>
       BrokerQueries.expiredBuckets(Tables.streamData(s, dir), RetentionCutoff)
@@ -452,6 +470,17 @@ object SparkEntry {
          |)""".stripMargin
     Map(
       "q_last_n" ->
+        s"""$sd
+           |SELECT * FROM (
+           |  SELECT * FROM stream_data
+           |  WHERE stream_id = 'click' AND stream_partition = 3
+           |  ORDER BY ts DESC, sequence_no DESC, publisher_id DESC, msg_chain_id DESC
+           |  LIMIT 100
+           |) ORDER BY ts, sequence_no, publisher_id, msg_chain_id""".stripMargin,
+
+      // identical semantics to q_last_n — the gate asserts the physical
+      // bucket-expansion path returns exactly the logical-relation answer
+      "q_last_bounded" ->
         s"""$sd
            |SELECT * FROM (
            |  SELECT * FROM stream_data
