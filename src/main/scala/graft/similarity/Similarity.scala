@@ -119,31 +119,25 @@ object Similarity {
     *
     * Scale: centroids are driver-held k×dim metadata (the MLlib KMeans
     * shape); each Lloyd iteration is ONE map+aggregate pass over the corpus
-    * (assignment is a codegen'd fold over literal centroids — no join, no
-    * shuffle beyond the k-row aggregate), so `iters` iterations cost
+    * (assignment is the native [[graft.functions.CentroidRank]] kernel over
+    * the driver-held centroid table — no join, no shuffle beyond the k-row
+    * aggregate), so `iters` iterations cost
     * `iters + 1` corpus scans; persist the prepared corpus at real scale.
     * Serving joins candidates per (query, probed-centroid) — fan-out
     * bounded by nprobe × bucket occupancy, never n². Empty clusters keep
     * their previous centroid. */
   def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    import graft.functions.CentroidRank.centroid_rank
     val c = prepared(corpus)
-    var centroids: Seq[Array[Double]] = c
+    var centroids: Seq[Seq[Double]] = c
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kClusters)
       .select(col("qe")).collect()
-      .map(_.getSeq[Long](0).map(_.toDouble).toArray).toSeq
-    // squared L2 to a literal centroid, summed left-to-right (the oracle
-    // folds in the same order — IEEE doubles then agree bit-for-bit)
-    def distTo(qe: Column, cent: Array[Double]): Column =
-      (0 until dim).map { i =>
-        val d = element_at(qe, i + 1).cast("double") - lit(cent(i))
-        d * d
-      }.reduce(_ + _)
-    def distStructs(qe: Column): Seq[Column] =
-      centroids.zipWithIndex.map { case (cent, j) =>
-        struct(distTo(qe, cent).as("d"), lit(j.toLong).as("cid"))
-      }
-    def nearest(qe: Column): Column = least(distStructs(qe): _*).getField("cid")
+      .map(_.getSeq[Long](0).map(_.toDouble)).toSeq
+    // nearest centroid id via the native centroid_rank kernel — ONE
+    // Catalyst node per pass instead of an O(k × dim) literal tree that
+    // each iteration would re-analyze and re-compile
+    def nearest(qe: Column): Column = element_at(centroid_rank(qe, centroids), 1)
     for (_ <- 1 to iters) {
       val stats = c.groupBy(nearest(col("qe")).as("cid"))
         .agg(count(lit(1)).as("n"),
@@ -154,7 +148,7 @@ object Similarity {
         stats.get(j.toLong) match {
           case Some(r) =>
             val n = r.getLong(1).toDouble
-            (0 until dim).map(i => r.getLong(i + 2).toDouble / n).toArray
+            (0 until dim).map(i => r.getLong(i + 2).toDouble / n)
           case None => old // empty cluster keeps its centroid
         }
       }
@@ -163,8 +157,7 @@ object Similarity {
     val q = prepared(queries).select(
       col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nq").as("q_nq"))
     val probes = q.select(col("query_id"), col("q_qe"), col("q_nq"),
-      explode(slice(array_sort(array(distStructs(col("q_qe")): _*)), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("q_qe"), col("q_nq"), col("p.cid").as("cid"))
+      explode(slice(centroid_rank(col("q_qe"), centroids), 1, nprobe)).as("cid"))
     val scored = assigned.join(broadcast(probes), "cid")
       .withColumn("cos", cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
