@@ -153,4 +153,22 @@ object Formats {
         messages.select(protocolJson(version.getOrElse(31)).as("msg"))
       case _ => messages.select(objectJson.as("msg"))
     }
+
+  /** HTTP body chunks for a formatted result — the reference's incremental
+    * header/delimiter/footer framing (`DataQueryEndpoints.ts:20-52`):
+    * `object`/`protocol` stream a JSON array (`[`, `,`-joined messages,
+    * `]`; an empty result is `[]`), `raw` streams newline-delimited
+    * messages with no wrapper. Pull-based over `toLocalIterator` like
+    * [[Resend.envelope]] — one result partition in driver memory at a
+    * time, chunks flushable as they are produced. */
+  def frame(formatted: DataFrame, name: String): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val rows = formatted.toLocalIterator().asScala.map(_.getString(0))
+    name match {
+      case "raw" => rows.map(_ + "\n")
+      case _ =>
+        val joined = rows.zipWithIndex.map { case (m, i) => if (i == 0) m else "," + m }
+        Iterator("[") ++ joined ++ Iterator("]")
+    }
+  }
 }

@@ -50,6 +50,20 @@ class ServeIngestMetricsSpec extends SparkSpec {
       == serve(head, 31))
   }
 
+  test("frame: object/protocol stream a JSON array, raw newline-delimits, empty is []") {
+    val sd = streamDataOf(
+      msg("s", 0, 1000L, 0, "p", "c", payload = "{}"),
+      msg("s", 0, 2000L, 1, "p", "c", payload = "{}"))
+    val proto = Formats.format(sd.orderBy("ts"), "protocol")
+    val body = Formats.frame(proto, "protocol").mkString
+    assert(body.startsWith("[[31,") && body.endsWith("]") && body.contains("],[31,"))
+    assert(body == "[" + proto.collect().map(_.getString(0)).mkString(",") + "]")
+    val raw = Formats.frame(Formats.format(sd.orderBy("ts"), "raw"), "raw").mkString
+    assert(raw.count(_ == '\n') == 2 && raw.endsWith("]\n"))
+    assert(Formats.frame(Formats.format(sd.filter(lit(false)), "protocol"), "protocol")
+      .mkString == "[]")
+  }
+
   test("envelope fields round-trip through both formats (signed + encrypted)") {
     val m = msg("s", 0, 5000L, 3, "p", "c", payload = "deadbeef")
       .copy(prev_ts = Some(ldt(4000L)), prev_sequence_no = Some(2),
