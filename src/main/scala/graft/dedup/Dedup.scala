@@ -207,10 +207,14 @@ object Dedup {
     require(rotations * blockBits <= bits,
       "rotations*blockBits must fit in the fingerprint")
     val s = simhash(docs, bits)
+    // one explicit exchange on the join key: both self-join sides read the
+    // same shuffle output (ReuseExchange), so the corpus is fingerprinted
+    // once — not once per side (same shape as the Jaccard shingle reuse)
     val withRot = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until rotations).map(r =>
         shiftright(col("simhash"), r * blockBits)
           .bitwiseAND(lit((1L << blockBits) - 1))): _*)).as(Seq("rot", "block")))
+      .repartition(col("rot"), col("block"))
     withRot.as("a")
       .join(withRot.as("b"),
         col("a.rot") === col("b.rot") && col("a.block") === col("b.block") &&
