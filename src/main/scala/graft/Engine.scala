@@ -60,7 +60,10 @@ final class GraftEngine(
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) emptyRelation
     else
-      try MessageStore.open(spark, storePath)
+      // upsert view (merge-on-read): replayed publishes from later
+      // micro-batches are invisible to every Engine read, matching the
+      // reference's Cassandra primary-key semantics
+      try MessageStore.openMerged(spark, storePath)
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||

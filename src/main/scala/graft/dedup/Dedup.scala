@@ -53,10 +53,16 @@ object Dedup {
     * so the winner is chosen deterministically instead (max payload
     * lexicographically) — same observable semantics for true replays
     * (identical payloads), deterministic rather than arbitrary when a
-    * redelivery mutated the body. */
-  def ingestDedup(streamData: DataFrame): DataFrame = {
+    * redelivery mutated the body.
+    *
+    * `key` defaults to the full uniqueness key; callers operating inside a
+    * single partition scope (e.g. bucket-level compaction, where stream_id
+    * and stream_partition are directory levels, not columns) pass the
+    * columns present in that scope. */
+  def ingestDedup(streamData: DataFrame,
+      key: Seq[String] = StreamMessage.uniqueKey): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(StreamMessage.uniqueKey.map(col): _*)
+    val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("payload").desc)
     streamData
       .withColumn("__rn", row_number().over(w))

@@ -58,6 +58,20 @@ object MessageStore {
   def open(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Open the store with upsert semantics — the read-side half of the
+    * reference's Cassandra primary-key upsert: the store is append-only,
+    * so a message republished in a LATER micro-batch (same uniqueness key)
+    * lands as a second physical row; this view merges replays away exactly
+    * like Cassandra's merge-on-read, and [[compactStreamPart]] purges them
+    * physically (the sstable-compaction analog), making the merge window
+    * cheap again. The one-shuffle window is the price of upsert-exact
+    * answers; scans that tolerate at-least-once duplicates (e.g. byte-rate
+    * monitoring) can read [[open]] directly. Predicates on the uniqueness
+    * key's leading columns (stream-part, ts) still push below the window —
+    * they are window partition keys — so bucket pruning is preserved. */
+  def openMerged(spark: SparkSession, path: String): DataFrame =
+    graft.dedup.Dedup.ingestDedup(open(spark, path))
+
   /** Inject the bucket partition predicate implied by a ts bound. Catalyst
     * does NOT infer `bucket >= trunc(from)` from `ts >= from` (the bucket
     * is our derived column), so without this a time-bounded read of a
@@ -139,17 +153,36 @@ object MessageStore {
       take
     }.flatMap { case (b, _) => bucketDirs.get(b) }
     if (needed.isEmpty) return emptyRelation
-    val subset = spark.read.parquet(needed.toIndexedSeq: _*)
-      .withColumn("stream_id", lit(streamId))
-      .withColumn("stream_partition", lit(partition))
-    BrokerQueries.requestLast(subset, streamId, partition, limit)
+    def lastOver(paths: Seq[String]): DataFrame = {
+      val subset = spark.read.parquet(paths: _*)
+        .withColumn("stream_id", lit(streamId))
+        .withColumn("stream_partition", lit(partition))
+      // merge-on-read (see [[openMerged]]): replayed publishes collapse to
+      // one logical row before the top-K
+      BrokerQueries.requestLast(
+        graft.dedup.Dedup.ingestDedup(subset), streamId, partition, limit)
+    }
+    val res = lastOver(needed.toIndexedSeq)
+    // physical per-bucket counts over-count replayed rows, so the covering
+    // buckets can hold fewer UNIQUE rows than `limit`; widen to the whole
+    // part in that (rare — only with replays in the tail buckets) case.
+    // The extra count job runs over the small covering subset only.
+    val clamped = math.min(math.max(limit, 0), BrokerQueries.MaxResendLast)
+    if (needed.length < bucketDirs.size && res.count() < clamped)
+      lastOver(bucketDirs.values.toIndexedSeq)
+    else res
   }
 
   /** Compact one stream-part's buckets: micro-batch ingest leaves one file
     * per bucket per batch, so long-lived buckets accumulate small files —
     * the engine-side analog of the reference's size-capped bucket rolling
     * (`BucketManager.ts:50-51`). Rewrites each multi-file bucket directory
-    * to `targetFiles` files. Returns the number of buckets compacted.
+    * to `targetFiles` files, purging cross-batch replay duplicates in the
+    * same rewrite (the sstable-compaction half of the upsert contract —
+    * [[openMerged]] is the merge-on-read half; a replayed key's ts lands it
+    * in the same bucket as the original, so bucket-local dedup on the
+    * within-bucket key `(ts, sequence_no, publisher_id, msg_chain_id)` is
+    * exact). Returns the number of buckets compacted.
     *
     * Crash-safe, and defensive against a concurrent writer (though
     * compaction is designed to run from the maintenance path, not to race
@@ -188,7 +221,11 @@ object MessageStore {
         val staging = new Path(b.getPath.getParent, s".${b.getPath.getName}.compact")
         val trash = new Path(b.getPath.getParent, s".${b.getPath.getName}.trash")
         fs.delete(staging, true) // stale staging from an earlier crash
-        spark.read.parquet(b.getPath.toString)
+        val bucketRows = spark.read.parquet(b.getPath.toString)
+        // stream_id/stream_partition are directory levels here, constant
+        // within the bucket — the remaining uniqueness-key columns suffice
+        graft.dedup.Dedup.ingestDedup(bucketRows,
+          graft.model.StreamMessage.uniqueKey.filter(bucketRows.columns.contains))
           .coalesce(targetFiles)
           .write.mode("overwrite").parquet(staging.toString)
         // concurrent-append guard: only swap if the live file set is

@@ -217,6 +217,33 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(MessageStore.open(spark, path)).length == 2)
   }
 
+  test("cross-batch replay: merge-on-read hides duplicates; compaction purges them") {
+    val path = tmpDir("graft-replay-upsert")
+    val m = msg("s", 0, 1700000000000L, 0)
+    MessageStore.append(streamDataOf(m), path)
+    // a later batch replays m and adds a genuinely new message
+    MessageStore.append(streamDataOf(m, msg("s", 0, 1700000001000L, 1)), path)
+    assert(MessageStore.open(spark, path).count() == 3)       // physical: at-least-once
+    assert(MessageStore.openMerged(spark, path).count() == 2) // logical: upsert
+    assert(MessageStore.requestLastBounded(spark, path, "s", 0, 10).count() == 2)
+    // compaction rewrites the bucket without the replay (sstable analog)
+    assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 1)
+    assert(MessageStore.open(spark, path).count() == 2)
+  }
+
+  test("requestLastBounded widens when replays deflate the covering buckets") {
+    val path = tmpDir("graft-lb-widen")
+    val newest = msg("s", 0, 1700000000000L + 86400000L, 2)
+    MessageStore.append(streamDataOf(
+      msg("s", 0, 1700000000000L, 0), msg("s", 0, 1700000001000L, 1), newest), path)
+    MessageStore.append(streamDataOf(newest), path) // replay
+    MessageStore.append(streamDataOf(newest), path) // replay again
+    // newest bucket counts 3 physical rows but holds 1 unique: the physical
+    // covering of limit=3 deflates, so the read must widen to older buckets
+    val got = MessageStore.requestLastBounded(spark, path, "s", 0, 3)
+    assert(keysOf(got).map(_._2) == Seq(0, 1, 2))
+  }
+
   test("compact: writer-recreated-live race states restore originals, not delete them") {
     // state A: trash holds originals, a concurrent writer recreated live,
     // part-level staged .compact still present (crash before swap-in)
