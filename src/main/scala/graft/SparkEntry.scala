@@ -228,6 +228,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // content-derived blocking (multi-probe sign-LSH): near-dup pairs with
+    // no pre-existing partition key — the corpus-scale complement of
+    // q_embed_dup's label blocking
+    "q_embed_dup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     "q_embed_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("label"), col("vec_a"), col("vec_b"))),
@@ -756,6 +763,22 @@ object SparkEntry {
            |      FROM scored)
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      "q_embed_dup_lsh" ->
+        s"""$quantCte,
+           |bkt AS (SELECT vec_id, qe, nq,
+           |  CAST(${(1 to 8).map(i => s"(CASE WHEN qe[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket
+           |  FROM n),
+           |probes AS (SELECT vec_id, qe, nq,
+           |  unnest([bucket] || list_transform(range(8), j -> xor(bucket, CAST(1 << j AS BIGINT)))) AS probe
+           |  FROM bkt)
+           |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       ${dotExpr.format("a.qe", "a.qe", "b.qe")}
+           |         / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cos
+           |FROM probes a JOIN probes b ON a.probe = b.probe AND a.vec_id < b.vec_id
+           |WHERE ${dotExpr.format("a.qe", "a.qe", "b.qe")}
+           |        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.4
+           |ORDER BY vec_a, vec_b""".stripMargin,
 
       "q_embed_dup" ->
         s"""$quantCte

@@ -164,6 +164,35 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs blocked by multi-probe sign-LSH
+    * — the content-derived blocking for corpora with NO cheap existing
+    * partition (the label-blocked [[nearDupPairs]] covers the case where
+    * one exists). Each vector probes its sign bucket plus every one-bit
+    * flip, so a pair surfaces whenever the two sign patterns differ in at
+    * most 2 of the `signBits` dimensions (the pigeonhole argument of
+    * [[graft.dedup.Dedup.simhashPairs]]); high-cosine near-dups rarely flip
+    * many leading signs, and the recall trade is explicit in `signBits`.
+    * Candidate fan-out is bounded per (probe) bucket — (signBits+1) ×
+    * C(occupancy, 2) worst case, never n² — and both self-join sides read
+    * one shared exchange. */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      signBits: Int = 8): DataFrame = {
+    val p = prepared(embeddings)
+      .withColumn("bucket", signBucket(col("qe"), signBits))
+    val probes = p.select(col("vec_id"), col("qe"), col("nq"),
+      explode(array(col("bucket") +:
+        (0 until signBits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+        .as("probe"))
+      .repartition(col("probe"))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.probe") === col("b.probe") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineQ(dotQ(col("a.qe"), col("b.qe")), col("a.nq"), col("b.nq")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair can surface under several probes
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (at 100 TB
     * the blocking key is whatever cheap partition exists — cluster id,
     * shard, LSH bucket — so the self-join shuffles per block, never n²). */

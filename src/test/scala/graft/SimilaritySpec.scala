@@ -68,6 +68,16 @@ class SimilaritySpec extends SparkSpec {
     assert(one == brute)
   }
 
+  test("nearDupPairsLsh: surfaces near-identical vectors without any label blocking") {
+    val corpus = vecsOf(
+      (1L, pad(Seq(1f, 0.01f)), 0),
+      (2L, pad(Seq(1f, 0.011f)), 1),  // near-dup of 1, DIFFERENT label
+      (3L, pad(Seq(-1f, 0.5f)), 0))   // unrelated direction
+    val got = Similarity.nearDupPairsLsh(corpus, threshold = 0.9, signBits = 4)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
   test("nearDupPairs finds same-label near-identical vectors only") {
     val vecs = vecsOf(
       (1L, pad(Seq(1f, 0f, 0f)), 0),
