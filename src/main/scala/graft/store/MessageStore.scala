@@ -66,11 +66,18 @@ object MessageStore {
     * physically (the sstable-compaction analog), making the merge window
     * cheap again. The one-shuffle window is the price of upsert-exact
     * answers; scans that tolerate at-least-once duplicates (e.g. byte-rate
-    * monitoring) can read [[open]] directly. Predicates on the uniqueness
-    * key's leading columns (stream-part, ts) still push below the window —
-    * they are window partition keys — so bucket pruning is preserved. */
-  def openMerged(spark: SparkSession, path: String): DataFrame =
-    graft.dedup.Dedup.ingestDedup(open(spark, path))
+    * monitoring) can read [[open]] directly. The window's partition key is
+    * the uniqueness key PLUS the bucket column: bucket is a function of ts
+    * (constant within every uniqueness group, so grouping is unchanged),
+    * and listing it as a partition key is what lets [[pruneTime]]'s bucket
+    * predicate push below the window to the directory-pruning scan —
+    * Catalyst cannot infer that itself. */
+  def openMerged(spark: SparkSession, path: String): DataFrame = {
+    val store = open(spark, path)
+    val key = graft.model.StreamMessage.uniqueKey ++
+      (if (store.columns.contains("bucket")) Seq("bucket") else Nil)
+    graft.dedup.Dedup.ingestDedup(store, key)
+  }
 
   /** Inject the bucket partition predicate implied by a ts bound. Catalyst
     * does NOT infer `bucket >= trunc(from)` from `ts >= from` (the bucket

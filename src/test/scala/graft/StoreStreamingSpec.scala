@@ -288,6 +288,16 @@ class StoreStreamingSpec extends SparkSpec {
     // widened-bound safety: a from inside a bucket keeps that bucket
     val mid = MessageStore.pruneTime(store, Some(1700000005000L), None)
     assert(mid.count() == 1)
+    // the merge-on-read window must NOT break directory pruning: bucket is
+    // a window partition key precisely so this predicate reaches the scan
+    val merged = MessageStore.pruneTime(
+      MessageStore.openMerged(spark, path), Some(1690000000000L), None)
+    val mergedScanFilters = merged.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.partitionFilters.mkString(" AND ")
+    }.mkString
+    assert(mergedScanFilters.contains("bucket"), mergedScanFilters)
+    assert(keysOf(merged) == Seq((1700000000000L, 1, "publisher", "1")))
   }
 
   test("processBatch replay guard: same batchId appends exactly once") {
