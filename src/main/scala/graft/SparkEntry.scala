@@ -245,6 +245,16 @@ object SparkEntry {
         graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("media_id"))),
 
+    // frame-sample stage (media -> (media_id, frame_idx, frame)): frames
+    // hex-encoded at the output edge only because DuckDB cannot slice
+    // BLOBs — both engines frame the same underlying bytes
+    "q_multimodal_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.asMedia(
+          graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, dir))))
+        .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
     // ---- deduplication for training-data pipelines ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("canonical_id"))),
@@ -797,6 +807,18 @@ object SparkEntry {
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  CAST(ceil(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) / 4) AS BIGINT) AS n_frames
           |FROM documents ORDER BY media_id""".stripMargin,
+
+      // every stride-th 256-byte window of the encoded payload, framed in
+      // hex (2 chars per byte) because DuckDB cannot slice BLOBs
+      "q_multimodal_frames" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+          |         CAST(ceil(ceil(CAST(octet_length(encode(text)) AS DOUBLE)/256)/4) AS BIGINT) AS nf
+          |  FROM documents),
+          |f AS (SELECT media_id, CAST(unnest(range(nf)) AS INT) AS frame_idx, hx FROM m)
+          |SELECT media_id, frame_idx,
+          |       substring(hx, frame_idx*4*256*2 + 1, 512) AS frame_hex
+          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
