@@ -94,6 +94,29 @@ class PropertySpec extends SparkSpec {
     assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
   }
 
+  test("ingestDedup: one deterministic winner (max payload) per uniqueness key") {
+    val genReplayed: Gen[List[StreamMessage]] = for {
+      base <- genMsgs
+      // replay a prefix of the batch, sometimes with a mutated body
+      replayed <- Gen.someOf(base)
+      mutate <- Gen.oneOf(true, false)
+    } yield base ++ replayed.map(m =>
+      if (mutate) m.copy(payload = m.payload + "!") else m)
+    holds(Prop.forAll(genReplayed) { msgs =>
+      val got = graft.dedup.Dedup.ingestDedup(streamDataOf(msgs: _*))
+        .collect().map(r => (
+          (r.getAs[String]("stream_id"), r.getAs[Int]("stream_partition"),
+            r.getAs[java.time.LocalDateTime]("ts"), r.getAs[Int]("sequence_no"),
+            r.getAs[String]("publisher_id"), r.getAs[String]("msg_chain_id")),
+          r.getAs[String]("payload"))).toMap
+      val expect = msgs.groupBy(m =>
+        (m.stream_id, m.stream_partition, m.ts, m.sequence_no,
+          m.publisher_id, m.msg_chain_id))
+        .view.mapValues(_.map(_.payload).max).toMap
+      got == expect
+    })
+  }
+
   test("requestRange(from, to) == requestFrom(from) intersect toBound") {
     holds(Prop.forAll(genMsgs, Gen.choose(0L, 5000L), Gen.choose(0L, 5000L)) {
       (msgs, a, b) =>
