@@ -31,4 +31,31 @@ class ExtensionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT md5_int('x', 16)").collect())
     assert(e.getMessage.contains("md5_int") || e.getMessage.contains("DATATYPE"))
   }
+
+  test("centroid_rank: ids ordered by (squared L2, id); ties break on id; type-checked") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CentroidRank.centroid_rank
+    val s = spark
+    import s.implicits._
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(3.0, 4.0))
+    val got = Seq(Seq(1L, 1L), Seq(9L, 1L), Seq(3L, 4L))
+      .toDF("v")
+      .select(centroid_rank(col("v"), cents).as("r"))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(got(0) == List(0L, 2L, 1L)) // (1,1): d=2 < 20 < 82
+    assert(got(1) == List(1L, 2L, 0L)) // (9,1): d=2 < 45 < 82
+    // (3,4): exactly on centroid 2; centroid 0 at 25, centroid 1 at 65
+    assert(got(2) == List(2L, 0L, 1L))
+    // equidistant centroids keep id order (insertion sort is stable)
+    val tie = Seq(Seq(5L, 0L)).toDF("v")
+      .select(centroid_rank(col("v"), Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))).as("r"))
+      .collect().head.getSeq[Long](0).toList
+    assert(tie == List(0L, 1L))
+    // analysis-time contract: input must be array<bigint>
+    val bad = intercept[Exception](
+      Seq(Seq(1.0, 2.0)).toDF("v")
+        .select(centroid_rank(col("v"), cents)).collect())
+    assert(bad.getMessage.contains("centroid_rank") ||
+      bad.getMessage.contains("DATATYPE"))
+  }
 }
