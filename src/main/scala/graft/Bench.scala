@@ -35,14 +35,17 @@ object Bench {
     // not per-query cost, and dominated run-to-run variance at sf0.1
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); None }
       }
-      // -1 sentinel keeps failures visible in the metrics JSON
-      name -> (if (times.nonEmpty) (times.min, times.head) else (-1.0, -1.0))
+      val ok = times.flatten
+      // -1 sentinel keeps failures visible in the metrics JSON; "first" is
+      // -1 unless run 1 itself succeeded (a warm run must not masquerade
+      // as the cold-start time)
+      name -> (if (ok.nonEmpty) (ok.min, times.head.getOrElse(-1.0)) else (-1.0, -1.0))
     }
     def obj(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")

@@ -35,6 +35,32 @@ object SparkEntry {
     else docs
   }
 
+  /** Per-(sfDir, process) scratch store under java.io.tmpdir, wiped before
+    * each use. The PID suffix keeps concurrent processes (Bench and Verify
+    * on the same sfDir) from clobbering each other's store mid-read, but an
+    * exited process abandons its copy — so each call also sweeps sibling
+    * dirs whose owning process is no longer alive. */
+  private def scratchStore(s: SparkSession, dir: String, tag: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = s"graft_store_${tag}_" + Integer.toHexString(dir.hashCode) + "_p"
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).foreach { st =>
+      val n = st.getPath.getName
+      // any graft scratch store (any tag, any sfDir hash, incl. legacy
+      // un-suffixed names) whose owning process is gone
+      if (n.startsWith("graft_store_")) {
+        val alive = n.split("_p").lastOption.flatMap(_.toLongOption)
+          .exists(pid => ProcessHandle.of(pid)
+            .map[Boolean](_.isAlive).orElse(false))
+        if (!alive) fs.delete(st.getPath, true)
+      }
+    }
+    val path = s"$tmp/$base${ProcessHandle.current().pid()}"
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    path
+  }
+
   // Fixed query constants (UTC, within the 2024-01-01..2024-01-30 data span).
   private val FromTs  = MsgRef(1705276800000L, 4)  // 2024-01-15
   private val RangeFrom = MsgRef(1704672000000L, 3) // 2024-01-08
@@ -74,15 +100,7 @@ object SparkEntry {
     // ---- physical store roundtrip (§1.2, S3-S5): write the relation
     // through the bucketed partition layout, read it back, aggregate ----
     "q_store_roundtrip" -> ((s, dir) => {
-      // per-(sfDir, process) path, wiped before each write: repeated runs
-      // in one JVM reuse it instead of accumulating temp copies, while the
-      // PID suffix keeps concurrent processes (Bench and Verify on the
-      // same sfDir) from clobbering each other's store mid-read
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_rt_" +
-        Integer.toHexString(dir.hashCode) + "_p" + ProcessHandle.current().pid()
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val path = scratchStore(s, dir, "rt")
       graft.store.MessageStore.append(Tables.streamData(s, dir), path)
       BrokerQueries.metadata(graft.store.MessageStore.open(s, path))
         .orderBy(col("stream_id"), col("stream_partition"))
@@ -94,11 +112,7 @@ object SparkEntry {
     // oracle is q_last_n's: the physical path must be observationally
     // identical to the logical-relation read ----
     "q_last_bounded" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_lb_" +
-        Integer.toHexString(dir.hashCode) + "_p" + ProcessHandle.current().pid()
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val path = scratchStore(s, dir, "lb")
       graft.store.MessageStore.append(
         Tables.streamData(s, dir)
           .filter(col("stream_id") === "click" && col("stream_partition") === 3),

@@ -62,8 +62,15 @@ object Dedup {
   def ingestDedup(streamData: DataFrame,
       key: Seq[String] = StreamMessage.uniqueKey): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // payload decides; the remaining envelope columns break payload ties —
+    // a redelivery can carry the same body with a different signature or
+    // group key, and without full-row ordering the surviving row would be
+    // partition-read-order dependent (nondeterministic across runs)
+    val tiebreakers = streamData.columns.toSeq
+      .filterNot(key.contains).filterNot(_ == "payload")
+      .sorted.map(col(_).desc_nulls_last)
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("payload").desc)
+      .orderBy(col("payload").desc +: tiebreakers: _*)
     streamData
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

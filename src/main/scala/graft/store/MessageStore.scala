@@ -160,7 +160,11 @@ object MessageStore {
       take
     }.flatMap { case (b, _) => bucketDirs.get(b) }
     if (needed.isEmpty) return emptyRelation
-    def lastOver(paths: Seq[String]): DataFrame = {
+    // result rows are clamped to MaxResendLast (10k) by contract, so the
+    // answer is collected once — the widen check below would otherwise
+    // re-execute the whole dedup+top-K job when the caller consumes the
+    // returned frame (count + lazy re-read = 2× the serving latency)
+    def lastOver(paths: Seq[String]): Array[org.apache.spark.sql.Row] = {
       val subset = spark.read.parquet(paths: _*)
         .withColumn("stream_id", lit(streamId))
         .withColumn("stream_partition", lit(partition))
@@ -168,16 +172,20 @@ object MessageStore {
       // one logical row before the top-K
       BrokerQueries.requestLast(
         graft.dedup.Dedup.ingestDedup(subset), streamId, partition, limit)
+        .collect()
     }
     val res = lastOver(needed.toIndexedSeq)
     // physical per-bucket counts over-count replayed rows, so the covering
     // buckets can hold fewer UNIQUE rows than `limit`; widen to the whole
-    // part in that (rare — only with replays in the tail buckets) case.
-    // The extra count job runs over the small covering subset only.
+    // part in that (rare — only with replays in the tail buckets) case
     val clamped = math.min(math.max(limit, 0), BrokerQueries.MaxResendLast)
-    if (needed.length < bucketDirs.size && res.count() < clamped)
-      lastOver(bucketDirs.values.toIndexedSeq)
-    else res
+    val rows =
+      if (needed.length < bucketDirs.size && res.length < clamped)
+        lastOver(bucketDirs.values.toIndexedSeq)
+      else res
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      if (rows.isEmpty) graft.model.StreamMessage.schema else rows.head.schema)
   }
 
   /** Compact one stream-part's buckets: micro-batch ingest leaves one file
@@ -218,61 +226,66 @@ object MessageStore {
     if (!fs.exists(partDir)) return 0
     val buckets = fs.listStatus(partDir).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("bucket="))
-    var compacted = 0
-    buckets.foreach { b =>
-      def dataFiles = fs.listStatus(b.getPath)
+    buckets.count(b => compactBucket(spark, fs, b.getPath, targetFiles, minFiles))
+  }
+
+  /** One bucket's dedup-rewrite + crash-safe swap (see [[compactStreamPart]]
+    * for the protocol contract). Returns true when the swap committed. */
+  private def compactBucket(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem, bucket: Path,
+      targetFiles: Int, minFiles: Int): Boolean = {
+    def dataFiles = fs.listStatus(bucket)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen)).toSet
+    val staged = dataFiles
+    if (staged.size < minFiles) return false
+    val staging = new Path(bucket.getParent, s".${bucket.getName}.compact")
+    val trash = new Path(bucket.getParent, s".${bucket.getName}.trash")
+    fs.delete(staging, true) // stale staging from an earlier crash
+    val bucketRows = spark.read.parquet(bucket.toString)
+    // stream_id/stream_partition are directory levels here, constant
+    // within the bucket — the remaining uniqueness-key columns suffice
+    graft.dedup.Dedup.ingestDedup(bucketRows,
+      graft.model.StreamMessage.uniqueKey.filter(bucketRows.columns.contains))
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    // concurrent-append guard: only swap if the live file set is
+    // exactly what was staged
+    if (dataFiles == staged && !fs.exists(trash) &&
+        fs.rename(bucket, trash)) {
+      // the rename is the commit point — re-verify from the trash side
+      // that nothing landed between the re-check and the rename
+      val trashed = fs.listStatus(trash)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(f => (f.getPath.getName, f.getLen)).toSet
-      val staged = dataFiles
-      if (staged.size >= minFiles) {
-        val staging = new Path(b.getPath.getParent, s".${b.getPath.getName}.compact")
-        val trash = new Path(b.getPath.getParent, s".${b.getPath.getName}.trash")
-        fs.delete(staging, true) // stale staging from an earlier crash
-        val bucketRows = spark.read.parquet(b.getPath.toString)
-        // stream_id/stream_partition are directory levels here, constant
-        // within the bucket — the remaining uniqueness-key columns suffice
-        graft.dedup.Dedup.ingestDedup(bucketRows,
-          graft.model.StreamMessage.uniqueKey.filter(bucketRows.columns.contains))
-          .coalesce(targetFiles)
-          .write.mode("overwrite").parquet(staging.toString)
-        // concurrent-append guard: only swap if the live file set is
-        // exactly what was staged
-        if (dataFiles == staged && !fs.exists(trash) &&
-            fs.rename(b.getPath, trash)) {
-          // the rename is the commit point — re-verify from the trash side
-          // that nothing landed between the re-check and the rename
-          val trashed = fs.listStatus(trash)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .map(f => (f.getPath.getName, f.getLen)).toSet
-          // swap-in precondition: live must be absent (rename onto an
-          // existing dir would nest staging inside it)
-          if (trashed == staged && !fs.exists(b.getPath) &&
-              fs.rename(staging, b.getPath)) {
-            // TOCTOU re-check: a writer recreating live between the exists
-            // check and the rename makes Hadoop nest staging INSIDE the new
-            // live dir (rename still returns true). Verify the swap landed
-            // flat before the trash delete — that delete is the only
-            // destructive step. Restore order matters for crash recovery:
-            // originals back first, THEN drop the nested copy (so a
-            // leftover nested dir always means originals are already live,
-            // which is what recoverCompaction assumes).
-            val nested = new Path(b.getPath, staging.getName)
-            if (fs.exists(nested)) {
-              restoreBucket(fs, trash, b.getPath)
-              fs.delete(nested, true)
-            } else {
-              fs.delete(trash, true); compacted += 1
-            }
-          } else {
-            // late append detected, live dir recreated by a concurrent
-            // writer, or swap-in failed: restore originals and abort
-            restoreBucket(fs, trash, b.getPath)
-            fs.delete(staging, true)
-          }
-        } else fs.delete(staging, true) // bucket changed mid-compact: abort
+      // swap-in precondition: live must be absent (rename onto an
+      // existing dir would nest staging inside it)
+      if (trashed == staged && !fs.exists(bucket) &&
+          fs.rename(staging, bucket)) {
+        // TOCTOU re-check: a writer recreating live between the exists
+        // check and the rename makes Hadoop nest staging INSIDE the new
+        // live dir (rename still returns true). Verify the swap landed
+        // flat before the trash delete — that delete is the only
+        // destructive step. Restore order matters for crash recovery:
+        // originals back first, THEN drop the nested copy (so a
+        // leftover nested dir always means originals are already live,
+        // which is what recoverCompaction assumes).
+        val nested = new Path(bucket, staging.getName)
+        if (fs.exists(nested)) {
+          restoreBucket(fs, trash, bucket)
+          fs.delete(nested, true)
+          false
+        } else {
+          fs.delete(trash, true); true
+        }
+      } else {
+        // late append detected, live dir recreated by a concurrent
+        // writer, or swap-in failed: restore originals and abort
+        restoreBucket(fs, trash, bucket)
+        fs.delete(staging, true)
+        false
       }
-    }
-    compacted
+    } else { fs.delete(staging, true); false } // bucket changed mid-compact
   }
 
   /** Put a trashed bucket back: whole-dir rename when the live path is
@@ -335,10 +348,16 @@ object MessageStore {
         val stagedNested = new Path(live, stagedFlat.getName)
         if (fs.exists(stagedFlat) || fs.exists(stagedNested)) {
           // writer recreated live mid-swap: live holds only the writer's
-          // new files — merge the originals back, then drop staged copies
+          // new files — merge the originals back, then drop staged copies.
+          // The merge can also REINTRODUCE rows a committed compaction had
+          // already purged (a stale trash from a pre-delete crash beside a
+          // later run's staging is indistinguishable from this state), so
+          // always dedup-rewrite the merged bucket: duplicates can never
+          // survive recovery, whichever history produced the state.
           restoreBucket(fs, hidden.getPath, live)
           fs.delete(stagedFlat, true)
           fs.delete(stagedNested, true)
+          compactBucket(spark, fs, live, targetFiles = 1, minFiles = 1)
           recovered += live.toString
         } else {
           // flat swap committed (live IS the compacted rows); only the

@@ -244,6 +244,32 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(got).map(_._2) == Seq(0, 1, 2))
   }
 
+  test("recover: a stale trash beside fresh staging cannot resurrect purged replays") {
+    val path = tmpDir("graft-stale-trash")
+    val m = msg("s", 0, 1700000000000L, 0)
+    MessageStore.append(streamDataOf(m), path)
+    MessageStore.append(streamDataOf(m), path) // replay -> 2 physical rows
+    val partDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+    val live = new java.io.File(partDir, "bucket=2023-11-14")
+    // keep a copy of the pre-compaction originals (what a pre-delete-crash
+    // trash dir would hold)
+    val copy = new java.io.File(partDir, ".originals-keep") // dot: invisible to Spark
+    assert(copy.mkdir())
+    live.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(copy, f.getName).toPath)
+    }
+    // compaction commits: replay purged
+    assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 1)
+    assert(MessageStore.open(spark, path).count() == 1)
+    // simulate crash state: stale trash of originals + a later run's staging
+    assert(copy.renameTo(new java.io.File(partDir, ".bucket=2023-11-14.trash")))
+    assert(new java.io.File(partDir, ".bucket=2023-11-14.compact").mkdir())
+    assert(MessageStore.recoverCompaction(spark, path).size == 1)
+    // recovery merged the stale originals but dedup-rewrote the bucket:
+    // the purged replay must NOT come back
+    assert(MessageStore.open(spark, path).count() == 1)
+  }
+
   test("compact: writer-recreated-live race states restore originals, not delete them") {
     // state A: trash holds originals, a concurrent writer recreated live,
     // part-level staged .compact still present (crash before swap-in)
