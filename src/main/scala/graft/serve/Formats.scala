@@ -142,16 +142,19 @@ object Formats {
 
   /** Apply a named format (`object` | `protocol` | `raw`) as the single
     * output column, mirroring `DataQueryFormat.getFormat`
-    * (`DataQueryFormat.ts:43-46`; unknown names fall back to object like
-    * the endpoint's 400 guard) with the optional protocol `version`
+    * (`DataQueryFormat.ts:43-46`) with the optional protocol `version`
     * (`DataQueryEndpoints.ts:79`; None = the protocol's current default).
+    * An unknown name throws, matching the endpoint's 400 guard — like
+    * [[protocolJson]], only the ABSENT parameter defaults (to `object`).
     * `raw` and `protocol` differ only in HTTP framing, which lives in the
     * serving layer. */
   def format(messages: DataFrame, name: String, version: Option[Int] = None): DataFrame =
     name match {
       case "protocol" | "raw" =>
         messages.select(protocolJson(version.getOrElse(31)).as("msg"))
-      case _ => messages.select(objectJson.as("msg"))
+      case "object" => messages.select(objectJson.as("msg"))
+      case other => throw new IllegalArgumentException(
+        s"Unknown format '$other' (supported: object, protocol, raw)")
     }
 
   /** HTTP body chunks for a formatted result — the reference's incremental

@@ -85,9 +85,12 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
 
   /** Register a subscription; `format` picks the wire shape of delivered
     * messages (`object` | `protocol` | `raw`), like the reference's
-    * per-connection payload format. */
+    * per-connection payload format. An unknown name is rejected here, at
+    * registration — not silently served as `object` on every dispatch. */
   def subscribe(subscriberId: String, streamId: String, partition: Int,
       format: String = "object"): Subscription = {
+    require(Set("object", "protocol", "raw")(format),
+      s"Unknown format '$format' (supported: object, protocol, raw)")
     val s = Subscription(subscriberId, streamId, partition,
       new LinkedBlockingQueue[String](queueCapacity), format)
     subs.put((subscriberId, streamId, partition), s)
