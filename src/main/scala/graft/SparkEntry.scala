@@ -314,6 +314,23 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
 
+    // deterministic train/val/test split: membership recomputable from the
+    // row key alone — no split table to store or join at corpus scale
+    "q_split" -> ((s, dir) =>
+      graft.operators.Sampling.splitAssign(Tables.documents(s, dir),
+        col("doc_id"), Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
+
+    // benchmark decontamination: corpus docs sharing > half their shingles
+    // with any benchmark doc (the train/eval contamination scrub)
+    "q_contamination" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // ---- text analysis for training-data pipelines ----
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docsParallel(s, dir)).orderBy(col("doc_id"))),
@@ -929,6 +946,27 @@ object SparkEntry {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_split" ->
+        """WITH h AS (
+          |  SELECT ('0x' || substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS hv
+          |  FROM documents)
+          |SELECT CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split,
+          |       count(*) AS n
+          |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_contamination" ->
+        s"""$shingleCte,
+           |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+           |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1),
+           |o AS (SELECT c.doc_id, b.bench_id, count(*) AS shared
+           |      FROM c JOIN b USING (shingle) GROUP BY 1, 2)
+           |SELECT o.doc_id, o.bench_id, CAST(shared AS BIGINT) AS shared,
+           |       CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) AS overlap
+           |FROM o JOIN sizes USING (doc_id)
+           |WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) > 0.5
+           |ORDER BY doc_id, bench_id""".stripMargin,
 
       "q_sample" ->
         """SELECT lang, count(*) AS n FROM documents

@@ -137,6 +137,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share more than
+    * `maxOverlap` of their shingles with ANY benchmark document — the
+    * train/eval contamination scrub every LLM data pipeline runs before
+    * training. Returns one row per contaminated (corpus doc, benchmark
+    * doc) pair with the overlap fraction (shared shingles / corpus doc's
+    * shingles); a left-anti join of the corpus against `.select("doc_id")`
+    * of this result is the clean set.
+    *
+    * Scale: the benchmark side is small by nature (an eval suite, not a
+    * corpus) — its shingle table broadcasts, so the corpus is scanned once
+    * with a map-side hash join: no corpus shuffle at all until the
+    * per-(pair) count, whose cardinality is bounded by matches, not by
+    * corpus size. */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame, k: Int = 3,
+      maxOverlap: Double = 0.5): DataFrame = {
+    val c = shingleTable(corpus, k)
+    val b = shingleTable(benchmark, k)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val sizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    c.join(broadcast(b), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, "doc_id")
+      .withColumn("overlap", col("shared").cast("double") / col("n").cast("double"))
+      .filter(col("overlap") > maxOverlap)
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("overlap"))
+  }
+
   /** MinHash signatures: numHashes column-wise minima of md5-derived hash
     * families over the shingle set. One groupBy on doc_id. */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {

@@ -33,4 +33,22 @@ object Sampling {
     }
     df.filter(keepExpr)
   }
+
+  /** Deterministic train/val/test split assignment: hash the row key into
+    * [0, total) where total = Σ weights, and label by cumulative range.
+    * The same row lands in the same split on every engine and every run —
+    * the property `df.sample`-based splits lack — so splits survive corpus
+    * re-processing, and membership can be recomputed from the key alone
+    * (no split table to store or join at 100 TB). One narrow map. */
+  def splitAssign(df: DataFrame, key: Column, weights: Seq[(String, Int)],
+      salt: String = "split0"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    val h = md5Int32(concat(lit(s"$salt:"), key.cast("string"))) % total
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val label = weights.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), upper), rest) => when(h < upper, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
 }

@@ -41,4 +41,36 @@ class SamplingSpec extends SparkSpec {
     assert(!out.contains("en"))
     assert(out("de") == 500L)
   }
+
+  test("splitAssign: exhaustive, disjoint, deterministic, ~weighted") {
+    val out = Sampling.splitAssign(docs, col("doc_id"),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)              // every row labeled once
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 200)
+    // repeatable: same assignment on re-run
+    val a = out.select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = Sampling.splitAssign(docs, col("doc_id"),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b)
+  }
+
+  test("contaminationPairs: flags benchmark overlap, spares clean docs") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      (101L, "quick brown fox jumps over a sleeping cat in the barn"), // partial
+      (102L, "completely unrelated text about spark query planning today"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.contaminationPairs(corpus, bench, maxOverlap = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("overlap"))).toMap
+    assert(got.contains(100L) && got(100L) == 1.0)
+    assert(!got.contains(102L))
+  }
 }
