@@ -335,6 +335,16 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // PII scrub: plant a per-doc email + phone so the replacement path is
+    // actually exercised (the raw corpus carries no PII), then redact
+    "q_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.redact(concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567 now"))).as("scrubbed"))
+        .orderBy(col("doc_id"))),
+
     "q_lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(docsParallel(s, dir))
         .orderBy(col("lang"), col("pred_lang"))),
@@ -946,6 +956,18 @@ object SparkEntry {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // generated from the same PiiPatterns constants as the Spark plan
+      // (DuckDB regexp_replace needs the explicit 'g' flag Spark implies)
+      "q_redact" -> {
+        val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@example.com or 555-123-4567 now'"
+        val scrub = TextAnalysis.PiiPatterns.foldLeft(s"($planted)") {
+          case (acc, (re, token)) => s"regexp_replace($acc, '$re', '$token', 'g')"
+        }
+        s"""SELECT doc_id, $scrub AS scrubbed
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
 
       "q_split" ->
         """WITH h AS (

@@ -81,6 +81,21 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** PII scrub patterns — deliberately simple character-class regexes that
+    * parse identically under Java regex and RE2 (DuckDB), so the redaction
+    * is engine-reproducible. Order matters: email first (an address
+    * contains digits a later pattern could mangle). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]" -> "<PHONE>")
+
+  /** Redact PII from a text column: every pattern match replaced by its
+    * token. One narrow codegen'd map — the pre-training scrub pass. */
+  def redact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+
   /** Language-ID: score each language's marker set against the document's
     * tokens (with multiplicity); predicted language = argmax with
     * alphabetical tiebreak. Emitted per doc with the true label for

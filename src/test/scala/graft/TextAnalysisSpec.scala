@@ -64,4 +64,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2)) // order-sensitive rolling hash
     assert(fps.forall(f => f >= 0 && f < TextAnalysis.FingerprintMod))
   }
+
+  test("redact: emails and phone numbers replaced, clean text untouched") {
+    val s2 = spark
+    import s2.implicits._
+    val out = Seq(
+      "mail me at jane.doe+x@sub.example.org or call 555-123-4567 ok",
+      "no pii here at all")
+      .toDF("text")
+      .select(graft.text.TextAnalysis.redact(org.apache.spark.sql.functions.col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> or call <PHONE> ok")
+    assert(out(1) == "no pii here at all")
+  }
 }
