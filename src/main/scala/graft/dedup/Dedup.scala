@@ -152,7 +152,10 @@ object Dedup {
     * corpus size. */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame, k: Int = 3,
       maxOverlap: Double = 0.5): DataFrame = {
-    val c = shingleTable(corpus, k)
+    // one corpus materialization: the doc_id exchange feeds the broadcast
+    // join side AND the sizes aggregate (ReuseExchange), and hash(doc_id)
+    // clustering satisfies both downstream groupBys — no further shuffle
+    val c = shingleTable(corpus, k).repartition(col("doc_id"))
     val b = shingleTable(benchmark, k)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val sizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
