@@ -338,7 +338,7 @@ object SparkEntry {
     // PII scrub: plant a per-doc email + phone so the replacement path is
     // actually exercised (the raw corpus carries no PII), then redact
     "q_redact" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      docsParallel(s, dir)
         .select(col("doc_id"),
           TextAnalysis.redact(concat(col("text"),
             lit(" contact user"), col("doc_id"),

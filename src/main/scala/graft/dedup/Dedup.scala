@@ -146,16 +146,17 @@ object Dedup {
     * of this result is the clean set.
     *
     * Scale: the benchmark side is small by nature (an eval suite, not a
-    * corpus) — its shingle table broadcasts, so the corpus is scanned once
-    * with a map-side hash join: no corpus shuffle at all until the
-    * per-(pair) count, whose cardinality is bounded by matches, not by
-    * corpus size. */
+    * corpus) — its shingle table broadcasts, so the corpus scan stays
+    * map-side. Nothing corpus-sized ever shuffles: the sizes aggregate is
+    * map-side combined (its exchange carries ~one row per document, the
+    * minimal representation of the sizes relation), the per-(pair) count's
+    * cardinality is bounded by matches, and AQE broadcasts that small pair
+    * set for the sizes join. The corpus is scanned twice (join side +
+    * sizes) — two cheap pruned scans beat materializing the corpus-sized
+    * (doc, shingle) table through an exchange. */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame, k: Int = 3,
       maxOverlap: Double = 0.5): DataFrame = {
-    // one corpus materialization: the doc_id exchange feeds the broadcast
-    // join side AND the sizes aggregate (ReuseExchange), and hash(doc_id)
-    // clustering satisfies both downstream groupBys — no further shuffle
-    val c = shingleTable(corpus, k).repartition(col("doc_id"))
+    val c = shingleTable(corpus, k)
     val b = shingleTable(benchmark, k)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val sizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

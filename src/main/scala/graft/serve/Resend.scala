@@ -77,7 +77,12 @@ object Resend {
 final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseable {
 
   final case class Subscription(subscriberId: String, streamId: String, partition: Int,
-      queue: LinkedBlockingQueue[String], format: String = "object")
+      queue: LinkedBlockingQueue[String], format: String = "object") {
+    // validated at construction so a directly-built Subscription can't
+    // reach offer()'s dispatch with a name that silently serves `object`
+    require(Set("object", "protocol", "raw")(format),
+      s"Unknown format '$format' (supported: object, protocol, raw)")
+  }
 
   private val subs = new ConcurrentHashMap[(String, String, Int), Subscription]()
 
@@ -89,8 +94,6 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
     * registration — not silently served as `object` on every dispatch. */
   def subscribe(subscriberId: String, streamId: String, partition: Int,
       format: String = "object"): Subscription = {
-    require(Set("object", "protocol", "raw")(format),
-      s"Unknown format '$format' (supported: object, protocol, raw)")
     val s = Subscription(subscriberId, streamId, partition,
       new LinkedBlockingQueue[String](queueCapacity), format)
     subs.put((subscriberId, streamId, partition), s)

@@ -168,6 +168,10 @@ object MessageStore {
       val subset = spark.read.parquet(paths: _*)
         .withColumn("stream_id", lit(streamId))
         .withColumn("stream_partition", lit(partition))
+        // canonical column order: the empty-store early returns use
+        // StreamMessage.schema, so the non-empty path must not leak the
+        // parquet read order (data columns first, stream-part appended)
+        .select(graft.model.StreamMessage.schema.fieldNames.map(col(_)): _*)
       // merge-on-read (see [[openMerged]]): replayed publishes collapse to
       // one logical row before the top-K
       BrokerQueries.requestLast(

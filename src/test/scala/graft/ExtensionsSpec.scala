@@ -42,7 +42,7 @@ class ExtensionsSpec extends SparkSpec {
       .toDF("v")
       .select(centroid_rank(col("v"), cents).as("r"))
       .collect().map(_.getSeq[Long](0).toList)
-    assert(got(0) == List(0L, 2L, 1L)) // (1,1): d=2 < 20 < 82
+    assert(got(0) == List(0L, 2L, 1L)) // (1,1): d=2 < 13 < 82
     assert(got(1) == List(1L, 2L, 0L)) // (9,1): d=2 < 45 < 82
     // (3,4): exactly on centroid 2; centroid 0 at 25, centroid 1 at 65
     assert(got(2) == List(2L, 0L, 1L))
