@@ -335,6 +335,11 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // repetition quality signals (Gopher-rule family): duplicate-word and
+    // top-bigram fractions over the corpus
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docsParallel(s, dir)).orderBy(col("doc_id"))),
+
     // PII scrub: plant a per-doc email + phone so the replacement path is
     // actually exercised (the raw corpus carries no PII), then redact
     "q_redact" -> ((s, dir) =>
@@ -956,6 +961,28 @@ object SparkEntry {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_repetition" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+          |bg AS (SELECT doc_id,
+          |         unnest(list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])) AS b
+          |       FROM toks),
+          |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |              CAST(count(*) AS BIGINT) AS n_distinct_words,
+          |              CAST(max(c) AS BIGINT) AS top_word_count
+          |       FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+          |       GROUP BY 1),
+          |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |              CAST(max(c) AS BIGINT) AS top_bigram_count
+          |       FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+          |       GROUP BY 1)
+          |SELECT ws.doc_id, n_words, n_distinct_words,
+          |       CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+          |       top_word_count, n_bigrams, top_bigram_count,
+          |       CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+          |FROM ws JOIN bs USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       // generated from the same PiiPatterns constants as the Spark plan
       // (DuckDB regexp_replace needs the explicit 'g' flag Spark implies)

@@ -81,6 +81,38 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** Repetition quality signals (the Gopher-rule family): repeated words
+    * and repeated adjacent word pairs mark boilerplate, OCR noise, and
+    * generation loops. One row per doc: word totals/distincts, the most
+    * repeated word's count, and the top bigram's count + character-free
+    * fraction — exact integer ratios, divided once at the output edge.
+    *
+    * Shape: two explode→count→per-doc aggregates (each map-side combined;
+    * the shuffles carry one row per distinct token per doc, bounded by
+    * document length) joined on doc_id. Nothing corpus-sized shuffles
+    * un-reduced. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val words = docs.select(col("doc_id"), explode(toks).as("w"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))).as("b"))
+    val wordStats = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_count"))
+    val bigramStats = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_count"))
+    wordStats.join(bigramStats, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        ((col("n_words") - col("n_distinct_words")).cast("double")
+          / col("n_words").cast("double")).as("dup_word_frac"),
+        col("top_word_count"), col("n_bigrams"), col("top_bigram_count"),
+        (col("top_bigram_count").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+  }
+
   /** PII scrub patterns — deliberately simple character-class regexes that
     * parse identically under Java regex and RE2 (DuckDB), so the redaction
     * is engine-reproducible. Order matters: email first (an address

@@ -77,4 +77,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == "mail me at <EMAIL> or call <PHONE> ok")
     assert(out(1) == "no pii here at all")
   }
+
+  test("repetition: duplicate-word and top-bigram signals") {
+    val s2 = spark
+    import s2.implicits._
+    val out = Seq(
+      (1L, "a a a b"),             // 4 words, 2 distinct; top word a=3; bigrams: "a a"x2, "a b"
+      (2L, "x y z w"))             // no repetition
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.repetition(out).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_words") == 4L && r1.getAs[Long]("n_distinct_words") == 2L)
+    assert(r1.getAs[Double]("dup_word_frac") == 0.5)
+    assert(r1.getAs[Long]("top_word_count") == 3L)
+    assert(r1.getAs[Long]("n_bigrams") == 3L && r1.getAs[Long]("top_bigram_count") == 2L)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(r2.getAs[Long]("top_bigram_count") == 1L)
+  }
 }
