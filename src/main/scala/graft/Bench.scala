@@ -53,7 +53,16 @@ object Bench {
     // headline stays min-of-runs (first run pays compile-once codegen JIT);
     // per-query first-run times ride along so round-over-round comparisons
     // can line up either aggregate
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    println(json)
+    // also persist the record whole: a log-tail capture can truncate stdout
+    // (BENCH_r05 lost 42 of 54 query entries that way) — a file read back
+    // by the driver cannot be cut mid-line
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -53,7 +53,14 @@ object SparkEntry {
         val alive = n.split("_p").lastOption.flatMap(_.toLongOption)
           .exists(pid => ProcessHandle.of(pid)
             .map[Boolean](_.isAlive).orElse(false))
-        if (!alive) fs.delete(st.getPath, true)
+        // best-effort: a stale entry older than a day is sweepable even if
+        // its PID was recycled by a live process, and a concurrent sweeper
+        // racing us to the delete must not surface into the query run
+        val stale = !alive ||
+          st.getModificationTime < System.currentTimeMillis() - 24L * 3600 * 1000
+        if (stale)
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
       }
     }
     val path = s"$tmp/$base${ProcessHandle.current().pid()}"

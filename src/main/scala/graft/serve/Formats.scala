@@ -169,9 +169,11 @@ object Formats {
     val rows = formatted.toLocalIterator().asScala.map(_.getString(0))
     name match {
       case "raw" => rows.map(_ + "\n")
-      case _ =>
+      case "object" | "protocol" =>
         val joined = rows.zipWithIndex.map { case (m, i) => if (i == 0) m else "," + m }
         Iterator("[") ++ joined ++ Iterator("]")
+      case other => throw new IllegalArgumentException(
+        s"Unknown format '$other' (supported: object, protocol, raw)")
     }
   }
 }

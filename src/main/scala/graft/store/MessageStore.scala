@@ -164,20 +164,8 @@ object MessageStore {
     // answer is collected once — the widen check below would otherwise
     // re-execute the whole dedup+top-K job when the caller consumes the
     // returned frame (count + lazy re-read = 2× the serving latency)
-    def lastOver(paths: Seq[String]): Array[org.apache.spark.sql.Row] = {
-      val subset = spark.read.parquet(paths: _*)
-        .withColumn("stream_id", lit(streamId))
-        .withColumn("stream_partition", lit(partition))
-        // canonical column order: the empty-store early returns use
-        // StreamMessage.schema, so the non-empty path must not leak the
-        // parquet read order (data columns first, stream-part appended)
-        .select(graft.model.StreamMessage.schema.fieldNames.map(col(_)): _*)
-      // merge-on-read (see [[openMerged]]): replayed publishes collapse to
-      // one logical row before the top-K
-      BrokerQueries.requestLast(
-        graft.dedup.Dedup.ingestDedup(subset), streamId, partition, limit)
-        .collect()
-    }
+    def lastOver(paths: Seq[String]): Array[org.apache.spark.sql.Row] =
+      boundedLastPlan(spark, paths, streamId, partition, limit).collect()
     val res = lastOver(needed.toIndexedSeq)
     // physical per-bucket counts over-count replayed rows, so the covering
     // buckets can hold fewer UNIQUE rows than `limit`; widen to the whole
@@ -190,6 +178,27 @@ object MessageStore {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
       if (rows.isEmpty) graft.model.StreamMessage.schema else rows.head.schema)
+  }
+
+  /** The dedup+top-K plan [[requestLastBounded]] executes over its covering
+    * bucket directories — extracted so the plan contract can be asserted on
+    * the REAL physical read path (the bounded read collects eagerly, so its
+    * returned relation is driver-local and plan-opaque). */
+  private[graft] def boundedLastPlan(
+      spark: SparkSession, paths: Seq[String], streamId: String,
+      partition: Int, limit: Int): DataFrame = {
+    import graft.operators.BrokerQueries
+    val subset = spark.read.parquet(paths: _*)
+      .withColumn("stream_id", lit(streamId))
+      .withColumn("stream_partition", lit(partition))
+      // canonical column order: the empty-store early returns use
+      // StreamMessage.schema, so the non-empty path must not leak the
+      // parquet read order (data columns first, stream-part appended)
+      .select(graft.model.StreamMessage.schema.fieldNames.map(col(_)): _*)
+    // merge-on-read (see [[openMerged]]): replayed publishes collapse to
+    // one logical row before the top-K
+    BrokerQueries.requestLast(
+      graft.dedup.Dedup.ingestDedup(subset), streamId, partition, limit)
   }
 
   /** Compact one stream-part's buckets: micro-batch ingest leaves one file

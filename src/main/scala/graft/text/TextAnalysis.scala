@@ -94,9 +94,16 @@ object TextAnalysis {
   def repetition(docs: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     val words = docs.select(col("doc_id"), explode(toks).as("w"))
+    // Docs with <2 tokens have no bigrams: emit an empty array (explode then
+    // yields no rows, so the inner join below drops them — exactly like the
+    // oracle's `range(len-1)` + inner join). Without the guard, size-2 goes
+    // negative and sequence() produces a descending index list whose
+    // element_at(0) throws at runtime.
     val bigrams = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))).as("b"))
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("b"))
     val wordStats = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct_words"),
