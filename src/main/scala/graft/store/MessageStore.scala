@@ -74,10 +74,76 @@ object MessageStore {
     * Catalyst cannot infer that itself. */
   def openMerged(spark: SparkSession, path: String): DataFrame = {
     val store = open(spark, path)
-    val key = graft.model.StreamMessage.uniqueKey ++
-      (if (store.columns.contains("bucket")) Seq("bucket") else Nil)
-    graft.dedup.Dedup.ingestDedup(store, key)
+    if (!store.columns.contains("bucket"))
+      return graft.dedup.Dedup.ingestDedup(store, graft.model.StreamMessage.uniqueKey)
+    val key = graft.model.StreamMessage.uniqueKey :+ "bucket"
+    // Replays can only exist in buckets that received appends after their
+    // last compaction ([[compactBucket]] purges them and stamps a _clean
+    // marker recording the committed file count — any later append changes
+    // the count and voids the marker). Split the scan: clean buckets read
+    // window-free, only dirty buckets pay the merge shuffle — so the
+    // steady post-compaction state serves at plain-scan cost, the engine
+    // analog of Cassandra upserts being free after sstable compaction.
+    // The cleanliness sweep is driver-side FS metadata, the same listing
+    // Spark's file index performs for any read; a production deployment
+    // would serve it from the manifest/metastore instead.
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (clean, dirty) = bucketDirs(fs, new Path(path))
+      .partition(b => isCleanBucket(fs, b))
+    if (dirty.isEmpty && clean.nonEmpty) return store
+    if (clean.isEmpty) return graft.dedup.Dedup.ingestDedup(store, key)
+    val base = spark.read.option("basePath", path)
+    val cleanScan = base.parquet(clean.map(_.toString): _*)
+    val mergedScan = graft.dedup.Dedup.ingestDedup(
+      base.parquet(dirty.map(_.toString): _*), key)
+    cleanScan.unionByName(mergedScan)
   }
+
+  /** Marker file a committed compaction stamps into its bucket directory:
+    * holds the parquet-file count at commit, so validity is checkable from
+    * one directory listing (appends after compaction add files and void
+    * the marker). Underscore-prefixed — parquet readers skip it. */
+  val CleanMarker = "_clean"
+
+  private def parquetFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      bucket: Path): Int =
+    fs.listStatus(bucket)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
+  private def writeCleanMarker(fs: org.apache.hadoop.fs.FileSystem,
+      bucket: Path): Unit = {
+    val out = fs.create(new Path(bucket, CleanMarker), true)
+    try out.write(String.valueOf(parquetFileCount(fs, bucket)).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** True when the bucket's `_clean` marker exists and still matches the
+    * directory's parquet-file count — i.e. no append since the marker was
+    * stamped. Conservative on any read failure. */
+  private[store] def isCleanBucket(fs: org.apache.hadoop.fs.FileSystem,
+      bucket: Path): Boolean =
+    try {
+      val m = new Path(bucket, CleanMarker)
+      if (!fs.exists(m)) false
+      else {
+        val in = fs.open(m)
+        val recorded =
+          try new String(in.readAllBytes(), "UTF-8").trim.toIntOption
+          finally in.close()
+        recorded.contains(parquetFileCount(fs, bucket))
+      }
+    } catch { case _: java.io.IOException => false }
+
+  /** All live bucket directories under the store root. */
+  private def bucketDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] =
+    (for {
+      stream <- fs.listStatus(root) if stream.isDirectory
+      if stream.getPath.getName.startsWith("stream_id=")
+      part <- fs.listStatus(stream.getPath) if part.isDirectory
+      bucket <- fs.listStatus(part.getPath)
+      if bucket.isDirectory && bucket.getPath.getName.startsWith("bucket=")
+    } yield bucket.getPath).toSeq
 
   /** Inject the bucket partition predicate implied by a ts bound. Catalyst
     * does NOT infer `bucket >= trunc(from)` from `ts >= from` (the bucket
@@ -164,8 +230,13 @@ object MessageStore {
     // answer is collected once — the widen check below would otherwise
     // re-execute the whole dedup+top-K job when the caller consumes the
     // returned frame (count + lazy re-read = 2× the serving latency)
-    def lastOver(paths: Seq[String]): Array[org.apache.spark.sql.Row] =
-      boundedLastPlan(spark, paths, streamId, partition, limit).collect()
+    def lastOver(paths: Seq[String]): Array[org.apache.spark.sql.Row] = {
+      // compacted buckets hold no replays (marker voided by any append), so
+      // a read covered entirely by clean buckets skips the dedup window —
+      // the common steady-state serve is scan + top-K only
+      val dedup = !paths.forall(p => isCleanBucket(fs, new Path(p)))
+      boundedLastPlan(spark, paths, streamId, partition, limit, dedup).collect()
+    }
     val res = lastOver(needed.toIndexedSeq)
     // physical per-bucket counts over-count replayed rows, so the covering
     // buckets can hold fewer UNIQUE rows than `limit`; widen to the whole
@@ -186,7 +257,7 @@ object MessageStore {
     * returned relation is driver-local and plan-opaque). */
   private[graft] def boundedLastPlan(
       spark: SparkSession, paths: Seq[String], streamId: String,
-      partition: Int, limit: Int): DataFrame = {
+      partition: Int, limit: Int, dedup: Boolean = true): DataFrame = {
     import graft.operators.BrokerQueries
     val subset = spark.read.parquet(paths: _*)
       .withColumn("stream_id", lit(streamId))
@@ -196,9 +267,11 @@ object MessageStore {
       // parquet read order (data columns first, stream-part appended)
       .select(graft.model.StreamMessage.schema.fieldNames.map(col(_)): _*)
     // merge-on-read (see [[openMerged]]): replayed publishes collapse to
-    // one logical row before the top-K
+    // one logical row before the top-K; skipped when every covering bucket
+    // is marker-clean (no replays can exist)
     BrokerQueries.requestLast(
-      graft.dedup.Dedup.ingestDedup(subset), streamId, partition, limit)
+      if (dedup) graft.dedup.Dedup.ingestDedup(subset) else subset,
+      streamId, partition, limit)
   }
 
   /** Compact one stream-part's buckets: micro-batch ingest leaves one file
@@ -289,7 +362,13 @@ object MessageStore {
           fs.delete(nested, true)
           false
         } else {
-          fs.delete(trash, true); true
+          fs.delete(trash, true)
+          // swap committed: the bucket now holds exactly the dedup-rewritten
+          // files — stamp it clean so reads skip the merge window until the
+          // next append (a crash before the stamp just leaves the bucket
+          // conservatively unclean)
+          writeCleanMarker(fs, bucket)
+          true
         }
       } else {
         // late append detected, live dir recreated by a concurrent

@@ -110,6 +110,32 @@ class EngineSpec extends SparkSpec {
     } finally { q.stop(); engine.close() }
   }
 
+  test("replay + compact + read: serving semantics unchanged, clean reads window-free") {
+    val engine = new GraftEngine(spark,
+      Files.createTempDirectory("graft-clean-engine").toString)
+    val now = 10000L
+    assert(engine.publish(streamDataOf(
+      msg("s", 0, 1000L, 0), msg("s", 0, 2000L, 1)), now) == 2)
+    // a later batch replays seq 1 and adds seq 2 — upsert view hides the replay
+    assert(engine.publish(streamDataOf(
+      msg("s", 0, 2000L, 1), msg("s", 0, 3000L, 2)), now) == 2)
+    def servedSeqs = engine.last("s", 0, 10)
+      .collect { case graft.serve.Resend.Unicast(_) => () }.size
+    assert(servedSeqs == 3)
+    assert(engine.metadata("s", 0).get._1 == 3)
+    // compaction purges the replay and stamps the bucket clean: the same
+    // reads now plan without the merge window
+    assert(engine.compact("s", 0) == 1)
+    assert(servedSeqs == 3)
+    assert(engine.metadata("s", 0).get._1 == 3)
+    val plan = engine.table.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange"), plan)
+    // range read through the engine facade stays identical post-compaction
+    val ranged = engine.range("s", 0, MsgRef(1000L, 0), MsgRef(3000L, 9))
+      .collect { case graft.serve.Resend.Unicast(m) => m }.toSeq
+    assert(ranged.size == 3)
+  }
+
   test("envelope (prevRef/signature/encryption) round-trips through the store") {
     val engine = new GraftEngine(spark,
       Files.createTempDirectory("graft-envelope").toString)

@@ -231,6 +231,59 @@ class StoreStreamingSpec extends SparkSpec {
     assert(MessageStore.open(spark, path).count() == 2)
   }
 
+  test("clean markers: fully-compacted store reads window-free, appends void the marker") {
+    val path = tmpDir("graft-clean")
+    val m = msg("s", 0, 1700000000000L, 0)
+    MessageStore.append(streamDataOf(m), path)
+    MessageStore.append(streamDataOf(m, msg("s", 0, 1700000001000L, 1)), path)
+    def mergedPlan = MessageStore.openMerged(spark, path)
+      .queryExecution.executedPlan.toString
+    // dirty store (replay present): the merged read pays the window
+    assert(mergedPlan.contains("Window"))
+    assert(MessageStore.openMerged(spark, path).count() == 2)
+    // compaction stamps the bucket clean: NO Window and NO Exchange — the
+    // steady-state serve is a plain scan
+    assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 1)
+    assert(!mergedPlan.contains("Window") && !mergedPlan.contains("Exchange"),
+      mergedPlan)
+    assert(MessageStore.openMerged(spark, path).count() == 2)
+    // the bounded last-N read skips its dedup too over clean buckets
+    assert(MessageStore.requestLastBounded(spark, path, "s", 0, 10).count() == 2)
+    // an append after compaction voids the marker: the window returns and
+    // the replayed row stays merged away
+    MessageStore.append(streamDataOf(m), path)
+    assert(mergedPlan.contains("Window"))
+    assert(MessageStore.openMerged(spark, path).count() == 2)
+    assert(MessageStore.requestLastBounded(spark, path, "s", 0, 10).count() == 2)
+  }
+
+  test("clean markers: mixed store merges only dirty buckets") {
+    val path = tmpDir("graft-clean-mixed")
+    val dayMs = 86400000L
+    val a = msg("s", 0, 1700000000000L, 0)
+    val b = msg("s", 0, 1700000000000L + dayMs, 1)
+    MessageStore.append(streamDataOf(a, b), path)
+    MessageStore.append(streamDataOf(a, b), path) // replays in both buckets
+    assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 2)
+    // dirty exactly one bucket: replay b again + a genuinely new row
+    MessageStore.append(
+      streamDataOf(b, msg("s", 0, 1700000001000L + dayMs, 2)), path)
+    val merged = MessageStore.openMerged(spark, path)
+    val plan = merged.queryExecution.executedPlan.toString
+    // union of a window-free clean scan and one windowed dirty scan
+    assert(plan.contains("Union") && plan.contains("Window"), plan)
+    assert(keysOf(merged).map(_._2).sorted == Seq(0, 1, 2))
+    // time pruning still reaches partition filters under the union+window
+    val pruned = MessageStore.pruneTime(merged,
+      Some(1700000000000L + dayMs), None)
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.partitionFilters.mkString(" AND ")
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("bucket")), scans.mkString("; "))
+    assert(keysOf(pruned).map(_._2).sorted == Seq(1, 2))
+  }
+
   test("requestLastBounded widens when replays deflate the covering buckets") {
     val path = tmpDir("graft-lb-widen")
     val newest = msg("s", 0, 1700000000000L + 86400000L, 2)
