@@ -94,22 +94,25 @@ final class GraftEngine(
 
   // ---- reads (§3.1): resend envelope over the chosen format ----
   def last(streamId: String, partition: Int, n: Int,
-      format: String = "object"): Iterator[Resend.Frame] =
+      format: String = "object", version: Option[Int] = None): Iterator[Resend.Frame] =
     // bounded scan: newest buckets only (Storage.ts:142-181 analog)
     Resend.envelope(Formats.format(
       MessageStore.requestLastBounded(spark, storePath, streamId, partition,
         math.min(math.max(n, 0), BrokerQueries.MaxResendLast)),
-      format))
+      format, version))
 
   def from(streamId: String, partition: Int, ref: MsgRef,
-      format: String = "object"): Iterator[Resend.Frame] =
+      format: String = "object", version: Option[Int] = None,
+      publisher: Option[String] = None): Iterator[Resend.Frame] =
     Resend.from(MessageStore.pruneTime(table, Some(ref.tsMs), None),
-      streamId, partition, ref, format)
+      streamId, partition, ref, format, version, publisher)
 
   def range(streamId: String, partition: Int, fromRef: MsgRef, toRef: MsgRef,
-      format: String = "object"): Iterator[Resend.Frame] =
+      format: String = "object", version: Option[Int] = None,
+      publisher: Option[String] = None,
+      msgChain: Option[String] = None): Iterator[Resend.Frame] =
     Resend.range(MessageStore.pruneTime(table, Some(fromRef.tsMs), Some(toRef.tsMs)),
-      streamId, partition, fromRef, toRef, format)
+      streamId, partition, fromRef, toRef, format, version, publisher, msgChain)
 
   /** Metadata endpoints (count/bytes/first/last per stream-part). */
   def metadata(streamId: String, partition: Int): Option[(Long, Long, Long, Long)] =

@@ -1,0 +1,150 @@
+package graft.serve
+
+import graft.GraftEngine
+import graft.operators.BrokerQueries.MsgRef
+
+/** The reference's REST data-query parameter validation and error contract
+  * (`/root/reference/src/http/DataQueryEndpoints.ts:54-56,119-197`) as a
+  * pure `request → Either[error, frames]` function over the engine's
+  * `last`/`from`/`range` reads. The express/auth/socket plumbing is out of
+  * scope per SURVEY §2.1 (library boundary), but the parameter parsing
+  * rules and the exact 400 messages are behavior a client observes, so
+  * they live here, testable without a server:
+  *
+  *  - path `partition` must parse as a number (router middleware,
+  *    `DataQueryEndpoints.ts:119-127`);
+  *  - `format` defaults to `object`, unknown names are 400
+  *    (`DataQueryFormat.ts:43-46` lookup + the route's guard);
+  *  - `last`: optional `count` (default 1) must parse;
+  *  - `from`: `fromTimestamp` required and numeric;
+  *    `fromSequenceNumber` optional (default 0); optional `publisherId`;
+  *  - `range`: rejects the legacy `fromOffset`/`toOffset` params, requires
+  *    numeric `fromTimestamp`/`toTimestamp`, takes optional sequence
+  *    bounds, and `publisherId`/`msgChainId` must come together.
+  *
+  * Numbers parse with JS `parseInt` semantics (leading decimal digits,
+  * junk tail ignored, no digits → NaN) so a request that passed the
+  * reference passes here. One deliberate tightening: a non-numeric or
+  * unsupported protocol `version` is a fail-fast 400, where the reference
+  * throws mid-stream after the 200 header is already out
+  * (`serialize(NaN)` inside the ResponseTransform) — the same request
+  * fails in both engines, this one just fails cleanly. */
+object QueryApi {
+
+  /** Sequence-number defaults (`DataQueryEndpoints.ts:17-18`). */
+  val MinSequenceNumberValue = 0
+  val MaxSequenceNumberValue = 2147483647
+
+  final case class ApiError(status: Int, error: String)
+
+  /** One parsed GET request: `endpoint` ∈ last | from | range, the two
+    * path parameters exactly as the router captured them (unparsed), and
+    * the query-string map. */
+  final case class QueryRequest(
+      endpoint: String,
+      streamId: String,
+      partition: String,
+      query: Map[String, String] = Map.empty)
+
+  /** JS `parseInt` over a query value: optional sign, leading decimal
+    * digits, anything after the digits ignored; no leading digits → NaN
+    * (None here). */
+  private[serve] def jsParseInt(s: String): Option[Long] =
+    "^[+-]?[0-9]+".r.findFirstIn(s.trim).flatMap(_.toLongOption)
+
+  private val Formats = Set("object", "protocol", "raw")
+
+  def handle(engine: GraftEngine, req: QueryRequest)
+      : Either[ApiError, Iterator[Resend.Frame]] = {
+    def bad(msg: String) = Left(ApiError(400, msg))
+    val q = req.query
+    jsParseInt(req.partition) match {
+      case None =>
+        bad(s"""Path parameter "partition" not a number: ${req.partition}""")
+      case Some(partitionL) =>
+        val partition = partitionL.toInt
+        val formatName = q.getOrElse("format", "object")
+        if (!Formats.contains(formatName))
+          bad(s"""Query parameter "format" is invalid: ${q.getOrElse("format", "")}""")
+        else {
+          val versionRaw = q.get("version")
+          val version = versionRaw.flatMap(jsParseInt).map(_.toInt)
+          if (versionRaw.isDefined && version.isEmpty)
+            bad(s"""Query parameter "version" not a number: ${versionRaw.get}""")
+          else
+            try dispatch(engine, req, partition, formatName, version)
+            catch {
+              // unsupported wire version: Formats.protocolJson throws at
+              // plan build — surface it as the fail-fast 400
+              case e: IllegalArgumentException => bad(String.valueOf(e.getMessage))
+            }
+        }
+    }
+  }
+
+  private def dispatch(engine: GraftEngine, req: QueryRequest, partition: Int,
+      format: String, version: Option[Int])
+      : Either[ApiError, Iterator[Resend.Frame]] = {
+    def bad(msg: String) = Left(ApiError(400, msg))
+    val q = req.query
+    // JS `parseIntIfExists(x) || DEFAULT`: NaN is falsy, so junk falls to
+    // the default — and so does an explicit 0 (a quirk the upper bound
+    // inherits: toSequenceNumber=0 means MAX there, mirrored faithfully)
+    def seqOr(name: String, default: Long): Long =
+      q.get(name).flatMap(jsParseInt).filter(_ != 0L).getOrElse(default)
+    def nonEmpty(name: String): Option[String] = q.get(name).filter(_.nonEmpty)
+    req.endpoint match {
+      case "last" =>
+        val countRaw = q.get("count")
+        countRaw.map(jsParseInt) match {
+          case Some(None) =>
+            bad(s"""Query parameter "count" not a number: ${countRaw.get}""")
+          case parsed =>
+            val n = parsed.flatten.getOrElse(1L)
+            Right(engine.last(req.streamId, partition,
+              n.min(Int.MaxValue).max(0L).toInt, format, version))
+        }
+      case "from" =>
+        q.get("fromTimestamp") match {
+          case None => bad("""Query parameter "fromTimestamp" required.""")
+          case Some(raw) => jsParseInt(raw) match {
+            case None =>
+              bad(s"""Query parameter "fromTimestamp" not a number: $raw""")
+            case Some(fromTs) =>
+              val fromSeq = seqOr("fromSequenceNumber", MinSequenceNumberValue)
+              Right(engine.from(req.streamId, partition,
+                MsgRef(fromTs, fromSeq.toInt), format, version,
+                nonEmpty("publisherId")))
+          }
+        }
+      case "range" =>
+        val publisher = nonEmpty("publisherId")
+        val msgChain = nonEmpty("msgChainId")
+        if (q.contains("fromOffset") || q.contains("toOffset"))
+          bad("Query parameters \"fromOffset\" and \"toOffset\" are no longer " +
+            "supported. Please use \"fromTimestamp\" and \"toTimestamp\".")
+        else (q.get("fromTimestamp"), q.get("toTimestamp")) match {
+          case (None, _) => bad("""Query parameter "fromTimestamp" required.""")
+          case (Some(fRaw), _) if jsParseInt(fRaw).isEmpty =>
+            bad(s"""Query parameter "fromTimestamp" not a number: $fRaw""")
+          case (_, None) =>
+            bad("Query parameter \"toTimestamp\" required as well. To request " +
+              "all messages since a timestamp, use the endpoint " +
+              "/streams/:id/data/partitions/:partition/from")
+          case (_, Some(tRaw)) if jsParseInt(tRaw).isEmpty =>
+            bad(s"""Query parameter "toTimestamp" not a number: $tRaw""")
+          case _ if publisher.isDefined != msgChain.isDefined =>
+            bad("""Invalid combination of "publisherId" and "msgChainId"""")
+          case (Some(fRaw), Some(tRaw)) =>
+            Right(engine.range(req.streamId, partition,
+              MsgRef(jsParseInt(fRaw).get,
+                seqOr("fromSequenceNumber", MinSequenceNumberValue).toInt),
+              MsgRef(jsParseInt(tRaw).get,
+                seqOr("toSequenceNumber", MaxSequenceNumberValue).toInt),
+              format, version, publisher, msgChain))
+        }
+      case other =>
+        Left(ApiError(404, s"Unknown endpoint: $other"))
+    }
+  }
+}

@@ -42,19 +42,25 @@ object Resend {
 
   /** The three resend shapes, pre-formatted (`format`: object|protocol|raw). */
   def last(streamData: DataFrame, streamId: String, partition: Int, n: Int,
-      format: String = "object"): Iterator[Frame] =
+      format: String = "object", version: Option[Int] = None): Iterator[Frame] =
     envelope(Formats.format(
-      BrokerQueries.requestLast(streamData, streamId, partition, n), format))
+      BrokerQueries.requestLast(streamData, streamId, partition, n), format, version))
 
   def from(streamData: DataFrame, streamId: String, partition: Int, ref: MsgRef,
-      format: String = "object"): Iterator[Frame] =
+      format: String = "object", version: Option[Int] = None,
+      publisher: Option[String] = None): Iterator[Frame] =
     envelope(Formats.format(
-      BrokerQueries.requestFrom(streamData, streamId, partition, ref), format))
+      BrokerQueries.requestFrom(streamData, streamId, partition, ref, publisher),
+      format, version))
 
   def range(streamData: DataFrame, streamId: String, partition: Int,
-      fromRef: MsgRef, toRef: MsgRef, format: String = "object"): Iterator[Frame] =
+      fromRef: MsgRef, toRef: MsgRef, format: String = "object",
+      version: Option[Int] = None, publisher: Option[String] = None,
+      msgChain: Option[String] = None): Iterator[Frame] =
     envelope(Formats.format(
-      BrokerQueries.requestRange(streamData, streamId, partition, fromRef, toRef), format))
+      BrokerQueries.requestRange(streamData, streamId, partition, fromRef, toRef,
+        publisher, msgChain),
+      format, version))
 }
 
 /** Live-subscription registry (R1): bounded queues per (subscriber,
