@@ -140,6 +140,18 @@ final class GraftEngine(
     MessageStore.compactStreamPart(spark, storePath, streamId, partition)
   }
 
+  /** Policy-driven maintenance across the whole store: compact every
+    * bucket whose per-batch file count reached `maxFilesPerBucket` (the
+    * reference's size-triggered bucket rolling, `BucketManager.ts:50-51,
+    * 105-107`). Run it on a maintenance cadence; buckets under the
+    * threshold cost only a directory listing. Compacted buckets come out
+    * replay-purged and marker-clean, so serving reads over them skip the
+    * merge window. Returns buckets compacted. */
+  def autoCompact(maxFilesPerBucket: Int = 4): Int = {
+    MessageStore.recoverCompaction(spark, storePath)
+    MessageStore.autoCompact(spark, storePath, maxFilesPerBucket)
+  }
+
   /** Retention: drop buckets whose newest row is older than
     * `retentionDays` (default 365 like the reference,
     * `DeleteExpiredCmd.ts:91`). Returns dropped bucket paths. */

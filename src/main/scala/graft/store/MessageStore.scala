@@ -315,6 +315,28 @@ object MessageStore {
     buckets.count(b => compactBucket(spark, fs, b.getPath, targetFiles, minFiles))
   }
 
+  /** Policy-driven compaction across the whole store: compact exactly the
+    * buckets whose accumulated per-batch file count reached
+    * `maxFilesPerBucket` — the maintenance-side analog of the reference's
+    * size-triggered bucket rolling (`BucketManager.ts:50-51` caps a bucket
+    * at 100 MB / 500k records and rolls it when `incrementBucket` pushes it
+    * past the cap, `BucketManager.ts:105-107`). The trigger here is file
+    * count, not bytes, because micro-batch ingest makes files-per-bucket
+    * the cost that actually grows (one file per batch): reads pay per-file
+    * open/footer overhead, so the policy bounds exactly that. The sweep is
+    * pure filesystem metadata — no data reads for buckets under the
+    * threshold. Returns the number of buckets compacted. */
+  def autoCompact(spark: SparkSession, path: String,
+      maxFilesPerBucket: Int = 4, targetFiles: Int = 1): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    bucketDirs(fs, root).count { b =>
+      parquetFileCount(fs, b) >= maxFilesPerBucket &&
+        compactBucket(spark, fs, b, targetFiles, minFiles = maxFilesPerBucket)
+    }
+  }
+
   /** One bucket's dedup-rewrite + crash-safe swap (see [[compactStreamPart]]
     * for the protocol contract). Returns true when the swap committed. */
   private def compactBucket(

@@ -136,6 +136,34 @@ class EngineSpec extends SparkSpec {
     assert(ranged.size == 3)
   }
 
+  test("autoCompact: repeated small publishes trigger compaction at the file threshold") {
+    val path = Files.createTempDirectory("graft-autocompact").toString
+    val engine = new GraftEngine(spark, path)
+    val now = 10000L
+    val dayMs = 86400000L
+    // hot bucket: 4 single-row publishes -> 4 files; cold bucket: 2 files
+    (0 until 4).foreach { i =>
+      assert(engine.publish(streamDataOf(msg("s", 0, 1000L + i, i)), now) == 1)
+    }
+    (0 until 2).foreach { i =>
+      assert(engine.publish(streamDataOf(msg("s", 0, dayMs + 1000L + i, i)), now + dayMs) == 1)
+    }
+    def files(bucket: String) = new java.io.File(
+      s"$path/stream_id=s/stream_partition=0/bucket=$bucket")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("1970-01-01") == 4 && files("1970-01-02") == 2)
+    // threshold 4: only the hot bucket compacts; the cold one is untouched
+    assert(engine.autoCompact(maxFilesPerBucket = 4) == 1)
+    assert(files("1970-01-01") == 1 && files("1970-01-02") == 2)
+    assert(engine.metadata("s", 0).get._1 == 6)
+    // idempotent: nothing above threshold anymore
+    assert(engine.autoCompact(maxFilesPerBucket = 4) == 0)
+    // lower threshold sweeps the rest; rows preserved throughout
+    assert(engine.autoCompact(maxFilesPerBucket = 2) == 1)
+    assert(files("1970-01-02") == 1)
+    assert(engine.metadata("s", 0).get._1 == 6)
+  }
+
   test("envelope (prevRef/signature/encryption) round-trips through the store") {
     val engine = new GraftEngine(spark,
       Files.createTempDirectory("graft-envelope").toString)
