@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT md5_partition(key, 10) ...")` works the
@@ -46,6 +46,13 @@ object GraftExtensions {
       { args =>
         require(args.size == 2, "md5_int(key, hexDigits)")
         Md5Int(Cast(args.head, StringType), Cast(args(1), IntegerType))
+      }),
+    (FunctionIdentifier("fingerprint_fold"),
+      info("fingerprint_fold",
+        "fingerprint_fold(tokens, p) - fold (acc*31 + md5_int(tok, 8)) mod p over an array<string>"),
+      { args =>
+        require(args.size == 2, "fingerprint_fold(tokens, mod)")
+        FingerprintFold(args.head, Cast(args(1), LongType))
       }))
 
   /** Register on an existing session (tests, notebooks). */

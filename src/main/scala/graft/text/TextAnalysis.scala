@@ -173,9 +173,9 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      aggregate(
-        wsTokens(col("text")),
-        lit(0L),
-        (acc, t) => (acc * lit(31L) + md5Int32(t)) % lit(FingerprintMod))
+      // native codegen fold — the declarative aggregate() HOF ran
+      // interpreted (closure + boxed Long per token in the hottest text map)
+      graft.functions.FingerprintFold
+        .fingerprint_fold(wsTokens(col("text")), FingerprintMod)
         .as("fp"))
 }

@@ -32,6 +32,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("md5_int") || e.getMessage.contains("DATATYPE"))
   }
 
+  test("SQL fingerprint_fold matches the declarative aggregate() fold") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT fingerprint_fold(split(t, ' '), 1000000000039L) AS fast,
+        |       aggregate(split(t, ' '), 0L,
+        |         (acc, tok) -> (acc * 31L + md5_int(tok, 8)) % 1000000000039L) AS slow
+        |FROM (SELECT concat('w', CAST(id AS STRING), ' x y z w', CAST(id % 7 AS STRING)) AS t
+        |      FROM range(200))""".stripMargin).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    // empty array folds to the seed
+    assert(spark.sql(
+      "SELECT fingerprint_fold(CAST(array() AS ARRAY<STRING>), 97L) AS f")
+      .collect().head.getLong(0) == 0L)
+    // overflow-unsafe modulus is an analysis-time error, not silent wrap
+    val e = intercept[Exception](
+      spark.sql("SELECT fingerprint_fold(array('a'), 9223372036854775807L)").collect())
+    assert(e.getMessage.contains("fingerprint_fold") ||
+      e.getMessage.contains("DATATYPE"))
+  }
+
   test("centroid_rank: ids ordered by (squared L2, id); ties break on id; type-checked") {
     import org.apache.spark.sql.functions._
     import graft.functions.CentroidRank.centroid_rank
