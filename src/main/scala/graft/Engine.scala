@@ -25,7 +25,13 @@ import graft.streaming.{DynamicAssignment, IngestPipeline}
 final class GraftEngine(
     val spark: SparkSession,
     val storePath: String,
-    assigned: Option[Set[String]] = None) {
+    assigned: Option[Set[String]] = None,
+    /** Per-stream bucket granularity (stream id → [[MessageStore.HourBucket]]
+      * for hot streams; absent streams bucket at [[MessageStore.DayBucket]])
+      * — the reference sizes buckets per stream-part volume the same way
+      * (`BucketManager.ts:50-51`). Reads stay exact across any mix via
+      * [[MessageStore.pruneTimeMixed]]. */
+    granularityFor: Map[String, String] = Map.empty) {
 
   // The engine's NTZ columns carry UTC wall-clock (epoch-ms in the
   // reference); pin the session zone so TIMESTAMP casts (serve-format
@@ -78,7 +84,7 @@ final class GraftEngine(
     val prepared = IngestPipeline.prepareBatch(messages, nowMs, assignment.get()).cache()
     try {
       val n = prepared.count()
-      if (n > 0) MessageStore.append(prepared, storePath)
+      if (n > 0) MessageStore.appendPerStream(prepared, storePath, granularityFor)
       subscriptions.dispatch(prepared, -1L)
       n
     } finally prepared.unpersist()
@@ -90,7 +96,8 @@ final class GraftEngine(
   def startIngest(source: DataFrame, checkpointPath: String,
       triggerMs: Long = 1000L): StreamingQuery =
     IngestPipeline.start(source, storePath, checkpointPath, assignment.get _,
-      triggerMs, onBatch = subscriptions.dispatch)
+      triggerMs, onBatch = subscriptions.dispatch,
+      granularityFor = granularityFor)
 
   // ---- reads (§3.1): resend envelope over the chosen format ----
   def last(streamId: String, partition: Int, n: Int,
@@ -104,14 +111,15 @@ final class GraftEngine(
   def from(streamId: String, partition: Int, ref: MsgRef,
       format: String = "object", version: Option[Int] = None,
       publisher: Option[String] = None): Iterator[Resend.Frame] =
-    Resend.from(MessageStore.pruneTime(table, Some(ref.tsMs), None),
+    Resend.from(MessageStore.pruneTimeMixed(table, Some(ref.tsMs), None),
       streamId, partition, ref, format, version, publisher)
 
   def range(streamId: String, partition: Int, fromRef: MsgRef, toRef: MsgRef,
       format: String = "object", version: Option[Int] = None,
       publisher: Option[String] = None,
       msgChain: Option[String] = None): Iterator[Resend.Frame] =
-    Resend.range(MessageStore.pruneTime(table, Some(fromRef.tsMs), Some(toRef.tsMs)),
+    Resend.range(
+      MessageStore.pruneTimeMixed(table, Some(fromRef.tsMs), Some(toRef.tsMs)),
       streamId, partition, fromRef, toRef, format, version, publisher, msgChain)
 
   /** Metadata endpoints (count/bytes/first/last per stream-part). */

@@ -39,6 +39,19 @@ object MessageStore {
   def bucketOf(ts: Column, granularity: String = DayBucket): Column =
     date_format(ts, granularity)
 
+  /** Per-stream bucket value: hot streams get their own granularity
+    * (typically [[HourBucket]]), everything else the default — the analog
+    * of the reference sizing buckets per stream-part volume
+    * (`BucketManager.ts:50-51` caps are per stream's live bucket). A
+    * when-chain over a driver-held map: granularity policies are few even
+    * when streams are many, and the column stays codegen'd. */
+  def bucketOfPerStream(ts: Column, streamId: Column,
+      granularityFor: Map[String, String],
+      default: String = DayBucket): Column =
+    granularityFor.toSeq.sortBy(_._1).foldLeft(bucketOf(ts, default)) {
+      case (acc, (sid, g)) => when(streamId === sid, bucketOf(ts, g)).otherwise(acc)
+    }
+
   /** Append a message batch into the partitioned layout.
     *
     * The repartition on the partition columns is load-bearing at scale:
@@ -46,8 +59,19 @@ object MessageStore {
     * (tasks × buckets small files); with it each bucket is written by
     * exactly one task — one file per bucket per batch. */
   def append(messages: DataFrame, path: String, granularity: String = DayBucket): Unit =
+    appendWith(messages, path, bucketOf(col("ts"), granularity))
+
+  /** [[append]] with per-stream bucket granularity (see
+    * [[bucketOfPerStream]]). */
+  def appendPerStream(messages: DataFrame, path: String,
+      granularityFor: Map[String, String],
+      default: String = DayBucket): Unit =
+    appendWith(messages, path,
+      bucketOfPerStream(col("ts"), col("stream_id"), granularityFor, default))
+
+  private def appendWith(messages: DataFrame, path: String, bucket: Column): Unit =
     messages
-      .withColumn("bucket", bucketOf(col("ts"), granularity))
+      .withColumn("bucket", bucket)
       .repartition(col("stream_id"), col("stream_partition"), col("bucket"))
       .write
       .partitionBy("stream_id", "stream_partition", "bucket")
@@ -158,14 +182,34 @@ object MessageStore {
   def pruneTime(store: DataFrame, fromMs: Option[Long], toMs: Option[Long],
       granularity: String = DayBucket): DataFrame = {
     if (!store.columns.contains("bucket")) return store
-    def bucketStr(ms: Long): String = java.time.LocalDateTime
-      .ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter.ofPattern(granularity))
     val b = col("bucket").cast("string")
-    val lower = fromMs.map(ms => b >= bucketStr(ms))
-    val upper = toMs.map(ms => b <= bucketStr(ms))
+    val lower = fromMs.map(ms => b >= bucketStr(ms, granularity))
+    val upper = toMs.map(ms => b <= bucketStr(ms, granularity))
     (lower ++ upper).reduceOption(_ && _).map(store.filter).getOrElse(store)
   }
+
+  /** [[pruneTime]] that is exact for ANY per-stream mix of day and hour
+    * buckets in one store: the lower bound is floored to the coarsest
+    * granularity (a day name is ≤ all its hour names, so every bucket that
+    * can hold rows ≥ from survives) and the upper bound rendered in the
+    * finest (a day name is a proper prefix of its hour names, so the
+    * boundary day's bucket of either width survives while whole hour
+    * buckets past `to` still prune). Costs at most one extra day of hour
+    * buckets at the lower edge versus granularity-exact pruning; row-level
+    * ts predicates keep the answer exact either way. */
+  def pruneTimeMixed(store: DataFrame, fromMs: Option[Long],
+      toMs: Option[Long]): DataFrame = {
+    if (!store.columns.contains("bucket")) return store
+    val b = col("bucket").cast("string")
+    val lower = fromMs.map(ms => b >= bucketStr(ms, DayBucket))
+    val upper = toMs.map(ms => b <= bucketStr(ms, HourBucket))
+    (lower ++ upper).reduceOption(_ && _).map(store.filter).getOrElse(store)
+  }
+
+  private def bucketStr(ms: Long, granularity: String): String =
+    java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(granularity))
 
   /** The `bucket` index/statistics view (records + bytes per bucket),
     * computed from the store — SURVEY §2.4 A1-A3. */
@@ -218,13 +262,20 @@ object MessageStore {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+    // coverage selection works in whole UTC days (the first 10 chars of
+    // either bucket format): when a stream's granularity changed mid-day,
+    // a day bucket and that day's hour buckets coexist and overlap in
+    // time, so name order between them is NOT newest-first — selecting a
+    // whole day at a time keeps the expansion exact for any mix (a
+    // pure-hour tail day just reads its few extra hour buckets)
+    val dayGroups = counts.groupBy(_._1.take(10)).toSeq
       .sortBy(_._1)(Ordering[String].reverse)
     var covered = 0L
-    val needed = counts.takeWhile { case (_, n) =>
+    val needed = dayGroups.takeWhile { case (_, bs) =>
       val take = covered < limit
-      if (take) covered += n
+      if (take) covered += bs.map(_._2).sum
       take
-    }.flatMap { case (b, _) => bucketDirs.get(b) }
+    }.flatMap(_._2).flatMap { case (b, _) => bucketDirs.get(b) }
     if (needed.isEmpty) return emptyRelation
     // result rows are clamped to MaxResendLast (10k) by contract, so the
     // answer is collected once — the widen check below would otherwise

@@ -69,7 +69,8 @@ object IngestPipeline {
       checkpointPath: String,
       assigned: () => Option[Set[String]] = () => None,
       nowMs: Long = System.currentTimeMillis(),
-      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): Boolean = {
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      granularityFor: Map[String, String] = Map.empty): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(
       s"$checkpointPath/graft-committed/$batchId")
     val fs = marker.getFileSystem(
@@ -81,7 +82,7 @@ object IngestPipeline {
       // micro-batch without restarting the query (StorageConfig.ts:96-149)
       val prepared = prepareBatch(batch, nowMs, assigned()).cache()
       try {
-        MessageStore.append(prepared, storePath)
+        MessageStore.appendPerStream(prepared, storePath, granularityFor)
         // the marker doubles as the batch-statistics record (A10): rows,
         // commit time, and the batch's ts span — IngestStats aggregates
         // these into the BatchManager-style observability surface
@@ -117,13 +118,14 @@ object IngestPipeline {
       checkpointPath: String,
       assigned: () => Option[Set[String]] = () => None,
       triggerMs: Long = 1000L,
-      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      granularityFor: Map[String, String] = Map.empty): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storePath, checkpointPath, assigned,
-          onBatch = onBatch); ()
+          onBatch = onBatch, granularityFor = granularityFor); ()
       }
       .start()
 }

@@ -379,6 +379,45 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(merged) == Seq((1700000000000L, 1, "publisher", "1")))
   }
 
+  test("per-stream bucket granularity: hot stream hour-bucketed, pruning stays exact") {
+    val path = tmpDir("graft-granularity")
+    val base = 1700000000000L // 2023-11-14 22:13:20 UTC
+    val hourMs = 3600000L
+    // "hot" bucketed by hour, "cold" by day (default), same store
+    MessageStore.appendPerStream(streamDataOf(
+      msg("hot", 0, base - 2 * hourMs, 0),   // 20:13 → bucket 2023-11-14-20
+      msg("hot", 0, base, 1),                // 22:13 → bucket 2023-11-14-22
+      msg("cold", 0, base - 2 * hourMs, 0),
+      msg("cold", 0, base, 1)),
+      path, Map("hot" -> MessageStore.HourBucket))
+    assert(new java.io.File(s"$path/stream_id=hot/stream_partition=0").list().sorted
+      .toSeq == Seq("bucket=2023-11-14-20", "bucket=2023-11-14-22"))
+    assert(new java.io.File(s"$path/stream_id=cold/stream_partition=0").list()
+      .toSeq == Seq("bucket=2023-11-14"))
+    // mixed-safe pruning from base-1h: hour bucket 20 prunes away, the
+    // boundary-day buckets of either width survive, answers exact
+    val store = MessageStore.open(spark, path)
+    val pruned = MessageStore.pruneTimeMixed(store, Some(base - hourMs), None)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    import graft.operators.BrokerQueries
+    assert(keysOf(BrokerQueries.requestFrom(pruned, "hot", 0,
+      MsgRef(base - hourMs, 0))) == Seq((base, 1, "publisher", "1")))
+    assert(keysOf(BrokerQueries.requestFrom(
+      MessageStore.pruneTimeMixed(store, Some(base - hourMs), None),
+      "cold", 0, MsgRef(base - hourMs, 0))) == Seq((base, 1, "publisher", "1")))
+    // an upper bound prunes whole hour buckets past `to` but keeps the
+    // boundary day bucket
+    val upTo = MessageStore.pruneTimeMixed(store, None, Some(base - hourMs))
+    assert(keysOf(BrokerQueries.requestRange(upTo, "hot", 0,
+      MsgRef(0L, 0), MsgRef(base - hourMs, 99))) ==
+      Seq((base - 2 * hourMs, 0, "publisher", "1")))
+    // bounded last-N selects whole UTC days, so mixed widths stay exact
+    assert(keysOf(MessageStore.requestLastBounded(spark, path, "hot", 0, 1)) ==
+      Seq((base, 1, "publisher", "1")))
+    assert(keysOf(MessageStore.requestLastBounded(spark, path, "hot", 0, 2)).length == 2)
+  }
+
   test("processBatch replay guard: same batchId appends exactly once") {
     val path = tmpDir("graft-replay")
     val ckpt = tmpDir("graft-replay-ckpt")
