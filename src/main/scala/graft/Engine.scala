@@ -94,10 +94,10 @@ final class GraftEngine(
     * every batch boundary, so [[updateAssignment]] reshapes a running
     * ingest without restart. */
   def startIngest(source: DataFrame, checkpointPath: String,
-      triggerMs: Long = 1000L): StreamingQuery =
+      triggerMs: Long = 1000L, autoCompactEvery: Int = 0): StreamingQuery =
     IngestPipeline.start(source, storePath, checkpointPath, assignment.get _,
       triggerMs, onBatch = subscriptions.dispatch,
-      granularityFor = granularityFor)
+      granularityFor = granularityFor, autoCompactEvery = autoCompactEvery)
 
   // ---- reads (§3.1): resend envelope over the chosen format ----
   def last(streamId: String, partition: Int, n: Int,

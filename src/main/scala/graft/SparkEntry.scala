@@ -347,6 +347,17 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // short-document edge: every 7th doc truncated to its single first
+    // token — such docs have no bigrams and must DROP from the output (the
+    // bigram inner join) identically in both engines, never crash the scan
+    "q_repetition_edge" -> ((s, dir) =>
+      TextAnalysis.repetition(
+        docsParallel(s, dir).withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            element_at(split(col("text"), " "), 1))
+            .otherwise(col("text"))))
+        .orderBy(col("doc_id"))),
+
     // PII scrub: plant a per-doc email + phone so the replacement path is
     // actually exercised (the raw corpus carries no PII), then redact
     "q_redact" -> ((s, dir) =>
@@ -968,6 +979,34 @@ object SparkEntry {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // identical rollup over the truncation-planted corpus: docs reduced
+      // to one token yield zero bigram rows and drop via the inner join
+      "q_repetition_edge" ->
+        """WITH d AS (SELECT doc_id,
+          |         CASE WHEN doc_id % 7 = 0 THEN string_split(text, ' ')[1]
+          |              ELSE text END AS text
+          |       FROM documents),
+          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+          |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+          |bg AS (SELECT doc_id,
+          |         unnest(list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])) AS b
+          |       FROM toks),
+          |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |              CAST(count(*) AS BIGINT) AS n_distinct_words,
+          |              CAST(max(c) AS BIGINT) AS top_word_count
+          |       FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+          |       GROUP BY 1),
+          |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |              CAST(max(c) AS BIGINT) AS top_bigram_count
+          |       FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+          |       GROUP BY 1)
+          |SELECT ws.doc_id, n_words, n_distinct_words,
+          |       CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+          |       top_word_count, n_bigrams, top_bigram_count,
+          |       CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+          |FROM ws JOIN bs USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "q_repetition" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -111,7 +111,16 @@ object IngestPipeline {
   /** Start the streaming ingest: source → prepare → bucketed store append.
     * `onBatch` is the subscriber fan-out hook (R1) — called with each
     * prepared micro-batch so a serving layer can dispatch to live
-    * subscriptions while the same rows are persisted. */
+    * subscriptions while the same rows are persisted.
+    *
+    * `autoCompactEvery` > 0 runs the file-count compaction policy
+    * ([[MessageStore.autoCompact]]) after every Nth committed batch — the
+    * ingest-cadence analog of the reference's full-bucket check timer
+    * (`BucketManager.ts:48` checkFullBucketsTimeout). It runs inside
+    * foreachBatch, which Structured Streaming serializes with the appends,
+    * so the policy never races this query's own writer; a concurrent
+    * foreign writer is handled by compaction's swap guard (it aborts, the
+    * next cadence retries). */
   def start(
       source: DataFrame,
       storePath: String,
@@ -119,13 +128,19 @@ object IngestPipeline {
       assigned: () => Option[Set[String]] = () => None,
       triggerMs: Long = 1000L,
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      granularityFor: Map[String, String] = Map.empty): StreamingQuery =
+      granularityFor: Map[String, String] = Map.empty,
+      autoCompactEvery: Int = 0,
+      maxFilesPerBucket: Int = 4): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, storePath, checkpointPath, assigned,
-          onBatch = onBatch, granularityFor = granularityFor); ()
+        val applied = processBatch(batch, batchId, storePath, checkpointPath,
+          assigned, onBatch = onBatch, granularityFor = granularityFor)
+        if (applied && autoCompactEvery > 0 &&
+            batchId % autoCompactEvery == (autoCompactEvery - 1).toLong)
+          MessageStore.autoCompact(batch.sparkSession, storePath, maxFilesPerBucket)
+        ()
       }
       .start()
 }

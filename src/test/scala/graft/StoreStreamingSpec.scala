@@ -452,6 +452,32 @@ class StoreStreamingSpec extends SparkSpec {
     assert(MessageStore.compactStreamPart(spark, path, "s", 0) == 0)
   }
 
+  test("streaming ingest auto-compaction cadence keeps per-bucket files bounded") {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("graft-ingest-ac")
+    val ckpt = tmpDir("graft-ingest-ac-ckpt")
+    val now = System.currentTimeMillis()
+    val input = MemoryStream[StreamMessage](s)
+    // threshold 3, sweep after every 2nd committed batch
+    val q = IngestPipeline.start(input.toDF(), path, ckpt,
+      autoCompactEvery = 2, maxFilesPerBucket = 3)
+    try {
+      // four single-row batches into the same day bucket
+      (0 until 4).foreach { i =>
+        input.addData(msg("s", 0, now - 5000 + i, i))
+        q.processAllAvailable()
+      }
+      val bucketDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+        .listFiles().filter(_.getName.startsWith("bucket=")).head
+      val files = bucketDir.listFiles().count(_.getName.endsWith(".parquet"))
+      // batch 3's cadence fired with 3 accumulated files -> compacted to 1,
+      // then batch 4 appended one more; without the policy there'd be 4
+      assert(files <= 2, s"expected compacted bucket, found $files files")
+      assert(MessageStore.open(spark, path).count() == 4)
+    } finally q.stop()
+  }
+
   test("streaming ingest: validates, dedups, persists; fan-out hook fires") {
     val s = spark
     import s.implicits._
