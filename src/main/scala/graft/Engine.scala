@@ -155,10 +155,9 @@ final class GraftEngine(
     * threshold cost only a directory listing. Compacted buckets come out
     * replay-purged and marker-clean, so serving reads over them skip the
     * merge window. Returns buckets compacted. */
-  def autoCompact(maxFilesPerBucket: Int = 4): Int = {
-    MessageStore.recoverCompaction(spark, storePath)
+  def autoCompact(maxFilesPerBucket: Int = 4): Int =
+    // recovery of crashed earlier sweeps happens inside autoCompact
     MessageStore.autoCompact(spark, storePath, maxFilesPerBucket)
-  }
 
   /** Retention: drop buckets whose newest row is older than
     * `retentionDays` (default 365 like the reference,

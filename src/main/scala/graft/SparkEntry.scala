@@ -50,15 +50,19 @@ object SparkEntry {
       // any graft scratch store (any tag, any sfDir hash, incl. legacy
       // un-suffixed names) whose owning process is gone
       if (n.startsWith("graft_store_")) {
-        val alive = n.split("_p").lastOption.flatMap(_.toLongOption)
-          .exists(pid => ProcessHandle.of(pid)
-            .map[Boolean](_.isAlive).orElse(false))
-        // best-effort: a stale entry older than a day is sweepable even if
-        // its PID was recycled by a live process, and a concurrent sweeper
-        // racing us to the delete must not surface into the query run
-        val stale = !alive ||
-          st.getModificationTime < System.currentTimeMillis() - 24L * 3600 * 1000
-        if (stale)
+        // owner alive = a live process with that PID that STARTED before
+        // the store was last written (+60s clock slack). A recycled PID's
+        // process necessarily started after the dead owner's final write,
+        // so this sweeps the PID-reuse case without ever touching a
+        // genuinely live owner's store (its start predates its writes).
+        val ownerAlive = n.split("_p").lastOption.flatMap(_.toLongOption)
+          .exists(pid => ProcessHandle.of(pid).map[Boolean] { ph =>
+            ph.isAlive && ph.info().startInstant().map[Boolean](
+              _.toEpochMilli <= st.getModificationTime + 60000L).orElse(true)
+          }.orElse(false))
+        // tolerant delete: a concurrent sweeper racing us to the same dead
+        // entry must not surface a FileNotFound into the query run
+        if (!ownerAlive)
           try fs.delete(st.getPath, true)
           catch { case _: java.io.IOException => () }
       }

@@ -61,6 +61,12 @@ object QueryApi {
     jsParseInt(req.partition) match {
       case None =>
         bad(s"""Path parameter "partition" not a number: ${req.partition}""")
+      case Some(partitionL) if partitionL != partitionL.toInt.toLong =>
+        // a partition number outside int32 exists nowhere; the reference
+        // passes the oversized number to storage and streams an empty
+        // result — answer no_resend instead of truncating to a partition
+        // that DOES exist and serving the wrong data
+        Right(Iterator(Resend.NoResend()))
       case Some(partitionL) =>
         val partition = partitionL.toInt
         val formatName = q.getOrElse("format", "object")
@@ -89,9 +95,13 @@ object QueryApi {
     val q = req.query
     // JS `parseIntIfExists(x) || DEFAULT`: NaN is falsy, so junk falls to
     // the default — and so does an explicit 0 (a quirk the upper bound
-    // inherits: toSequenceNumber=0 means MAX there, mirrored faithfully)
-    def seqOr(name: String, default: Long): Long =
+    // inherits: toSequenceNumber=0 means MAX there, mirrored faithfully).
+    // Out-of-int32 values saturate instead of wrapping: sequence numbers
+    // are int32 by protocol contract (MAX_SEQUENCE_NUMBER_VALUE), so a
+    // saturated bound is exact unless a row carries seq == Int.MaxValue.
+    def seqOr(name: String, default: Long): Int =
       q.get(name).flatMap(jsParseInt).filter(_ != 0L).getOrElse(default)
+        .min(Int.MaxValue).max(Int.MinValue).toInt
     def nonEmpty(name: String): Option[String] = q.get(name).filter(_.nonEmpty)
     req.endpoint match {
       case "last" =>
@@ -113,7 +123,7 @@ object QueryApi {
             case Some(fromTs) =>
               val fromSeq = seqOr("fromSequenceNumber", MinSequenceNumberValue)
               Right(engine.from(req.streamId, partition,
-                MsgRef(fromTs, fromSeq.toInt), format, version,
+                MsgRef(fromTs, fromSeq), format, version,
                 nonEmpty("publisherId")))
           }
         }
@@ -138,9 +148,9 @@ object QueryApi {
           case (Some(fRaw), Some(tRaw)) =>
             Right(engine.range(req.streamId, partition,
               MsgRef(jsParseInt(fRaw).get,
-                seqOr("fromSequenceNumber", MinSequenceNumberValue).toInt),
+                seqOr("fromSequenceNumber", MinSequenceNumberValue)),
               MsgRef(jsParseInt(tRaw).get,
-                seqOr("toSequenceNumber", MaxSequenceNumberValue).toInt),
+                seqOr("toSequenceNumber", MaxSequenceNumberValue)),
               format, version, publisher, msgChain))
         }
       case other =>

@@ -42,15 +42,29 @@ object MessageStore {
   /** Per-stream bucket value: hot streams get their own granularity
     * (typically [[HourBucket]]), everything else the default — the analog
     * of the reference sizing buckets per stream-part volume
-    * (`BucketManager.ts:50-51` caps are per stream's live bucket). A
-    * when-chain over a driver-held map: granularity policies are few even
-    * when streams are many, and the column stays codegen'd. */
+    * (`BucketManager.ts:50-51` caps are per stream's live bucket). One
+    * codegen'd `when` branch per DISTINCT granularity (streams of a policy
+    * become an `isInCollection` set), so the expression tree is O(policies)
+    * even with thousands of hot streams — a per-stream chain would rebuild
+    * the giant-literal-tree problem CentroidRank exists to avoid.
+    *
+    * Only [[DayBucket]]/[[HourBucket]] are accepted: [[pruneTimeMixed]]'s
+    * bound math and the bounded read's day-grouping are proven for exactly
+    * these two widths — an unvalidated coarser pattern (e.g. month) would
+    * silently prune in-range buckets. */
   def bucketOfPerStream(ts: Column, streamId: Column,
       granularityFor: Map[String, String],
-      default: String = DayBucket): Column =
-    granularityFor.toSeq.sortBy(_._1).foldLeft(bucketOf(ts, default)) {
-      case (acc, (sid, g)) => when(streamId === sid, bucketOf(ts, g)).otherwise(acc)
+      default: String = DayBucket): Column = {
+    (granularityFor.values.toSet + default).foreach { g =>
+      require(g == DayBucket || g == HourBucket,
+        s"unsupported bucket granularity '$g' (supported: $DayBucket, $HourBucket)")
     }
+    granularityFor.groupBy(_._2).toSeq.sortBy(_._1)
+      .foldLeft(bucketOf(ts, default)) { case (acc, (g, entries)) =>
+        when(streamId.isInCollection(entries.keys.toSeq.sorted), bucketOf(ts, g))
+          .otherwise(acc)
+      }
+  }
 
   /** Append a message batch into the partitioned layout.
     *
@@ -134,27 +148,36 @@ object MessageStore {
     fs.listStatus(bucket)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
 
+  /** `fileCount` is the parquet-file count of the STAGING directory,
+    * captured before the swap: staging is private to the compaction, so
+    * the count cannot fold in a concurrent append — listing the live
+    * bucket after the swap could, and would stamp a dirty bucket clean. */
   private def writeCleanMarker(fs: org.apache.hadoop.fs.FileSystem,
-      bucket: Path): Unit = {
+      bucket: Path, fileCount: Int): Unit = {
     val out = fs.create(new Path(bucket, CleanMarker), true)
-    try out.write(String.valueOf(parquetFileCount(fs, bucket)).getBytes("UTF-8"))
+    try out.write(String.valueOf(fileCount).getBytes("UTF-8"))
     finally out.close()
   }
 
   /** True when the bucket's `_clean` marker exists and still matches the
     * directory's parquet-file count — i.e. no append since the marker was
-    * stamped. Conservative on any read failure. */
+    * stamped. One directory listing (marker presence and file count come
+    * from the same listStatus) plus the marker read when present;
+    * conservative on any read failure. */
   private[store] def isCleanBucket(fs: org.apache.hadoop.fs.FileSystem,
       bucket: Path): Boolean =
     try {
-      val m = new Path(bucket, CleanMarker)
-      if (!fs.exists(m)) false
+      val entries = fs.listStatus(bucket)
+      val hasMarker = entries.exists(f => f.isFile && f.getPath.getName == CleanMarker)
+      if (!hasMarker) false
       else {
-        val in = fs.open(m)
+        val files = entries
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val in = fs.open(new Path(bucket, CleanMarker))
         val recorded =
           try new String(in.readAllBytes(), "UTF-8").trim.toIntOption
           finally in.close()
-        recorded.contains(parquetFileCount(fs, bucket))
+        recorded.contains(files)
       }
     } catch { case _: java.io.IOException => false }
 
@@ -382,6 +405,11 @@ object MessageStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    // a crashed earlier sweep leaves buckets in swap states that both hide
+    // rows (live renamed to .trash) and block all future compaction of the
+    // bucket (the !exists(trash) guard) — every policy entry point must
+    // recover first; recovery is idempotent and metadata-only when clean
+    recoverCompaction(spark, path)
     bucketDirs(fs, root).count { b =>
       parquetFileCount(fs, b) >= maxFilesPerBucket &&
         compactBucket(spark, fs, b, targetFiles, minFiles = maxFilesPerBucket)
@@ -408,6 +436,7 @@ object MessageStore {
       graft.model.StreamMessage.uniqueKey.filter(bucketRows.columns.contains))
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging.toString)
+    val stagedOut = parquetFileCount(fs, staging)
     // concurrent-append guard: only swap if the live file set is
     // exactly what was staged
     if (dataFiles == staged && !fs.exists(trash) &&
@@ -439,8 +468,9 @@ object MessageStore {
           // swap committed: the bucket now holds exactly the dedup-rewritten
           // files — stamp it clean so reads skip the merge window until the
           // next append (a crash before the stamp just leaves the bucket
-          // conservatively unclean)
-          writeCleanMarker(fs, bucket)
+          // conservatively unclean; an append racing the stamp voids it by
+          // count mismatch because the count is the pre-swap staging one)
+          writeCleanMarker(fs, bucket, stagedOut)
           true
         }
       } else {

@@ -217,6 +217,22 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(MessageStore.open(spark, path)).length == 2)
   }
 
+  test("autoCompact recovers a crashed swap before applying the policy") {
+    val path = tmpDir("graft-ac-recover")
+    (0 until 2).foreach { i =>
+      MessageStore.append(streamDataOf(msg("s", 0, 1700000000000L + i * 1000, i)), path)
+    }
+    val partDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+    val live = new java.io.File(partDir, "bucket=2023-11-14")
+    // crash after rename(live→trash): rows hidden, bucket blocked for
+    // compaction by the !exists(trash) guard — the policy entry point must
+    // recover, then compact (2 files >= threshold 2)
+    assert(live.renameTo(new java.io.File(partDir, ".bucket=2023-11-14.trash")))
+    assert(MessageStore.autoCompact(spark, path, maxFilesPerBucket = 2) == 1)
+    assert(keysOf(MessageStore.open(spark, path)).length == 2)
+    assert(live.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("cross-batch replay: merge-on-read hides duplicates; compaction purges them") {
     val path = tmpDir("graft-replay-upsert")
     val m = msg("s", 0, 1700000000000L, 0)
