@@ -53,6 +53,31 @@ object GraftExtensions {
       { args =>
         require(args.size == 2, "fingerprint_fold(tokens, mod)")
         FingerprintFold(args.head, Cast(args(1), LongType))
+      }),
+    (FunctionIdentifier("centroid_rank"),
+      info("centroid_rank",
+        "centroid_rank(v, centroids) - centroid ids by ascending (squared L2, id) " +
+          "from array<bigint> v to a foldable array<array<double>> centroid table"),
+      { args =>
+        require(args.size == 2, "centroid_rank(vector, centroids)")
+        // the centroid table is a codegen reference object, so the SQL
+        // argument must be a literal evaluable at resolution — exactly the
+        // shape the Scala API takes as Seq[Seq[Double]]
+        val cexpr = args(1)
+        require(cexpr.foldable &&
+          cexpr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          cexpr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType == org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false),
+          "centroid_rank centroids must be a foldable array<array<double>> literal " +
+            "(e.g. array(array(0.0d, 1.0d), ...))")
+        val arr = cexpr.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val table = (0 until arr.numElements()).map { i =>
+          val inner = arr.getArray(i)
+          (0 until inner.numElements()).map(inner.getDouble).toSeq
+        }.toSeq
+        CentroidRank(args.head, table)
       }))
 
   /** Register on an existing session (tests, notebooks). */

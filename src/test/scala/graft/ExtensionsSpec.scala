@@ -52,6 +52,20 @@ class ExtensionsSpec extends SparkSpec {
       e.getMessage.contains("DATATYPE"))
   }
 
+  test("SQL centroid_rank accepts a foldable centroid-table literal") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT centroid_rank(array(1L, 1L),
+        |  array(array(0.0d, 0.0d), array(10.0d, 0.0d), array(3.0d, 4.0d))) AS r""".stripMargin)
+      .collect().head.getSeq[Long](0).toList
+    assert(got == List(0L, 2L, 1L)) // same vector as the Scala-API case below
+    // non-literal centroid table is rejected with a clear message
+    val e = intercept[Exception](spark.sql(
+      """SELECT centroid_rank(array(1L), array(array(CAST(id AS DOUBLE))))
+        |FROM range(3)""".stripMargin).collect())
+    assert(e.getMessage.contains("foldable"))
+  }
+
   test("centroid_rank: ids ordered by (squared L2, id); ties break on id; type-checked") {
     import org.apache.spark.sql.functions._
     import graft.functions.CentroidRank.centroid_rank
