@@ -325,6 +325,24 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
 
+    // fixed-SIZE per-stratum sample: exactly 20 docs per language, chosen
+    // by salted md5 rank — the same 20 on any engine, any run
+    "q_sample_fixed" -> ((s, dir) =>
+      graft.operators.Sampling.fixedSample(
+        Tables.documents(s, dir), col("doc_id"), col("lang"), k = 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // dedup tail: near-dup pairs grouped into connected components, one
+    // canonical doc per cluster (min-label propagation to fixpoint)
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.dupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.1,
+          maxDocFrequency = Some(5)))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: membership recomputable from the
     // row key alone — no split table to store or join at corpus scale
     "q_split" -> ((s, dir) =>
@@ -1074,6 +1092,42 @@ object SparkEntry {
           |  WHEN lang = 'de' THEN ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 < 1
           |  ELSE TRUE END
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_sample_fixed" ->
+        """SELECT doc_id, lang, sample_rank FROM (
+          |  SELECT doc_id, lang,
+          |         CAST(row_number() OVER (PARTITION BY lang
+          |           ORDER BY ('0x' || substr(md5('f0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS BIGINT)
+          |           AS sample_rank
+          |  FROM documents
+          |) WHERE sample_rank <= 20
+          |ORDER BY lang, doc_id""".stripMargin,
+
+      // same capped-Jaccard pair table as q_ngram_jaccard, then connected
+      // components via recursive label reachability: a doc's cluster is the
+      // smallest doc_id reachable over dup edges — identical to the
+      // engine's min-label-propagation fixpoint
+      "q_dup_clusters" ->
+        (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          """,
+            |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
+            |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+            |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+            |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            |       FROM shc a JOIN shc b USING (shingle)
+            |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            |dup AS (SELECT doc_a, doc_b FROM pr
+            |        JOIN sizes sa ON doc_a = sa.doc_id
+            |        JOIN sizes sb ON doc_b = sb.doc_id
+            |        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1),
+            |edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+            |          UNION ALL SELECT doc_b, doc_a FROM dup),
+            |cc AS (SELECT doc_id AS id, doc_id AS label FROM documents
+            |       UNION
+            |       SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src)
+            |SELECT id AS doc_id, min(label) AS cluster,
+            |       CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+            |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin),
 
       "q_text_stats" ->
         s"""WITH s AS (

@@ -270,4 +270,50 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
       .distinct() // a pair can surface under several rotations
   }
+
+  /** Duplicate clusters from near-dup pairs — the tail every dedup
+    * pipeline needs: pair lists (MinHash/Jaccard/SimHash output) grouped
+    * into connected components so one canonical document survives per
+    * cluster. Labels converge by min-label propagation: every doc starts
+    * as its own cluster, each round adopts the smallest label among itself
+    * and its neighbors, fixpoint = smallest doc_id reachable (the
+    * component id). Returns `(doc_id, cluster, is_canonical)` for every
+    * input doc — singletons are their own canonical cluster.
+    *
+    * Scale shape: each round is one shuffle join of the label table
+    * against the (bounded, pair-list-sized) edge table plus a map-side-
+    * combined min-aggregate; rounds needed = component diameter, which for
+    * near-dup clusters is small by construction (dup clusters are
+    * near-cliques). The loop runs driver-side with one cheap convergence
+    * probe per round (label sums decrease monotonically); a planet-scale
+    * graph would swap in the large-star/small-star step, which computes
+    * the same fixpoint. Labels re-persist each round so lineage does not
+    * deepen with iteration count. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    try {
+      var prevSum = Long.MaxValue
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val propagated = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster"))
+        val next = labels.unionByName(propagated)
+          .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+          .persist()
+        val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster")))
+          .collect().head.getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = sum == prevSum
+        prevSum = sum
+        iter += 1
+      }
+      labels.withColumn("is_canonical",
+        (col("doc_id") === col("cluster")).cast("long"))
+    } finally edges.unpersist()
+  }
 }

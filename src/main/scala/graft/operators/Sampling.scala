@@ -34,6 +34,24 @@ object Sampling {
     df.filter(keepExpr)
   }
 
+  /** Fixed-SIZE deterministic per-stratum sample: the `k` rows with the
+    * smallest salted md5 rank in each stratum — "give me exactly 20 docs
+    * per language, the same 20 on every engine and every run", where
+    * [[stratifiedSample]] gives an exact RATE. One shuffle on the stratum
+    * key; group fan-in is bounded by stratum cardinality, and the
+    * window's rank short-circuits via WindowGroupLimit (top-k per group,
+    * never a full per-stratum sort at the driver). */
+  def fixedSample(df: DataFrame, key: Column, stratum: Column, k: Int,
+      salt: String = "f0"): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.text.TextAnalysis.md5Int60(
+      concat(lit(s"$salt:"), key.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h, key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic train/val/test split assignment: hash the row key into
     * [0, total) where total = Σ weights, and label by cumulative range.
     * The same row lands in the same split on every engine and every run —

@@ -96,6 +96,23 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("dupClusters: transitive pairs collapse to min-id components, singletons canonical") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 8L).toDF("doc_id")
+    // component {0,1,2,3} via a chain (transitivity required), {5,6}, and
+    // singletons 4, 7
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      0L -> (0L, 1L), 1L -> (0L, 0L), 2L -> (0L, 0L), 3L -> (0L, 0L),
+      4L -> (4L, 1L), 5L -> (5L, 1L), 6L -> (5L, 0L), 7L -> (7L, 1L)))
+    // exactly one canonical doc per cluster
+    assert(got.values.count(_._2 == 1L) == 4)
+  }
+
   test("simhashPairs multi-probe: recall 1.0 vs exact all-pairs Hamming when maxHamming < rotations") {
     // varied corpus: singleton word edits produce fingerprints whose
     // differing bits land in arbitrary blocks — including the top block a

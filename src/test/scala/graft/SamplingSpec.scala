@@ -58,6 +58,29 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fixedSample: exactly k per stratum, deterministic, salt-sensitive") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.fixedSample(df, col("doc_id"), col("lang"), k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.count(_._2 == "a") == 7 && got.count(_._2 == "b") == 7)
+    assert(got.forall(_._3 <= 7))
+    // rerun picks the identical rows; a different salt picks different ones
+    val again = Sampling.fixedSample(df, col("doc_id"), col("lang"), k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    val other = Sampling.fixedSample(df, col("doc_id"), col("lang"), k = 7,
+      salt = "f1").collect().map(_.getLong(0)).toSet
+    assert(other != got.map(_._1).toSet)
+    // a stratum smaller than k returns all of it
+    val tiny = Sampling.fixedSample(
+      Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang"),
+      col("doc_id"), col("lang"), k = 7)
+    assert(tiny.count() == 2)
+  }
+
   test("contaminationPairs: flags benchmark overlap, spares clean docs") {
     val s = spark
     import s.implicits._
