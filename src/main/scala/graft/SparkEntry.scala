@@ -394,6 +394,16 @@ object SparkEntry {
       TextAnalysis.langConfusion(docsParallel(s, dir))
         .orderBy(col("lang"), col("pred_lang"))),
 
+    // pre-training chunking: 32-token windows, 8 tokens of overlap
+    "q_chunks" -> ((s, dir) =>
+      TextAnalysis.chunk(docsParallel(s, dir), maxTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Gopher-style quality gate: word-level heuristics + the combined
+    // pass/fail verdict the filter pipeline consumes
+    "q_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(docsParallel(s, dir)).orderBy(col("doc_id"))),
+
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
@@ -1128,6 +1138,39 @@ object SparkEntry {
             |SELECT id AS doc_id, min(label) AS cluster,
             |       CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
             |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin),
+
+      // stride 24 = 32 - 8; DuckDB list slices are 1-based inclusive, so
+      // Spark's slice(toks, start, 32) is t[start : start+31]; `//` is the
+      // same mathematical floor as the engine's guarded double-floor
+      "q_chunks" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |c AS (SELECT doc_id, t, greatest((len(t) - 8 + 23) // 24, 1) AS n_chunks FROM toks),
+          |e AS (SELECT doc_id, t, unnest(range(n_chunks)) AS chunk_idx FROM c)
+          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          |       array_to_string(t[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+          |       CAST(len(t[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_chunk_tokens
+          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_gopher" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |         CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+          |         CAST(len(list_filter(string_split(text, ' '),
+          |           x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+          |         CAST(len(regexp_extract_all(text, '[#]|[.][.][.]')) AS BIGINT) AS n_symbols
+          |  FROM documents)
+          |SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols,
+          |       CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) AS mean_word_len,
+          |       CAST(n_symbols AS DOUBLE)/CAST(n_words AS DOUBLE) AS symbol_ratio,
+          |       CAST(n_alpha_words AS DOUBLE)/CAST(n_words AS DOUBLE) AS alpha_frac,
+          |       CAST(CASE WHEN n_words >= 5 AND n_words <= 100000
+          |         AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) >= 3.0
+          |         AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) <= 10.0
+          |         AND CAST(n_symbols AS DOUBLE)/CAST(n_words AS DOUBLE) <= 0.1
+          |         AND CAST(n_alpha_words AS DOUBLE)/CAST(n_words AS DOUBLE) >= 0.8
+          |         THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       "q_text_stats" ->
         s"""WITH s AS (

@@ -120,6 +120,45 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * pre-training chunking pass (long documents become `maxTokens`-token
+    * training sequences; `overlap` tokens of context carry across chunk
+    * boundaries). One row per (doc, chunk): `(doc_id, chunk_idx,
+    * chunk_text, n_chunk_tokens)`.
+    *
+    * Chunk count comes from exact integer arithmetic
+    * (`ceil((n-overlap)/stride)` as `(n - overlap + stride - 1) div
+    * stride`), so engines agree bit-for-bit; every doc yields at least one
+    * chunk. A narrow explode: the shuffle-free map shape, output rows
+    * bounded by tokens/stride per doc. */
+  def chunk(docs: DataFrame, maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = (maxTokens - overlap).toLong
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("long")
+    // Column `/` is double division; floor of it is still the exact
+    // integer ceil-div here (operands are exact ints << 2^53, and a
+    // non-integer quotient sits >= 1/stride away from any integer — far
+    // beyond one ulp), and the oracle's integer `//` computes the same
+    // mathematical floor
+    val nChunks = greatest(
+      floor((nTok - lit(overlap.toLong) + lit(stride - 1)).cast("double")
+        / lit(stride.toDouble)).cast("long"),
+      lit(1L))
+    docs.select(col("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens)))
+          .as("chunk_text"),
+        size(slice(col("toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   /** PII scrub patterns — deliberately simple character-class regexes that
     * parse identically under Java regex and RE2 (DuckDB), so the redaction
     * is engine-reproducible. Order matters: email first (an address
@@ -134,6 +173,36 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (acc, (re, token)) =>
       regexp_replace(acc, re, token)
     }
+
+  /** Gopher-style quality gate (the word-level subset of the Rae et al.
+    * heuristics that applies to single-line corpora): word count bounds,
+    * mean word length bounds, symbol-to-word ratio, and the
+    * alphabetic-word fraction, plus the combined pass/fail verdict the
+    * filter pipeline consumes. Exact integers divided once at the output
+    * edge; one narrow map (the word filters are interpreted HOF lambdas —
+    * linear per row, the [[stats]] precedent). */
+  def gopherQuality(docs: DataFrame,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val charSum = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val symbolCount = regexp_count(col("text"), lit("[#]|[.][.][.]")).cast("long")
+    val meanLen = charSum.cast("double") / nWords.cast("double")
+    val symbolRatio = symbolCount.cast("double") / nWords.cast("double")
+    val alphaFrac = alphaWords.cast("double") / nWords.cast("double")
+    docs.select(
+      col("doc_id"), nWords.as("n_words"), charSum.as("word_chars"),
+      alphaWords.as("n_alpha_words"), symbolCount.as("n_symbols"),
+      meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac)
+        .cast("long").as("passes_gopher"))
+  }
 
   /** Language-ID: score each language's marker set against the document's
     * tokens (with multiplicity); predicted language = argmax with

@@ -95,4 +95,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.getAs[Double]("dup_word_frac") == 0.0)
     assert(r2.getAs[Long]("top_bigram_count") == 1L)
   }
+
+  test("chunk: windows with overlap, boundary tails, short docs yield one chunk") {
+    // 10 tokens, maxTokens=4, overlap=1 -> stride 3 -> ceil(9/3)=3 chunks
+    val toks = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis.chunk(
+      docsOf((1L, toks, "en", "s"), (2L, "one", "en", "s")),
+      maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = got.filter(_.getLong(0) == 1L)
+    assert(c1.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(c1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(4L, 4L, 4L))
+    // single-token doc: one chunk, itself
+    val c2 = got.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "one")
+    // overlap tokens appear in consecutive chunks (t4, t7 above)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunk(docsOf((1L, "x", "en", "s")), maxTokens = 4, overlap = 4))
+  }
+
+  test("gopherQuality: verdict combines word-count, word-length, symbol, alpha gates") {
+    val got = TextAnalysis.gopherQuality(docsOf(
+      (1L, "solid sentence with several normal words here", "en", "s"), // passes
+      (2L, "too short", "en", "s"),                      // < 5 words
+      (3L, "a b c d e f g h", "en", "s"),                // mean len 1 < 3
+      (4L, "### ... ### words mostly symbols here okay", "en", "s"), // symbol ratio
+      (5L, "1 2 3 4 5 6 7 8 90 12", "en", "s")),         // alpha frac 0
+      minMeanWordLen = 2.0)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("passes_gopher")).toSeq == Seq(1L, 0L, 0L, 0L, 0L))
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_words") == 7L)
+    assert(r1.getAs[Double]("alpha_frac") == 1.0)
+    assert(got(4).getAs[Double]("alpha_frac") == 0.0)
+  }
 }
