@@ -407,6 +407,18 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // TF-IDF keyword extraction: top-3 most characteristic terms per doc
+    // (linear idf — see TextAnalysis.tfidf for the determinism rationale)
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(docsParallel(s, dir), topK = 3)
+        .orderBy(col("doc_id"), col("kw_rank"))),
+
+    // cross-document boilerplate: fraction of each doc's 3-gram instances
+    // that occur in >= 5 distinct docs (the repeated-span scrub signal)
+    "q_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplate(docsParallel(s, dir), k = 3, minDocs = 5)
+        .orderBy(col("doc_id"))),
+
     // ---- relational joins: broadcast star joins + window top-k ----
     "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
 
@@ -1061,6 +1073,41 @@ object SparkEntry {
           |       CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
           |FROM ws JOIN bs USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
+
+      // linear idf (tf*N/df): one exactly-rounded IEEE division of exact
+      // integers — log idf would differ in the last ulp between engines
+      "q_tfidf" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+          |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |s AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+          |             CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+          |      FROM tf JOIN dfr USING (term) CROSS JOIN n),
+          |r AS (SELECT doc_id, term, tf, df, score,
+          |        CAST(row_number() OVER (PARTITION BY doc_id
+          |          ORDER BY score DESC, term) AS BIGINT) AS kw_rank
+          |      FROM s)
+          |SELECT doc_id, term, tf, df, score, kw_rank FROM r
+          |WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin,
+
+      // grams hashed to md5-int60 exactly like the engine, so grouping
+      // keys (and any collision) are shared; docs with < 3 tokens have no
+      // grams and drop from the per-doc grouping in both engines
+      "q_boilerplate" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |gs AS (SELECT doc_id,
+          |         unnest(list_transform(range(len(t) - 2),
+          |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+          |       FROM toks),
+          |gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM gs),
+          |dg AS (SELECT doc_id, gh, count(*) AS c FROM gh GROUP BY 1, 2),
+          |dfr AS (SELECT gh, count(*) AS nd FROM dg GROUP BY 1)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+          |       CAST(sum(CASE WHEN nd >= 5 THEN c ELSE 0 END) AS BIGINT) AS n_boiler,
+          |       CAST(sum(CASE WHEN nd >= 5 THEN c ELSE 0 END) AS DOUBLE)
+          |         / CAST(sum(c) AS DOUBLE) AS boiler_frac
+          |FROM dg JOIN dfr USING (gh) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
       // generated from the same PiiPatterns constants as the Spark plan
       // (DuckDB regexp_replace needs the explicit 'g' flag Spark implies)

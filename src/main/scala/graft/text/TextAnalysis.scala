@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines, over the
@@ -230,6 +231,85 @@ object TextAnalysis {
     langId(docs)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
+
+  /** TF-IDF keyword extraction: the top-`topK` most characteristic terms
+    * per document. The idf factor is the *linear* ratio `N/df` rather than
+    * `log(N/df)` — log is a transcendental whose last-ulp rounding differs
+    * between engines, while `double(tf*N) / double(df)` is one exactly-
+    * rounded IEEE division of exact integers, so scores (and therefore
+    * ranks) are bit-identical across Spark and the DuckDB oracle. Within a
+    * fixed document tf is positive, so per-doc ordering by `tf*N/df` is a
+    * monotone transform of ordering by `tf/df` — the standard keyword
+    * ranking, just without the log damping.
+    *
+    * Shape (100 TB): explode → partial-aggregated `tf` per (doc, term), one
+    * explicit `repartition(term)` exchange that BOTH the `df` rollup and the
+    * tf⋈df join read (the [[graft.dedup.Dedup.ngramJaccardPairs]] shared-
+    * exchange pattern — the tf subtree is scanned once), then one window per
+    * doc over the joined rows. The df join key skews on stopword-grade
+    * terms; aggregates are map-side combined and AQE's skew-join split
+    * handles the probe side — nothing buffers a full term group in memory.
+    * Vocabulary at corpus scale is too large to broadcast, hence the
+    * shuffle join. */
+  def tfidf(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val nDocs = docs.count() // exact corpus size: one cheap count job
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+    // tf has one row per (doc, term), so count(*) per term == document
+    // frequency; both this rollup and the join below reuse tf's exchange
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("score",
+        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+      .withColumn("kw_rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("kw_rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("kw_rank"))
+  }
+
+  /** Cross-document boilerplate detection: word k-grams appearing in at
+    * least `minDocs` distinct documents are "boilerplate" (headers,
+    * footers, license blurbs, templated spans — the C4/CCNet repeated-span
+    * heuristic), and each document is scored by the fraction of its k-gram
+    * instances that are boilerplate. One row per doc with >= 1 k-gram:
+    * `(doc_id, n_grams, n_boiler, boiler_frac)`; docs shorter than k
+    * tokens drop (no k-grams — the empty-array explode, matching the
+    * oracle's inner grouping).
+    *
+    * Grams shuffle as md5-int60 keys (8 bytes instead of the k-word
+    * string — [[graft.dedup.Dedup]]'s shingle idiom; the oracle hashes
+    * identically so any collision is shared). Shape: explode →
+    * partial-aggregated per-(doc, gram) counts on one explicit
+    * `repartition(gh)` exchange reused by the document-frequency rollup
+    * and the back-join, then a per-doc aggregate. All counting is
+    * aggregate-based (map-side combined) — no window over a gram
+    * partition, which a universal gram would skew at corpus scale. */
+  def boilerplate(docs: DataFrame, k: Int = 3, minDocs: Int = 5): DataFrame = {
+    require(k >= 1 && minDocs >= 1, "need k >= 1 and minDocs >= 1")
+    val toks = wsTokens(col("text"))
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => md5Int60(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))).as("gh"))
+    val docGram = grams.groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("c"))
+      .repartition(col("gh"))
+    // one row per (doc, gram) ⇒ count(*) per gram == distinct-doc frequency
+    val docFreq = docGram.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+    docGram.join(docFreq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("nd") >= minDocs, col("c")).otherwise(lit(0L)))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .as("boiler_frac"))
+  }
 
   /** Rolling polynomial fingerprint over the token sequence:
     * `acc = (acc*31 + md5Int32(token)) mod P` with P = 1e12+39 (prime; keeps

@@ -115,6 +115,48 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunk(docsOf((1L, "x", "en", "s")), maxTokens = 4, overlap = 4))
   }
 
+  test("tfidf: per-doc top-k by tf*N/df with term tiebreak") {
+    // 4 docs; "rare" only in doc 1 (df=1), "common" in all (df=4)
+    val got = TextAnalysis.tfidf(docsOf(
+      (1L, "rare common shared shared", "en", "s"),
+      (2L, "common shared other words", "en", "s"),
+      (3L, "common pick pick pick", "en", "s"),
+      (4L, "common lone words here", "en", "s")), topK = 2)
+      .orderBy("doc_id", "kw_rank").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    // doc 1: rare tf=1 df=1 -> 4.0; shared tf=2 df=2 -> 4.0; tie -> "rare" < "shared"
+    assert(d1.map(_.getAs[String]("term")).toSeq == Seq("rare", "shared"))
+    assert(d1.map(_.getAs[Double]("score")).toSeq == Seq(4.0, 4.0))
+    assert(d1.map(_.getAs[Long]("kw_rank")).toSeq == Seq(1L, 2L))
+    // doc 3: pick tf=3 df=1 -> 12.0 tops; common tf=1 df=4 -> 1.0
+    val d3 = got.filter(_.getLong(0) == 3L)
+    assert(d3.head.getAs[String]("term") == "pick")
+    assert(d3.head.getAs[Double]("score") == 12.0)
+    // every doc emits exactly topK rows (all have >= 2 distinct terms)
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length == 2))
+  }
+
+  test("boilerplate: frequent k-grams flagged, short docs drop") {
+    // "x y z" appears in docs 1..3 (minDocs=3 -> boilerplate);
+    // every other 3-gram is unique to its doc
+    val got = TextAnalysis.boilerplate(docsOf(
+      (1L, "x y z a b", "en", "s"),   // grams: xyz yza zab -> 1 of 3 boiler
+      (2L, "p x y z q", "en", "s"),   // pxy xyz yzq -> 1 of 3
+      (3L, "x y z", "en", "s"),       // xyz -> 1 of 1
+      (4L, "u v w t s", "en", "s"),   // none boiler
+      (5L, "so short", "en", "s")),   // < 3 tokens -> dropped
+      k = 3, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_grams") == 3L)
+    assert(byId(1L).getAs[Long]("n_boiler") == 1L)
+    assert(math.abs(byId(1L).getAs[Double]("boiler_frac") - 1.0 / 3) < 1e-15)
+    assert(byId(3L).getAs[Double]("boiler_frac") == 1.0)
+    assert(byId(4L).getAs[Long]("n_boiler") == 0L)
+    assert(byId(4L).getAs[Double]("boiler_frac") == 0.0)
+  }
+
   test("gopherQuality: verdict combines word-count, word-length, symbol, alpha gates") {
     val got = TextAnalysis.gopherQuality(docsOf(
       (1L, "solid sentence with several normal words here", "en", "s"), // passes
