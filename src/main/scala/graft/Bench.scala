@@ -49,20 +49,23 @@ object Bench {
     }
     def obj(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    // the driver captures only a ~2 KB tail of stdout (BENCH_r05 and r06
+    // both came back parsed:null because the printed line outgrew it), so
+    // stdout gets the minimal record — min-of-runs per query, rounded to
+    // ms — and the full-precision record with first-run times goes to the
+    // file, which cannot be cut mid-line
+    def ms(v: Double) = if (v < 0) -1.0 else math.rint(v * 1000) / 1000
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    // headline stays min-of-runs (first run pays compile-once codegen JIT);
-    // per-query first-run times ride along so round-over-round comparisons
-    // can line up either aggregate
-    val json =
+    // headline stays min-of-runs (first run pays compile-once codegen JIT)
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(v => ms(v._1))},"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min"}"""
-    println(json)
-    // also persist the record whole: a log-tail capture can truncate stdout
-    // (BENCH_r05 lost 42 of 54 query entries that way) — a file read back
-    // by the driver cannot be cut mid-line
+    println(compact)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     spark.stop()
   }
 }
