@@ -79,9 +79,64 @@ object MessageStore {
     * [[bucketOfPerStream]]). */
   def appendPerStream(messages: DataFrame, path: String,
       granularityFor: Map[String, String],
-      default: String = DayBucket): Unit =
+      default: String = DayBucket): Unit = {
+    requireConsistentWidths(messages, path, granularityFor, default)
     appendWith(messages, path,
       bucketOfPerStream(col("ts"), col("stream_id"), granularityFor, default))
+  }
+
+  /** Replay dedup is bucket-local — [[openMerged]] keys the merge window on
+    * uniqueKey + bucket, and the clean-marker fast paths skip the window
+    * entirely — so a key replayed AFTER its stream flips day↔hour would
+    * land in a different-width bucket than its original row and survive as
+    * a permanent duplicate that bucket-local compaction can never purge.
+    * Guard: a (stream, UTC day) holds exactly ONE bucket width for its
+    * lifetime; an append whose rows would put the other width onto a day
+    * that already has data is rejected before any file lands. Forward-only
+    * migration stays legal (flip a stream's width starting from a day with
+    * no data yet). Cost per micro-batch: one distinct aggregate over the
+    * batch (streams × days — micro-batch-bounded) plus a bucket listing of
+    * just the affected stream directories, the same metadata sweep
+    * [[openMerged]] performs; a production deployment would consult the
+    * manifest/metastore instead of the filesystem. */
+  private def requireConsistentWidths(messages: DataFrame, path: String,
+      granularityFor: Map[String, String], default: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val spark = messages.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return // fresh store: nothing to conflict with
+    val touched = messages
+      .select(col("stream_id"), date_format(col("ts"), DayBucket).as("day"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val conflicts = touched.groupBy(_._1).flatMap { case (stream, days) =>
+      val width = granularityFor.getOrElse(stream, default)
+      val streamDir = new Path(root, s"stream_id=${escapePathName(stream)}")
+      if (!fs.exists(streamDir)) Nil
+      else {
+        // bucket name widths present per day, across all partitions of the
+        // stream: day names are 10 chars, hour names 13
+        val existing = (for {
+          part <- fs.listStatus(streamDir) if part.isDirectory
+          b <- fs.listStatus(part.getPath)
+          if b.isDirectory && b.getPath.getName.startsWith("bucket=")
+        } yield b.getPath.getName.stripPrefix("bucket=")).toSeq
+        val daySet = days.map(_._2).toSet
+        existing.filter(b => daySet.contains(b.take(10)) &&
+            (b.length == 10) != (width == DayBucket))
+          .map(b => s"$stream day ${b.take(10)} already holds " +
+            s"bucket '$b' of the other width")
+      }
+    }
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        "bucket-width conflict: replay dedup is bucket-local, so writing a " +
+          "second width into a day that already has data would make any " +
+          "replayed key a permanent duplicate. Re-append with the day's " +
+          "original granularity (width flips apply to NEW days only). " +
+          conflicts.mkString("; "))
+  }
 
   private def appendWith(messages: DataFrame, path: String, bucket: Column): Unit =
     messages
@@ -307,7 +362,14 @@ object MessageStore {
     def lastOver(paths: Seq[String]): Array[org.apache.spark.sql.Row] = {
       // compacted buckets hold no replays (marker voided by any append), so
       // a read covered entirely by clean buckets skips the dedup window —
-      // the common steady-state serve is scan + top-K only
+      // the common steady-state serve is scan + top-K only. An append
+      // landing between this sweep and plan execution could put a replay
+      // into a scan already planned window-free: accepted as
+      // eventual-consistency for serving reads — the same read raced
+      // against the append could equally have run a moment earlier and
+      // missed the row entirely, and the duplicate is gone on the next
+      // read (the marker is void from then on). Readers that need
+      // serialized exactness take [[openMerged]]'s always-merged path.
       val dedup = !paths.forall(p => isCleanBucket(fs, new Path(p)))
       boundedLastPlan(spark, paths, streamId, partition, limit, dedup).collect()
     }

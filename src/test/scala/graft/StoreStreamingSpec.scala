@@ -434,6 +434,32 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(MessageStore.requestLastBounded(spark, path, "hot", 0, 2)).length == 2)
   }
 
+  test("granularity flip guard: second width on an occupied day rejected, new day allowed") {
+    val path = tmpDir("graft-width-guard")
+    val base = 1700000000000L // 2023-11-14 22:13:20 UTC
+    val dayMs = 86400000L
+    MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 0)), path, Map.empty)
+    // replay/append of the same day after a day→hour flip: would create a
+    // second-width bucket whose replays the bucket-local merge window can
+    // never collapse — rejected before any file lands
+    val e = intercept[IllegalStateException] {
+      MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 0)), path,
+        Map("s" -> MessageStore.HourBucket))
+    }
+    assert(e.getMessage.contains("bucket-width conflict"), e.getMessage)
+    assert(new java.io.File(s"$path/stream_id=s/stream_partition=0").list()
+      .toSeq == Seq("bucket=2023-11-14"))
+    // forward-only migration: hour width on a fresh day is legal, and the
+    // same-day original width still appends (replays keep working)
+    MessageStore.appendPerStream(streamDataOf(msg("s", 0, base + dayMs, 1)), path,
+      Map("s" -> MessageStore.HourBucket))
+    MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 0)), path, Map.empty)
+    assert(new java.io.File(s"$path/stream_id=s/stream_partition=0").list().sorted
+      .toSeq == Seq("bucket=2023-11-14", "bucket=2023-11-15-22"))
+    // and the day bucket's replay collapsed on read as before
+    assert(keysOf(MessageStore.openMerged(spark, path)).length == 2)
+  }
+
   test("processBatch replay guard: same batchId appends exactly once") {
     val path = tmpDir("graft-replay")
     val ckpt = tmpDir("graft-replay-ckpt")
