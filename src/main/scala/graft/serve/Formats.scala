@@ -133,7 +133,7 @@ object Formats {
         lit("\","), col("signature_type"),
         lit(","), signatureJson,
         lit("]"))
-    case v => throw new IllegalArgumentException(
+    case v => throw new BadRequestException(
       s"Unsupported protocol version $v (supported: 30, 31, 32)")
   }
 
@@ -153,7 +153,7 @@ object Formats {
       case "protocol" | "raw" =>
         messages.select(protocolJson(version.getOrElse(31)).as("msg"))
       case "object" => messages.select(objectJson.as("msg"))
-      case other => throw new IllegalArgumentException(
+      case other => throw new BadRequestException(
         s"Unknown format '$other' (supported: object, protocol, raw)")
     }
 
@@ -172,8 +172,17 @@ object Formats {
       case "object" | "protocol" =>
         val joined = rows.zipWithIndex.map { case (m, i) => if (i == 0) m else "," + m }
         Iterator("[") ++ joined ++ Iterator("]")
-      case other => throw new IllegalArgumentException(
+      case other => throw new BadRequestException(
         s"Unknown format '$other' (supported: object, protocol, raw)")
     }
   }
 }
+
+/** Client-input validation failure — the engine analog of the reference's
+  * `UnsupportedVersionError` family: the request named a format or wire
+  * version the protocol does not define. A dedicated type (not a bare
+  * `IllegalArgumentException`) so the serving layer can map EXACTLY these
+  * to HTTP 400 without also masking internal `require` failures from the
+  * read path as client errors; subclasses IllegalArgumentException so
+  * callers treating it as a plain argument error keep working. */
+final class BadRequestException(msg: String) extends IllegalArgumentException(msg)

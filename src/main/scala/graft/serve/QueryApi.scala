@@ -46,11 +46,24 @@ object QueryApi {
       partition: String,
       query: Map[String, String] = Map.empty)
 
-  /** JS `parseInt` over a query value: optional sign, leading decimal
-    * digits, anything after the digits ignored; no leading digits → NaN
-    * (None here). */
-  private[serve] def jsParseInt(s: String): Option[Long] =
-    "^[+-]?[0-9]+".r.findFirstIn(s.trim).flatMap(_.toLongOption)
+  /** JS radix-less `parseInt` over a query value: optional sign, then a
+    * `0x`/`0X` prefix switches to hex — `parseInt('0x1A')` is 26 in every
+    * reference parse site, so partition path `0x1A` must serve partition
+    * 26 here too, not partition 0 — otherwise leading decimal digits;
+    * junk after the digits ignored; no digits → NaN (None here). */
+  private[graft] def jsParseInt(s: String): Option[Long] = {
+    val t = s.trim
+    val neg = t.startsWith("-")
+    val body = if (neg || t.startsWith("+")) t.drop(1) else t
+    // a bare "0x" prefix claims the hex path even with no digits after it:
+    // JS parseInt('0x') is NaN, not 0 from the leading zero
+    if (body.startsWith("0x") || body.startsWith("0X"))
+      "^[0-9a-fA-F]+".r.findFirstIn(body.drop(2))
+        .flatMap(h => scala.util.Try(java.lang.Long.parseLong(h, 16)).toOption)
+        .map(v => if (neg) -v else v)
+    else "^[0-9]+".r.findFirstIn(body).flatMap(_.toLongOption)
+      .map(v => if (neg) -v else v)
+  }
 
   private val Formats = Set("object", "protocol", "raw")
 
@@ -78,15 +91,22 @@ object QueryApi {
           if (versionRaw.isDefined && version.isEmpty)
             bad(s"""Query parameter "version" not a number: ${versionRaw.get}""")
           else
-            try dispatch(engine, req, partition, formatName, version)
-            catch {
-              // unsupported wire version: Formats.protocolJson throws at
-              // plan build — surface it as the fail-fast 400
-              case e: IllegalArgumentException => bad(String.valueOf(e.getMessage))
-            }
+            asBadRequest(dispatch(engine, req, partition, formatName, version))
         }
     }
   }
+
+  /** Unsupported wire version / unknown format: Formats throws the
+    * dedicated [[BadRequestException]] at plan build — surface it as the
+    * fail-fast 400. ONLY that type: a bare IllegalArgumentException from
+    * an internal `require` on the read path is an engine bug and must
+    * propagate to the caller as a server-side failure, not masquerade as
+    * a client error. */
+  private[graft] def asBadRequest[T](body: => Either[ApiError, T])
+      : Either[ApiError, T] =
+    try body
+    catch { case e: BadRequestException =>
+      Left(ApiError(400, String.valueOf(e.getMessage))) }
 
   private def dispatch(engine: GraftEngine, req: QueryRequest, partition: Int,
       format: String, version: Option[Int])

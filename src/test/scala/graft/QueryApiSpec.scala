@@ -95,6 +95,40 @@ class QueryApiSpec extends SparkSpec {
     assert(unicasts(get("last", query = Map("count" -> "2abc"))).size == 2)
   }
 
+  test("JS parseInt hex semantics: 0x prefix is radix 16, bare 0x is NaN") {
+    // the reference's partition middleware uses radix-less parseInt, so
+    // path '0x1A' IS partition 26 — parsing it as 0 would silently serve
+    // partition 0's data to a hex request
+    import graft.serve.QueryApi.jsParseInt
+    assert(jsParseInt("0x1A").contains(26L))
+    assert(jsParseInt("0X1a").contains(26L))
+    assert(jsParseInt("-0x10").contains(-16L))
+    assert(jsParseInt("0x").isEmpty)   // parseInt('0x') is NaN, not 0
+    assert(jsParseInt("0xZZ").isEmpty)
+    assert(jsParseInt("0x1AZZ").contains(26L)) // junk tail still ignored
+    // partition 0x1A holds no data → empty resend, NOT partition 0's rows
+    val frames = get("last", partition = "0x1A").getOrElse(fail("frames"))
+    assert(frames.collect { case Resend.Unicast(m) => m }.isEmpty)
+    assert(unicasts(get("last", partition = "0x0")).size == 1)
+  }
+
+  test("internal IllegalArgumentException is not masked as a client 400") {
+    import graft.serve.BadRequestException
+    // only the dedicated BadRequestException maps to 400 at the dispatch
+    // conversion site; a bare IllegalArgumentException from an internal
+    // require() on the read path is an engine bug and must propagate to
+    // the caller as a server-side failure, not be reported as the
+    // client's fault
+    assert(QueryApi.asBadRequest[Unit](throw new BadRequestException("nope"))
+      == Left(ApiError(400, "nope")))
+    val err = intercept[IllegalArgumentException] {
+      QueryApi.asBadRequest[Unit](
+        throw new IllegalArgumentException("requirement failed: internal"))
+    }
+    assert(!err.isInstanceOf[BadRequestException]
+      && err.getMessage.contains("internal"))
+  }
+
   test("last serves the requested protocol version") {
     val v30 = unicasts(get("last",
       query = Map("count" -> "1", "format" -> "protocol", "version" -> "30")))
