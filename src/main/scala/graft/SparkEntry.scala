@@ -351,6 +351,28 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // greedy sequence packing: docs → fixed-token-budget training
+    // sequences, deterministic (stratum, hash-shard) chains
+    "q_pack" -> ((s, dir) =>
+      graft.operators.Packing.packGreedy(
+        docsParallel(s, dir), budget = 256, shards = 2)
+        .select(col("doc_id"), col("stratum").as("lang"), col("shard"),
+          col("pack_id"), col("pack_offset"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // incremental dedup: one snapshot flagged against the existing corpus
+    // (increment = the id>=400 tail plus re-published copies of the first
+    // ten corpus docs, so the exact-hash path is actually exercised)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val corpus = docs.filter(col("doc_id") < 400)
+      val increment = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.incrementalFlags(corpus, increment, k = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: corpus docs sharing > half their shingles
     // with any benchmark doc (the train/eval contamination scrub)
     "q_contamination" -> ((s, dir) => {
@@ -1128,6 +1150,66 @@ object SparkEntry {
           |SELECT CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split,
           |       count(*) AS n
           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // greedy packing replayed row-by-row: the recursive CTE walks each
+      // (lang, shard) chain in doc_id order carrying (pack_id, fill) — the
+      // same O(1) state the engine's sorted-group iterator carries
+      "q_pack" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, lang,
+          |         ('0x' || substr(md5('pack0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS shard,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |         CAST(row_number() OVER (
+          |           PARTITION BY lang, ('0x' || substr(md5('pack0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2
+          |           ORDER BY doc_id) AS BIGINT) AS rn
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc_id, lang, shard, n_tokens, rn,
+          |         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+          |         n_tokens AS fill
+          |  FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.doc_id, d.lang, d.shard, d.n_tokens, d.rn,
+          |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+          |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+          |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+          |  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
+          |SELECT doc_id, lang, shard, pack_id, pack_offset, n_tokens
+          |FROM p ORDER BY doc_id""".stripMargin,
+
+      // incremental dedup: exact via corpus-distinct md5 semi-join, near
+      // via the bipartite shared-shingle join — mirrors incrementalFlags
+      "q_dedup_incremental" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+          |inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          |        UNION ALL
+          |        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10),
+          |ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+          |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ch ON md5(i.text) = ch.h),
+          |itoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
+          |ishs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+          |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
+          |         FROM itoks WHERE len(t) >= 3),
+          |ish AS (SELECT doc_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM ishs),
+          |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+          |cshs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+          |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
+          |         FROM ctoks WHERE len(t) >= 3),
+          |csh AS (SELECT doc_id AS corpus_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM cshs),
+          |isz AS (SELECT doc_id, count(*) AS na FROM ish GROUP BY 1),
+          |csz AS (SELECT corpus_id, count(*) AS nb FROM csh GROUP BY 1),
+          |pr AS (SELECT i.doc_id, c.corpus_id, count(*) AS inter
+          |       FROM ish i JOIN csh c USING (shingle) GROUP BY 1, 2),
+          |nr AS (SELECT DISTINCT pr.doc_id FROM pr
+          |       JOIN isz ON pr.doc_id = isz.doc_id
+          |       JOIN csz ON pr.corpus_id = csz.corpus_id
+          |       WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5)
+          |SELECT i.doc_id,
+          |       CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_dup,
+          |       CAST(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS near_dup
+          |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+          |LEFT JOIN nr ON i.doc_id = nr.doc_id
+          |ORDER BY i.doc_id""".stripMargin,
 
       "q_contamination" ->
         s"""$shingleCte,

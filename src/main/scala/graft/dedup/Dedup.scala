@@ -271,6 +271,51 @@ object Dedup {
       .distinct() // a pair can surface under several rotations
   }
 
+  /** Incremental dedup: flag each document of a NEW snapshot against the
+    * EXISTING corpus — the daily-ingest shape, where the corpus is already
+    * deduped and only increment-vs-corpus work should be paid, never a
+    * corpus² re-clustering. One row per increment doc:
+    * `(doc_id, exact_dup, near_dup)` — `exact_dup` when its text md5
+    * already exists in the corpus, `near_dup` when its k-shingle Jaccard
+    * against SOME corpus doc clears `threshold`.
+    *
+    * Scale shape: exact is a semi-join of the increment against the
+    * corpus's distinct 16-byte hash set (shuffles ≈ corpus-distinct +
+    * increment, both reduced before the exchange). Near-dup joins the
+    * increment's shingle table against the corpus's on the shingle key —
+    * bipartite, so pairs materialize only where overlap exists and the
+    * fan-out is increment-bounded; the big corpus side is scanned, reduced
+    * to (doc, shingle), and never self-joined. The increment is small by
+    * nature (one snapshot), so AQE broadcasts its reduced aggregates. */
+  def incrementalFlags(corpus: DataFrame, increment: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val textHash = md5(col("text"))
+    val corpusHashes = corpus.select(textHash.as("h")).distinct()
+    val exact = increment.select(col("doc_id"), textHash.as("h"))
+      .join(corpusHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("exact_dup", lit(1L))
+    val inc = shingleTable(increment, k)
+    val corp = shingleTable(corpus, k)
+      .select(col("doc_id").as("corpus_id"), col("shingle"))
+    val incSizes = inc.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val corpSizes = corp.groupBy(col("corpus_id")).agg(count(lit(1)).as("nb"))
+    val near = inc.join(corp, "shingle")
+      .groupBy(col("doc_id"), col("corpus_id")).agg(count(lit(1)).as("inter"))
+      .join(incSizes, "doc_id")
+      .join(corpSizes, "corpus_id")
+      .filter(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double") >= threshold)
+      .select(col("doc_id")).distinct()
+      .withColumn("near_dup", lit(1L))
+    increment.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+  }
+
   /** Duplicate clusters from near-dup pairs — the tail every dedup
     * pipeline needs: pair lists (MinHash/Jaccard/SimHash output) grouped
     * into connected components so one canonical document survives per

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing: assemble documents into fixed-token-budget
+  * training sequences — the batch-construction step of every LLM training
+  * pipeline (padding waste dies with packing). Documents are walked in
+  * deterministic `doc_id` order within a (stratum, shard) chain; each doc
+  * lands at the current fill offset, and a doc that would overflow the
+  * budget starts the next pack (a doc longer than the whole budget gets a
+  * pack to itself). Output: one row per doc with its `(pack_id,
+  * pack_offset)` coordinates — the materialization step that concatenates
+  * token streams reads this table, it is never stored wide.
+  *
+  * Scale shape: greedy packing is inherently sequential — each decision
+  * depends on the running fill — so the parallel unit is the chain, not the
+  * row. Chains are (stratum × shard): `shards` is the knob that bounds
+  * chain length at corpus scale (hash-derived, so assignment is
+  * deterministic and engine-reproducible like [[Sampling]]'s splits — no
+  * RNG, no stored shard table). One shuffle on the chain key; each chain
+  * streams through a sorted-group iterator carrying O(1) state, never a
+  * collected buffer. 100 TB with shards sized to ~executor-core count packs
+  * in one pass.
+  */
+object Packing {
+
+  // not `private`: Catalyst's generated (de)serializers construct these
+  // from codegen'd classes, which cannot access private members
+  case class DocLen(doc_id: Long, stratum: String, shard: Long,
+      n_tokens: Long)
+  case class Packed(doc_id: Long, stratum: String, shard: Long,
+      pack_id: Long, pack_offset: Long, n_tokens: Long)
+
+  /** Pack `docs` (needs `doc_id`, `text`) greedily into `budget`-token
+    * sequences per (stratum, shard) chain. Token count is the whitespace
+    * tokenization ([[graft.text.TextAnalysis.wsTokens]] — swap in the
+    * BPE-ish count from `stats` when packing for a real tokenizer). */
+  def packGreedy(docs: DataFrame, budget: Int, shards: Int = 1,
+      stratum: Column = col("lang"), salt: String = "pack0"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      stratum.cast("string").as("stratum"),
+      (graft.text.TextAnalysis.md5Int32(
+        concat(lit(s"$salt:"), col("doc_id").cast("string"))) % shards)
+        .cast("long").as("shard"),
+      size(graft.text.TextAnalysis.wsTokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .as[DocLen]
+    sized
+      .groupByKey(d => (d.stratum, d.shard))
+      .flatMapSortedGroups($"doc_id".asc) { case ((stratum, shard), it) =>
+        // O(1) chain state: current pack ordinal and its token fill
+        var pack = 0L
+        var fill = 0L
+        it.map { d =>
+          if (fill > 0 && fill + d.n_tokens > budget) { pack += 1; fill = 0 }
+          val off = fill
+          fill += d.n_tokens
+          Packed(d.doc_id, stratum, shard, pack, off, d.n_tokens)
+        }
+      }
+      .toDF()
+  }
+}

@@ -14,6 +14,30 @@ class DedupSpec extends SparkSpec {
 
   private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 
+  test("incrementalFlags: exact and near dups flagged against the corpus only") {
+    val corpus = docsOf((1L, base), (2L, "one two three four five six seven"))
+    val increment = docsOf(
+      (10L, base),                         // exact dup of corpus 1
+      (11L, base + " lambda"),             // near-dup of corpus 1
+      (12L, "entirely different words here x y z"), // clean
+      (13L, base))                         // exact (and near) dup of corpus 1
+    val out = Dedup.incrementalFlags(corpus, increment, k = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 1L),  // exact implies shingle-identical -> near too
+      (11L, 0L, 1L),
+      (12L, 0L, 0L),
+      (13L, 1L, 1L)))
+    // increment-vs-increment pairs are NOT consulted: 10 and 13 duplicate
+    // each other but only their corpus match flags them; a doc duplicated
+    // only WITHIN the increment stays clean here (that is exactDedup's job)
+    val intraOnly = Dedup.incrementalFlags(
+      corpus, docsOf((20L, "p q r s t u v"), (21L, "p q r s t u v")))
+    assert(intraOnly.agg(sum(col("exact_dup")), sum(col("near_dup")))
+      .collect().head.toSeq == Seq(0L, 0L))
+  }
+
   test("shingles: distinct word 3-grams; short docs yield empty") {
     val out = docsOf((1L, "a b c d"), (2L, "x y"))
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text", "lang")
+  }
+
+  // word counts: doc 1 = 3 tokens, 2 = 4, 3 = 2, 4 = 9 (over budget), 5 = 1
+  private val docs = docsOf(
+    (1L, "a b c", "en"),
+    (2L, "d e f g", "en"),
+    (3L, "h i", "en"),
+    (4L, "j k l m n o p q r", "en"),
+    (5L, "s", "en"))
+
+  test("greedy fill: docs pack in id order, overflow starts the next pack") {
+    // budget 8, one chain: [1(3) 2(4)] fill 7; 3(2) overflows -> pack 1:
+    // [3(2)] fill 2; 4(9) overflows -> pack 2 alone (longer than budget);
+    // 5(1) overflows pack 2 (9 > 8 already) -> pack 3
+    val out = Packing.packGreedy(docs, budget = 8, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id", "pack_offset", "n_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 3L),
+      (2L, 0L, 3L, 4L),
+      (3L, 1L, 0L, 2L),
+      (4L, 2L, 0L, 9L),
+      (5L, 3L, 0L, 1L)))
+  }
+
+  test("chains are (stratum, hash-shard): strata never share a pack") {
+    val mixed = docsOf(
+      (1L, "a b c", "en"), (2L, "d e", "de"),
+      (3L, "f g h", "en"), (4L, "i j", "de"))
+    val out = Packing.packGreedy(mixed, budget = 100, shards = 1)
+      .select("stratum", "pack_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // everything fits one pack per stratum; packs never mix strata
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+      .toMap == Map("en" -> 1, "de" -> 1))
+    // deterministic: same input -> identical assignment on a second run
+    val again = Packing.packGreedy(mixed, budget = 100, shards = 1)
+      .select("stratum", "pack_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._3).toSeq == again.sortBy(_._3).toSeq)
+  }
+
+  test("shards split a stratum deterministically and pack independently") {
+    val out = Packing.packGreedy(docs, budget = 8, shards = 4)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // shard = md5('pack0:' || doc_id) % 4 — pinned so either engine (and
+    // any future run) reproduces the same chains
+    assert(out.values.forall(s => s >= 0 && s < 4))
+    val again = Packing.packGreedy(docs, budget = 8, shards = 4)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == again)
+    // offsets within every chain still start at 0 and never exceed budget
+    // unless the doc itself does
+    val rows = Packing.packGreedy(docs, budget = 8, shards = 4)
+      .select("pack_offset", "n_tokens").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == 0L || r.getLong(0) + r.getLong(1) <= 8L)
+    }
+  }
+
+  test("invalid budget/shards rejected") {
+    intercept[IllegalArgumentException](Packing.packGreedy(docs, budget = 0))
+    intercept[IllegalArgumentException](
+      Packing.packGreedy(docs, budget = 8, shards = 0))
+  }
+}
