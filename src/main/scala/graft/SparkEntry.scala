@@ -351,6 +351,14 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // mixture rebalancing: exact target proportions (en:de:fr = 5:2:1),
+    // scarcest stratum binding, strata without weights dropped
+    "q_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(Tables.documents(s, dir),
+        col("doc_id"), col("lang"), Map("en" -> 5L, "de" -> 2L, "fr" -> 1L))
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
     // greedy sequence packing: docs → fixed-token-budget training
     // sequences, deterministic (stratum, hash-shard) chains
     "q_pack" -> ((s, dir) =>
@@ -1150,6 +1158,27 @@ object SparkEntry {
           |SELECT CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split,
           |       count(*) AS n
           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // mixture rebalance: binding stratum by exact cross-multiplied w/n
+      // maximum, per-stratum floor targets in integer arithmetic, smallest
+      // salted-md5 ranks kept — all replayed exactly
+      "q_mixture" ->
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents
+          |           WHERE lang IN ('en','de','fr') GROUP BY 1),
+          |w AS (SELECT lang, CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 ELSE 1 END AS wt, n FROM c),
+          |star AS (SELECT lang, wt, n FROM w w1
+          |         WHERE NOT EXISTS (SELECT 1 FROM w w2 WHERE w2.wt * w1.n > w1.wt * w2.n)
+          |         ORDER BY lang LIMIT 1),
+          |t AS (SELECT w.lang, (star.n * w.wt) // star.wt AS k FROM w, star),
+          |r AS (SELECT doc_id, lang,
+          |        ('0x' || substr(md5('mix0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |      FROM documents WHERE lang IN ('en','de','fr')),
+          |rk AS (SELECT doc_id, lang,
+          |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+          |       FROM r)
+          |SELECT rk.doc_id, rk.lang, rk.sample_rank
+          |FROM rk JOIN t ON rk.lang = t.lang WHERE sample_rank <= t.k
+          |ORDER BY rk.lang, rk.sample_rank""".stripMargin,
 
       // greedy packing replayed row-by-row: the recursive CTE walks each
       // (lang, shard) chain in doc_id order carrying (pack_id, fill) — the

@@ -52,6 +52,52 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Rebalance a corpus to target mixture WEIGHTS — "make the training set
+    * 70% web, 20% code, 10% reference" — keeping as much data as the
+    * scarcest stratum allows. The binding stratum s* maximizes w/n; every
+    * stratum then keeps `floor(n_star * w_j / w_star)` rows (exact integer
+    * arithmetic — no float ratios, so any engine lands on identical
+    * counts), selected as the smallest salted-md5 ranks like
+    * [[fixedSample]]. Strata present in the data but absent from
+    * `weights` are dropped (weight 0).
+    *
+    * Scale shape: one map-side-combined count per stratum (rows collected
+    * = #strata, driver-bounded), then one window shuffle on the stratum
+    * key with a WindowGroupLimit top-k per group. Deterministic end to
+    * end — re-running on the same corpus reproduces the same mixture. */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+      weights: Map[String, Long], salt: String = "mix0"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.filter(lit(false))
+      .withColumn("sample_rank", lit(0L))
+    // binding stratum: the one whose data runs out first at these weights
+    // — maximal w/n, compared by exact cross-multiplication (a tie picks
+    // either: equal ratios yield identical floor targets)
+    val (sStar, wStar) = present.reduceLeft[(String, Long)] {
+      case (a @ (sa, wa), b @ (sb, wb)) =>
+        val cmp = (BigInt(wa) * counts(sb)).compare(BigInt(wb) * counts(sa))
+        if (cmp > 0 || (cmp == 0 && sa <= sb)) a else b
+    }
+    val targets = present.map { case (s, w) =>
+      // floor(n_star * w / w_star) in overflow-safe exact integers
+      s -> (BigInt(counts(sStar)) * w / wStar).toLong
+    }
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.text.TextAnalysis.md5Int60(
+      concat(lit(s"$salt:"), key.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h, key)
+    val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= kExpr)
+  }
+
   /** Deterministic train/val/test split assignment: hash the row key into
     * [0, total) where total = Σ weights, and label by cumulative range.
     * The same row lands in the same split on every engine and every run —

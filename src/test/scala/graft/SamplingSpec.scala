@@ -81,6 +81,38 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("mixtureSample: exact target proportions, scarcest stratum binding") {
+    val s = spark
+    import s.implicits._
+    // 600 en / 100 de / 300 es; want en:de = 4:1 → de binds (1/100 > 4/600),
+    // keeps: en = 100*4/1 = 400, de = 100, es unweighted → dropped
+    val corpus = ((0L until 600L).map((_, "en"))
+      ++ (600L until 700L).map((_, "de"))
+      ++ (700L until 1000L).map((_, "es")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.mixtureSample(corpus, col("doc_id"), col("lang"),
+      Map("en" -> 4L, "de" -> 1L))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 400L, "de" -> 100L))
+    // deterministic: identical membership on a re-run
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSample(corpus, col("doc_id"), col("lang"),
+      Map("en" -> 4L, "de" -> 1L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // weight flip keeps de binding (w/n: de 4/100 > en 1/600) but scales
+    // the pool: λ = 100/4 = 25 → en keeps 25, de keeps all 100
+    val flipped = Sampling.mixtureSample(corpus, col("doc_id"), col("lang"),
+      Map("en" -> 1L, "de" -> 4L))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flipped == Map("en" -> 25L, "de" -> 100L))
+    // weights covering no present stratum → empty result, stable schema
+    assert(Sampling.mixtureSample(corpus, col("doc_id"), col("lang"),
+      Map("zz" -> 1L)).count() == 0L)
+  }
+
   test("contaminationPairs: flags benchmark overlap, spares clean docs") {
     val s = spark
     import s.implicits._
