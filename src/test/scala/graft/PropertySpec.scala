@@ -94,6 +94,49 @@ class PropertySpec extends SparkSpec {
     assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
   }
 
+  test("packGreedy: every doc exactly once; offsets respect the budget") {
+    import graft.operators.Packing
+    val s = spark
+    import s.implicits._
+    val genCorpus: Gen[(List[(Long, String, String)], Int, Int)] = for {
+      n <- Gen.choose(1, 30)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 12)
+        words <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+        lang <- Gen.oneOf("en", "de")
+      } yield (words.mkString(" "), lang))
+      budget <- Gen.choose(1, 20)
+      shards <- Gen.choose(1, 3)
+    } yield (docs.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) },
+      budget, shards)
+    val packParams = params.withMinSuccessfulTests(10) // real Spark jobs
+    val r = check(packParams, Prop.forAll(genCorpus) { case (docs, budget, shards) =>
+      val out = Packing.packGreedy(
+        docs.toDF("doc_id", "text", "lang"), budget, shards).collect()
+      val byChain = out.groupBy(r =>
+        (r.getAs[String]("stratum"), r.getAs[Long]("shard")))
+      // conservation: every doc exactly once, no chain invents or drops
+      out.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+        docs.map(_._1).sorted &&
+      byChain.values.forall { rows =>
+        val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+        // replay the greedy fold: offsets/pack ids must match exactly,
+        // and a pack never exceeds the budget unless a single doc does
+        var pack = 0L; var fill = 0L; var ok = true
+        sorted.foreach { r =>
+          val n = r.getAs[Long]("n_tokens")
+          if (fill > 0 && fill + n > budget) { pack += 1; fill = 0 }
+          ok &&= r.getAs[Long]("pack_id") == pack &&
+            r.getAs[Long]("pack_offset") == fill &&
+            (fill == 0 || fill + n <= budget)
+          fill += n
+        }
+        ok
+      }
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
   test("ingestDedup: one deterministic winner (max payload) per uniqueness key") {
     val genReplayed: Gen[List[StreamMessage]] = for {
       base <- genMsgs
