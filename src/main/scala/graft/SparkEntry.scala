@@ -351,6 +351,12 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
 
+    // n-gram vocabulary induction: top bigrams by corpus tf (the BPE
+    // merge-candidate table), df alongside, deterministic tie-break
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.ngramVocab(docsParallel(s, dir), n = 2, topK = 100)
+        .orderBy(col("tf").desc, col("ngram"))),
+
     // mixture rebalancing: exact target proportions (en:de:fr = 5:2:1),
     // scarcest stratum binding, strata without weights dropped
     "q_mixture" -> ((s, dir) =>
@@ -1158,6 +1164,16 @@ object SparkEntry {
           |SELECT CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split,
           |       count(*) AS n
           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // top bigrams by corpus term frequency with doc frequency; ties at
+      // the cut break on the gram string in both engines
+      "q_vocab" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+          |        i -> t[i+1] || ' ' || t[i+2])) AS ngram
+          |      FROM toks WHERE len(t) >= 2)
+          |SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
+          |FROM g GROUP BY 1 ORDER BY tf DESC, ngram LIMIT 100""".stripMargin,
 
       // mixture rebalance: binding stratum by exact cross-multiplied w/n
       // maximum, per-stratum floor targets in integer arithmetic, smallest

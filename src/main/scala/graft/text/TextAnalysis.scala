@@ -311,6 +311,31 @@ object TextAnalysis {
           .as("boiler_frac"))
   }
 
+  /** Corpus n-gram vocabulary induction stats: the `topK` token n-grams by
+    * corpus term frequency, with document frequency alongside — the
+    * counting step of a BPE-style merge table (n = 2 ranks merge
+    * candidates) and the inspection surface for corpus-wide boilerplate.
+    * Deterministic: ties at the cut break on the gram string, so the same
+    * corpus yields the same table in any engine.
+    *
+    * Shape: explode → one map-side-combined aggregate keyed on the gram
+    * (tf = count, df = distinct docs via the standard two-phase expansion),
+    * then a global TakeOrdered of k rows — no full sort materializes. */
+  def ngramVocab(docs: DataFrame, n: Int = 2, topK: Int = 100): DataFrame = {
+    require(n >= 1 && topK >= 1, "need n >= 1 and topK >= 1")
+    val toks = wsTokens(col("text"))
+    // all occurrences (NOT distinct — tf counts repeats within a doc)
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))).as("ngram"))
+    grams.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("ngram"))
+      .limit(topK)
+  }
+
   /** Rolling polynomial fingerprint over the token sequence:
     * `acc = (acc*31 + md5Int32(token)) mod P` with P = 1e12+39 (prime; keeps
     * every intermediate < 3.2e13, exact in int64 on any engine). Equal

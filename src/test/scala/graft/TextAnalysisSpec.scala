@@ -157,6 +157,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(4L).getAs[Double]("boiler_frac") == 0.0)
   }
 
+  test("ngramVocab: top bigrams by tf with df, tie broken on the gram") {
+    val got = TextAnalysis.ngramVocab(docsOf(
+      (1L, "a b a b c", "en", "s"),   // bigrams: "a b" x2, "b a", "b c"
+      (2L, "a b z", "en", "s"),       // "a b", "b z"
+      (3L, "x", "en", "s")),          // too short: no bigrams
+      n = 2, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: "a b"=3; then "b a"/"b c"/"b z" tie at 1 → gram order keeps 2
+    assert(got.toSeq == Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
   test("gopherQuality: verdict combines word-count, word-length, symbol, alpha gates") {
     val got = TextAnalysis.gopherQuality(docsOf(
       (1L, "solid sentence with several normal words here", "en", "s"), // passes
