@@ -264,6 +264,13 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("label"), col("vec_a"), col("vec_b"))),
 
+    // SemDeDup: k-means-blocked semantic dedup over the embedding space —
+    // the corpus-level "drop semantic copies" pass (clustering bounds the
+    // pair fan-out; per-cluster min-id anchoring keeps it deterministic)
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("vec_id"))),
+
     // ---- multimodal binary-column plumbing (metadata-only path) ----
     "q_multimodal_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.metaSummary(
@@ -396,6 +403,12 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // duplicate-substring spans (Lee et al. substring dedup): maximal
+    // token spans whose 5-gram content recurs in another document
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(docsParallel(s, dir), n = 5)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // ---- text analysis for training-data pipelines ----
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docsParallel(s, dir)).orderBy(col("doc_id"))),
@@ -439,6 +452,13 @@ object SparkEntry {
     // pass/fail verdict the filter pipeline consumes
     "q_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQuality(docsParallel(s, dir)).orderBy(col("doc_id"))),
+
+    // two-pass distributed heavy hitters: Misra-Gries candidates per
+    // partition (O(k) memory, no full-token shuffle) + exact recount —
+    // the sketch only prunes, so the output is exact and oracle-gated
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docsParallel(s, dir), k = 30)
+        .orderBy(col("tok"))),
 
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docsParallel(s, dir)).orderBy(col("doc_id"))),
@@ -503,6 +523,29 @@ object SparkEntry {
     "q_top_events" -> ((s, dir) =>
       Relational.topEventsPerType(s, dir, k = 3)
         .orderBy(col("event_type"), col("rank"))),
+
+    // as-of join: each click picks up the latest same-user purchase at or
+    // before it — the merge-sort formulation (one key shuffle, no
+    // range-join fan-out); see operators.AsofJoin
+    "q_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tms = unix_millis(col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tms.as("tms"), col("event_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tms.as("tms"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.operators.AsofJoin.asofBackward(clicks, purchases,
+        keys = Seq("user_id"), ts = "tms", rightTie = "purchase_id",
+        rightVals = Seq("purchase_id", "purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ROLLUP grouping sets: (type, day) / (type) / grand total in one scan
+    "q_rollup" -> ((s, dir) =>
+      Relational.eventRollup(s, dir)
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("day").asc_nulls_first)),
 
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>
@@ -944,6 +987,30 @@ object SparkEntry {
            |        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.4
            |ORDER BY a.label, vec_a, vec_b""".stripMargin,
 
+      // SemDeDup: the k-means CTEs replay Similarity.trainCentroids exactly
+      // (same seed order, same IEEE mean/distance arithmetic as
+      // q_ann_kmeans), then the within-cluster lower-id shadow rule
+      "q_semdedup" ->
+        s"""$quantCte,
+           |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n),
+           |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+           |              list_transform(qe, x -> CAST(x AS DOUBLE)) AS c
+           |       FROM (SELECT vec_id, qe FROM corp
+           |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+           |${kmAssign("a1", "c0")},
+           |${kmStep(1)},
+           |${kmAssign("a2", "c1")},
+           |${kmStep(2)},
+           |${kmAssign("a3", "c2")},
+           |sh AS (SELECT DISTINCT b.vec_id
+           |       FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |       WHERE ${dotExpr.format("a.qe", "a.qe", "b.qe")}
+           |               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.4)
+           |SELECT t.vec_id, t.cid,
+           |       CAST(CASE WHEN sh.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM a3 t LEFT JOIN sh ON t.vec_id = sh.vec_id
+           |ORDER BY t.vec_id""".stripMargin,
+
       "q_multimodal_meta" ->
         """SELECT doc_id AS media_id,
           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -1269,6 +1336,29 @@ object SparkEntry {
            |WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) > 0.5
            |ORDER BY doc_id, bench_id""".stripMargin,
 
+      // duplicate-substring spans: positioned 5-gram fingerprints, ≥2-doc
+      // grams, gaps-and-islands merge — pure integer arithmetic throughout
+      "q_dup_spans" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |p AS (SELECT doc_id, t, unnest(range(len(t) - 4)) AS pos
+          |      FROM toks WHERE len(t) >= 5),
+          |gr AS (SELECT doc_id, pos,
+          |         ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS g
+          |       FROM p),
+          |dupg AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+          |h AS (SELECT doc_id, pos FROM gr JOIN dupg USING (g)),
+          |l AS (SELECT doc_id, pos,
+          |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM h),
+          |i AS (SELECT doc_id, pos,
+          |        sum(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+          |          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+          |      FROM l)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          |       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+          |       CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len
+          |FROM i GROUP BY doc_id, span
+          |ORDER BY doc_id, span_start""".stripMargin,
+
       "q_sample" ->
         """SELECT lang, count(*) AS n FROM documents
           |WHERE CASE
@@ -1388,6 +1478,16 @@ object SparkEntry {
            |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
 
+      // heavy hitters: the MG sketch only prunes candidates, so the exact
+      // SQL (count + strict integer cross-multiplied threshold) is the
+      // full semantics
+      "q_heavy_hitters" ->
+        """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          |n AS (SELECT count(*) AS total FROM t),
+          |c AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+          |SELECT tok, freq, total FROM c, n
+          |WHERE freq * 30 > total ORDER BY tok""".stripMargin,
+
       "q3_shipping" ->
         """SELECT l_orderkey, o_orderdate, o_orderpriority,
           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1474,6 +1574,40 @@ object SparkEntry {
           |      ORDER BY value DESC, event_id) AS BIGINT) AS "rank"
           |  FROM events
           |) WHERE "rank" <= 3 ORDER BY event_type, "rank"""".stripMargin,
+
+      // as-of join replayed in the identical merge-sort formulation:
+      // tagged union + running last_value(IGNORE NULLS) per user, right
+      // rows ordered before left rows at an equal timestamp
+      "q_asof" ->
+        """WITH c AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id, value
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id, value
+          |      FROM events WHERE event_type = 'purchase'),
+          |u AS (SELECT user_id, tms, event_id, value,
+          |             NULL::BIGINT AS purchase_id, NULL::DOUBLE AS purchase_value, 1 AS side
+          |      FROM c
+          |      UNION ALL
+          |      SELECT user_id, tms, NULL, NULL, event_id, value, 0 FROM p),
+          |m AS (SELECT user_id, tms, event_id, value, side,
+          |        last_value(purchase_id IGNORE NULLS) OVER w AS purchase_id,
+          |        last_value(purchase_value IGNORE NULLS) OVER w AS purchase_value
+          |      FROM u
+          |      WINDOW w AS (PARTITION BY user_id
+          |        ORDER BY tms, side, purchase_id NULLS FIRST
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT user_id, tms, event_id, value, purchase_id, purchase_value
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+      // ROLLUP grouping sets; value summed in 1e-6 fixed point so every
+      // subtotal is an exact integer in any addition order
+      "q_rollup" ->
+        """SELECT CAST(GROUPING(event_type, day) AS BIGINT) AS gid, event_type, day,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_sum_micro
+          |FROM (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, value
+          |      FROM events)
+          |GROUP BY ROLLUP(event_type, day)
+          |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,

@@ -395,4 +395,56 @@ object Dedup {
       .withColumn("is_canonical",
         (col("doc_id") === col("cluster")).cast("long"))
   }
+
+  /** Exact duplicate-substring spans (the substring-dedup signal of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §3.1): every maximal token span of a document whose
+    * `n`-gram content also appears in at least one OTHER document. The
+    * full suffix-array construction of the paper is replaced by its
+    * standard distributed approximation — positioned `n`-gram fingerprints
+    * — which finds exactly the duplicated regions of length ≥ `n` tokens
+    * (shorter overlaps are below the signal floor by construction).
+    *
+    * Pipeline: positioned token `n`-grams → 60-bit md5 fingerprint →
+    * cross-document frequency (a gram is "duplicated" iff ≥ 2 distinct
+    * docs contain it) → per-doc gaps-and-islands merge of overlapping
+    * duplicated positions (`pos > prev + n` opens a new span, since
+    * [prev, prev+n-1] and [pos, pos+n-1] overlap or touch iff
+    * pos ≤ prev+n).
+    *
+    * Scale: the explode is a narrow ~tokens×1 map (each position emits one
+    * gram); the df count and the hit join shuffle once on the 60-bit gram
+    * key (uniform by construction); the island merge shuffles once on
+    * doc_id and runs inside each doc's partition. Everything is integer
+    * arithmetic — no floats anywhere. Returns
+    * (doc_id, span_start, span_end, span_len) in token offsets. */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("t")) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j + 1)): _*))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5Int60(col("col")).as("g"))
+      .repartition(col("g"))
+    // grams in ≥2 distinct docs; both consumers read the one g exchange
+    val dupG = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val hits = grams.join(dupG, Seq("g")).select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = hits
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") > col("prev") + n, 1L).otherwise(0L))
+    marked
+      .withColumn("span", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+/** As-of (point-in-time) join: for each left row, attach the single most
+  * recent right row with the same key and `ts <= left.ts`. Spark has no
+  * built-in as-of operator; the naive formulation is a range join
+  * (`l.ts >= r.ts` non-equi condition) whose fan-out is O(|left| ×
+  * matching-right) before the per-row max is taken — unusable at scale.
+  *
+  * This is the merge-sort formulation instead: tag both sides, union them,
+  * and take a running `last(right value, ignoreNulls)` over a per-key
+  * window ordered by (ts, side). ONE shuffle on the key, no fan-out, no
+  * range-join explosion; each key's partition is processed in a single
+  * ordered pass, which is exactly how a time-series store would execute it.
+  * At 100 TB the shuffle is the unavoidable co-location of the two inputs
+  * and everything after it is narrow.
+  *
+  * Tie policy: a right row at exactly the left row's timestamp IS visible
+  * ("at or before", inclusive) — right rows order before left rows at an
+  * equal timestamp. Among equal-timestamp right rows the greatest
+  * `rightTie` wins, making the result deterministic on any engine.
+  */
+object AsofJoin {
+
+  /** Backward as-of join.
+    *
+    * @param left      left rows; keeps all its columns. Must not contain
+    *                  any of `rightVals`.
+    * @param right     right rows; must contain `keys`, `ts` and `rightVals`
+    *                  (already renamed to their output names).
+    * @param keys      equality keys present on both sides
+    * @param ts        ordering column name present on both sides (same type)
+    * @param rightTie  column of `rightVals` that breaks equal-ts ties among
+    *                  right rows (ascending — the greatest value wins)
+    * @param rightVals right-side payload columns to attach to each left row
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, rightTie: String, rightVals: Seq[String]): DataFrame = {
+    require(rightVals.contains(rightTie), s"rightTie $rightTie must be one of rightVals")
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
+    require(leftOnly.intersect(rightVals).isEmpty,
+      s"left columns ${leftOnly.intersect(rightVals).mkString(",")} collide with rightVals")
+    def typed(df: DataFrame, c: String): StructField = df.schema(df.schema.fieldIndex(c))
+    // common layout: keys ++ ts ++ leftOnly (null on right rows) ++
+    // rightVals (null on left rows) ++ side
+    val l = left.select(
+      (keys :+ ts).map(col) ++
+        leftOnly.map(col) ++
+        rightVals.map(c => lit(null).cast(typed(right, c).dataType).as(c)) :+
+        lit(1).as("_side"): _*)
+    val r = right.select(
+      (keys :+ ts).map(col) ++
+        leftOnly.map(c => lit(null).cast(typed(left, c).dataType).as(c)) ++
+        rightVals.map(col) :+
+        lit(0).as("_side"): _*)
+    // null-first tiebreak pinned explicitly: left rows carry null rightTie,
+    // and engines disagree on default null order (Spark NULLS FIRST asc,
+    // DuckDB NULLS LAST) — the choice is irrelevant to the result (sides
+    // already separate null from non-null) but pinning it documents that.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc +: col("_side").asc +: Seq(col(rightTie).asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one select so every running-last reads the UNION's columns (chained
+    // withColumn would feed windowed output into the next window's input)
+    l.unionByName(r)
+      .select(
+        (keys :+ ts).map(col) ++
+          leftOnly.map(col) ++
+          rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+          col("_side"): _*)
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+}

@@ -130,6 +130,26 @@ object Similarity {
       kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2, dim: Int = 64): DataFrame = {
     import graft.functions.CentroidRank.centroid_rank
     val c = prepared(corpus)
+    val centroids = trainCentroids(c, kClusters, iters, dim)
+    def nearest(qe: Column): Column = element_at(centroid_rank(qe, centroids), 1)
+    val assigned = c.withColumn("cid", nearest(col("qe")))
+    val q = prepared(queries).select(
+      col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val probes = q.select(col("query_id"), col("q_qe"), col("q_nq"),
+      explode(slice(centroid_rank(col("q_qe"), centroids), 1, nprobe)).as("cid"))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .withColumn("cos", cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** Deterministic hash-seeded Lloyd's k-means over a [[prepared]] corpus
+    * (see [[ivfKmeansTopK]] for the determinism and scale argument).
+    * Centroids are driver-held k×dim metadata; each iteration is one
+    * map+aggregate corpus pass via the native
+    * [[graft.functions.CentroidRank]] kernel. */
+  def trainCentroids(c: DataFrame, kClusters: Int, iters: Int, dim: Int): Seq[Seq[Double]] = {
+    import graft.functions.CentroidRank.centroid_rank
     var centroids: Seq[Seq[Double]] = c
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kClusters)
       .select(col("qe")).collect()
@@ -153,15 +173,46 @@ object Similarity {
         }
       }
     }
-    val assigned = c.withColumn("cid", nearest(col("qe")))
-    val q = prepared(queries).select(
-      col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nq").as("q_nq"))
-    val probes = q.select(col("query_id"), col("q_qe"), col("q_nq"),
-      explode(slice(centroid_rank(col("q_qe"), centroids), 1, nprobe)).as("cid"))
-    val scored = assigned.join(broadcast(probes), "cid")
-      .withColumn("cos", cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-    topKPerGroup(scored, k)
+    centroids
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    * each cluster drop every vector that has a lower-id neighbor with
+    * cosine ≥ `threshold`. Clustering turns the quadratic all-pairs cosine
+    * into per-cluster blocks — the same bounded-fan-out discipline as every
+    * other dedup here (candidate pairs ≤ Σ C(cluster size, 2), never n²).
+    *
+    * Keep rule: a vector is kept iff NO kept-or-dropped lower-id vector in
+    * its cluster clears the threshold. (The paper keeps one arbitrary
+    * member per near-dup neighborhood; anchoring on min-id makes the choice
+    * deterministic and embarrassingly parallel — no sequential greedy chain
+    * — at the cost of occasionally dropping a chain member a sequential
+    * pass would keep. That trade is standard in distributed SemDeDup.)
+    *
+    * Scale: at 100 TB, `kClusters` grows with the corpus (the paper uses
+    * ~10⁵ clusters for web scale) so per-cluster occupancy — and the pair
+    * fan-out bound — stays constant; both self-join sides read ONE
+    * explicit cid exchange. Returns (vec_id, cid, keep). */
+  def semDedup(embeddings: DataFrame, threshold: Double, kClusters: Int = 8,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    import graft.functions.CentroidRank.centroid_rank
+    val c = prepared(embeddings)
+    val centroids = trainCentroids(c, kClusters, iters, dim)
+    val assigned = c
+      .withColumn("cid", element_at(centroid_rank(col("qe"), centroids), 1))
+      .select(col("vec_id"), col("cid"), col("qe"), col("nq"))
+      .repartition(col("cid"))
+    val shadowed = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineQ(dotQ(col("a.qe"), col("b.qe")), col("a.nq"), col("b.nq"))
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(shadowed.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dropped").isNull, 1L).otherwise(0L).as("keep"))
   }
 
   /** Embedding-cosine near-duplicate pairs blocked by multi-probe sign-LSH

@@ -352,4 +352,58 @@ object TextAnalysis {
       graft.functions.FingerprintFold
         .fingerprint_fold(wsTokens(col("text")), FingerprintMod)
         .as("fp"))
+
+  /** Heavy hitters: every token whose corpus frequency strictly exceeds
+    * `total_tokens / k`, by the classic two-pass distributed Misra-Gries
+    * scheme (Misra & Gries 1982; the MAX/SpaceSaving family of
+    * streaming-frequency summaries).
+    *
+    * Pass 1 (candidates): each partition runs a Misra-Gries summary with
+    * `k` counters over its tokens — O(k) memory regardless of partition
+    * size. Any token with global frequency > n/k has local frequency >
+    * n_p/k in at least one partition (averaging), and MG with k counters
+    * retains every item whose local frequency exceeds local_n/k — so the
+    * union of partition summaries contains ALL global heavy hitters (no
+    * false negatives). This is genuine per-partition imperative state, the
+    * one case where `mapPartitions` beats any Catalyst formulation: a full
+    * `groupBy(token)` would shuffle the entire token multiset (the thing a
+    * 100 TB corpus cannot afford), while candidates are ≤ k ×
+    * numPartitions rows.
+    *
+    * Pass 2 (exact): re-count ONLY the candidates (a broadcast semi-join
+    * pruned scan) and keep those with `freq * k > total`. The output is
+    * exact and deterministic — the sketch only prunes, it never decides —
+    * which is what makes the operator oracle-checkable against plain SQL.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 200): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(wsTokens(col("text"))).as("tok"))
+    val candidates = toks.select(col("tok")).as[String].mapPartitions { it =>
+      // Misra-Gries with k-1 counters (guarantees freq > n/k retained)
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < k - 1) counters(t) = 1L
+        else {
+          // decrement-all step; drop zeros
+          val dead = List.newBuilder[String]
+          counters.keysIterator.foreach { key =>
+            val v = counters(key) - 1L
+            if (v == 0L) dead += key else counters(key) = v
+          }
+          dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val counted = toks.join(broadcast(candidates), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    // integer cross-multiplied threshold: freq * k > total — no division
+    counted.crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("n"))
+      .select(col("tok"), col("freq"), col("n").as("total"))
+  }
 }

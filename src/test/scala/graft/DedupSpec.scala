@@ -157,4 +157,34 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // the corpus must actually exercise the path
     assert(blocked == exact) // pigeonhole: no pair within distance 3 is missed
   }
+
+  test("dupSpans: shared 5-gram runs merge into maximal spans; unique docs absent") {
+    // docs 1 and 2 share tokens 'c d e f g h i' — a 7-token duplicated
+    // region = three overlapping 5-grams at positions 2,3,4 (doc 1) and
+    // 0,1,2 (doc 2) that must merge into ONE span each
+    val d1 = "a b c d e f g h i x y"
+    val d2 = "c d e f g h i q r s t"
+    val docs = docsOf((1L, d1), (2L, d2),
+      (3L, "totally unrelated words nothing shared here at all"))
+    val got = Dedup.dupSpans(docs, n = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 8L, 7L),   // tokens c..i at offsets 2..8
+      (2L, 0L, 6L, 7L)))  // tokens c..i at offsets 0..6
+  }
+
+  test("dupSpans: two disjoint duplicated regions stay two spans") {
+    // shared run 1: tokens p q r s t (positions 0..4 in both);
+    // shared run 2: u v w x y — separated by unique middles wider than n
+    val docs = docsOf(
+      (1L, "p q r s t m1 m2 m3 m4 m5 m6 u v w x y"),
+      (2L, "p q r s t k1 k2 k3 k4 k5 k6 u v w x y"))
+    val got = Dedup.dupSpans(docs, n = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, 5L), (1L, 11L, 15L, 5L),
+      (2L, 0L, 4L, 5L), (2L, 11L, 15L, 5L)))
+  }
 }

@@ -57,4 +57,23 @@ class RelationalSpec extends SparkSpec {
       assert(vals.sameElements(vals.sortBy(-_)))
     }
   }
+
+  test("eventRollup: subtotal levels are consistent and scan the facts once") {
+    val df = Relational.eventRollup(spark, dir)
+    val rows = df.collect()
+    val total = rows.filter(_.getAs[Long]("gid") == 3L)
+    val byType = rows.filter(_.getAs[Long]("gid") == 1L)
+    val leaves = rows.filter(_.getAs[Long]("gid") == 0L)
+    assert(total.length == 1)
+    // each level's n and value sum must re-add to the grand total exactly
+    assert(byType.map(_.getAs[Long]("n")).sum == total.head.getAs[Long]("n"))
+    assert(leaves.map(_.getAs[Long]("n")).sum == total.head.getAs[Long]("n"))
+    assert(byType.map(_.getAs[Long]("value_sum_micro")).sum
+      == total.head.getAs[Long]("value_sum_micro"))
+    // AQE's toString prints the initial plan after the final one — count
+    // scans in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"rollup must expand grouping sets over ONE scan:\n$plan")
+  }
 }

@@ -104,4 +104,18 @@ class SimilaritySpec extends SparkSpec {
     val qe = df.collect().head.getSeq[Long](0)
     assert(qe.take(2) == Seq(500000L, -250000L))
   }
+
+  test("semDedup: min-id anchor kept, same-cluster near-copies dropped, distinct vectors kept") {
+    // two tight direction bundles far apart; 2 clusters isolate them
+    val bundleA = (0 until 4).map(i => (10L + i, pad(Seq(1f, 0.001f * i)), 0))
+    val bundleB = (0 until 3).map(i => (20L + i, pad(Seq(-1f, 1f + 0.001f * i)), 0))
+    val lone = Seq((30L, pad(Seq(0.8f, 0.6f)), 0)) // same half-space as A, not a copy
+    val got = Similarity.semDedup(vecsOf(bundleA ++ bundleB ++ lone: _*),
+      threshold = 0.999, kClusters = 2, iters = 2, dim = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keep")).toMap
+    // each bundle keeps exactly its min id; the lone vector survives
+    assert(got(10L) == 1L && got(11L) == 0L && got(12L) == 0L && got(13L) == 0L)
+    assert(got(20L) == 1L && got(21L) == 0L && got(22L) == 0L)
+    assert(got(30L) == 1L)
+  }
 }

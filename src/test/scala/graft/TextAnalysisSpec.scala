@@ -183,4 +183,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.getAs[Double]("alpha_frac") == 1.0)
     assert(got(4).getAs[Double]("alpha_frac") == 0.0)
   }
+
+  test("heavyHitters: exactly the tokens over total/k, exact counts, no sketch error") {
+    val s = spark
+    import s.implicits._
+    // 40 'hot' + 30 'warm' + 30 singletons = 100 tokens; k=3 → threshold
+    // 33.33: hot qualifies (40*3 > 100), warm does not (30*3 = 90 < 100).
+    // Spread across many rows/partitions so MG actually merges summaries.
+    val rows = (Seq.fill(40)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 30).map(i => s"u$i")).grouped(5).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq
+    val docs = rows.toDF("doc_id", "text").repartition(7)
+    val got = graft.text.TextAnalysis.heavyHitters(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("hot", 40L, 100L)))
+  }
+
+  test("heavyHitters: near-uniform adversarial stream still exact (candidates superset)") {
+    val s = spark
+    import s.implicits._
+    // every token appears twice except one appearing 4 times; k = total/3
+    // → only the 4x token clears 3; MG must not lose it on any partition split
+    val toks = (1 to 48).flatMap(i => Seq(s"t$i", s"t$i")) ++ Seq.fill(4)("big")
+    val docs = toks.grouped(4).zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      .repartition(5)
+    val total = toks.size.toLong
+    val k = 30 // threshold 100/30 = 3.33 → freq 4 qualifies, freq 2 does not
+    val got = graft.text.TextAnalysis.heavyHitters(docs, k = k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("big", 4L, total)))
+  }
 }
