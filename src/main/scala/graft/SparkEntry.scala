@@ -403,6 +403,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // end-to-end training-data pipeline: exact dedup → near-dup removal
+    // (exact n-gram Jaccard ≥ 0.5, higher id drops) → Gopher quality gate
+    // → deterministic split assignment. Every stage is one of the gated
+    // operators; the composition itself is hash-gated so stage interplay
+    // (e.g. dedup before quality, split only over survivors) can't drift
+    "q_pipeline" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val exact = Dedup.exactDedup(docs)
+      val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+      val quality = deduped.join(
+        TextAnalysis.gopherQuality(deduped)
+          .filter(col("passes_gopher") === 1).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      graft.operators.Sampling.splitAssign(quality, col("doc_id"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // duplicate-substring spans (Lee et al. substring dedup): maximal
     // token spans whose 5-gram content recurs in another document
     "q_dup_spans" -> ((s, dir) =>
@@ -1335,6 +1356,46 @@ object SparkEntry {
            |FROM o JOIN sizes USING (doc_id)
            |WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) > 0.5
            |ORDER BY doc_id, bench_id""".stripMargin,
+
+      // end-to-end pipeline: every stage replays its operator's oracle
+      // (exact dedup, exact Jaccard losers, Gopher gate, split hash) over
+      // the previous stage's survivors
+      "q_pipeline" ->
+        """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
+          |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+          |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
+          |        FROM toks WHERE len(t) >= 3),
+          |sh AS (SELECT doc_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM shs),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          |          FROM sh a JOIN sh b USING (shingle)
+          |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+          |           JOIN sizes sa ON doc_a = sa.doc_id
+          |           JOIN sizes sb ON doc_b = sb.doc_id
+          |           WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+          |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+          |g AS (SELECT doc_id,
+          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |        CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+          |        CAST(len(list_filter(string_split(text, ' '),
+          |          x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+          |        CAST(len(regexp_extract_all(text, '[#]|[.][.][.]')) AS BIGINT) AS n_symbols
+          |      FROM d2),
+          |q AS (SELECT doc_id FROM g
+          |      WHERE n_words >= 5 AND n_words <= 100000
+          |        AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) >= 3.0
+          |        AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) <= 10.0
+          |        AND CAST(n_symbols AS DOUBLE)/CAST(n_words AS DOUBLE) <= 0.1
+          |        AND CAST(n_alpha_words AS DOUBLE)/CAST(n_words AS DOUBLE) >= 0.8),
+          |h AS (SELECT d2.doc_id, d2.lang,
+          |        ('0x' || substr(md5('split0:' || CAST(d2.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS hv
+          |      FROM d2 JOIN q ON d2.doc_id = q.doc_id)
+          |SELECT doc_id, lang,
+          |       CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split
+          |FROM h ORDER BY doc_id""".stripMargin,
 
       // duplicate-substring spans: positioned 5-gram fingerprints, ≥2-doc
       // grams, gaps-and-islands merge — pure integer arithmetic throughout
