@@ -88,4 +88,27 @@ class PlanContractSpec extends SparkSpec {
         .delete(fsRoot, true)
     }
   }
+
+  test("dup-span and semdedup self-joins keep their single shared exchange") {
+    // both sides of each bounded pair join must hash-partition on the
+    // blocking key (gram fingerprint / cluster id) — losing the exchange
+    // turns the bounded join into a replan candidate at scale
+    assert(planOf("q_dup_spans").contains("hashpartitioning(g#"),
+      "q_dup_spans lost its gram exchange")
+    assert(planOf("q_semdedup").contains("hashpartitioning(cid#"),
+      "q_semdedup lost its cid exchange")
+  }
+
+  test("as-of join plans one key window, no join node at all") {
+    val plan = planOf("q_asof")
+    assert(plan.contains("Window"), "as-of must run as a window pass")
+    assert(!plan.contains("Join"),
+      s"as-of must not plan any join (merge-sort formulation): $plan")
+  }
+
+  test("heavy hitters: candidate recount joins broadcast, threshold join broadcast") {
+    val plan = planOf("q_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"candidate semi-join must broadcast the tiny candidate set: $plan")
+  }
 }
