@@ -474,6 +474,11 @@ object SparkEntry {
     "q_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQuality(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // bigram LM quality score: integer floor-log2 cross-entropy proxy —
+    // the CCNet "rank by LM perplexity" signal without a single float log
+    "q_lm_bits" -> ((s, dir) =>
+      TextAnalysis.lmBits(docsParallel(s, dir)).orderBy(col("doc_id"))),
+
     // two-pass distributed heavy hitters: Misra-Gries candidates per
     // partition (O(k) memory, no full-token shuffle) + exact recount —
     // the sketch only prunes, so the output is exact and oracle-gated
@@ -1538,6 +1543,27 @@ object SparkEntry {
            |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
            |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // bigram LM bits: same count tables, same floor-log2-via-binary-
+      // string-length proxy (bin() is unpadded in both engines)
+      "q_lm_bits" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+          |         i -> t[i+1] || ' ' || t[i+2])) AS bigram
+          |       FROM toks WHERE len(t) >= 2),
+          |uni AS (SELECT unnest(t) AS tok FROM toks),
+          |c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+          |v AS (SELECT count(*) AS vocab FROM c1),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+          |b AS (SELECT doc_id,
+          |        (length(bin(c1.c1 + v.vocab)) - 1) - (length(bin(c12.c12 + 1)) - 1) AS bits
+          |      FROM bg
+          |      JOIN c12 USING (bigram)
+          |      JOIN c1 ON string_split(bigram, ' ')[1] = c1.tok
+          |      CROSS JOIN v)
+          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS sum_bits,
+          |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // heavy hitters: the MG sketch only prunes candidates, so the exact
       // SQL (count + strict integer cross-multiplied threshold) is the

@@ -353,6 +353,46 @@ object TextAnalysis {
         .fingerprint_fold(wsTokens(col("text")), FingerprintMod)
         .as("fp"))
 
+  /** Bigram language-model quality score — the CCNet-style "rank documents
+    * by LM cross-entropy" filter (Wenzek et al. 2020, arXiv:1911.00359),
+    * re-expressed in integer arithmetic so the score is bit-identical on
+    * any engine. With add-one smoothing, a bigram's negative log2
+    * probability is log2((c(w1)+V)/(c(w1 w2)+1)); this uses the floor-log2
+    * proxy `bits(x) = length(bin(x)) - 1` (exact — a string length of the
+    * binary expansion, no float log anywhere; Math.log/ln is NOT
+    * correctly-rounded and diverges across engines, which would break the
+    * oracle hash). Score = mean proxy bits per bigram: high = surprising
+    * under the corpus LM (rare constructions, noise), low = fluent/common.
+    *
+    * Scale: the corpus n-gram count tables are the LM; both joins are
+    * key-partitioned shuffles on the gram (the standard distributed LM
+    * scoring shape — counts sharded by gram, never driver-held), and the
+    * per-doc aggregate is map-side combined. Docs with < 2 tokens have no
+    * bigrams and drop, same as [[repetition]]. */
+  def lmBits(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val unigrams = docs.select(explode(toks).as("tok"))
+    val c1 = unigrams.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.count() // V: driver-held scalar, one job
+    val c12 = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    bigrams
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(c12, Seq("bigram"))
+      .join(c1, col("w1") === col("tok"))
+      .select(col("doc_id"),
+        (bits(col("c1") + vocab) - bits(col("c12") + 1)).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Heavy hitters: every token whose corpus frequency strictly exceeds
     * `total_tokens / k`, by the classic two-pass distributed Misra-Gries
     * scheme (Misra & Gries 1982; the MAX/SpaceSaving family of

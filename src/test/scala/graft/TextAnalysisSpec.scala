@@ -184,6 +184,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4).getAs[Double]("alpha_frac") == 0.0)
   }
 
+  test("lmBits: hand-computed add-one floor-log2 bits; short docs drop") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a b" ×3, "a c" ×1, "x" ×1 → c1(a)=4, V=4 (a,b,c,x —
+    // doc 5 has no bigrams but its token still counts in the vocab);
+    // bigram counts: (a b)=3, (a c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "x")) // single token: no bigrams, must drop
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.lmBits(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1-3: bits = floor(log2(4+4)) - floor(log2(3+1)) = 3 - 2 = 1
+    // doc 4:   bits = floor(log2(8)) - floor(log2(1+1)) = 3 - 1 = 2
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 2L)))
+  }
+
+  test("lmBits: rare constructions score strictly higher than common ones") {
+    val s = spark
+    import s.implicits._
+    val common = (1L to 20L).map(i => (i, "the quick brown fox jumps"))
+    val rare = Seq((99L, "zyx wvu tsr qpo nml"))
+    val got = graft.text.TextAnalysis.lmBits((common ++ rare).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_bits")).toMap
+    assert(got(99L) > got(1L))
+  }
+
   test("heavyHitters: exactly the tokens over total/k, exact counts, no sketch error") {
     val s = spark
     import s.implicits._
