@@ -414,16 +414,23 @@ object TextAnalysis {
     * pruned scan) and keep those with `freq * k > total`. The output is
     * exact and deterministic — the sketch only prunes, it never decides —
     * which is what makes the operator oracle-checkable against plain SQL.
+    * Pass 1 also carries each partition's token count out as a sentinel
+    * row, so `total` needs no third corpus scan.
     */
   def heavyHitters(docs: DataFrame, k: Int = 200): DataFrame = {
     require(k >= 2, "need k >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(wsTokens(col("text"))).as("tok"))
-    val candidates = toks.select(col("tok")).as[String].mapPartitions { it =>
+    // pass 1 emits BOTH the candidate keys and the partition's token count
+    // (as a null-key sentinel row) — total and candidates from ONE corpus
+    // scan, so the whole operator reads the corpus exactly twice
+    val pass1 = toks.select(col("tok")).as[String].mapPartitions { it =>
       // Misra-Gries with k-1 counters (guarantees freq > n/k retained)
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
       it.foreach { t =>
+        np += 1L
         if (counters.contains(t)) counters(t) += 1L
         else if (counters.size < k - 1) counters(t) = 1L
         else {
@@ -436,11 +443,12 @@ object TextAnalysis {
           dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("tok").distinct()
+      Iterator.single((null: String, np)) ++ counters.keysIterator.map((_, 0L))
+    }.toDF("tok", "np")
+    val candidates = pass1.filter(col("tok").isNotNull).select(col("tok")).distinct()
+    val total = pass1.filter(col("tok").isNull).agg(sum(col("np")).as("n"))
     val counted = toks.join(broadcast(candidates), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    val total = toks.agg(count(lit(1)).as("n"))
     // integer cross-multiplied threshold: freq * k > total — no division
     counted.crossJoin(broadcast(total))
       .filter(col("freq") * k > col("n"))
