@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamAsof
+import graft.streaming.StreamAsof.AsofEvent
+
+class StreamAsofSpec extends SparkSpec {
+
+  private def run(batches: Seq[Seq[AsofEvent]], name: String): Seq[(Long, Option[Long])] = {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[AsofEvent](s)
+    val q = StreamAsof.enrich(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.sql(s"SELECT id, asof_id FROM $name ORDER BY id")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toSeq
+    } finally q.stop()
+  }
+
+  test("intra-batch: event-time order decides, not arrival order") {
+    // arrival order scrambled: click(150) arrives before purchase(100),
+    // but event-time sorting enriches it anyway; click(50) precedes the
+    // purchase in EVENT time and must stay unenriched
+    val got = run(Seq(Seq(
+      AsofEvent(1L, 150L, left = true, id = 10L, value = 1.0),
+      AsofEvent(1L, 100L, left = false, id = 90L, value = 5.0),
+      AsofEvent(1L, 50L, left = true, id = 11L, value = 1.0))), "asof_intra")
+    assert(got == Seq((10L, Some(90L)), (11L, None)))
+  }
+
+  test("cross-batch: state carries the latest right row per key") {
+    val got = run(Seq(
+      Seq(AsofEvent(1L, 100L, left = false, id = 90L, value = 5.0),
+        AsofEvent(2L, 100L, left = false, id = 91L, value = 6.0)),
+      Seq(AsofEvent(1L, 200L, left = true, id = 10L, value = 1.0),
+        AsofEvent(2L, 200L, left = false, id = 92L, value = 7.0),
+        AsofEvent(2L, 250L, left = true, id = 11L, value = 1.0),
+        AsofEvent(3L, 200L, left = true, id = 12L, value = 1.0))), "asof_cross")
+    assert(got == Seq(
+      (10L, Some(90L)),  // from batch-1 state
+      (11L, Some(92L)),  // newer right in same batch wins over state
+      (12L, None)))      // key 3 never saw a right row
+  }
+
+  test("equal timestamp: right row is visible to the left row (inclusive tie)") {
+    val got = run(Seq(Seq(
+      AsofEvent(1L, 100L, left = false, id = 90L, value = 5.0),
+      AsofEvent(1L, 100L, left = true, id = 10L, value = 1.0))), "asof_tie")
+    assert(got == Seq((10L, Some(90L))))
+  }
+}
