@@ -175,4 +175,94 @@ class PropertySpec extends SparkSpec {
         range == expected
     })
   }
+
+  private val fewerCases = Parameters.default
+    .withMinSuccessfulTests(12)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def holdsFewer(p: Prop): Unit = {
+    val r = check(fewerCases, p)
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
+  test("asofBackward == brute-force latest-at-or-before on random events") {
+    val s = spark
+    import s.implicits._
+    val genSide = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 12L)
+    } yield (u, t)))
+    holdsFewer(Prop.forAll(genSide, genSide) { (ls, rs) =>
+      // distinct ids per side; rights offset so id spaces never collide
+      val lefts = ls.zipWithIndex.map { case ((u, t), i) => (u, t, 100L + i, 0.0) }
+      val rights = rs.zipWithIndex.map { case ((u, t), i) => (u, t, 900L + i, 1.0) }
+      val got = graft.operators.AsofJoin.asofBackward(
+        lefts.toDF("user_id", "tms", "event_id", "value"),
+        rights.toDF("user_id", "tms", "purchase_id", "purchase_value"),
+        keys = Seq("user_id"), ts = "tms",
+        rightTie = "purchase_id", rightVals = Seq("purchase_id", "purchase_value"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong)).toMap
+      val expect = lefts.map { case (u, t, id, _) =>
+        id -> rights.filter(r => r._1 == u && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      got == expect
+    })
+  }
+
+  test("dupSpans == brute-force duplicated-gram island merge on a tiny vocab") {
+    val s = spark
+    import s.implicits._
+    val n = 3
+    val genDocs = Gen.choose(2, 4).flatMap(d => Gen.listOfN(d,
+      Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")))))
+    holdsFewer(Prop.forAll(genDocs) { toks =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      val grams = docs.flatMap { case (id, text) =>
+        val t = text.split(" ").toSeq.filter(_.nonEmpty)
+        (0 to t.size - n).map(p => (id, p.toLong, t.slice(p, p + n)))
+      }
+      val dupGrams = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expect = grams.filter(g => dupGrams(g._3)).groupBy(_._1).toSeq.flatMap {
+        case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          // islands: break where pos > prev + n
+          // merge while pos <= prevPos + n, i.e. new end e = p+n-1 <= e0+n;
+          // with e0 = prevPos+n-1 that is exactly p <= e0 + 1
+          val spans = ps.foldLeft(List.empty[(Long, Long)]) {
+            case (acc, p) => acc match {
+              case (s0, e0) :: rest if p <= e0 + 1 => (s0, p + n - 1) :: rest
+              case _ => (p, p + n - 1) :: acc
+            }
+          }
+          spans.map { case (st, en) => (id, st, en, en - st + 1) }
+      }.toSet
+      val got = graft.dedup.Dedup.dupSpans(docs.toDF("doc_id", "text"), n = n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == expect
+    })
+  }
+
+  test("heavyHitters == exact frequency filter for random streams and k") {
+    val s = spark
+    import s.implicits._
+    val genToks = Gen.choose(0, 50).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("v", "w", "x", "y", "z")))
+    holdsFewer(Prop.forAll(genToks, Gen.choose(2, 10)) { (toks, k) =>
+      val docs = toks.grouped(5).zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toSeq
+      val total = toks.size.toLong
+      val expect = toks.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * k > total }
+        .map { case (t, c) => (t, c, total) }.toSet
+      val got = graft.text.TextAnalysis.heavyHitters(docs.toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      got == expect
+    })
+  }
 }
