@@ -479,6 +479,16 @@ object SparkEntry {
     "q_lm_bits" -> ((s, dir) =>
       TextAnalysis.lmBits(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // cross-corpus LM scoring (the true CCNet shape): counts trained on
+    // the en reference corpus, de/fr corpora scored against it — OOV
+    // grams pay full add-one surprisal through the left-join path
+    "q_lm_xent" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      TextAnalysis.lmBits(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"))
+        .orderBy(col("doc_id"))
+    }),
+
     // two-pass distributed heavy hitters: Misra-Gries candidates per
     // partition (O(k) memory, no full-token shuffle) + exact recount —
     // the sketch only prunes, so the output is exact and oracle-gated
@@ -1560,6 +1570,33 @@ object SparkEntry {
           |      FROM bg
           |      JOIN c12 USING (bigram)
           |      JOIN c1 ON string_split(bigram, ' ')[1] = c1.tok
+          |      CROSS JOIN v)
+          |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS sum_bits,
+          |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // cross-corpus LM bits: LEFT JOINs + COALESCE replay the OOV path
+      "q_lm_xent" ->
+        """WITH ttoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          |               FROM documents WHERE lang = 'en'),
+          |stoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          |          FROM documents WHERE lang <> 'en'),
+          |c1 AS (SELECT tok, count(*) AS c1
+          |       FROM (SELECT unnest(t) AS tok FROM ttoks) GROUP BY tok),
+          |v AS (SELECT count(*) AS vocab FROM c1),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM (
+          |          SELECT unnest(list_transform(range(len(t)-1),
+          |            i -> t[i+1] || ' ' || t[i+2])) AS bigram
+          |          FROM ttoks WHERE len(t) >= 2) GROUP BY bigram),
+          |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+          |         i -> t[i+1] || ' ' || t[i+2])) AS bigram
+          |       FROM stoks WHERE len(t) >= 2),
+          |b AS (SELECT bg.doc_id,
+          |        (length(bin(COALESCE(c1.c1, 0) + v.vocab)) - 1)
+          |          - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) AS bits
+          |      FROM bg
+          |      LEFT JOIN c12 USING (bigram)
+          |      LEFT JOIN c1 ON string_split(bigram, ' ')[1] = c1.tok
           |      CROSS JOIN v)
           |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS sum_bits,
           |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits

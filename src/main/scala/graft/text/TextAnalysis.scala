@@ -369,24 +369,36 @@ object TextAnalysis {
     * scoring shape — counts sharded by gram, never driver-held), and the
     * per-doc aggregate is map-side combined. Docs with < 2 tokens have no
     * bigrams and drop, same as [[repetition]]. */
-  def lmBits(docs: DataFrame): DataFrame = {
+  /** Self-scored variant: the corpus is its own LM (every gram count ≥ 1). */
+  def lmBits(docs: DataFrame): DataFrame = lmBits(docs, docs)
+
+  private def docBigrams(docs: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
-    val bigrams = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
           i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
         .otherwise(array().cast("array<string>"))).as("bigram"))
-    val unigrams = docs.select(explode(toks).as("tok"))
-    val c1 = unigrams.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+  }
+
+  /** Two-corpus form — the actual CCNet shape: the LM counts come from
+    * `train` (the clean reference corpus), `score` is the corpus being
+    * ranked. Grams absent from the training counts contribute their full
+    * add-one surprisal (`c=0` → bits(V) − bits(1)), so out-of-domain text
+    * scores high — the signal the filter exists for. */
+  def lmBits(train: DataFrame, score: DataFrame): DataFrame = {
+    val c1 = train.select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val vocab = c1.count() // V: driver-held scalar, one job
-    val c12 = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val c12 = docBigrams(train).groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
     def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    bigrams
+    docBigrams(score)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .join(c12, Seq("bigram"))
-      .join(c1, col("w1") === col("tok"))
+      .join(c12, Seq("bigram"), "left")
+      .join(c1, col("w1") === col("tok"), "left")
       .select(col("doc_id"),
-        (bits(col("c1") + vocab) - bits(col("c12") + 1)).as("b"))
+        (bits(coalesce(col("c1"), lit(0L)) + vocab)
+          - bits(coalesce(col("c12"), lit(0L)) + 1)).as("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("sum_bits"))
       .withColumn("mean_bits",

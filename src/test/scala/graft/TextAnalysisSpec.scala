@@ -201,6 +201,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 2L)))
   }
 
+  test("lmBits cross-corpus: OOV grams pay full add-one surprisal") {
+    val s = spark
+    import s.implicits._
+    // train: "a b" ×3 → c1(a)=3, c1(b)=3, V=2, c12(a b)=3
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    // score doc 10: known bigram → bits(3+2)-bits(3+1) = 2-2 = 0
+    // score doc 11: fully OOV → bits(0+2)-bits(0+1) = 1-0 = 1
+    // score doc 12: known w1, unseen bigram → bits(5)-bits(1) = 2-0 = 2
+    val score = Seq((10L, "a b"), (11L, "q r"), (12L, "a a")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.lmBits(train, score)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 0L), (11L, 1L), (12L, 2L)))
+  }
+
   test("lmBits: rare constructions score strictly higher than common ones") {
     val s = spark
     import s.implicits._
