@@ -1713,13 +1713,15 @@ object SparkEntry {
           |      UNION ALL
           |      SELECT user_id, tms, NULL, NULL, event_id, value, 0 FROM p),
           |m AS (SELECT user_id, tms, event_id, value, side,
-          |        last_value(purchase_id IGNORE NULLS) OVER w AS purchase_id,
-          |        last_value(purchase_value IGNORE NULLS) OVER w AS purchase_value
+          |        last_value(CASE WHEN side = 0
+          |            THEN {'pid': purchase_id, 'pv': purchase_value} END IGNORE NULLS)
+          |          OVER w AS rv
           |      FROM u
           |      WINDOW w AS (PARTITION BY user_id
           |        ORDER BY tms, side, purchase_id NULLS FIRST
           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-          |SELECT user_id, tms, event_id, value, purchase_id, purchase_value
+          |SELECT user_id, tms, event_id, value,
+          |       rv.pid AS purchase_id, rv.pv AS purchase_value
           |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
 
       // ROLLUP grouping sets; value summed in 1e-6 fixed point so every

@@ -378,6 +378,11 @@ object Dedup {
       converged = next.unionByName(edges)
         .groupBy(col("a"), col("b")).count()
         .where(col("count") =!= 2).isEmpty
+      // release the previous round's checkpoint blocks — `next` is already
+      // materialized (eager checkpoint) and no longer reads them; without
+      // this every round's full edge copy stays in executor storage until
+      // the job ends
+      edges.unpersist(blocking = false)
       edges = next
       iter += 1
     }

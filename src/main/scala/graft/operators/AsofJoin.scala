@@ -64,15 +64,22 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc +: col("_side").asc +: Seq(col(rightTie).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // one select so every running-last reads the UNION's columns (chained
-    // withColumn would feed windowed output into the next window's input)
+    // the running last is taken over ONE struct of the whole right payload,
+    // not per column — per-column last(ignoreNulls) would tear the matched
+    // row apart when a payload field is legitimately null (each column
+    // independently falling back to an older right row, emitting a
+    // combination that exists in no input row)
+    val rv = when(col("_side") === 0, struct(rightVals.map(col): _*))
     l.unionByName(r)
       .select(
         (keys :+ ts).map(col) ++
-          leftOnly.map(col) ++
-          rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+          leftOnly.map(col) :+
+          last(rv, ignoreNulls = true).over(w).as("_rv") :+
           col("_side"): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(
+        (keys :+ ts).map(col) ++
+          leftOnly.map(col) ++
+          rightVals.map(c => col("_rv").getField(c).as(c)): _*)
   }
 }

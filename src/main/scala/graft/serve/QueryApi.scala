@@ -57,11 +57,20 @@ object QueryApi {
     val body = if (neg || t.startsWith("+")) t.drop(1) else t
     // a bare "0x" prefix claims the hex path even with no digits after it:
     // JS parseInt('0x') is NaN, not 0 from the leading zero
+    // values beyond int64 saturate instead of failing: JS parseInt returns
+    // a large finite double there (still "a number"), and the caller's
+    // out-of-int32 branch answers exactly like the reference does for any
+    // oversized partition — a parse failure here would turn that contract
+    // into a spurious 400
+    def clamped(digits: String, radix: Int): Long = {
+      val v = BigInt(digits, radix)
+      if (v > Long.MaxValue) Long.MaxValue else v.toLong
+    }
     if (body.startsWith("0x") || body.startsWith("0X"))
       "^[0-9a-fA-F]+".r.findFirstIn(body.drop(2))
-        .flatMap(h => scala.util.Try(java.lang.Long.parseLong(h, 16)).toOption)
+        .map(h => clamped(h, 16))
         .map(v => if (neg) -v else v)
-    else "^[0-9]+".r.findFirstIn(body).flatMap(_.toLongOption)
+    else "^[0-9]+".r.findFirstIn(body).map(d => clamped(d, 10))
       .map(v => if (neg) -v else v)
   }
 

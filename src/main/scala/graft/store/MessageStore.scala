@@ -72,8 +72,15 @@ object MessageStore {
     * without it every write task emits a file into every bucket directory
     * (tasks × buckets small files); with it each bucket is written by
     * exactly one task — one file per bucket per batch. */
-  def append(messages: DataFrame, path: String, granularity: String = DayBucket): Unit =
+  def append(messages: DataFrame, path: String, granularity: String = DayBucket): Unit = {
+    require(granularity == DayBucket || granularity == HourBucket,
+      s"unsupported bucket granularity '$granularity' (supported: $DayBucket, $HourBucket)")
+    // same width guard as appendPerStream — without it this entrypoint
+    // could still write a second width onto an occupied day (free on a
+    // fresh store: the guard returns before any job when no root exists)
+    requireConsistentWidths(messages, path, Map.empty, granularity)
     appendWith(messages, path, bucketOf(col("ts"), granularity))
+  }
 
   /** [[append]] with per-stream bucket granularity (see
     * [[bucketOfPerStream]]). */

@@ -63,7 +63,12 @@ object StreamAsof {
             val rows = it.toArray.sortBy(e => (e.tms, if (e.left) 1 else 0, e.id))
             val out = rows.flatMap { e =>
               if (!e.left) {
-                cur = Some(AsofState(e.tms, e.id, e.value))
+                // keep the max-(tms, id) right row: a LATE-arriving right
+                // row older than the carried state must not regress it (the
+                // in-batch sort already orders this batch's rights, so the
+                // guard only bites against cross-batch state)
+                if (cur.forall(c => e.tms > c.tms || (e.tms == c.tms && e.id >= c.id)))
+                  cur = Some(AsofState(e.tms, e.id, e.value))
                 None
               } else Some(AsofOut(e.key, e.tms, e.id, e.value,
                 cur.map(_.id), cur.map(_.value)))

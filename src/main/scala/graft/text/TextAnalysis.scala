@@ -456,14 +456,19 @@ object TextAnalysis {
         }
       }
       Iterator.single((null: String, np)) ++ counters.keysIterator.map((_, 0L))
-    }.toDF("tok", "np")
-    val candidates = pass1.filter(col("tok").isNotNull).select(col("tok")).distinct()
-    val total = pass1.filter(col("tok").isNull).agg(sum(col("np")).as("n"))
+    }.collect()
+    // pass1 is ≤ k rows per partition + one sentinel each — driver-bounded
+    // metadata, collected ONCE so candidates and total don't each re-run
+    // the corpus scan (two DataFrame branches over an unpersisted
+    // mapPartitions would execute it twice, plus the recount: 3 scans)
+    val total = pass1.iterator.collect { case (null, np) => np }.sum
+    val candidates = pass1.iterator.collect { case (t, _) if t != null => t }
+      .toSeq.distinct.toDF("tok")
     val counted = toks.join(broadcast(candidates), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     // integer cross-multiplied threshold: freq * k > total — no division
-    counted.crossJoin(broadcast(total))
-      .filter(col("freq") * k > col("n"))
-      .select(col("tok"), col("freq"), col("n").as("total"))
+    counted
+      .filter(col("freq") * k > total)
+      .select(col("tok"), col("freq"), lit(total).as("total"))
   }
 }

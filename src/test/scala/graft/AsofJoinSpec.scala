@@ -50,6 +50,20 @@ class AsofJoinSpec extends SparkSpec {
       s"as-of must not plan a product join:\n$plan")
   }
 
+  test("asofBackward: null payload field rides with ITS row — no column tearing") {
+    val s = spark
+    import s.implicits._
+    val l = leftOf((1L, 150L, 10L, 1.0))
+    // newest right row has a NULL payload value; the older row must not
+    // leak its value into the newest row's enrichment
+    val r = Seq((1L, 90L, Some(900L), Some(5.0)), (1L, 100L, Some(901L), None))
+      .toDF("user_id", "tms", "purchase_id", "purchase_value")
+    val row = AsofJoin.asofBackward(l, r, Seq("user_id"), "tms",
+      "purchase_id", Seq("purchase_id", "purchase_value")).collect().head
+    assert(row.getAs[java.lang.Long]("purchase_id") == 901L)
+    assert(row.getAs[java.lang.Double]("purchase_value") == null)
+  }
+
   test("asofBackward rejects colliding left columns and a tie outside rightVals") {
     val l = leftOf((1L, 100L, 10L, 1.0)).withColumnRenamed("value", "purchase_value")
     val r = rightOf((1L, 90L, 900L, 5.0))

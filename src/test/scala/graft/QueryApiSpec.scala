@@ -110,6 +110,12 @@ class QueryApiSpec extends SparkSpec {
     val frames = get("last", partition = "0x1A").getOrElse(fail("frames"))
     assert(frames.collect { case Resend.Unicast(m) => m }.isEmpty)
     assert(unicasts(get("last", partition = "0x0")).size == 1)
+    // beyond int64: JS parseInt still yields a (huge) number, so the
+    // request must take the out-of-int32 empty path, not a 400
+    assert(jsParseInt("0x10000000000000000").contains(Long.MaxValue))
+    assert(jsParseInt("99999999999999999999").contains(Long.MaxValue))
+    val huge = get("last", partition = "0x10000000000000000").getOrElse(fail("frames"))
+    assert(huge.collect { case Resend.Unicast(m) => m }.isEmpty)
   }
 
   test("internal IllegalArgumentException is not masked as a client 400") {

@@ -460,6 +460,20 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(MessageStore.openMerged(spark, path)).length == 2)
   }
 
+  test("plain append is width-guarded too: second width on an occupied day rejected") {
+    val path = tmpDir("graft-width-append")
+    val base = 1700000000000L // 2023-11-14 UTC
+    MessageStore.append(streamDataOf(msg("s", 0, base, 0)), path)
+    val e = intercept[IllegalStateException] {
+      MessageStore.append(streamDataOf(msg("s", 0, base, 1)), path,
+        MessageStore.HourBucket)
+    }
+    assert(e.getMessage.contains("bucket-width conflict"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      MessageStore.append(streamDataOf(msg("s", 0, base, 1)), path, "yyyy-MM")
+    }
+  }
+
   test("processBatch replay guard: same batchId appends exactly once") {
     val path = tmpDir("graft-replay")
     val ckpt = tmpDir("graft-replay-ckpt")

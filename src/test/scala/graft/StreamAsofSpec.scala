@@ -49,6 +49,16 @@ class StreamAsofSpec extends SparkSpec {
       (12L, None)))      // key 3 never saw a right row
   }
 
+  test("late-arriving older right row must not regress the carried state") {
+    val got = run(Seq(
+      Seq(AsofEvent(1L, 100L, left = false, id = 90L, value = 5.0)),
+      // batch 2 delivers an OLDER right row (event time 50) late
+      Seq(AsofEvent(1L, 50L, left = false, id = 91L, value = 6.0)),
+      Seq(AsofEvent(1L, 200L, left = true, id = 10L, value = 1.0))), "asof_late")
+    // the enrichment must come from the tms=100 row, not the late tms=50 one
+    assert(got == Seq((10L, Some(90L))))
+  }
+
   test("equal timestamp: right row is visible to the left row (inclusive tie)") {
     val got = run(Seq(Seq(
       AsofEvent(1L, 100L, left = false, id = 90L, value = 5.0),
