@@ -583,6 +583,21 @@ object SparkEntry {
         .orderBy(col("gid"), col("event_type").asc_nulls_first,
           col("day").asc_nulls_first)),
 
+    // percentile winsorization: per-type [p05, p95] clamp + clipped flag
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.RobustStats.winsorize(Tables.events(s, dir))
+        .orderBy(col("event_id"))),
+
+    // median absolute deviation per event type
+    "q_mad" -> ((s, dir) =>
+      graft.operators.RobustStats.medianAbsDev(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
+    // cohort retention: first-activity week × return offset, integer weeks
+    "q_cohort" -> ((s, dir) =>
+      Relational.cohortRetention(s, dir)
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1698,6 +1713,37 @@ object SparkEntry {
           |      ORDER BY value DESC, event_id) AS BIGINT) AS "rank"
           |  FROM events
           |) WHERE "rank" <= 3 ORDER BY event_type, "rank"""".stripMargin,
+
+      // winsorize/MAD: quantile_cont is interpolation-identical to Spark's
+      // exact percentile (parity hash-proven by q_percentiles)
+      "q_winsorize" ->
+        """WITH b AS (SELECT event_type,
+          |             quantile_cont(value, 0.05) AS lo,
+          |             quantile_cont(value, 0.95) AS hi
+          |           FROM events GROUP BY 1)
+          |SELECT event_id, event_type, value,
+          |       least(greatest(value, lo), hi) AS winsorized,
+          |       CAST(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
+          |FROM events JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+
+      "q_mad" ->
+        """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS median
+          |           FROM events GROUP BY 1)
+          |SELECT event_type, median,
+          |       quantile_cont(abs(value - median), 0.5) AS mad,
+          |       count(*) AS n
+          |FROM events JOIN m USING (event_type)
+          |GROUP BY event_type, median ORDER BY event_type""".stripMargin,
+
+      "q_cohort" ->
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |              epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS week
+          |            FROM events),
+          |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+          |SELECT cohort_week, week - cohort_week AS week_offset,
+          |       count(*) AS users
+          |FROM uw JOIN c USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
       // as-of join replayed in the identical merge-sort formulation:
       // tagged union + running last_value(IGNORE NULLS) per user, right

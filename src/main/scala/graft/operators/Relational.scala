@@ -132,6 +132,24 @@ object Relational {
       .filter(col("rank") <= k)
   }
 
+  /** Cohort retention: users grouped by their first-activity epoch-week,
+    * tracked by how many return k weeks later. Classic product-analytics
+    * rollup, expressed in pure integer week arithmetic (epoch-ms //
+    * week-ms — no calendar/timezone coercion to diverge between engines).
+    * Two key-partitioned shuffles (user distinct-week set, then the
+    * cohort×offset count); the per-user min-week rides the same exchange
+    * as the distinct. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    val wk = floor(unix_millis(col("ts").cast("timestamp")) / lit(weekMs)).cast("long")
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), wk.as("week")).distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("users")) // uw is distinct → count == distinct users
+  }
+
   /** Hierarchy aggregation with ROLLUP grouping sets: per (event_type,
     * day), per event_type, and grand total in ONE pass — Spark expands the
     * sets map-side and partial-aggregates each, so the fact table is

@@ -58,6 +58,47 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention: offsets non-negative, week-0 row equals cohort size upper bound") {
+    val rows = Relational.cohortRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "offset must be >= 0 (cohort week is the min)")
+    // every cohort has a week-0 row, and no later offset exceeds it
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byOff = rs.map(r => r._2 -> r._3).toMap
+      assert(byOff.contains(0L))
+      assert(rs.forall(_._3 <= byOff(0L)), "retention cannot exceed the cohort")
+    }
+  }
+
+  test("winsorize: clamped into band, clipped flag consistent, row count preserved") {
+    import graft.operators.RobustStats
+    val ev = graft.sources.Tables.events(spark, dir)
+    val got = RobustStats.winsorize(ev).collect()
+    assert(got.length == ev.count())
+    got.foreach { r =>
+      val (v, w, c) = (r.getAs[Double]("value"), r.getAs[Double]("winsorized"),
+        r.getAs[Long]("clipped"))
+      assert((c == 1L) == (v != w) || (c == 0L && v == w))
+      assert(w <= math.max(v, w) && (c == 1L || v == w))
+    }
+    // clamp must actually fire on the tails for a 10%-trim band
+    assert(got.exists(_.getAs[Long]("clipped") == 1L))
+  }
+
+  test("medianAbsDev: mad is non-negative and <= max deviation; hand case") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, 100.0))
+      .toDF("event_type", "event_id", "value")
+    val r = graft.operators.RobustStats.medianAbsDev(df).collect().head
+    // median 3; deviations {2,1,0,1,97} → median 1
+    assert(r.getAs[Double]("median") == 3.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n") == 5L)
+  }
+
   test("eventRollup: subtotal levels are consistent and scan the facts once") {
     val df = Relational.eventRollup(spark, dir)
     val rows = df.collect()
