@@ -350,6 +350,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-aware canonical per duplicate cluster: the longest member
+    // survives (tie: min doc_id) instead of the min-id convention
+    "q_canonical" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.canonicalByQuality(docs,
+        Dedup.dupClusters(docs,
+          Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.1,
+            maxDocFrequency = Some(5))))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: membership recomputable from the
     // row key alone — no split table to store or join at corpus scale
     "q_split" -> ((s, dir) =>
@@ -723,6 +734,26 @@ object SparkEntry {
          |         count(*) AS msgs, CAST(sum(strlen(payload)) AS BIGINT) AS bytes
          |  FROM stream_data GROUP BY 1, 2, 3
          |)""".stripMargin
+    // Shared duplicate-cluster CTE chain (df-capped Jaccard pairs →
+    // recursive min-label components) for q_dup_clusters and q_canonical.
+    val dupClusterCte =
+      shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
+          |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          |       FROM shc a JOIN shc b USING (shingle)
+          |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          |dup AS (SELECT doc_a, doc_b FROM pr
+          |        JOIN sizes sa ON doc_a = sa.doc_id
+          |        JOIN sizes sb ON doc_b = sb.doc_id
+          |        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+          |          UNION ALL SELECT doc_b, doc_a FROM dup),
+          |cc AS (SELECT doc_id AS id, doc_id AS label FROM documents
+          |       UNION
+          |       SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src)""".stripMargin
     Map(
       "q_last_n" ->
         s"""$sd
@@ -1473,26 +1504,26 @@ object SparkEntry {
       // smallest doc_id reachable over dup edges — identical to the
       // engine's min-label-propagation fixpoint
       "q_dup_clusters" ->
-        (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-          """,
-            |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
-            |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
-            |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-            |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            |       FROM shc a JOIN shc b USING (shingle)
-            |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-            |dup AS (SELECT doc_a, doc_b FROM pr
-            |        JOIN sizes sa ON doc_a = sa.doc_id
-            |        JOIN sizes sb ON doc_b = sb.doc_id
-            |        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1),
-            |edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
-            |          UNION ALL SELECT doc_b, doc_a FROM dup),
-            |cc AS (SELECT doc_id AS id, doc_id AS label FROM documents
-            |       UNION
-            |       SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src)
+        (dupClusterCte +
+          """
             |SELECT id AS doc_id, min(label) AS cluster,
             |       CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
             |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin),
+
+      // quality-aware canonical: same cluster chain, longest member wins
+      "q_canonical" ->
+        (dupClusterCte +
+          """,
+            |cl AS (SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id),
+            |nw AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+            |       FROM documents),
+            |r AS (SELECT cl.doc_id, cl.cluster, nw.n_words,
+            |        row_number() OVER (PARTITION BY cluster
+            |          ORDER BY n_words DESC, cl.doc_id) AS rk
+            |      FROM cl JOIN nw USING (doc_id))
+            |SELECT doc_id, cluster, n_words,
+            |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+            |FROM r ORDER BY doc_id""".stripMargin),
 
       // stride 24 = 32 - 8; DuckDB list slices are 1-based inclusive, so
       // Spark's slice(toks, start, 32) is t[start : start+31]; `//` is the

@@ -401,6 +401,26 @@ object Dedup {
         (col("doc_id") === col("cluster")).cast("long"))
   }
 
+  /** Quality-aware canonical selection over duplicate clusters: instead of
+    * [[dupClusters]]'s min-id convention, each cluster keeps its
+    * highest-quality member (here: most tokens, the simplest length-quality
+    * proxy — swap in a Gopher score or LM bits without changing the shape),
+    * tie-broken by doc_id so the choice is total. One broadcast-sized
+    * window per cluster; clusters are pair-bounded so the window partition
+    * never exceeds a cluster's size. */
+  def canonicalByQuality(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nw = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_words").desc, col("doc_id"))
+    clusters.select(col("doc_id"), col("cluster"))
+      .join(nw, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster"), col("n_words"),
+        (col("rk") === 1).cast("long").as("is_canonical"))
+  }
+
   /** Exact duplicate-substring spans (the substring-dedup signal of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499 §3.1): every maximal token span of a document whose

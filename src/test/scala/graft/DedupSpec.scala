@@ -158,6 +158,25 @@ class DedupSpec extends SparkSpec {
     assert(blocked == exact) // pigeonhole: no pair within distance 3 is missed
   }
 
+  test("canonicalByQuality: longest cluster member survives, singletons canonical") {
+    val s = spark
+    import s.implicits._
+    val docs = docsOf(
+      (1L, base),                  // cluster {1,2,3}: 2 is the longest
+      (2L, base + " lambda mu"),
+      (3L, base + " nu"),
+      (9L, "standalone words only here"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.canonicalByQuality(docs, Dedup.dupClusters(docs, pairs))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L),
+      (2L, 1L, 1L),  // longest member of cluster 1, not the min id
+      (3L, 1L, 0L),
+      (9L, 9L, 1L))) // singleton keeps itself
+  }
+
   test("dupSpans: shared 5-gram runs merge into maximal spans; unique docs absent") {
     // docs 1 and 2 share tokens 'c d e f g h i' — a 7-token duplicated
     // region = three overlapping 5-grams at positions 2,3,4 (doc 1) and
