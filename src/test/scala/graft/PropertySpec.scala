@@ -247,6 +247,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("lmBits == in-memory add-one floor-log2 reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    val genDocs = Gen.choose(1, 6).flatMap(d => Gen.listOfN(d,
+      Gen.choose(0, 8).flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c")))))
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    holdsFewer(Prop.forAll(genDocs) { toks =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      // Spark split("", " ") yields [""], so an empty text doc contributes
+      // the "" token to the vocab — mirror that exactly
+      val tokenized = docs.map { case (id, text) => id -> text.split(" ", -1).toSeq }
+      val uni = tokenized.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val vocab = uni.size.toLong
+      val big = tokenized.flatMap { case (_, t) => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = tokenized.flatMap { case (id, t) =>
+        val bs = t.sliding(2).filter(_.size == 2).map { bg =>
+          bits(uni(bg.head) + vocab) - bits(big(bg.mkString(" ")) + 1)
+        }.toSeq
+        if (bs.isEmpty) None else Some(id -> ((bs.size.toLong, bs.sum)))
+      }.toMap
+      val got = graft.text.TextAnalysis.lmBits(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == expect
+    })
+  }
+
   test("heavyHitters == exact frequency filter for random streams and k") {
     val s = spark
     import s.implicits._
