@@ -588,6 +588,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of: each click's NEXT same-user purchase (conversion
+    // attribution) — same merge-sort shape traversed in descending time
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tms = unix_millis(col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tms.as("tms"), col("event_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tms.as("tms"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.operators.AsofJoin.asofForward(clicks, purchases,
+        keys = Seq("user_id"), ts = "tms", rightTie = "purchase_id",
+        rightVals = Seq("purchase_id", "purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ROLLUP grouping sets: (type, day) / (type) / grand total in one scan
     "q_rollup" -> ((s, dir) =>
       Relational.eventRollup(s, dir)
@@ -1796,6 +1812,30 @@ object SparkEntry {
           |      FROM u
           |      WINDOW w AS (PARTITION BY user_id
           |        ORDER BY tms, side, purchase_id NULLS FIRST
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT user_id, tms, event_id, value,
+          |       rv.pid AS purchase_id, rv.pv AS purchase_value
+          |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+      // forward as-of: identical structure, descending traversal, smallest
+      // equal-ts right wins (tie DESC + running last)
+      "q_asof_fwd" ->
+        """WITH c AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id, value
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id, value
+          |      FROM events WHERE event_type = 'purchase'),
+          |u AS (SELECT user_id, tms, event_id, value,
+          |             NULL::BIGINT AS purchase_id, NULL::DOUBLE AS purchase_value, 1 AS side
+          |      FROM c
+          |      UNION ALL
+          |      SELECT user_id, tms, NULL, NULL, event_id, value, 0 FROM p),
+          |m AS (SELECT user_id, tms, event_id, value, side,
+          |        last_value(CASE WHEN side = 0
+          |            THEN {'pid': purchase_id, 'pv': purchase_value} END IGNORE NULLS)
+          |          OVER w AS rv
+          |      FROM u
+          |      WINDOW w AS (PARTITION BY user_id
+          |        ORDER BY tms DESC, side, purchase_id DESC NULLS FIRST
           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           |SELECT user_id, tms, event_id, value,
           |       rv.pid AS purchase_id, rv.pv AS purchase_value

@@ -39,7 +39,22 @@ object AsofJoin {
     * @param rightVals right-side payload columns to attach to each left row
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      ts: String, rightTie: String, rightVals: Seq[String]): DataFrame = {
+      ts: String, rightTie: String, rightVals: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, ts, rightTie, rightVals, backward = true)
+
+  /** Forward as-of join: the single EARLIEST right row with the same key
+    * and `ts >= left.ts` ("next purchase after this click" — conversion
+    * attribution). Same merge-sort shape, traversed in descending time;
+    * a right row at exactly the left row's timestamp is visible, and among
+    * equal-ts right rows the SMALLEST `rightTie` wins (the mirror of
+    * backward's greatest-wins, keeping both deterministic). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, rightTie: String, rightVals: Seq[String]): DataFrame =
+    asofImpl(left, right, keys, ts, rightTie, rightVals, backward = false)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, rightTie: String, rightVals: Seq[String],
+      backward: Boolean): DataFrame = {
     require(rightVals.contains(rightTie), s"rightTie $rightTie must be one of rightVals")
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
     require(leftOnly.intersect(rightVals).isEmpty,
@@ -61,8 +76,14 @@ object AsofJoin {
     // and engines disagree on default null order (Spark NULLS FIRST asc,
     // DuckDB NULLS LAST) — the choice is irrelevant to the result (sides
     // already separate null from non-null) but pinning it documents that.
+    // Forward mirrors the traversal: descending time, right still before
+    // left at an equal ts, tie DESC so the running last lands on the
+    // smallest rightTie among equal-ts rights.
+    val order =
+      if (backward) Seq(col(ts).asc, col("_side").asc, col(rightTie).asc_nulls_first)
+      else Seq(col(ts).desc, col("_side").asc, col(rightTie).desc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc +: col("_side").asc +: Seq(col(rightTie).asc_nulls_first): _*)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the running last is taken over ONE struct of the whole right payload,
     // not per column — per-column last(ignoreNulls) would tear the matched

@@ -50,6 +50,19 @@ class AsofJoinSpec extends SparkSpec {
       s"as-of must not plan a product join:\n$plan")
   }
 
+  test("asofForward: earliest at-or-after right row; smallest tie wins; null when none") {
+    val l = leftOf((1L, 100L, 10L, 1.0), (1L, 300L, 11L, 1.0))
+    val r = rightOf((1L, 100L, 902L, 5.0), (1L, 100L, 901L, 5.0), (1L, 200L, 903L, 6.0))
+    val got = AsofJoin.asofForward(l, r, Seq("user_id"), "tms",
+      "purchase_id", Seq("purchase_id", "purchase_value"))
+      .orderBy("event_id").collect()
+      .map(row => (row.getAs[Long]("event_id"),
+        Option(row.getAs[java.lang.Long]("purchase_id")).map(_.toLong))).toSeq
+    assert(got == Seq(
+      (10L, Some(901L)),  // equal ts inclusive; smallest of the two ties
+      (11L, None)))       // nothing at or after 300
+  }
+
   test("asofBackward: null payload field rides with ITS row — no column tearing") {
     val s = spark
     import s.implicits._
