@@ -35,6 +35,26 @@ object SparkEntry {
     else docs
   }
 
+  /** Scale-relative corpus/increment fixture for the incremental-dedup
+    * gates: corpus = first 90% of doc ids, increment = the last 10% plus
+    * re-published copies of the first ten corpus docs (id + 100000), so
+    * the exact-hash path fires at every sf. The 90/10 boundary keeps the
+    * operator's "increment is small by nature" asymmetry — and therefore
+    * the regime the bench judges — at every scale factor, where a fixed
+    * id cutoff would invert it as the table grows. */
+  private def incrementalSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = docsParallel(s, dir)
+    // driver-held scalar from a max() over one long column — one tiny job
+    // at fixture-build time, mirrored by the oracle's scalar subquery
+    val cut = 9L * (Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1L) / 10L
+    val corpus = docs.filter(col("doc_id") < cut)
+    val increment = docs.filter(col("doc_id") >= cut)
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    (corpus, increment)
+  }
+
   /** Per-(sfDir, process) scratch store under java.io.tmpdir, wiped before
     * each use. The PID suffix keeps concurrent processes (Bench and Verify
     * on the same sfDir) from clobbering each other's store mid-read, but an
@@ -393,15 +413,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // incremental dedup: one snapshot flagged against the existing corpus
-    // (increment = the id>=400 tail plus re-published copies of the first
-    // ten corpus docs, so the exact-hash path is actually exercised)
+    // (increment = the last-10%-of-ids tail plus re-published copies of the
+    // first ten corpus docs, so the exact-hash path is actually exercised).
+    // The split is scale-RELATIVE — a fixed id boundary would invert the
+    // corpus/increment asymmetry at sf>=0.1 and bench the wrong regime
     "q_dedup_incremental" -> ((s, dir) => {
-      val docs = docsParallel(s, dir)
-      val corpus = docs.filter(col("doc_id") < 400)
-      val increment = docs.filter(col("doc_id") >= 400)
-        .unionByName(docs.filter(col("doc_id") < 10)
-          .withColumn("doc_id", col("doc_id") + 100000))
+      val (corpus, increment) = incrementalSplit(s, dir)
       Dedup.incrementalFlags(corpus, increment, k = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // production shape: corpus-side document-frequency cap ON — the
+    // daily-ingest operator must bound its shingle-join fan-out exactly
+    // like q_ngram_jaccard does (stop-shingles above the cap drive the
+    // O(df_inc x df_corp) pair explosion and carry no near-dup signal)
+    "q_dedup_incremental_capped" -> ((s, dir) => {
+      val (corpus, increment) = incrementalSplit(s, dir)
+      Dedup.incrementalFlags(corpus, increment, k = 3, threshold = 0.5,
+        maxDocFrequency = Some(5))
         .orderBy(col("doc_id"))
     }),
 
@@ -770,6 +799,44 @@ object SparkEntry {
           |cc AS (SELECT doc_id AS id, doc_id AS label FROM documents
           |       UNION
           |       SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src)""".stripMargin
+    // Shared prefix of the incremental-dedup oracles: the scale-relative
+    // 90/10 corpus/increment split (the scalar `cut` subquery mirrors the
+    // fixture's driver-held max(doc_id) scalar) and both shingle tables.
+    val incDedupCte =
+      """WITH cut AS (SELECT 9*(max(doc_id)+1)//10 AS c FROM documents),
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT c FROM cut)),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT c FROM cut)
+        |        UNION ALL
+        |        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+        |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ch ON md5(i.text) = ch.h),
+        |itoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
+        |ishs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
+        |         FROM itoks WHERE len(t) >= 3),
+        |ish AS (SELECT doc_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM ishs),
+        |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |cshs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
+        |         FROM ctoks WHERE len(t) >= 3),
+        |csh AS (SELECT doc_id AS corpus_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM cshs)""".stripMargin
+    // Tail over a given (increment, corpus) shingle-table pair: exact via
+    // the md5 semi-join, near via the bipartite shared-shingle Jaccard.
+    def incDedupTail(ishT: String, cshT: String): String =
+      s"""isz AS (SELECT doc_id, count(*) AS na FROM $ishT GROUP BY 1),
+         |csz AS (SELECT corpus_id, count(*) AS nb FROM $cshT GROUP BY 1),
+         |pr AS (SELECT i.doc_id, c.corpus_id, count(*) AS inter
+         |       FROM $ishT i JOIN $cshT c USING (shingle) GROUP BY 1, 2),
+         |nr AS (SELECT DISTINCT pr.doc_id FROM pr
+         |       JOIN isz ON pr.doc_id = isz.doc_id
+         |       JOIN csz ON pr.corpus_id = csz.corpus_id
+         |       WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5)
+         |SELECT i.doc_id,
+         |       CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_dup,
+         |       CAST(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS near_dup
+         |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+         |LEFT JOIN nr ON i.doc_id = nr.doc_id
+         |ORDER BY i.doc_id""".stripMargin
     Map(
       "q_last_n" ->
         s"""$sd
@@ -1390,36 +1457,18 @@ object SparkEntry {
       // incremental dedup: exact via corpus-distinct md5 semi-join, near
       // via the bipartite shared-shingle join — mirrors incrementalFlags
       "q_dedup_incremental" ->
-        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-          |inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
-          |        UNION ALL
-          |        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10),
-          |ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
-          |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ch ON md5(i.text) = ch.h),
-          |itoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
-          |ishs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
-          |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
-          |         FROM itoks WHERE len(t) >= 3),
-          |ish AS (SELECT doc_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM ishs),
-          |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-          |cshs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
-          |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
-          |         FROM ctoks WHERE len(t) >= 3),
-          |csh AS (SELECT doc_id AS corpus_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM cshs),
-          |isz AS (SELECT doc_id, count(*) AS na FROM ish GROUP BY 1),
-          |csz AS (SELECT corpus_id, count(*) AS nb FROM csh GROUP BY 1),
-          |pr AS (SELECT i.doc_id, c.corpus_id, count(*) AS inter
-          |       FROM ish i JOIN csh c USING (shingle) GROUP BY 1, 2),
-          |nr AS (SELECT DISTINCT pr.doc_id FROM pr
-          |       JOIN isz ON pr.doc_id = isz.doc_id
-          |       JOIN csz ON pr.corpus_id = csz.corpus_id
-          |       WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5)
-          |SELECT i.doc_id,
-          |       CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_dup,
-          |       CAST(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS near_dup
-          |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
-          |LEFT JOIN nr ON i.doc_id = nr.doc_id
-          |ORDER BY i.doc_id""".stripMargin,
+        s"""$incDedupCte,
+           |${incDedupTail("ish", "csh")}""".stripMargin,
+
+      // capped twin: corpus-side df cap (<= 5 docs) filters BOTH shingle
+      // tables before sizes and the join — mirrors the engine's
+      // maxDocFrequency path exactly
+      "q_dedup_incremental_capped" ->
+        s"""$incDedupCte,
+           |ckept AS (SELECT shingle FROM csh GROUP BY 1 HAVING count(*) <= 5),
+           |ishc AS (SELECT i.doc_id, i.shingle FROM ish i JOIN ckept USING (shingle)),
+           |cshc AS (SELECT c.corpus_id, c.shingle FROM csh c JOIN ckept USING (shingle)),
+           |${incDedupTail("ishc", "cshc")}""".stripMargin,
 
       "q_contamination" ->
         s"""$shingleCte,

@@ -286,18 +286,42 @@ object Dedup {
     * bipartite, so pairs materialize only where overlap exists and the
     * fan-out is increment-bounded; the big corpus side is scanned, reduced
     * to (doc, shingle), and never self-joined. The increment is small by
-    * nature (one snapshot), so AQE broadcasts its reduced aggregates. */
+    * nature (one snapshot), so AQE broadcasts its reduced aggregates.
+    *
+    * With `maxDocFrequency = Some(cap)` (the production shape, mirroring
+    * [[ngramJaccardPairs]]): shingles present in more than `cap` CORPUS
+    * documents are dropped from both sides before sizes and the join. A
+    * stop-shingle in `df_inc` increment docs and `df_corp` corpus docs
+    * would otherwise materialize `df_inc × df_corp` pair rows before the
+    * per-pair count — on the operator that runs at the highest cadence
+    * (daily ingest), the one unbounded fan-out the engine must not have.
+    * The cap is computed on the corpus side because that's the stable,
+    * large table whose hot keys persist snapshot over snapshot; Jaccard is
+    * then taken over the filtered shingle space on both sides (same
+    * semantics change as the capped Jaccard pair ⇒ separate oracle). */
   def incrementalFlags(corpus: DataFrame, increment: DataFrame, k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDocFrequency: Option[Int] = None): DataFrame = {
     val textHash = md5(col("text"))
     val corpusHashes = corpus.select(textHash.as("h")).distinct()
     val exact = increment.select(col("doc_id"), textHash.as("h"))
       .join(corpusHashes, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("exact_dup", lit(1L))
-    val inc = shingleTable(increment, k)
-    val corp = shingleTable(corpus, k)
+    val incRaw = shingleTable(increment, k)
+    val corpRaw = shingleTable(corpus, k)
       .select(col("doc_id").as("corpus_id"), col("shingle"))
+    val (inc, corp) = maxDocFrequency match {
+      case Some(cap) =>
+        // one explicit shingle exchange on the corpus side: the df
+        // aggregate and the kept-join both read it (ReuseExchange), so the
+        // cap costs no extra corpus pass; `kept` is shingle-keys-only and
+        // AQE broadcasts it to filter the small increment side
+        val corpR = corpRaw.repartition(col("shingle"))
+        val kept = corpR.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("shingle"))
+        (incRaw.join(kept, Seq("shingle")), corpR.join(kept, Seq("shingle")))
+      case None => (incRaw, corpRaw)
+    }
     // per-doc shingle counts via explode+groupBy, NOT size(shingles(...))
     // as a scalar: the aggregate is map-side combined (its exchange
     // carries ~one row per doc), while the scalar recomputes the

@@ -19,7 +19,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a right row that ARRIVES late (after a left in a previous batch was
   * already emitted) cannot retro-enrich — the standard streaming trade;
   * the batch as-of over the store is the at-rest backstop, exactly like
-  * [[StreamDedup]]'s relationship to the batch dedups.
+  * [[StreamDedup]]'s relationship to the batch dedups. Conversely a LEFT
+  * row that arrives late (in a later batch than a right with a greater
+  * event time) still only sees state at-or-before its own event time —
+  * the emit-side visibility filter below — so the backward contract is
+  * never violated in either direction; at worst a late left misses a
+  * right the single-row state has already superseded (it emits None
+  * rather than a wrong-future row).
   *
   * Scale: one shuffle per micro-batch on the key; state is one small
   * tuple per key. Pass `idleRetention = Some(...)` in long-lived
@@ -70,8 +76,16 @@ object StreamAsof {
                 if (cur.forall(c => e.tms > c.tms || (e.tms == c.tms && e.id >= c.id)))
                   cur = Some(AsofState(e.tms, e.id, e.value))
                 None
-              } else Some(AsofOut(e.key, e.tms, e.id, e.value,
-                cur.map(_.id), cur.map(_.value)))
+              } else {
+                // visibility check: the carried state is the latest right
+                // seen SO FAR, which for a late-arriving left may lie in
+                // the left's future — the 'at or before' contract must
+                // hold across batches too, so such state is invisible to
+                // this emit (the state update itself stays max-based)
+                val vis = cur.filter(_.tms <= e.tms)
+                Some(AsofOut(e.key, e.tms, e.id, e.value,
+                  vis.map(_.id), vis.map(_.value)))
+              }
             }
             cur.foreach(state.update)
             out.iterator

@@ -389,15 +389,19 @@ object TextAnalysis {
   def lmBits(train: DataFrame, score: DataFrame): DataFrame = {
     val c1 = train.select(explode(wsTokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val vocab = c1.count() // V: driver-held scalar, one job
+    // V as a lazy 1-row aggregate cross-joined in (the DuckDB oracle's
+    // `CROSS JOIN v` shape) — no eager job at build time, and the vocab
+    // count rides on c1's existing exchange instead of a second corpus pass
+    val v = c1.agg(count(lit(1)).as("vocab"))
     val c12 = docBigrams(train).groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
     def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
     docBigrams(score)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .join(c12, Seq("bigram"), "left")
       .join(c1, col("w1") === col("tok"), "left")
+      .crossJoin(broadcast(v))
       .select(col("doc_id"),
-        (bits(coalesce(col("c1"), lit(0L)) + vocab)
+        (bits(coalesce(col("c1"), lit(0L)) + col("vocab"))
           - bits(coalesce(col("c12"), lit(0L)) + 1)).as("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("sum_bits"))

@@ -53,6 +53,18 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("capped incremental dedup keeps the corpus shingle exchange and df filter") {
+    val plan = planOf("q_dedup_incremental_capped")
+    // the corpus-side repartition(shingle) is the one exchange the df
+    // aggregate and the kept-join both read (ReuseExchange/AQE stage reuse)
+    assert(plan.contains("hashpartitioning(shingle"),
+      s"capped incremental dedup lost the corpus shingle exchange: $plan")
+    // the cap itself must survive as a post-aggregate df filter — without
+    // it the daily-ingest join is the engine's only unbounded fan-out
+    assert(plan.contains("(df#") || plan.contains("df <="),
+      s"document-frequency cap filter missing from the plan: $plan")
+  }
+
   test("bounded last-N physical read path: partitioned window, no cartesian") {
     // build a tiny real store once, then assert on the ACTUAL inner
     // dedup+top-K plan requestLastBounded executes over its covering

@@ -71,16 +71,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("winsorize: clamped into band, clipped flag consistent, row count preserved") {
+  test("winsorize: clamped into the group's [p05,p95] band, flag consistent") {
     import graft.operators.RobustStats
     val ev = graft.sources.Tables.events(spark, dir)
     val got = RobustStats.winsorize(ev).collect()
     assert(got.length == ev.count())
+    // reference band per group, computed in-memory with the same linear
+    // interpolation Spark's exact `percentile` uses:
+    // pos = p*(n-1); (hi-pos)*s[floor] + (pos-lo)*s[ceil]
+    def pct(s: Array[Double], p: Double): Double = {
+      val pos = p * (s.length - 1)
+      val (l, h) = (math.floor(pos), math.ceil(pos))
+      if (l == h) s(l.toInt) else (h - pos) * s(l.toInt) + (pos - l) * s(h.toInt)
+    }
+    val band = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (t, vs) =>
+        val s = vs.map(_._2).sorted
+        t -> (pct(s, 0.05), pct(s, 0.95))
+      }
     got.foreach { r =>
-      val (v, w, c) = (r.getAs[Double]("value"), r.getAs[Double]("winsorized"),
-        r.getAs[Long]("clipped"))
-      assert((c == 1L) == (v != w) || (c == 0L && v == w))
-      assert(w <= math.max(v, w) && (c == 1L || v == w))
+      val (t, v, w, c) = (r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Double]("winsorized"), r.getAs[Long]("clipped"))
+      val (lo, hi) = band(t)
+      assert(w == math.min(math.max(v, lo), hi),
+        s"$t: value $v winsorized to $w, expected clamp into [$lo, $hi]")
+      assert((c == 1L) == (v < lo || v > hi), s"clipped flag wrong for $v in [$lo, $hi]")
     }
     // clamp must actually fire on the tails for a 10%-trim band
     assert(got.exists(_.getAs[Long]("clipped") == 1L))

@@ -59,6 +59,18 @@ class StreamAsofSpec extends SparkSpec {
     assert(got == Seq((10L, Some(90L))))
   }
 
+  test("late-arriving left must not be enriched from a future right") {
+    val got = run(Seq(
+      // batch 1: right at event time 200
+      Seq(AsofEvent(1L, 200L, left = false, id = 90L, value = 5.0)),
+      // batch 2: LEFT arrives late with event time 100 — the carried state
+      // (tms=200) is in its future and must be invisible; a later left at
+      // tms=300 in the same batch still sees it
+      Seq(AsofEvent(1L, 100L, left = true, id = 10L, value = 1.0),
+        AsofEvent(1L, 300L, left = true, id = 11L, value = 1.0))), "asof_late_left")
+    assert(got == Seq((10L, None), (11L, Some(90L))))
+  }
+
   test("equal timestamp: right row is visible to the left row (inclusive tie)") {
     val got = run(Seq(Seq(
       AsofEvent(1L, 100L, left = false, id = 90L, value = 5.0),
