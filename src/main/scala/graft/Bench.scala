@@ -33,6 +33,21 @@ object Bench {
     // each query runs twice and reports the min — the first execution of a
     // plan pays its whole-stage-codegen JIT, which is compile-once cost,
     // not per-query cost, and dominated run-to-run variance at sf0.1
+    // contention canary: a fixed, data-independent workload (range-sum of
+    // 200M longs across all cores) whose clean min-of-3 on this machine
+    // class is ~0.2s. Machine contention — the cause of two rounds of
+    // ~3x-inflated official records — inflates it the same way it inflates
+    // the real queries, so a canary far outside its band marks the whole
+    // record as untrustworthy. Measured before AND after the sweep: either
+    // end contended taints the record.
+    def canarySec(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val canaryExpected =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_SEC", "0.25").toDouble
+    val canaryBefore = canarySec()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
@@ -56,11 +71,16 @@ object Bench {
     // file, which cannot be cut mid-line
     def ms(v: Double) = if (v < 0) -1.0 else math.rint(v * 1000) / 1000
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    val canaryAfter = canarySec()
+    val canaryWorst = math.max(canaryBefore, canaryAfter)
+    val contended = canaryWorst > 3 * canaryExpected
+    val canaryJson =
+      s""""canary_sec":${ms(canaryWorst)},"canary_expected":$canaryExpected,"contended":$contended"""
     // headline stays min-of-runs (first run pays compile-once codegen JIT)
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(v => ms(v._1))},"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(v => ms(v._1))},"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson}"""
     println(compact)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))

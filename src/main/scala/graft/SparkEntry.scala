@@ -192,6 +192,19 @@ object SparkEntry {
         lit(java.time.LocalDateTime.parse("2024-01-20T00:00:00")))
         .orderBy(col("stream_id"), col("verdict"))),
 
+    // signature verdict (the validator seam, broker.ts:135-139): every
+    // sequence_no=7 row is tampered, so the verifier must reject exactly
+    // those (minus rows already rejected by the earlier future/json gates)
+    "q_ingest_signature" -> ((s, dir) => {
+      val tampered = Tables.streamData(s, dir).withColumn("signature",
+        when(col("sequence_no") === 7, lit("0xtampered"))
+          .otherwise(col("signature")))
+      Validate.verdictCounts(tampered,
+        lit(java.time.LocalDateTime.parse("2024-01-20T00:00:00")),
+        signatureValid = Some(Validate.md5SchemeSignatureValid))
+        .orderBy(col("stream_id"), col("verdict"))
+    }),
+
     // ---- metrics (§2.4 A7-A9) ----
     "q_ewma" -> ((s, dir) =>
       Metrics.ewmaRates(Tables.streamData(s, dir))
@@ -1014,6 +1027,22 @@ object SparkEntry {
            |SELECT stream_id,
            |       CASE WHEN ts > TIMESTAMP '2024-01-20 00:05:00' THEN 'rejected_future'
            |            WHEN encryption_type = 0 AND NOT json_valid(payload) THEN 'rejected_json'
+           |            ELSE 'accepted' END AS verdict,
+           |       count(*) AS n
+           |FROM stream_data GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // same chain + the signature verifier: seq=7 rows carry a tampered
+      // signature, everything else re-verifies under the md5 scheme
+      "q_ingest_signature" ->
+        s"""$sd
+           |SELECT stream_id,
+           |       CASE WHEN ts > TIMESTAMP '2024-01-20 00:05:00' THEN 'rejected_future'
+           |            WHEN encryption_type = 0 AND NOT json_valid(payload) THEN 'rejected_json'
+           |            WHEN (CASE WHEN sequence_no = 7 THEN '0xtampered' ELSE signature END)
+           |                 <> '0x' || md5(stream_id || ':' ||
+           |                      CAST(epoch_ms(ts) AS VARCHAR) || ':' ||
+           |                      CAST(sequence_no AS VARCHAR) || ':' || publisher_id)
+           |              THEN 'rejected_signature'
            |            ELSE 'accepted' END AS verdict,
            |       count(*) AS n
            |FROM stream_data GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

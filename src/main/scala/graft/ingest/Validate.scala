@@ -25,30 +25,57 @@ object Validate {
   def isValidJson(payload: Column): Column =
     get_json_object(payload, "$").isNotNull
 
+  /** Signature validity under the testdata's md5-derived scheme
+    * (`Tables.streamData`: signature = "0x" + md5(stream_id:tsMs:seq:pub))
+    * — the default plug for [[verdict]]'s verifier seam. The reference
+    * delegates signature checks to a validator object
+    * (`CachingStreamMessageValidator`, `src/broker.ts:135-139`,
+    * `src/Publisher.ts:42-45`) whose secp256k1 math lives in a library;
+    * the engine mirrors the SEAM, not the curve: a production deployment
+    * swaps this Column for a native-Expression ECDSA verifier with the
+    * same boolean contract. A null signature is invalid (unsigned
+    * messages don't clear a validator that expects signatures). */
+  def md5SchemeSignatureValid: Column =
+    coalesce(
+      col("signature") === concat(lit("0x"), md5(concat_ws(":",
+        col("stream_id"),
+        unix_millis(col("ts").cast("timestamp")).cast("string"),
+        col("sequence_no").cast("string"),
+        col("publisher_id")))),
+      lit(false))
+
   /** Annotate a message batch with its validation verdict:
-    * `accepted` | `rejected_future` | `rejected_json` (first failure wins,
-    * future checked first like the reference's ordering). The JSON check
-    * applies only to plaintext content — encrypted payloads are opaque
-    * ciphertext strings the reference stores without parsing
-    * (`Publisher.ts:46` parses via getContent(true) only for unencrypted
-    * messages; ciphertext round-trips verbatim, `Storage.test.ts:150`). */
-  def verdict(df: DataFrame, now: Column): DataFrame = {
+    * `accepted` | `rejected_future` | `rejected_json` |
+    * `rejected_signature` (first failure wins, future checked first like
+    * the reference's ordering). The JSON check applies only to plaintext
+    * content — encrypted payloads are opaque ciphertext strings the
+    * reference stores without parsing (`Publisher.ts:46` parses via
+    * getContent(true) only for unencrypted messages; ciphertext
+    * round-trips verbatim, `Storage.test.ts:150`). `signatureValid` is
+    * the pluggable verifier seam (see [[md5SchemeSignatureValid]]);
+    * None ⇒ signatures stay opaque payload, the pre-r8 behavior. */
+  def verdict(df: DataFrame, now: Column,
+      signatureValid: Option[Column] = None): DataFrame = {
     val plaintext =
       if (df.columns.contains("encryption_type")) col("encryption_type") === 0
       else lit(true)
-    df.withColumn("verdict",
-      when(isFuture(col("ts"), now), lit("rejected_future"))
-        .when(plaintext && !isValidJson(col("payload")), lit("rejected_json"))
-        .otherwise(lit("accepted")))
+    val base = when(isFuture(col("ts"), now), lit("rejected_future"))
+      .when(plaintext && !isValidJson(col("payload")), lit("rejected_json"))
+    val withSig = signatureValid.fold(base)(v =>
+      base.when(!v, lit("rejected_signature")))
+    df.withColumn("verdict", withSig.otherwise(lit("accepted")))
   }
 
   /** Accepted subset (the rows that proceed to partition + store). */
-  def accepted(df: DataFrame, now: Column): DataFrame =
-    verdict(df, now).filter(col("verdict") === "accepted").drop("verdict")
+  def accepted(df: DataFrame, now: Column,
+      signatureValid: Option[Column] = None): DataFrame =
+    verdict(df, now, signatureValid)
+      .filter(col("verdict") === "accepted").drop("verdict")
 
   /** Per-stream verdict counts — the ingest observability surface. */
-  def verdictCounts(df: DataFrame, now: Column): DataFrame =
-    verdict(df, now)
+  def verdictCounts(df: DataFrame, now: Column,
+      signatureValid: Option[Column] = None): DataFrame =
+    verdict(df, now, signatureValid)
       .groupBy(col("stream_id"), col("verdict"))
       .agg(count(lit(1)).as("n"))
 }

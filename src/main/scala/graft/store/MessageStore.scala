@@ -66,30 +66,90 @@ object MessageStore {
       }
   }
 
+  /** Driver-held (stream, UTC day) → bucket-width memory for the width
+    * guard: a steady ingest query appends to the same streams batch after
+    * batch, and without this every [[appendPerStream]] re-lists every
+    * touched stream's bucket directories — at thousands of buckets per
+    * stream that's a per-micro-batch driver FS sweep for information that
+    * never changes (a day's width is fixed for its lifetime). The cache is
+    * the metastore stand-in: a stream's directories are listed ONCE (on
+    * its first touched batch), then every later batch checks and records
+    * widths in memory — zero FS listing on the steady path.
+    *
+    * Staleness is one-sided by construction: entries only ever say "this
+    * day holds this width", which stays true for as long as the day has
+    * data. Compaction preserves bucket names, so no invalidation is
+    * needed; RETENTION can empty a day (making a width flip newly legal),
+    * and a stale entry then rejects that flip conservatively — call
+    * [[invalidate]] for streams whose buckets were dropped (or [[clear]]
+    * after a store-wide sweep) to re-learn from the filesystem. Never
+    * share a cache across stores, and never use one beside a concurrent
+    * foreign writer — same single-writer contract as compaction. */
+  final class BucketWidthCache {
+    // widths present per (stream, day): a set, so a pre-guard store that
+    // already holds both widths on one day keeps failing appends of
+    // either width exactly like the filesystem check would
+    private val known =
+      scala.collection.mutable.Map[(String, String), Set[String]]()
+    private val listed = scala.collection.mutable.Set[String]()
+    private[store] def widthsOf(stream: String, day: String): Set[String] =
+      synchronized(known.getOrElse((stream, day), Set.empty))
+    private[store] def isListed(stream: String): Boolean =
+      synchronized(listed.contains(stream))
+    private[store] def putListing(stream: String,
+        widths: Map[String, Set[String]]): Unit = synchronized {
+      widths.foreach { case (d, ws) =>
+        known((stream, d)) = known.getOrElse((stream, d), Set.empty) ++ ws
+      }
+      listed += stream
+    }
+    private[store] def record(stream: String, day: String, width: String): Unit =
+      synchronized {
+        known((stream, day)) = known.getOrElse((stream, day), Set.empty) + width
+        listed += stream
+      }
+    /** Forget one stream (call after retention dropped its buckets). */
+    def invalidate(stream: String): Unit = synchronized {
+      listed -= stream
+      known.filterInPlace { case ((s, _), _) => s != stream }
+    }
+    /** Forget everything (call after a store-wide retention sweep). */
+    def clear(): Unit = synchronized { known.clear(); listed.clear() }
+  }
+
   /** Append a message batch into the partitioned layout.
     *
     * The repartition on the partition columns is load-bearing at scale:
     * without it every write task emits a file into every bucket directory
     * (tasks × buckets small files); with it each bucket is written by
     * exactly one task — one file per bucket per batch. */
-  def append(messages: DataFrame, path: String, granularity: String = DayBucket): Unit = {
+  def append(messages: DataFrame, path: String, granularity: String = DayBucket,
+      widthCache: Option[BucketWidthCache] = None): Unit = {
     require(granularity == DayBucket || granularity == HourBucket,
       s"unsupported bucket granularity '$granularity' (supported: $DayBucket, $HourBucket)")
     // same width guard as appendPerStream — without it this entrypoint
     // could still write a second width onto an occupied day (free on a
     // fresh store: the guard returns before any job when no root exists)
-    requireConsistentWidths(messages, path, Map.empty, granularity)
+    val touched = requireConsistentWidths(messages, path, Map.empty, granularity, widthCache)
     appendWith(messages, path, bucketOf(col("ts"), granularity))
+    widthCache.foreach(c => touched.foreach { case (s, d) => c.record(s, d, granularity) })
   }
 
   /** [[append]] with per-stream bucket granularity (see
-    * [[bucketOfPerStream]]). */
+    * [[bucketOfPerStream]]). Pass a [[BucketWidthCache]] from a long-lived
+    * ingest query so the width guard stops re-listing bucket directories
+    * on every micro-batch. */
   def appendPerStream(messages: DataFrame, path: String,
       granularityFor: Map[String, String],
-      default: String = DayBucket): Unit = {
-    requireConsistentWidths(messages, path, granularityFor, default)
+      default: String = DayBucket,
+      widthCache: Option[BucketWidthCache] = None): Unit = {
+    val touched =
+      requireConsistentWidths(messages, path, granularityFor, default, widthCache)
     appendWith(messages, path,
       bucketOfPerStream(col("ts"), col("stream_id"), granularityFor, default))
+    widthCache.foreach(c => touched.foreach { case (s, d) =>
+      c.record(s, d, granularityFor.getOrElse(s, default))
+    })
   }
 
   /** Replay dedup is bucket-local — [[openMerged]] keys the merge window on
@@ -104,36 +164,65 @@ object MessageStore {
     * no data yet). Cost per micro-batch: one distinct aggregate over the
     * batch (streams × days — micro-batch-bounded) plus a bucket listing of
     * just the affected stream directories, the same metadata sweep
-    * [[openMerged]] performs; a production deployment would consult the
-    * manifest/metastore instead of the filesystem. */
+    * [[openMerged]] performs — and with a [[BucketWidthCache]] the listing
+    * happens once per stream per query lifetime instead of per batch.
+    * Returns the batch's touched (stream, day) pairs so the caller can
+    * record them into the cache after the append lands. */
   private def requireConsistentWidths(messages: DataFrame, path: String,
-      granularityFor: Map[String, String], default: String): Unit = {
+      granularityFor: Map[String, String], default: String,
+      cache: Option[BucketWidthCache] = None): Array[(String, String)] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val spark = messages.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return // fresh store: nothing to conflict with
+    val rootExists = fs.exists(root)
+    // fresh store with no cache to feed: nothing to conflict with, and the
+    // early return keeps this entry point zero-job (with a cache, the
+    // touched aggregate still runs once so the batch's days get recorded)
+    if (!rootExists && cache.isEmpty) return Array.empty
     val touched = messages
       .select(col("stream_id"), date_format(col("ts"), DayBucket).as("day"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
+    def nameWidth(b: String): String = if (b.length == 10) DayBucket else HourBucket
     val conflicts = touched.groupBy(_._1).flatMap { case (stream, days) =>
       val width = granularityFor.getOrElse(stream, default)
-      val streamDir = new Path(root, s"stream_id=${escapePathName(stream)}")
-      if (!fs.exists(streamDir)) Nil
-      else {
-        // bucket name widths present per day, across all partitions of the
-        // stream: day names are 10 chars, hour names 13
-        val existing = (for {
-          part <- fs.listStatus(streamDir) if part.isDirectory
-          b <- fs.listStatus(part.getPath)
-          if b.isDirectory && b.getPath.getName.startsWith("bucket=")
-        } yield b.getPath.getName.stripPrefix("bucket=")).toSeq
-        val daySet = days.map(_._2).toSet
-        existing.filter(b => daySet.contains(b.take(10)) &&
-            (b.length == 10) != (width == DayBucket))
-          .map(b => s"$stream day ${b.take(10)} already holds " +
-            s"bucket '$b' of the other width")
+      cache match {
+        // warm path: the stream's directory widths are already in memory —
+        // no filesystem access at all
+        case Some(c) if c.isListed(stream) =>
+          days.map(_._2).toSeq.flatMap { d =>
+            c.widthsOf(stream, d).filter(_ != width)
+              .map(w => s"$stream day $d already holds buckets of width " +
+                s"'$w' (cached listing)")
+          }
+        case _ =>
+          if (!rootExists) Nil
+          else {
+            val streamDir = new Path(root, s"stream_id=${escapePathName(stream)}")
+            if (!fs.exists(streamDir)) {
+              cache.foreach(_.putListing(stream, Map.empty))
+              Nil
+            } else {
+              // bucket name widths present per day, across all partitions of
+              // the stream: day names are 10 chars, hour names 13
+              val existing = (for {
+                part <- fs.listStatus(streamDir) if part.isDirectory
+                b <- fs.listStatus(part.getPath)
+                if b.isDirectory && b.getPath.getName.startsWith("bucket=")
+              } yield b.getPath.getName.stripPrefix("bucket=")).toSeq
+              // the one listing feeds the cache with EVERY day's widths, so
+              // later batches touching other days of this stream stay warm
+              cache.foreach(_.putListing(stream,
+                existing.groupBy(_.take(10))
+                  .map { case (d, bs) => d -> bs.map(nameWidth).toSet }))
+              val daySet = days.map(_._2).toSet
+              existing.filter(b => daySet.contains(b.take(10)) &&
+                  (b.length == 10) != (width == DayBucket))
+                .map(b => s"$stream day ${b.take(10)} already holds " +
+                  s"bucket '$b' of the other width")
+            }
+          }
       }
     }
     if (conflicts.nonEmpty)
@@ -143,6 +232,7 @@ object MessageStore {
           "replayed key a permanent duplicate. Re-append with the day's " +
           "original granularity (width flips apply to NEW days only). " +
           conflicts.mkString("; "))
+    touched
   }
 
   private def appendWith(messages: DataFrame, path: String, bucket: Column): Unit =

@@ -70,7 +70,8 @@ object IngestPipeline {
       assigned: () => Option[Set[String]] = () => None,
       nowMs: Long = System.currentTimeMillis(),
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
-      granularityFor: Map[String, String] = Map.empty): Boolean = {
+      granularityFor: Map[String, String] = Map.empty,
+      widthCache: Option[MessageStore.BucketWidthCache] = None): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(
       s"$checkpointPath/graft-committed/$batchId")
     val fs = marker.getFileSystem(
@@ -82,7 +83,8 @@ object IngestPipeline {
       // micro-batch without restarting the query (StorageConfig.ts:96-149)
       val prepared = prepareBatch(batch, nowMs, assigned()).cache()
       try {
-        MessageStore.appendPerStream(prepared, storePath, granularityFor)
+        MessageStore.appendPerStream(prepared, storePath, granularityFor,
+          widthCache = widthCache)
         // the marker doubles as the batch-statistics record (A10): rows,
         // commit time, and the batch's ts span — IngestStats aggregates
         // these into the BatchManager-style observability surface
@@ -130,17 +132,25 @@ object IngestPipeline {
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       granularityFor: Map[String, String] = Map.empty,
       autoCompactEvery: Int = 0,
-      maxFilesPerBucket: Int = 4): StreamingQuery =
+      maxFilesPerBucket: Int = 4): StreamingQuery = {
+    // per-query width memory: the guard lists each stream's buckets once,
+    // then steady ingest checks widths in memory (zero FS listing per
+    // batch). Scoped to the query, so a restart re-learns from the
+    // filesystem; compaction preserves bucket names, so the in-query
+    // autoCompact below never needs to invalidate it.
+    val widthCache = new MessageStore.BucketWidthCache
     source.writeStream
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val applied = processBatch(batch, batchId, storePath, checkpointPath,
-          assigned, onBatch = onBatch, granularityFor = granularityFor)
+          assigned, onBatch = onBatch, granularityFor = granularityFor,
+          widthCache = Some(widthCache))
         if (applied && autoCompactEvery > 0 &&
             batchId % autoCompactEvery == (autoCompactEvery - 1).toLong)
           MessageStore.autoCompact(batch.sparkSession, storePath, maxFilesPerBucket)
         ()
       }
       .start()
+  }
 }

@@ -93,6 +93,30 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(Validate.accepted(sd, lit(now)).count() == 2)
   }
 
+  test("validate: signature verifier rejects tampered/missing, earlier gates win") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def signed(tsMs: Long, seq: Int) =
+      msg("s", 0, tsMs, seq).copy(
+        signature = Some("0x" + md5hex(s"s:$tsMs:$seq:publisher")))
+    val now = ldt(1000000L)
+    val sd = streamDataOf(
+      signed(1000000L, 0),                                        // accepted
+      signed(1000000L, 1).copy(signature = Some("0xbad")),        // rejected_signature
+      msg("s", 0, 1000000L, 2),                                   // null sig => rejected_signature
+      signed(1000000L + 300001L, 3),                              // future wins over sig check
+      signed(999999L, 4).copy(payload = "not json"))              // json wins over sig check
+    val got = Validate.verdict(sd, lit(now),
+        signatureValid = Some(Validate.md5SchemeSignatureValid))
+      .select("sequence_no", "verdict").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(0 -> "accepted", 1 -> "rejected_signature",
+      2 -> "rejected_signature", 3 -> "rejected_future", 4 -> "rejected_json"))
+    // without the verifier the same batch keeps the pre-seam verdicts
+    assert(Validate.accepted(sd, lit(now)).count() == 3)
+  }
+
   test("minuteCounts + hourlyRollup aggregate counts and bytes") {
     val sd = streamDataOf(
       msg("s", 0, 0L, 0, payload = "abc"),        // minute 0

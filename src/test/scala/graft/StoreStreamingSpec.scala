@@ -460,6 +460,49 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(MessageStore.openMerged(spark, path)).length == 2)
   }
 
+  test("width cache: guard answers from memory after warmup, invalidate re-learns") {
+    val path = tmpDir("graft-width-cache")
+    val base = 1700000000000L // 2023-11-14 22:13:20 UTC
+    val cache = new MessageStore.BucketWidthCache
+    // warmup: first append lists (fresh store — nothing there) and records
+    // the written day's width into the cache
+    MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 0)), path,
+      Map.empty, widthCache = Some(cache))
+    // width flip on the occupied day still rejected, now from the cache
+    val e = intercept[IllegalStateException] {
+      MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 1)), path,
+        Map("s" -> MessageStore.HourBucket), widthCache = Some(cache))
+    }
+    assert(e.getMessage.contains("cached listing"),
+      s"post-warmup conflict must come from the cache, not a re-listing: ${e.getMessage}")
+    // PROOF the steady path does zero FS listing: wipe the stream's
+    // buckets behind the cache's back — the filesystem now permits a width
+    // flip, but the cached (stream, day) entry still rejects it, so the
+    // guard cannot have consulted the filesystem
+    val partDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+    partDir.listFiles().foreach { d =>
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val e2 = intercept[IllegalStateException] {
+      MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 1)), path,
+        Map("s" -> MessageStore.HourBucket), widthCache = Some(cache))
+    }
+    assert(e2.getMessage.contains("cached listing"), e2.getMessage)
+    // retention contract: invalidate the stream → the guard re-lists, sees
+    // the empty directory, and the flip becomes legal
+    cache.invalidate("s")
+    MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 1)), path,
+      Map("s" -> MessageStore.HourBucket), widthCache = Some(cache))
+    assert(new java.io.File(s"$path/stream_id=s/stream_partition=0").list()
+      .toSeq == Seq("bucket=2023-11-14-22"))
+    // and the re-learned entry keeps guarding: day width now conflicts
+    val e3 = intercept[IllegalStateException] {
+      MessageStore.appendPerStream(streamDataOf(msg("s", 0, base, 2)), path,
+        Map.empty, widthCache = Some(cache))
+    }
+    assert(e3.getMessage.contains("cached listing"), e3.getMessage)
+  }
+
   test("plain append is width-guarded too: second width on an occupied day rejected") {
     val path = tmpDir("graft-width-append")
     val base = 1700000000000L // 2023-11-14 UTC
