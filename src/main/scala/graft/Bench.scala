@@ -32,55 +32,131 @@ object Bench {
     // query followed the heavy store write, making attribution noisy.
     // each query runs twice and reports the min — the first execution of a
     // plan pays its whole-stage-codegen JIT, which is compile-once cost,
-    // not per-query cost, and dominated run-to-run variance at sf0.1
+    // not per-query cost, and dominated run-to-run variance at sf0.1.
+    //
     // contention canary: a fixed, data-independent workload (range-sum of
     // 200M longs across all cores) whose clean min-of-3 on this machine
-    // class is ~0.2s. Machine contention — the cause of two rounds of
-    // ~3x-inflated official records — inflates it the same way it inflates
-    // the real queries, so a canary far outside its band marks the whole
-    // record as untrustworthy. Measured before AND after the sweep: either
-    // end contended taints the record.
-    def canarySec(): Double = (1 to 3).map { _ =>
+    // class is ~0.2s. Machine contention — the cause of THREE rounds of
+    // inflated official records — inflates it the same way it inflates the
+    // real queries. r8 showed endpoint-only canaries are blind to
+    // mid-sweep bursts (a co-scheduled Verify run starting after the
+    // opening canary and finishing before the closing one inflated
+    // q_dedup_incremental 12x under a contended:false stamp), so the
+    // canary now runs BETWEEN every query and the record self-reports
+    // per-query contention.
+    def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    def canaryMin3(): Double = (1 to 3).map(_ => canaryOnce()).min
     val canaryExpected =
       sys.env.getOrElse("SPARK_GRAFT_CANARY_SEC", "0.25").toDouble
-    val canaryBefore = canarySec()
+    def dirty(c: Double): Boolean = c > 3 * canaryExpected
+    // one canary run per inter-query checkpoint (~0.15s each, ~12s across
+    // an 80-query sweep); a single run that spikes past the band is
+    // re-measured min-of-3 before it is allowed to taint the record, so a
+    // lone GC pause doesn't read as machine contention
+    def canaryAtPoint(): Double = {
+      val c = canaryOnce()
+      if (dirty(c)) math.min(c, canaryMin3()) else c
+    }
+    // per-query floors: committed clean min-of-2 times from an idle run of
+    // this same machine class (bench_floors/<sf-basename>.json). A query
+    // whose min exceeds 2x its floor is either contended or a genuine
+    // regression — re-runs plus the adjacent canaries decide which, and
+    // the record names the queries it could not certify instead of
+    // stamping a blanket contended:false it cannot back.
+    val sfBase = new java.io.File(sfDir).getName
+    val floorsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS",
+      s"/root/repo/bench_floors/$sfBase.json")
+    val floors: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(floorsPath)), "UTF-8")
+        """"([^"]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      } catch { case _: Throwable => Map.empty }
+    def floorBad(name: String, sec: Double): Boolean =
+      sec >= 0 && floors.get(name).exists(f => sec > 2 * f)
+
+    val canaryBefore = canaryMin3()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val perQueryReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "2").toInt
+    // global re-run budget bounds worst-case sweep inflation when the
+    // whole machine is busy (80 queries x 2 re-runs each would triple it)
+    var rerunBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BUDGET", "24").toInt
+    var canaryPrev = canaryBefore
+    val canaryAt = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val reruns = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val contendedQs = scala.collection.mutable.ListBuffer[String]()
+    val floorViolations = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      def one(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); None }
       }
-      val ok = times.flatten
+      val times = (1 to runs).map(_ => one())
+      var ok = times.flatten.toList
+      var anyDirty = dirty(canaryPrev)
+      var cHere = canaryAtPoint()
+      anyDirty ||= dirty(cHere)
+      // re-run when the floor says the min is inflated, or — floor-less
+      // query — when an adjacent canary says the machine was busy; min-of-
+      // more-attempts recovers the clean time once the burst passes
+      var extra = 0
+      def suspect: Boolean = ok.nonEmpty &&
+        (floorBad(name, ok.min) || (floors.get(name).isEmpty && dirty(cHere)))
+      while (suspect && extra < perQueryReruns && rerunBudget > 0) {
+        extra += 1; rerunBudget -= 1
+        one().foreach(t => ok = t :: ok)
+        cHere = canaryAtPoint()
+        anyDirty ||= dirty(cHere)
+      }
+      if (extra > 0) reruns(name) = extra
+      canaryAt(name) = cHere
+      canaryPrev = cHere
+      val minT = if (ok.nonEmpty) ok.min else -1.0
+      if (minT >= 0 && floorBad(name, minT)) {
+        // still over 2x floor after re-runs: dirty canaries anywhere in
+        // this query's window => contention the record must disclose;
+        // clean canaries throughout => a genuine regression, kept as-is
+        if (anyDirty) contendedQs += name else floorViolations += name
+      } else if (minT >= 0 && floors.get(name).isEmpty && anyDirty)
+        contendedQs += name
       // -1 sentinel keeps failures visible in the metrics JSON; "first" is
       // -1 unless run 1 itself succeeded (a warm run must not masquerade
       // as the cold-start time)
-      name -> (if (ok.nonEmpty) (ok.min, times.head.getOrElse(-1.0)) else (-1.0, -1.0))
+      name -> (minT, times.head.getOrElse(-1.0))
     }
     def obj(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
     // the driver captures only a ~2 KB tail of stdout (BENCH_r05 and r06
     // both came back parsed:null because the printed line outgrew it), so
     // stdout gets the minimal record — min-of-runs per query, rounded to
-    // ms — and the full-precision record with first-run times goes to the
-    // file, which cannot be cut mid-line
+    // ms — and the full-precision record with first-run times and the
+    // per-query canary/re-run trace goes to the file, which cannot be cut
+    // mid-line
     def ms(v: Double) = if (v < 0) -1.0 else math.rint(v * 1000) / 1000
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val canaryAfter = canarySec()
-    val canaryWorst = math.max(canaryBefore, canaryAfter)
-    val contended = canaryWorst > 3 * canaryExpected
+    val canaryAfter = canaryMin3()
+    val canaryWorst =
+      (canaryAt.values.toSeq :+ canaryBefore :+ canaryAfter).max
+    val contended = contendedQs.nonEmpty ||
+      dirty(canaryBefore) || dirty(canaryAfter)
     val canaryJson =
-      s""""canary_sec":${ms(canaryWorst)},"canary_expected":$canaryExpected,"contended":$contended"""
+      s""""canary_sec":${ms(canaryWorst)},"canary_expected":$canaryExpected,"contended":$contended,"contended_queries":${strArr(contendedQs.toSeq)},"floor_violations":${strArr(floorViolations.toSeq)}"""
+    val canaryTrace =
+      s""""canary_before":${ms(canaryBefore)},"canary_after":${ms(canaryAfter)},"canary_at":${canaryAt.map { case (k, v) => s"\"$k\":${ms(v)}" }.mkString("{", ",", "}")},"reruns":${reruns.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")},"floors_applied":${floors.size}"""
     // headline stays min-of-runs (first run pays compile-once codegen JIT)
     val compact =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(v => ms(v._1))},"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson,$canaryTrace}"""
     println(compact)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))

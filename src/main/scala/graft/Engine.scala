@@ -41,6 +41,31 @@ final class GraftEngine(
 
   val subscriptions = new SubscriptionRegistry()
 
+  /** Engine-lifetime bucket-width memory for the append guard: both write
+    * paths ([[publish]] and [[startIngest]]) share it, so the guard lists
+    * each stream's bucket directories once per engine instead of once per
+    * append. The engine is the single writer of its store (same contract
+    * as compaction), and it is also the only component that runs retention
+    * — the one operation that can invalidate a width entry (an emptied day
+    * makes a width flip newly legal) — so every retention entry point
+    * below invalidates the dropped streams before returning. */
+  private val widthCache = new MessageStore.BucketWidthCache
+
+  /** Forget cached widths for every stream a retention sweep touched, so a
+    * width flip onto a now-empty day re-learns from the filesystem instead
+    * of being rejected by a stale entry. Dropped paths carry the writer's
+    * escaped `stream_id=` segment; unescape or streams with reserved
+    * characters ('/', '%') would silently stay cached. */
+  private def invalidateDropped(dropped: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    dropped
+      .flatMap(_.split('/').find(_.startsWith("stream_id=")))
+      .map(seg => unescapePathName(seg.stripPrefix("stream_id=")))
+      .distinct
+      .foreach(widthCache.invalidate)
+    dropped
+  }
+
   /** R7 — live storage-assignment state: seeded from the constructor,
     * refreshed via [[updateAssignment]]; the streaming ingest re-reads it
     * every micro-batch (`StorageConfig.ts:96-149`). */
@@ -84,7 +109,8 @@ final class GraftEngine(
     val prepared = IngestPipeline.prepareBatch(messages, nowMs, assignment.get()).cache()
     try {
       val n = prepared.count()
-      if (n > 0) MessageStore.appendPerStream(prepared, storePath, granularityFor)
+      if (n > 0) MessageStore.appendPerStream(prepared, storePath, granularityFor,
+        widthCache = Some(widthCache))
       subscriptions.dispatch(prepared, -1L)
       n
     } finally prepared.unpersist()
@@ -97,7 +123,8 @@ final class GraftEngine(
       triggerMs: Long = 1000L, autoCompactEvery: Int = 0): StreamingQuery =
     IngestPipeline.start(source, storePath, checkpointPath, assignment.get _,
       triggerMs, onBatch = subscriptions.dispatch,
-      granularityFor = granularityFor, autoCompactEvery = autoCompactEvery)
+      granularityFor = granularityFor, autoCompactEvery = autoCompactEvery,
+      widthCache = Some(widthCache))
 
   // ---- reads (§3.1): resend envelope over the chosen format ----
   def last(streamId: String, partition: Int, n: Int,
@@ -164,16 +191,17 @@ final class GraftEngine(
     * `DeleteExpiredCmd.ts:91`). Returns dropped bucket paths. */
   def deleteExpired(retentionDays: Int = 365,
       nowMs: Long = System.currentTimeMillis()): Seq[String] =
-    MessageStore.dropExpiredBuckets(spark, storePath,
-      MsgRef(nowMs - retentionDays * 86400000L, 0))
+    invalidateDropped(MessageStore.dropExpiredBuckets(spark, storePath,
+      MsgRef(nowMs - retentionDays * 86400000L, 0)))
 
   /** Per-stream retention (`DeleteExpiredCmd.ts:86-107`): each stream
     * expires against its own `storageDays`, defaulting like the reference
     * to 365 for streams without an explicit policy. */
   def deleteExpired(storageDays: Map[String, Int], defaultDays: Int,
       nowMs: Long): Seq[String] =
-    MessageStore.dropExpiredBucketsPerStream(spark, storePath, streamId =>
-      MsgRef(nowMs - storageDays.getOrElse(streamId, defaultDays) * 86400000L, 0))
+    invalidateDropped(
+      MessageStore.dropExpiredBucketsPerStream(spark, storePath, streamId =>
+        MsgRef(nowMs - storageDays.getOrElse(streamId, defaultDays) * 86400000L, 0)))
 
   /** S4 TTL sweep — the non-storage node's transient-relay window
     * (`USING TTL 259200`, `BatchManager.ts:12-14`): age-expire whole
@@ -181,8 +209,8 @@ final class GraftEngine(
     * the reference's 3 days. Returns dropped bucket paths. */
   def ttlSweep(ttlSeconds: Long = 259200L,
       nowMs: Long = System.currentTimeMillis()): Seq[String] =
-    MessageStore.dropAgedBuckets(spark, storePath,
-      MsgRef(nowMs - ttlSeconds * 1000L, 0))
+    invalidateDropped(MessageStore.dropAgedBuckets(spark, storePath,
+      MsgRef(nowMs - ttlSeconds * 1000L, 0)))
 
   /** Release the engine's process-local serving resources (the
     * subscription registry handle). The SparkSession is caller-owned. */

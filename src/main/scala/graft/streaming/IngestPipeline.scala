@@ -132,20 +132,25 @@ object IngestPipeline {
       onBatch: (DataFrame, Long) => Unit = (_, _) => (),
       granularityFor: Map[String, String] = Map.empty,
       autoCompactEvery: Int = 0,
-      maxFilesPerBucket: Int = 4): StreamingQuery = {
-    // per-query width memory: the guard lists each stream's buckets once,
-    // then steady ingest checks widths in memory (zero FS listing per
-    // batch). Scoped to the query, so a restart re-learns from the
+      maxFilesPerBucket: Int = 4,
+      widthCache: Option[MessageStore.BucketWidthCache] = None): StreamingQuery = {
+    // width memory: the guard lists each stream's buckets once, then
+    // steady ingest checks widths in memory (zero FS listing per batch).
+    // Default scope is the query, so a restart re-learns from the
     // filesystem; compaction preserves bucket names, so the in-query
-    // autoCompact below never needs to invalidate it.
-    val widthCache = new MessageStore.BucketWidthCache
+    // autoCompact below never needs to invalidate it. A caller that runs
+    // RETENTION beside a live ingest (GraftEngine) passes its own
+    // longer-lived cache instead and invalidates dropped streams — a
+    // retention-emptied day makes a width flip newly legal, which a stale
+    // entry would conservatively reject.
+    val cache = widthCache.getOrElse(new MessageStore.BucketWidthCache)
     source.writeStream
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val applied = processBatch(batch, batchId, storePath, checkpointPath,
           assigned, onBatch = onBatch, granularityFor = granularityFor,
-          widthCache = Some(widthCache))
+          widthCache = Some(cache))
         if (applied && autoCompactEvery > 0 &&
             batchId % autoCompactEvery == (autoCompactEvery - 1).toLong)
           MessageStore.autoCompact(batch.sparkSession, storePath, maxFilesPerBucket)

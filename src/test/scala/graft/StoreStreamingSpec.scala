@@ -606,4 +606,28 @@ class StoreStreamingSpec extends SparkSpec {
     assert(stored.head.getAs[Int]("sequence_no") == 0)
     assert(seen.get() == 1)
   }
+
+  test("retention invalidates the engine width cache: emptied day accepts a width flip") {
+    val path = tmpDir("graft-widthflip")
+    val now = 1710000000000L
+    // pre-existing store written under an older day-width config
+    MessageStore.append(streamDataOf(msg("s", 0, 1700000000000L, 0)), path)
+    // engine reconfigured to hour buckets for "s": a same-day append is
+    // rejected (the day already holds day-width data) and the failed
+    // attempt warms the engine's width cache with the directory listing
+    val engine = new GraftEngine(spark, path,
+      granularityFor = Map("s" -> MessageStore.HourBucket))
+    val ex = intercept[IllegalStateException] {
+      engine.publish(streamDataOf(msg("s", 0, 1700003600000L, 1)), now)
+    }
+    assert(ex.getMessage.contains("bucket-width conflict"))
+    // retention empties the day, making the flip newly legal; before the
+    // invalidation hook the stale cached {day -> day-width} entry kept
+    // rejecting this from memory even though the filesystem allows it
+    assert(engine.deleteExpired(retentionDays = 0, nowMs = now).nonEmpty)
+    assert(engine.publish(streamDataOf(msg("s", 0, 1700003600000L, 1)), now) == 1L)
+    val dirs = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+      .list().filter(_.startsWith("bucket=")).toSeq
+    assert(dirs == Seq("bucket=2023-11-14-23"), dirs.toString)
+  }
 }

@@ -77,4 +77,41 @@ class StreamAsofSpec extends SparkSpec {
       AsofEvent(1L, 100L, left = true, id = 10L, value = 1.0))), "asof_tie")
     assert(got == Seq((10L, Some(90L))))
   }
+
+  test("restart from checkpoint recovers the per-key right-row state") {
+    val s = spark
+    import s.implicits._
+    val cp = java.nio.file.Files.createTempDirectory("graft-asof-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-asof-out").toString
+    val input = MemoryStream[AsofEvent](s)
+    // file sink: the memory sink refuses checkpoint recovery, and the
+    // restart path is exactly what this test exists to cover
+    def start() = StreamAsof.enrich(input.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start()
+    // first incarnation commits a right row for keys 1 and 2
+    val q1 = start()
+    try {
+      input.addData(AsofEvent(1L, 100L, left = false, id = 90L, value = 5.0),
+        AsofEvent(2L, 110L, left = false, id = 91L, value = 6.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // lefts arriving while the query is down; key 3 never saw a right
+    input.addData(AsofEvent(1L, 200L, left = true, id = 10L, value = 1.0),
+      AsofEvent(2L, 105L, left = true, id = 11L, value = 1.0),
+      AsofEvent(3L, 200L, left = true, id = 12L, value = 1.0))
+    // second incarnation must enrich from RECOVERED flatMapGroupsWithState
+    // state — key 2's left (tms=105) also proves the visibility filter
+    // applies to recovered state (state tms=110 is in its future)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .selectExpr("id", "asof_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toSeq.sortBy(_._1)
+      assert(got == Seq((10L, Some(90L)), (11L, None), (12L, None)))
+    } finally q2.stop()
+  }
 }
