@@ -50,9 +50,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def canaryMin3(): Double = (1 to 3).map(_ => canaryOnce()).min
+    // expected = the observed idle min-of-3 on this machine class (~0.14s),
+    // not a padded allowance: a 32-spinner hog on the 32 cores (a
+    // co-scheduled driver job's CPU profile, ~50% steal, ~2x query
+    // inflation) reads only ~0.3s here, so any padding in the band waves
+    // through exactly the contention this exists to catch. Lone clean-
+    // machine spikes (GC) are filtered by the min-of-3 confirm below —
+    // a confirmed reading over 2x the idle value means genuinely shared
+    // cores, not noise.
     val canaryExpected =
-      sys.env.getOrElse("SPARK_GRAFT_CANARY_SEC", "0.25").toDouble
-    def dirty(c: Double): Boolean = c > 3 * canaryExpected
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_SEC", "0.15").toDouble
+    def dirty(c: Double): Boolean = c > 2 * canaryExpected
     // one canary run per inter-query checkpoint (~0.15s each, ~12s across
     // an 80-query sweep); a single run that spikes past the band is
     // re-measured min-of-3 before it is allowed to taint the record, so a
@@ -78,8 +86,17 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter(_._2 > 0).toMap
       } catch { case _: Throwable => Map.empty }
+    // 1.6x ratio + absolute slack: the ratio is tight enough that the
+    // ~2x inflation of a half-stolen machine triggers a re-run on any
+    // multi-second query, while the slack keeps sub-second floors from
+    // flagging scheduler jitter (a 0.24s query reading 0.54s is noise,
+    // not contention worth re-running)
+    val floorSlack =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_SLACK", "0.4").toDouble
+    val floorRatio =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_RATIO", "1.6").toDouble
     def floorBad(name: String, sec: Double): Boolean =
-      sec >= 0 && floors.get(name).exists(f => sec > 2 * f)
+      sec >= 0 && floors.get(name).exists(f => sec > floorRatio * f + floorSlack)
 
     val canaryBefore = canaryMin3()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt

@@ -74,4 +74,39 @@ class MetricsStreamSpec extends SparkSpec {
         Seq((2.04, 3L)))
     } finally q.stop()
   }
+
+  test("ewmaPerBatch: restart from checkpoint recovers the fold state") {
+    val s = spark
+    import s.implicits._
+    val cp = java.nio.file.Files.createTempDirectory("graft-ewma-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ewma-out").toString
+    val input = MemoryStream[StreamMessage](s)
+    // foreachBatch sink: mapGroupsWithState needs Update mode, which the
+    // file sink rejects, and the memory sink refuses checkpoint recovery —
+    // appending each batch's reports to parquet supports both
+    def start() = MetricsStream.ewmaPerBatch(input.toDS())
+      .writeStream.option("checkpointLocation", cp)
+      .outputMode(OutputMode.Update())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[MetricsStream.EwmaReport], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      input.addData(msg("s", 0, 1000L, 0), msg("s", 0, 2000L, 1)) // x=2, seeds 2.0
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // x=1 arrives while the query is down; the restarted query must fold
+    // it into RECOVERED state (2.0*0.8 + 1*0.2 = 1.8), not reseed at 1.0
+    input.addData(msg("s", 0, 3000L, 2))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .selectExpr("avg", "batches").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSet
+      assert(got == Set((2.0, 1L), (1.8, 2L)))
+    } finally q2.stop()
+  }
 }
