@@ -424,6 +424,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("sample_rank"))
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // per-source quota cap: top-10 docs per source by n_chars — the
+    // head-domain guard; WindowGroupLimit keeps skewed sources streaming
+    "q_source_quota" -> ((s, dir) =>
+      graft.operators.Sampling.quotaCap(Tables.documents(s, dir),
+        col("doc_id"), col("source"), col("n_chars"), k = 10)
+        .select(col("doc_id"), col("source"), col("quota_rank"))
+        .orderBy(col("source"), col("quota_rank"))),
+
+    // token-budget mixture: en/de strata filled to a token budget in
+    // salted-hash order — mixtures specified in tokens, not doc counts
+    "q_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, dir),
+        col("doc_id"), col("lang"),
+        size(TextAnalysis.wsTokens(col("text"))),
+        Map("en" -> 6000L, "de" -> 2000L))
+        .select(col("doc_id"), col("lang"), col("cum_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"))),
+
+    // deterministic epoch-1 training order: dense global position from a
+    // per-epoch hash, computed via range-buckets + offset map (no global
+    // single-partition sort)
+    "q_epoch_order" -> ((s, dir) =>
+      graft.operators.Sampling.epochOrder(Tables.documents(s, dir),
+        col("doc_id"), epoch = 1)
+        .select(col("doc_id"), col("epoch_pos"))
+        .orderBy(col("epoch_pos"))),
+
     // greedy sequence packing: docs → fixed-token-budget training
     // sequences, deterministic (stratum, hash-shard) chains
     "q_pack" -> ((s, dir) =>
@@ -1464,6 +1491,45 @@ object SparkEntry {
           |SELECT rk.doc_id, rk.lang, rk.sample_rank
           |FROM rk JOIN t ON rk.lang = t.lang WHERE sample_rank <= t.k
           |ORDER BY rk.lang, rk.sample_rank""".stripMargin,
+
+      // per-source top-k by n_chars, ties on doc_id — the engine's
+      // WindowGroupLimit plan must equal the plain ranked subselect
+      "q_source_quota" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |         CAST(row_number() OVER (
+          |           PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT)
+          |           AS quota_rank
+          |  FROM documents)
+          |SELECT doc_id, source, quota_rank FROM r
+          |WHERE quota_rank <= 10 ORDER BY source, quota_rank""".stripMargin,
+
+      // token-budget prefix per stratum: running whitespace-token sum in
+      // salted-md5 order; monotone cumsum makes the kept set a prefix
+      "q_token_budget" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          |         ('0x' || substr(md5('tb0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM documents WHERE lang IN ('en', 'de')),
+          |c AS (
+          |  SELECT doc_id, lang,
+          |         CAST(sum(n) OVER (
+          |           PARTITION BY lang ORDER BY h, doc_id
+          |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM t)
+          |SELECT doc_id, lang, cum_tokens FROM c
+          |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 6000 ELSE 2000 END
+          |ORDER BY lang, cum_tokens""".stripMargin,
+
+      // global epoch order: the engine's bucket-offset construction must
+      // equal a flat global row_number over the per-epoch hash
+      "q_epoch_order" ->
+        """SELECT doc_id,
+          |       CAST(row_number() OVER (
+          |         ORDER BY ('0x' || substr(md5('ep0:e1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+          |                  doc_id) AS BIGINT) - 1 AS epoch_pos
+          |FROM documents ORDER BY epoch_pos""".stripMargin,
 
       // greedy packing replayed row-by-row: the recursive CTE walks each
       // (lang, shard) chain in doc_id order carrying (pack_id, fill) — the

@@ -98,6 +98,98 @@ object Sampling {
       .filter(col("sample_rank") <= kExpr)
   }
 
+  /** Per-source quota cap: keep at most `k` rows per source, preferring the
+    * highest `quality` (ties break on `key` ascending, so the cut is
+    * deterministic). The standard head-domain guard for web corpora — a
+    * handful of hosts contribute millions of pages each and would dominate
+    * any uniform sample; capping each source's contribution bounds the head
+    * without touching the tail (sources smaller than `k` pass through
+    * whole).
+    *
+    * Scale shape: one shuffle on the source key; the per-source window
+    * short-circuits via WindowGroupLimit (top-k per group), so a
+    * billion-page host costs a streaming top-k, never a full per-source
+    * sort. Skewed sources are the expected case — the rank never
+    * materializes more than k winners per group per partition. */
+  def quotaCap(df: DataFrame, key: Column, source: Column, quality: Column,
+      k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(source).orderBy(quality.desc, key)
+    df.withColumn("quota_rank", row_number().over(w).cast("long"))
+      .filter(col("quota_rank") <= k)
+  }
+
+  /** Per-stratum TOKEN-budget sample: real LLM mixtures are specified in
+    * tokens ("300B web, 40B code"), not document counts — a doc-count
+    * quota over-weights strata with long documents. Rows are taken in
+    * salted-hash order (deterministic, engine-reproducible) while the
+    * running token total stays within the stratum's budget; since the
+    * cumulative sum is monotone, the kept set is exactly a prefix of the
+    * hash order. Strata absent from `budgets` are dropped (budget 0),
+    * mirroring [[mixtureSample]]'s weight semantics. Output carries
+    * `cum_tokens` — the materialization step can range-partition on it to
+    * cut the stream into equal-token shards for free.
+    *
+    * Scale shape: one window shuffle on the stratum key with a running
+    * ROWS-frame sum — O(1) state per row, no second pass, no driver
+    * participation. The frame is ROWS (not the orderBy-default RANGE):
+    * (hash, key) is a unique ordering, and ROWS keeps the sum
+    * streaming-evaluable. */
+  def tokenBudgetSample(df: DataFrame, key: Column, stratum: Column,
+      tokens: Column, budgets: Map[String, Long],
+      salt: String = "tb0"): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      "budgets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.text.TextAnalysis.md5Int60(
+      concat(lit(s"$salt:"), key.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h, key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetExpr = budgets.foldLeft(lit(-1L)) { case (acc, (s0, b)) =>
+      when(stratum === s0, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", sum(tokens.cast("long")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= budgetExpr)
+  }
+
+  /** Deterministic global training order for one epoch: every row gets a
+    * dense position `[0, n)` in the order of a per-epoch salted hash —
+    * the shuffled data order a trainer reads, reproducible from the key
+    * alone on any engine, different (and independent) per epoch.
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` is a single-partition
+    * global sort — the classic driver-shaped bottleneck. Instead the hash's
+    * HIGH bits pick one of `buckets` range-buckets (bucket order IS hash
+    * order), per-bucket counts (≤ `buckets` rows, driver-bounded) turn into
+    * cumulative offsets broadcast as a map literal, and the global position
+    * is `offset(bucket) + rank within bucket`. One shuffle on the bucket
+    * key, perfectly parallel across buckets; `buckets` scales with the
+    * cluster (set ≈ partition count at 100 TB — the count pre-pass is a
+    * map-side-combined agg either way). */
+  def epochOrder(df: DataFrame, key: Column, epoch: Int, buckets: Int = 64,
+      salt: String = "ep0"): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= (1 << 20), "buckets must be a power of two")
+    val shift = 60 - java.lang.Long.numberOfTrailingZeros(buckets.toLong).toInt
+    val h = graft.text.TextAnalysis.md5Int60(
+      concat(lit(s"$salt:e$epoch:"), key.cast("string")))
+    val withB = df.withColumn("__eh", h)
+      .withColumn("__eb", shiftright(col("__eh"), shift))
+    val counts = withB.groupBy(col("__eb")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return df.filter(lit(false)).withColumn("epoch_pos", lit(0L))
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__eb")).orderBy(col("__eh"), key)
+    withB.withColumn("epoch_pos",
+        element_at(typedlit(offsets), col("__eb")) +
+          row_number().over(w).cast("long") - lit(1L))
+      .drop("__eh", "__eb")
+  }
+
   /** Deterministic train/val/test split assignment: hash the row key into
     * [0, total) where total = Σ weights, and label by cumulative range.
     * The same row lands in the same split on every engine and every run —

@@ -113,6 +113,75 @@ class SamplingSpec extends SparkSpec {
       Map("zz" -> 1L)).count() == 0L)
   }
 
+  test("quotaCap: k per big source, small sources whole, quality wins") {
+    val s = spark
+    import s.implicits._
+    // source "big": 50 docs, quality = doc_id; "small": 3 docs
+    val df = ((0L until 50L).map(i => (i, "big", i))
+      ++ Seq((100L, "small", 1L), (101L, "small", 9L), (102L, "small", 5L)))
+      .toDF("doc_id", "source", "q")
+    val got = Sampling.quotaCap(df, col("doc_id"), col("source"), col("q"),
+      k = 10).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got.count(_._2 == "big") == 10)
+    assert(got.count(_._2 == "small") == 3)          // under quota: all kept
+    // highest-quality big docs survive: ids 40..49 (q = doc_id)
+    assert(got.filter(_._2 == "big").map(_._1).sorted.toSeq ==
+      (40L until 50L).toSeq)
+    // rank 1 is the best-quality row per source
+    assert(got.filter(_._3 == 1L).map(_._1).toSet == Set(49L, 101L))
+    // deterministic tie-break: equal quality orders by key ascending
+    val tied = Sampling.quotaCap(
+      Seq((3L, "x", 7L), (1L, "x", 7L), (2L, "x", 7L)).toDF("doc_id", "source", "q"),
+      col("doc_id"), col("source"), col("q"), k = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(tied == Seq(1L, 2L))
+  }
+
+  test("tokenBudgetSample: prefix within budget, unbudgeted strata dropped") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "en" else "zz", 10L + i % 5))
+      .toDF("doc_id", "lang", "n_tok")
+    val out = Sampling.tokenBudgetSample(df, col("doc_id"), col("lang"),
+      col("n_tok"), Map("en" -> 300L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.forall(_._2 == "en"))                 // zz has no budget
+    assert(out.map(_._3).max <= 300L)                // never exceeds budget
+    assert(out.nonEmpty && out.length < 100)         // proper subset of en
+    // the kept set is the PREFIX of the hash order: adding any excluded
+    // doc's tokens to the max cum would cross the budget
+    val perDoc = df.filter(col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val keptIds = out.map(_._1).toSet
+    val minExcludedTok =
+      perDoc.collect { case (id, n) if !keptIds.contains(id) => n }.min
+    assert(out.map(_._3).max + minExcludedTok > 300L)
+    // deterministic on re-run
+    val again = Sampling.tokenBudgetSample(df, col("doc_id"), col("lang"),
+      col("n_tok"), Map("en" -> 300L)).collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+  }
+
+  test("epochOrder: dense global permutation, bucket-count invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).toDF("doc_id").repartition(7)
+    val out = Sampling.epochOrder(df, col("doc_id"), epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense permutation of [0, n)
+    assert(out.values.toSeq.sorted == (0L until 500L).toSeq)
+    // bucket count is an implementation knob, not a semantics knob
+    val b4 = Sampling.epochOrder(df, col("doc_id"), epoch = 1, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b4 == out)
+    // epochs are independent shuffles
+    val e2 = Sampling.epochOrder(df, col("doc_id"), epoch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e2 != out)
+    assert(e2.values.toSeq.sorted == (0L until 500L).toSeq)
+  }
+
   test("contaminationPairs: flags benchmark overlap, spares clean docs") {
     val s = spark
     import s.implicits._
