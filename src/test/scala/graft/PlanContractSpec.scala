@@ -65,6 +65,35 @@ class PlanContractSpec extends SparkSpec {
       s"document-frequency cap filter missing from the plan: $plan")
   }
 
+  test("source quota cap prunes via WindowGroupLimit on both shuffle sides") {
+    val plan = planOf("q_source_quota")
+    // partial (pre-exchange) + final WindowGroupLimit: a skewed source is
+    // top-k-pruned map-side, so the per-source sort never sees the full
+    // group — the property that keeps a billion-page host streaming
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"q_source_quota lost its two-sided WindowGroupLimit pruning: $plan")
+  }
+
+  test("epoch order plans no single-partition exchange") {
+    // the whole point of the bucket-offset construction: a global dense
+    // rank WITHOUT row_number's Exchange SinglePartition bottleneck. The
+    // final output orderBy is a rangepartitioning — also parallel.
+    val plan = planOf("q_epoch_order")
+    assert(!plan.contains("SinglePartition"),
+      s"q_epoch_order regressed to a single-partition global sort: $plan")
+    assert(plan.contains("hashpartitioning(__eb"),
+      s"q_epoch_order lost its bucket-key window exchange: $plan")
+  }
+
+  test("token budget window runs a streaming ROWS frame on the stratum key") {
+    val plan = planOf("q_token_budget")
+    assert(!plan.contains("SinglePartition"),
+      s"q_token_budget planned a single-partition window: $plan")
+    // ROWS frame (not the orderBy-default RANGE): streaming-evaluable sum
+    assert(plan.contains("specifiedwindowframe(RowFrame"),
+      s"q_token_budget lost the ROWS running-sum frame: $plan")
+  }
+
   test("bounded last-N physical read path: partitioned window, no cartesian") {
     // build a tiny real store once, then assert on the ACTUAL inner
     // dedup+top-K plan requestLastBounded executes over its covering
