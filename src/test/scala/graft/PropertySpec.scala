@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop}
 import org.scalacheck.Test.{check, Parameters, Passed, Proved}
 import org.apache.spark.unsafe.types.UTF8String
@@ -271,6 +272,50 @@ class PropertySpec extends SparkSpec {
       val got = graft.text.TextAnalysis.lmBits(docs.toDF("doc_id", "text"))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       got == expect
+    })
+  }
+
+  test("quotaCap: monotone in k; per-source count = min(k, source size)") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    // 7 sources of uneven sizes (source i has ~300/7 docs), quality with
+    // deliberate collisions so the key tie-break is exercised
+    val df = (0L until 300L)
+      .map(i => (i, s"src${i % 7}", (i * 37) % 11)).toDF("doc_id", "source", "q")
+    val sizes = (0 until 7).map(j => s"src$j" -> (0L until 300L).count(_ % 7 == j)).toMap
+    def kept(k: Int): Map[String, Set[Long]] = Sampling
+      .quotaCap(df, col("doc_id"), col("source"), col("q"), k)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    holdsFewer(Prop.forAll(Gen.choose(1, 50), Gen.choose(0, 50)) { (k1, dk) =>
+      val (a, b) = (kept(k1), kept(k1 + dk))
+      // widening the quota only ever ADDS rows — a stable cut, so a
+      // re-run with a larger cap is a superset, never a reshuffle
+      a.forall { case (src, ids) => ids.subsetOf(b(src)) } &&
+        a.forall { case (src, ids) => ids.size == math.min(k1, sizes(src)) }
+    })
+  }
+
+  test("tokenBudgetSample: monotone in budget; kept cum never exceeds it") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 3 == 0) "en" else "de", 5L + i % 13))
+      .toDF("doc_id", "lang", "n_tok")
+    def kept(en: Long, de: Long): Map[Long, Long] = Sampling
+      .tokenBudgetSample(df, col("doc_id"), col("lang"), col("n_tok"),
+        Map("en" -> en, "de" -> de))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    holdsFewer(Prop.forAll(
+      Gen.choose(5L, 400L), Gen.choose(0L, 400L), Gen.choose(5L, 400L)) {
+      (b1, db, bDe) =>
+        val (a, b) = (kept(b1, bDe), kept(b1 + db, bDe))
+        // raising one stratum's budget only extends that prefix: existing
+        // members keep their cum position (hash order is budget-free)
+        a.forall { case (id, cum) => b.get(id).contains(cum) } &&
+          a.valuesIterator.forall(_ <= math.max(b1, bDe))
     })
   }
 
