@@ -294,6 +294,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // scalar-quantized serving path (FAISS SQ8 shape): 7-bit codes against
+    // a per-vector max-abs scale, approximate-cosine ranking from the
+    // exact integer code dot — the memory-bounded ANN variant
+    "q_ann_sq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.sqTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // content-derived blocking (multi-probe sign-LSH): near-dup pairs with
     // no pre-existing partition key — the corpus-scale complement of
     // q_embed_dup's label blocking
@@ -331,6 +341,13 @@ object SparkEntry {
     // ---- deduplication for training-data pipelines ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("canonical_id"))),
+
+    // segment-level dedup with reassembly (the CCNet/RefinedWeb line-dedup
+    // pass over token windows): only the globally-first occurrence of each
+    // 10-token segment survives; documents reassemble from their survivors
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(docsParallel(s, dir), segTokens = 10)
+        .orderBy(col("doc_id"))),
 
     "q_dedup_ingest" -> ((s, dir) => {
       val sd = Tables.streamData(s, dir)
@@ -574,6 +591,17 @@ object SparkEntry {
       val docs = docsParallel(s, dir)
       TextAnalysis.lmBits(docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance resampling: hashed-n-gram bag-of-features importance
+    // weights (target = en corpus) score every non-en doc by how
+    // target-like it is; the 100 highest-scoring docs are selected
+    "q_dsir" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      TextAnalysis.dsirScores(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+        buckets = 256, selectK = 100)
         .orderBy(col("doc_id"))
     }),
 
@@ -1190,6 +1218,31 @@ object SparkEntry {
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+      // scalar-quantized ANN: 7-bit codes against the per-vector max-abs
+      // scale (one correctly-rounded double division per dim), exact
+      // integer code dot, fixed-order IEEE rescale chain
+      "q_ann_sq" ->
+        s"""$quantCte,
+           |sq AS (SELECT vec_id, qe, nq,
+           |         greatest(list_max(list_transform(qe, x -> abs(x))), 1) AS ma FROM n),
+           |cd AS (SELECT vec_id, nq, ma,
+           |         list_transform(qe, x ->
+           |           CAST(floor(CAST(x * 127 AS DOUBLE) / CAST(ma AS DOUBLE)) AS BIGINT)) AS cq
+           |       FROM sq),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         CAST(CAST(list_sum(list_transform(range(len(c.cq)),
+           |                i -> c.cq[i+1]*q.cq[i+1])) AS BIGINT) * c.ma AS DOUBLE)
+           |           * CAST(q.ma AS DOUBLE) / 16129.0
+           |           / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM cd c, cd q WHERE c.vec_id >= 8 AND q.vec_id < 8
+           |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+           |      FROM scored)
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
       "q_embed_dup_lsh" ->
         s"""$quantCte,
            |bkt AS (SELECT vec_id, qe, nq,
@@ -1264,6 +1317,25 @@ object SparkEntry {
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
           |       count(*) AS dup_count
           |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+      // segment dedup: the same token windows as q_chunks (stride =
+      // window, no overlap), globally-first occurrence by (doc_id, idx)
+      // over the md5 segment key, reassembly via ordered string_agg
+      "q_segment_dedup" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          |                 len(string_split(text, ' ')) AS n FROM documents),
+          |c AS (SELECT doc_id, toks, n,
+          |        CAST(unnest(range(greatest((n + 9) // 10, 1))) AS BIGINT) AS idx
+          |      FROM t),
+          |s AS (SELECT doc_id, idx,
+          |        array_to_string(toks[(idx*10+1):(idx*10+10)], ' ') AS seg FROM c),
+          |k AS (SELECT doc_id, idx, seg,
+          |        row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rn
+          |      FROM s)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+          |       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+          |       coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (rn = 1), '') AS clean_text
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_dedup_ingest" ->
         s"""$sd, u AS (
@@ -1815,6 +1887,36 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS sum_bits,
           |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // DSIR importance scores: hashed unigram+bigram features (same
+      // md5-prefix hash as the Scala md5Int32, mod 256), add-one
+      // floor-log2 bits ratio, top-100 selection by (score DESC, doc_id)
+      "q_dsir" ->
+        """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT doc_id, lang,
+          |        unnest(toks || list_transform(range(greatest(len(toks)-1, 0)),
+          |          i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+          |      FROM t),
+          |f AS (SELECT doc_id, lang,
+          |        ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS b FROM g),
+          |ct AS (SELECT b, count(*) AS c_t FROM f WHERE lang = 'en' GROUP BY b),
+          |cr AS (SELECT b, count(*) AS c_r FROM f WHERE lang <> 'en' GROUP BY b),
+          |tot AS (SELECT (SELECT count(*) FROM f WHERE lang = 'en') AS t_t,
+          |               (SELECT count(*) FROM f WHERE lang <> 'en') AS t_r),
+          |sc AS (SELECT doc_id, count(*) AS n_feats,
+          |         CAST(sum((length(bin(COALESCE(ct.c_t, 0) + 1)) - 1)
+          |                - (length(bin(COALESCE(cr.c_r, 0) + 1)) - 1)) AS BIGINT) AS sum_d
+          |       FROM f LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+          |       WHERE lang <> 'en' GROUP BY doc_id),
+          |s2 AS (SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+          |         sum_d + n_feats * ((length(bin(t_r + 256)) - 1)
+          |                          - (length(bin(t_t + 256)) - 1)) AS score
+          |       FROM sc CROSS JOIN tot),
+          |r AS (SELECT doc_id, n_feats, score,
+          |        row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM s2)
+          |SELECT doc_id, n_feats, CAST(score AS BIGINT) AS score,
+          |       CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS selected
+          |FROM r ORDER BY doc_id""".stripMargin,
 
       // heavy hitters: the MG sketch only prunes candidates, so the exact
       // SQL (count + strict integer cross-multiplied threshold) is the

@@ -496,4 +496,46 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
+
+  /** Segment-level exact dedup with document reassembly — the
+    * line/paragraph-dedup pass of the CCNet / RefinedWeb pipelines
+    * (Wenzek et al. 2020, arXiv:1911.00359 §3.1 removes lines duplicated
+    * across shards; Penedo et al. 2023, arXiv:2306.01116 §3.3 drops
+    * duplicated spans in place), re-expressed for corpora whose segment
+    * boundary is a fixed token window rather than a newline (the segment
+    * splitter is the only corpus-specific piece).
+    *
+    * Semantics: split each document into consecutive `segTokens`-token
+    * windows ([[graft.text.TextAnalysis.chunk]] with zero overlap), keep
+    * only the globally-first occurrence of each distinct segment — first =
+    * minimum (doc_id, seg_idx), so the rule is deterministic and repeated
+    * segments WITHIN a document also collapse — then reassemble the
+    * survivors in document order. One output row per input document:
+    * `(doc_id, n_segs, n_kept, clean_text)`, `clean_text = ""` when every
+    * segment was a repeat (the caller decides whether emptied docs drop).
+    *
+    * Scale (100 TB): one shuffle on the 16-byte segment hash (the
+    * first-occurrence window — per-key fan-in bounded by that segment's
+    * duplicate count) and one shuffle on doc_id for reassembly; both
+    * key-partitioned, nothing pairwise. The reassembly state per doc is
+    * the kept segments of ONE document — bounded by document length, the
+    * same bound the input row already carries. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = graft.text.TextAnalysis.chunk(docs, maxTokens = segTokens)
+    val firstOcc = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val marked = segs
+      .withColumn("keep", row_number().over(firstOcc) === 1)
+    marked.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls of non-kept segments; array_sort on
+        // (chunk_idx, text) structs restores document order deterministically
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
 }

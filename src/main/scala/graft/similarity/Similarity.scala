@@ -244,6 +244,48 @@ object Similarity {
       .distinct() // a pair can surface under several probes
   }
 
+  /** Scalar-quantized top-k — the memory-bounded ANN serving path (the
+    * SQ8 scheme of the FAISS family: each dimension compressed to a
+    * signed 7-bit code against the vector's own max-abs scale, an 8×
+    * memory cut vs float64 fixed-point that lets a 100 TB embedding
+    * corpus stay resident where the full-precision vectors cannot).
+    * Scoring approximates cosine from the INTEGER code dot product
+    * rescaled by the two scales; ranking quality degrades gracefully with
+    * the 7-bit resolution, and the recall trade is explicit in the code
+    * width.
+    *
+    * Determinism (oracle-exact): codes are `floor(qe_i · 127 / maxabs)`
+    * with the product exact in int64 and ONE correctly-rounded double
+    * division — identical on any engine; the code dot and `code_dot ·
+    * maxabs_c` stay exact in int64 (≤ 64·127² · 5e8 ≪ 2^63); the
+    * remaining rescale is a fixed left-to-right chain of single IEEE
+    * operations, so scores are bit-identical and ranks reproducible.
+    *
+    * Scale: same shape as [[bruteForceTopK]] — queries broadcast, corpus
+    * never shuffles, salted two-phase top-k — but the corpus-resident
+    * state is the code vectors, not the full-precision embeddings. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def coded(df: DataFrame): DataFrame = {
+      val p = prepared(df)
+        .withColumn("ma",
+          greatest(array_max(transform(col("qe"), x => abs(x))), lit(1L)))
+      p.withColumn("cq", transform(col("qe"),
+        x => floor((x * lit(127L)).cast("double") / col("ma").cast("double"))
+          .cast("long")))
+        .select(col("vec_id"), col("nq"), col("ma"), col("cq"))
+    }
+    val c = coded(corpus)
+    val q = coded(queries).select(col("vec_id").as("query_id"),
+      col("nq").as("q_nq"), col("ma").as("q_ma"), col("cq").as("q_cq"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos",
+        (dotQ(col("cq"), col("q_cq")) * col("ma")).cast("double")
+          * col("q_ma").cast("double") / lit(16129.0)
+          / (sqrt(col("q_nq").cast("double")) * sqrt(col("nq").cast("double"))))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (at 100 TB
     * the blocking key is whatever cheap partition exists — cluster id,
     * shard, LSH bucket — so the self-join shuffles per block, never n²). */

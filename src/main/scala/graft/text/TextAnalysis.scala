@@ -475,4 +475,81 @@ object TextAnalysis {
       .filter(col("freq") * k > total)
       .select(col("tok"), col("freq"), lit(total).as("total"))
   }
+
+  /** DSIR-style importance scores for target-domain data selection (Xie
+    * et al. 2023, arXiv:2302.03169): represent each document by hashed
+    * n-gram features (unigrams + bigrams, md5-hashed into `buckets`
+    * buckets), fit add-one-smoothed bag-of-features models over the
+    * `target` and `raw` corpora, and score each raw document by the
+    * importance log-ratio `log p_target(doc) − log p_raw(doc)` — high
+    * score = looks like the target domain, so selecting the top-k
+    * resamples raw data toward the target distribution.
+    *
+    * Arithmetic is the same floor-log2 bits proxy as [[lmBits]] (no float
+    * log anywhere, so the score is bit-identical on any engine):
+    * `score = Σ_f [bits(c_t(f)+1) − bits(c_r(f)+1)]
+    *          + n_feats × [bits(T_r + B) − bits(T_t + B)]`
+    * where `c_x(f)` are corpus feature counts, `T_x` their totals, and
+    * `B = buckets` the add-one mass.
+    *
+    * Output: one row per raw document, `(doc_id, n_feats, score,
+    * selected)` with `selected = 1` for the `selectK` highest scores
+    * (ties broken by doc_id).
+    *
+    * Scale (100 TB): the feature map is a narrow explode; both count
+    * tables aggregate to exactly `buckets` rows — broadcast-sized model
+    * state, the entire point of DSIR's hashed features — so scoring is a
+    * map-stage broadcast join against the corpus (the corpus never
+    * shuffles to be scored) plus one map-side-combined doc_id aggregate.
+    * Selection reuses the salted two-phase top-k (per-slice row_number,
+    * then a global rank over ≤ slices × k survivors) — no single-reducer
+    * sort of the scored corpus. */
+  def dsirScores(target: DataFrame, raw: DataFrame, buckets: Int = 256,
+      selectK: Int = 100, slices: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def features(docs: DataFrame): DataFrame = {
+      val toks = wsTokens(col("text"))
+      docs.select(col("doc_id"),
+        explode(concat(toks,
+          when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+            .otherwise(array().cast("array<string>")))).as("g"))
+        .select(col("doc_id"), pmod(md5Int32(col("g")), lit(buckets.toLong)).as("b"))
+    }
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val ft = features(target)
+    val fr = features(raw)
+    val ct = ft.groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val cr = fr.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val totals = ct.agg(sum(col("c_t")).as("t_t"))
+      .crossJoin(cr.agg(sum(col("c_r")).as("t_r")))
+    val scored = fr
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"), "left")
+      .select(col("doc_id"),
+        (bits(coalesce(col("c_t"), lit(0L)) + 1)
+          - bits(coalesce(col("c_r"), lit(0L)) + 1)).as("d"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("d")).as("sum_d"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"),
+        (col("sum_d") + col("n_feats")
+          * (bits(col("t_r") + buckets.toLong) - bits(col("t_t") + buckets.toLong)))
+          .as("score"))
+    // salted two-phase top-k selection (same shape as Similarity's ANN
+    // ranking): the global window only ever sees slice-local survivors
+    val order = Seq(col("score").desc, col("doc_id").asc)
+    val local = scored
+      .withColumn("salt", pmod(spark_partition_id(), lit(slices)))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("salt")).orderBy(order: _*)))
+    val chosen = local.filter(col("lr") <= selectK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .filter(col("rank") <= selectK)
+      .select(col("doc_id"), lit(1L).as("selected"))
+    scored.join(broadcast(chosen), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        coalesce(col("selected"), lit(0L)).as("selected"))
+  }
 }

@@ -206,4 +206,32 @@ class DedupSpec extends SparkSpec {
       (1L, 0L, 4L, 5L), (1L, 11L, 15L, 5L),
       (2L, 0L, 4L, 5L), (2L, 11L, 15L, 5L)))
   }
+
+  private def segRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  test("segmentDedup keeps globally-first segments and reassembles in order") {
+    // 2-token segments: doc 1 [a b][c d], doc 2 [a b][x y], doc 3 [c d][a b]
+    // first occurrences: "a b"→(1,0), "c d"→(1,1), "x y"→(2,1)
+    val docs = docsOf((1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b"))
+    assert(segRows(Dedup.segmentDedup(docs, segTokens = 2)) == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("segmentDedup collapses repeats WITHIN one document too") {
+    // [a b][a b][c]: the second window repeats the first inside the doc
+    val docs = docsOf((1L, "a b a b c"))
+    assert(segRows(Dedup.segmentDedup(docs, segTokens = 2)) == Seq(
+      (1L, 3L, 2L, "a b c")))
+  }
+
+  test("segmentDedup: short docs are a single segment; distinct docs untouched") {
+    val docs = docsOf((1L, "only three tokens"), (2L, "a different doc"))
+    assert(segRows(Dedup.segmentDedup(docs, segTokens = 10)) == Seq(
+      (1L, 1L, 1L, "only three tokens"),
+      (2L, 1L, 1L, "a different doc")))
+  }
 }

@@ -38,10 +38,19 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("ANN scoring broadcasts the query side") {
-    Seq("q_ann_topk", "q_ann_ivf", "q_ann_kmeans", "q_contamination").foreach { name =>
+    Seq("q_ann_topk", "q_ann_ivf", "q_ann_kmeans", "q_ann_sq",
+      "q_contamination").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("BroadcastExchange"), s"$name lost its broadcast")
     }
+  }
+
+  test("DSIR scoring broadcasts the bucket-count model tables") {
+    // the whole point of hashed features: the models are `buckets` rows,
+    // so scoring must be a broadcast join — the corpus never shuffles
+    val plan = planOf("q_dsir")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"q_dsir lost the broadcast model join: $plan")
   }
 
   test("jaccard variants keep the single shared shingle exchange shape") {

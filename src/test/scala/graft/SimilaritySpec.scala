@@ -118,4 +118,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got(20L) == 1L && got(21L) == 0L && got(22L) == 0L)
     assert(got(30L) == 1L)
   }
+
+  test("sqTopK preserves brute-force ranking on separated vectors") {
+    val corpus = vecsOf(
+      (10L, pad(Seq(1f, 0f)), 0),     // identical direction to query
+      (11L, pad(Seq(0.9f, 0.1f)), 0), // close
+      (12L, pad(Seq(0f, 1f)), 0),     // orthogonal
+      (13L, pad(Seq(-1f, 0f)), 0))    // opposite
+    val queries = vecsOf((1L, pad(Seq(2f, 0f)), 0))
+    val got = Similarity.sqTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(got.map(_._1).toSeq == Seq(10L, 11L, 12L))
+    // identical direction survives quantization exactly (codes [127,0,...])
+    assert(math.abs(got(0)._2 - 1.0) < 1e-9)
+    assert(math.abs(got(2)._2) < 1e-9)
+  }
+
+  test("sqTopK approximate cosine stays within 7-bit quantization error of exact") {
+    // deterministic pseudo-random directions (no RNG — index-derived)
+    val corpus = vecsOf((0 until 20).map { i =>
+      (100L + i, pad(Seq(
+        math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        (0.1f * (i % 5)), 0.25f)), 0)
+    }: _*)
+    val queries = vecsOf((1L, pad(Seq(0.6f, -0.8f, 0.2f, 0.1f)), 0))
+    def byNeighbor(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos")).toMap
+    val exact = byNeighbor(Similarity.bruteForceTopK(corpus, queries, k = 20))
+    val approx = byNeighbor(Similarity.sqTopK(corpus, queries, k = 20))
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (id, a) =>
+      assert(math.abs(a - exact(id)) < 0.03,
+        s"neighbor $id: approx $a vs exact ${exact(id)}")
+    }
+  }
 }

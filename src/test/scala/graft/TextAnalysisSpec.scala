@@ -256,4 +256,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("big", 4L, total)))
   }
+
+  test("dsirScores ranks target-like raw docs above off-domain ones") {
+    val target = docsOf(
+      (1L, "spark data table join query", "en", "s"),
+      (2L, "data table query plan spark", "en", "s"))
+    val raw = docsOf(
+      (10L, "spark data table join query", "de", "s"), // verbatim target text
+      (11L, "zzz yyy xxx www vvv", "de", "s"))          // disjoint vocab
+    val rows = TextAnalysis.dsirScores(target, raw, selectK = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 > byId(11L)._2, s"target-like doc must outscore: ${rows.toSeq}")
+    assert(byId(10L)._3 == 1L && byId(11L)._3 == 0L)
+  }
+
+  test("dsirScores selects exactly min(selectK, raw size) and is deterministic") {
+    val target = docsOf((1L, "alpha beta gamma", "en", "s"))
+    val raw = docsOf((10 to 20).map(i =>
+      (i.toLong, s"tok$i alpha beta word$i", "de", "s")): _*)
+    def run() = TextAnalysis.dsirScores(target, raw, selectK = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = run()
+    assert(a.map(_._4).sum == 4L)
+    assert(a == run())
+  }
 }
