@@ -508,6 +508,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // fuzzy decontamination: LSH-banded (8x2) candidate pairs against the
+    // benchmark slice, each verified with its EXACT containment overlap
+    "q_contamination_fuzzy" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.fuzzyContamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // end-to-end training-data pipeline: exact dedup → near-dup removal
     // (exact n-gram Jaccard ≥ 0.5, higher id drops) → Gopher quality gate
     // → deterministic split assignment. Every stage is one of the gated
@@ -620,6 +629,12 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(docsParallel(s, dir), topK = 3)
         .orderBy(col("doc_id"), col("kw_rank"))),
+
+    // BM25 retrieval: top-20 docs for a mixed rare/common term query,
+    // integer-exact scoring (quarter-log2 idf, 1e6 fixed-point tf-norm)
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docsParallel(s, dir),
+        Seq("dup", "spark", "hash"), topK = 20)),
 
     // cross-document boilerplate: fraction of each doc's 3-gram instances
     // that occur in >= 5 distinct docs (the repeated-span scrub signal)
@@ -1498,6 +1513,27 @@ object SparkEntry {
       // grams hashed to md5-int60 exactly like the engine, so grouping
       // keys (and any collision) are shared; docs with < 3 tokens have no
       // grams and drop from the per-doc grouping in both engines
+      // BM25 top-20: quarter-log2 fixed-point idf via the bin()-length
+      // identity (bitlen((N+1)^4 // df^4) - 1 = floor(4*log2((N+1)/df)))
+      // and the k1=1.2/b=0.75 tf-norm cleared to the exact rational
+      // 22*L*tf / (10*L*tf + 3*L + 9*dl*N) at 1e6 fixed point
+      "q_bm25" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |                 CAST(sum(len(toks)) AS BIGINT) AS l FROM t),
+          |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok,
+          |         CAST(count(*) AS BIGINT) AS tf
+          |       FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM t)
+          |       WHERE tok IN ('dup', 'spark', 'hash') GROUP BY 1, 2, 3),
+          |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |sc AS (SELECT doc_id,
+          |         CAST(length(bin(((n+1)*(n+1)*(n+1)*(n+1)) // (df.df*df.df*df.df*df.df))) - 1 AS BIGINT)
+          |           * ((1000000*22*l*tf) // (10*l*tf + 3*l + 9*dl*n)) AS c
+          |       FROM tf JOIN df USING (tok) CROSS JOIN stats)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score,
+          |       CAST(count(*) AS BIGINT) AS terms
+          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
       "q_boilerplate" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           |gs AS (SELECT doc_id,
@@ -1656,6 +1692,31 @@ object SparkEntry {
            |       CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) AS overlap
            |FROM o JOIN sizes USING (doc_id)
            |WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) > 0.5
+           |ORDER BY doc_id, bench_id""".stripMargin,
+
+      // fuzzy decontamination: same MinHash family as q_minhash_lsh but
+      // 8 bands of 2 rows, bipartite corpus(>=20) x benchmark(<20)
+      // candidates, verified by exact containment overlap
+      "q_contamination_fuzzy" ->
+        s"""$shingleCte,
+           |mh AS (SELECT doc_id, i,
+           |         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(shingle AS VARCHAR)), 1, 8))::BIGINT) AS h
+           |       FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+           |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
+           |bands AS (SELECT doc_id, b,
+           |            md5(CAST(sig[2*b+1] AS VARCHAR) || ',' || CAST(sig[2*b+2] AS VARCHAR)) AS bkey
+           |          FROM sig CROSS JOIN range(8) rb(b)),
+           |cand AS (SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS bench_id
+           |         FROM bands c JOIN bands e ON c.b = e.b AND c.bkey = e.bkey
+           |         WHERE c.doc_id >= 20 AND e.doc_id < 20),
+           |csizes AS (SELECT doc_id, count(*) AS n FROM sh WHERE doc_id >= 20 GROUP BY 1),
+           |o AS (SELECT cand.doc_id, cand.bench_id, count(*) AS shared
+           |      FROM cand JOIN sh c ON c.doc_id = cand.doc_id
+           |      JOIN sh e ON e.doc_id = cand.bench_id AND e.shingle = c.shingle
+           |      GROUP BY 1, 2)
+           |SELECT o.doc_id, o.bench_id, CAST(shared AS BIGINT) AS shared,
+           |       CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) AS overlap
+           |FROM o JOIN csizes USING (doc_id)
            |ORDER BY doc_id, bench_id""".stripMargin,
 
       // end-to-end pipeline: every stage replays its operator's oracle

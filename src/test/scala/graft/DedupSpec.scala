@@ -211,6 +211,33 @@ class DedupSpec extends SparkSpec {
     df.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
 
+  test("fuzzyContamination: exact overlap on LSH candidates, bipartite only") {
+    val bench = docsOf((1L, base), (2L, "one two three four five six seven"))
+    val corpus = docsOf(
+      (10L, base),                                   // identical to bench 1
+      (11L, base + " lambda mu"),                    // near-dup of bench 1
+      (12L, "entirely different words here x y z"),  // clean
+      (13L, "one two three four five six seven"))    // identical to bench 2
+    val out = Dedup.fuzzyContamination(corpus, bench)
+      .orderBy("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // identical docs MUST be candidates (every band collides) with
+    // overlap exactly 1.0; the clean doc must not appear
+    assert(out.map(t => (t._1, t._2)).contains((10L, 1L)))
+    assert(out.map(t => (t._1, t._2)).contains((13L, 2L)))
+    assert(!out.map(_._1).contains(12L))
+    out.filter(t => t._1 == 10L || t._1 == 13L).foreach(t => assert(t._4 == 1.0))
+    // the near-dup, when banding surfaces it, carries its TRUE containment
+    // (8 of 10 shingles of doc 11 are in bench 1), never an estimate
+    out.filter(_._1 == 11L).foreach { t =>
+      assert(t._2 == 1L && t._3 == 8L && t._4 == 0.8)
+    }
+    // corpus-vs-corpus pairs are never reported (10 and 13 both duplicate
+    // bench docs, not each other; no (corpus, corpus) row can exist by
+    // construction — every bench_id is a benchmark doc)
+    assert(out.forall(t => Set(1L, 2L).contains(t._2)))
+  }
+
   test("segmentDedup keeps globally-first segments and reassembles in order") {
     // 2-token segments: doc 1 [a b][c d], doc 2 [a b][x y], doc 3 [c d][a b]
     // first occurrences: "a b"→(1,0), "c d"→(1,1), "x y"→(2,1)

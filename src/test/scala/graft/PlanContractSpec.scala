@@ -39,10 +39,20 @@ class PlanContractSpec extends SparkSpec {
 
   test("ANN scoring broadcasts the query side") {
     Seq("q_ann_topk", "q_ann_ivf", "q_ann_kmeans", "q_ann_sq",
-      "q_contamination").foreach { name =>
+      "q_contamination", "q_contamination_fuzzy").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("BroadcastExchange"), s"$name lost its broadcast")
     }
+  }
+
+  test("BM25 stays corpus-light: broadcast stats/df, TakeOrdered top-k") {
+    // the only exchange may carry query-term rows; the 1-row stats and
+    // per-term df tables must broadcast, and top-k must be TakeOrdered
+    // (per-partition heaps), never a global Sort + Limit
+    val plan = planOf("q_bm25")
+    assert(plan.contains("BroadcastExchange"), s"q_bm25 lost its broadcasts: $plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_bm25 top-k is not TakeOrdered: $plan")
   }
 
   test("DSIR scoring broadcasts the bucket-count model tables") {

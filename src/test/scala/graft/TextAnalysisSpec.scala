@@ -226,6 +226,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(99L) > got(1L))
   }
 
+  test("bm25TopK: hand-computed fixed-point scores, rank order, k-boundary") {
+    // N=4 docs, L=11 tokens; query terms cat (df=2) and dog (df=2):
+    // idf4 = bitlen(5^4 div 2^4) - 1 = bitlen(39) - 1 = 5  [4*log2(2.5)=5.28]
+    // tfnorm = (1e6*22*L*tf) div (10*L*tf + 3*L + 9*dl*N), hand-floored
+    val docs = docsOf(
+      (1L, "cat dog dog", "en", "s"),   // cat: 242000000/251 -> 964143
+      (2L, "cat cat cat cat", "en", "s"), // dog: 484000000/361 -> 1340720
+      (3L, "bird fish", "en", "s"),
+      (4L, "dog mouse", "en", "s"))
+    val all = TextAnalysis.bm25TopK(docs, Seq("cat", "dog"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSeq == Seq(
+      (1L, 5L * 964143L + 5L * 1340720L, 2L),   // 11524315
+      (2L, 5L * 1568881L, 1L),                  // 968000000/617, tf=4
+      (4L, 5L * 1125581L, 1L)))                 // 242000000/215, tf=1
+    // doc 3 has no query term -> absent entirely; k-boundary cuts by the
+    // (score DESC, doc_id) total order
+    assert(!all.map(_._1).contains(3L))
+    val top2 = TextAnalysis.bm25TopK(docs, Seq("cat", "dog"), topK = 2)
+      .collect().map(_.getLong(0))
+    assert(top2.toSeq == Seq(1L, 2L))
+  }
+
   test("heavyHitters: exactly the tokens over total/k, exact counts, no sketch error") {
     val s = spark
     import s.implicits._
