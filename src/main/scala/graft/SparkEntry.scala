@@ -477,6 +477,10 @@ object SparkEntry {
           col("pack_id"), col("pack_offset"), col("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q_shard_balance" -> ((s, dir) =>
+      graft.operators.Packing.shardBalance(docsParallel(s, dir), shards = 7)
+        .orderBy(col("doc_id"))),
+
     // incremental dedup: one snapshot flagged against the existing corpus
     // (increment = the last-10%-of-ids tail plus re-published copies of the
     // first ten corpus docs, so the exact-hash path is actually exercised).
@@ -504,6 +508,15 @@ object SparkEntry {
     "q_contamination" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
       Dedup.contaminationPairs(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // bloom-pruned scale path: bit-identical to q_contamination (no false
+    // negatives + exact re-check), gated by the same oracle SQL
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.contaminationPairsBloom(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
         .orderBy(col("doc_id"), col("bench_id"))
     }),
@@ -786,6 +799,20 @@ object SparkEntry {
         |sh AS (SELECT doc_id,
         |         ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle
         |       FROM shs)""".stripMargin
+    // Shared by q_contamination and q_contamination_bloom: the bloom
+    // prune is output-preserving, so both gate against this exact SQL.
+    val contaminationSql =
+      s"""$shingleCte,
+         |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+         |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1),
+         |o AS (SELECT c.doc_id, b.bench_id, count(*) AS shared
+         |      FROM c JOIN b USING (shingle) GROUP BY 1, 2)
+         |SELECT o.doc_id, o.bench_id, CAST(shared AS BIGINT) AS shared,
+         |       CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) AS overlap
+         |FROM o JOIN sizes USING (doc_id)
+         |WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) > 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin
     // Quantized-embedding CTE shared by the similarity oracles: 1e-6
     // fixed-point vectors with exact integer squared norms.
     val quantCte =
@@ -1642,6 +1669,20 @@ object SparkEntry {
       // greedy packing replayed row-by-row: the recursive CTE walks each
       // (lang, shard) chain in doc_id order carrying (pack_id, fill) — the
       // same O(1) state the engine's sorted-group iterator carries
+      // the oracle uses the naive global-window formulation the operator
+      // deliberately avoids — same total order, so same assignment
+      "q_shard_balance" ->
+        """WITH t AS (SELECT doc_id,
+          |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |          FROM documents),
+          |r AS (SELECT doc_id, n_tokens,
+          |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+          |      FROM t)
+          |SELECT doc_id, n_tokens,
+          |  CAST(CASE WHEN (rn // 7) % 2 = 0 THEN rn % 7
+          |            ELSE 6 - (rn % 7) END AS BIGINT) AS shard
+          |FROM r ORDER BY doc_id""".stripMargin,
+
       "q_pack" ->
         """WITH RECURSIVE d AS (
           |  SELECT doc_id, lang,
@@ -1681,18 +1722,11 @@ object SparkEntry {
            |cshc AS (SELECT c.corpus_id, c.shingle FROM csh c JOIN ckept USING (shingle)),
            |${incDedupTail("ishc", "cshc")}""".stripMargin,
 
-      "q_contamination" ->
-        s"""$shingleCte,
-           |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
-           |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM c GROUP BY 1),
-           |o AS (SELECT c.doc_id, b.bench_id, count(*) AS shared
-           |      FROM c JOIN b USING (shingle) GROUP BY 1, 2)
-           |SELECT o.doc_id, o.bench_id, CAST(shared AS BIGINT) AS shared,
-           |       CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) AS overlap
-           |FROM o JOIN sizes USING (doc_id)
-           |WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) > 0.5
-           |ORDER BY doc_id, bench_id""".stripMargin,
+      "q_contamination" -> contaminationSql,
+
+      // the bloom prune is exact-output-preserving, so the bloom variant
+      // is gated by the very same oracle
+      "q_contamination_bloom" -> contaminationSql,
 
       // fuzzy decontamination: same MinHash family as q_minhash_lsh but
       // 8 bands of 2 rows, bipartite corpus(>=20) x benchmark(<20)

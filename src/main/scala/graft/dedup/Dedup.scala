@@ -169,6 +169,67 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("shared"), col("overlap"))
   }
 
+  /** Bloom-pruned decontamination: same output as [[contaminationPairs]]
+    * bit-for-bit (bloom filters have no false negatives, and the exact
+    * join re-checks every survivor), but the corpus gram stream is
+    * pre-filtered by a packed bloom filter over the benchmark's shingles
+    * before anything reaches the join.
+    *
+    * Why this is the 100 TB shape: [[contaminationPairs]] broadcasts the
+    * full benchmark shingle table (~100 bytes/gram as join-hashtable
+    * entries), which caps how much eval suite fits in executor memory. The
+    * bloom is ~`bloomBits / grams` bits per gram (default 2^21 bits =
+    * 256 KiB total) — two orders of magnitude smaller — so the same
+    * executor budget covers a 100x larger benchmark union, and the grams
+    * that survive the prune (true matches + the tiny false-positive tail)
+    * are the only rows the exact broadcast join ever hashes. The corpus
+    * side stays a pure map → filter inside whole-stage codegen: two
+    * xxhash64 probes and two word lookups in a literal array per gram, no
+    * exchange, no state.
+    *
+    * The packed words are built driver-side from a benchmark-sized
+    * aggregation — the array length is `bloomBits / 64` (data-independent;
+    * 32 Ki longs at the default), the same bounded driver-held-model shape
+    * as the k-means centroids (`Similarity.scala`). */
+  def contaminationPairsBloom(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = 3, maxOverlap: Double = 0.5,
+      bloomBits: Int = 1 << 21): DataFrame = {
+    require(bloomBits >= 64 && bloomBits % 64 == 0,
+      "bloomBits must be a positive multiple of 64")
+    val b = shingleTable(benchmark, k)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    // two independent probes from salted xxhash64 over the 60-bit shingle
+    def pos(salt: Int, sh: Column): Column =
+      pmod(xxhash64(lit(salt), sh), lit(bloomBits.toLong))
+    val words = new Array[Long](bloomBits / 64)
+    b.select(explode(array(pos(1, col("shingle")), pos(2, col("shingle"))))
+        .as("p"))
+      .groupBy((col("p") / 64).cast("int").as("w"))
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int")))
+        .as("bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val bloom = typedLit(words.toSeq)
+    def hit(salt: Int): Column = {
+      val p = pos(salt, col("shingle"))
+      element_at(bloom, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64L)).cast("int"))) =!= lit(0L)
+    }
+    val c = shingleTable(corpus, k)
+    val sizes = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    c.filter(hit(1) && hit(2))
+      .join(broadcast(b), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, "doc_id")
+      .withColumn("overlap",
+        col("shared").cast("double") / col("n").cast("double"))
+      .filter(col("overlap") > maxOverlap)
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("overlap"))
+  }
+
   /** MinHash signatures: numHashes column-wise minima of md5-derived hash
     * families over the shingle set. One groupBy on doc_id. */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Greedy sequence packing: assemble documents into fixed-token-budget
@@ -65,5 +66,46 @@ object Packing {
         }
       }
       .toDF()
+  }
+
+  /** Balanced shard assignment, LPT-snake: documents sorted by descending
+    * token count are dealt across `shards` shards in a boustrophedon
+    * (snake) pattern — shard 0..S-1 on even passes, S-1..0 on odd — the
+    * classic longest-processing-time approximation that keeps per-shard
+    * token totals within one document of each other without any running
+    * state. This is the shard-construction step before [[packGreedy]]
+    * when shards must be SIZE-balanced (hash sharding balances counts,
+    * not tokens — one shard of books vs one of tweets).
+    *
+    * Scale shape: the naive formulation is `row_number()` over a global
+    * order — a single-partition window that dies at corpus scale. Here
+    * the global rank is decomposed: a token-length histogram (one row per
+    * DISTINCT length — metadata-sized, ~1e4 rows for real corpora since
+    * lengths are bounded) carries the cumulative count of strictly-longer
+    * docs through one small-table window, is broadcast back, and the
+    * within-length tiebreak rank is a `doc_id`-ordered window PARTITIONED
+    * by length — a keyed shuffle, never a global sort. Deterministic:
+    * (n_tokens desc, doc_id asc) is a total order, no RNG. */
+  def shardBalance(docs: DataFrame, shards: Int,
+      tokens: Column = size(graft.text.TextAnalysis.wsTokens(col("text")))
+  ): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val s = shards.toLong
+    val sized = docs.select(col("doc_id").cast("long").as("doc_id"),
+      tokens.cast("long").as("n_tokens"))
+    val before = sized.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+      .withColumn("before", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("n_tokens").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tokens"), col("before"))
+    val rn = col("before") +
+      row_number().over(
+        Window.partitionBy(col("n_tokens")).orderBy(col("doc_id").asc)) - 1
+    val pass = floor(rn / s).cast("long")
+    val pos = pmod(rn, lit(s))
+    sized.join(broadcast(before), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        when(pmod(pass, lit(2L)) === 0, pos)
+          .otherwise(lit(s) - 1 - pos).cast("long").as("shard"))
   }
 }

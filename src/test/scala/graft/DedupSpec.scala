@@ -261,4 +261,30 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 1L, "only three tokens"),
       (2L, 1L, 1L, "a different doc")))
   }
+
+  private def contamRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("contaminationPairsBloom matches the exact variant bit-for-bit") {
+    val bench = Seq((1L, base), (2L, "one two three four five six"))
+    val corpus = (10 until 40).map { i =>
+      val mutated = base.split(" ").updated(i % 10, s"w$i").mkString(" ")
+      (i.toLong, if (i % 4 == 0) base else mutated)
+    }
+    val b = docsOf(bench: _*)
+    val c = docsOf(corpus: _*)
+    val exact = contamRows(Dedup.contaminationPairs(c, b))
+    assert(exact.nonEmpty) // fixture must exercise the contaminated path
+    assert(contamRows(Dedup.contaminationPairsBloom(c, b)) == exact)
+  }
+
+  test("contaminationPairsBloom stays exact under a saturated 64-bit bloom") {
+    // one word of filter → nearly every gram false-positives through the
+    // prune; the exact re-join must still reproduce the exact result
+    val b = docsOf((1L, base))
+    val c = docsOf((10L, base), (11L, "totally unrelated words here now yes"))
+    assert(contamRows(Dedup.contaminationPairsBloom(c, b, bloomBits = 64)) ==
+      contamRows(Dedup.contaminationPairs(c, b)))
+  }
 }

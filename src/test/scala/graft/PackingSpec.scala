@@ -78,5 +78,33 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Packing.packGreedy(docs, budget = 0))
     intercept[IllegalArgumentException](
       Packing.packGreedy(docs, budget = 8, shards = 0))
+    intercept[IllegalArgumentException](Packing.shardBalance(docs, shards = 0))
+  }
+
+  test("shardBalance: snake order over descending token counts") {
+    // token counts: 4(9) 2(4) 1(3) 3(2) 5(1); S=2 snake passes:
+    // pass0 fwd -> 4:s0 2:s1; pass1 rev -> 1:s1 3:s0; pass2 fwd -> 5:s0
+    val out = Packing.shardBalance(docs, shards = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L), (2L, 4L, 1L), (3L, 2L, 0L), (4L, 9L, 0L), (5L, 1L, 0L)))
+    // the balance the snake buys: totals 12 vs 7 (hash sharding on these
+    // ids can do no better than luck; LPT bounds the gap by one doc)
+    val totals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(totals == Map(0L -> 12L, 1L -> 7L))
+  }
+
+  test("shardBalance: equal-length ties break by doc_id, assignment is total") {
+    val tied = docsOf((1L, "a b", "en"), (2L, "c d", "en"),
+      (3L, "e f", "en"), (4L, "g h", "en"), (5L, "i j", "en"))
+    val out = Packing.shardBalance(tied, shards = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // rn = doc_id order: pass0 fwd 0,1,2; pass1 rev 2,1
+    assert(out == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
+    // every doc assigned exactly once, shards within range
+    assert(out.map(_._1).distinct.length == 5)
+    assert(out.map(_._2).forall(s => s >= 0 && s < 3))
   }
 }

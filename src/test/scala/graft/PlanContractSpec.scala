@@ -39,7 +39,8 @@ class PlanContractSpec extends SparkSpec {
 
   test("ANN scoring broadcasts the query side") {
     Seq("q_ann_topk", "q_ann_ivf", "q_ann_kmeans", "q_ann_sq",
-      "q_contamination", "q_contamination_fuzzy").foreach { name =>
+      "q_contamination", "q_contamination_fuzzy",
+      "q_contamination_bloom").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("BroadcastExchange"), s"$name lost its broadcast")
     }
