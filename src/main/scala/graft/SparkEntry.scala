@@ -512,6 +512,12 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // sorted-neighborhood blocking: (lang, first-char) blocks, text sort
+    // key, 3-row neighborhood, 160-char-prefix edit distance <= 20
+    "q_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.snmPairs(docsParallel(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // bloom-pruned scale path: bit-identical to q_contamination (no false
     // negatives + exact re-check), gated by the same oracle SQL
     "q_contamination_bloom" -> ((s, dir) => {
@@ -1721,6 +1727,28 @@ object SparkEntry {
            |ishc AS (SELECT i.doc_id, i.shingle FROM ish i JOIN ckept USING (shingle)),
            |cshc AS (SELECT c.corpus_id, c.shingle FROM csh c JOIN ckept USING (shingle)),
            |${incDedupTail("ishc", "cshc")}""".stripMargin,
+
+      "q_sorted_neighborhood" ->
+        """WITH b AS (SELECT doc_id, substr(text, 1, 160) AS pfx,
+          |             lang || ':' || substr(text, 1, 1) AS block,
+          |             text AS skey
+          |           FROM documents),
+          |l AS (SELECT doc_id, pfx,
+          |        lag(doc_id, 1) OVER w AS id1, lag(pfx, 1) OVER w AS p1,
+          |        lag(doc_id, 2) OVER w AS id2, lag(pfx, 2) OVER w AS p2,
+          |        lag(doc_id, 3) OVER w AS id3, lag(pfx, 3) OVER w AS p3
+          |      FROM b WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)),
+          |p AS (SELECT doc_id, id1 AS other, levenshtein(pfx, p1) AS d
+          |        FROM l WHERE id1 IS NOT NULL
+          |      UNION ALL SELECT doc_id, id2, levenshtein(pfx, p2)
+          |        FROM l WHERE id2 IS NOT NULL
+          |      UNION ALL SELECT doc_id, id3, levenshtein(pfx, p3)
+          |        FROM l WHERE id3 IS NOT NULL)
+          |SELECT CAST(least(doc_id, other) AS BIGINT) AS doc_a,
+          |       CAST(greatest(doc_id, other) AS BIGINT) AS doc_b,
+          |       CAST(d AS BIGINT) AS dist
+          |FROM p WHERE d <= 20
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_contamination" -> contaminationSql,
 

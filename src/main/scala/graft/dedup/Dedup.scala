@@ -230,6 +230,54 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("shared"), col("overlap"))
   }
 
+  /** Sorted-neighborhood dedup blocking (Hernández–Stolfo SNM): sort each
+    * block by a locality-preserving key, slide a `window`-row neighborhood
+    * down the sorted order, and emit the pairs whose bounded-prefix edit
+    * distance clears `maxDist`. The third blocking family next to hashing
+    * (exact/MinHash/SimHash) and embedding blocking: it catches near-dups
+    * whose edits are concentrated at the END of the text (shared prefix ⇒
+    * adjacent sort positions) at O(window · n) comparisons — no candidate
+    * join at all.
+    *
+    * Scale shape: neighborhoods are scoped INSIDE `block` — the window
+    * function is PARTITIONED by block and ordered by (sortKey, doc_id), a
+    * keyed shuffle, never the single-partition global-order window the
+    * naive SNM formulation implies. Block granularity is the skew knob:
+    * (lang, text prefix) at the default yields ~languages × alphabet
+    * partitions; real corpora re-block on a longer prefix. The comparator
+    * runs on a `prefixLen`-bounded prefix so each comparison is
+    * O(prefixLen²) regardless of document length, and every candidate is
+    * emitted with its distance for downstream exact verification — the
+    * same prune-then-verify contract as the bloom decontamination path. */
+  def snmPairs(docs: DataFrame, window: Int = 3, maxDist: Int = 20,
+      prefixLen: Int = 160): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(prefixLen > 0, s"prefixLen must be positive: $prefixLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("skey").asc, col("doc_id").asc)
+    val base = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pfx"),
+      concat(col("lang"), lit(":"), substring(col("text"), 1, 1)).as("block"),
+      col("text").as("skey"))
+    // all `window` lags come out of ONE Window operator; the explode runs
+    // in a separate downstream projection (generators cannot host window
+    // expressions). Null lags = head-of-block, dropped.
+    base.select(col("doc_id") +: col("pfx") +:
+        (1 to window).flatMap(i => Seq(
+          lag(col("doc_id"), i).over(w).as(s"id$i"),
+          lag(col("pfx"), i).over(w).as(s"p$i"))): _*)
+      .select(col("doc_id"), col("pfx"),
+        explode(array((1 to window).map(i => struct(
+          col(s"id$i").as("other"), col(s"p$i").as("opfx"))): _*)).as("e"))
+      .filter(col("e.other").isNotNull)
+      .withColumn("dist",
+        levenshtein(col("pfx"), col("e.opfx")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("doc_id"), col("e.other")).as("doc_a"),
+        greatest(col("doc_id"), col("e.other")).as("doc_b"), col("dist"))
+  }
+
   /** MinHash signatures: numHashes column-wise minima of md5-derived hash
     * families over the shingle set. One groupBy on doc_id. */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {

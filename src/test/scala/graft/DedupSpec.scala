@@ -279,6 +279,41 @@ class DedupSpec extends SparkSpec {
     assert(contamRows(Dedup.contaminationPairsBloom(c, b)) == exact)
   }
 
+  private def snmDocs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text", "lang")
+  }
+
+  test("snmPairs finds suffix-edit near-dups adjacent in sort order") {
+    // docs 1/2 share a long prefix, differ at the tail — shingle-free
+    // SNM territory; doc 3 sorts between unrelated texts
+    val docs = snmDocs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta TAIL ONE", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta TAIL TWO XX", "en"),
+      (3L, "zz totally different text", "en"))
+    val out = Dedup.snmPairs(docs, window = 2, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
+  test("snmPairs: neighborhoods never cross blocks; window bounds reach") {
+    // same text, different lang -> different block -> no pair
+    val cross = snmDocs((1L, "same text here", "en"), (2L, "same text here", "de"))
+    assert(Dedup.snmPairs(cross, window = 3, maxDist = 50).count() == 0)
+    // window=1: docs 1,3 are 2 apart in sort order (2 between) -> no pair;
+    // each adjacent pair differs by > maxDist
+    val spread = snmDocs(
+      (1L, "aaa identical body", "en"),
+      (2L, "aam wholly unrelated string qqqqqqqq", "en"),
+      (3L, "aaz identical body", "en"))
+    assert(Dedup.snmPairs(spread, window = 1, maxDist = 5).count() == 0)
+    // widening to 2 reaches the (1,3) pair
+    val wide = Dedup.snmPairs(spread, window = 2, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wide == Seq((1L, 3L)))
+  }
+
   test("contaminationPairsBloom stays exact under a saturated 64-bit bloom") {
     // one word of filter → nearly every gram false-positives through the
     // prune; the exact re-join must still reproduce the exact result
