@@ -710,6 +710,16 @@ object SparkEntry {
       Relational.topEventsPerType(s, dir, k = 3)
         .orderBy(col("event_type"), col("rank"))),
 
+    // integer-exact PageRank (damping 0.85, 5 iterations, 1e9 micro-units)
+    // over the per-user event-type transition graph
+    "q_event_pagerank" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Graph.pageRank(
+        ev.select(col("event_type").as("node")).distinct(),
+        graft.operators.Graph.transitionEdges(ev), iterations = 5)
+        .orderBy(col("node"))
+    }),
+
     // as-of join: each click picks up the latest same-user purchase at or
     // before it — the merge-sort formulation (one key shuffle, no
     // range-join fan-out); see operators.AsofJoin
@@ -819,6 +829,32 @@ object SparkEntry {
          |FROM o JOIN sizes USING (doc_id)
          |WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) > 0.5
          |ORDER BY doc_id, bench_id""".stripMargin
+    // Unrolled fixed-iteration PageRank levels (recursive CTEs cannot
+    // aggregate over their own recursive reference): r{k} from r{k-1},
+    // all arithmetic in integer micro-units so both engines agree bitwise.
+    val pageRankSql = {
+      val levels = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.node, CAST(150000000 +
+           |  coalesce(sum(((r.rank * ew.w) // ew.outw) * 85 // 100), 0)
+           |  AS BIGINT) AS rank
+           |  FROM n LEFT JOIN ew ON ew.dst = n.node
+           |         LEFT JOIN r${k - 1} r ON r.node = ew.src
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nxt AS (SELECT event_type AS src,
+         |       lead(event_type) OVER (PARTITION BY user_id
+         |                              ORDER BY ts, event_id) AS dst
+         |     FROM events),
+         |e AS (SELECT src, dst, count(*) AS w
+         |      FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |ew AS (SELECT e.src, e.dst, e.w, o.outw
+         |       FROM e JOIN (SELECT src, sum(w) AS outw FROM e GROUP BY 1) o
+         |       USING (src)),
+         |n AS (SELECT DISTINCT event_type AS node FROM events),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM n),
+         |$levels
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+    }
     // Quantized-embedding CTE shared by the similarity oracles: 1e-6
     // fixed-point vectors with exact integer squared norms.
     val quantCte =
@@ -2098,6 +2134,8 @@ object SparkEntry {
            |       CAST(count(DISTINCT publisher_id) AS BIGINT) AS exact_publishers,
            |       CAST(count(DISTINCT stream_partition) AS BIGINT) AS exact_parts
            |FROM stream_data GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_event_pagerank" -> pageRankSql,
 
       "q_percentiles" ->
         """SELECT event_type, count(*) AS n,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over tables the engine already serves: transition-edge
+  * derivation from event streams and an integer-exact PageRank — the
+  * importance-weighting step of web-crawl curation pipelines (rank domains
+  * by the link graph, weight documents by source rank) re-expressed over
+  * the synthetic `events` table's behavioral graph.
+  *
+  * Everything is fixed-point integer arithmetic in micro-units: ranks are
+  * longs, per-edge contributions are `(rank * w) div out * d_num div
+  * d_den` — integer sums are order-independent, so Spark and any oracle
+  * engine produce bit-identical ranks, the same trick as the quantized
+  * ANN and floor-log2 LM scores. */
+object Graph {
+
+  /** Per-user consecutive-event transition edges, aggregated to
+    * (src, dst, w): the Markov transition multigraph of the event stream.
+    * One keyed window (partition user_id, order (ts, event_id) — a total
+    * order, the table has no duplicate keys) and one (src, dst) shuffle
+    * whose output is bounded by |event types|², not by the event count. */
+  def transitionEdges(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  /** Fixed-iteration PageRank with damping 0.85, entirely in long
+    * micro-units of `scale`: init rank = scale; each round
+    * `rank'(v) = 0.15·scale + Σ_{(u,v)} ((rank(u)·w) div out(u)·85) div
+    * 100`. Dangling mass is not redistributed (the standard simplified
+    * form); ranks therefore need not sum to N·scale.
+    *
+    * Scale shape: the event scan happens ONCE — edges aggregate to a
+    * |node|²-bounded table that is checkpointed, and every iteration is a
+    * join of that small table against the even smaller broadcast rank
+    * vector, then a dst-keyed sum. Rounds localCheckpoint the rank vector
+    * (node-sized) so lineage stays flat, exactly the [[graft.dedup.Dedup
+    * .dupClusters]] iteration discipline. Overflow bound: rank·w must fit
+    * a long — rank ≤ N·scale, so the default 1e9 scale holds to
+    * N·w ≈ 9e9 transition mass, re-derive `scale` beyond that. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(scale > 0, s"scale must be positive: $scale")
+    val base = 15L * scale / 100L
+    val ew = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = ew.join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"),
+          expr("((rank * w) div outw) * 85 div 100").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  private def eventsOf(rows: (Long, Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("user_id", "ts", "event_id", "event_type")
+  }
+
+  private def edgesOf(rows: (String, String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("src", "dst", "w")
+  }
+
+  private def nodesOf(ns: String*) = {
+    val s = spark
+    import s.implicits._
+    ns.toSeq.toDF("node")
+  }
+
+  test("transitionEdges: per-user consecutive pairs, (ts, event_id) order") {
+    // user 1: a@1 b@2 a@3 -> a->b, b->a; user 2: a@5 b@5 (tie broken by
+    // event_id 10 < 11) -> a->b; single-event user 3 contributes nothing
+    val ev = eventsOf(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (2L, 5L, 11L, "b"), (2L, 5L, 10L, "a"),
+      (3L, 9L, 20L, "c"))
+    val got = Graph.transitionEdges(ev).orderBy("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("pageRank: hand-computed two iterations in 1000-unit fixed point") {
+    // a->b w2, b->a w1, b->c w1; out: a=2, b=2; base = 150
+    // iter1: a=150+425=575  b=150+850=1000  c=150+425=575
+    // iter2: a=150+425=575  b=150+((575*2 div 2)*85 div 100=488)=638  c=575
+    val ranks = Graph.pageRank(nodesOf("a", "b", "c"),
+        edgesOf(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)),
+        iterations = 2, scale = 1000L)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ranks == Seq(("a", 575L), ("b", 638L), ("c", 575L)))
+  }
+
+  test("pageRank: zero iterations returns the uniform init; determinism") {
+    val nodes = nodesOf("x", "y")
+    val edges = edgesOf(("x", "y", 3L))
+    val r0 = Graph.pageRank(nodes, edges, iterations = 0, scale = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r0 == Map("x" -> 7L, "y" -> 7L))
+    val a = Graph.pageRank(nodes, edges, iterations = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = Graph.pageRank(nodes, edges, iterations = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a == b)
+    // y is a sink (no out-edges): x receives base only after iter 1
+    assert(a("x") == 150000000L)
+  }
+}
