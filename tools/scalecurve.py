@@ -13,8 +13,10 @@ import sys
 PAIR_PRODUCING = {
     "q_ngram_jaccard", "q_ngram_jaccard_exact", "q_minhash_lsh",
     "q_simhash_pairs", "q_embed_dup", "q_embed_dup_lsh", "q_semdedup",
-    "q_contamination", "q_dedup_incremental", "q_dedup_incremental_capped",
+    "q_contamination", "q_contamination_fuzzy", "q_contamination_bloom",
+    "q_dedup_incremental", "q_dedup_incremental_capped",
     "q_dup_clusters", "q_dup_spans", "q_segment_dedup",
+    "q_sorted_neighborhood",
 }
 
 
