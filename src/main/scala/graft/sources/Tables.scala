@@ -9,15 +9,24 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark only reads
-    * via the nanosAsLong legacy flag; convert to microsecond precision with
-    * integral division (double division would lose precision above 2^53).
-    * DuckDB likewise truncates its TIMESTAMP_NS to microseconds on
-    * CAST(ts AS TIMESTAMP), so both engines see identical values.
+  /** events.parquet has shipped with two `ts` encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark surfaces as a plain
+    * long under the nanosAsLong legacy flag, converted here to microsecond
+    * precision with integral division (double division would lose precision
+    * above 2^53) — and plain TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark reads as TIMESTAMP_NTZ directly. Branch on the physical
+    * type so both generations produce the identical TIMESTAMP_NTZ column;
+    * DuckDB's CAST(ts AS TIMESTAMP) lands on the same microsecond values
+    * either way.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _                                   => col("ts")
+    }
+    raw.withColumn("ts", ts.cast("timestamp_ntz"))
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")

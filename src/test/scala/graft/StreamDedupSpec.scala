@@ -7,16 +7,19 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamDedup
 
+// Top-level so Spark codegen can construct it (an inner case class forces
+// an interpreter fallback on every encode).
+case class StreamDedupDoc(doc_id: Long, text: String, ts: Timestamp)
+
 class StreamDedupSpec extends SparkSpec {
 
-  private case class Doc(doc_id: Long, text: String, ts: Timestamp)
   private def doc(id: Long, text: String, tsMs: Long) =
-    Doc(id, text, new Timestamp(tsMs))
+    StreamDedupDoc(id, text, new Timestamp(tsMs))
 
   test("duplicates within the horizon dropped across micro-batches") {
     val s = spark
     import s.implicits._
-    val input = MemoryStream[Doc](s)
+    val input = MemoryStream[StreamDedupDoc](s)
     val q = StreamDedup.dedupStream(input.toDF(), horizon = "10 minutes")
       .writeStream.format("memory").queryName("deduped")
       .outputMode(OutputMode.Append()).start()
@@ -43,7 +46,7 @@ class StreamDedupSpec extends SparkSpec {
   test("state is watermark-bounded: late duplicate past the horizon passes") {
     val s = spark
     import s.implicits._
-    val input = MemoryStream[Doc](s)
+    val input = MemoryStream[StreamDedupDoc](s)
     val q = StreamDedup.dedupStream(input.toDF(), horizon = "1 minute")
       .writeStream.format("memory").queryName("deduped_late")
       .outputMode(OutputMode.Append()).start()
@@ -67,7 +70,7 @@ class StreamDedupSpec extends SparkSpec {
   test("dedupStreamBy: composite envelope key dedups replays") {
     val s = spark
     import s.implicits._
-    val input = MemoryStream[Doc](s)
+    val input = MemoryStream[StreamDedupDoc](s)
     import org.apache.spark.sql.functions._
     val q = StreamDedup.dedupStreamBy(input.toDF(),
         concat_ws(":", col("doc_id"), col("text")), horizon = "10 minutes")
@@ -89,7 +92,7 @@ class StreamDedupSpec extends SparkSpec {
     import s.implicits._
     val cp = java.nio.file.Files.createTempDirectory("graft-dedup-cp").toString
     val out = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
-    val input = MemoryStream[Doc](s)
+    val input = MemoryStream[StreamDedupDoc](s)
     // file sink: the memory sink refuses checkpoint recovery, and the
     // restart path is exactly what this test exists to cover
     def start() = StreamDedup.dedupStream(input.toDF(), horizon = "10 minutes")
