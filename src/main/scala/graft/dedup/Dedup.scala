@@ -271,9 +271,14 @@ object Dedup {
         explode(array((1 to window).map(i => struct(
           col(s"id$i").as("other"), col(s"p$i").as("opfx"))): _*)).as("e"))
       .filter(col("e.other").isNotNull)
+      // banded levenshtein: the threshold form computes only the
+      // ±maxDist diagonal band (O(maxDist·prefixLen) per comparison, vs
+      // O(prefixLen²) unbounded) and returns -1 above the bound — the
+      // filter keeps exactly the same pairs, ~4x cheaper on the default
+      // 20/160 parameters
       .withColumn("dist",
-        levenshtein(col("pfx"), col("e.opfx")).cast("long"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("pfx"), col("e.opfx"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("doc_id"), col("e.other")).as("doc_a"),
         greatest(col("doc_id"), col("e.other")).as("doc_b"), col("dist"))
   }
