@@ -512,8 +512,8 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
-    // sorted-neighborhood blocking: (lang, first-char) blocks, text sort
-    // key, 3-row neighborhood, 160-char-prefix edit distance <= 20
+    // sorted-neighborhood blocking: (lang, first-char) blocks, 512-char
+    // bounded sort key, 3-row neighborhood, 160-char-prefix edit dist <= 20
     "q_sorted_neighborhood" -> ((s, dir) =>
       Dedup.snmPairs(docsParallel(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1767,7 +1767,7 @@ object SparkEntry {
       "q_sorted_neighborhood" ->
         """WITH b AS (SELECT doc_id, substr(text, 1, 160) AS pfx,
           |             lang || ':' || substr(text, 1, 1) AS block,
-          |             text AS skey
+          |             substr(text, 1, 512) AS skey
           |           FROM documents),
           |l AS (SELECT doc_id, pfx,
           |        lag(doc_id, 1) OVER w AS id1, lag(pfx, 1) OVER w AS p1,

@@ -244,22 +244,30 @@ object Dedup {
     * keyed shuffle, never the single-partition global-order window the
     * naive SNM formulation implies. Block granularity is the skew knob:
     * (lang, text prefix) at the default yields ~languages × alphabet
-    * partitions; real corpora re-block on a longer prefix. The comparator
-    * runs on a `prefixLen`-bounded prefix so each comparison is
-    * O(prefixLen²) regardless of document length, and every candidate is
-    * emitted with its distance for downstream exact verification — the
-    * same prune-then-verify contract as the bloom decontamination path. */
+    * partitions; real corpora re-block on a longer prefix by passing a
+    * custom `block` column. The sort key is bounded to `sortPrefixLen`
+    * chars so the window shuffle never carries full document text (ties
+    * beyond the bound break deterministically on doc_id); pass `sortKey`
+    * to substitute any other locality-preserving key. The comparator
+    * runs on a `prefixLen`-bounded prefix via the threshold (banded)
+    * levenshtein, so each comparison is O(maxDist·prefixLen) regardless of
+    * document length, and every candidate is emitted with its distance for
+    * downstream exact verification — the same prune-then-verify contract
+    * as the bloom decontamination path. */
   def snmPairs(docs: DataFrame, window: Int = 3, maxDist: Int = 20,
-      prefixLen: Int = 160): DataFrame = {
+      prefixLen: Int = 160, sortPrefixLen: Int = 512,
+      block: Option[Column] = None, sortKey: Option[Column] = None): DataFrame = {
     require(window > 0, s"window must be positive: $window")
     require(prefixLen > 0, s"prefixLen must be positive: $prefixLen")
+    require(sortPrefixLen > 0, s"sortPrefixLen must be positive: $sortPrefixLen")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("block")).orderBy(col("skey").asc, col("doc_id").asc)
     val base = docs.select(
       col("doc_id").cast("long").as("doc_id"),
       substring(col("text"), 1, prefixLen).as("pfx"),
-      concat(col("lang"), lit(":"), substring(col("text"), 1, 1)).as("block"),
-      col("text").as("skey"))
+      block.getOrElse(
+        concat(col("lang"), lit(":"), substring(col("text"), 1, 1))).as("block"),
+      sortKey.getOrElse(substring(col("text"), 1, sortPrefixLen)).as("skey"))
     // all `window` lags come out of ONE Window operator; the explode runs
     // in a separate downstream projection (generators cannot host window
     // expressions). Null lags = head-of-block, dropped.
@@ -673,7 +681,9 @@ object Dedup {
     * segments WITHIN a document also collapse — then reassemble the
     * survivors in document order. One output row per input document:
     * `(doc_id, n_segs, n_kept, clean_text)`, `clean_text = ""` when every
-    * segment was a repeat (the caller decides whether emptied docs drop).
+    * segment was a repeat. `dropEmptied = true` makes the policy explicit
+    * and removes those fully-deduplicated rows (`n_kept = 0`) from the
+    * output; the default keeps them so callers can count what emptied.
     *
     * Scale (100 TB): one shuffle on the 16-byte segment hash (the
     * first-occurrence window — per-key fan-in bounded by that segment's
@@ -681,14 +691,15 @@ object Dedup {
     * key-partitioned, nothing pairwise. The reassembly state per doc is
     * the kept segments of ONE document — bounded by document length, the
     * same bound the input row already carries. */
-  def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10,
+      dropEmptied: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val segs = graft.text.TextAnalysis.chunk(docs, maxTokens = segTokens)
     val firstOcc = Window.partitionBy(md5(col("chunk_text")))
       .orderBy(col("doc_id"), col("chunk_idx"))
     val marked = segs
       .withColumn("keep", row_number().over(firstOcc) === 1)
-    marked.groupBy(col("doc_id"))
+    val out = marked.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -698,5 +709,6 @@ object Dedup {
           array_sort(collect_list(
             when(col("keep"), struct(col("chunk_idx"), col("chunk_text"))))),
           s => s.getField("chunk_text")), " ").as("clean_text"))
+    if (dropEmptied) out.filter(col("n_kept") > 0) else out
   }
 }

@@ -18,14 +18,57 @@ object Tables {
     * type so both generations produce the identical TIMESTAMP_NTZ column;
     * DuckDB's CAST(ts AS TIMESTAMP) lands on the same microsecond values
     * either way.
+    *
+    * A LongType surface is ambiguous on its own — under the nanosAsLong
+    * legacy flag it means TIMESTAMP(NANOS), but a plain (unannotated)
+    * INT64 ts would surface identically and be silently misread by the
+    * div-1000 conversion. So the LongType branch re-reads the parquet
+    * footer's logical-type annotation and fails loudly unless it really
+    * is nanos-annotated.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path)
     val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-      case _                                   => col("ts")
+      case org.apache.spark.sql.types.LongType =>
+        requireNanosAnnotation(spark, path)
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
     }
     raw.withColumn("ts", ts.cast("timestamp_ntz"))
+  }
+
+  /** Footer-only check (no data I/O): the `ts` column of the first parquet
+    * footer under `path` must carry a TIMESTAMP(NANOS) logical-type
+    * annotation — the only case the int64→micros division is valid for. */
+  private def requireNanosAnnotation(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .sortBy(_.getName).headOption
+        .getOrElse(throw new IllegalStateException(s"no parquet files under $path"))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val annotation =
+      try reader.getFooter.getFileMetaData.getSchema
+        .getType(Seq("ts"): _*).asPrimitiveType().getLogicalTypeAnnotation
+      finally reader.close()
+    annotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if t.getUnit == TimeUnit.NANOS => ()
+      case other => throw new IllegalStateException(
+        s"events.ts surfaced as INT64 but its parquet logical type is " +
+          s"${Option(other).getOrElse("<none>")} — expected TIMESTAMP(NANOS); " +
+          "refusing the nanos→micros division rather than misreading it")
+    }
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =

@@ -248,6 +248,15 @@ class DedupSpec extends SparkSpec {
       (3L, 2L, 0L, "")))
   }
 
+  test("segmentDedup dropEmptied removes fully-deduplicated docs only") {
+    // doc 3 empties (both segments first occurred in doc 1); doc 2 keeps
+    // one segment and must survive
+    val docs = docsOf((1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b"))
+    assert(segRows(Dedup.segmentDedup(docs, segTokens = 2, dropEmptied = true)) == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y")))
+  }
+
   test("segmentDedup collapses repeats WITHIN one document too") {
     // [a b][a b][c]: the second window repeats the first inside the doc
     val docs = docsOf((1L, "a b a b c"))
@@ -312,6 +321,24 @@ class DedupSpec extends SparkSpec {
     val wide = Dedup.snmPairs(spread, window = 2, maxDist = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(wide == Seq((1L, 3L)))
+  }
+
+  test("snmPairs: custom block column re-blocks; bounded sort key ties on doc_id") {
+    import org.apache.spark.sql.functions.{col, substring}
+    // default block (lang:first-char) would pair these; a finer custom
+    // block on a 3-char prefix separates them into different blocks
+    val docs = snmDocs(
+      (1L, "abc shared text body one", "en"),
+      (2L, "abd shared text body one", "en"))
+    assert(Dedup.snmPairs(docs, window = 2, maxDist = 5).count() == 1)
+    val fine = Dedup.snmPairs(docs, window = 2, maxDist = 5,
+      block = Some(substring(col("text"), 1, 3)))
+    assert(fine.count() == 0)
+    // sortPrefixLen shorter than the shared prefix: order falls back to
+    // doc_id deterministically and the pair is still found
+    val tied = Dedup.snmPairs(docs, window = 2, maxDist = 5, sortPrefixLen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tied == Seq((1L, 2L)))
   }
 
   test("contaminationPairsBloom stays exact under a saturated 64-bit bloom") {
