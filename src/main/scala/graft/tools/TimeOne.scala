@@ -4,8 +4,12 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.drop(1)
+    // SPARK_GRAFT_SHUFFLE overrides shuffle parallelism — used for the
+    // cluster-shape check (e.g. 256 partitions, the shape a ~64-executor
+    // cluster would run) without touching the official bench config
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
