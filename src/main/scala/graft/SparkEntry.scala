@@ -373,6 +373,14 @@ object SparkEntry {
       Dedup.minhashLshPairs(docsParallel(s, dir), k = 3, numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // prefix-filtered exact similarity self-join (AllPairs/PPJoin family):
+    // candidates only where rarest-first shingle prefixes collide; the
+    // oracle is the brute-force shared-shingle join — identical output IS
+    // the zero-false-negative guarantee of the prefix lemma
+    "q_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(docsParallel(s, dir), threshold = 0.4, k = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docsParallel(s, dir), bits = 32).orderBy(col("doc_id"))),
 
@@ -432,6 +440,11 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.ngramVocab(docsParallel(s, dir), n = 2, topK = 100)
         .orderBy(col("tf").desc, col("ngram"))),
+
+    // top-100 bigram collocations by PMI-lift (count floor 3): exact
+    // integer counts, lift as a fixed IEEE chain — no float log
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.bigramLift(docsParallel(s, dir), minCount = 3, topK = 100)),
 
     // mixture rebalancing: exact target proportions (en:de:fr = 5:2:1),
     // scarcest stratum binding, strata without weights dropped
@@ -1448,6 +1461,22 @@ object SparkEntry {
            |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // brute-force shared-shingle join at the same threshold: identical
+      // output proves the prefix filter's zero-false-negative guarantee
+      "q_prefix_filter" ->
+        s"""$shingleCte,
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |          FROM sh a JOIN sh b USING (shingle)
+           |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_size,
+           |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+           |FROM pairs
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.4
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
       "q_ngram_jaccard_exact" ->
         s"""$shingleCte,
            |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1647,6 +1676,30 @@ object SparkEntry {
           |      FROM toks WHERE len(t) >= 2)
           |SELECT ngram, count(*) AS tf, count(DISTINCT doc_id) AS df
           |FROM g GROUP BY 1 ORDER BY tf DESC, ngram LIMIT 100""".stripMargin,
+
+      // PMI-lift collocations: same whitespace bigrams as q_vocab, lift as
+      // the identical left-associated double chain (products then divide)
+      "q_pmi" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |uni AS (SELECT tok, count(*) AS c
+          |        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+          |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+          |g AS (SELECT unnest(list_transform(range(len(t)-1),
+          |        i -> t[i+1] || ' ' || t[i+2])) AS bigram
+          |      FROM toks WHERE len(t) >= 2),
+          |big AS (SELECT bigram, count(*) AS c_ab FROM g GROUP BY 1),
+          |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM big)
+          |SELECT string_split(bigram, ' ')[1] AS w1,
+          |       string_split(bigram, ' ')[2] AS w2,
+          |       c_ab, ua.c AS c_a, ub.c AS c_b,
+          |       (CAST(c_ab AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)) /
+          |       (CAST(nb AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+          |FROM big
+          |JOIN uni ua ON string_split(bigram, ' ')[1] = ua.tok
+          |JOIN uni ub ON string_split(bigram, ' ')[2] = ub.tok
+          |CROSS JOIN nu CROSS JOIN nb
+          |WHERE c_ab >= 3
+          |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
 
       // mixture rebalance: binding stratum by exact cross-multiplied w/n
       // maximum, per-stratum floor targets in integer arithmetic, smallest

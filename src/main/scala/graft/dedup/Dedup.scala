@@ -137,6 +137,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"), col("jaccard"))
   }
 
+  /** Prefix-filtered set-similarity self-join — the AllPairs/PPJoin family
+    * (Chaudhuri et al., ICDE 2006; Bayardo et al., WWW 2007; Xiao et al.,
+    * WWW 2008) over k-shingle sets: order every document's shingles by a
+    * single global canonical order (document frequency ascending, token
+    * ascending — rarest first), keep only each document's first
+    * `|d| − ⌈t·|d|⌉ + 1` tokens as its probing prefix, and generate
+    * candidate pairs ONLY where two prefixes share a token. The prefix
+    * lemma guarantees zero false negatives for Jaccard ≥ t, so after the
+    * exact verification join the output is exactly the pairs an all-pairs
+    * scan would produce — this is the fourth candidate-generation family
+    * next to df-capped shingle joins, MinHash/SimHash banding, and
+    * sorted-neighborhood windows, and the only one of the four that is
+    * simultaneously exact AND never materializes the full shared-token
+    * join (hot stopword keys never enter the candidate join at all,
+    * because common tokens sort LAST and fall outside every prefix —
+    * the pruning the df cap approximates, derived instead of assumed).
+    *
+    * Scale (100 TB): the token table is the one wide exchange, hashed on
+    * the 60-bit token key and reused by the df count, both candidate-join
+    * sides, and the verification joins (ReuseExchange). Candidate
+    * cardinality is bounded by rare-prefix-token collisions — orders of
+    * magnitude below the shared-ANY-token join — and the verification
+    * touches candidate pairs only (two doc-keyed joins). The length
+    * filter (min/max size ≥ t) prunes before dedup. All pruning
+    * thresholds are epsilon-guarded toward KEEPING boundary candidates,
+    * so float rounding can only admit an extra candidate for the exact
+    * verifier to reject, never drop a true pair. */
+  def prefixFilterPairs(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val eps = 1e-9
+    val tok = shingleTable(docs, k).withColumnRenamed("shingle", "tok")
+      .repartition(col("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
+    val pre = tok.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz").cast("double") - lit(eps)) + 1)
+      .select(col("doc_id"), col("tok"), col("sz"))
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(eps))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+      .withColumn("union_size", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("union_size").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"),
+        col("jaccard"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share more than
     * `maxOverlap` of their shingles with ANY benchmark document — the
     * train/eval contamination scrub every LLM data pipeline runs before

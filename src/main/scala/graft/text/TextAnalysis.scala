@@ -466,6 +466,45 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Word-association mining: the top-K bigrams by pointwise mutual
+    * information (Church & Hanks 1990, "Word association norms, mutual
+    * information, and lexicography"), the classic collocation detector —
+    * used in pipeline analysis to surface boilerplate phrases, templated
+    * spans, and domain jargon that per-token stats miss. PMI's exponential
+    * is reported instead of its log: `lift = p(w1 w2) / (p(w1)·p(w2)) =
+    * (c_ab·nu²) / (nb·c_a·c_b)` — a ratio of exact integer counts, so the
+    * double is a deterministic IEEE chain (multiplications then one
+    * division, identical association order in the oracle SQL) with no
+    * transcendental log to diverge across engines (the [[lmBits]] rule).
+    * `minCount` floors the bigram count, the standard guard against the
+    * PMI rare-pair bias (a hapax bigram of two hapax words lifts to nu²/nb).
+    *
+    * Scale: both count tables are gram-keyed map-side-combined aggregates
+    * (the distributed LM shape [[lmBits]] uses); the two unigram joins are
+    * key-partitioned on the word, the corpus totals ride as 1-row
+    * broadcasts, and the top-K is a TakeOrdered (no global sort). */
+  def bigramLift(docs: DataFrame, minCount: Long = 5, topK: Int = 100): DataFrame = {
+    val uni = docs.select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val big = docBigrams(docs).groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val nb = big.agg(sum(col("c_ab")).as("nb"))
+    big.filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") * col("nu").cast("double") *
+          col("nu").cast("double")) /
+          (col("nb").cast("double") * col("c_a").cast("double") *
+            col("c_b").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Heavy hitters: every token whose corpus frequency strictly exceeds
     * `total_tokens / k`, by the classic two-pass distributed Misra-Gries
     * scheme (Misra & Gries 1982; the MAX/SpaceSaving family of

@@ -323,6 +323,43 @@ class DedupSpec extends SparkSpec {
     assert(wide == Seq((1L, 3L)))
   }
 
+  test("prefixFilterPairs equals brute-force shingle Jaccard (no false negatives)") {
+    // doc 2 = doc 1 with one tail edit (high overlap); doc 3 shares a few
+    // shingles with 1 (below threshold); doc 4 disjoint
+    val docs = docsOf(
+      (1L, base),
+      (2L, base.replace("kappa", "KAPPA2")),
+      (3L, "alpha beta gamma COMPLETELY other words here now"),
+      (4L, "one two three four five six seven eight"))
+    def shingles(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+      sa = shingles(docs.filter(col("doc_id") === a).head.getString(1))
+      sb = shingles(docs.filter(col("doc_id") === b).head.getString(1))
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa ++ sb).size
+      if j >= 0.3
+    } yield (a, b, inter.toLong, (sa ++ sb).size.toLong)).toSeq
+    val got = Dedup.prefixFilterPairs(docs, threshold = 0.3)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected.sorted)
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L), "near-dup pair must survive")
+    assert(!got.exists(t => t._2 == 3L || t._2 == 4L), "sub-threshold pairs must not")
+  }
+
+  test("prefixFilterPairs: boundary jaccard == threshold is kept") {
+    // 6 tokens -> 4 shingles each; docs share 2 of their 4 shingles:
+    // inter=2, union=6, j=1/3 — exactly the threshold
+    val docs = docsOf(
+      (1L, "a b c d e f"),
+      (2L, "a b c d X Y"))
+    val got = Dedup.prefixFilterPairs(docs, threshold = 1.0 / 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 6L)))
+  }
+
   test("snmPairs: custom block column re-blocks; bounded sort key ties on doc_id") {
     import org.apache.spark.sql.functions.{col, substring}
     // default block (lang:first-char) would pair these; a finer custom

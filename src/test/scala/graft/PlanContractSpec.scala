@@ -73,6 +73,21 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter join keeps the single token exchange; pmi is TakeOrdered") {
+    val plan = planOf("q_prefix_filter")
+    // the explicit repartition(tok) exchange feeds df count, both
+    // candidate-join sides, and the verification joins (ReuseExchange)
+    assert(plan.contains("hashpartitioning(tok"),
+      s"q_prefix_filter lost the token exchange: $plan")
+    val pmi = planOf("q_pmi")
+    // top-K must be a TakeOrdered, never a global sort, and the corpus
+    // totals must ride as 1-row broadcasts
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"q_pmi lost the TakeOrdered top-K: $pmi")
+    assert(pmi.contains("BroadcastNestedLoopJoin") || pmi.contains("BroadcastExchange"),
+      s"q_pmi lost the broadcast totals: $pmi")
+  }
+
   test("capped incremental dedup keeps the corpus shingle exchange and df filter") {
     val plan = planOf("q_dedup_incremental_capped")
     // the corpus-side repartition(shingle) is the one exchange the df

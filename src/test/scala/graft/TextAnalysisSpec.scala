@@ -306,4 +306,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.map(_._4).sum == 4L)
     assert(a == run())
   }
+
+  test("bigramLift: hand-computed PMI lift, minCount floor, rank order") {
+    // corpus: "x y" occurs 3 times always together (perfect collocation),
+    // "a b" occurs 3 times but a and b also occur apart (diluted)
+    val docs = docsOf(
+      (1L, "x y a b c", "en", "s"),
+      (2L, "x y a c b", "en", "s"),
+      (3L, "x y b a c", "en", "s"))
+    val got = TextAnalysis.bigramLift(docs, minCount = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only "x y" reaches count 3; every other bigram occurs once
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq(("x", "y")))
+    val (c_ab, c_a, c_b) = (got(0)._3, got(0)._4, got(0)._5)
+    assert((c_ab, c_a, c_b) == (3L, 3L, 3L))
+    // nu = 15 unigrams, nb = 12 bigrams: lift = (3*15*15)/(12*3*3) = 6.25
+    assert(got(0)._6 == (3.0 * 15 * 15) / (12.0 * 3 * 3))
+  }
+
+  test("bigramLift: topK boundary and deterministic tie order") {
+    // two bigrams with identical counts -> identical lift; tie breaks on
+    // (w1, w2) ascending, and topK = 1 keeps the lexicographically first
+    val docs = docsOf(
+      (1L, "p q", "en", "s"),
+      (2L, "p q", "en", "s"),
+      (3L, "m n", "en", "s"),
+      (4L, "m n", "en", "s"))
+    val all = TextAnalysis.bigramLift(docs, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(all.toSeq == Seq(("m", "n"), ("p", "q")))
+    val top1 = TextAnalysis.bigramLift(docs, minCount = 2, topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top1.toSeq == Seq(("m", "n")))
+  }
 }
