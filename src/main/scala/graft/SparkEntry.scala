@@ -378,7 +378,7 @@ object SparkEntry {
     // oracle is the brute-force shared-shingle join — identical output IS
     // the zero-false-negative guarantee of the prefix lemma
     "q_prefix_filter" -> ((s, dir) =>
-      Dedup.prefixFilterPairs(docsParallel(s, dir), threshold = 0.4, k = 3)
+      Dedup.prefixFilterPairs(docsParallel(s, dir), threshold = 0.8, k = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_simhash" -> ((s, dir) =>
@@ -1474,7 +1474,7 @@ object SparkEntry {
            |FROM pairs
            |JOIN sizes sa ON doc_a = sa.doc_id
            |JOIN sizes sb ON doc_b = sb.doc_id
-           |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.4
+           |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_ngram_jaccard_exact" ->

@@ -154,13 +154,18 @@ object Dedup {
     * because common tokens sort LAST and fall outside every prefix —
     * the pruning the df cap approximates, derived instead of assumed).
     *
-    * Scale (100 TB): the token table is the one wide exchange, hashed on
-    * the 60-bit token key and reused by the df count, both candidate-join
-    * sides, and the verification joins (ReuseExchange). Candidate
-    * cardinality is bounded by rare-prefix-token collisions — orders of
-    * magnitude below the shared-ANY-token join — and the verification
-    * touches candidate pairs only (two doc-keyed joins). The length
-    * filter (min/max size ≥ t) prunes before dedup. All pruning
+    * Scale (100 TB): the shingle explode runs ONCE — the plan is a linear
+    * pipeline through three explicit exchanges, each reused by every
+    * consumer (ReuseExchange): (1) the token-keyed exchange feeding the
+    * df count and the df join; (2) the doc-keyed exchange under the
+    * single Window pass (row_number + partition count share one sort —
+    * per-document set size is a window count, never a separate sizes
+    * aggregate) — also the verification joins' token source; (3) the
+    * prefix re-exchange on the token key that both candidate-join sides
+    * read. Set sizes ride THROUGH the candidate join, so no sizes join
+    * exists at all. Candidate cardinality is bounded by rare-prefix-token
+    * collisions — orders of magnitude below the shared-ANY-token join —
+    * and the verification touches candidate pairs only. All pruning
     * thresholds are epsilon-guarded toward KEEPING boundary candidates,
     * so float rounding can only admit an extra candidate for the exact
     * verifier to reject, never drop a true pair. */
@@ -168,32 +173,34 @@ object Dedup {
       k: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val eps = 1e-9
+    val W = org.apache.spark.sql.expressions.Window
     val tok = shingleTable(docs, k).withColumnRenamed("shingle", "tok")
       .repartition(col("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
-    val pre = tok.join(dfreq, "tok")
-      .withColumn("pos", row_number().over(wDoc))
-      .join(sizes, "doc_id")
+    val ranked = tok.join(dfreq, "tok")
+      .repartition(col("doc_id"))
+      .withColumn("sz", count(lit(1)).over(W.partitionBy(col("doc_id"))))
+      .withColumn("pos", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+    val tokByDoc = ranked.select(col("doc_id"), col("tok"))
+    val pre = ranked
       .filter(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz").cast("double") - lit(eps)) + 1)
       .select(col("doc_id"), col("tok"), col("sz"))
+      .repartition(col("tok"))
     val cand = pre.as("a")
       .join(pre.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
             lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(eps))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("na"), col("b.sz").as("nb"))
       .distinct()
-    val inter = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+    cand
+      .join(tokByDoc.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(tokByDoc.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("union_size", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / col("union_size").cast("double"))
