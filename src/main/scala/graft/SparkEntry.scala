@@ -284,6 +284,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // recall@5 of the sign-IVF index vs the exact brute-force ranking —
+    // the ANN quality monitor; zero-hit queries surface as recall 0
+    "q_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 8)
+      val queries = e.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(corpus, queries, k = 5, signBits = 4),
+        Similarity.bruteForceTopK(corpus, queries, k = 5), k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // learned-centroid IVF: hash-seeded Lloyd's (2 iterations, 8 centroids)
     // + nprobe=2 candidate pruning; the oracle replays the identical
     // fixed-point/IEEE arithmetic CTE by CTE
@@ -1263,6 +1275,45 @@ object SparkEntry {
            |      FROM scored)
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      // recall@5: both rankings replayed, per-query neighbor overlap /
+      // k, zero-hit queries kept via the left join
+      "q_ann_recall" ->
+        s"""$quantCte,
+           |bkt AS (SELECT vec_id, qe, nq,
+           |    (CASE WHEN qe[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN qe[2] >= 0 THEN 2 ELSE 0 END)
+           |  + (CASE WHEN qe[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN qe[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+           |  FROM n),
+           |exact_s AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+           |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM n c, n qs WHERE c.vec_id >= 8 AND qs.vec_id < 8
+           |),
+           |exact_r AS (SELECT query_id, neighbor_id,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |      FROM exact_s),
+           |ivf_s AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+           |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM bkt c JOIN bkt qs ON c.bucket = qs.bucket
+           |  WHERE c.vec_id >= 8 AND qs.vec_id < 8
+           |),
+           |ivf_r AS (SELECT query_id, neighbor_id,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |      FROM ivf_s),
+           |h AS (SELECT e.query_id, count(*) AS hits
+           |      FROM (SELECT * FROM exact_r WHERE rk <= 5) e
+           |      JOIN (SELECT * FROM ivf_r WHERE rk <= 5) a
+           |        USING (query_id, neighbor_id)
+           |      GROUP BY 1)
+           |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           |       CAST(5 AS BIGINT) AS k,
+           |       CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+           |FROM (SELECT DISTINCT query_id FROM exact_r) q
+           |LEFT JOIN h USING (query_id)
+           |ORDER BY q.query_id""".stripMargin,
 
       "q_ann_ivf" ->
         s"""$quantCte,

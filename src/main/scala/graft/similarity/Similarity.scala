@@ -103,6 +103,34 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Recall@k evaluation of an approximate neighbor list against the exact
+    * one — the standard ANN quality monitor every serving pipeline tracks
+    * (recall of the deployed index vs a brute-force audit sample). Takes
+    * any two `(query_id, rank, neighbor_id, …)` result sets (so it scores
+    * [[ivfTopK]], [[ivfKmeansTopK]], or the SQ8 path alike), counts the
+    * per-query overlap of neighbor ids, and reports `hits / k` — exact
+    * integer hits, the double derived from them. Queries the approximate
+    * index missed entirely surface with recall 0, not as absent rows.
+    *
+    * Scale: both inputs are already top-k-bounded (≤ queries×k rows), so
+    * every join here is between evaluation-sized tables — at audit time
+    * the brute-force side is computed over a query SAMPLE, never the full
+    * corpus, and this cost is independent of corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Learned-centroid IVF: deterministic hash-seeded Lloyd's k-means over
     * the quantized corpus, then nprobe-nearest-centroid candidate pruning.
     * This is the "ANN you'd ship" upgrade over [[ivfTopK]]'s fixed sign

@@ -135,6 +135,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._2) < 1e-9)
   }
 
+  test("recallAtK: partial overlap, zero-hit query kept, exact integer hits") {
+    val s = spark
+    import s.implicits._
+    def res(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("query_id", "rank", "neighbor_id")
+    // query 1: approx found 2 of 3 exact neighbors; query 2: none
+    val exact = res((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L))
+    val approx = res((1L, 1L, 10L), (1L, 2L, 12L), (1L, 3L, 99L),
+      (2L, 1L, 98L), (2L, 2L, 97L), (2L, 3L, 96L))
+    val got = Similarity.recallAtK(approx, exact, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 2.0 / 3.0), (2L, 0L, 3L, 0.0)))
+  }
+
   test("sqTopK approximate cosine stays within 7-bit quantization error of exact") {
     // deterministic pseudo-random directions (no RNG — index-derived)
     val corpus = vecsOf((0 until 20).map { i =>
