@@ -385,6 +385,13 @@ object SparkEntry {
       Dedup.minhashLshPairs(docsParallel(s, dir), k = 3, numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // weighted (multiset) Jaccard over 3-shingle bags: frequency-aware
+    // near-dup pairs — repeated spans keep their mass (set Jaccard
+    // saturates on self-repetition)
+    "q_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(docsParallel(s, dir), threshold = 0.8, k = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // prefix-filtered exact similarity self-join (AllPairs/PPJoin family):
     // candidates only where rarest-first shingle prefixes collide; the
     // oracle is the brute-force shared-shingle join — identical output IS
@@ -1511,6 +1518,28 @@ object SparkEntry {
            |JOIN sizes sb ON doc_b = sb.doc_id
            |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_weighted_jaccard" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |allsh AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+          |            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS w
+          |          FROM toks WHERE len(t) >= 3),
+          |tc AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS tok,
+          |         count(*) AS cnt
+          |       FROM allsh
+          |       GROUP BY 1, 2),
+          |sizes AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM tc GROUP BY 1),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |        CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS inter_w
+          |      FROM tc a JOIN tc b USING (tok)
+          |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, inter_w, sa.n + sb.n - inter_w AS union_w,
+          |       CAST(inter_w AS DOUBLE) / CAST(sa.n + sb.n - inter_w AS DOUBLE) AS wjaccard
+          |FROM p
+          |JOIN sizes sa ON doc_a = sa.doc_id
+          |JOIN sizes sb ON doc_b = sb.doc_id
+          |WHERE CAST(inter_w AS DOUBLE) / CAST(sa.n + sb.n - inter_w AS DOUBLE) >= 0.8
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       // brute-force shared-shingle join at the same threshold: identical
       // output proves the prefix filter's zero-false-negative guarantee

@@ -23,15 +23,21 @@ import graft.text.TextAnalysis.{md5Int32, md5Int60}
   */
 object Dedup {
 
-  /** Distinct word k-gram shingles of a single-space-tokenized text; empty
+  /** All word k-gram shingles of a single-space-tokenized text in document
+    * order (multiset — repeated spans keep their multiplicity); empty
     * array when the document has fewer than k tokens. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shinglesAll(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
     when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(0), size(toks) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      transform(sequence(lit(0), size(toks) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word k-gram shingles of a single-space-tokenized text; empty
+    * array when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int = 3): Column =
+    array_distinct(shinglesAll(text, k))
 
   /** Exact dedup groups: one row per distinct text hash, with the canonical
     * (minimum) doc id and the duplicate count. One shuffle on a 16-byte key
@@ -135,6 +141,58 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("union_size").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"), col("jaccard"))
+  }
+
+  /** Weighted (multiset) Jaccard near-dup pairs over k-shingle BAGS:
+    * `Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b)` — the frequency-aware
+    * complement to [[ngramJaccardPairs]]' set semantics (the measure
+    * behind weighted-MinHash dedup, e.g. Ioffe 2010 "Improved consistent
+    * sampling, weighted minhash and L1 sketching"; computed exactly here,
+    * no sketch). Set Jaccard saturates on documents that REPEAT spans —
+    * a doc and its 10×-self-concatenation are identical sets — while the
+    * bag measure keeps multiplicity, so templated/looped boilerplate
+    * scores by its true mass. `Σ max = n_a + n_b − Σ min` with n the
+    * total shingle count, so only the min-sum travels through the
+    * aggregation.
+    *
+    * Scale: identical shape to [[ngramJaccardPairs]] — per-doc shingle
+    * counts, one gram-keyed exchange reused by both self-join sides,
+    * pairs only where shingles are shared. Hot boilerplate shingles are
+    * the fan-out hazard at corpus scale: `maxDocFrequency` drops grams
+    * present in more than that many documents (semantics-changing, like
+    * the ngram df cap — gate the capped variant separately), the same
+    * O(df²)-bounding knob. */
+  def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 3, maxDocFrequency: Option[Int] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val tc = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(shinglesAll(col("text"), k)).as("w"))
+      .select(col("doc_id"), md5Int60(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .repartition(col("tok"))
+    val kept = maxDocFrequency match {
+      case Some(cap) =>
+        val ok = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("tok"))
+        tc.join(ok, Seq("tok"))
+      case None => tc
+    }
+    val sizes = kept.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("inter_w"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("union_w", col("na") + col("nb") - col("inter_w"))
+      .withColumn("wjaccard",
+        col("inter_w").cast("double") / col("union_w").cast("double"))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter_w"), col("union_w"),
+        col("wjaccard"))
   }
 
   /** Prefix-filtered set-similarity self-join — the AllPairs/PPJoin family

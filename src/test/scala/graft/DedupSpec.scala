@@ -323,6 +323,46 @@ class DedupSpec extends SparkSpec {
     assert(wide == Seq((1L, 3L)))
   }
 
+  test("weightedJaccardPairs: repeated spans keep their mass, df cap changes semantics") {
+    // unigram shingles (k=1) make the bag arithmetic auditable by hand
+    val docs = docsOf(
+      (1L, "a a b c"),     // bag {a:2, b:1, c:1}
+      (2L, "c b a a"),     // same bag, permuted -> wj = 1.0
+      (3L, "a a a q"),     // shares only 'a' mass with 1/2
+      (4L, "x y z w"))
+    val got = Dedup.weightedJaccardPairs(docs, threshold = 0.3, k = 1)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // (1,2): inter 4, union 4, wj 1.0; (1,3): min(a)=2, union 4+4-2=6,
+    // wj 1/3 — set semantics would score (1,3) at 1/6 and (1,2)=(1,3)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 4L, 4L, 1.0),
+      (1L, 3L, 2L, 6L, 2.0 / 6.0),
+      (2L, 3L, 2L, 6L, 2.0 / 6.0)))
+    // df cap at 2 drops 'a' (df 3): doc 3 no longer pairs with anything,
+    // (1,2) still identical bags {b,c}
+    val capped = Dedup.weightedJaccardPairs(docs, threshold = 0.3, k = 1,
+      maxDocFrequency = Some(2))
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(capped.toSeq == Seq((1L, 2L, 2L, 2L, 1.0)))
+  }
+
+  test("weightedJaccardPairs: self-repetition dilutes where set Jaccard saturates") {
+    // doc 2 = doc 1's span repeated 3x: identical 3-shingle SETS, but the
+    // bag measure sees the tripled mass plus the 2 junction shingles
+    val span = "alpha beta gamma delta"
+    val docs = docsOf((1L, span), (2L, s"$span $span $span"))
+    val setJ = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.0).collect()
+    assert(setJ.length == 1 && setJ(0).getAs[Double]("jaccard") < 1.0,
+      "junction shingles keep even the set measure below 1.0")
+    val got = Dedup.weightedJaccardPairs(docs, threshold = 0.1, k = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // doc1: 2 shingles; doc2: 10 (3x2 span + 4 junction): min-sum = 2,
+    // union = 2 + 10 - 2 = 10 -> 0.2; the set measure scores 2/4
+    assert(got.toSeq == Seq((2L, 10L, 0.2)))
+  }
+
   test("prefixFilterPairs equals brute-force shingle Jaccard (no false negatives)") {
     // doc 2 = doc 1 with one tail edit (high overlap); doc 3 shares a few
     // shingles with 1 (below threshold); doc 4 disjoint
