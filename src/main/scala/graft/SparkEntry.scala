@@ -806,6 +806,10 @@ object SparkEntry {
       Relational.cohortRetention(s, dir)
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // strict-ordering funnel: each step's event must land strictly after
+    // the user's previous-step completion; counts + conversion vs step 1
+    "q_funnel" -> ((s, dir) => Relational.funnel(s, dir)),
+
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2339,6 +2343,28 @@ object SparkEntry {
           |       count(*) AS users
           |FROM uw JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+      // funnel: per-step min-after chaining replayed at microsecond
+      // precision (epoch_us — epoch_ms would merge within-ms events)
+      "q_funnel" ->
+        """WITH e AS (SELECT user_id, event_type,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+          |           FROM events),
+          |s1 AS (SELECT user_id, min(tus) AS t FROM e
+          |       WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(tus) AS t FROM e JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND e.tus > s1.t GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(tus) AS t FROM e JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND e.tus > s2.t GROUP BY 1),
+          |c AS (SELECT 1 AS step, 'view' AS step_name,
+          |             (SELECT count(*) FROM s1) AS users
+          |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+          |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+          |SELECT CAST(step AS BIGINT) AS step, step_name,
+          |       CAST(users AS BIGINT) AS users,
+          |       CAST(users AS DOUBLE) /
+          |         CAST((SELECT count(*) FROM s1) AS DOUBLE) AS conversion
+          |FROM c ORDER BY step""".stripMargin,
 
       // as-of join replayed in the identical merge-sort formulation:
       // tagged union + running last_value(IGNORE NULLS) per user, right

@@ -150,6 +150,70 @@ object Relational {
       .agg(count(lit(1)).as("users")) // uw is distinct → count == distinct users
   }
 
+  /** Strict-ordering funnel analysis over the event stream: how many users
+    * reach each step of `steps`, where reaching step i+1 requires an event
+    * of that type STRICTLY AFTER the user's step-i completion time (the
+    * earliest valid one — the standard product-analytics funnel, e.g.
+    * view → click → purchase). Emits one row per step with the user count
+    * and the conversion rate vs step 1 (exact integer counts; the double
+    * is their correctly-rounded ratio).
+    *
+    * Scale: the driver composes a fixed `steps.length`-stage plan — no
+    * data-dependent iteration. Each stage is one filtered scan of the
+    * events (predicate on event_type pushes down) joined to the previous
+    * stage's per-user completion time — a key-partitioned join against a
+    * ≤|users| row table — followed by a map-side-combined min. The final
+    * per-level count aggregates |users| rows to `steps.length` rows, and
+    * the cumulative "reached step ≥ s" sum runs over that steps-sized
+    * table, never over users. */
+  def funnel(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelOf(spark, Tables.events(spark, dir), steps)
+
+  /** [[funnel]] over an arbitrary `(user_id, event_type, ts)` frame. */
+  def funnelOf(spark: SparkSession, events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .select(col("user_id"), col("t"), lit(1L).as("lvl"))
+    val reached = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val nxt = ev.filter(col("event_type") === step)
+          .join(prev.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
+          .filter(col("ts") > col("tp"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tn"))
+        prev.join(nxt, Seq("user_id"), "left")
+          .select(col("user_id"),
+            coalesce(col("tn"), col("t")).as("t"),
+            when(col("tn").isNotNull, lit((i + 1).toLong))
+              .otherwise(col("lvl")).as("lvl"))
+    }
+    val byLvl = reached.groupBy(col("lvl")).agg(count(lit(1)).as("n"))
+    val stepNames = steps.zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }
+    val spine = spark.createDataFrame(stepNames)
+      .toDF("step", "step_name")
+    // users reaching step >= s: complete the steps spine FIRST (a level
+    // nobody stops at exactly must contribute 0, not break the chain),
+    // then suffix-sum over the steps-sized table — both windows here run
+    // over at most |steps| rows, never over users
+    import org.apache.spark.sql.expressions.Window
+    broadcast(spine)
+      .join(byLvl.withColumnRenamed("lvl", "step"), Seq("step"), "left")
+      .withColumn("users", sum(coalesce(col("n"), lit(0L))).over(
+        Window.orderBy(col("step").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("conversion",
+        col("users").cast("double") /
+          max(when(col("step") === 1, col("users"))).over(
+            Window.orderBy(col("step")).rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).cast("double"))
+      .select(col("step"), col("step_name"), col("users"), col("conversion"))
+      .orderBy(col("step"))
+  }
+
   /** Hierarchy aggregation with ROLLUP grouping sets: per (event_type,
     * day), per event_type, and grand total in ONE pass — Spark expands the
     * sets map-side and partial-aggregates each, so the fact table is

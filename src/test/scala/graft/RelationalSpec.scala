@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.timestamp_millis
+
 import graft.operators.Relational
 
 class RelationalSpec extends SparkSpec {
@@ -56,6 +58,36 @@ class RelationalSpec extends SparkSpec {
       val vals = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("value"))
       assert(vals.sameElements(vals.sortBy(-_)))
     }
+  }
+
+  test("funnelOf: strict ordering enforced, absent exact-levels don't break the chain") {
+    val s = spark
+    import s.implicits._
+    // u1 completes view->click->purchase in order; u2 clicks BEFORE
+    // viewing (the click must not count) and never advances; u3 views
+    // only; u4's purchase precedes the click (stops at click)
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 50L), (2L, "view", 100L),
+      (3L, "view", 10L),
+      (4L, "view", 10L), (4L, "click", 20L), (4L, "purchase", 15L))
+      .toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.funnelOf(spark, ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "view", 4L, 1.0),
+      (2L, "click", 2L, 0.5),
+      (3L, "purchase", 1L, 0.25)))
+    // two-step funnel where EVERY viewer converts: level 1 is empty in
+    // the per-level counts and must still report the full population
+    val all = Seq((1L, "view", 10L), (1L, "click", 20L),
+      (2L, "view", 30L), (2L, "click", 40L))
+      .toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val g2 = Relational.funnelOf(spark, all, Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(g2.toSeq == Seq((1L, 2L, 1.0), (2L, 2L, 1.0)))
   }
 
   test("cohortRetention: offsets non-negative, week-0 row equals cohort size upper bound") {
