@@ -226,6 +226,12 @@ object SparkEntry {
       Metrics.dailyRollup(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"), col("day"))),
 
+    // dense minute series: full per-part minute spine, idle minutes as
+    // explicit zero-rate rows (what EWMA/alerting consume)
+    "q_metrics_dense" -> ((s, dir) =>
+      Metrics.denseMinuteCounts(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+
     // skew utilities: salted join + salted two-phase agg must be
     // observationally identical to the plain formulations (the oracle IS
     // the plain plan)
@@ -1248,6 +1254,23 @@ object SparkEntry {
            |       list_reduce(list(CAST(msgs AS DOUBLE) ORDER BY minute),
            |                   (a, b) -> a * 0.8 + b * 0.2) AS ewma_msgs_per_min
            |FROM mc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+      // dense spine replayed via generate_series over each part's
+      // (min, max) minute range
+      "q_metrics_dense" ->
+        s"""$sd, $minuteCte,
+           |rng AS (SELECT stream_id, stream_partition,
+           |          min(minute) AS lo, max(minute) AS hi
+           |        FROM mc GROUP BY 1, 2),
+           |spine AS (SELECT stream_id, stream_partition,
+           |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+           |          FROM rng)
+           |SELECT s.stream_id, s.stream_partition, s.minute,
+           |       CAST(coalesce(mc.msgs, 0) AS BIGINT) AS msgs,
+           |       CAST(coalesce(mc.bytes, 0) AS BIGINT) AS bytes
+           |FROM spine s
+           |LEFT JOIN mc USING (stream_id, stream_partition, minute)
+           |ORDER BY 1, 2, 3""".stripMargin,
 
       "q_metrics_daily" ->
         s"""$sd, $minuteCte, hc AS (

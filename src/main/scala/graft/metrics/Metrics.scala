@@ -38,6 +38,34 @@ object Metrics {
         date_trunc("minute", col("second")).cast("timestamp_ntz").as("minute"))
       .agg(sum(col("msgs")).as("msgs"), sum(col("bytes")).as("bytes"))
 
+  /** Dense per-minute series: [[minuteCounts]] left-joined onto each
+    * stream-part's full minute spine (min..max active minute), missing
+    * minutes zero-filled — the densification every fixed-cadence consumer
+    * (EWMA smoothing, rate alerting, charting) needs, since an idle
+    * minute is a 0-rate report, not an absent one (the reference's
+    * VolumeLogger emits on a timer, so its series is dense by
+    * construction; a scan-derived series must densify explicitly).
+    *
+    * Scale: the spine generates from one (min, max) row per stream-part —
+    * `sequence()` explodes per group WITHOUT a driver loop or a global
+    * range table, and the join is key-partitioned on the same (stream,
+    * part, minute) key the counts aggregate already produced. Spine
+    * cardinality is bounded by wall-clock coverage (minutes/day × parts),
+    * independent of message volume. */
+  def denseMinuteCounts(streamData: DataFrame): DataFrame = {
+    val mc = minuteCounts(streamData)
+    val spine = mc
+      .groupBy(col("stream_id"), col("stream_partition"))
+      .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+      .select(col("stream_id"), col("stream_partition"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 MINUTE"))).as("minute"))
+    spine.join(mc, Seq("stream_id", "stream_partition", "minute"), "left")
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        coalesce(col("msgs"), lit(0L)).as("msgs"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+  }
+
   /** Hierarchical rollup minute→hour (A8; `StreamMetrics.ts:55-77`): each
     * hour reports the sum, the plain average, AND the `throttledAvg`-
     * smoothed average of its minute reports — the reference smooths at

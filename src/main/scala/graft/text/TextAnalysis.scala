@@ -299,11 +299,14 @@ object TextAnalysis {
     * TakeOrdered (per-partition heaps, no global sort). The int64
     * headroom bounds are generous at any realistic sf (1e6·22·L·tf needs
     * L·tf < 4e11) but a 100 TB corpus (L ≈ 1e13) would overflow the
-    * fixed-point product — at that scale the same plan runs with double
-    * scoring, exactness being a property the oracle gate needs, not the
-    * ranking. Reference relevance: the reference broker has no retrieval
-    * surface; this extends the pipeline family (SURVEY §2.9 extensions). */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    * fixed-point product — `exactFixedPoint = false` runs the SAME plan
+    * with the textbook double-arithmetic BM25 (k1 = 1.2, b = 0.75, the
+    * Robertson–Spärck Jones idf), the corpus-scale mode: exactness is a
+    * property the oracle gate needs, not the ranking. Reference
+    * relevance: the reference broker has no retrieval surface; this
+    * extends the pipeline family (SURVEY §2.9 extensions). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], topK: Int = 20,
+      exactFixedPoint: Boolean = true): DataFrame = {
     require(terms.nonEmpty && topK >= 1, "need query terms and topK >= 1")
     val t = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val stats = t.agg(count(lit(1)).cast("long").as("n"),
@@ -316,12 +319,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    tf.join(broadcast(dfreq), "tok")
+    val scored = tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
-      .withColumn("idf4",
-        bits(expr("((n+1)*(n+1)*(n+1)*(n+1)) div (df*df*df*df)")))
-      .withColumn("c",
-        col("idf4") * expr("(1000000*22*l*tf) div (10*l*tf + 3*l + 9*dl*n)"))
+    val contrib =
+      if (exactFixedPoint)
+        scored
+          .withColumn("idf4",
+            bits(expr("((n+1)*(n+1)*(n+1)*(n+1)) div (df*df*df*df)")))
+          .withColumn("c",
+            col("idf4") * expr("(1000000*22*l*tf) div (10*l*tf + 3*l + 9*dl*n)"))
+      else
+        // the overflow-free corpus-scale mode: plain double BM25 with the
+        // same k1/b; ln and division are per-row scalars on the already
+        // term-filtered rows, so the plan shape is unchanged
+        scored.withColumn("c",
+          log((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+            (col("tf").cast("double") * lit(2.2) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+                  col("n").cast("double") / col("l").cast("double")))))
+    contrib
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("score"), count(lit(1)).as("terms"))
       .orderBy(col("score").desc, col("doc_id"))

@@ -117,6 +117,21 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(Validate.accepted(sd, lit(now)).count() == 3)
   }
 
+  test("denseMinuteCounts zero-fills idle minutes inside each part's span only") {
+    val sd = streamDataOf(
+      msg("s", 0, 0L, 0, payload = "ab"),          // minute 0
+      msg("s", 0, 180000L, 1, payload = "c"),      // minute 3 — 1,2 idle
+      msg("t", 0, 60000L, 0, payload = "defg"))    // single-minute stream
+    val got = Metrics.denseMinuteCounts(sd)
+      .orderBy("stream_id", "minute").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("msgs"), r.getAs[Long]("bytes")))
+    // stream s spans minutes 0..3 (4 rows, two zero-filled); stream t's
+    // spine is its single active minute — no bleed across parts
+    assert(got.toSeq == Seq(
+      ("s", 1L, 2L), ("s", 0L, 0L), ("s", 0L, 0L), ("s", 1L, 1L),
+      ("t", 1L, 4L)))
+  }
+
   test("minuteCounts + hourlyRollup aggregate counts and bytes") {
     val sd = streamDataOf(
       msg("s", 0, 0L, 0, payload = "abc"),        // minute 0

@@ -247,6 +247,12 @@ class TextAnalysisSpec extends SparkSpec {
     val top2 = TextAnalysis.bm25TopK(docs, Seq("cat", "dog"), topK = 2)
       .collect().map(_.getLong(0))
     assert(top2.toSeq == Seq(1L, 2L))
+    // the corpus-scale double mode (no int64 fixed point) must agree on
+    // the document ranking and term counts, scores now textbook BM25
+    val dbl = TextAnalysis.bm25TopK(docs, Seq("cat", "dog"), topK = 3,
+      exactFixedPoint = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(dbl.toSeq == Seq((1L, 2L), (2L, 1L), (4L, 1L)))
   }
 
   test("heavyHitters: exactly the tokens over total/k, exact counts, no sketch error") {
