@@ -550,6 +550,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // q-gram-filtered edit join: ALL pairs within 10 edits on the 160-char
+    // prefix, candidates from each doc's 31 rarest grams (constant
+    // probing prefix). The gate bounds the corpus to 1k docs: the
+    // synthetic vocabulary's character-gram diversity is too low for the
+    // count filter to prune (documented corpus-dependence — on web-scale
+    // text the rare-gram buckets are sparse; here every gram is hot), so
+    // the demo corpus is bounded rather than the semantics weakened
+    "q_qgram_edit" -> ((s, dir) =>
+      Dedup.qgramEditPairs(
+        docsParallel(s, dir).filter(col("doc_id") < 1000),
+        maxDist = 10, q = 3, prefixLen = 160)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // sorted-neighborhood blocking: (lang, first-char) blocks, 512-char
     // bounded sort key, 3-row neighborhood, 160-char-prefix edit dist <= 20
     "q_sorted_neighborhood" -> ((s, dir) =>
@@ -1923,6 +1936,22 @@ object SparkEntry {
            |ishc AS (SELECT i.doc_id, i.shingle FROM ish i JOIN ckept USING (shingle)),
            |cshc AS (SELECT c.corpus_id, c.shingle FROM csh c JOIN ckept USING (shingle)),
            |${incDedupTail("ishc", "cshc")}""".stripMargin,
+
+      // brute-force levenshtein over the same eligibility set: identical
+      // output proves the q-gram count bound + prefix lemma drop nothing
+      "q_qgram_edit" ->
+        """WITH b AS (SELECT doc_id, substr(text, 1, 160) AS pfx FROM documents
+          |           WHERE doc_id < 1000
+          |             AND len(list_distinct(list_transform(
+          |                   range(strlen(substr(text, 1, 160)) - 2),
+          |                   i -> substr(substr(text, 1, 160), i + 1, 3)))) > 30)
+          |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+          |       CAST(c.doc_id AS BIGINT) AS doc_b,
+          |       CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
+          |FROM b a JOIN b c ON a.doc_id < c.doc_id
+          |WHERE abs(strlen(a.pfx) - strlen(c.pfx)) <= 10
+          |  AND levenshtein(a.pfx, c.pfx) <= 10
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_sorted_neighborhood" ->
         """WITH b AS (SELECT doc_id, substr(text, 1, 160) AS pfx,

@@ -400,6 +400,41 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 2L, 6L)))
   }
 
+  test("qgramEditPairs finds HEAD-edit near-dups that sort-order blocking misses") {
+    val tail = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = docsOf(
+      (1L, s"AAAA $tail"),   // same tail, different heads: sort order
+      (2L, s"ZZZZ $tail"),   // separates them, shared grams do not
+      (3L, "completely unrelated content that shares nothing with the others at all xyz"))
+    val got = Dedup.qgramEditPairs(docs, maxDist = 10, q = 3, prefixLen = 160)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 4L)), s"got ${got.toSeq}")
+    // the same pair is invisible to snmPairs at window 1 over this corpus
+    // when a doc sorts between them — q-grams don't depend on adjacency
+    val wedge = docsOf(
+      (1L, s"AAAA $tail"),
+      (2L, s"ZZZZ $tail"),
+      (3L, s"M completely different middle text here to occupy the sort gap okay"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    assert(Dedup.snmPairs(wedge, window = 1, maxDist = 10).count() == 0)
+    assert(Dedup.qgramEditPairs(wedge, maxDist = 10).count() == 1)
+  }
+
+  test("qgramEditPairs: contract excludes unprunable short strings; maxDist binds") {
+    val long1 = "a sufficiently long document body with plenty of distinct grams here one"
+    val docs = docsOf(
+      (1L, long1),
+      (2L, long1 + " x"),
+      (3L, "tiny doc"),        // < 31 distinct grams -> excluded
+      (4L, "tiny dog"))
+    val got = Dedup.qgramEditPairs(docs, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), "short docs are out of contract")
+    // widening the edit budget does not admit the excluded strings
+    assert(!Dedup.qgramEditPairs(docs, maxDist = 12)
+      .collect().exists(r => r.getLong(0) >= 3L))
+  }
+
   test("snmPairs: custom block column re-blocks; bounded sort key ties on doc_id") {
     import org.apache.spark.sql.functions.{col, substring}
     // default block (lang:first-char) would pair these; a finer custom

@@ -95,6 +95,33 @@ class PropertySpec extends SparkSpec {
     assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
   }
 
+  test("prefix-filtered join equals the brute-force shared-shingle join (prefix lemma)") {
+    import graft.dedup.Dedup
+    val s = spark
+    import s.implicits._
+    // word soup over a tiny vocabulary maximizes shared shingles and ties
+    // in the (df, tok) canonical order — the stress case for the lemma
+    val genCase: Gen[(List[(Long, String)], Double)] = for {
+      n <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(3, 12)
+        words <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield words.mkString(" "))
+      t <- Gen.oneOf(0.1, 0.3, 0.5, 0.8, 1.0)
+    } yield (docs.zipWithIndex.map { case (x, i) => (i.toLong, x) }, t)
+    val p = params.withMinSuccessfulTests(10) // real Spark jobs per case
+    val r = check(p, Prop.forAll(genCase) { case (docs, t) =>
+      val df = docs.toDF("doc_id", "text")
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          math.round(r.getDouble(4) * 1e12))).sortBy(x => (x._1, x._2)).toSeq
+      val filtered = key(Dedup.prefixFilterPairs(df, t, 3).collect())
+      val brute = key(Dedup.ngramJaccardPairs(df, 3, t, None).collect())
+      filtered == brute
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
   test("packGreedy: every doc exactly once; offsets respect the budget") {
     import graft.operators.Packing
     val s = spark
