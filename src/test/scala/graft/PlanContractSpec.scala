@@ -73,6 +73,28 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("r10 additions keep their scale-critical shapes") {
+    // weighted jaccard: the one gram-keyed exchange both self-join sides read
+    val wj = planOf("q_weighted_jaccard")
+    assert(wj.contains("hashpartitioning(tok"),
+      s"q_weighted_jaccard lost the token exchange: $wj")
+    // qgram edit join: token exchange + the final filter keeps the banded
+    // levenshtein threshold form (dist >= 0 implies the -1 sentinel path)
+    val qg = planOf("q_qgram_edit")
+    assert(qg.contains("hashpartitioning(tok"),
+      s"q_qgram_edit lost the token exchange: $qg")
+    assert(qg.contains("levenshtein"), s"q_qgram_edit lost the verifier: $qg")
+    // funnel: the steps spine joins broadcast; no users-sized sort appears
+    val fn = planOf("q_funnel")
+    assert(fn.contains("BroadcastHashJoin") || fn.contains("BroadcastExchange"),
+      s"q_funnel lost the broadcast spine join: $fn")
+    // dense minutes: the spine generates from the aggregated (min,max)
+    // rows — a Generate above an aggregate, never above raw messages
+    val md = planOf("q_metrics_dense")
+    assert(md.contains("Generate explode(sequence"),
+      s"q_metrics_dense lost the sequence-exploded spine: $md")
+  }
+
   test("prefix-filter join keeps the single token exchange; pmi is TakeOrdered") {
     val plan = planOf("q_prefix_filter")
     // the explicit repartition(tok) exchange feeds df count, both
