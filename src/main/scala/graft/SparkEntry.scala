@@ -232,6 +232,13 @@ object SparkEntry {
       Metrics.denseMinuteCounts(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
 
+    // rolling z-score rate alerting over the dense series: 60-min
+    // trailing window (current row excluded), spike when > mean + 3*stddev
+    "q_metrics_anomaly" -> ((s, dir) =>
+      Metrics.anomalyFlags(Tables.streamData(s, dir))
+        .filter(col("is_anomaly"))
+        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+
     // skew utilities: salted join + salted two-phase agg must be
     // observationally identical to the plain formulations (the oracle IS
     // the plain plan)
@@ -1283,6 +1290,35 @@ object SparkEntry {
            |       CAST(coalesce(mc.bytes, 0) AS BIGINT) AS bytes
            |FROM spine s
            |LEFT JOIN mc USING (stream_id, stream_partition, minute)
+           |ORDER BY 1, 2, 3""".stripMargin,
+
+      // rolling z-score replay: identical ROWS frame, integer window sums,
+      // variance/sqrt as the same single correctly-rounded IEEE steps
+      "q_metrics_anomaly" ->
+        s"""$sd, $minuteCte,
+           |rng AS (SELECT stream_id, stream_partition,
+           |          min(minute) AS lo, max(minute) AS hi
+           |        FROM mc GROUP BY 1, 2),
+           |spine AS (SELECT stream_id, stream_partition,
+           |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+           |          FROM rng),
+           |dense AS (SELECT s.stream_id, s.stream_partition, s.minute,
+           |            CAST(coalesce(mc.msgs, 0) AS BIGINT) AS msgs
+           |          FROM spine s
+           |          LEFT JOIN mc USING (stream_id, stream_partition, minute)),
+           |win AS (SELECT *, count(*) OVER w AS n, sum(msgs) OVER w AS s,
+           |          sum(msgs * msgs) OVER w AS s2
+           |        FROM dense
+           |        WINDOW w AS (PARTITION BY stream_id, stream_partition
+           |          ORDER BY minute ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+           |SELECT stream_id, stream_partition, minute, msgs,
+           |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           |       CAST(n * s2 - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) AS variance,
+           |       TRUE AS is_anomaly
+           |FROM win
+           |WHERE n >= 10
+           |  AND CAST(msgs AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           |      + 3.0 * sqrt(CAST(n * s2 - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
            |ORDER BY 1, 2, 3""".stripMargin,
 
       "q_metrics_daily" ->

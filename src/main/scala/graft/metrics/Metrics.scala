@@ -66,6 +66,46 @@ object Metrics {
         coalesce(col("bytes"), lit(0L)).as("bytes"))
   }
 
+  /** Rolling z-score anomaly flags over the dense minute series — the
+    * rate-alerting pass an operations pipeline runs on [[denseMinuteCounts]]:
+    * each minute is scored against the mean/stddev of the `lookback`
+    * PRECEDING minutes (the current row excluded, so a spike can't mask
+    * itself), and flagged when it exceeds mean + `k`·stddev. Determinism:
+    * message counts are integers, so the window's sum and sum-of-squares
+    * are exact longs; variance `(n·Σx² − (Σx)²) / n²` and the sqrt are
+    * single correctly-rounded IEEE steps replayed in the same order by
+    * the oracle — no running-mean accumulation whose float order could
+    * differ. Warm-up minutes (fewer than `minHistory` predecessors) are
+    * reported unflagged rather than dropped.
+    *
+    * Scale: one window pass partitioned by stream-part over the
+    * spine-bounded dense series (wall-clock × parts rows, independent of
+    * message volume), ROWS-framed so it is streaming-evaluable. */
+  def anomalyFlags(streamData: DataFrame, lookback: Int = 60, k: Double = 3.0,
+      minHistory: Int = 10): DataFrame = {
+    require(lookback > 1 && minHistory >= 2, "need lookback > 1, minHistory >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
+      .orderBy(col("minute"))
+      .rowsBetween(-lookback, -1)
+    denseMinuteCounts(streamData)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("msgs")).over(w))
+      .withColumn("s2", sum(col("msgs") * col("msgs")).over(w))
+      .withColumn("mean",
+        when(col("n") > 0, col("s").cast("double") / col("n").cast("double")))
+      .withColumn("variance",
+        when(col("n") > 0,
+          (col("n") * col("s2") - col("s") * col("s")).cast("double") /
+            (col("n") * col("n")).cast("double")))
+      .withColumn("is_anomaly",
+        col("n") >= minHistory &&
+          col("msgs").cast("double") >
+            col("mean") + lit(k) * sqrt(col("variance")))
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"), col("mean"), col("variance"), col("is_anomaly"))
+  }
+
   /** Hierarchical rollup minute→hour (A8; `StreamMetrics.ts:55-77`): each
     * hour reports the sum, the plain average, AND the `throttledAvg`-
     * smoothed average of its minute reports — the reference smooths at

@@ -117,6 +117,28 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(Validate.accepted(sd, lit(now)).count() == 3)
   }
 
+  test("anomalyFlags: spike flagged against trailing stats, warm-up unflagged") {
+    // 12 steady minutes at 1 msg/min, then minute 12 bursts with 9 msgs
+    val steady = (0 until 12).map(i =>
+      msg("s", 0, i * 60000L, i, payload = "x"))
+    val burst = (0 until 9).map(j =>
+      msg("s", 0, 12 * 60000L + j * 100, 100 + j, payload = "x"))
+    val sd = streamDataOf(steady ++ burst: _*)
+    val rows = Metrics.anomalyFlags(sd, lookback = 60, k = 3.0, minHistory = 10)
+      .orderBy("minute").collect()
+    assert(rows.length == 13)
+    // warm-up (fewer than 10 predecessors): never flagged even at a spike
+    assert(rows.take(10).forall(!_.getAs[Boolean]("is_anomaly")))
+    // minute 12: trailing window is 12 ones -> mean 1, variance 0; 9 > 1
+    val last = rows.last
+    assert(last.getAs[Long]("msgs") == 9L)
+    assert(last.getAs[Double]("mean") == 1.0)
+    assert(last.getAs[Double]("variance") == 0.0)
+    assert(last.getAs[Boolean]("is_anomaly"))
+    // the steady minutes after warm-up stay unflagged (1 is not > 1)
+    assert(rows.slice(10, 12).forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
   test("denseMinuteCounts zero-fills idle minutes inside each part's span only") {
     val sd = streamDataOf(
       msg("s", 0, 0L, 0, payload = "ab"),          // minute 0
