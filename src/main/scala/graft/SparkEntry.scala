@@ -1292,25 +1292,24 @@ object SparkEntry {
            |LEFT JOIN mc USING (stream_id, stream_partition, minute)
            |ORDER BY 1, 2, 3""".stripMargin,
 
-      // rolling z-score replay: identical ROWS frame, integer window sums,
+      // rolling z-score replay over the SPARSE active minutes: identical
+      // RANGE frame on the integer minute index (idle minutes contribute
+      // zero to the sums; the dense trailing count is arithmetic),
       // variance/sqrt as the same single correctly-rounded IEEE steps
       "q_metrics_anomaly" ->
         s"""$sd, $minuteCte,
-           |rng AS (SELECT stream_id, stream_partition,
-           |          min(minute) AS lo, max(minute) AS hi
-           |        FROM mc GROUP BY 1, 2),
-           |spine AS (SELECT stream_id, stream_partition,
-           |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
-           |          FROM rng),
-           |dense AS (SELECT s.stream_id, s.stream_partition, s.minute,
-           |            CAST(coalesce(mc.msgs, 0) AS BIGINT) AS msgs
-           |          FROM spine s
-           |          LEFT JOIN mc USING (stream_id, stream_partition, minute)),
-           |win AS (SELECT *, count(*) OVER w AS n, sum(msgs) OVER w AS s,
-           |          sum(msgs * msgs) OVER w AS s2
-           |        FROM dense
+           |mi AS (SELECT stream_id, stream_partition, minute,
+           |         CAST(msgs AS BIGINT) AS msgs,
+           |         epoch_us(minute) // 60000000 AS idx
+           |       FROM mc),
+           |win AS (SELECT *,
+           |          least(60, idx - min(idx) OVER
+           |            (PARTITION BY stream_id, stream_partition)) AS n,
+           |          coalesce(sum(msgs) OVER w, 0) AS s,
+           |          coalesce(sum(msgs * msgs) OVER w, 0) AS s2
+           |        FROM mi
            |        WINDOW w AS (PARTITION BY stream_id, stream_partition
-           |          ORDER BY minute ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+           |          ORDER BY idx RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING))
            |SELECT stream_id, stream_partition, minute, msgs,
            |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
            |       CAST(n * s2 - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) AS variance,

@@ -66,32 +66,46 @@ object Metrics {
         coalesce(col("bytes"), lit(0L)).as("bytes"))
   }
 
-  /** Rolling z-score anomaly flags over the dense minute series — the
-    * rate-alerting pass an operations pipeline runs on [[denseMinuteCounts]]:
-    * each minute is scored against the mean/stddev of the `lookback`
-    * PRECEDING minutes (the current row excluded, so a spike can't mask
-    * itself), and flagged when it exceeds mean + `k`·stddev. Determinism:
-    * message counts are integers, so the window's sum and sum-of-squares
-    * are exact longs; variance `(n·Σx² − (Σx)²) / n²` and the sqrt are
-    * single correctly-rounded IEEE steps replayed in the same order by
-    * the oracle — no running-mean accumulation whose float order could
-    * differ. Warm-up minutes (fewer than `minHistory` predecessors) are
-    * reported unflagged rather than dropped.
+  /** Rolling z-score anomaly flags over the (conceptually dense,
+    * [[denseMinuteCounts]]) minute series — the rate-alerting pass: each
+    * ACTIVE minute is scored against the mean/stddev of the `lookback`
+    * dense minutes strictly before it (the current row excluded, so a
+    * spike can't mask itself), and flagged when it exceeds mean +
+    * `k`·stddev. One row per active minute; idle minutes are part of
+    * every trailing window's statistics but can never themselves flag
+    * (0 > mean + k·σ ≥ 0 is impossible), so they are omitted from the
+    * output by construction, not approximation.
     *
-    * Scale: one window pass partitioned by stream-part over the
-    * spine-bounded dense series (wall-clock × parts rows, independent of
-    * message volume), ROWS-framed so it is streaming-evaluable. */
+    * That observation is also the scale path: the dense series is never
+    * materialized. A RANGE frame over each part's SPARSE minute rows
+    * (keyed by integer minute index) yields the identical trailing sums —
+    * idle minutes contribute zero — and the dense trailing-row count is
+    * pure arithmetic, `min(lookback, idx − first_idx)`. Cost is one
+    * window pass over O(active minutes), independent of wall-clock span,
+    * where the naive dense formulation pays O(span × parts) (measured
+    * 4×+ on the bench corpus, arbitrarily worse on sparse streams).
+    *
+    * Determinism: counts are integers, so the window sums are exact
+    * longs; variance `(n·Σx² − (Σx)²) / n²` and the sqrt are single
+    * correctly-rounded IEEE steps replayed in the same order by the
+    * oracle. Warm-up minutes (fewer than `minHistory` dense
+    * predecessors) are reported unflagged rather than dropped. */
   def anomalyFlags(streamData: DataFrame, lookback: Int = 60, k: Double = 3.0,
       minHistory: Int = 10): DataFrame = {
     require(lookback > 1 && minHistory >= 2, "need lookback > 1, minHistory >= 2")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
-      .orderBy(col("minute"))
-      .rowsBetween(-lookback, -1)
-    denseMinuteCounts(streamData)
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s", sum(col("msgs")).over(w))
-      .withColumn("s2", sum(col("msgs") * col("msgs")).over(w))
+    val part = Seq(col("stream_id"), col("stream_partition"))
+    val w = Window.partitionBy(part: _*).orderBy(col("idx"))
+      .rangeBetween(-lookback, -1)
+    val wAll = Window.partitionBy(part: _*)
+    minuteCounts(streamData)
+      .withColumn("idx",
+        (unix_micros(col("minute").cast("timestamp")) / lit(60000000L))
+          .cast("long"))
+      .withColumn("n",
+        least(lit(lookback.toLong), col("idx") - min(col("idx")).over(wAll)))
+      .withColumn("s", coalesce(sum(col("msgs")).over(w), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("msgs") * col("msgs")).over(w), lit(0L)))
       .withColumn("mean",
         when(col("n") > 0, col("s").cast("double") / col("n").cast("double")))
       .withColumn("variance",

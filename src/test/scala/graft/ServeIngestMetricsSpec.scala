@@ -139,6 +139,23 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(rows.slice(10, 12).forall(!_.getAs[Boolean]("is_anomaly")))
   }
 
+  test("anomalyFlags: idle minutes count in the trailing stats without materializing") {
+    // 10 steady minutes, 20 idle minutes, then a 2-msg minute: the
+    // trailing window must see 30 dense minutes (mean 10/30), not 10
+    val steady = (0 until 10).map(i => msg("s", 0, i * 60000L, i, payload = "x"))
+    val late = Seq(msg("s", 0, 30 * 60000L, 100, payload = "x"),
+      msg("s", 0, 30 * 60000L + 100, 101, payload = "x"))
+    val rows = Metrics.anomalyFlags(streamDataOf(steady ++ late: _*))
+      .orderBy("minute").collect()
+    assert(rows.length == 11, "one row per ACTIVE minute only")
+    val last = rows.last
+    assert(last.getAs[Long]("msgs") == 2L)
+    assert(last.getAs[Double]("mean") == 10.0 / 30.0)
+    assert(last.getAs[Double]("variance") == 200.0 / 900.0)
+    assert(last.getAs[Boolean]("is_anomaly"),
+      "2 msgs vs sparse-history mean 1/3 must flag")
+  }
+
   test("denseMinuteCounts zero-fills idle minutes inside each part's span only") {
     val sd = streamDataOf(
       msg("s", 0, 0L, 0, payload = "ab"),          // minute 0
