@@ -122,6 +122,44 @@ class PropertySpec extends SparkSpec {
     assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
   }
 
+  test("q-gram edit join equals brute-force levenshtein on eligible strings") {
+    import graft.dedup.Dedup
+    val s = spark
+    import s.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // small alphabet + shared stems force hot grams, near-dups, and ties;
+    // maxDist=2/q=2 -> eligibility needs > 4 distinct grams
+    val genDocs: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n, for {
+        stem <- Gen.oneOf("abcabcab", "abcdefgh", "aabbccdd")
+        tail <- Gen.listOfN(4, Gen.oneOf('a', 'b', 'x')).map(_.mkString)
+      } yield stem + tail)
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = params.withMinSuccessfulTests(10)
+    val r = check(p, Prop.forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.qgramEditPairs(df, maxDist = 2, q = 2, prefixLen = 160)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      def grams(t: String) = t.sliding(2).toSet
+      val eligible = docs.filter { case (_, t) => grams(t).size > 4 }
+      val want = (for {
+        (ia, ta) <- eligible; (ib, tb) <- eligible if ia < ib
+        d = lev(ta, tb) if d <= 2
+      } yield (ia, ib, d.toLong)).sortBy(t => (t._1, t._2))
+      got == want
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
   test("packGreedy: every doc exactly once; offsets respect the budget") {
     import graft.operators.Packing
     val s = spark
