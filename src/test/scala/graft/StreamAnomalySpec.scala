@@ -42,6 +42,41 @@ class StreamAnomalySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint recovers the trailing-history ring") {
+    val s = spark
+    import s.implicits._
+    val cp = java.nio.file.Files.createTempDirectory("graft-anom-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-anom-out").toString
+    val input = MemoryStream[MinuteCount](s)
+    def start() = StreamAnomaly.flags(input.toDS(), lookback = 60, k = 3.0,
+      minHistory = 10)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start()
+    // first incarnation learns the 10-minute baseline
+    val q1 = start()
+    try {
+      input.addData((0 until 10).map(i => mc(i, 1L)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // spike arriving while the query is down: the second incarnation must
+    // score it against RECOVERED history, not a reset ring (a reset would
+    // leave n = 0 and report unflagged)
+    input.addData(mc(30, 2L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .orderBy("minute").collect()
+      assert(rows.length == 11)
+      val spike = rows.last
+      assert(spike.getAs[Long]("msgs") == 2L)
+      assert(spike.getAs[Double]("mean") == 10.0 / 30.0)
+      assert(spike.getAs[Boolean]("is_anomaly"),
+        "spike must flag against checkpoint-recovered history")
+    } finally q2.stop()
+  }
+
   test("state is ring-bounded: minutes beyond the lookback stop influencing") {
     val s = spark
     import s.implicits._
