@@ -486,6 +486,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("sample_rank"))
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // UniMax budget waterfill: 60% of the corpus split as evenly across
+    // languages as the data allows — scarce languages kept whole, the
+    // remainder cascading to data-rich ones; pure integer fold over
+    // metadata-sized per-language counts
+    "q_unimax" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val budget = docs.count() * 6L / 10L
+      graft.operators.Sampling.unimaxSample(docs,
+        col("doc_id"), col("lang"), budget)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
     // per-source quota cap: top-10 docs per source by n_chars — the
     // head-domain guard; WindowGroupLimit keeps skewed sources streaming
     "q_source_quota" -> ((s, dir) =>
@@ -809,6 +822,41 @@ object SparkEntry {
         keys = Seq("user_id"), ts = "tms", rightTie = "purchase_id",
         rightVals = Seq("purchase_id", "purchase_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // interval (point-in-range) join: every click inside ANY same-user
+    // 30-min attribution window ending at a purchase — bucket-decomposed
+    // to an equi-join on (user, time-bucket); see operators.IntervalJoin
+    "q_interval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tms = unix_millis(col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tms.as("tms"), col("event_id"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (tms - lit(1800000L)).as("w_start"),
+          tms.as("w_end"), col("event_id").as("purchase_id"))
+      graft.operators.IntervalJoin.joinPointsToIntervals(clicks, windows,
+        keys = Seq("user_id"), ts = "tms", start = "w_start", end = "w_end",
+        bucketWidth = 900000L)
+        .select(col("event_id"), col("purchase_id"), col("user_id"),
+          col("tms"), col("w_start"), col("w_end"))
+        .orderBy(col("event_id"), col("purchase_id"))
+    }),
+
+    // z-order file layout: Morton-interleave (minute-since-2024, user) into
+    // a 62-bit z-value, cut the curve into cells (top bits), report each
+    // cell's bounding box — min/max footer stats a scan would prune on
+    "q_zorder" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(unix_millis(col("ts").cast("timestamp")).as("tms"), col("user_id"))
+        .withColumn("x", expr("tms div 60000") - lit(28401120L))
+        .withColumn("z", graft.functions.ZOrder2.zorder2(col("x"), col("user_id")))
+        .withColumn("cell", shiftright(col("z"), 16))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("user_id")).as("min_y"), max(col("user_id")).as("max_y"))
+        .orderBy(col("cell"))
     }),
 
     // ROLLUP grouping sets: (type, day) / (type) / grand total in one scan
@@ -1877,6 +1925,36 @@ object SparkEntry {
           |FROM rk JOIN t ON rk.lang = t.lang WHERE sample_rank <= t.k
           |ORDER BY rk.lang, rk.sample_rank""".stripMargin,
 
+      // UniMax waterfill replayed as a recursive CTE over the per-language
+      // counts — the identical ascending-(n, lang) integer fold the engine
+      // runs on the driver — then the same salted-md5 per-language ranks
+      "q_unimax" ->
+        """WITH RECURSIVE c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+          |o AS (SELECT lang, n,
+          |        CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+          |        (SELECT count(*) FROM c) AS L
+          |      FROM c),
+          |f AS (
+          |  SELECT CAST(0 AS BIGINT) AS i,
+          |         (SELECT (count(*) * 6) // 10 FROM documents) AS remaining,
+          |         NULL::VARCHAR AS lang, CAST(0 AS BIGINT) AS alloc
+          |  UNION ALL
+          |  SELECT o.i,
+          |         f.remaining - least(o.n, f.remaining // (o.L - o.i + 1)),
+          |         o.lang,
+          |         least(o.n, f.remaining // (o.L - o.i + 1))
+          |  FROM f JOIN o ON o.i = f.i + 1),
+          |t AS (SELECT lang, alloc FROM f WHERE lang IS NOT NULL),
+          |r AS (SELECT doc_id, lang,
+          |        ('0x' || substr(md5('ux0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |      FROM documents),
+          |rk AS (SELECT doc_id, lang,
+          |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+          |       FROM r)
+          |SELECT rk.doc_id, rk.lang, rk.sample_rank
+          |FROM rk JOIN t ON rk.lang = t.lang WHERE sample_rank <= t.alloc
+          |ORDER BY rk.lang, rk.sample_rank""".stripMargin,
+
       // per-source top-k by n_chars, ties on doc_id — the engine's
       // WindowGroupLimit plan must equal the plain ranked subselect
       "q_source_quota" ->
@@ -2501,6 +2579,43 @@ object SparkEntry {
           |SELECT user_id, tms, event_id, value,
           |       rv.pid AS purchase_id, rv.pv AS purchase_value
           |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+      // interval join replayed as the plain BETWEEN range join — DuckDB's
+      // IEJoin computes the same pair set the bucket decomposition emits
+      "q_interval" ->
+        """WITH c AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) - 1800000 AS w_start,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) AS w_end,
+          |             event_id AS purchase_id
+          |      FROM events WHERE event_type = 'purchase')
+          |SELECT c.event_id, p.purchase_id, c.user_id, c.tms, p.w_start, p.w_end
+          |FROM c JOIN p ON c.user_id = p.user_id
+          |             AND c.tms BETWEEN p.w_start AND p.w_end
+          |ORDER BY c.event_id, p.purchase_id""".stripMargin,
+
+      // z-order cells: the identical five-step mask-shift bit spread on
+      // BIGINTs, interleaved, cut at the same cell depth
+      "q_zorder" ->
+        """WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 60000 - 28401120 AS x,
+          |                  user_id AS y
+          |           FROM events),
+          |s1 AS (SELECT x, y, (x | (x << 16)) & 281470681808895 AS vx,
+          |                    (y | (y << 16)) & 281470681808895 AS vy FROM e),
+          |s2 AS (SELECT x, y, (vx | (vx << 8)) & 71777214294589695 AS vx,
+          |                    (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+          |s3 AS (SELECT x, y, (vx | (vx << 4)) & 1085102592571150095 AS vx,
+          |                    (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+          |s4 AS (SELECT x, y, (vx | (vx << 2)) & 3689348814741910323 AS vx,
+          |                    (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+          |s5 AS (SELECT x, y, (vx | (vx << 1)) & 6148914691236517205 AS vx,
+          |                    (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4),
+          |z AS (SELECT x, y, vx | (vy << 1) AS z FROM s5)
+          |SELECT z >> 16 AS cell, count(*) AS n,
+          |       min(x) AS min_x, max(x) AS max_x,
+          |       min(y) AS min_y, max(y) AS max_y
+          |FROM z GROUP BY 1 ORDER BY cell""".stripMargin,
 
       // ROLLUP grouping sets; value summed in 1e-6 fixed point so every
       // subtotal is an exact integer in any addition order

@@ -78,6 +78,13 @@ object GraftExtensions {
           (0 until inner.numElements()).map(inner.getDouble).toSeq
         }.toSeq
         CentroidRank(args.head, table)
+      }),
+    (FunctionIdentifier("zorder2"),
+      info("zorder2",
+        "zorder2(x, y) - Morton interleave of two bigint dims in [0, 2^31) into a 62-bit z-value"),
+      { args =>
+        require(args.size == 2, "zorder2(x, y)")
+        ZOrder2(Cast(args.head, LongType), Cast(args(1), LongType))
       }))
 
   /** Register on an existing session (tests, notebooks). */

@@ -94,8 +94,12 @@ object Sampling {
     val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
       when(stratum === s, lit(k)).otherwise(acc)
     }
+    // the literal global cap (max per-stratum target) is what lets Spark's
+    // InferWindowGroupLimit fire — the rule needs a LITERAL rank bound, so
+    // the per-stratum CASE alone would forfeit the map-side top-k pruning
+    val maxK = targets.values.max
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= kExpr)
+      .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
   }
 
   /** Per-source quota cap: keep at most `k` rows per source, preferring the
@@ -188,6 +192,58 @@ object Sampling {
         element_at(typedlit(offsets), col("__eb")) +
           row_number().over(w).cast("long") - lit(1L))
       .drop("__eh", "__eb")
+  }
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023): split a total
+    * document budget across strata (languages) as EVENLY as the data
+    * allows — each stratum gets an equal share of whatever budget remains,
+    * capped at what it actually has; the unused remainder of scarce strata
+    * cascades to data-rich ones. The fairness answer to proportional or
+    * temperature sampling for multilingual corpora: head languages stop
+    * dominating, tail languages are never oversampled past their size.
+    *
+    * Allocation is the classic waterfill fold, processed in ascending
+    * (count, name) order with INTEGER division only — `alloc_i = min(n_i,
+    * remaining div strataLeft)` — so any engine reproduces the identical
+    * allocation (the DuckDB oracle replays the same fold as a recursive
+    * CTE). Selection within a stratum is the smallest salted-md5 ranks,
+    * exactly [[fixedSample]]'s rule.
+    *
+    * Scale shape: the fold runs on the per-stratum COUNTS — metadata-sized
+    * (#languages rows), same driver-bounded collect as [[mixtureSample]] —
+    * never on data. The data pays one map-side-combined count plus one
+    * window shuffle on the stratum key whose per-group rank
+    * short-circuits via WindowGroupLimit (top-k per group). */
+  def unimaxSample(df: DataFrame, key: Column, stratum: Column, budget: Long,
+      salt: String = "ux0"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (s, n) => (n, s) }
+    if (counts.isEmpty) return df.filter(lit(false))
+      .withColumn("sample_rank", lit(0L))
+    val targets = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var remaining = budget
+    var left = counts.length
+    for ((s, n) <- counts) {
+      val alloc = math.min(n, remaining / left)
+      targets(s) = alloc
+      remaining -= alloc
+      left -= 1
+    }
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.text.TextAnalysis.md5Int60(
+      concat(lit(s"$salt:"), key.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h, key)
+    val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    // literal global cap alongside the per-stratum CASE bound — same
+    // InferWindowGroupLimit requirement as [[mixtureSample]]
+    val maxK = targets.values.max
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
   }
 
   /** Deterministic train/val/test split assignment: hash the row key into

@@ -131,6 +131,32 @@ class PlanContractSpec extends SparkSpec {
       s"q_source_quota lost its two-sided WindowGroupLimit pruning: $plan")
   }
 
+  test("interval join decomposes to an equi-join — never a nested-loop range join") {
+    // the naive BETWEEN formulation plans a BroadcastNestedLoopJoin; the
+    // bucket decomposition must keep it a hash/sort-merge equi-join on
+    // (user, bucket) with the BETWEEN as a residual predicate
+    val plan = planOf("q_interval")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q_interval regressed to a nested-loop range join: $plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q_interval lost its equi-join decomposition: $plan")
+  }
+
+  test("unimax selection prunes via WindowGroupLimit like the other fixed-k samplers") {
+    val plan = planOf("q_unimax")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"q_unimax lost its two-sided WindowGroupLimit pruning: $plan")
+  }
+
+  test("z-order cells aggregate with a map-side partial — one narrow scan, one exchange") {
+    val plan = planOf("q_zorder")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"q_zorder lost its map-side combine: $plan")
+    assert(!plan.contains("SinglePartition") || plan.contains("rangepartitioning"),
+      s"q_zorder planned a single-partition aggregate: $plan")
+  }
+
   test("epoch order plans no single-partition exchange") {
     // the whole point of the bucket-offset construction: a global dense
     // rank WITHOUT row_number's Exchange SinglePartition bottleneck. The

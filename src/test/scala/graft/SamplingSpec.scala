@@ -113,6 +113,42 @@ class SamplingSpec extends SparkSpec {
       Map("zz" -> 1L)).count() == 0L)
   }
 
+  test("unimaxSample: waterfill — scarce strata kept whole, rich strata share the rest") {
+    val s = spark
+    import s.implicits._
+    // 600 en / 100 de / 300 es, budget 500. Ascending (n, name):
+    // de(100): share 500/3=166 → all 100, rem 400
+    // es(300): share 400/2=200 → 200,     rem 200
+    // en(600): share 200/1=200 → 200,     rem 0
+    val corpus = ((0L until 600L).map((_, "en"))
+      ++ (600L until 700L).map((_, "de"))
+      ++ (700L until 1000L).map((_, "es")))
+      .toDF("doc_id", "lang")
+    val byLang = Sampling.unimaxSample(corpus, col("doc_id"), col("lang"), 500L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("de" -> 100L, "es" -> 200L, "en" -> 200L))
+    // budget above the corpus: everything kept, nothing oversampled
+    val all = Sampling.unimaxSample(corpus, col("doc_id"), col("lang"), 5000L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("de" -> 100L, "es" -> 300L, "en" -> 600L))
+    // floor remainders cascade: budget 7 over two 10-doc strata → 3 + 4
+    val two = ((0L until 10L).map((_, "aa")) ++ (10L until 20L).map((_, "bb")))
+      .toDF("doc_id", "lang")
+    val seven = Sampling.unimaxSample(two, col("doc_id"), col("lang"), 7L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seven == Map("aa" -> 3L, "bb" -> 4L))
+    assert(seven.values.sum == 7L)
+    // deterministic membership on re-run
+    val a = Sampling.unimaxSample(corpus, col("doc_id"), col("lang"), 500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.unimaxSample(corpus, col("doc_id"), col("lang"), 500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 500)
+  }
+
   test("quotaCap: k per big source, small sources whole, quality wins") {
     val s = spark
     import s.implicits._
