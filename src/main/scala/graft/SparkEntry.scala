@@ -755,6 +755,24 @@ object SparkEntry {
             .as("approx_parts"))
         .orderBy(col("stream_id"))),
 
+    // mergeable KLL quantile sketch per event type: with k above the group
+    // size no compaction fires, so the one-pass mergeable sketch emits the
+    // EXACT nearest-rank percentiles — hash-gateable against the oracle's
+    // explicit rank computation; binary-exact probs (1/4, 1/2, 3/4) keep
+    // ceil(p·n) identical whether p is a double (Spark) or decimal (DuckDB).
+    // The compaction path (bounded memory, merge-order error band) is
+    // spec-covered in QuantileSketchSpec
+    "q_quantile_sketch" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KllSketch.kll_quantiles(
+          col("value"), Seq(0.25, 0.5, 0.75), k = 1 << 17).as("q"))
+        .select(col("event_type"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"))
+        .orderBy(col("event_type"))),
+
     // exact distinct counts — the hash-gated twin of q_approx_distinct
     "q_exact_distinct" -> ((s, dir) =>
       Tables.streamData(s, dir)
@@ -2436,6 +2454,21 @@ object SparkEntry {
            |       CAST(count(DISTINCT publisher_id) AS BIGINT) AS exact_publishers,
            |       CAST(count(DISTINCT stream_partition) AS BIGINT) AS exact_parts
            |FROM stream_data GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the sketch runs uncompacted at gate scale, so its output is the
+      // plain nearest-rank percentile — computed here explicitly (smallest
+      // value whose rank reaches ceil(p*n)) rather than via quantile_disc,
+      // whose rank convention differs
+      "q_quantile_sketch" ->
+        """WITH r AS (SELECT event_type, value,
+          |             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+          |             count(*) OVER (PARTITION BY event_type) AS n
+          |           FROM events)
+          |SELECT event_type,
+          |       min(CASE WHEN rk >= greatest(1, ceil(0.25 * n)) THEN value END) AS p25,
+          |       min(CASE WHEN rk >= greatest(1, ceil(0.5 * n)) THEN value END) AS p50,
+          |       min(CASE WHEN rk >= greatest(1, ceil(0.75 * n)) THEN value END) AS p75
+          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q_event_pagerank" -> pageRankSql,
 

@@ -79,6 +79,21 @@ object GraftExtensions {
         }.toSeq
         CentroidRank(args.head, table)
       }),
+    (FunctionIdentifier("kll_quantiles"),
+      info("kll_quantiles",
+        "kll_quantiles(v, probs, k) - mergeable KLL quantile sketch of a double column; " +
+          "probs a foldable array<double> literal, k the compactor capacity"),
+      { args =>
+        require(args.size == 3, "kll_quantiles(value, probs, k)")
+        val pexpr = args(1)
+        require(pexpr.foldable, "kll_quantiles probs must be a foldable array<double> literal")
+        val arr = pexpr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val probs = (0 until arr.numElements()).map(arr.getDouble).toSeq
+        val kexpr = args(2)
+        require(kexpr.foldable, "kll_quantiles k must be a literal")
+        QuantileSketchAgg(args.head, probs,
+          kexpr.eval().asInstanceOf[Number].intValue())
+      }),
     (FunctionIdentifier("zorder2"),
       info("zorder2",
         "zorder2(x, y) - Morton interleave of two bigint dims in [0, 2^31) into a 62-bit z-value"),

@@ -20,6 +20,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 100)
   }
 
+  test("SQL kll_quantiles aggregates with a foldable probs literal") {
+    GraftExtensions.register(spark)
+    val q = spark.sql(
+      """SELECT kll_quantiles(CAST(id AS DOUBLE), array(0.5D, 0.9D), 4096) AS q
+        |FROM range(1, 101)""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    assert(q == Seq(50.0, 90.0)) // exact nearest-rank: k > n, no compaction
+  }
+
   test("SQL md5_int matches the declarative conv(substring(md5)) form") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
