@@ -499,6 +499,17 @@ object SparkEntry {
         .orderBy(col("lang"), col("sample_rank"))
     }),
 
+    // temperature (α=0.5) sampling: per-language targets ∝ √count scaled
+    // to the same 60% budget — integer-exact via scaled isqrt weights
+    "q_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val budget = docs.count() * 6L / 10L
+      graft.operators.Sampling.temperatureSample(docs,
+        col("doc_id"), col("lang"), budget)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
     // per-source quota cap: top-10 docs per source by n_chars — the
     // head-domain guard; WindowGroupLimit keeps skewed sources streaming
     "q_source_quota" -> ((s, dir) =>
@@ -538,6 +549,21 @@ object SparkEntry {
     "q_shard_balance" -> ((s, dir) =>
       graft.operators.Packing.shardBalance(docsParallel(s, dir), shards = 7)
         .orderBy(col("doc_id"))),
+
+    // corpus snapshot diff: added/removed/changed/unchanged between two
+    // releases by content digest — one digest-only full outer join; the
+    // synthetic v2 drops ids %7, edits %11, republishes %13 under new ids
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val kept = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.snapshotDiff(docs, kept.unionByName(added), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
 
     // incremental dedup: one snapshot flagged against the existing corpus
     // (increment = the last-10%-of-ids tail plus re-published copies of the
@@ -1973,6 +1999,33 @@ object SparkEntry {
           |FROM rk JOIN t ON rk.lang = t.lang WHERE sample_rank <= t.alloc
           |ORDER BY rk.lang, rk.sample_rank""".stripMargin,
 
+      // temperature sampling: the identical scaled integer square root
+      // (double seed, ±1 adjustment — exact within 2^53, which n·10^6 is
+      // at gate scale), then integer targets and the same salted ranks
+      "q_temperature" ->
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+          |w0 AS (SELECT lang, n, n * 1000000 AS x,
+          |         CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS t0
+          |       FROM c),
+          |w1 AS (SELECT lang, n,
+          |         CASE WHEN (t0 + 1) * (t0 + 1) <= x THEN t0 + 1
+          |              WHEN t0 * t0 > x THEN t0 - 1
+          |              ELSE t0 END AS w
+          |       FROM w0),
+          |t AS (SELECT lang,
+          |        least(n, CAST(((SELECT (count(*) * 6) // 10 FROM documents) * w)
+          |                        // (SELECT sum(w) FROM w1) AS BIGINT)) AS k
+          |      FROM w1),
+          |r AS (SELECT doc_id, lang,
+          |        ('0x' || substr(md5('tp0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |      FROM documents),
+          |rk AS (SELECT doc_id, lang,
+          |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+          |       FROM r)
+          |SELECT rk.doc_id, rk.lang, rk.sample_rank
+          |FROM rk JOIN t ON rk.lang = t.lang WHERE sample_rank <= t.k
+          |ORDER BY rk.lang, rk.sample_rank""".stripMargin,
+
       // per-source top-k by n_chars, ties on doc_id — the engine's
       // WindowGroupLimit plan must equal the plain ranked subselect
       "q_source_quota" ->
@@ -2051,6 +2104,26 @@ object SparkEntry {
           |  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
           |SELECT doc_id, lang, shard, pack_id, pack_offset, n_tokens
           |FROM p ORDER BY doc_id""".stripMargin,
+
+      // snapshot diff: identical digest-only full outer join over the same
+      // synthetic v2 construction
+      "q_corpus_diff" ->
+        """WITH curr AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+          |p AS (SELECT doc_id, md5(text) AS prev_hash FROM documents),
+          |c AS (SELECT doc_id, md5(text) AS curr_hash FROM curr)
+          |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+          |       CASE WHEN p.doc_id IS NULL THEN 'added'
+          |            WHEN c.doc_id IS NULL THEN 'removed'
+          |            WHEN prev_hash = curr_hash THEN 'unchanged'
+          |            ELSE 'changed' END AS status,
+          |       prev_hash, curr_hash
+          |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+          |ORDER BY doc_id""".stripMargin,
 
       // incremental dedup: exact via corpus-distinct md5 semi-join, near
       // via the bipartite shared-shingle join — mirrors incrementalFlags

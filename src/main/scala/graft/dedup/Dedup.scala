@@ -909,4 +909,32 @@ object Dedup {
           s => s.getField("chunk_text")), " ").as("clean_text"))
     if (dropEmptied) out.filter(col("n_kept") > 0) else out
   }
+
+  /** Corpus snapshot diff: classify every document across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged` by content
+    * hash — the audit step between training-data releases ("what moved
+    * between v3 and v4?") that gates incremental re-processing: only
+    * `added`+`changed` need re-scoring/deduplication, and `removed` feeds
+    * tombstones to downstream indexes.
+    *
+    * Shape: each side reduces to (key, md5(content)) map-side, then ONE
+    * full outer join on the key. At 100 TB that is the minimal possible
+    * data movement for a diff — two key-partitioned exchanges carrying a
+    * 32-char digest per document instead of documents — and AQE handles
+    * any key skew like ordinary join skew. md5, not `hash()`/xxhash64, so
+    * any engine (and any prior snapshot's stored digest) reproduces the
+    * same verdicts. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame, key: String,
+      content: Column): DataFrame = {
+    val p = prev.select(col(key).as("k"), md5(content).as("prev_hash"))
+    val c = curr.select(col(key).as("k"), md5(content).as("curr_hash"))
+    p.join(c, Seq("k"), "full_outer")
+      .select(
+        col("k").as(key),
+        when(col("prev_hash").isNull, lit("added"))
+          .when(col("curr_hash").isNull, lit("removed"))
+          .when(col("prev_hash") === col("curr_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("prev_hash"), col("curr_hash"))
+  }
 }

@@ -246,6 +246,66 @@ object Sampling {
       .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
   }
 
+  /** Temperature (α) sampling: per-stratum targets proportional to
+    * `count^alpha`, scaled to a total budget — the multilingual-pretraining
+    * standard between proportional (α=1, head languages dominate) and
+    * uniform (α=0, tail languages oversampled); α=0.5 is the mBERT/XLM-R
+    * convention, [[unimaxSample]] the fairness-capped alternative.
+    *
+    * Cross-engine determinism with a fractional power: α is fixed at 0.5,
+    * and sqrt is evaluated as an EXACT integer square root of the scaled
+    * count — `w_s = isqrt(n_s · 10^6)` — so weights, their sum, and each
+    * target `min(n_s, B·w_s / Σw)` are pure integer arithmetic: no libm,
+    * no float summation order, nothing for two engines to disagree on.
+    * (The 10^6 scale preserves ≥3 significant digits of the ratio even
+    * for 1-document strata — far below the granularity a document budget
+    * can express — while `n·10^6` stays inside int64 for per-stratum
+    * counts up to 9.2 trillion documents.) Targets
+    * clamp at the stratum's size (α < 1 over-allocates scarce strata);
+    * the clamp loses budget rather than oversampling — callers wanting
+    * exact-budget fairness use [[unimaxSample]].
+    *
+    * Scale shape: identical to [[unimaxSample]] — metadata-sized count
+    * collect, one window shuffle, WindowGroupLimit pruning. */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+      budget: Long, salt: String = "tp0"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (s, n) => (n, s) }
+    if (counts.isEmpty) return df.filter(lit(false))
+      .withColumn("sample_rank", lit(0L))
+    val weights = counts.map { case (s, n) => (s, n, isqrt(n * 1000000L)) }
+    val totalW = weights.map(_._3).sum
+    val targets = weights.map { case (s, n, w) =>
+      s -> math.min(n, (BigInt(budget) * w / totalW).toLong)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.text.TextAnalysis.md5Int60(
+      concat(lit(s"$salt:"), key.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h, key)
+    val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    val maxK = targets.map(_._2).max
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
+  }
+
+  /** Exact integer square root: floor(√x). Seeded from the double sqrt
+    * (correctly rounded, so at most one off at 2^53-scale integers) and
+    * nudged to the true floor — the same two-branch adjustment the SQL
+    * oracle applies, so both engines land on identical integers. */
+  private[graft] def isqrt(x: Long): Long = {
+    require(x >= 0)
+    var t = math.sqrt(x.toDouble).toLong
+    // BigInt comparisons: t² brushes int64 range for x near Long.MaxValue
+    while (t > 0 && BigInt(t) * BigInt(t) > x) t -= 1
+    while (BigInt(t + 1) * BigInt(t + 1) <= x) t += 1
+    t
+  }
+
   /** Deterministic train/val/test split assignment: hash the row key into
     * [0, total) where total = Σ weights, and label by cumulative range.
     * The same row lands in the same split on every engine and every run —

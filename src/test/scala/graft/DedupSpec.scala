@@ -461,4 +461,18 @@ class DedupSpec extends SparkSpec {
     assert(contamRows(Dedup.contaminationPairsBloom(c, b, bloomBits = 64)) ==
       contamRows(Dedup.contaminationPairs(c, b)))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged by content digest") {
+    val prev = docsOf((1L, "same text"), (2L, "old text"), (3L, "gone"))
+    val curr = docsOf((1L, "same text"), (2L, "new text"), (4L, "fresh"))
+    val out = Dedup.snapshotDiff(prev, curr, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // the diff plan carries digests, not documents: no text column survives
+    // past the per-side projection
+    val plan = Dedup.snapshotDiff(prev, curr, "doc_id", col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -149,6 +149,33 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.size == 500)
   }
 
+  test("temperatureSample: targets ∝ √count, clamped at stratum size, integer-exact") {
+    val s = spark
+    import s.implicits._
+    // 900 en / 100 de, budget 400: w = isqrt(n·10^6) → en 30000, de 10000
+    // en: 400·30000/40000 = 300; de: 400·10000/40000 = 100 (= its size)
+    val corpus = ((0L until 900L).map((_, "en"))
+      ++ (900L until 1000L).map((_, "de")))
+      .toDF("doc_id", "lang")
+    val byLang = Sampling.temperatureSample(corpus, col("doc_id"), col("lang"), 400L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 300L, "de" -> 100L))
+    // α=0.5 flattens vs proportional: de gets 25% of the kept set from
+    // 10% of the data; clamp: a huge budget cannot oversample
+    val clamped = Sampling.temperatureSample(corpus, col("doc_id"), col("lang"), 100000L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clamped == Map("en" -> 900L, "de" -> 100L))
+    // isqrt is the exact floor square root, including near-boundary values
+    assert(Sampling.isqrt(0L) == 0L && Sampling.isqrt(1L) == 1L)
+    assert(Sampling.isqrt(3L) == 1L && Sampling.isqrt(4L) == 2L)
+    assert(Sampling.isqrt(999999L) == 999L && Sampling.isqrt(1000000L) == 1000L)
+    val big = 3037000499L // isqrt(Long.MaxValue)
+    assert(Sampling.isqrt(Long.MaxValue) == big)
+    assert(Sampling.isqrt(big * big) == big && Sampling.isqrt(big * big - 1L) == big - 1L)
+  }
+
   test("quotaCap: k per big source, small sources whole, quality wins") {
     val s = spark
     import s.implicits._
