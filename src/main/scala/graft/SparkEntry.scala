@@ -781,6 +781,57 @@ object SparkEntry {
             .as("approx_parts"))
         .orderBy(col("stream_id"))),
 
+    // per-user triangle participation over the purchase co-occurrence
+    // graph — degree-ordered (compact-forward) enumeration, each triangle
+    // found once and attributed to its three corners. 15-minute blocks:
+    // the density knob — hour blocks multiply triangles ~28× at sf0.1
+    "q_triangles" -> ((s, dir) => {
+      val purch = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_millis(col("ts").cast("timestamp")).as("tms"))
+        .select(col("user_id"), expr("tms div 900000").as("h"))
+      graft.operators.Graph.triangleCounts(
+        graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"))
+        .orderBy(col("node"))
+    }),
+
+    // incremental aggregate maintenance: stats bootstrapped on days < 20,
+    // merged with the day >= 20 delta — the gate asserts the merge is
+    // bit-identical to a from-scratch recompute (the oracle)
+    "q_incr_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-20").cast("timestamp_ntz")
+      val base = graft.operators.IncrementalAgg.partialStats(
+        ev.filter(col("ts") < cut), Seq("event_type"), "value")
+      val delta = graft.operators.IncrementalAgg.partialStats(
+        ev.filter(col("ts") >= cut), Seq("event_type"), "value")
+      graft.operators.IncrementalAgg.merge(base, delta, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
+    // data-quality gate: one-scan row rules + an FK orphan anti-join —
+    // the per-snapshot contract check thresholded before publishing
+    "q_dq" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.operators.Quality.rowChecks(li, Seq(
+        "discount_rate" -> (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+        "price_positive" -> (col("l_extendedprice") > 0.0),
+        "quantity_range" -> (col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .unionByName(graft.operators.Quality.fkOrphans(
+          li, "l_orderkey", Tables.orders(s, dir), "o_orderkey", "orderkey_fk"))
+        .orderBy(col("check_name"))
+    }),
+
+    // one-scan table profile: per-column rows/nulls/ndv/typed min-max —
+    // the ANALYZE-grade stats panel; single agg pass unpivoted via stack
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(Tables.events(s, dir),
+        numericCols = Seq("event_id", "user_id", "value"),
+        stringCols = Seq("event_type", "props"))
+        .orderBy(col("col_name"))),
+
     // mergeable KLL quantile sketch per event type: with k above the group
     // size no compaction fires, so the one-pass mergeable sketch emits the
     // EXACT nearest-rank percentiles — hash-gateable against the oracle's
@@ -2527,6 +2578,85 @@ object SparkEntry {
            |       CAST(count(DISTINCT publisher_id) AS BIGINT) AS exact_publishers,
            |       CAST(count(DISTINCT stream_partition) AS BIGINT) AS exact_parts
            |FROM stream_data GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // triangles: the plain a<b<c triple join over the same edge set —
+      // order-canonical, so each triangle appears once, then corner union
+      "q_triangles" ->
+        """WITH n AS (SELECT DISTINCT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 AS h
+          |           FROM events WHERE event_type = 'purchase'),
+          |e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          |      FROM n x JOIN n y ON x.h = y.h AND x.user_id < y.user_id),
+          |t AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+          |      FROM e e1
+          |      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+          |u AS (SELECT v1 AS node FROM t
+          |      UNION ALL SELECT v2 FROM t
+          |      UNION ALL SELECT v3 FROM t)
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM u GROUP BY node ORDER BY node""".stripMargin,
+
+      // incremental agg: the oracle recomputes from scratch — integer
+      // fixed-point sums make merge-vs-recompute bit-identical
+      "q_incr_agg" ->
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+          |       min(value) AS min_v, max(value) AS max_v
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // data-quality: the same rules as aggregate CASE counts + anti-join
+      "q_dq" ->
+        """SELECT 'discount_rate' AS check_name, count(*) AS n_checked,
+          |       CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'price_positive', count(*),
+          |       CAST(sum(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT)
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'quantity_range', count(*),
+          |       CAST(sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 0 ELSE 1 END) AS BIGINT)
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'returnflag_domain', count(*),
+          |       CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT)
+          |FROM lineitem
+          |UNION ALL
+          |SELECT 'orderkey_fk', (SELECT count(*) FROM lineitem),
+          |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          |ORDER BY check_name""".stripMargin,
+
+      // profile: one UNION ALL arm per column with the same typed channels
+      "q_profile" ->
+        """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+          |       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+          |       CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+          |       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM events
+          |UNION ALL
+          |SELECT 'user_id', count(*),
+          |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |       CAST(count(DISTINCT user_id) AS BIGINT),
+          |       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+          |       NULL, NULL FROM events
+          |UNION ALL
+          |SELECT 'value', count(*),
+          |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |       CAST(count(DISTINCT value) AS BIGINT),
+          |       min(value), max(value), NULL, NULL FROM events
+          |UNION ALL
+          |SELECT 'event_type', count(*),
+          |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |       CAST(count(DISTINCT event_type) AS BIGINT),
+          |       NULL, NULL, min(event_type), max(event_type) FROM events
+          |UNION ALL
+          |SELECT 'props', count(*),
+          |       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |       CAST(count(DISTINCT props) AS BIGINT),
+          |       NULL, NULL, min(props), max(props) FROM events
+          |ORDER BY col_name""".stripMargin,
 
       // the sketch runs uncompacted at gate scale, so its output is the
       // plain nearest-rank percentile — computed here explicitly (smallest

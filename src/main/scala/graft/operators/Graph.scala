@@ -69,4 +69,57 @@ object Graph {
     }
     ranks
   }
+
+  /** Co-occurrence edges: distinct user pairs (a < b) active in the same
+    * `block` (an hour, a session, a document …). The block is the
+    * fan-out bound: pairs per block grow quadratically in block
+    * occupancy, so blocks must be chosen fine enough that the hottest
+    * block stays small — the identical knob as dedup blocking, and the
+    * reason this never degenerates into the all-pairs user join. */
+  def cooccurrenceEdges(nodes: DataFrame, node: String, block: String): DataFrame = {
+    val d = nodes.select(col(node), col(block)).distinct()
+    d.as("x").join(d.as("y"),
+        col(s"x.$block") === col(s"y.$block") &&
+          col(s"x.$node") < col(s"y.$node"))
+      .select(col(s"x.$node").as("a"), col(s"y.$node").as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation over an undirected edge set (rows
+    * (a, b) with a < b, no duplicates) — the clustering-structure signal
+    * behind community pruning and bot-ring detection in crawl curation.
+    *
+    * Degree-ordered enumeration (the classic compact-forward shape):
+    * orient every edge from its lower-(degree, id) endpoint, build wedges
+    * by joining oriented edges on their source, and close each wedge with
+    * one more oriented-edge lookup. Every triangle is found exactly once,
+    * and the wedge fan-out per node is its ORIENTED out-degree — O(√m)
+    * regardless of raw degree skew, which is what keeps a celebrity node
+    * from exploding the join at 100 TB. Three shuffles total (degrees,
+    * wedge join, closing join); each found triangle attributes to its
+    * three corners via one explode + count. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orientation key: (degree, id) — total order, ties impossible
+    val keyed = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        struct(col("da").as("d"), col("a").as("v")).as("ka"),
+        struct(col("db").as("d"), col("b").as("v")).as("kb"))
+    val oriented = keyed.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.src").as("corner"),
+        col("e1.dst").as("u"), col("e2.dst").as("w"))
+    val closing = oriented.select(col("src").as("u"), col("dst").as("w"))
+    wedges.join(closing, Seq("u", "w"))
+      .select(explode(array(col("corner"), col("u"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiler — the `ANALYZE TABLE`-grade statistics panel every data
+  * pipeline runs before (and after) a transformation: per column, the row
+  * count, null count, distinct count, and typed min/max. Drives skew
+  * decisions (ndv vs rows → join strategy), data-quality monitoring
+  * (null/ndv drift between snapshots via [[graft.dedup.Dedup.snapshotDiff]]
+  * on the profile), and optimizer-statistics export.
+  *
+  * One scan: all per-column aggregates evaluate in a single `agg` pass
+  * and the wide single row is unpivoted to one row per column with
+  * `stack` — a metadata-sized result regardless of input size. Min/max
+  * are emitted in TYPED channels (`min_num`/`max_num` for numerics,
+  * `min_str`/`max_str` for strings) rather than stringified — engines
+  * disagree on number/timestamp formatting, and a profile that will be
+  * diffed across engines must not depend on it.
+  *
+  * Distinct counts: `exact = true` uses `count_distinct` (Catalyst plans
+  * one Expand over the scan — fine at gate scale, heavy at 100 TB);
+  * `exact = false` (the at-scale default) swaps in
+  * `approx_count_distinct` (HLL++, no Expand, map-side combinable) with
+  * everything else unchanged.
+  */
+object Profile {
+
+  def profile(df: DataFrame, numericCols: Seq[String], stringCols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns to profile")
+    def ndv(c: Column): Column =
+      if (exact) count_distinct(c) else approx_count_distinct(c)
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+        (numericCols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+            ndv(col(c)).as(s"__ndv_$c"),
+            min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c"))
+        } ++ stringCols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+            ndv(col(c)).as(s"__ndv_$c"),
+            min(col(c)).as(s"__min_$c"),
+            max(col(c)).as(s"__max_$c"))
+        })
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // stack(n, label1, cols1..., label2, cols2...): one output row per column
+    val numArms = numericCols.map { c =>
+      s"'$c', `__nulls_$c`, `__ndv_$c`, `__min_$c`, `__max_$c`, " +
+        "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+    }
+    val strArms = stringCols.map { c =>
+      s"'$c', `__nulls_$c`, `__ndv_$c`, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+        s"`__min_$c`, `__max_$c`"
+    }
+    val arms = (numArms ++ strArms).mkString(", ")
+    val n = numericCols.length + stringCols.length
+    wide.selectExpr("__n AS n_rows",
+      s"stack($n, $arms) AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
+      .select(col("col_name"), col("n_rows"),
+        col("n_nulls").cast("long"), col("n_distinct").cast("long"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
+}

@@ -60,4 +60,32 @@ class GraphSpec extends SparkSpec {
     // y is a sink (no out-edges): x receives base only after iter 1
     assert(a("x") == 150000000L)
   }
+
+  private def undirected(rows: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("a", "b")
+  }
+
+  test("triangleCounts: each triangle once, attributed to all three corners") {
+    // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4)
+    val e = undirected((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val out = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // pendant node in no triangle is absent; a plain path has none
+    assert(Graph.triangleCounts(undirected((1L, 2L), (2L, 3L))).count() == 0L)
+  }
+
+  test("cooccurrenceEdges: distinct a<b pairs per block, multi-block dedup") {
+    val s = spark
+    import s.implicits._
+    val nodes = Seq((1L, "h1"), (2L, "h1"), (3L, "h1"), (1L, "h2"), (2L, "h2"),
+      (2L, "h1") /* duplicate activity row */)
+      .toDF("u", "blk")
+    val out = Graph.cooccurrenceEdges(nodes, "u", "blk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) co-occurs in both blocks but appears once
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
