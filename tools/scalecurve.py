@@ -16,7 +16,8 @@ PAIR_PRODUCING = {
     "q_contamination", "q_contamination_fuzzy", "q_contamination_bloom",
     "q_dedup_incremental", "q_dedup_incremental_capped",
     "q_dup_clusters", "q_dup_spans", "q_segment_dedup",
-    "q_sorted_neighborhood",
+    "q_sorted_neighborhood", "q_weighted_jaccard", "q_prefix_filter",
+    "q_qgram_edit", "q_triangles", "q_interval",
 }
 
 
