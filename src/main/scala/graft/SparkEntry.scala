@@ -810,6 +810,13 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // equi-width value histogram over a pinned domain — bucket-aligned
+    // across snapshots, out-of-domain mass surfaced as overflow rows
+    "q_histogram" -> ((s, dir) =>
+      graft.operators.Profile.histogram(Tables.events(s, dir),
+        "value", lo = 0.0, hi = 500.0, bins = 20)
+        .orderBy(col("bucket"))),
+
     // data-quality gate: one-scan row rules + an FK orphan anti-join —
     // the per-snapshot contract check thresholded before publishing
     "q_dq" -> ((s, dir) => {
@@ -2604,6 +2611,21 @@ object SparkEntry {
           |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
           |       min(value) AS min_v, max(value) AS max_v
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // histogram: identical bucket chain (multiply before divide) and
+      // edge arithmetic
+      "q_histogram" ->
+        """WITH b AS (
+          |  SELECT CASE WHEN value < 0.0 THEN -1
+          |              WHEN value >= 500.0 THEN 20
+          |              ELSE CAST(floor((value - 0.0) * 20.0 / (500.0 - 0.0)) AS BIGINT)
+          |         END AS bucket
+          |  FROM events WHERE value IS NOT NULL)
+          |SELECT bucket,
+          |       0.0 + bucket * (500.0 / 20) AS lo_edge,
+          |       0.0 + (bucket + 1) * (500.0 / 20) AS hi_edge,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
       // data-quality: the same rules as aggregate CASE counts + anti-join
       "q_dq" ->

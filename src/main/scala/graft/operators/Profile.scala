@@ -64,4 +64,34 @@ object Profile {
         col("n_nulls").cast("long"), col("n_distinct").cast("long"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
+
+  /** Equi-width histogram of a numeric column over the fixed domain
+    * `[lo, hi)` — the optimizer-statistics / drift-monitoring companion
+    * to [[profile]]. Bounds are explicit parameters rather than a min/max
+    * pre-pass: the caller pins the domain so histograms from different
+    * snapshots are bucket-aligned and diffable (a data-derived domain
+    * would re-bucket every run). Values outside the domain are counted in
+    * the `n_below`/`n_above` overflow rows (bucket -1 and `bins`) instead
+    * of silently clamped — out-of-range mass IS the drift signal.
+    *
+    * Bucket = `floor((v - lo) * bins / (hi - lo))`, the multiplication
+    * BEFORE the division pinned so any engine computes the identical IEEE
+    * chain. One map-side-combined aggregate; empty buckets are absent
+    * (the consumer left-joins a spine if it wants zeros). */
+  def histogram(df: DataFrame, value: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val v = col(value).cast("double")
+    val bucket = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(bins.toLong))
+      .otherwise(floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("long"))
+    df.filter(v.isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket").cast("double") * lit((hi - lo) / bins)).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1L).cast("double") * lit((hi - lo) / bins)).as("hi_edge"),
+        col("n"))
+  }
 }

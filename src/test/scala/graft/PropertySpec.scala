@@ -402,4 +402,80 @@ class PropertySpec extends SparkSpec {
       got == expect
     })
   }
+
+  test("interval join == brute-force BETWEEN filter for random points/intervals/widths") {
+    val s = spark
+    import s.implicits._
+    val genCase = for {
+      np <- Gen.choose(0, 12)
+      pts <- Gen.listOfN(np, for {
+        u <- Gen.choose(1L, 3L); t <- Gen.choose(-50L, 50L)
+      } yield (u, t))
+      ni <- Gen.choose(0, 8)
+      ivs <- Gen.listOfN(ni, for {
+        u <- Gen.choose(1L, 3L); a <- Gen.choose(-50L, 50L); len <- Gen.choose(-5L, 30L)
+      } yield (u, a, a + len))
+      w <- Gen.oneOf(1L, 3L, 7L, 16L, 100L)
+    } yield (pts, ivs, w)
+    holdsFewer(Prop.forAll(genCase) { case (pts, ivs, w) =>
+      val p = pts.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        .toDF("user_id", "ts", "pid")
+      val iv = ivs.zipWithIndex.map { case ((u, a, b), i) => (u, a, b, i.toLong) }
+        .toDF("user_id", "s0", "e0", "iid")
+      val got = graft.operators.IntervalJoin.joinPointsToIntervals(
+        p, iv, Seq("user_id"), "ts", "s0", "e0", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        ((u, t), i) <- pts.zipWithIndex
+        ((v, a, b), j) <- ivs.zipWithIndex
+        if u == v && t >= a && t <= b
+      } yield (i.toLong, j.toLong)).toSet
+      got == expect
+    })
+  }
+
+  test("unimax: per-stratum allocation sums to min(budget, corpus); never oversamples") {
+    val s = spark
+    import s.implicits._
+    val genCase = for {
+      sizes <- Gen.listOfN(3, Gen.choose(0, 30))
+      budget <- Gen.choose(1L, 80L)
+    } yield (sizes, budget)
+    holdsFewer(Prop.forAll(genCase) { case (sizes, budget) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (0 until n).map(i => ((si * 1000 + i).toLong, s"l$si"))
+      }
+      if (rows.isEmpty) true
+      else {
+        val got = graft.operators.Sampling.unimaxSample(
+          rows.toDF("doc_id", "lang"), col("doc_id"), col("lang"), budget)
+          .groupBy("lang").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bySize = sizes.zipWithIndex.map { case (n, si) => s"l$si" -> n.toLong }.toMap
+        val total = sizes.map(_.toLong).sum
+        got.values.sum == math.min(budget, total) &&
+          got.forall { case (l, k) => k <= bySize(l) }
+      }
+    })
+  }
+
+  test("KLL quantile rank error within the n/8 coarse bound for random values and k") {
+    val genCase = for {
+      n <- Gen.choose(1, 800)
+      vals <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+      k <- Gen.oneOf(16, 64, 256)
+      p <- Gen.oneOf(0.1, 0.5, 0.9)
+    } yield (vals, k, p)
+    holdsFewer(Prop.forAll(genCase) { case (vals, k, p) =>
+      val sk = new graft.functions.KllSketch(k)
+      vals.foreach(v => sk.insert(v.toDouble))
+      val est = sk.quantile(p)
+      val sorted = vals.sorted
+      val rank = sorted.count(_ .toDouble <= est)
+      val target = math.max(1L, math.ceil(p * vals.length).toLong)
+      // coarse engine-level sanity bound (the tight bound is KLL theory):
+      // the estimate's true rank is within n/8 + 1 of the target for k>=16
+      math.abs(rank - target) <= vals.length / 8 + 1
+    })
+  }
 }
