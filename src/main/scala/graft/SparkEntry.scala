@@ -459,6 +459,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split: assignment keyed on the duplicate CLUSTER, not
+    // the doc — near-duplicates can never straddle train/val, the eval
+    // contamination a doc-keyed split silently allows
+    "q_split_safe" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val cl = Dedup.dupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.1,
+          maxDocFrequency = Some(5)))
+      graft.operators.Sampling.splitAssign(
+        cl.select(col("doc_id"), col("cluster")),
+        col("cluster"), Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: membership recomputable from the
     // row key alone — no split table to store or join at corpus scale
     "q_split" -> ((s, dir) =>
@@ -1963,6 +1978,19 @@ object SparkEntry {
         s"""SELECT doc_id, $scrub AS scrubbed
            |FROM documents ORDER BY doc_id""".stripMargin
       },
+
+      // leakage-safe split: same recursive cluster chain, split hashed on
+      // the cluster id with q_split's exact md5 idiom
+      "q_split_safe" ->
+        (dupClusterCte +
+          """,
+            |cl AS (SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id),
+            |h AS (SELECT doc_id, cluster,
+            |        ('0x' || substr(md5('split0:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 10 AS hv
+            |      FROM cl)
+            |SELECT doc_id, cluster,
+            |       CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split
+            |FROM h ORDER BY doc_id""".stripMargin),
 
       "q_split" ->
         """WITH h AS (

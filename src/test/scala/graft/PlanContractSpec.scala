@@ -157,6 +157,44 @@ class PlanContractSpec extends SparkSpec {
       s"q_zorder planned a single-partition aggregate: $plan")
   }
 
+  test("temperature sampling prunes via WindowGroupLimit like unimax") {
+    val plan = planOf("q_temperature")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"q_temperature lost its two-sided WindowGroupLimit pruning: $plan")
+  }
+
+  test("profile and histogram aggregate with map-side partials, no join") {
+    Seq("q_profile", "q_histogram").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("partial"), s"$name lost its map-side combine: $plan")
+      assert(!plan.contains("Join"), s"$name grew an unexpected join: $plan")
+    }
+  }
+
+  test("corpus diff joins digests, not documents") {
+    // the only columns through any exchange are the key and the 32-char
+    // digests — the `text` column must be reduced to md5 BEFORE shuffling
+    val plan = planOf("q_corpus_diff")
+    val lines = plan.split("\n")
+    val joins = lines.indices.filter(i => lines(i).contains("Exchange hashpartitioning"))
+    assert(joins.size >= 2, s"q_corpus_diff lost its key-partitioned join:\n$plan")
+    joins.foreach { i =>
+      assert(lines(i).contains("(k#"),
+        s"q_corpus_diff exchange not keyed on the digest key:\n$plan")
+      // the exchange's direct child must already be digest-shaped: a
+      // Project computing md5, or the Union of two such projections
+      assert(lines(i + 1).contains("md5(") || lines(i + 1).contains("Union"),
+        s"q_corpus_diff ships document text through an exchange:\n$plan")
+    }
+  }
+
+  test("incremental agg merge is one key join over two partial aggregates") {
+    val plan = planOf("q_incr_agg")
+    assert(plan.contains("partial"), s"q_incr_agg lost map-side partials: $plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size >= 1, s"q_incr_agg lost its merge join: $plan")
+  }
+
   test("epoch order plans no single-partition exchange") {
     // the whole point of the bucket-offset construction: a global dense
     // rank WITHOUT row_number's Exchange SinglePartition bottleneck. The
