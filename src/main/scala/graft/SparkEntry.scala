@@ -825,6 +825,13 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // OHLC bars per (type, hour): open/close via one-pass min/max over a
+    // (ts, event_id, value) struct — total-order deterministic, no
+    // per-group sort
+    "q_ohlc" -> ((s, dir) =>
+      Relational.ohlcBars(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("hour_idx"))),
+
     // equi-width value histogram over a pinned domain — bucket-aligned
     // across snapshots, out-of-domain mass surfaced as overflow rows
     "q_histogram" -> ((s, dir) =>
@@ -2639,6 +2646,29 @@ object SparkEntry {
           |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
           |       min(value) AS min_v, max(value) AS max_v
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // OHLC: open/close replayed as first/last value in (tms, event_id)
+      // order — (tms, event_id) is unique, so this selects the same rows
+      // as the engine's lexicographic struct min/max
+      "q_ohlc" ->
+        """WITH e AS (SELECT event_type,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour_idx,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id, value
+          |           FROM events),
+          |w AS (SELECT event_type, hour_idx, value,
+          |        first_value(value) OVER (PARTITION BY event_type, hour_idx
+          |          ORDER BY tms, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+          |        last_value(value) OVER (PARTITION BY event_type, hour_idx
+          |          ORDER BY tms, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+          |      FROM e)
+          |SELECT event_type, hour_idx, any_value(open) AS open,
+          |       max(value) AS high, min(value) AS low,
+          |       any_value(close) AS close,
+          |       CAST(count(*) AS BIGINT) AS volume
+          |FROM w GROUP BY event_type, hour_idx
+          |ORDER BY event_type, hour_idx""".stripMargin,
 
       // histogram: identical bucket chain (multiply before divide) and
       // edge arithmetic

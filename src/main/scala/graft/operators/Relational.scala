@@ -225,6 +225,29 @@ object Relational {
     * engine), so subtotals are exact longs in any addition order; day is a
     * formatted string so no engine-specific date coercion enters the hash.
     */
+  /** OHLC bars: per (event_type, hour) the opening/closing values plus
+    * high/low/volume — the time-series bar rollup, computed in ONE
+    * aggregation pass: open/close are `min`/`max` over a `(ts, event_id,
+    * value)` struct (lexicographic struct ordering; `(ts, event_id)` is
+    * unique so the selected row — and therefore the value — is total-order
+    * deterministic on any engine), where a window formulation would pay a
+    * per-group sort. Map-side combinable, one shuffle on the bar key. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val tms = unix_millis(col("ts").cast("timestamp"))
+    events
+      .select(col("event_type"), col("event_id"), col("value"), tms.as("tms"))
+      .withColumn("hour_idx", expr("tms div 3600000"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(
+        min(struct(col("tms"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("tms"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("volume"))
+  }
+
   def eventRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
