@@ -839,6 +839,31 @@ object SparkEntry {
         "value", lo = 0.0, hi = 500.0, bins = 20)
         .orderBy(col("bucket"))),
 
+    // hopping windows: 10-min windows sliding every 5 min via Spark's
+    // NATIVE window(ts, width, slide) — each event expands into 2 windows
+    // map-side; the overlapping rollup tumbling bars can't express
+    "q_hopping" -> ((s, dir) =>
+      Relational.hoppingAgg(Tables.events(s, dir), widthMin = 10, slideMin = 5)
+        .orderBy(col("win_start_ms"), col("event_type"))),
+
+    // CCNet perplexity terciles: per-language head/middle/tail by LM
+    // score — value-threshold cutoffs from the distinct-score walk, the
+    // corpus never globally sorted
+    "q_ppl_bucket" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(docsParallel(s, dir)).orderBy(col("doc_id"))),
+
+    // BPE iteration-1 merge candidates: adjacent char pairs weighted by
+    // word frequency, top-50 — tokenizer training's first round; the
+    // iterative trainer is BpeSpec's hand-computed-merge coverage
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.text.Bpe.pairCounts(docsParallel(s, dir), topK = 50)),
+
+    // content-defined chunking: rolling-hash cut rule (native codegen),
+    // ~64-char expected chunks — the insertion-robust segmenter
+    "q_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(docsParallel(s, dir), w = 8, mask = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // data-quality gate: one-scan row rules + an FK orphan anti-join —
     // the per-snapshot contract check thresholded before publishing
     "q_dq" -> ((s, dir) => {
@@ -2684,6 +2709,97 @@ object SparkEntry {
           |       0.0 + (bucket + 1) * (500.0 / 20) AS hi_edge,
           |       CAST(count(*) AS BIGINT) AS n
           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      // hopping windows: a 10-min/5-min hop = UNION ALL of the two
+      // shifted 5-min tumbling assignments (each event in exactly 2
+      // windows, epoch-aligned like Spark's window() with startTime 0)
+      "q_hopping" ->
+        """WITH e AS (SELECT event_type,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+          |             CAST(floor(value * 1000000.0) AS BIGINT) AS vmicro
+          |           FROM events),
+          |w AS (SELECT (tms // 300000) * 300000 AS ws, event_type, vmicro FROM e
+          |      UNION ALL
+          |      SELECT (tms // 300000) * 300000 - 300000 AS ws, event_type, vmicro FROM e)
+          |SELECT ws AS win_start_ms, event_type, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(vmicro) AS BIGINT) AS value_sum_micro
+          |FROM w GROUP BY ws, event_type
+          |ORDER BY win_start_ms, event_type""".stripMargin,
+
+      // CCNet terciles: the q_lm_bits scoring chain, then value-threshold
+      // cutoffs from the cumulative walk over the (lang, score) counts
+      "q_ppl_bucket" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+          |         i -> t[i+1] || ' ' || t[i+2])) AS bigram
+          |       FROM toks WHERE len(t) >= 2),
+          |uni AS (SELECT unnest(t) AS tok FROM toks),
+          |c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+          |v AS (SELECT count(*) AS vocab FROM c1),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+          |b AS (SELECT doc_id,
+          |        (length(bin(c1.c1 + v.vocab)) - 1) - (length(bin(c12.c12 + 1)) - 1) AS bits
+          |      FROM bg
+          |      JOIN c12 USING (bigram)
+          |      JOIN c1 ON string_split(bigram, ' ')[1] = c1.tok
+          |      CROSS JOIN v),
+          |sc AS (SELECT doc_id,
+          |         CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+          |       FROM b GROUP BY doc_id),
+          |sl AS (SELECT sc.doc_id, d.lang, sc.mean_bits
+          |       FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+          |h AS (SELECT lang, mean_bits, count(*) AS c FROM sl GROUP BY lang, mean_bits),
+          |cw AS (SELECT lang, mean_bits,
+          |         sum(c) OVER (PARTITION BY lang ORDER BY mean_bits) AS cum,
+          |         sum(c) OVER (PARTITION BY lang) AS tot FROM h),
+          |co AS (SELECT lang,
+          |         min(CASE WHEN cum * 3 >= tot THEN mean_bits END) AS c1,
+          |         min(CASE WHEN cum * 3 >= tot * 2 THEN mean_bits END) AS c2
+          |       FROM cw GROUP BY lang)
+          |SELECT sl.doc_id, sl.lang, sl.mean_bits,
+          |       CASE WHEN sl.mean_bits <= co.c1 THEN 'head'
+          |            WHEN sl.mean_bits <= co.c2 THEN 'middle'
+          |            ELSE 'tail' END AS ppl_bucket
+          |FROM sl JOIN co USING (lang) ORDER BY doc_id""".stripMargin,
+
+      // BPE pair stats: word-frequency table, then every adjacent char
+      // pair weighted by word count; top-50 by (count DESC, pair ASC)
+      "q_bpe_pairs" ->
+        """WITH wt AS (SELECT w, count(*) AS wc FROM (
+          |         SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |       GROUP BY w),
+          |p AS (SELECT unnest(list_transform(range(1, CAST(length(w) AS BIGINT)),
+          |        i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wc
+          |      FROM wt WHERE length(w) >= 2)
+          |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+          |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+      // CDC chunks: the O(n·w) direct window sum replays the engine's
+      // O(n) rolling residues (B=31 powers mod 1e9+7, w=8, mask=64)
+      "q_cdc_chunks" ->
+        """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+          |b AS (SELECT doc_id, text, n,
+          |        list_filter(range(8, n + 1), i ->
+          |          (list_reduce(list_transform(range(0, 8),
+          |             j -> CAST(unicode(substr(text, CAST(i - j AS INTEGER), 1)) AS BIGINT)
+          |                  * ([1,31,961,29791,923521,28629151,887503681,512613922])[CAST(j + 1 AS INTEGER)]),
+          |            (a, b) -> a + b) % 1000000007) % 64 = 0) AS bounds
+          |      FROM d),
+          |s AS (SELECT doc_id, text,
+          |        list_prepend(CAST(0 AS BIGINT), bounds) AS starts,
+          |        CASE WHEN len(bounds) > 0 AND bounds[len(bounds)] = n THEN bounds
+          |             ELSE list_append(bounds, n) END AS ends
+          |      FROM b),
+          |c AS (SELECT doc_id, text,
+          |        unnest(list_transform(range(1, CAST(len(ends) + 1 AS BIGINT)),
+          |          k -> {'k': k, 's': starts[CAST(k AS INTEGER)],
+          |                'l': ends[CAST(k AS INTEGER)] - starts[CAST(k AS INTEGER)]})) AS sp
+          |      FROM s)
+          |SELECT doc_id, CAST(sp.k AS BIGINT) AS chunk_idx,
+          |       CAST(sp.s + 1 AS BIGINT) AS start_pos,
+          |       CAST(sp.l AS BIGINT) AS chunk_len,
+          |       md5(substr(text, CAST(sp.s + 1 AS INTEGER), CAST(sp.l AS INTEGER))) AS chunk_md5
+          |FROM c WHERE sp.l > 0 ORDER BY doc_id, chunk_idx""".stripMargin,
 
       // data-quality: the same rules as aggregate CASE counts + anti-join
       "q_dq" ->

@@ -937,4 +937,52 @@ object Dedup {
           .otherwise(lit("changed")).as("status"),
         col("prev_hash"), col("curr_hash"))
   }
+
+  /** Content-defined chunking: split each document at positions chosen by
+    * the text CONTENT (a rolling-hash cut rule — see
+    * [[graft.functions.CdcBoundaries]]) instead of at fixed strides. The
+    * property that matters for dedup: inserting one character into a
+    * document shifts every downstream fixed-stride segment (so
+    * [[segmentDedup]]'s hashes all change) but leaves every content-defined
+    * chunk after the edit's own chunk identical — chunk hashes stay
+    * shareable across document versions, which is what makes
+    * cross-snapshot segment dedup and delta storage work. Expected chunk
+    * length is `mask` characters.
+    *
+    * Output: one row per chunk — `(doc_id, chunk_idx, start_pos,
+    * chunk_len, chunk_md5)`, positions 1-based in code points. Documents
+    * shorter than `w` yield one whole-document chunk; empty documents
+    * yield none.
+    *
+    * Scale: a narrow map — the boundary scan is the O(n) native codegen
+    * expression, the span explode is per-row, and no shuffle happens at
+    * all until a downstream consumer groups by `chunk_md5` (which then
+    * shuffles 32-char digests, not text). */
+  def cdcChunks(docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame = {
+    val n = length(col("text"))
+    docs
+      .select(col("doc_id"), col("text"),
+        graft.functions.CdcBoundaries.cdc_boundaries(col("text"), w, mask)
+          .as("bounds"), n.as("n"))
+      .withColumn("starts", concat(array(lit(0)), col("bounds")))
+      .withColumn("ends",
+        when(size(col("bounds")) > 0 &&
+            element_at(col("bounds"), size(col("bounds"))) === col("n"),
+          col("bounds"))
+          .otherwise(concat(col("bounds"), array(col("n")))))
+      .withColumn("spans", filter(
+        transform(sequence(lit(1), size(col("ends"))),
+          k => struct(
+            element_at(col("starts"), k).as("s"),
+            (element_at(col("ends"), k) - element_at(col("starts"), k))
+              .as("l"))),
+        sp => sp.getField("l") > 0))
+      .select(col("doc_id"), col("text"), posexplode(col("spans")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        (col("col.s") + 1).cast("long").as("start_pos"),
+        col("col.l").cast("long").as("chunk_len"),
+        md5(col("text").substr(col("col.s") + 1, col("col.l")))
+          .as("chunk_md5"))
+  }
 }

@@ -259,4 +259,37 @@ object Relational {
         sum(col("vmicro")).as("value_sum_micro"))
       .select(col("gid"), col("event_type"), col("day"), col("n"),
         col("value_sum_micro"))
+
+  /** Hopping (sliding) window aggregation: count + value sum per
+    * `(window, event_type)` where windows are `widthMin` minutes wide and
+    * advance every `slideMin` minutes — the overlapping-window rollup the
+    * tumbling bars ([[ohlcBars]], the metrics hierarchy) cannot express.
+    * Uses Spark's NATIVE `window(ts, width, slide)` generator, so the same
+    * plan runs unchanged under Structured Streaming with a watermark (the
+    * hopping-rate alert path); each event lands in `width/slide` windows
+    * via a map-side expand — no self-join, no shuffle multiplier beyond
+    * the window fan-out factor.
+    *
+    * Determinism: the window start is epoch-aligned (startTime 0) and
+    * reported as epoch millis; value sums are the 1e-6 fixed-point longs
+    * of [[eventRollup]], exact in any addition order. Scale: one keyed
+    * shuffle on `(win_start, event_type)` after map-side partial
+    * aggregation of the expanded rows — the fan-out factor (width/slide)
+    * is the only cost multiplier, and it is a constant chosen by the
+    * caller, not data-dependent. */
+  def hoppingAgg(events: DataFrame, widthMin: Int = 10,
+      slideMin: Int = 5): DataFrame = {
+    require(widthMin % slideMin == 0,
+      s"width must be a multiple of slide: $widthMin / $slideMin")
+    events
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vmicro"))
+      .groupBy(
+        window(col("ts"), s"$widthMin minutes", s"$slideMin minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vmicro")).as("value_sum_micro"))
+      .select(
+        unix_millis(col("window.start").cast("timestamp")).as("win_start_ms"),
+        col("event_type"), col("n"), col("value_sum_micro"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer-training support (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * pre-training pipeline stage the corpus operators feed: BPE trains on
+  * the WORD-FREQUENCY table, not the corpus, so after one corpus-sized
+  * aggregation every further round is bounded by vocabulary size. That
+  * asymmetry is the whole scale story: at 100 TB the `(word, count)`
+  * table is millions of rows where the corpus is trillions of tokens, and
+  * the iterative merge loop never touches the corpus again.
+  *
+  * Pair statistics are exact integer counts (word count × occurrences),
+  * so ranking and tie-breaks are engine-independent: best pair = highest
+  * count, then lexicographically smallest `(left, right)`.
+  */
+object Bpe {
+
+  /** The word-frequency table: one corpus-sized aggregation, map-side
+    * combined, keyed shuffle on the word. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** BPE iteration-1 pair statistics straight off the corpus: every
+    * adjacent character pair of every word, weighted by word frequency —
+    * the merge-candidate ranking the trainer's first round consumes, and
+    * the gateable (single-round, closed-form) face of BPE training.
+    * Overlapping pairs all count (`"aaa"` yields `aa` twice), matching
+    * the standard formulation.
+    *
+    * Scale: word counts shuffle once on the word; the pair expansion runs
+    * over the VOCABULARY table (not the corpus), and the top-K is a
+    * TakeOrdered — no global sort. */
+  def pairCounts(docs: DataFrame, topK: Int = 50): DataFrame =
+    wordCounts(docs)
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+
+  /** One recorded merge: `left + right -> merged` with its pair count at
+    * selection time. The merge list IS the trained tokenizer. */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, n: Long)
+
+  private def pairStats(seg: DataFrame): DataFrame =
+    seg.filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(
+          element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wc")).as("n"))
+
+  /** Apply one merge to a symbol array with BPE's greedy left-to-right,
+    * non-overlapping semantics (`aaa` under merge `(a,a)` → `[aa, a]`):
+    * a fold that either glues `x` onto a matching last symbol or appends. */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val merged = a + b
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, size(acc)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** The iterative trainer: `numMerges` rounds of count-pairs →
+    * pick-best → re-segment, all over the cached vocabulary table.
+    * Returns the ordered merge list and the final segmentation
+    * `(w, wc, syms)`. Stops early when no pair remains.
+    *
+    * Driver state is the merge list itself — `numMerges` rows, the
+    * bounded-model-state pattern (centroids, bloom words) — plus a 1-row
+    * argmax collect per round. Each round re-segments the vocab table and
+    * `localCheckpoint`s it (the [[graft.dedup.Dedup]] iterative-plan
+    * discipline: lineage stays O(1), the previous round's cache is
+    * released). */
+  def train(docs: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
+    var seg = wordCounts(docs)
+      .withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val best = pairStats(seg)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val r = best(0)
+        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += Merge(rank, a, b, a + b, n)
+        val next = seg.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        seg.unpersist()
+        seg = next
+        rank += 1
+      }
+    }
+    (merges.result(), seg)
+  }
+}

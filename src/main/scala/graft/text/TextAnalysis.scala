@@ -484,6 +484,49 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * per language, split the corpus into head / middle / tail terciles by
+    * LM score — low surprisal (fluent, Wikipedia-like) is `head`, high
+    * surprisal (noise, boilerplate, OOV soup) is `tail`. The canonical
+    * relative quality filter: downstream pipelines keep head+middle, or
+    * sample the terciles at different rates.
+    *
+    * Tercile boundaries are VALUE thresholds, not row ranks: `c1` is the
+    * smallest score whose cumulative doc count reaches ⌈n/3⌉, `c2` the
+    * smallest reaching ⌈2n/3⌉; docs with equal scores always share a
+    * bucket (CCNet's own percentile-threshold semantics). That definition
+    * is what makes the shape scale: the corpus is never globally sorted —
+    * the cumulative walk runs over the per-`(lang, score)` COUNT table
+    * (bounded by distinct scores, aggregated map-side before its one keyed
+    * shuffle), and the 2-cutoff-per-language result broadcasts back onto
+    * the corpus as a range comparison. At 100 TB the distinct-score table
+    * can be coarsened by pre-binning the score before the walk; the
+    * per-document scan stays untouched either way.
+    *
+    * Scores are [[lmBits]] `mean_bits` — exact integer sums divided once,
+    * so the doubles (and therefore every `<=` against the cutoffs) are
+    * bit-identical across engines. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmBits(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val hist = scored.groupBy(col("lang"), col("mean_bits"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("mean_bits"))))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val cutoffs = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") * 3 >= col("tot"), col("mean_bits"))).as("c1"),
+      min(when(col("cum") * 3 >= col("tot") * 2, col("mean_bits"))).as("c2"))
+    scored.join(broadcast(cutoffs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_bits"),
+        when(col("mean_bits") <= col("c1"), lit("head"))
+          .when(col("mean_bits") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Word-association mining: the top-K bigrams by pointwise mutual
     * information (Church & Hanks 1990, "Word association norms, mutual
     * information, and lexicography"), the classic collocation detector —

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+  }
+
+  // the Sennrich walkthrough corpus: low×5 lower×2 newest×6 widest×3
+  private def sennrich = docsOf(
+    (1L, Seq.fill(5)("low").mkString(" "), "en", "s"),
+    (2L, Seq.fill(2)("lower").mkString(" "), "en", "s"),
+    (3L, Seq.fill(6)("newest").mkString(" "), "en", "s"),
+    (4L, Seq.fill(3)("widest").mkString(" "), "en", "s"))
+
+  test("pairCounts: overlapping pairs, word-frequency weighting, ordering") {
+    val out = Bpe.pairCounts(docsOf(
+      (1L, "aaa aaa bb", "en", "s")), topK = 10).collect()
+    // "aaa"×2 contributes pair "aa" twice per occurrence -> 4; "bb" once
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("aa", 4L), ("bb", 1L)))
+  }
+
+  test("pairCounts: the Sennrich corpus ranks (e,s)/(s,t) at 9 with lexicographic tie") {
+    val top = Bpe.pairCounts(sennrich, topK = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("es", 9L), ("st", 9L), ("we", 8L), ("lo", 7L)))
+  }
+
+  test("train: merge sequence es, est, lo, low on the Sennrich corpus") {
+    val (merges, seg) = Bpe.train(sennrich, numMerges = 4)
+    assert(merges.map(_.merged) == Seq("es", "est", "lo", "low"))
+    assert(merges.map(_.n) == Seq(9L, 9L, 7L, 7L))
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val segs = seg.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(segs("low") == List("low"))
+    assert(segs("lower") == List("low", "e", "r"))
+    assert(segs("newest") == List("n", "e", "w", "est"))
+    assert(segs("widest") == List("w", "i", "d", "est"))
+  }
+
+  test("train: greedy left-to-right non-overlapping merge (aaa -> [aa, a])") {
+    val (merges, seg) = Bpe.train(docsOf((1L, "aaa", "en", "s")), numMerges = 1)
+    assert(merges.map(_.merged) == Seq("aa"))
+    val syms = seg.collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(syms("aaa") == List("aa", "a"))
+  }
+
+  test("train: stops early when no pairs remain") {
+    val (merges, _) = Bpe.train(docsOf((1L, "ab ab", "en", "s")), numMerges = 5)
+    // after merging (a,b) every word is a single symbol — no further pairs
+    assert(merges.map(_.merged) == Seq("ab"))
+  }
+}

@@ -273,4 +273,40 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"candidate semi-join must broadcast the tiny candidate set: $plan")
   }
+
+  test("hopping windows: map-side window expand + partial agg, no join") {
+    val plan = planOf("q_hopping")
+    assert(plan.contains("partial"),
+      s"q_hopping lost its map-side partial aggregation: $plan")
+    assert(!plan.contains("Join"),
+      s"q_hopping must expand windows map-side, never via a join: $plan")
+  }
+
+  test("ppl buckets: cutoffs broadcast back onto the corpus, no global doc sort") {
+    val plan = planOf("q_ppl_bucket")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"q_ppl_bucket lost the broadcast cutoff join: $plan")
+    // the only Window node runs over the (lang, score) count table —
+    // its input must be an aggregate, never the raw per-document rows
+    assert(!plan.contains("CartesianProduct"), s"q_ppl_bucket cartesian: $plan")
+  }
+
+  test("bpe pair stats: vocabulary-table expansion, TakeOrdered top-k") {
+    val plan = planOf("q_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_bpe_pairs top-k must be TakeOrdered, not a global sort: $plan")
+    assert(plan.contains("partial"),
+      s"q_bpe_pairs lost its map-side combines: $plan")
+  }
+
+  test("cdc chunks: a pure narrow map — generate over the scan, no shuffle joins") {
+    val plan = planOf("q_cdc_chunks")
+    assert(plan.contains("Generate"),
+      s"q_cdc_chunks lost its span explode: $plan")
+    assert(!plan.contains("Join"), s"q_cdc_chunks grew a join: $plan")
+    // no aggregation/join exchange — the only allowed exchange is the
+    // output orderBy's rangepartitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q_cdc_chunks must not shuffle before the sink: $plan")
+  }
 }

@@ -165,4 +165,27 @@ class RelationalSpec extends SparkSpec {
     assert(plan.split("Scan parquet").length - 1 == 1,
       s"rollup must expand grouping sets over ONE scan:\n$plan")
   }
+
+  test("hoppingAgg: each event lands in width/slide epoch-aligned windows") {
+    val s = spark
+    import s.implicits._
+    // 12:03 -> windows starting 11:55 and 12:00; 12:07 -> 12:00 and 12:05
+    val base = 1704067200000L // 2024-01-01T00:00:00Z, a 10-min boundary
+    val ev = Seq(
+      (1L, base + 3 * 60000L, "click", 2.5),
+      (2L, base + 7 * 60000L, "click", 1.0))
+      .toDF("event_id", "tms", "event_type", "value")
+      .select($"event_id", timestamp_millis($"tms").cast("timestamp_ntz").as("ts"),
+        $"event_type", $"value")
+    val out = Relational.hoppingAgg(ev, widthMin = 10, slideMin = 5)
+      .orderBy("win_start_ms").collect()
+      .map(r => (r.getAs[Long]("win_start_ms"), r.getAs[Long]("n"),
+        r.getAs[Long]("value_sum_micro")))
+    assert(out.toSeq == Seq(
+      (base - 5 * 60000L, 1L, 2500000L),       // 11:55 window: event 1 only
+      (base, 2L, 3500000L),                    // 12:00 window: both
+      (base + 5 * 60000L, 1L, 1000000L)))      // 12:05 window: event 2 only
+    // total expanded mass = rows × (width/slide)
+    assert(out.map(_._2).sum == 2 * 2)
+  }
 }

@@ -346,4 +346,41 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(top1.toSeq == Seq(("m", "n")))
   }
+
+  test("pplBuckets matches the value-threshold tercile definition exactly") {
+    // a corpus with enough score spread: repeated fluent docs, one-off
+    // weird docs, two languages, plus exact-tie docs that must share a
+    // bucket whatever side of a cut they straddle
+    val docs = docsOf(
+      (1L, "the cat sat on the mat", "en", "s"),
+      (2L, "the cat sat on the mat", "en", "s"),
+      (3L, "the dog sat on the mat", "en", "s"),
+      (4L, "zq xv jk qp wm zz", "en", "s"),
+      (5L, "the cat ran to the dog", "en", "s"),
+      (6L, "mat the on sat cat the", "en", "s"),
+      (7L, "le chat est sur le tapis", "fr", "s"),
+      (8L, "le chien est sur le tapis", "fr", "s"),
+      (9L, "tapis le sur est chat le", "fr", "s"))
+    val got = TextAnalysis.pplBuckets(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("mean_bits"), r.getAs[String]("ppl_bucket")))
+    // driver-side reference: per lang, c1/c2 = smallest score whose
+    // cumulative count reaches 1/3 resp. 2/3 of docs; ties share buckets
+    val ref = got.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = rows.length
+      val byScore = rows.groupBy(_._3).toSeq.sortBy(_._1)
+      val cum = byScore.scanLeft(0)(_ + _._2.length).tail
+      val c1 = byScore(cum.indexWhere(_ * 3 >= n))._1
+      val c2 = byScore(cum.indexWhere(_ * 3 >= n * 2))._1
+      rows.toSeq.map(r => r._1 ->
+        (if (r._3 <= c1) "head" else if (r._3 <= c2) "middle" else "tail"))
+    }.toMap
+    assert(got.map(r => r._1 -> r._4).toMap == ref)
+    // identical docs (identical scores) always share a bucket
+    val byDoc = got.map(r => r._1 -> r._4).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    // every language has at least one head doc
+    assert(Set("en", "fr").forall(l =>
+      got.exists(r => r._2 == l && r._4 == "head")))
+  }
 }
