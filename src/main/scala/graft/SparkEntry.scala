@@ -398,6 +398,14 @@ object SparkEntry {
       Dedup.minhashLshPairs(docsParallel(s, dir), k = 3, numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // LSH S-curve measured, not assumed: per true-Jaccard decile, the
+    // fraction of exact pairs the 4x4 banding surfaced — the calibration
+    // gate for choosing (bands, rows) before a corpus-scale sweep
+    "q_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(docsParallel(s, dir), k = 3, numHashes = 16,
+        bands = 4, threshold = 0.2)
+        .orderBy(col("sim_decile"))),
+
     // weighted (multiset) Jaccard over 3-shingle bags: frequency-aware
     // near-dup pairs — repeated spans keep their mass (set Jaccard
     // saturates on self-repetition)
@@ -564,6 +572,22 @@ object SparkEntry {
     "q_shard_balance" -> ((s, dir) =>
       graft.operators.Packing.shardBalance(docsParallel(s, dir), shards = 7)
         .orderBy(col("doc_id"))),
+
+    // concat-and-chunk: the whole corpus as one doc_id-ordered token
+    // stream cut into 64-token examples crossing doc boundaries — the
+    // prefix sum is bucket-decomposed, never a single-partition window
+    "q_concat_chunk" -> ((s, dir) =>
+      graft.operators.Packing.concatChunk(
+        docsParallel(s, dir), seqLen = 64, buckets = 16)
+        .orderBy(col("doc_id"))),
+
+    // weighted sample w/o replacement, P ∝ n_chars: sequential Poisson
+    // ranks (Ohlsson 1998) from the salted md5 uniform — top-k by one
+    // exact IEEE division, reproducible on any engine
+    "q_seq_poisson" -> ((s, dir) =>
+      graft.operators.Sampling.sequentialPoisson(
+        Tables.documents(s, dir), col("doc_id"), col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"), col("pps_rank"))),
 
     // corpus snapshot diff: added/removed/changed/unchanged between two
     // releases by content digest — one digest-only full outer join; the
@@ -808,6 +832,22 @@ object SparkEntry {
         .select(col("user_id"), expr("tms div 900000").as("h"))
       graft.operators.Graph.triangleCounts(
         graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"))
+        .orderBy(col("node"))
+    }),
+
+    // synchronous label propagation (4 rounds) over the same purchase
+    // co-occurrence graph as q_triangles: integer counts + smallest-label
+    // tie-breaks make the rounds engine-reproducible, so the oracle is a
+    // recursive CTE replaying them exactly
+    "q_label_prop" -> ((s, dir) => {
+      val purch = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_millis(col("ts").cast("timestamp")).as("tms"))
+        .select(col("user_id"), expr("tms div 900000").as("h"))
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"),
+        rounds = 4)
         .orderBy(col("node"))
     }),
 
@@ -1864,6 +1904,37 @@ object SparkEntry {
            |JOIN sig sb ON doc_b = sb.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // LSH recall: exact-Jaccard truth (>= 0.2) left-joined against the
+      // band candidates, aggregated per similarity decile — both sides
+      // are the same CTEs as their standalone gates
+      "q_lsh_recall" ->
+        s"""$shingleCte,
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |       FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           |tr AS (SELECT doc_a, doc_b,
+           |         CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+           |       FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.2),
+           |mh AS (SELECT doc_id, i,
+           |         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(shingle AS VARCHAR)), 1, 8))::BIGINT) AS h
+           |       FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+           |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
+           |bands AS (SELECT doc_id, b,
+           |            md5(CAST(sig[4*b+1] AS VARCHAR) || ',' || CAST(sig[4*b+2] AS VARCHAR)
+           |              || ',' || CAST(sig[4*b+3] AS VARCHAR) || ',' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
+           |          FROM sig CROSS JOIN range(4) rb(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |j AS (SELECT tr.jaccard,
+           |        CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+           |      FROM tr LEFT JOIN cand ON tr.doc_a = cand.doc_a AND tr.doc_b = cand.doc_b)
+           |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS sim_decile,
+           |       count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit,
+           |       CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_simhash" ->
         s"""WITH tok AS (
            |  SELECT doc_id,
@@ -2182,6 +2253,31 @@ object SparkEntry {
           |         ORDER BY ('0x' || substr(md5('ep0:e1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
           |                  doc_id) AS BIGINT) - 1 AS epoch_pos
           |FROM documents ORDER BY epoch_pos""".stripMargin,
+
+      // concat-and-chunk: the oracle uses the naive single-partition
+      // running-sum window the operator deliberately decomposes — same
+      // doc_id total order, so identical stream coordinates
+      "q_concat_chunk" ->
+        """WITH t AS (SELECT doc_id,
+          |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |          FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+          |      FROM t)
+          |SELECT doc_id, n_tokens, cum_end - n_tokens AS cum_start,
+          |       (cum_end - n_tokens) // 64 AS first_example,
+          |       (cum_end - 1) // 64 AS last_example,
+          |       ((cum_end - 1) // 64) - ((cum_end - n_tokens) // 64) + 1 AS n_examples
+          |FROM c ORDER BY doc_id""".stripMargin,
+
+      // sequential Poisson rank u/w: one exactly-rounded IEEE division on
+      // both engines, so the top-50 cut is bit-identical
+      "q_seq_poisson" ->
+        """SELECT doc_id, n_chars,
+          |       CAST(('0x' || substr(md5('sp0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          |         / CAST(n_chars AS DOUBLE) AS pps_rank
+          |FROM documents ORDER BY pps_rank, doc_id LIMIT 50""".stripMargin,
 
       // greedy packing replayed row-by-row: the recursive CTE walks each
       // (lang, shard) chain in doc_id order carrying (pack_id, fill) — the
@@ -2663,6 +2759,39 @@ object SparkEntry {
           |      UNION ALL SELECT v3 FROM t)
           |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           |FROM u GROUP BY node ORDER BY node""".stripMargin,
+
+      // synchronous LPA replayed exactly: the recursive working table is
+      // one round's labels; each step aggregates neighbor labels, takes
+      // the (count desc, label asc) top-1 per node, and keeps the own
+      // label when isolated — integer counts, total-order tie-breaks
+      "q_label_prop" ->
+        """WITH RECURSIVE n AS (SELECT DISTINCT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 AS h
+          |           FROM events WHERE event_type = 'purchase'),
+          |e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          |      FROM n x JOIN n y ON x.h = y.h AND x.user_id < y.user_id),
+          |und AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+          |lab(r, node, community) AS (
+          |  SELECT 0, v, v FROM (SELECT DISTINCT v FROM und) nodes(v)
+          |  UNION ALL
+          |  SELECT * FROM (
+          |    SELECT me.r + 1 AS r, me.node AS node,
+          |           coalesce(best.bl, me.community) AS community
+          |    FROM lab me
+          |    LEFT JOIN (
+          |      SELECT v, bl FROM (
+          |        SELECT c.v, c.community AS bl,
+          |               row_number() OVER (PARTITION BY c.v
+          |                 ORDER BY c.cnt DESC, c.community ASC) AS rk
+          |        FROM (SELECT und.v AS v, nb.community AS community, count(*) AS cnt
+          |              FROM und JOIN lab nb ON nb.node = und.u
+          |              GROUP BY 1, 2) c
+          |      ) rb WHERE rk = 1
+          |    ) best ON me.node = best.v
+          |    WHERE me.r < 4
+          |  ) step
+          |)
+          |SELECT node, community FROM lab WHERE r = 4 ORDER BY node""".stripMargin,
 
       // incremental agg: the oracle recomputes from scratch — integer
       // fixed-point sums make merge-vs-recompute bit-identical

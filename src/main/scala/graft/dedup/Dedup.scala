@@ -538,6 +538,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("matches"), col("est_sim"))
   }
 
+  /** LSH recall calibration: joins the exact-Jaccard ground truth
+    * ([[ngramJaccardPairs]], uncapped) against the MinHash-LSH candidate
+    * pairs ([[minhashLshPairs]]) and reports, per true-similarity decile,
+    * how many true pairs the banding surfaced — the measurement that
+    * turns LSH's (bands, rows) S-curve from a formula into an observed
+    * number on THIS corpus. Run at a small scale factor before committing
+    * band parameters for the 100 TB sweep: a decile with recall below
+    * target means more bands (or fewer rows per band), not a bigger
+    * verify pass. The same calibration pattern as the ANN recall gate
+    * (`Similarity.annRecall`), applied to the dedup path.
+    *
+    * Determinism: deciles come from `floor(jaccard·10)` — one exact IEEE
+    * division and one exactly-rounded multiply — and recall is a single
+    * long/long division, so any engine reproduces identical doubles.
+    *
+    * Scale shape: both inputs are the already-blocked pair pipelines
+    * (shared-shingle join, band-key join — never n²); the recall join is
+    * keyed on the pair and the output is ≤ 10 rows. The exact side is the
+    * expensive one — which is the point: calibrate at small sf, then run
+    * only the LSH side at corpus scale. */
+  def lshRecall(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.2): DataFrame = {
+    val truth = ngramJaccardPairs(docs, k, threshold, None)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = minhashLshPairs(docs, k, numHashes, bands)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("sim_decile",
+        least(floor(col("jaccard") * lit(10.0)), lit(9.0)).cast("long"))
+      .groupBy(col("sim_decile"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_true").cast("double"))
+  }
+
   /** Fuzzy benchmark decontamination: the near-duplicate extension of
     * [[contaminationPairs]] (which demands exact shingle containment).
     * Candidate (corpus, benchmark) pairs come from MinHash LSH banding —

@@ -85,6 +85,54 @@ object Graph {
       .distinct()
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures") over an
+    * undirected edge set (rows (a, b) with a < b, no duplicates) — the
+    * community-detection complement to [[pageRank]] (importance) and
+    * [[triangleCounts]] (local clustering) in crawl-curation: group
+    * mutually-linked sources so per-community caps and diversity quotas
+    * have something to key on. Every node starts labeled with its own id;
+    * each round every node adopts the most frequent label among its
+    * neighbors (ties break on the SMALLEST label; isolated rounds keep
+    * the own label), all nodes updating simultaneously from the previous
+    * round's labels. Fixed `rounds` with deterministic integer counts and
+    * total-order tie-breaks — any engine replays the identical rounds, so
+    * the oracle is a recursive CTE, not a seeded approximation.
+    *
+    * Scale shape: each round is one (node, label) map-side-combined count
+    * on the edge table, a per-node top-1 window that short-circuits via
+    * WindowGroupLimit, and one node-keyed join back — all keyed shuffles,
+    * nothing global, state is one label per node. Rounds localCheckpoint
+    * the node-sized label vector so lineage stays flat ([[pageRank]]'s
+    * discipline). Celebrity nodes cost a streaming top-1 per partition,
+    * never a materialized per-node sort. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val und = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint(true)
+    var labels = und.select(col("v").as("node")).distinct()
+      .withColumn("community", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = und
+        .join(labels.select(col("node").as("u"), col("community")), "u")
+        .groupBy(col("v"), col("community")).agg(count(lit(1)).as("cnt"))
+      val best = counts
+        .withColumn("rk", row_number().over(Window.partitionBy(col("v"))
+          .orderBy(col("cnt").desc, col("community").asc)))
+        .filter(col("rk") === 1)
+        .select(col("v").as("node"), col("community").as("next"))
+      val next = labels.select(col("node"))
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("next"), col("node")).as("community"))
+        .localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    labels
+  }
+
   /** Per-node triangle participation over an undirected edge set (rows
     * (a, b) with a < b, no duplicates) — the clustering-structure signal
     * behind community pruning and bot-ring detection in crawl curation.

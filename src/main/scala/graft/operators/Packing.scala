@@ -68,6 +68,61 @@ object Packing {
       .toDF()
   }
 
+  /** Concat-and-chunk example coordinates: the GPT-style pretraining
+    * batcher — the whole corpus is one token stream in `doc_id` order,
+    * cut into fixed `seqLen`-token training examples that CROSS document
+    * boundaries (no padding, no per-doc truncation; the complement of
+    * [[packGreedy]], which never splits a doc). Output is one row per doc
+    * with its stream coordinates: `cum_start` (first token's global
+    * offset), `first_example`/`last_example` (the example indices its
+    * tokens land in) and `n_examples` spanned — the materialization step
+    * that emits example tensors range-joins token slices on these
+    * coordinates, so the wide token stream itself is never shuffled.
+    *
+    * Scale shape: the global running token sum is the classic prefix-sum
+    * trap — `sum() OVER (ORDER BY doc_id)` is a single-partition window.
+    * Decomposed instead like [[Sampling.epochOrder]]'s rank: `doc_id`
+    * range-buckets (bucket order IS stream order), per-bucket token
+    * totals (≤ `buckets` rows — driver-bounded metadata) fold into
+    * cumulative offsets broadcast as a map literal, and each row's prefix
+    * is `offset(bucket) + running sum within its bucket` — one keyed
+    * shuffle, a streaming ROWS-frame window per bucket, perfectly
+    * parallel across buckets. `buckets` scales with the cluster. */
+  def concatChunk(docs: DataFrame, seqLen: Int, buckets: Int = 64,
+      tokens: Column = size(graft.text.TextAnalysis.wsTokens(col("text")))
+  ): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val sized = docs.select(col("doc_id").cast("long").as("doc_id"),
+      tokens.cast("long").as("n_tokens"))
+    val maxId = sized.agg(max(col("doc_id"))).collect()(0)
+    if (maxId.isNullAt(0))
+      return sized.withColumn("cum_start", lit(0L))
+        .withColumn("first_example", lit(0L))
+        .withColumn("last_example", lit(0L))
+        .withColumn("n_examples", lit(0L))
+    // ceil-div span so bucket ids stay inside [0, buckets)
+    val span = math.max(1L, (maxId.getLong(0) + buckets.toLong) / buckets.toLong)
+    val withB = sized.withColumn("__cb", expr(s"doc_id div ${span}L"))
+    val bucketSums = withB.groupBy(col("__cb"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = bucketSums.map(_._1)
+      .zip(bucketSums.scanLeft(0L)(_ + _._2).init).toMap
+    val w = Window.partitionBy(col("__cb")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn("__cum_end",
+        element_at(typedlit(offsets), col("__cb")) + sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__cum_end") - col("n_tokens")).as("cum_start"),
+        // `div`, not `/`: long division must stay exact past 2^53
+        expr(s"(__cum_end - n_tokens) div ${seqLen}L").as("first_example"),
+        expr(s"(__cum_end - 1) div ${seqLen}L").as("last_example"))
+      .withColumn("n_examples",
+        col("last_example") - col("first_example") + 1)
+  }
+
   /** Balanced shard assignment, LPT-snake: documents sorted by descending
     * token count are dealt across `shards` shards in a boustrophedon
     * (snake) pattern — shard 0..S-1 on even passes, S-1..0 on odd — the

@@ -293,6 +293,35 @@ object Sampling {
       .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
   }
 
+  /** Weighted sample without replacement, probability ∝ weight:
+    * sequential Poisson sampling (Ohlsson 1998, "Sequential Poisson
+    * sampling") — rank every row by `u/w` where `u` is its salted-md5
+    * uniform and `w` its weight, keep the `k` smallest ranks. Heavy rows
+    * draw small ranks proportionally often, giving a πps-approximate
+    * fixed-size sample with [[hashSample]]'s determinism: no RNG, the
+    * same `k` rows on every engine and every run — the reproducible way
+    * to bias a corpus sample toward long/high-quality documents.
+    *
+    * Cross-engine exactness with a DIVISION in the sort key: `u` is the
+    * 32-bit md5 hash and `w` a positive long; both convert to doubles
+    * exactly (each < 2^53), and IEEE-754 division is a single correctly-
+    * rounded operation — Spark and any IEEE engine compute the identical
+    * double, so the order (tie-broken by key) is identical. No libm, no
+    * float accumulation.
+    *
+    * Scale shape: one narrow map for the rank, then a global top-k —
+    * Spark plans TakeOrdered (per-partition heap of k, driver merge of
+    * #partitions·k), never a global sort. */
+  def sequentialPoisson(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "sp0"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = md5Int32(concat(lit(s"$salt:"), key.cast("string")))
+    df.withColumn("pps_rank",
+        u.cast("double") / weight.cast("long").cast("double"))
+      .orderBy(col("pps_rank").asc, key.asc)
+      .limit(k)
+  }
+
   /** Exact integer square root: floor(√x). Seeded from the double sqrt
     * (correctly rounded, so at most one off at 2^53-scale integers) and
     * nudged to the true floor — the same two-branch adjustment the SQL

@@ -475,4 +475,30 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("lshRecall: identical docs land in decile 9 with recall 1") {
+    // 1 and 2 identical (jaccard 1.0 -> decile 9, identical signatures so
+    // every band collides); 3 unrelated contributes no true pair
+    val d = docsOf(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"))
+    val out = Dedup.lshRecall(d, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("sim_decile"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toSeq
+    assert(out == Seq((9L, 1L, 1L, 1.0)))
+  }
+
+  test("lshRecall: hits never exceed truth, recall within [0, 1]") {
+    val d = docsOf((0L until 40L).map(i =>
+      (i, s"tok${i % 7} shared common words here tok${i % 5} tail$i")): _*)
+    val out = Dedup.lshRecall(d, threshold = 0.2)
+      .collect().map(r => (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall")))
+    assert(out.nonEmpty)
+    out.foreach { case (t, h, rc) =>
+      assert(h <= t && rc >= 0.0 && rc <= 1.0)
+      assert(rc == h.toDouble / t.toDouble)
+    }
+  }
 }

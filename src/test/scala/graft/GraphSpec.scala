@@ -88,4 +88,44 @@ class GraphSpec extends SparkSpec {
     // (1,2) co-occurs in both blocks but appears once
     assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  private def pairs(rows: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("a", "b")
+  }
+
+  test("labelPropagation: two cliques bridged by one edge separate") {
+    // K3 {1,2,3} -- bridge 3-4 -- K3 {4,5,6}: LPA pulls each side to its
+    // min label; the bridge endpoints stay with their own clique (two
+    // same-clique neighbors outvote the one cross edge)
+    val out = Graph.labelPropagation(
+      pairs((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)),
+      rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val comm = out.toMap
+    assert(comm.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(comm(1L), comm(2L), comm(3L)).size == 1)
+    assert(Set(comm(4L), comm(5L), comm(6L)).size == 1)
+    assert(comm(1L) != comm(4L))
+  }
+
+  test("labelPropagation: round 1 by hand — ties take the smallest label") {
+    // path 1-2-3: after one synchronous round, 1 adopts 2, node 2 sees
+    // {1, 3} (count 1 each -> min = 1), 3 adopts 2
+    val out = Graph.labelPropagation(pairs((1L, 2L), (2L, 3L)), rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("labelPropagation: zero rounds = identity labels; determinism") {
+    val e = pairs((7L, 9L), (9L, 11L))
+    val zero = Graph.labelPropagation(e, rounds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(zero == Map(7L -> 7L, 9L -> 9L, 11L -> 11L))
+    val a = Graph.labelPropagation(e, rounds = 3).collect().map(_.toSeq).toSet
+    val b = Graph.labelPropagation(e, rounds = 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -107,4 +107,45 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length == 5)
     assert(out.map(_._2).forall(s => s >= 0 && s < 3))
   }
+
+  test("concatChunk: stream coordinates match the naive prefix sum") {
+    // token stream in doc_id order: 3,4,2,9,1 -> cum_start 0,3,7,9,18
+    // seqLen 4: doc1 toks [0,3) ex 0; doc2 [3,7) ex 0; doc3 [7,9) ex 1..2;
+    // doc4 [9,18) ex 2..4; doc5 [18,19) ex 4
+    val out = Packing.concatChunk(docs, seqLen = 4, buckets = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cum_start"),
+        r.getAs[Long]("first_example"), r.getAs[Long]("last_example"),
+        r.getAs[Long]("n_examples"))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, 1L), (2L, 3L, 0L, 1L, 2L), (3L, 7L, 1L, 2L, 2L),
+      (4L, 9L, 2L, 4L, 3L), (5L, 18L, 4L, 4L, 1L)))
+  }
+
+  test("concatChunk: bucket decomposition is invariant in bucket count") {
+    val s = spark
+    import s.implicits._
+    val many = (0L until 200L)
+      .map(i => (i, ("w " * (1 + (i % 13).toInt)).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    def run(b: Int) = Packing.concatChunk(many, seqLen = 32, buckets = b)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cum_start"),
+        r.getAs[Long]("first_example"), r.getAs[Long]("last_example"))).toSeq
+    val one = run(1) // single bucket == the naive global window
+    assert(run(8) == one && run(64) == one)
+    // contiguity: each doc starts where the previous ended
+    val byId = run(8)
+    byId.sliding(2).foreach { case Seq(a, b) =>
+      val aTokens = 1 + (a._1 % 13)
+      assert(b._2 == a._2 + aTokens)
+    case _ => }
+  }
+
+  test("concatChunk: invalid params rejected, empty input empty output") {
+    intercept[IllegalArgumentException] {
+      Packing.concatChunk(docs, seqLen = 0)
+    }
+    assert(Packing.concatChunk(docs.limit(0), seqLen = 8).count() == 0L)
+  }
 }

@@ -206,6 +206,25 @@ class PlanContractSpec extends SparkSpec {
       s"q_epoch_order lost its bucket-key window exchange: $plan")
   }
 
+  test("concat chunk plans a bucket-keyed window, never a global prefix sum") {
+    // same decomposition contract as epoch order: the corpus-wide running
+    // token sum must come from per-bucket windows + broadcast offsets, not
+    // `sum() OVER (ORDER BY doc_id)` on one partition
+    val plan = planOf("q_concat_chunk")
+    assert(!plan.contains("SinglePartition"),
+      s"q_concat_chunk regressed to a single-partition prefix sum: $plan")
+    assert(plan.contains("hashpartitioning(__cb"),
+      s"q_concat_chunk lost its bucket-key window exchange: $plan")
+    assert(plan.contains("specifiedwindowframe(RowFrame"),
+      s"q_concat_chunk lost the ROWS running-sum frame: $plan")
+  }
+
+  test("sequential poisson plans a TakeOrdered top-k, never a global sort") {
+    val plan = planOf("q_seq_poisson")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_seq_poisson lost its top-k short-circuit: $plan")
+  }
+
   test("token budget window runs a streaming ROWS frame on the stratum key") {
     val plan = planOf("q_token_budget")
     assert(!plan.contains("SinglePartition"),

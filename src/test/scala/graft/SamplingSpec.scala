@@ -260,4 +260,35 @@ class SamplingSpec extends SparkSpec {
     assert(got.contains(100L) && got(100L) == 1.0)
     assert(!got.contains(102L))
   }
+
+  private def weighted = {
+    val s = spark
+    import s.implicits._
+    (0L until 500L).map(i => (i, 1L + (i % 50L) * 100L)).toDF("doc_id", "w")
+  }
+
+  test("sequentialPoisson: top-k is the k-prefix of the full rank order") {
+    val all = Sampling.sequentialPoisson(weighted, col("doc_id"), col("w"),
+        k = 500)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("pps_rank"))).toSeq
+    assert(all.length == 500)
+    // rank order is (pps_rank, doc_id) ascending, returned in order
+    assert(all == all.sortBy { case (id, r) => (r, id) })
+    val top = Sampling.sequentialPoisson(weighted, col("doc_id"), col("w"),
+        k = 25)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(top == all.take(25).map(_._1))
+  }
+
+  test("sequentialPoisson: deterministic, salt changes the draw, heavy rows dominate") {
+    def ids(salt: String) = Sampling.sequentialPoisson(weighted,
+        col("doc_id"), col("w"), k = 50, salt = salt)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids("sp0") == ids("sp0"))
+    assert(ids("sp0") != ids("other"))
+    // P ∝ w: rows with w=1 (doc_id % 50 == 0, uniform u up to 2^32 vs
+    // heavy rows' u/4901) essentially never make the cut
+    val lightPicked = ids("sp0").count(_ % 50L == 0L)
+    assert(lightPicked == 0, s"light rows picked: $lightPicked")
+  }
 }
