@@ -791,6 +791,37 @@ object SparkEntry {
       TextAnalysis.bm25TopK(docsParallel(s, dir),
         Seq("dup", "spark", "hash"), topK = 20)),
 
+    // many-query BM25 in one corpus pass: docs 0..7 probe the rest of the
+    // corpus, each query's terms = its own distinct tokens
+    "q_bm25_multi" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.Retrieval.bm25ForQueries(
+        d.filter(col("doc_id") >= 8),
+        d.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text")),
+        topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hybrid retrieval: BM25 lexical ranks fused with exact-cosine
+    // embedding ranks by integer reciprocal-rank fusion — rank-only
+    // combination, no score calibration, engine-exact long sums
+    "q_rrf_fusion" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lex = graft.operators.Retrieval.bm25ForQueries(
+        d.filter(col("doc_id") >= 8),
+        d.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text")),
+        topK = 20)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val sem = graft.similarity.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), c = 60, topK = 10)
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // cross-document boilerplate: fraction of each doc's 3-gram instances
     // that occur in >= 5 distinct docs (the repeated-span scrub signal)
     "q_boilerplate" -> ((s, dir) =>
@@ -849,6 +880,19 @@ object SparkEntry {
         graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"),
         rounds = 4)
         .orderBy(col("node"))
+    }),
+
+    // 6-core of the same graph: periphery peeled to the unique maximal
+    // subgraph of minimum degree 6 — no tie-breaks, a monotone fixpoint
+    "q_kcore" -> ((s, dir) => {
+      val purch = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_millis(col("ts").cast("timestamp")).as("tms"))
+        .select(col("user_id"), expr("tms div 900000").as("h"))
+      graft.operators.Graph.kCore(
+        graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"), k = 6)
+        .orderBy(col("v"))
     }),
 
     // incremental aggregate maintenance: stats bootstrapped on days < 20,
@@ -1156,6 +1200,27 @@ object SparkEntry {
     }
     // Quantized-embedding CTE shared by the similarity oracles: 1e-6
     // fixed-point vectors with exact integer squared norms.
+    // Shared by q_bm25_multi and q_rrf_fusion: per-query BM25 rankings of
+    // the doc_id >= 8 corpus probed by docs 0..7 (same fixed-point chain
+    // as q_bm25); consumers filter `r` to their own top-k.
+    val bm25MultiCte =
+      """WITH qd AS (SELECT doc_id AS query_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 8),
+        |qt AS (SELECT query_id, unnest(list_distinct(toks)) AS tok FROM qd),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id >= 8),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(toks)) AS BIGINT) AS l FROM t),
+        |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM t)
+        |       WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2, 3),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |         CAST(length(bin(((n+1)*(n+1)*(n+1)*(n+1)) // (df.df*df.df*df.df*df.df))) - 1 AS BIGINT)
+        |           * ((1000000*22*l*tf) // (10*l*tf + 3*l + 9*dl*n)) AS c
+        |       FROM tf JOIN df USING (tok) CROSS JOIN stats JOIN qt ON qt.tok = tf.tok),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS terms
+        |        FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, terms,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+        |      FROM agg)""".stripMargin
     val quantCte =
       """WITH q AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
@@ -2055,6 +2120,48 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS terms
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+      // many-query BM25: same fixed-point chain as q_bm25, query terms
+      // drawn from the probe docs' own distinct tokens
+      "q_bm25_multi" ->
+        (bm25MultiCte +
+          """
+            |SELECT query_id, "rank", doc_id, score, terms FROM r
+            |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin),
+
+      // hybrid RRF: both top-20 rankings replayed, fused by the integer
+      // 1e9 div (60 + rank) reciprocal-rank sum
+      "q_rrf_fusion" ->
+        (bm25MultiCte +
+          s""",
+             |lexr AS (SELECT query_id, doc_id AS item_id, "rank" FROM r WHERE "rank" <= 20),
+             |qv AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
+             |  FROM embeddings),
+             |nv AS (SELECT vec_id, label, qe,
+             |    CAST(list_sum(list_transform(range(len(qe)), i -> qe[i+1]*qe[i+1])) AS BIGINT) AS nq
+             |  FROM qv),
+             |sems AS (
+             |  SELECT qs.vec_id AS query_id, c.vec_id AS item_id,
+             |         CAST(list_sum(list_transform(range(len(c.qe)), i -> c.qe[i+1]*qs.qe[i+1])) AS BIGINT)
+             |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+             |  FROM nv c, nv qs WHERE c.vec_id >= 8 AND qs.vec_id < 8
+             |),
+             |semr AS (SELECT query_id, item_id,
+             |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS BIGINT) AS "rank"
+             |      FROM sems QUALIFY "rank" <= 20),
+             |u AS (SELECT query_id, item_id, 1000000000 // (60 + "rank") AS rr FROM lexr
+             |      UNION ALL
+             |      SELECT query_id, item_id, 1000000000 // (60 + "rank") AS rr FROM semr),
+             |f AS (SELECT query_id, item_id, CAST(sum(rr) AS BIGINT) AS rrf_micro,
+             |        CAST(count(*) AS BIGINT) AS n_lists
+             |      FROM u GROUP BY 1, 2),
+             |fr AS (SELECT query_id, item_id, rrf_micro, n_lists,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY rrf_micro DESC, item_id) AS BIGINT) AS fused_rank
+             |       FROM f)
+             |SELECT query_id, fused_rank, item_id, rrf_micro, n_lists
+             |FROM fr WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin),
+
       "q_boilerplate" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           |gs AS (SELECT doc_id,
@@ -2792,6 +2899,36 @@ object SparkEntry {
           |  ) step
           |)
           |SELECT node, community FROM lab WHERE r = 4 ORDER BY node""".stripMargin,
+
+      // synchronous 6-core peel to the fixpoint: once stable the working
+      // table reproduces itself, so reading round 32 reads the fixpoint;
+      // a collapsed-to-empty core ends the recursion early and round 32
+      // is simply absent — both match the engine's early-exit loop
+      "q_kcore" ->
+        """WITH RECURSIVE n AS (SELECT DISTINCT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 AS h
+          |           FROM events WHERE event_type = 'purchase'),
+          |e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          |      FROM n x JOIN n y ON x.h = y.h AND x.user_id < y.user_id),
+          |surv(r, a, b) AS (
+          |  SELECT 0, a, b FROM e
+          |  UNION ALL
+          |  SELECT * FROM (
+          |    SELECT s.r + 1 AS r, s.a AS a, s.b AS b
+          |    FROM surv s
+          |    JOIN (SELECT v FROM (SELECT und.v AS v, count(*) AS c
+          |          FROM (SELECT a AS v FROM surv UNION ALL SELECT b FROM surv) und
+          |          GROUP BY 1) d WHERE c >= 6) ka ON s.a = ka.v
+          |    JOIN (SELECT v FROM (SELECT und.v AS v, count(*) AS c
+          |          FROM (SELECT a AS v FROM surv UNION ALL SELECT b FROM surv) und
+          |          GROUP BY 1) d2 WHERE c >= 6) kb ON s.b = kb.v
+          |    WHERE s.r < 32
+          |  ) step
+          |)
+          |SELECT v, CAST(count(*) AS BIGINT) AS core_degree FROM (
+          |  SELECT a AS v FROM surv WHERE r = 32
+          |  UNION ALL SELECT b FROM surv WHERE r = 32) u
+          |GROUP BY v ORDER BY v""".stripMargin,
 
       // incremental agg: the oracle recomputes from scratch — integer
       // fixed-point sums make merge-vs-recompute bit-identical

@@ -70,6 +70,59 @@ object Graph {
     ranks
   }
 
+  /** k-core peeling (Seidman 1983, "Network structure and minimum
+    * degree"): iteratively delete nodes with fewer than `k` neighbors in
+    * the SURVIVING subgraph until no more fall (bounded by `maxRounds`) —
+    * the densest-substructure filter of crawl curation: nodes outside the
+    * k-core are weakly-connected periphery (one-off co-occurrences,
+    * drive-by links); the core is where community structure and
+    * bot-ring density live. Input is the undirected (a, b; a < b) edge
+    * set; output is the surviving nodes with their within-core degree.
+    *
+    * Determinism: peeling is a monotone fixpoint — the k-core is UNIQUE
+    * (no tie-breaks at all), and each synchronous round (drop every
+    * under-degree node simultaneously) is replayed identically by the
+    * oracle's recursive CTE. `maxRounds` caps the iteration like
+    * [[pageRank]]'s fixed rounds; peeling converges in ≤ |V| rounds and
+    * in practice a handful.
+    *
+    * Scale shape: each round is one degree count over the surviving edge
+    * table (map-side combined) and two semi-joins to drop edges touching
+    * deleted nodes — all keyed shuffles on node ids, state is the
+    * edge-sized survivor table, localCheckpoint'd per round so lineage
+    * stays flat. An early-exit check (`falling == 0`) stops the loop at
+    * the fixpoint, so `maxRounds` is a backstop, not a cost. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 0, s"maxRounds must be >= 0: $maxRounds")
+    var cur = edges.select(col("a"), col("b")).localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val deg = cur.select(col("a").as("v"))
+        .unionAll(cur.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      val next = cur
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      // falling-node check on the checkpointed tables: both counts are
+      // metadata-cheap (the work happened in the checkpoint)
+      done = next.count() == cur.count()
+      cur.unpersist(blocking = false)
+      cur = next
+      rounds += 1
+    }
+    // nodes of the stabilized subgraph with their within-core degree (at
+    // the fixpoint every degree is >= k by construction — no extra filter,
+    // so a maxRounds-truncated run still reports the honest survivor set)
+    cur.select(col("a").as("v"))
+      .unionAll(cur.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Co-occurrence edges: distinct user pairs (a < b) active in the same
     * `block` (an hour, a session, a document …). The block is the
     * fan-out bound: pairs per block grow quadratically in block

@@ -119,6 +119,24 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("kCore: pendant chain peels away in cascade, clique survives") {
+    // K4 {1,2,3,4} + path 4-5-6: for k=2 the path peels in two rounds
+    // (6 falls first, then 5), the clique keeps within-core degree 3
+    val out = Graph.kCore(
+      pairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L), (5L, 6L)),
+      k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k above the densest core returns empty") {
+    val tri = pairs((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(Graph.kCore(tri, k = 3).count() == 0L)
+    // the triangle itself is the 2-core, untouched
+    assert(Graph.kCore(tri, k = 2).count() == 3L)
+  }
+
   test("labelPropagation: zero rounds = identity labels; determinism") {
     val e = pairs((7L, 9L), (9L, 11L))
     val zero = Graph.labelPropagation(e, rounds = 0)

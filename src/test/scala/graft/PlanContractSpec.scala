@@ -219,6 +219,20 @@ class PlanContractSpec extends SparkSpec {
       s"q_concat_chunk lost the ROWS running-sum frame: $plan")
   }
 
+  test("multi-query BM25 broadcasts the probe terms and prunes top-k map-side") {
+    val plan = planOf("q_bm25_multi")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_bm25_multi lost the broadcast of the query-term set: $plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_bm25_multi lost the per-query top-k short-circuit: $plan")
+  }
+
+  test("RRF fusion prunes the fused top-k map-side") {
+    val plan = planOf("q_rrf_fusion")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_rrf_fusion lost the per-query top-k short-circuit: $plan")
+  }
+
   test("sequential poisson plans a TakeOrdered top-k, never a global sort") {
     val plan = planOf("q_seq_poisson")
     assert(plan.contains("TakeOrderedAndProject"),
