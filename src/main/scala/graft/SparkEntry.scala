@@ -232,6 +232,13 @@ object SparkEntry {
       Metrics.denseMinuteCounts(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
 
+    // gap-filled minute series: idle minutes linearly interpolated
+    // (integer-exact floor) between their surrounding active minutes —
+    // the gauge-style fill, vs q_metrics_dense's counter-style zeros
+    "q_gapfill" -> ((s, dir) =>
+      Metrics.interpolatedMinuteCounts(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+
     // rolling z-score rate alerting over the dense series: 60-min
     // trailing window (current row excluded), spike when > mean + 3*stddev
     "q_metrics_anomaly" -> ((s, dir) =>
@@ -327,6 +334,17 @@ object SparkEntry {
       Similarity.sqTopK(
         e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // MMR diversified re-rank of the top-15 candidate pool (λ=0.7, k=5):
+    // greedy relevance-vs-redundancy selection, distributed per query via
+    // flatMapGroups; see Similarity.mmrTopK
+    "q_mmr" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        k = 5, candidates = 15)
+        .orderBy(col("query_id"), col("step"))
     }),
 
     // content-derived blocking (multi-probe sign-LSH): near-dup pairs with
@@ -838,6 +856,40 @@ object SparkEntry {
     "q_semi_anti" -> ((s, dir) =>
       Relational.customerOrderPresence(s, dir).orderBy(col("c_nationkey"))),
 
+    // Pareto frontier (skyline) of orders maximizing (totalprice,
+    // orderdate) — two-phase bucket-local + reduced-global window, pure
+    // comparisons; see operators.Skyline
+    "q_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline2D(
+        Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderdate")),
+        "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").desc)),
+
+    // CUBE grouping sets over lineitem: all four (returnflag, linestatus)
+    // grouping combinations in ONE pass (Spark expands the sets map-side,
+    // one shuffle) — money in DECIMAL, cast to double at the boundary
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // pivot (long→wide): per-source document counts, one column per
+    // language — explicit pivot values keep the schema static (no extra
+    // distinct-values job) and the plan a single groupBy
+    "q_pivot" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source"))),
+
     // approximate distinct-count sketch (HLL++ — merge-commutative, so
     // deterministic for fixed data); no SQL oracle: DuckDB's sketch
     // differs, driver records the weaker rows-only check. The exact
@@ -1024,6 +1076,16 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // hub/authority scores over the same transition graph — integer
+    // max-normalized HITS, 2 iterations; see operators.Graph.hits
+    "q_hits" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Graph.hits(
+        ev.select(col("event_type").as("node")).distinct(),
+        graft.operators.Graph.transitionEdges(ev), iterations = 2)
+        .orderBy(col("node"))
+    }),
+
     // as-of join: each click picks up the latest same-user purchase at or
     // before it — the merge-sort formulation (one key shuffle, no
     // range-join fan-out); see operators.AsofJoin
@@ -1198,6 +1260,38 @@ object SparkEntry {
          |$levels
          |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
     }
+    // Unrolled fixed-iteration HITS (same edge derivation as pageRankSql):
+    // auth sweep then hub sweep per iteration, each max-normalized to 1e6
+    // by exact integer division — the scalar max subquery mirrors the
+    // Spark side's one-row broadcast crossJoin.
+    val hitsSql = {
+      val iters = (1 to 2).map { k =>
+        s"""a${k}r AS (SELECT n.node, CAST(coalesce(sum(e.w * h.v), 0) AS BIGINT) AS v
+           |  FROM n LEFT JOIN e ON e.dst = n.node
+           |         LEFT JOIN h${k - 1} h ON h.node = e.src
+           |  GROUP BY 1),
+           |a$k AS (SELECT node, v * 1000000 // greatest((SELECT max(v) FROM a${k}r), 1) AS v
+           |  FROM a${k}r),
+           |h${k}r AS (SELECT n.node, CAST(coalesce(sum(e.w * a.v), 0) AS BIGINT) AS v
+           |  FROM n LEFT JOIN e ON e.src = n.node
+           |         LEFT JOIN a$k a ON a.node = e.dst
+           |  GROUP BY 1),
+           |h$k AS (SELECT node, v * 1000000 // greatest((SELECT max(v) FROM h${k}r), 1) AS v
+           |  FROM h${k}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nxt AS (SELECT event_type AS src,
+         |       lead(event_type) OVER (PARTITION BY user_id
+         |                              ORDER BY ts, event_id) AS dst
+         |     FROM events),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |      FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |n AS (SELECT DISTINCT event_type AS node FROM events),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM n),
+         |$iters
+         |SELECT n.node, CAST(h.v AS BIGINT) AS hub, CAST(a.v AS BIGINT) AS auth
+         |FROM n JOIN h2 h USING (node) JOIN a2 a USING (node)
+         |ORDER BY node""".stripMargin
+    }
     // Quantized-embedding CTE shared by the similarity oracles: 1e-6
     // fixed-point vectors with exact integer squared norms.
     // Shared by q_bm25_multi and q_rrf_fusion: per-query BM25 rankings of
@@ -1230,6 +1324,56 @@ object SparkEntry {
         |  FROM q)""".stripMargin
     val dotExpr = // exact integer dot product of two quantized lists a/b
       "CAST(list_sum(list_transform(range(len(%s)), i -> %s[i+1]*%s[i+1])) AS BIGINT)"
+    // Unrolled greedy MMR steps (k=5 picks from the top-15 candidate
+    // pool): p{s} carries the picked list; each step scores the unpicked
+    // candidates λ·rel − (1−λ)·max-sim-to-picked with the exact doubles
+    // the Spark side computes (μ is injected as Scala's 1.0−λ so both
+    // engines subtract the identical IEEE value) and argmaxes with ties
+    // to the smallest neighbor id.
+    val mmrSql = {
+      val lam = 0.7
+      val mu = (1.0 - lam).toString
+      val steps = (2 to 5).map { st =>
+        s"""sc$st AS (SELECT c.query_id, c.neighbor_id, c.rel, max(sim.s) AS ms
+           |  FROM cand c
+           |  JOIN p${st - 1} p ON p.query_id = c.query_id
+           |  JOIN sim ON sim.query_id = c.query_id AND sim.a = c.neighbor_id
+           |          AND list_contains(p.picked, sim.b)
+           |  WHERE NOT list_contains(p.picked, c.neighbor_id)
+           |  GROUP BY 1, 2, 3),
+           |n$st AS (SELECT query_id, neighbor_id
+           |  FROM sc$st
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $lam*rel - $mu*ms DESC, neighbor_id) = 1),
+           |p$st AS (SELECT p.query_id, list_append(p.picked, n.neighbor_id) AS picked
+           |  FROM p${st - 1} p JOIN n$st n USING (query_id))""".stripMargin
+      }.mkString(",\n")
+      s"""$quantCte,
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+         |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS rel
+         |  FROM n c, n qs WHERE c.vec_id >= 8 AND qs.vec_id < 8),
+         |cand AS (SELECT query_id, neighbor_id, rel FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) <= 15),
+         |sim AS (SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+         |         ${dotExpr.format("x.qe", "x.qe", "y.qe")}
+         |           / (sqrt(CAST(x.nq AS DOUBLE)) * sqrt(CAST(y.nq AS DOUBLE))) AS s
+         |  FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id
+         |                           AND ca.neighbor_id <> cb.neighbor_id
+         |  JOIN n x ON x.vec_id = ca.neighbor_id
+         |  JOIN n y ON y.vec_id = cb.neighbor_id),
+         |p1 AS (SELECT query_id, list_value(neighbor_id) AS picked FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) = 1),
+         |$steps,
+         |o AS (SELECT query_id, unnest(picked) AS neighbor_id,
+         |             generate_subscripts(picked, 1) AS step
+         |      FROM p5)
+         |SELECT query_id, CAST(step AS BIGINT) AS step, neighbor_id FROM o
+         |ORDER BY query_id, step""".stripMargin
+    }
     // Learned-centroid IVF oracle helpers: squared L2 to a centroid list
     // folded left-to-right over the dims — the same association as
     // Similarity.ivfKmeansTopK's codegen fold, so IEEE doubles agree
@@ -1594,6 +1738,31 @@ object SparkEntry {
            |LEFT JOIN mc USING (stream_id, stream_partition, minute)
            |ORDER BY 1, 2, 3""".stripMargin,
 
+      // gap-fill replay: each active minute expands to its gap's rows,
+      // filled values as the identical integer floor interpolation
+      "q_gapfill" ->
+        s"""$sd, $minuteCte,
+           |nx AS (SELECT stream_id, stream_partition, minute,
+           |         CAST(msgs AS BIGINT) AS msgs,
+           |         epoch_us(minute) // 60000000 AS idx,
+           |         lead(epoch_us(minute) // 60000000) OVER w AS nidx,
+           |         lead(CAST(msgs AS BIGINT)) OVER w AS nmsgs
+           |       FROM mc
+           |       WINDOW w AS (PARTITION BY stream_id, stream_partition
+           |                    ORDER BY minute)),
+           |fill AS (
+           |  SELECT stream_id, stream_partition,
+           |         minute + to_minutes(CAST(i AS BIGINT)) AS minute,
+           |         CASE WHEN i = 0 THEN msgs
+           |              ELSE (msgs * (nidx - idx - i) + nmsgs * i) // (nidx - idx)
+           |         END AS msgs,
+           |         i > 0 AS filled
+           |  FROM nx, unnest(range(CASE WHEN nidx IS NULL THEN 1
+           |                             ELSE nidx - idx END)) AS t(i))
+           |SELECT stream_id, stream_partition, minute,
+           |       CAST(msgs AS BIGINT) AS msgs, filled
+           |FROM fill ORDER BY 1, 2, 3""".stripMargin,
+
       // rolling z-score replay over the SPARSE active minutes: identical
       // RANGE frame on the integer minute index (idle minutes contribute
       // zero to the sums; the dense trailing count is arithmetic),
@@ -1774,6 +1943,8 @@ object SparkEntry {
            |      FROM scored)
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      "q_mmr" -> mmrSql,
 
       "q_embed_dup_lsh" ->
         s"""$quantCte,
@@ -2842,6 +3013,39 @@ object SparkEntry {
           |FROM customer LEFT JOIN d ON c_custkey = o_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // skyline oracle is the definition itself — a dominance anti-join
+      // over the distinct point set (DuckDB plans the two-inequality
+      // NOT EXISTS as an IEJoin), deliberately NOT the window
+      // reformulation the Spark side uses
+      "q_skyline" ->
+        """WITH pts AS (SELECT o_totalprice, o_orderdate,
+          |               CAST(count(*) AS BIGINT) AS cnt
+          |             FROM orders GROUP BY 1, 2)
+          |SELECT o_totalprice, o_orderdate, cnt FROM pts a
+          |WHERE NOT EXISTS (SELECT 1 FROM pts b
+          |  WHERE b.o_totalprice >= a.o_totalprice
+          |    AND b.o_orderdate >= a.o_orderdate
+          |    AND (b.o_totalprice > a.o_totalprice
+          |         OR b.o_orderdate > a.o_orderdate))
+          |ORDER BY o_totalprice DESC, o_orderdate DESC""".stripMargin,
+
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       sum(l_quantity) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |       CAST(count(*) AS BIGINT) AS count_order
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT source,
+          |  CAST(count(*) FILTER (WHERE lang='de') AS BIGINT) AS de,
+          |  CAST(count(*) FILTER (WHERE lang='en') AS BIGINT) AS en,
+          |  CAST(count(*) FILTER (WHERE lang='es') AS BIGINT) AS es,
+          |  CAST(count(*) FILTER (WHERE lang='fr') AS BIGINT) AS fr,
+          |  CAST(count(*) FILTER (WHERE lang='zh') AS BIGINT) AS zh
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_exact_distinct" ->
         s"""$sd
            |SELECT stream_id,
@@ -3136,6 +3340,8 @@ object SparkEntry {
           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q_event_pagerank" -> pageRankSql,
+
+      "q_hits" -> hitsSql,
 
       "q_percentiles" ->
         """SELECT event_type, count(*) AS n,

@@ -66,6 +66,49 @@ object Metrics {
         coalesce(col("bytes"), lit(0L)).as("bytes"))
   }
 
+  /** Gap-filled per-minute series with LINEAR interpolation: like
+    * [[denseMinuteCounts]] each stream-part's minute spine is completed,
+    * but an idle minute inside a gap reports the straight-line
+    * interpolation between its surrounding active minutes instead of
+    * zero — the fill a downstream trend/forecast consumer wants when a
+    * silent minute means "sensor didn't report", not "rate was zero"
+    * (the zero-fill is for counters, this is for gauges). `filled` marks
+    * synthesized rows so consumers can tell measurements from estimates.
+    *
+    * Interpolation is exact integer arithmetic: for a gap of `g` minutes,
+    * minute `i` reports `(prev·(g−i) + next·i) div g` — the floor of the
+    * true linear value, identical on every engine, no float rounding to
+    * drift across implementations.
+    *
+    * Scale: one keyed window pass for each row's successor (the same
+    * (stream, part) shuffle the counts already produced), then a per-row
+    * `sequence()` explode bounded by the gap length — spine cardinality
+    * is wall-clock-bounded exactly as in [[denseMinuteCounts]], and no
+    * global spine table or driver loop exists. */
+  def interpolatedMinuteCounts(streamData: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
+      .orderBy(col("minute"))
+    val nx = minuteCounts(streamData)
+      .withColumn("idx",
+        (unix_micros(col("minute").cast("timestamp")) / lit(60000000L))
+          .cast("long"))
+      .withColumn("msgs", col("msgs").cast("long"))
+      .withColumn("nidx", lead(col("idx"), 1).over(w))
+      .withColumn("nmsgs", lead(col("msgs"), 1).over(w))
+    nx.select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"), col("idx"), col("nidx"), col("nmsgs"),
+        explode(sequence(lit(0L),
+          coalesce(col("nidx") - col("idx"), lit(1L)) - lit(1L))).as("i"))
+      .select(col("stream_id"), col("stream_partition"),
+        expr("timestampadd(MINUTE, CAST(i AS INT), minute)").as("minute"),
+        when(col("i") === 0L, col("msgs"))
+          .otherwise(expr(
+            "(msgs * (nidx - idx - i) + nmsgs * i) div (nidx - idx)"))
+          .as("msgs"),
+        (col("i") > 0L).as("filled"))
+  }
+
   /** Rolling z-score anomaly flags over the (conceptually dense,
     * [[denseMinuteCounts]]) minute series — the rate-alerting pass: each
     * ACTIVE minute is scored against the mean/stddev of the `lookback`

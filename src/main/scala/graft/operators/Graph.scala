@@ -70,6 +70,64 @@ object Graph {
     ranks
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") over a weighted directed edge set — the
+    * hub/authority complement to [[pageRank]]: in crawl curation,
+    * authority flags the pages good hubs point at, hub flags the
+    * link-collection pages, and the two scores separate directory spam
+    * from genuinely cited sources in a way a single rank cannot.
+    *
+    * Each iteration is the standard pair of sweeps, `auth(v) = Σ_{u→v}
+    * w·hub(u)` then `hub(u) = Σ_{u→v} w·auth(v)`, in long arithmetic.
+    * Real HITS L2-normalizes between sweeps — irreproducible across
+    * engines (sqrt of a sum) — so this normalizes by the MAX instead:
+    * `x' = x·scale div max(x)`, an exact integer step that bounds every
+    * score to `scale` and preserves the ordering (HITS scores are only
+    * meaningful up to scale anyway; the principal eigenvector is
+    * normalization-invariant). Sums of longs are order-independent, so
+    * any engine replays the rounds bit-identically.
+    *
+    * Scale shape: [[pageRank]]'s exact discipline — edges checkpoint
+    * once, every sweep joins the edge table against the broadcast
+    * node-sized score vector then aggregates map-side-combined, and the
+    * max is a one-row broadcast crossJoin, never a driver collect.
+    * Overflow bound: scores ≤ scale after each normalization, so a sweep
+    * needs Σw·scale < 2^63 — with the default 1e6 scale that holds to
+    * ~9e12 total edge weight; re-derive `scale` beyond that. */
+  def hits(nodes: DataFrame, edges: DataFrame, iterations: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale > 0, s"scale must be positive: $scale")
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    def normalize(scores: DataFrame): DataFrame = {
+      val mx = scores.agg(greatest(max(col("v")), lit(1L)).as("mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"v * $scale div mx").as("v"))
+    }
+    def sweep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val mass = e.join(broadcast(scores), col(from) === col("node"))
+        .select(col(to), (col("w") * col("v")).as("c"))
+        .groupBy(col(to)).agg(sum(col("c")).as("in_mass"))
+      normalize(nodes
+        .join(mass, col("node") === col(to), "left")
+        .select(col("node"), coalesce(col("in_mass"), lit(0L)).as("v")))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("v")).localCheckpoint(true)
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      val nextAuth = sweep(hub, from = "src", to = "dst")
+      val nextHub = sweep(nextAuth, from = "dst", to = "src")
+      if (!(auth eq hub)) auth.unpersist(blocking = false)
+      hub.unpersist(blocking = false)
+      auth = nextAuth
+      hub = nextHub
+    }
+    nodes.join(hub.withColumnRenamed("v", "hub"), "node")
+      .join(auth.withColumnRenamed("v", "auth"), "node")
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
   /** k-core peeling (Seidman 1983, "Network structure and minimum
     * degree"): iteratively delete nodes with fewer than `k` neighbors in
     * the SURVIVING subgraph until no more fall (bounded by `maxRounds`) —

@@ -131,6 +131,81 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily select `k` results from each query's top-`candidates`
+    * neighbor pool, scoring every unpicked candidate `λ·rel − (1−λ)·
+    * max_sim_to_picked` — the diversified retrieval every RAG/dataset-
+    * curation pipeline bolts onto plain top-k so the selection isn't k
+    * near-copies of the same document.
+    *
+    * Determinism: rel and pairwise sims are the engine-exact quantized
+    * cosines ([[bruteForceTopK]]'s discipline); the greedy objective is
+    * the same two-term IEEE expression on both engines, and every argmax
+    * tie-breaks by neighbor id — so the pick sequence is replayable
+    * bit-for-bit by an oracle that unrolls the k steps.
+    *
+    * Scale shape: candidate generation is the distributed two-phase
+    * top-k; pairwise sims are a per-query self-join of the candidate set
+    * (queries × C² rows, never corpus-sized); the greedy itself runs
+    * DISTRIBUTED via `flatMapGroups` — one group per query holding
+    * C + C² bounded rows (C=candidates, a serving-time constant), so a
+    * large query batch parallelizes across executors and no driver
+    * collect exists anywhere. The inherently sequential part — k greedy
+    * steps — is O(k·C) integer/double ops per query, in-memory. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      candidates: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need 1 <= k <= candidates: $k, $candidates")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val mu = 1.0 - lambda
+    val cand = bruteForceTopK(corpus, queries, candidates)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+    // candidate vectors: one corpus scan filtered by the broadcast
+    // candidate-id set, then a per-query self-join of that tiny slice
+    val vecs = prepared(corpus)
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))),
+        col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("nq"))
+    val sims = vecs.as("x").join(vecs.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id"),
+        col("x.neighbor_id").as("a"), col("y.neighbor_id").as("b"),
+        cosineQ(dotQ(col("x.qe"), col("y.qe")), col("x.nq"), col("y.nq")).as("s"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // rel rows ride along with b = -1 (ids are non-negative) so one
+    // grouped dataset carries the whole per-query greedy state
+    val merged = cand.select(col("query_id"), col("neighbor_id").as("a"),
+        lit(-1L).as("b"), col("rel").as("v"))
+      .unionAll(sims.select(col("query_id"), col("a"), col("b"), col("s").as("v")))
+      .as[(Long, Long, Long, Double)]
+    merged.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rel = scala.collection.mutable.LongMap.empty[Double]
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+      it.foreach { case (_, a, b, v) =>
+        if (b == -1L) rel(a) = v else sim((a, b)) = v
+      }
+      val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rel.keys
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (picked.length < k && remaining.nonEmpty) {
+        // argmax of the MMR objective, ties to the smallest id (the
+        // TreeSet iterates ascending, so strict > keeps the first max)
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        remaining.foreach { c =>
+          val ms = if (picked.isEmpty) 0.0
+            else picked.iterator.map(p => sim((c, p))).max
+          val score = if (picked.isEmpty) rel(c)
+            else lambda * rel(c) - mu * ms
+          if (score > bestScore) { bestScore = score; bestId = c }
+        }
+        picked += bestId
+        remaining -= bestId
+      }
+      picked.iterator.zipWithIndex.map { case (id, i) => (qid, (i + 1).toLong, id) }
+    }.toDF("query_id", "step", "neighbor_id")
+  }
+
   /** Learned-centroid IVF: deterministic hash-seeded Lloyd's k-means over
     * the quantized corpus, then nprobe-nearest-centroid candidate pruning.
     * This is the "ANN you'd ship" upgrade over [[ivfTopK]]'s fixed sign

@@ -46,6 +46,33 @@ class GraphSpec extends SparkSpec {
     assert(ranks == Seq(("a", 575L), ("b", 638L), ("c", 575L)))
   }
 
+  test("hits: hand-computed two iterations, max-normalized to scale 1000") {
+    // a->b w2, b->a w1, b->c w1; h0 = 1000 each
+    // iter1: auth raw (a,b,c)=(1000,2000,1000) -> norm (500,1000,500)
+    //        hub  raw (2000,1000,0)            -> norm (1000,500,0)
+    // iter2: auth raw (500,2000,500)           -> norm (250,1000,250)
+    //        hub  raw (2000,500,0)             -> norm (1000,250,0)
+    val got = Graph.hits(nodesOf("a", "b", "c"),
+        edgesOf(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)),
+        iterations = 2, scale = 1000L)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toSeq
+    assert(got == Seq(("a", 1000L, 250L), ("b", 250L, 1000L), ("c", 0L, 250L)))
+  }
+
+  test("hits: determinism and isolated-node zeros") {
+    val nodes = nodesOf("x", "y", "z") // z isolated
+    val edges = edgesOf(("x", "y", 3L))
+    val a = Graph.hits(nodes, edges).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val b = Graph.hits(nodes, edges).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b)
+    // x is the only hub, y the only authority; z touches no edge
+    assert(a("x") == (1000000L, 0L) && a("y") == (0L, 1000000L))
+    assert(a("z") == (0L, 0L))
+  }
+
   test("pageRank: zero iterations returns the uniform init; determinism") {
     val nodes = nodesOf("x", "y")
     val edges = edgesOf(("x", "y", 3L))

@@ -171,6 +171,22 @@ class ServeIngestMetricsSpec extends SparkSpec {
       ("t", 1L, 4L)))
   }
 
+  test("interpolatedMinuteCounts: integer floor interpolation inside gaps") {
+    val sd = streamDataOf(
+      msg("s", 0, 0L, 0, payload = "aaaa"), msg("s", 0, 1000L, 1),
+      msg("s", 0, 2000L, 2), msg("s", 0, 3000L, 3),   // minute 0: 4 msgs
+      msg("s", 0, 180000L, 4),                        // minute 3: 1 msg
+      msg("t", 0, 60000L, 0))                         // single-minute stream
+    val got = Metrics.interpolatedMinuteCounts(sd)
+      .orderBy("stream_id", "minute").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("msgs"), r.getAs[Boolean]("filled")))
+    // gap of 3 from 4 down to 1: i=1 -> (4*2+1*1) div 3 = 3,
+    //                            i=2 -> (4*1+1*2) div 3 = 2
+    assert(got.toSeq == Seq(
+      ("s", 4L, false), ("s", 3L, true), ("s", 2L, true), ("s", 1L, false),
+      ("t", 1L, false)))
+  }
+
   test("minuteCounts + hourlyRollup aggregate counts and bytes") {
     val sd = streamDataOf(
       msg("s", 0, 0L, 0, payload = "abc"),        // minute 0

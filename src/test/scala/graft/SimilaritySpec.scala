@@ -29,6 +29,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._3) < 1e-9)
   }
 
+  test("mmrTopK diversifies: an exact duplicate of the first pick loses to a novel result") {
+    val corpus = vecsOf(
+      (10L, pad(Seq(1f, 0f, 0f)), 0),
+      (11L, pad(Seq(2f, 0f, 0f)), 0),   // exact duplicate direction of 10
+      (12L, pad(Seq(0f, 1f, 0.1f)), 0)) // orthogonal to 10, mildly relevant
+    val queries = vecsOf((1L, pad(Seq(1f, 0.2f, 0f)), 0))
+    val got = Similarity.mmrTopK(corpus, queries, k = 2, candidates = 3,
+        lambda = 0.5)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("neighbor_id"))).toSeq
+    // step 1: 10 and 11 tie on relevance -> smaller id; step 2: the dup's
+    // redundancy penalty (sim 1.0) sinks it below the orthogonal 12
+    assert(got == Seq((1L, 10L), (2L, 12L)))
+    // plain top-2 would have returned the duplicate instead
+    val plain = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(plain == Seq(10L, 11L))
+  }
+
+  test("mmrTopK: k = candidates returns the whole pool; deterministic") {
+    val corpus = vecsOf(
+      (20L, pad(Seq(1f, 0.3f)), 0), (21L, pad(Seq(0.2f, 1f)), 0),
+      (22L, pad(Seq(0.7f, 0.7f)), 0))
+    val queries = vecsOf((2L, pad(Seq(1f, 0f)), 0))
+    def run() = Similarity.mmrTopK(corpus, queries, k = 3, candidates = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("neighbor_id"))).toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.map(_._2).toSet == Set(20L, 21L, 22L))
+    assert(a.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("topK returns at most k with deterministic tiebreak on neighbor_id") {
     val corpus = vecsOf((1L to 10L).map(i => (i + 100, pad(Seq(1f, 0f)), 0)): _*)
     val queries = vecsOf((1L, pad(Seq(1f, 0f)), 0))
