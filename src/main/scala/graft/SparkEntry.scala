@@ -239,6 +239,18 @@ object SparkEntry {
       Metrics.interpolatedMinuteCounts(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
 
+    // per-part least-squares rate trend from exact integer sufficient
+    // statistics — the capacity-planning drift detector
+    "q_trend" -> ((s, dir) =>
+      Metrics.rateTrend(Tables.streamData(s, dir))
+        .orderBy(col("stream_id"), col("stream_partition"))),
+
+    // pairwise Pearson correlation of per-minute stream rates on common
+    // active minutes — cross-stream dependence monitoring
+    "q_corr" -> ((s, dir) =>
+      Metrics.crossStreamCorrelation(Tables.streamData(s, dir))
+        .orderBy(col("stream_a"), col("stream_b"))),
+
     // rolling z-score rate alerting over the dense series: 60-min
     // trailing window (current row excluded), spike when > mean + 3*stddev
     "q_metrics_anomaly" -> ((s, dir) =>
@@ -332,6 +344,16 @@ object SparkEntry {
     "q_ann_sq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.sqTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Johnson-Lindenstrauss sketch search: deterministic ±1 sign
+    // projection 64→16 dims, exact top-k on the compressed vectors —
+    // the memory-bound ANN scale path; see Similarity.rpTopK
+    "q_ann_rp" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.rpTopK(
         e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -856,6 +878,13 @@ object SparkEntry {
     "q_semi_anti" -> ((s, dir) =>
       Relational.customerOrderPresence(s, dir).orderBy(col("c_nationkey"))),
 
+    // bucketed co-located join: both facts persisted bucketed on the
+    // join key, then joined with ZERO exchanges on that key (the
+    // pay-layout-once, join-many scale pattern; plan-contract-pinned)
+    "q_bucketed_join" -> ((s, dir) =>
+      Relational.bucketedRevenueByPriority(
+        s, dir, scratchStore(s, dir, "bkt"))),
+
     // Pareto frontier (skyline) of orders maximizing (totalprice,
     // orderdate) — two-phase bucket-local + reduced-global window, pure
     // comparisons; see operators.Skyline
@@ -1324,6 +1353,34 @@ object SparkEntry {
         |  FROM q)""".stripMargin
     val dotExpr = // exact integer dot product of two quantized lists a/b
       "CAST(list_sum(list_transform(range(len(%s)), i -> %s[i+1]*%s[i+1])) AS BIGINT)"
+    // JL sketch oracle: the SAME sign matrix as Similarity.rpTopK —
+    // inlined from the one Scala source of truth so the two engines can
+    // never drift — replayed as pure list arithmetic.
+    val rpSql = {
+      val signsLit = Similarity.rpSigns(16, 64)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""$quantCte,
+         |sgn AS (SELECT $signsLit AS s),
+         |rp AS (SELECT vec_id,
+         |         list_transform(range(16), d ->
+         |           CAST(list_sum(list_transform(range(64),
+         |             j -> s[d+1][j+1]*qe[j+1])) AS BIGINT)) AS pe
+         |       FROM n, sgn),
+         |rpn AS (SELECT vec_id, pe,
+         |          ${dotExpr.format("pe", "pe", "pe")} AS np
+         |        FROM rp),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotExpr.format("c.pe", "c.pe", "qs.pe")}
+         |           / (sqrt(CAST(qs.np AS DOUBLE)) * sqrt(CAST(c.np AS DOUBLE))) AS cos
+         |  FROM rpn c, rpn qs WHERE c.vec_id >= 8 AND qs.vec_id < 8),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT query_id, "rank", neighbor_id, cos FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    }
     // Unrolled greedy MMR steps (k=5 picks from the top-15 candidate
     // pool): p{s} carries the picked list; each step scores the unpicked
     // candidates λ·rel − (1−λ)·max-sim-to-picked with the exact doubles
@@ -1763,6 +1820,50 @@ object SparkEntry {
            |       CAST(msgs AS BIGINT) AS msgs, filled
            |FROM fill ORDER BY 1, 2, 3""".stripMargin,
 
+      "q_trend" ->
+        s"""$sd, $minuteCte,
+           |xy AS (SELECT stream_id, stream_partition,
+           |         epoch_us(minute) // 60000000
+           |           - min(epoch_us(minute) // 60000000)
+           |               OVER (PARTITION BY stream_id, stream_partition) AS x,
+           |         CAST(msgs AS BIGINT) AS y
+           |       FROM mc),
+           |s AS (SELECT stream_id, stream_partition, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+           |      FROM xy GROUP BY 1, 2)
+           |SELECT stream_id, stream_partition, n,
+           |  CASE WHEN n*sxx - sx*sx > 0
+           |       THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+           |  END AS slope,
+           |  CASE WHEN n*sxx - sx*sx > 0
+           |       THEN (CAST(sy AS DOUBLE)
+           |             - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+           |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           |  END AS intercept
+           |FROM s ORDER BY 1, 2""".stripMargin,
+
+      "q_corr" ->
+        s"""$sd, $minuteCte,
+           |sm AS (SELECT stream_id, minute, CAST(sum(msgs) AS BIGINT) AS msgs
+           |       FROM mc GROUP BY 1, 2),
+           |pr AS (SELECT a.stream_id AS stream_a, b.stream_id AS stream_b,
+           |         a.msgs AS x, b.msgs AS y
+           |       FROM sm a JOIN sm b
+           |         ON a.minute = b.minute AND a.stream_id < b.stream_id),
+           |s AS (SELECT stream_a, stream_b, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x*y) AS BIGINT) AS sxy,
+           |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+           |      FROM pr GROUP BY 1, 2)
+           |SELECT stream_a, stream_b, n,
+           |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+           |       THEN CAST(n*sxy - sx*sy AS DOUBLE)
+           |            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+           |               * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           |  END AS corr
+           |FROM s ORDER BY 1, 2""".stripMargin,
+
       // rolling z-score replay over the SPARSE active minutes: identical
       // RANGE frame on the integer minute index (idle minutes contribute
       // zero to the sums; the dense trailing count is arithmetic),
@@ -1943,6 +2044,8 @@ object SparkEntry {
            |      FROM scored)
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      "q_ann_rp" -> rpSql,
 
       "q_mmr" -> mmrSql,
 
@@ -3011,6 +3114,16 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
           |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
           |FROM customer LEFT JOIN d ON c_custkey = o_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the bucketed layout is output-invisible: the oracle is the plain
+      // join-aggregate (co-location changes the plan, never the rows)
+      "q_bucketed_join" ->
+        """SELECT o_orderpriority,
+          |       sum(l_quantity) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |       CAST(count(*) AS BIGINT) AS n_lines
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // skyline oracle is the definition itself — a dominance anti-join

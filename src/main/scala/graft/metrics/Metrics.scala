@@ -163,6 +163,77 @@ object Metrics {
         col("msgs"), col("mean"), col("variance"), col("is_anomaly"))
   }
 
+  /** Per-stream-part least-squares rate trend over the active-minute
+    * series: slope/intercept of msgs-per-minute against the minute index,
+    * the drift detector behind capacity planning ("is this partition's
+    * rate growing?") — a one-pass GROUP BY, not a model fit.
+    *
+    * Determinism: x is the minute index RELATIVE to each part's first
+    * active minute (keeps products small), y the integer count; all five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact longs, and
+    * slope/intercept derive from them in one fixed IEEE expression each —
+    * the same exact-int-then-double discipline as the anomaly variance.
+    * Single-minute parts report NULL (zero variance in x).
+    *
+    * Scale: sums are map-side combined on the same (stream, part) key the
+    * minute counts already shuffled on; nothing global, output is one row
+    * per part. */
+  def rateTrend(streamData: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("stream_id"), col("stream_partition"))
+    val stats = minuteCounts(streamData)
+      .withColumn("idx",
+        (unix_micros(col("minute").cast("timestamp")) / lit(60000000L))
+          .cast("long"))
+      .withColumn("x", col("idx") - min(col("idx")).over(part))
+      .withColumn("y", col("msgs").cast("long"))
+      .groupBy(col("stream_id"), col("stream_partition"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val slope = num.cast("double") / den.cast("double")
+    stats.select(col("stream_id"), col("stream_partition"), col("n"),
+      when(den > 0, slope).as("slope"),
+      when(den > 0,
+        (col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+  }
+
+  /** Pearson correlation between every pair of streams' per-minute rates
+    * (partitions summed, pairs matched on common active minutes) — the
+    * cross-stream dependence monitor ("do error spikes track click
+    * spikes?"). Same exact-integer sufficient statistics as [[rateTrend]]
+    * (n, Σx, Σy, Σxy, Σx², Σy² are longs), correlation derived in one
+    * fixed IEEE expression; constant series report NULL.
+    *
+    * Scale: the self-join matches on the minute key — per-minute fan-out
+    * is |streams|², a metadata-sized constant, never data-sized; sums are
+    * map-side combined per (a, b) pair. */
+  def crossStreamCorrelation(streamData: DataFrame): DataFrame = {
+    val sm = minuteCounts(streamData)
+      .groupBy(col("stream_id"), col("minute"))
+      .agg(sum(col("msgs")).as("msgs"))
+    val pairs = sm.as("a").join(sm.as("b"),
+        col("a.minute") === col("b.minute") &&
+          col("a.stream_id") < col("b.stream_id"))
+      .select(col("a.stream_id").as("stream_a"), col("b.stream_id").as("stream_b"),
+        col("a.msgs").as("x"), col("b.msgs").as("y"))
+    val stats = pairs.groupBy(col("stream_a"), col("stream_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    stats.select(col("stream_a"), col("stream_b"), col("n"),
+      when(denx > 0 && deny > 0,
+        num.cast("double") /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double")))).as("corr"))
+  }
+
   /** Hierarchical rollup minute→hour (A8; `StreamMetrics.ts:55-77`): each
     * hour reports the sum, the plain average, AND the `throttledAvg`-
     * smoothed average of its minute reports — the reference smooths at

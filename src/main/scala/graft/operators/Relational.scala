@@ -106,6 +106,48 @@ object Relational {
       .na.fill(0L, Seq("with_orders", "without_orders"))
   }
 
+  /** Bucketed co-located fact-fact join: both sides are first PERSISTED
+    * bucketed by the join key (`bucketBy` + `sortBy` into external
+    * parquet tables at `scratch`, catalog entries in the session's
+    * in-memory catalog), then joined — the physical plan contains NO
+    * exchange on the join keys, because both scans already satisfy the
+    * join's clustering requirement (PlanContractSpec pins this).
+    *
+    * This is the 100 TB answer for a fact-fact join that runs MANY times
+    * (the TTL/compaction/serving reads of a curated corpus): pay the
+    * bucket shuffle once at layout time, then every subsequent join of
+    * the two tables is shuffle-free — the persisted-layout counterpart of
+    * [[graft.store.MessageStore]]'s partition-path co-location, applied
+    * to join keys instead of scan keys. Bucket count is the parallelism
+    * knob; both sides MUST use the same count for the exchange to
+    * disappear.
+    *
+    * The returned aggregate (order-priority revenue profile) shuffles
+    * only on the 5-value priority key AFTER the join. */
+  def bucketedRevenueByPriority(spark: SparkSession, dir: String,
+      scratch: String, buckets: Int = 8): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    def persist(df: DataFrame, key: String, table: String): DataFrame = {
+      df.write.format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$scratch/$table")
+        .mode("overwrite").saveAsTable(table)
+      spark.table(table)
+    }
+    val o = persist(ord, "o_orderkey", "graft_bkt_orders")
+    val l = persist(li, "l_orderkey", "graft_bkt_lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q6 shape: forecast-revenue change — a pure selective scan-agg
     * with every predicate pushed to parquet (row-group min/max skipping
     * does the heavy lifting at scale; no join, no shuffle beyond the

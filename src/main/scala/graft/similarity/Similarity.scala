@@ -131,6 +131,57 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix: `outDims` rows of
+    * `dim` signs, each from the low bit of md5("rp:<d>:<j>") — no RNG, so
+    * every engine (and the oracle) derives the identical matrix. */
+  def rpSigns(outDims: Int, dim: Int): Seq[Seq[Long]] = {
+    (0 until outDims).map { d =>
+      (0 until dim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$d:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1L else -1L
+      }
+    }
+  }
+
+  /** Project a quantized vector through the sign matrix: one exact integer
+    * dot per output dim (the signs ride as array literals, so the whole
+    * projection is codegen'd — no UDF, no per-row matrix allocation). */
+  def rpProject(qe: Column, signs: Seq[Seq[Long]]): Column =
+    array(signs.map(row => quantized_dot(qe, typedLit(row))): _*)
+
+  /** Top-k search in a random-projection (JL) sketch of the embedding
+    * space: vectors are compressed 64→`outDims` dims by a deterministic
+    * ±1 sign projection, and the exact [[bruteForceTopK]] machinery runs
+    * on the sketches — the memory-bound scale path where even SQ8 codes
+    * are too wide (a 16-dim int sketch is 4× smaller than the 64-dim
+    * original REGARDLESS of per-dim width, and JL preserves angles in
+    * expectation, so ranking quality degrades gracefully; see the recall
+    * spec). Projection magnitudes stay exact: |p[d]| ≤ 64·1e6, norms ≤
+    * 16·(6.4e7)² ≈ 6.5e16 < 2^63 — integer-exact end to end, cosine one
+    * deterministic division, same discipline as every other ANN gate.
+    *
+    * Scale: the projection fuses into the corpus scan (narrow map, no
+    * shuffle); everything downstream is [[bruteForceTopK]]'s broadcast +
+    * salted two-phase top-k on 4× less data. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      outDims: Int = 16, dim: Int = 64): DataFrame = {
+    require(k >= 1 && outDims >= 1, s"need k, outDims >= 1: $k, $outDims")
+    val signs = rpSigns(outDims, dim)
+    def sketch(df: DataFrame): DataFrame = {
+      val pe = rpProject(quantize(col("embedding")), signs)
+      df.select(col("vec_id"), pe.as("pe"))
+        .withColumn("np", dotQ(col("pe"), col("pe")))
+    }
+    val c = sketch(corpus)
+    val q = sketch(queries)
+      .select(col("vec_id").as("query_id"), col("pe").as("q_pe"), col("np").as("q_np"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosineQ(dotQ(col("pe"), col("q_pe")), col("q_np"), col("np")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
     * greedily select `k` results from each query's top-`candidates`
     * neighbor pool, scoring every unpicked candidate `λ·rel − (1−λ)·

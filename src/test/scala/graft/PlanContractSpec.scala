@@ -73,6 +73,51 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join plans zero exchanges on the join keys") {
+    // both sides are persisted bucketed on the key, so the SortMergeJoin
+    // must consume the scans directly — the ONLY allowed exchanges are
+    // the post-join priority aggregate and the final sort. Broadcast is
+    // disabled for the check: at sf0.001 the orders side broadcasts
+    // (also exchange-free), but the contract being pinned is the
+    // fact-fact regime where neither side fits an executor.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try planOf("q_bucketed_join")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SortMergeJoin"), s"q_bucketed_join lost SMJ: $plan")
+    assert(!plan.matches("(?s).*Exchange hashpartitioning\\(o_orderkey.*"),
+      s"q_bucketed_join shuffles the orders side: $plan")
+    assert(!plan.matches("(?s).*Exchange hashpartitioning\\(l_orderkey.*"),
+      s"q_bucketed_join shuffles the lineitem side: $plan")
+    // the scans must report the bucket spec (SelectedBucketsCount)
+    assert(plan.contains("SelectedBucketsCount"),
+      s"q_bucketed_join reads unbucketed scans: $plan")
+  }
+
+  test("new r10 additions keep their scale-critical shapes") {
+    // skyline: phase-1 window partitions by bucket (a keyed shuffle over
+    // the distinct-point set), never a raw single-partition global sort
+    val sk = planOf("q_skyline")
+    assert(sk.contains("hashpartitioning(_b"),
+      s"q_skyline lost the bucket-local phase: $sk")
+    // JL sketch search: projection fuses into the scan (no UDF, no
+    // shuffle before the broadcast score join)
+    val rp = planOf("q_ann_rp")
+    assert(rp.contains("BroadcastExchange"), s"q_ann_rp lost its broadcast: $rp")
+    // MMR: candidate generation broadcasts; the greedy is a grouped map,
+    // never a driver collect (plan must show the flatMapGroups stage)
+    val mm = planOf("q_mmr")
+    assert(mm.contains("BroadcastExchange"), s"q_mmr lost its broadcast: $mm")
+    assert(mm.contains("MapGroups"), s"q_mmr greedy is not a grouped map: $mm")
+    // trend/corr: one keyed aggregate, exact-int stats (no stddev/corr
+    // built-ins whose float merge order would be engine-dependent)
+    Seq("q_trend", "q_corr").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("corr(") && !p.contains("stddev"),
+        s"$n must derive from integer sums: $p")
+    }
+  }
+
   test("r10 additions keep their scale-critical shapes") {
     // weighted jaccard: the one gram-keyed exchange both self-join sides read
     val wj = planOf("q_weighted_jaccard")

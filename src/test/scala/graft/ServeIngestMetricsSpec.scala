@@ -187,6 +187,35 @@ class ServeIngestMetricsSpec extends SparkSpec {
       ("t", 1L, false)))
   }
 
+  test("rateTrend: hand-computed slope/intercept, single-minute part is NULL") {
+    val sd = streamDataOf(
+      msg("s", 0, 0L, 0),                              // minute 0: 1 msg
+      msg("s", 0, 60000L, 1), msg("s", 0, 61000L, 2),  // minute 1: 2 msgs
+      msg("s", 0, 120000L, 3), msg("s", 0, 121000L, 4),
+      msg("s", 0, 122000L, 5),                         // minute 2: 3 msgs
+      msg("t", 0, 0L, 0))                              // single minute
+    val got = Metrics.rateTrend(sd).orderBy("stream_id").collect()
+    // y = x + 1 exactly: slope 1, intercept 1
+    assert(got(0).getAs[Double]("slope") == 1.0)
+    assert(got(0).getAs[Double]("intercept") == 1.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("slope")))
+    assert(got(1).isNullAt(got(1).fieldIndex("intercept")))
+  }
+
+  test("crossStreamCorrelation: proportional rates correlate at exactly 1.0") {
+    val sd = streamDataOf(
+      msg("u", 0, 0L, 0), msg("u", 0, 60000L, 1), msg("u", 0, 61000L, 2),
+      msg("v", 0, 0L, 0), msg("v", 0, 1000L, 1),
+      msg("v", 0, 60000L, 2), msg("v", 0, 61000L, 3),
+      msg("v", 0, 62000L, 4), msg("v", 0, 63000L, 5))
+    // u = (1, 2), v = (2, 4) on the two shared minutes -> r = 1 exactly
+    val got = Metrics.crossStreamCorrelation(sd).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == ("u", "v"))
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Double]("corr") == 1.0)
+  }
+
   test("minuteCounts + hourlyRollup aggregate counts and bytes") {
     val sd = streamDataOf(
       msg("s", 0, 0L, 0, payload = "abc"),        // minute 0

@@ -29,6 +29,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._3) < 1e-9)
   }
 
+  test("rpTopK: JL sketch preserves an exact-match top-1; signs are deterministic ±1") {
+    val s1 = Similarity.rpSigns(4, 8)
+    assert(s1 == Similarity.rpSigns(4, 8))
+    assert(s1.flatten.forall(v => v == 1L || v == -1L))
+    val corpus = vecsOf(
+      (10L, pad(Seq(1f, 0f)), 0),
+      (11L, pad(Seq(0f, 1f)), 0),
+      (12L, pad(Seq(-1f, 0f)), 0))
+    val queries = vecsOf((1L, pad(Seq(2f, 0f)), 0))
+    // an identical-direction vector projects to an identical-direction
+    // sketch (projection is linear), so it must still rank first with
+    // sketch cosine exactly 1
+    val got = Similarity.rpTopK(corpus, queries, k = 3, outDims = 4, dim = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(got.head._1 == 10L && math.abs(got.head._2 - 1.0) < 1e-12)
+    // and the opposite vector lands at sketch cosine exactly -1
+    assert(got.last._1 == 12L && math.abs(got.last._2 + 1.0) < 1e-12)
+  }
+
   test("mmrTopK diversifies: an exact duplicate of the first pick loses to a novel result") {
     val corpus = vecsOf(
       (10L, pad(Seq(1f, 0f, 0f)), 0),
