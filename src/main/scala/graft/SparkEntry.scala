@@ -878,6 +878,37 @@ object SparkEntry {
     "q_semi_anti" -> ((s, dir) =>
       Relational.customerOrderPresence(s, dir).orderBy(col("c_nationkey"))),
 
+    // per-user latest event as ONE aggregate — max(struct(total-order))
+    // gives partial map-side argmax with no window sort and no per-group
+    // row materialization: the argmax shape that survives 100 TB where
+    // the row_number() formulation pays a full per-group sort
+    "q_latest_event" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(unix_millis(col("ts").cast("timestamp")).as("tms"),
+            col("event_id"), col("event_type"), col("value")).as("ev"))
+        .groupBy(col("user_id")).agg(max(col("ev")).as("ev"))
+        .select(col("user_id"), col("ev.tms").as("tms"),
+          col("ev.event_id").as("event_id"),
+          col("ev.event_type").as("event_type"), col("ev.value").as("value"))
+        .orderBy(col("user_id"))),
+
+    // ranking-function surface: ntile / percent_rank / cume_dist per
+    // event type over the (value, event_id) TOTAL order — the explicit
+    // tiebreak makes every rank (and therefore every bucket and both
+    // ratios) engine-independent where a bare value ordering would not be
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("bucket", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy(col("event_type"), col("value"), col("event_id"))
+    }),
+
     // bucketed co-located join: both facts persisted bucketed on the
     // join key, then joined with ZERO exchanges on that key (the
     // pay-layout-once, join-many scale pattern; plan-contract-pinned)
@@ -3115,6 +3146,25 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
           |FROM customer LEFT JOIN d ON c_custkey = o_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the aggregate-argmax is replayed as the row_number top-1 — equal
+      // results BECAUSE (ts, event_id) is a total order per user
+      "q_latest_event" ->
+        """SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+          |       event_id, event_type, value
+          |FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id
+          |  ORDER BY ts DESC, event_id DESC) = 1
+          |ORDER BY user_id""".stripMargin,
+
+      "q_window_funcs" ->
+        """SELECT event_type, event_id, value,
+          |       CAST(ntile(4) OVER w AS BIGINT) AS bucket,
+          |       percent_rank() OVER w AS pr,
+          |       cume_dist() OVER w AS cd
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+          |ORDER BY event_type, value, event_id""".stripMargin,
 
       // the bucketed layout is output-invisible: the oracle is the plain
       // join-aggregate (co-location changes the plan, never the rows)
