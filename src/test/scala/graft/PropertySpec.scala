@@ -478,4 +478,123 @@ class PropertySpec extends SparkSpec {
       math.abs(rank - target) <= vals.length / 8 + 1
     })
   }
+
+  /** The engine's exact quantized cosine, replayed locally: floor-1e6
+    * ints, exact integer dot, one double division — the same IEEE steps
+    * [[graft.similarity.Similarity]] runs, so == comparisons are valid. */
+  private def localCos(a: Seq[Float], b: Seq[Float]): Double = {
+    def q(v: Seq[Float]) = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    val (qa, qb) = (q(a), q(b))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    val na = qa.map(x => x * x).sum
+    val nb = qb.map(x => x * x).sum
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  test("mmrTopK == naive greedy MMR on random vectors") {
+    val s = spark
+    import s.implicits._
+    val genCase = for {
+      nc <- Gen.choose(3, 8)
+      dim <- Gen.choose(2, 4)
+      vecs <- Gen.listOfN(nc + 1, Gen.listOfN(dim,
+        Gen.choose(-8, 8).map(_.toFloat / 4f)))
+      // degenerate zero vectors would make cosine NaN — nudge dim 0
+      k <- Gen.choose(1, 3)
+    } yield (vecs.map(v => (v.head + 9f) +: v.tail), k)
+    holdsFewer(Prop.forAll(genCase) { case (vecs, k) =>
+      val qv = vecs.head
+      val corpus = vecs.tail.zipWithIndex.map { case (v, i) => (10L + i, v, 0) }
+      val cand = corpus.size
+      val got = graft.similarity.Similarity.mmrTopK(
+          corpus.toDF("vec_id", "embedding", "label"),
+          Seq((1L, qv, 0)).toDF("vec_id", "embedding", "label"),
+          k = k, candidates = cand, lambda = 0.7)
+        .orderBy("step").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+      // naive greedy with the same scoring and (score desc, id asc) ties
+      val rel = corpus.map { case (id, v, _) => id -> localCos(qv, v) }.toMap
+      val byId = corpus.map { case (id, v, _) => id -> v }.toMap
+      var remaining = corpus.map(_._1).sorted
+      var picked = List.empty[Long]
+      while (picked.size < k && remaining.nonEmpty) {
+        val best = remaining.map { c =>
+          val score = if (picked.isEmpty) rel(c)
+            else 0.7 * rel(c) -
+              0.30000000000000004 * picked.map(p => localCos(byId(c), byId(p))).max
+          (c, score)
+        }.reduceLeft((x, y) => if (y._2 > x._2) y else x) // strict >: first max wins, ids ascend
+        picked = picked :+ best._1
+        remaining = remaining.filterNot(_ == best._1)
+      }
+      got == picked
+    })
+  }
+
+  test("hits == local integer power iteration on random weighted digraphs") {
+    val s = spark
+    import s.implicits._
+    val genGraph = for {
+      nn <- Gen.choose(2, 5)
+      ne <- Gen.choose(0, 8)
+      edges <- Gen.listOfN(ne, for {
+        a <- Gen.choose(0, nn - 1); b <- Gen.choose(0, nn - 1)
+        w <- Gen.choose(1L, 5L)
+      } yield (s"n$a", s"n$b", w))
+    } yield (nn, edges.groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).sum) }.toList)
+    holdsFewer(Prop.forAll(genGraph) { case (nn, edges) =>
+      val nodes = (0 until nn).map(i => s"n$i")
+      val got = graft.operators.Graph.hits(
+          nodes.toDF("node"),
+          edges.toDF("src", "dst", "w"), iterations = 2, scale = 1000L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // local replay: sweep + max-normalize, all integer
+      def sweep(sc: Map[String, Long], from: Int, to: Int): Map[String, Long] = {
+        val raw = nodes.map(n =>
+          n -> edges.filter(e => e.productElement(to).asInstanceOf[String] == n)
+            .map(e => e._3 * sc(e.productElement(from).asInstanceOf[String]))
+            .sum).toMap
+        val mx = math.max(raw.values.max, 1L)
+        raw.map { case (n, v) => n -> v * 1000L / mx }
+      }
+      var hub = nodes.map(_ -> 1000L).toMap
+      var auth = hub
+      (1 to 2).foreach { _ =>
+        auth = sweep(hub, from = 0, to = 1)
+        hub = sweep(auth, from = 1, to = 0)
+      }
+      got == nodes.map(n => (n, hub(n), auth(n))).toSet
+    })
+  }
+
+  test("gapfill: contiguous spine, endpoints exact, interpolation between neighbors") {
+    val genSeries = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, for {
+      m <- Gen.choose(0L, 30L)   // minute
+      c <- Gen.choose(1, 5)      // msgs that minute
+    } yield (m, c))).map(_.groupBy(_._1).view.mapValues(_.map(_._2).sum).toList.sortBy(_._1))
+    holdsFewer(Prop.forAll(genSeries) { series =>
+      val msgs = series.flatMap { case (m, c) =>
+        (0 until c).map(i => msg("s", 0, m * 60000L + i * 10L, i))
+      }
+      val got = graft.metrics.Metrics.interpolatedMinuteCounts(streamDataOf(msgs: _*))
+        .orderBy("minute").collect()
+        .map(r => (r.getAs[java.time.LocalDateTime]("minute").toEpochSecond(
+            java.time.ZoneOffset.UTC) / 60,
+          r.getAs[Long]("msgs"), r.getAs[Boolean]("filled")))
+      val lo = series.head._1
+      val hi = series.last._1
+      val active = series.toMap
+      got.map(_._1).toSeq == (lo to hi) &&                       // contiguous
+        got.forall { case (m, v, filled) =>
+          active.get(m) match {
+            case Some(c) => !filled && v == c.toLong             // endpoints exact
+            case None =>
+              val (pm, pc) = series.takeWhile(_._1 < m).last
+              val (nm, nc) = series.dropWhile(_._1 < m).head
+              val expect = (pc.toLong * (nm - m) + nc.toLong * (m - pm)) / (nm - pm)
+              filled && v == expect                              // exact floor interp
+          }
+        }
+    })
+  }
 }
