@@ -1179,6 +1179,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // nearest as-of: each click's CLOSEST same-user purchase in either
+    // direction (backward wins ties) — the sensor-alignment variant;
+    // see AsofJoin.asofNearest
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tms = unix_millis(col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), tms.as("tms"), col("event_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tms.as("tms"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"),
+          tms.as("purchase_tms"))
+      graft.operators.AsofJoin.asofNearest(clicks, purchases,
+        keys = Seq("user_id"), ts = "tms", rightTie = "purchase_id",
+        rightVals = Seq("purchase_id", "purchase_value", "purchase_tms"),
+        rightTs = "purchase_tms")
+        .orderBy(col("event_id"))
+    }),
+
     // interval (point-in-range) join: every click inside ANY same-user
     // 30-min attribution window ending at a purchase — bucket-decomposed
     // to an equi-join on (user, time-bucket); see operators.IntervalJoin
@@ -3646,6 +3665,32 @@ object SparkEntry {
           |SELECT user_id, tms, event_id, value,
           |       rv.pid AS purchase_id, rv.pv AS purchase_value
           |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+      // nearest as-of replayed as a rank over ALL same-user purchases by
+      // (|Δt|, backward-first, per-direction tie) — equivalent to the
+      // engine's backward/forward composition because the top-ranked row
+      // under that order IS the winning directional candidate
+      "q_asof_nearest" ->
+        """WITH c AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id, value
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ptms,
+          |             event_id AS purchase_id, value AS purchase_value
+          |      FROM events WHERE event_type = 'purchase'),
+          |j AS (SELECT c.user_id, c.tms, c.event_id, c.value,
+          |        p.purchase_id, p.purchase_value, p.ptms AS purchase_tms,
+          |        abs(p.ptms - c.tms) AS delta,
+          |        CASE WHEN p.ptms <= c.tms THEN 0 ELSE 1 END AS dir,
+          |        CASE WHEN p.ptms <= c.tms THEN -p.purchase_id ELSE p.purchase_id END AS tie
+          |      FROM c LEFT JOIN p USING (user_id))
+          |SELECT user_id, tms, event_id, value,
+          |       purchase_id, purchase_value, purchase_tms,
+          |       CASE WHEN purchase_tms IS NULL THEN NULL
+          |            WHEN purchase_tms <= tms THEN 'backward'
+          |            ELSE 'forward' END AS matched_dir
+          |FROM j
+          |QUALIFY row_number() OVER (PARTITION BY event_id
+          |  ORDER BY delta, dir, tie) = 1
+          |ORDER BY event_id""".stripMargin,
 
       // interval join replayed as the plain BETWEEN range join — DuckDB's
       // IEJoin computes the same pair set the bucket decomposition emits

@@ -52,6 +52,44 @@ object AsofJoin {
       ts: String, rightTie: String, rightVals: Seq[String]): DataFrame =
     asofImpl(left, right, keys, ts, rightTie, rightVals, backward = false)
 
+  /** Nearest as-of join: for each left row, the right row with the same
+    * key whose timestamp is CLOSEST in either direction — the
+    * sensor-alignment variant (align a reading to the nearest calibration
+    * sample, a trade to the nearest quote) where pure backward would drop
+    * the leading edge and pure forward the trailing edge.
+    *
+    * Composition of [[asofBackward]] and [[asofForward]] (so the scale
+    * shape is two merge-sort passes on the SAME key shuffle — still no
+    * range-join fan-out) followed by a per-row pick: the backward
+    * candidate wins ties (`Δback ≤ Δfwd`), and within each direction the
+    * parent operators' tie policy applies. `matched_dir` reports which
+    * side won (null when the key has no right rows at all).
+    *
+    * `ts` and `rightTs` must be the SAME numeric epoch type on both
+    * sides — deltas are exact integer subtraction, so the pick is
+    * engine-reproducible. `rightTs` is the right side's own timestamp
+    * under its output name and must be listed in `rightVals`. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, rightTie: String, rightVals: Seq[String],
+      rightTs: String): DataFrame = {
+    require(rightVals.contains(rightTs), s"rightTs $rightTs must be one of rightVals")
+    def renamed(suffix: String) = rightVals.foldLeft(right)(
+      (df, v) => df.withColumnRenamed(v, v + suffix))
+    val bVals = rightVals.map(_ + "__b")
+    val fVals = rightVals.map(_ + "__f")
+    val withB = asofBackward(left, renamed("__b"), keys, ts, rightTie + "__b", bVals)
+    val both = asofForward(withB, renamed("__f"), keys, ts, rightTie + "__f", fVals)
+    val bt = col(rightTs + "__b")
+    val ft = col(rightTs + "__f")
+    val useB = bt.isNotNull && (ft.isNull || (col(ts) - bt) <= (ft - col(ts)))
+    rightVals.foldLeft(both)((d, v) =>
+        d.withColumn(v, when(useB, col(v + "__b")).otherwise(col(v + "__f"))))
+      .withColumn("matched_dir",
+        when(col(rightTs).isNull, lit(null).cast("string"))
+          .otherwise(when(useB, lit("backward")).otherwise(lit("forward"))))
+      .drop(bVals ++ fVals: _*)
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, rightTie: String, rightVals: Seq[String],
       backward: Boolean): DataFrame = {

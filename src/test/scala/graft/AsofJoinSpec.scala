@@ -89,4 +89,37 @@ class AsofJoinSpec extends SparkSpec {
         "tms", Seq("purchase_id", "purchase_value"))
     }
   }
+
+  private def runNearest(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asofNearest(
+      l, r.withColumn("purchase_tms", col("tms")),
+      keys = Seq("user_id"), ts = "tms", rightTie = "purchase_id",
+      rightVals = Seq("purchase_id", "purchase_value", "purchase_tms"),
+      rightTs = "purchase_tms")
+      .orderBy("event_id").collect()
+      .map(row => (row.getAs[Long]("event_id"),
+        Option(row.getAs[java.lang.Long]("purchase_id")).map(_.toLong),
+        row.getAs[String]("matched_dir")))
+      .toSeq
+
+  test("asofNearest: closest side wins, backward on equal distance, null when no rights") {
+    val l = leftOf(
+      (1L, 100L, 10L, 1.0),   // back 90 (Δ10) vs fwd 200 (Δ100) -> backward
+      (1L, 195L, 11L, 1.0),   // back 90 (Δ105) vs fwd 200 (Δ5)  -> forward
+      (1L, 145L, 12L, 1.0),   // Δ55 both sides -> backward wins the tie
+      (2L, 100L, 13L, 1.0))   // user 2 has no purchases
+    val r = rightOf((1L, 90L, 900L, 5.0), (1L, 200L, 901L, 6.0))
+    assert(runNearest(l, r) == Seq(
+      (10L, Some(900L), "backward"),
+      (11L, Some(901L), "forward"),
+      (12L, Some(900L), "backward"),
+      (13L, None, null)))
+  }
+
+  test("asofNearest: an exact-timestamp right row matches as backward") {
+    val l = leftOf((1L, 100L, 10L, 1.0))
+    val r = rightOf((1L, 100L, 900L, 5.0), (1L, 101L, 901L, 6.0))
+    assert(runNearest(l, r) == Seq((10L, Some(900L), "backward")))
+  }
 }

@@ -567,6 +567,41 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asofNearest == brute-force closest-either-side with backward tie preference") {
+    val s = spark
+    import s.implicits._
+    val genSide = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 12L)
+    } yield (u, t)))
+    holdsFewer(Prop.forAll(genSide, genSide) { (ls, rs) =>
+      val lefts = ls.zipWithIndex.map { case ((u, t), i) => (u, t, 100L + i, 0.0) }
+      val rights = rs.zipWithIndex.map { case ((u, t), i) => (u, t, 900L + i, 1.0, t) }
+      val got = graft.operators.AsofJoin.asofNearest(
+          lefts.toDF("user_id", "tms", "event_id", "value"),
+          rights.toDF("user_id", "tms", "purchase_id", "purchase_value", "purchase_tms"),
+          keys = Seq("user_id"), ts = "tms", rightTie = "purchase_id",
+          rightVals = Seq("purchase_id", "purchase_value", "purchase_tms"),
+          rightTs = "purchase_tms")
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong)).toMap
+      val expect = lefts.map { case (u, t, id, _) =>
+        val back = rights.filter(r => r._1 == u && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption
+        val fwd = rights.filter(r => r._1 == u && r._2 >= t)
+          .sortBy(r => (r._2, r._3)).headOption // earliest ts, smallest id
+        id -> ((back, fwd) match {
+          case (None, f) => f.map(_._3)
+          case (b, None) => b.map(_._3)
+          case (Some(b), Some(f)) =>
+            Some(if (t - b._2 <= f._2 - t) b._3 else f._3)
+        })
+      }.toMap
+      got == expect
+    })
+  }
+
   test("gapfill: contiguous spine, endpoints exact, interpolation between neighbors") {
     val genSeries = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, for {
       m <- Gen.choose(0L, 30L)   // minute
