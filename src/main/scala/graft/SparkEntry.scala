@@ -1341,21 +1341,25 @@ object SparkEntry {
     }
     // Unrolled fixed-iteration HITS (same edge derivation as pageRankSql):
     // auth sweep then hub sweep per iteration, each max-normalized to 1e6
-    // by exact integer division — the scalar max subquery mirrors the
-    // Spark side's one-row broadcast crossJoin.
+    // by exact integer division. The normalize widens to HUGEINT before
+    // the ×1e6 — the twin of the Spark side's DECIMAL(38) intermediate,
+    // so neither engine overflows where the other wouldn't. The scalar
+    // max subquery mirrors the Spark side's one-row broadcast crossJoin.
     val hitsSql = {
       val iters = (1 to 2).map { k =>
         s"""a${k}r AS (SELECT n.node, CAST(coalesce(sum(e.w * h.v), 0) AS BIGINT) AS v
            |  FROM n LEFT JOIN e ON e.dst = n.node
            |         LEFT JOIN h${k - 1} h ON h.node = e.src
            |  GROUP BY 1),
-           |a$k AS (SELECT node, v * 1000000 // greatest((SELECT max(v) FROM a${k}r), 1) AS v
+           |a$k AS (SELECT node, CAST(CAST(v AS HUGEINT) * 1000000
+           |    // greatest((SELECT max(v) FROM a${k}r), 1) AS BIGINT) AS v
            |  FROM a${k}r),
            |h${k}r AS (SELECT n.node, CAST(coalesce(sum(e.w * a.v), 0) AS BIGINT) AS v
            |  FROM n LEFT JOIN e ON e.src = n.node
            |         LEFT JOIN a$k a ON a.node = e.dst
            |  GROUP BY 1),
-           |h$k AS (SELECT node, v * 1000000 // greatest((SELECT max(v) FROM h${k}r), 1) AS v
+           |h$k AS (SELECT node, CAST(CAST(v AS HUGEINT) * 1000000
+           |    // greatest((SELECT max(v) FROM h${k}r), 1) AS BIGINT) AS v
            |  FROM h${k}r)""".stripMargin
       }.mkString(",\n")
       s"""WITH nxt AS (SELECT event_type AS src,
@@ -1471,14 +1475,16 @@ object SparkEntry {
          |                           AND ca.neighbor_id <> cb.neighbor_id
          |  JOIN n x ON x.vec_id = ca.neighbor_id
          |  JOIN n y ON y.vec_id = cb.neighbor_id),
-         |p1 AS (SELECT query_id, list_value(neighbor_id) AS picked FROM cand
+         |n1 AS (SELECT query_id, neighbor_id FROM cand
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY rel DESC, neighbor_id) = 1),
-         |$steps,
-         |o AS (SELECT query_id, unnest(picked) AS neighbor_id,
-         |             generate_subscripts(picked, 1) AS step
-         |      FROM p5)
-         |SELECT query_id, CAST(step AS BIGINT) AS step, neighbor_id FROM o
+         |p1 AS (SELECT query_id, list_value(neighbor_id) AS picked FROM n1),
+         |$steps
+         |SELECT query_id, CAST(step AS BIGINT) AS step, neighbor_id FROM (
+         |  ${(1 to 5).map(s =>
+                s"SELECT query_id, $s AS step, neighbor_id FROM n$s")
+                .mkString("\n  UNION ALL ")}
+         |)
          |ORDER BY query_id, step""".stripMargin
     }
     // Learned-centroid IVF oracle helpers: squared L2 to a centroid list
@@ -3166,14 +3172,17 @@ object SparkEntry {
           |FROM customer LEFT JOIN d ON c_custkey = o_custkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      // the aggregate-argmax is replayed as the row_number top-1 — equal
-      // results BECAUSE (ts, event_id) is a total order per user
+      // the aggregate-argmax is replayed as the row_number top-1 — the
+      // rank key is the MILLISECOND-truncated epoch Spark actually
+      // compares (ranking by raw microsecond ts would be a different
+      // total order whenever two events share a millisecond), with
+      // event_id breaking the ms ties exactly like the struct comparison
       "q_latest_event" ->
         """SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
           |       event_id, event_type, value
           |FROM events
           |QUALIFY row_number() OVER (PARTITION BY user_id
-          |  ORDER BY ts DESC, event_id DESC) = 1
+          |  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) = 1
           |ORDER BY user_id""".stripMargin,
 
       "q_window_funcs" ->

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
+  /** Integer minute index of the `minute` column — the ONE derivation the
+    * gap-fill, anomaly, and trend passes all key their arithmetic on (a
+    * unit change here must move all three together or their oracles
+    * disagree on the index). */
+  private def minuteIdx: Column =
+    (unix_micros(col("minute").cast("timestamp")) / lit(60000000L))
+      .cast("long")
+
   /** Per-(stream-part, second) message counts and byte totals — the finest
     * level of the reference's sec→min→hour→day metric cascade
     * (`StreamMetrics.ts:55-77` runs one StreamMetrics per level, each
@@ -90,9 +98,7 @@ object Metrics {
     val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
       .orderBy(col("minute"))
     val nx = minuteCounts(streamData)
-      .withColumn("idx",
-        (unix_micros(col("minute").cast("timestamp")) / lit(60000000L))
-          .cast("long"))
+      .withColumn("idx", minuteIdx)
       .withColumn("msgs", col("msgs").cast("long"))
       .withColumn("nidx", lead(col("idx"), 1).over(w))
       .withColumn("nmsgs", lead(col("msgs"), 1).over(w))
@@ -142,9 +148,7 @@ object Metrics {
       .rangeBetween(-lookback, -1)
     val wAll = Window.partitionBy(part: _*)
     minuteCounts(streamData)
-      .withColumn("idx",
-        (unix_micros(col("minute").cast("timestamp")) / lit(60000000L))
-          .cast("long"))
+      .withColumn("idx", minuteIdx)
       .withColumn("n",
         least(lit(lookback.toLong), col("idx") - min(col("idx")).over(wAll)))
       .withColumn("s", coalesce(sum(col("msgs")).over(w), lit(0L)))
@@ -182,9 +186,7 @@ object Metrics {
     import org.apache.spark.sql.expressions.Window
     val part = Window.partitionBy(col("stream_id"), col("stream_partition"))
     val stats = minuteCounts(streamData)
-      .withColumn("idx",
-        (unix_micros(col("minute").cast("timestamp")) / lit(60000000L))
-          .cast("long"))
+      .withColumn("idx", minuteIdx)
       .withColumn("x", col("idx") - min(col("idx")).over(part))
       .withColumn("y", col("msgs").cast("long"))
       .groupBy(col("stream_id"), col("stream_partition"))

@@ -93,7 +93,11 @@ object Graph {
     * max is a one-row broadcast crossJoin, never a driver collect.
     * Overflow bound: scores ≤ scale after each normalization, so a sweep
     * needs Σw·scale < 2^63 — with the default 1e6 scale that holds to
-    * ~9e12 total edge weight; re-derive `scale` beyond that. */
+    * ~9e12 total edge weight; re-derive `scale` beyond that. The
+    * normalization itself multiplies raw mass by scale BEFORE dividing,
+    * so it runs in DECIMAL(38) (exact, then the ≤scale quotient is cast
+    * back to long) — a long intermediate there would cap total edge
+    * weight at ~9e6 instead. */
   def hits(nodes: DataFrame, edges: DataFrame, iterations: Int = 2,
       scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
@@ -102,7 +106,8 @@ object Graph {
     def normalize(scores: DataFrame): DataFrame = {
       val mx = scores.agg(greatest(max(col("v")), lit(1L)).as("mx"))
       scores.crossJoin(broadcast(mx))
-        .select(col("node"), expr(s"v * $scale div mx").as("v"))
+        .select(col("node"),
+          expr(s"CAST(CAST(v AS DECIMAL(38,0)) * $scale div mx AS BIGINT)").as("v"))
     }
     def sweep(scores: DataFrame, from: String, to: String): DataFrame = {
       val mass = e.join(broadcast(scores), col(from) === col("node"))

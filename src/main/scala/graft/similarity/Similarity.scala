@@ -78,17 +78,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Exact brute-force cosine top-k: corpus × broadcast(queries) map-side
-    * scoring, two-phase selection. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = prepared(corpus)
-    val q = prepared(queries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nq").as("q_nq"))
-    val scored = c.crossJoin(broadcast(q))
+  /** Shared scoring tail of every exact-vector search path: corpus ×
+    * broadcast(queries) cosine over (vec_id, qe, nq)-shaped inputs, then
+    * the salted two-phase top-k. One body, so the tie/salt discipline
+    * can never drift between the full-width and sketch paths. */
+  private def cosineTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val qs = q.select(col("vec_id").as("query_id"),
+      col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val scored = c.crossJoin(broadcast(qs))
       .withColumn("cos", cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
     topKPerGroup(scored, k)
   }
+
+  /** Exact brute-force cosine top-k: corpus × broadcast(queries) map-side
+    * scoring, two-phase selection. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    cosineTopK(prepared(corpus), prepared(queries), k)
 
   /** IVF-bucketed approximate top-k: candidates restricted to the query's
     * sign bucket — trades recall for a 2^signBits-fold candidate cut. */
@@ -168,18 +174,14 @@ object Similarity {
       outDims: Int = 16, dim: Int = 64): DataFrame = {
     require(k >= 1 && outDims >= 1, s"need k, outDims >= 1: $k, $outDims")
     val signs = rpSigns(outDims, dim)
+    // sketches take the (vec_id, qe, nq) shape so the shared scoring
+    // tail applies unchanged to the compressed vectors
     def sketch(df: DataFrame): DataFrame = {
       val pe = rpProject(quantize(col("embedding")), signs)
-      df.select(col("vec_id"), pe.as("pe"))
-        .withColumn("np", dotQ(col("pe"), col("pe")))
+      df.select(col("vec_id"), pe.as("qe"))
+        .withColumn("nq", dotQ(col("qe"), col("qe")))
     }
-    val c = sketch(corpus)
-    val q = sketch(queries)
-      .select(col("vec_id").as("query_id"), col("pe").as("q_pe"), col("np").as("q_np"))
-    val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", cosineQ(dotQ(col("pe"), col("q_pe")), col("q_np"), col("np")))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
-    topKPerGroup(scored, k)
+    cosineTopK(sketch(corpus), sketch(queries), k)
   }
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
@@ -236,7 +238,11 @@ object Similarity {
       it.foreach { case (_, a, b, v) =>
         if (b == -1L) rel(a) = v else sim((a, b)) = v
       }
-      val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rel.keys
+      // zero-norm vectors have NaN cosine against everything — they are
+      // unrankable, and leaving one in would poison the argmax (NaN
+      // fails every > comparison, leaving bestId unset)
+      val remaining = scala.collection.mutable.TreeSet.empty[Long] ++
+        rel.collect { case (id, r) if !r.isNaN => id }
       val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
       while (picked.length < k && remaining.nonEmpty) {
         // argmax of the MMR objective, ties to the smallest id (the
