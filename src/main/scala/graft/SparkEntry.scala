@@ -100,6 +100,21 @@ object SparkEntry {
     path
   }
 
+  /** The ONE purchase co-occurrence graph the three graph gates
+    * (q_triangles, q_label_prop, q_kcore) and their oracle CTEs all share:
+    * users purchasing in the same 15-minute block (900000 ms — the
+    * density knob; hour blocks multiply triangles ~28x at sf0.1). A
+    * single definition so the gates can never silently test different
+    * graphs. */
+  private def purchCoEdges(s: SparkSession, dir: String): DataFrame = {
+    val purch = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("tms"))
+      .select(col("user_id"), expr("tms div 900000").as("h"))
+    graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h")
+  }
+
   // Fixed query constants (UTC, within the 2024-01-01..2024-01-30 data span).
   private val FromTs  = MsgRef(1705276800000L, 4)  // 2024-01-15
   private val RangeFrom = MsgRef(1704672000000L, 3) // 2024-01-08
@@ -968,13 +983,7 @@ object SparkEntry {
     // found once and attributed to its three corners. 15-minute blocks:
     // the density knob — hour blocks multiply triangles ~28× at sf0.1
     "q_triangles" -> ((s, dir) => {
-      val purch = Tables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          unix_millis(col("ts").cast("timestamp")).as("tms"))
-        .select(col("user_id"), expr("tms div 900000").as("h"))
-      graft.operators.Graph.triangleCounts(
-        graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"))
+      graft.operators.Graph.triangleCounts(purchCoEdges(s, dir))
         .orderBy(col("node"))
     }),
 
@@ -983,27 +992,14 @@ object SparkEntry {
     // tie-breaks make the rounds engine-reproducible, so the oracle is a
     // recursive CTE replaying them exactly
     "q_label_prop" -> ((s, dir) => {
-      val purch = Tables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          unix_millis(col("ts").cast("timestamp")).as("tms"))
-        .select(col("user_id"), expr("tms div 900000").as("h"))
-      graft.operators.Graph.labelPropagation(
-        graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"),
-        rounds = 4)
+      graft.operators.Graph.labelPropagation(purchCoEdges(s, dir), rounds = 4)
         .orderBy(col("node"))
     }),
 
     // 6-core of the same graph: periphery peeled to the unique maximal
     // subgraph of minimum degree 6 — no tie-breaks, a monotone fixpoint
     "q_kcore" -> ((s, dir) => {
-      val purch = Tables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          unix_millis(col("ts").cast("timestamp")).as("tms"))
-        .select(col("user_id"), expr("tms div 900000").as("h"))
-      graft.operators.Graph.kCore(
-        graft.operators.Graph.cooccurrenceEdges(purch, "user_id", "h"), k = 6)
+      graft.operators.Graph.kCore(purchCoEdges(s, dir), k = 6)
         .orderBy(col("v"))
     }),
 
@@ -3362,7 +3358,7 @@ object SparkEntry {
         """WITH b AS (
           |  SELECT CASE WHEN value < 0.0 THEN -1
           |              WHEN value >= 500.0 THEN 20
-          |              ELSE CAST(floor((value - 0.0) * 20.0 / (500.0 - 0.0)) AS BIGINT)
+          |              ELSE least(CAST(floor((value - 0.0) * 20.0 / (500.0 - 0.0)) AS BIGINT), 19)
           |         END AS bucket
           |  FROM events WHERE value IS NOT NULL)
           |SELECT bucket,
@@ -3481,8 +3477,9 @@ object SparkEntry {
           |FROM lineitem
           |UNION ALL
           |SELECT 'orderkey_fk', (SELECT count(*) FROM lineitem),
-          |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-          |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                          WHERE o.o_orderkey = l.l_orderkey))
           |ORDER BY check_name""".stripMargin,
 
       // profile: one UNION ALL arm per column with the same typed channels

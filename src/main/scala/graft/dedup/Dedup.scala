@@ -440,8 +440,10 @@ object Dedup {
     * rank join), one doc-keyed window ranks grams rarest-first, and the
     * candidate join touches only the constant-size prefixes — hot grams
     * (common words, templated spans) sort LAST and never enter the join.
-    * The gram-count length filter (|G_a − G_b| ≤ d) prunes candidates
-    * before the O(d·prefixLen) banded verification. Pruning power is
+    * The LENGTH filter (|len_a − len_b| ≤ d — each edit moves the length
+    * by at most one, so it admits every true pair) prunes candidates
+    * before the O(d·prefixLen) banded verification; a distinct-GRAM-count
+    * difference bound would need d·q, not d, and is not used. Pruning power is
     * CORPUS-DEPENDENT: it needs the rarest-gram buckets to be sparse,
     * which holds on natural web-scale text (character-gram diversity
     * grows with the corpus) but not on a tiny shared vocabulary, where
@@ -455,6 +457,7 @@ object Dedup {
     val W = org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       substring(col("text"), 1, prefixLen).as("pfx"))
+      .withColumn("plen", length(col("pfx")).cast("long"))
     val eligible = base
       .withColumn("grams", when(length(col("pfx")) >= q,
         array_distinct(transform(
@@ -464,8 +467,8 @@ object Dedup {
       .withColumn("ng", size(col("grams")).cast("long"))
       .filter(col("ng") > maxDist * q)
     val tok = eligible
-      .select(col("doc_id"), col("ng"), explode(col("grams")).as("gs"))
-      .select(col("doc_id"), col("ng"), md5Int60(col("gs")).as("tok"))
+      .select(col("doc_id"), col("plen"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), col("plen"), md5Int60(col("gs")).as("tok"))
       .repartition(col("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val pre = tok.join(dfreq, "tok")
@@ -473,12 +476,12 @@ object Dedup {
       .withColumn("pos", row_number().over(
         W.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
       .filter(col("pos") <= maxDist * q + 1)
-      .select(col("doc_id"), col("ng"), col("tok"))
+      .select(col("doc_id"), col("plen"), col("tok"))
       .repartition(col("tok"))
     val cand = pre.as("a")
       .join(pre.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.ng") - col("b.ng")) <= maxDist)
+          abs(col("a.plen") - col("b.plen")) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

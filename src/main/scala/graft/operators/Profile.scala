@@ -82,9 +82,16 @@ object Profile {
       bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
     val v = col(value).cast("double")
+    // the in-range quotient can round up to exactly `bins` for v just
+    // below hi ((v-lo)*bins landing on the same double as (hi-lo)*bins —
+    // the classic numpy-histogram edge); clamp so an in-domain value is
+    // never reported in the >= hi overflow bucket. The oracle applies
+    // the identical least().
     val bucket = when(v < lo, lit(-1L))
       .when(v >= hi, lit(bins.toLong))
-      .otherwise(floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("long"))
+      .otherwise(least(
+        floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("long"),
+        lit(bins.toLong - 1L)))
     df.filter(v.isNotNull)
       .select(bucket.as("bucket"))
       .groupBy("bucket")

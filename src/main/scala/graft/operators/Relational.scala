@@ -222,8 +222,12 @@ object Relational {
       .select(col("user_id"), col("t"), lit(1L).as("lvl"))
     val reached = steps.zipWithIndex.drop(1).foldLeft(first) {
       case (prev, (step, i)) =>
+        // only users at EXACTLY the previous level may advance — joining
+        // all of prev would let a step-(i+1) event vault a user over a
+        // step they never completed (view→purchase with no click)
         val nxt = ev.filter(col("event_type") === step)
-          .join(prev.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
+          .join(prev.filter(col("lvl") === i)
+            .select(col("user_id"), col("t").as("tp")), Seq("user_id"))
           .filter(col("ts") > col("tp"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("tn"))
         prev.join(nxt, Seq("user_id"), "left")

@@ -52,6 +52,30 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Shared selection tail of every per-stratum-target sampler
+    * ([[mixtureSample]], [[unimaxSample]], [[temperatureSample]]):
+    * salted-md5 rank within each stratum, the per-stratum CASE target
+    * bound, PLUS the literal global cap (max target) — the literal is
+    * what lets Spark's InferWindowGroupLimit fire (the rule needs a
+    * LITERAL rank bound, so the CASE alone would forfeit the map-side
+    * top-k pruning). One body, so the salt/tie/pruning discipline can
+    * never drift between the samplers. */
+  private def takePerStratumTargets(df: DataFrame, key: Column,
+      stratum: Column, targets: Iterable[(String, Long)],
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.text.TextAnalysis.md5Int60(
+      concat(lit(s"$salt:"), key.cast("string")))
+    val w = Window.partitionBy(stratum).orderBy(h, key)
+    val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    val maxK = targets.map(_._2).max
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
+  }
+
+
   /** Rebalance a corpus to target mixture WEIGHTS — "make the training set
     * 70% web, 20% code, 10% reference" — keeping as much data as the
     * scarcest stratum allows. The binding stratum s* maximizes w/n; every
@@ -87,19 +111,7 @@ object Sampling {
       // floor(n_star * w / w_star) in overflow-safe exact integers
       s -> (BigInt(counts(sStar)) * w / wStar).toLong
     }
-    import org.apache.spark.sql.expressions.Window
-    val h = graft.text.TextAnalysis.md5Int60(
-      concat(lit(s"$salt:"), key.cast("string")))
-    val w = Window.partitionBy(stratum).orderBy(h, key)
-    val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
-      when(stratum === s, lit(k)).otherwise(acc)
-    }
-    // the literal global cap (max per-stratum target) is what lets Spark's
-    // InferWindowGroupLimit fire — the rule needs a LITERAL rank bound, so
-    // the per-stratum CASE alone would forfeit the map-side top-k pruning
-    val maxK = targets.values.max
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
+    takePerStratumTargets(df, key, stratum, targets, salt)
   }
 
   /** Per-source quota cap: keep at most `k` rows per source, preferring the
@@ -232,18 +244,7 @@ object Sampling {
       remaining -= alloc
       left -= 1
     }
-    import org.apache.spark.sql.expressions.Window
-    val h = graft.text.TextAnalysis.md5Int60(
-      concat(lit(s"$salt:"), key.cast("string")))
-    val w = Window.partitionBy(stratum).orderBy(h, key)
-    val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
-      when(stratum === s, lit(k)).otherwise(acc)
-    }
-    // literal global cap alongside the per-stratum CASE bound — same
-    // InferWindowGroupLimit requirement as [[mixtureSample]]
-    val maxK = targets.values.max
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
+    takePerStratumTargets(df, key, stratum, targets, salt)
   }
 
   /** Temperature (α) sampling: per-stratum targets proportional to
@@ -281,16 +282,7 @@ object Sampling {
     val targets = weights.map { case (s, n, w) =>
       s -> math.min(n, (BigInt(budget) * w / totalW).toLong)
     }
-    import org.apache.spark.sql.expressions.Window
-    val h = graft.text.TextAnalysis.md5Int60(
-      concat(lit(s"$salt:"), key.cast("string")))
-    val w = Window.partitionBy(stratum).orderBy(h, key)
-    val kExpr = targets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
-      when(stratum === s, lit(k)).otherwise(acc)
-    }
-    val maxK = targets.map(_._2).max
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= lit(maxK) && col("sample_rank") <= kExpr)
+    takePerStratumTargets(df, key, stratum, targets, salt)
   }
 
   /** Weighted sample without replacement, probability ∝ weight:
@@ -316,8 +308,15 @@ object Sampling {
       salt: String = "sp0"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val u = md5Int32(concat(lit(s"$salt:"), key.cast("string")))
-    df.withColumn("pps_rank",
-        u.cast("double") / weight.cast("long").cast("double"))
+    // weights are a COLUMN, so the positivity contract the sibling
+    // samplers `require` driver-side is enforced in-plan: a zero weight
+    // would rank Infinity/NaN and a negative one would rank FIRST,
+    // silently selecting exactly the invalid rows — fail loudly instead
+    val w = weight.cast("long")
+    val checked = when(w > 0, w).otherwise(
+      raise_error(concat(lit("sequentialPoisson: non-positive weight "),
+        w.cast("string"))))
+    df.withColumn("pps_rank", u.cast("double") / checked.cast("double"))
       .orderBy(col("pps_rank").asc, key.asc)
       .limit(k)
   }

@@ -35,6 +35,12 @@ object StreamInterval {
   def joinPointsToIntervals(points: DataFrame, intervals: DataFrame,
       key: String, ts: String, start: String, end: String,
       slack: String, maxLen: String): DataFrame = {
+    // same non-key collision contract as the batch IntervalJoin: shared
+    // payload names would emit ambiguous duplicate columns downstream
+    val collide = points.columns.toSet
+      .intersect(intervals.columns.toSet) - key
+    require(collide.isEmpty,
+      s"non-key columns collide across sides: ${collide.mkString(", ")}")
     val p = points.withWatermark(ts, slack)
     val i = intervals.withColumnRenamed(key, "__ikey")
       .withWatermark(start, slack)

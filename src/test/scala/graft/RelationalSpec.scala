@@ -90,6 +90,23 @@ class RelationalSpec extends SparkSpec {
     assert(g2.toSeq == Seq((1L, 2L, 1.0), (2L, 2L, 1.0)))
   }
 
+  test("funnelOf: a skipped intermediate step blocks advancement") {
+    val s = spark
+    import s.implicits._
+    // u1 views then purchases WITHOUT ever clicking — a later-step event
+    // after a stale lower-level timestamp must NOT vault the user to
+    // purchase; u2 is the honest three-step control
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "purchase", 300L),
+      (2L, "view", 100L), (2L, "click", 200L), (2L, "purchase", 300L))
+      .toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.funnelOf(spark, ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 1L)),
+      s"view-only-then-purchase user must stop at view: $got")
+  }
+
   test("cohortRetention: offsets non-negative, week-0 row equals cohort size upper bound") {
     val rows = Relational.cohortRetention(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
