@@ -1132,6 +1132,23 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // personalized PageRank: teleport mass restricted to the 'signup'
+    // seed — event types ranked by walk-proximity to signup; see
+    // operators.Graph.personalizedPageRank
+    "q_ppr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Graph.personalizedPageRank(
+        ev.select(col("event_type").as("node")).distinct(),
+        graft.operators.Graph.transitionEdges(ev),
+        seeds = Set("signup"), iterations = 5)
+        .orderBy(col("node"))
+    }),
+
+    // time-weighted average (step-interpolated TWAP) per event type —
+    // exact integer weighted sums; see Relational.twap
+    "q_twap" -> ((s, dir) =>
+      Relational.twap(Tables.events(s, dir)).orderBy(col("event_type"))),
+
     // hub/authority scores over the same transition graph — integer
     // max-normalized HITS, 2 iterations; see operators.Graph.hits
     "q_hits" -> ((s, dir) => {
@@ -1332,6 +1349,33 @@ object SparkEntry {
          |       USING (src)),
          |n AS (SELECT DISTINCT event_type AS node FROM events),
          |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM n),
+         |$levels
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+    }
+    // Personalized-PageRank oracle: pageRankSql's unrolled rounds with
+    // the teleport CASE restricted to the seed set.
+    val pprSql = {
+      val base = "CASE WHEN n.node = 'signup' THEN 150000000 ELSE 0 END"
+      val levels = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.node, CAST($base +
+           |  coalesce(sum(((r.rank * ew.w) // ew.outw) * 85 // 100), 0)
+           |  AS BIGINT) AS rank
+           |  FROM n LEFT JOIN ew ON ew.dst = n.node
+           |         LEFT JOIN r${k - 1} r ON r.node = ew.src
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nxt AS (SELECT event_type AS src,
+         |       lead(event_type) OVER (PARTITION BY user_id
+         |                              ORDER BY ts, event_id) AS dst
+         |     FROM events),
+         |e AS (SELECT src, dst, count(*) AS w
+         |      FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |ew AS (SELECT e.src, e.dst, e.w, o.outw
+         |       FROM e JOIN (SELECT src, sum(w) AS outw FROM e GROUP BY 1) o
+         |       USING (src)),
+         |n AS (SELECT DISTINCT event_type AS node FROM events),
+         |r0 AS (SELECT node, CAST(CASE WHEN node = 'signup'
+         |         THEN 1000000000 ELSE 0 END AS BIGINT) AS rank FROM n),
          |$levels
          |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
     }
@@ -3528,6 +3572,27 @@ object SparkEntry {
           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q_event_pagerank" -> pageRankSql,
+
+      "q_ppr" -> pprSql,
+
+      "q_twap" ->
+        """WITH e AS (SELECT event_type, event_id,
+          |             CAST(floor(value * 1000000.0) AS BIGINT) AS vmicro,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+          |           FROM events),
+          |d AS (SELECT event_type, vmicro,
+          |        lead(tms) OVER (PARTITION BY event_type
+          |                        ORDER BY tms, event_id) - tms AS dur
+          |      FROM e),
+          |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+          |        CAST(sum(vmicro * dur) AS BIGINT) AS wsum,
+          |        CAST(sum(dur) AS BIGINT) AS span_ms
+          |      FROM d WHERE dur IS NOT NULL GROUP BY 1)
+          |SELECT event_type, n_intervals, span_ms,
+          |  CASE WHEN span_ms > 0
+          |       THEN CAST(wsum AS DOUBLE) / CAST(span_ms AS DOUBLE) / 1000000.0
+          |  END AS twap
+          |FROM s ORDER BY event_type""".stripMargin,
 
       "q_hits" -> hitsSql,
 

@@ -70,6 +70,46 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (the random-walk-with-restart variant of
+    * [[pageRank]]): the teleport mass returns ONLY to the `seeds`, so
+    * ranks measure proximity to the seed set along the weighted edges —
+    * the graph-based relevance expansion of crawl curation ("score every
+    * domain by its link proximity to a trusted seed list") and of
+    * retrieval re-ranking. Same integer micro-unit arithmetic, same
+    * per-round discipline as [[pageRank]]; non-seed nodes start (and
+    * teleport) at 0, so any engine replays the rounds bit-identically.
+    * Seeds are a driver-held set (trusted lists are metadata-sized);
+    * overflow bounds are [[pageRank]]'s. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      seeds: Set[String], iterations: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed node")
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(scale > 0, s"scale must be positive: $scale")
+    val isSeed = col("node").isInCollection(seeds)
+    val base = when(isSeed, lit(15L * scale / 100L)).otherwise(lit(0L))
+    val ew = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
+      .localCheckpoint(true)
+    var ranks = nodes
+      .select(col("node"), when(isSeed, lit(scale)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = ew.join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"),
+          expr("((rank * w) div outw) * 85 div 100").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (base + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
     * hyperlinked environment") over a weighted directed edge set — the
     * hub/authority complement to [[pageRank]]: in crawl curation,

@@ -294,6 +294,45 @@ object Relational {
         count(lit(1)).as("volume"))
   }
 
+  /** Time-weighted average value per event type over irregular samples —
+    * the TWAP every sensor/price series needs where the plain mean
+    * over-weights bursts: each sample's value holds until the NEXT sample
+    * (step interpolation), so its weight is that duration, and the final
+    * sample carries no weight (nothing after it to hold over).
+    *
+    * Determinism: value quantizes to 1e-6 fixed point, durations are
+    * exact epoch-ms longs, so the weighted sum and total duration are
+    * exact integers (bounded by span·v_max·1e6 — the weights SUM to the
+    * series span, so the bound is span-×-max, independent of row count;
+    * ~1.3e18 for a 30-day span of |v| ≤ 500) and the average is one
+    * double division chain. Single-sample groups have no interval at all
+    * and are absent from the output (a TWAP over zero duration is
+    * undefined, not zero).
+    *
+    * Scale: one keyed window for the successor timestamp (same
+    * event-type shuffle the aggregate needs anyway), then a
+    * map-side-combined sum — no state beyond the window frame. */
+  def twap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tms").asc, col("event_id").asc)
+    val tms = unix_millis(col("ts").cast("timestamp"))
+    events
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vmicro"),
+        tms.as("tms"))
+      .withColumn("dur", lead(col("tms"), 1).over(w) - col("tms"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("vmicro") * col("dur")).as("wsum"),
+        sum(col("dur")).as("span_ms"))
+      .select(col("event_type"), col("n_intervals"), col("span_ms"),
+        when(col("span_ms") > 0,
+          col("wsum").cast("double") / col("span_ms").cast("double")
+            / lit(1000000.0)).as("twap"))
+  }
+
   def eventRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),

@@ -60,6 +60,27 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq(("a", 1000L, 250L), ("b", 250L, 1000L), ("c", 0L, 250L)))
   }
 
+  test("personalizedPageRank: mass flows only from seeds; disconnected nodes stay 0") {
+    // a->b w1, seed {a}, scale 1000: r0 = (1000, 0, 0)
+    // iter1: b gets floor(1000*85/100) = 850 -> (150, 850, 0)
+    // iter2: b gets floor(150*85/100) = 127 -> (150, 127, 0)
+    val got = Graph.personalizedPageRank(nodesOf("a", "b", "c"),
+        edgesOf(("a", "b", 1L)), seeds = Set("a"),
+        iterations = 2, scale = 1000L)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 150L), ("b", 127L), ("c", 0L)))
+    // uniform-seed PPR over ALL nodes equals plain pageRank by definition
+    val nodes = nodesOf("x", "y")
+    val edges = edgesOf(("x", "y", 2L), ("y", "x", 1L))
+    val ppr = Graph.personalizedPageRank(nodes, edges, Set("x", "y"),
+      iterations = 3, scale = 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val pr = Graph.pageRank(nodes, edges, iterations = 3, scale = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ppr == pr)
+  }
+
   test("hits: determinism and isolated-node zeros") {
     val nodes = nodesOf("x", "y", "z") // z isolated
     val edges = edgesOf(("x", "y", 3L))

@@ -135,13 +135,24 @@ class PropertySpec extends SparkSpec {
       d(a.length)(b.length)
     }
     // small alphabet + shared stems force hot grams, near-dups, and ties;
-    // maxDist=2/q=2 -> eligibility needs > 4 distinct grams
+    // maxDist=2/q=2 -> eligibility needs > 4 distinct grams. The
+    // rare-char substitutions cover the case a distinct-gram-COUNT
+    // candidate filter gets wrong: 2 edits on repetitive text create up
+    // to 2q=4 brand-new distinct grams (|Δng| > maxDist) while the pair
+    // stays within maxDist edits — only the length filter is sound there.
     val genDocs: Gen[List[(Long, String)]] = for {
       n <- Gen.choose(2, 8)
       docs <- Gen.listOfN(n, for {
-        stem <- Gen.oneOf("abcabcab", "abcdefgh", "aabbccdd")
-        tail <- Gen.listOfN(4, Gen.oneOf('a', 'b', 'x')).map(_.mkString)
-      } yield stem + tail)
+        stem <- Gen.oneOf("abcdeabcde", "abcdefghij", "aabbccddee",
+          "abcabcabxy")
+        k <- Gen.choose(0, 2)
+        pos <- Gen.listOfN(k, Gen.choose(0, 9))
+        ch <- Gen.listOfN(k, Gen.oneOf('x', 'y', 'z'))
+      } yield {
+        val sb = stem.toArray
+        pos.zip(ch).foreach { case (p, c) => sb(p) = c }
+        new String(sb)
+      })
     } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val p = params.withMinSuccessfulTests(10)
     val r = check(p, Prop.forAll(genDocs) { docs =>

@@ -205,4 +205,22 @@ class RelationalSpec extends SparkSpec {
     // total expanded mass = rows × (width/slide)
     assert(out.map(_._2).sum == 2 * 2)
   }
+
+  test("twap: step-interpolated weights, last sample weightless, single sample absent") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 0L, "a", 1.0), (2L, 1000L, "a", 3.0), (3L, 3000L, "a", 99.0),
+      (4L, 500L, "b", 7.0)) // single sample: no interval, no output row
+      .toDF("event_id", "tms", "event_type", "value")
+      .select($"event_id", timestamp_millis($"tms").cast("timestamp_ntz").as("ts"),
+        $"event_type", $"value")
+    val got = Relational.twap(ev).orderBy("event_type").collect()
+    // a: v=1 for 1000ms then v=3 for 2000ms -> (1e6*1000 + 3e6*2000)/3000/1e6;
+    //    the 99.0 endpoint has nothing to hold over and must not contribute
+    assert(got.length == 1 && got(0).getString(0) == "a")
+    val a = got(0)
+    assert(a.getAs[Long]("n_intervals") == 2L && a.getAs[Long]("span_ms") == 3000L)
+    assert(a.getAs[Double]("twap") == 7.0e9 / 3000.0 / 1000000.0)
+  }
 }
