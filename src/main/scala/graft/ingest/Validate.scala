@@ -22,6 +22,10 @@ object Validate {
 
   /** F8 — content must parse as JSON (`Publisher.ts:46` getContent(true)).
     * get_json_object returns null on malformed input. */
+  /** Note the JSON-NULL edge: `get_json_object` returns SQL NULL for a
+    * root `null` literal, so a payload of exactly "null" (modulo
+    * whitespace) is REJECTED alongside malformed text — the oracle
+    * mirrors this with `json_valid(p) AND trim(p) <> 'null'`. */
   def isValidJson(payload: Column): Column =
     get_json_object(payload, "$").isNotNull
 
