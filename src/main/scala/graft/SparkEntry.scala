@@ -859,8 +859,12 @@ object SparkEntry {
 
     // many-query BM25 in one corpus pass: docs 0..7 probe the rest of the
     // corpus, each query's terms = its own distinct tokens
+    // NOTE: deliberately NOT docsParallel — measured at both sfs, the
+    // up-front repartition costs more than the narrow-map parallelism it
+    // buys here (bm25ForQueries' own tok repartition already spreads the
+    // heavy phase; adding one before it regressed this query ~2x)
     "q_bm25_multi" -> ((s, dir) => {
-      val d = docsParallel(s, dir)
+      val d = Tables.documents(s, dir)
       graft.operators.Retrieval.bm25ForQueries(
         d.filter(col("doc_id") >= 8),
         d.filter(col("doc_id") < 8)
@@ -873,7 +877,7 @@ object SparkEntry {
     // embedding ranks by integer reciprocal-rank fusion — rank-only
     // combination, no score calibration, engine-exact long sums
     "q_rrf_fusion" -> ((s, dir) => {
-      val d = docsParallel(s, dir)
+      val d = Tables.documents(s, dir)
       val lex = graft.operators.Retrieval.bm25ForQueries(
         d.filter(col("doc_id") >= 8),
         d.filter(col("doc_id") < 8)
