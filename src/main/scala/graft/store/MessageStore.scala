@@ -543,6 +543,10 @@ object MessageStore {
       s"$path/stream_id=${escapePathName(streamId)}/stream_partition=$partition")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(partDir)) return 0
+    // every compaction entry point recovers crash states first (the
+    // policy sweep and Engine.compact used to compensate caller-side;
+    // a hidden-live or blocked-trash bucket must never silently skip)
+    recoverCompaction(spark, path)
     val buckets = fs.listStatus(partDir).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("bucket="))
     buckets.count(b => compactBucket(spark, fs, b.getPath, targetFiles, minFiles))
@@ -694,9 +698,21 @@ object MessageStore {
       val live = new Path(part.getPath,
         name.stripPrefix(".").stripSuffix(".trash").stripSuffix(".compact"))
       if (!fs.exists(live)) {
-        // crash window: restore committed data (trash preferred — it is
-        // the pre-compaction original; a .compact twin is equivalent rows)
-        if (fs.rename(hidden.getPath, live)) recovered += live.toString
+        // crash window: restore committed data, trash preferred — it is
+        // the pre-compaction original, and may hold a file a concurrent
+        // writer slipped in after staging that the .compact copy lacks.
+        // The preference must be enforced HERE, not left to listing
+        // order: '.compact' lists before '.trash', and renaming the
+        // staged copy first would make the later .trash iteration read
+        // "swap committed" and delete the originals.
+        val trashTwin = new Path(part.getPath,
+          name.stripSuffix(".compact") + ".trash")
+        if (name.endsWith(".compact") && fs.exists(trashTwin)) {
+          if (fs.rename(trashTwin, live)) {
+            fs.delete(hidden.getPath, true)
+            recovered += live.toString
+          }
+        } else if (fs.rename(hidden.getPath, live)) recovered += live.toString
       } else if (name.endsWith(".trash")) {
         val stagedFlat = new Path(part.getPath, s"$name".stripSuffix(".trash") + ".compact")
         val stagedNested = new Path(live, stagedFlat.getName)
@@ -794,17 +810,33 @@ object MessageStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    val cutoffBucket = java.time.LocalDateTime
-      .ofInstant(java.time.Instant.ofEpochMilli(cutoff.tsMs), java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter.ofPattern(granularity))
+    // each bucket expires against ITS OWN width, parsed from the name
+    // (day names are 10 chars, hour names 13): a bucket is deletable iff
+    // every instant it can contain is before the cutoff, i.e. its
+    // EXCLUSIVE end <= cutoff. A single-granularity name comparison is
+    // unsound in a per-stream mixed store — a day name is a PREFIX of its
+    // hour names, so "2024-01-15" < "2024-01-15-15" would delete a day
+    // bucket whose tail rows are younger than an intra-day cutoff (the
+    // hazard pruneTimeMixed handles on the read path). `granularity` is
+    // retained for signature stability; the width decision is per name.
+    def bucketEndMs(bucketName: String): Option[Long] = {
+      val fmt = if (bucketName.length == 13) HourBucket
+        else if (bucketName.length == 10) DayBucket
+        else return None
+      val start = java.time.LocalDateTime.parse(
+        bucketName + (if (fmt == DayBucket) "-00" else ""),
+        java.time.format.DateTimeFormatter.ofPattern(HourBucket))
+      val end = if (fmt == DayBucket) start.plusDays(1) else start.plusHours(1)
+      Some(end.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    }
     val dropped = for {
       stream <- fs.listStatus(root) if stream.isDirectory
       part <- fs.listStatus(stream.getPath) if part.isDirectory
       bucket <- fs.listStatus(part.getPath)
       name = bucket.getPath.getName
       if bucket.isDirectory && name.startsWith("bucket=")
-      // sortable truncation format: name-order comparison IS time order
-      if name.stripPrefix("bucket=") < cutoffBucket
+      end <- bucketEndMs(name.stripPrefix("bucket="))
+      if end <= cutoff.tsMs
       if fs.delete(bucket.getPath, true)
     } yield bucket.getPath.toString
     dropped.toSeq

@@ -99,11 +99,18 @@ object IngestPipeline {
           else stats.getAs[java.time.LocalDateTime](i)
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
         val (rows, minTs, maxTs) = (stats.getLong(0), epochMs(1), epochMs(2))
-        val out = fs.create(marker, true)
+        // write-then-rename: a crash mid-write must never leave a
+        // truncated marker for batchLog to parse into an all-null row
+        // (the same commit-point discipline as the store's bucket swap)
+        val tmp = new org.apache.hadoop.fs.Path(
+          marker.getParent, "." + marker.getName + ".tmp")
+        val out = fs.create(tmp, true)
         out.write(
           s"""{"batch_id":$batchId,"rows":$rows,"committed_ms":$nowMs,"min_ts_ms":$minTs,"max_ts_ms":$maxTs}"""
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
+        fs.delete(marker, false)
+        fs.rename(tmp, marker)
         onBatch(prepared, batchId)
         true
       } finally prepared.unpersist()

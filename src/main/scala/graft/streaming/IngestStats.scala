@@ -17,11 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object IngestStats {
 
-  /** The committed-batch log as a relation. */
-  def batchLog(spark: SparkSession, checkpointPath: String): DataFrame =
-    spark.read
-      .schema("batch_id LONG, rows LONG, committed_ms LONG, min_ts_ms LONG, max_ts_ms LONG")
-      .json(s"$checkpointPath/graft-committed")
+  private val LogSchema =
+    "batch_id LONG, rows LONG, committed_ms LONG, min_ts_ms LONG, max_ts_ms LONG"
+
+  /** The committed-batch log as a relation. The marker directory only
+    * exists after the FIRST batch commits, and a dashboard polls this at
+    * startup — a missing directory is an empty log, not an error. */
+  def batchLog(spark: SparkSession, checkpointPath: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$checkpointPath/graft-committed")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(LogSchema))
+    else spark.read.schema(LogSchema).json(dir.toString)
+  }
 
   /** One-row summary: batches, rows, mean batch size, mean batch age at
     * commit (commit time minus the batch's newest message ts — the

@@ -19,10 +19,20 @@ object MetricsStream {
 
   /** Tumbling per-minute counts/bytes per stream-part over a streaming
     * source, with a watermark bounding window state
-    * (`VolumeLogger.ts:107-125` fixed-interval reports). */
+    * (`VolumeLogger.ts:107-125` fixed-interval reports).
+    *
+    * The TIMESTAMP_NTZ event time converts to the watermark's TIMESTAMP
+    * by INTERVAL ARITHMETIC — epoch + (ts − ntz-epoch) — never through
+    * `cast("timestamp")`, which would re-interpret the wall time in
+    * `spark.sql.session.timeZone` (shifting every window boundary in a
+    * non-UTC session, and merging DST-gap wall minutes), the exact
+    * hazard IngestPipeline documents on the persist path. The interval
+    * form pins wall-time-as-UTC in any session zone (a watermark cannot
+    * ride an NTZ column directly in Spark 4). */
   def minuteRates(stream: DataFrame, watermarkDelay: String = "5 minutes"): DataFrame =
     stream
-      .withColumn("ts_tz", col("ts").cast("timestamp"))
+      .withColumn("ts_tz", expr(
+        "timestamp'1970-01-01 00:00:00Z' + (ts - timestamp_ntz'1970-01-01 00:00:00')"))
       .withWatermark("ts_tz", watermarkDelay)
       .groupBy(
         col("stream_id"), col("stream_partition"),

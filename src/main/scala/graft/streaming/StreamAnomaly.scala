@@ -13,14 +13,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * aggregation ([[MetricsStream.minuteRates]] flattened to one row per
   * closed minute).
   *
-  * State per stream-part is a ring of the last `lookback` ACTIVE minute
-  * counts plus the first minute index ever seen — idle minutes cost
-  * nothing and contribute to the statistics by arithmetic, the same
-  * sparse formulation as the batch operator. In-order arrivals reproduce
-  * the batch flags exactly; a late minute (within the upstream watermark)
-  * is scored against the history present at arrival — at-arrival
-  * semantics, the honest option for an alerting path that must not
-  * retract decisions.
+  * State per stream-part is a ring of the last `lookback + lateSlack`
+  * ACTIVE minute counts plus the first minute index ever seen — idle
+  * minutes cost nothing and contribute to the statistics by arithmetic,
+  * the same sparse formulation as the batch operator. In-order arrivals
+  * reproduce the batch flags exactly; a late minute (within the upstream
+  * watermark) is scored against the history present at arrival —
+  * at-arrival semantics, the honest option for an alerting path that
+  * must not retract decisions. `lateSlack` (minutes) must be at least
+  * the upstream watermark delay: it is the eviction margin that keeps a
+  * late minute's FULL trailing window in state — evicting at exactly
+  * `newest − lookback` would have already zeroed the head of a late
+  * minute's window, understating its mean/stddev and firing spurious
+  * flags.
   *
   * Scale: state is O(active parts × lookback) longs, independent of
   * history length, and processing is one state lookup per closed minute —
@@ -38,8 +43,10 @@ object StreamAnomaly {
       is_anomaly: Boolean)
 
   def flags(minutes: Dataset[MinuteCount], lookback: Int = 60,
-      k: Double = 3.0, minHistory: Int = 10): Dataset[AnomalyAlert] = {
+      k: Double = 3.0, minHistory: Int = 10,
+      lateSlack: Int = 5): Dataset[AnomalyAlert] = {
     require(lookback > 1 && minHistory >= 2, "need lookback > 1, minHistory >= 2")
+    require(lateSlack >= 0, s"lateSlack must be >= 0: $lateSlack")
     import minutes.sparkSession.implicits._
     val step: ((String, Int), Iterator[MinuteCount],
         GroupState[AnomalyState]) => Iterator[AnomalyAlert] = {
@@ -61,8 +68,11 @@ object StreamAnomaly {
             if (n > 0) (n * s2 - s * s).toDouble / (n * n).toDouble else 0.0
           val flag = n >= minHistory &&
             r.msgs.toDouble > mean + k * math.sqrt(variance)
+          // eviction keeps `lateSlack` extra minutes beyond the lookback
+          // so a watermark-late minute still finds its full window
           st = AnomalyState(first,
-            (st.entries + (idx -> r.msgs)).filter(_._1 > idx - lookback))
+            (st.entries + (idx -> r.msgs))
+              .filter(_._1 > idx - lookback - lateSlack))
           AnomalyAlert(sid, part, r.minute, r.msgs, mean, variance, flag)
         }
         state.update(st)

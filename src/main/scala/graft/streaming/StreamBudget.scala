@@ -31,6 +31,14 @@ object StreamBudget {
   final case class Verdict(stratum: String, key: Long, n_tokens: Long,
       accepted: Boolean, used_after: Long)
 
+  /** DEFAULT-DENY contract: a stratum absent from `budgets` has budget 0
+    * — every one of its documents is rejected, mirroring the batch
+    * [[graft.operators.Sampling.tokenBudgetSample]] semantics (strata
+    * without a budget are dropped, not passed through). This is
+    * deliberate, and it means a key typo or config drift silently turns
+    * a stratum off: monitor the per-stratum rejected counts (the
+    * `accepted=false` verdicts carry the stratum) rather than relying on
+    * an error that will not come. */
   def admit(docs: Dataset[Doc], budgets: Map[String, Long]): Dataset[Verdict] = {
     require(budgets.values.forall(_ > 0), "budgets must be positive")
     import docs.sparkSession.implicits._

@@ -21,6 +21,8 @@ class MetricsStreamSpec extends SparkSpec {
         msg("s", 0, 61000L, 1, payload = "de"),
         msg("s", 0, 120000L, 2, payload = "fghi"))
       q.processAllAvailable()
+      // win is wall-time-as-UTC via interval arithmetic, so the epoch
+      // values hold in ANY session zone (a cast would shift them)
       val got = spark.sql(
         "SELECT win.start, msgs, bytes FROM rates ORDER BY win.start")
         .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))

@@ -217,6 +217,53 @@ class StoreStreamingSpec extends SparkSpec {
     assert(keysOf(MessageStore.open(spark, path)).length == 2)
   }
 
+  test("recovery prefers .trash over .compact when live is missing (late append survives)") {
+    val path = tmpDir("graft-trash-pref")
+    (0 until 2).foreach { i =>
+      MessageStore.append(streamDataOf(msg("s", 0, 1700000000000L + i * 1000, i)), path)
+    }
+    val partDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+    val live = new java.io.File(partDir, "bucket=2023-11-14")
+    val staged = new java.io.File(partDir, ".bucket=2023-11-14.compact")
+    // stage a compacted copy of the CURRENT two files...
+    assert(staged.mkdir())
+    live.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(staged, f.getName).toPath)
+    }
+    // ...then a concurrent writer slips a third message into live, and
+    // the crash lands after rename(live -> trash): live missing, BOTH
+    // twins present, trash the superset
+    MessageStore.append(streamDataOf(msg("s", 0, 1700000002000L, 2)), path)
+    assert(live.renameTo(new java.io.File(partDir, ".bucket=2023-11-14.trash")))
+    assert(MessageStore.recoverCompaction(spark, path).size == 1)
+    // the pre-compaction original won — including the late third message
+    // — and the staged copy (which lacks it) is gone; '.compact' listing
+    // before '.trash' must not flip the preference
+    assert(keysOf(MessageStore.open(spark, path)).length == 3)
+    assert(!staged.exists())
+    assert(!new java.io.File(partDir, ".bucket=2023-11-14.trash").exists())
+  }
+
+  test("dropAgedBuckets: a day bucket survives an intra-day hour cutoff (mixed-width store)") {
+    val path = tmpDir("graft-ttl-mixed")
+    // day-bucketed stream with rows at 2023-11-14T00:00 and T15:00
+    MessageStore.append(streamDataOf(
+      msg("s", 0, 1699920000000L, 0),     // 2023-11-14T00:00Z
+      msg("s", 0, 1699974000000L, 1)), path) // 2023-11-14T15:00Z
+    // hour-granularity cutoff at 2023-11-14T10:00: the day bucket's name
+    // "2023-11-14" sorts BELOW "2023-11-14-10", but its tail row (15:00)
+    // is younger than the cutoff — the bucket must survive
+    val dropped = MessageStore.dropAgedBuckets(spark, path,
+      MsgRef(1699956000000L, 0), MessageStore.HourBucket)
+    assert(dropped.isEmpty)
+    assert(keysOf(MessageStore.open(spark, path)).length == 2)
+    // a cutoff past the day's exclusive end drops it
+    val dropped2 = MessageStore.dropAgedBuckets(spark, path,
+      MsgRef(1700006400000L, 0), MessageStore.HourBucket) // 2023-11-15T00:00Z
+    assert(dropped2.size == 1)
+  }
+
   test("autoCompact recovers a crashed swap before applying the policy") {
     val path = tmpDir("graft-ac-recover")
     (0 until 2).foreach { i =>
