@@ -1567,9 +1567,16 @@ object SparkEntry {
     val simhashVal = (0 until 32)
       .map(j => s"CASE WHEN 2*s$j >= n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
-    // DuckDB twin of Formats.jsonEscape (same replace chain, same order).
+    // DuckDB twin of Formats.jsonEscape — GENERATED from the same
+    // Formats.JsonEscapes table (same chain, same order), so the two
+    // engines' escaping can never drift.
+    def sqlCharLit(s: String): String =
+      if (s.length == 1 && s.charAt(0) < 0x20) s"chr(${s.charAt(0).toInt})"
+      else "'" + s.replace("'", "''") + "'"
     def jsonEsc(e: String): String =
-      s"replace(replace(replace(replace(replace($e, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+      graft.serve.Formats.JsonEscapes.foldLeft(e) { case (acc, (from, to)) =>
+        s"replace($acc, ${sqlCharLit(from)}, ${sqlCharLit(to)})"
+      }
     // DuckDB twins of Formats.prevRefJson / Formats.signatureJson.
     val prevRefJson =
       "CASE WHEN prev_ts IS NOT NULL THEN '[' || epoch_ms(prev_ts) || ',' || prev_sequence_no || ']' ELSE 'null' END"

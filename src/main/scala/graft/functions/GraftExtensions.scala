@@ -87,6 +87,10 @@ object GraftExtensions {
         require(args.size == 3, "kll_quantiles(value, probs, k)")
         val pexpr = args(1)
         require(pexpr.foldable, "kll_quantiles probs must be a foldable array<double> literal")
+        require(pexpr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          pexpr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType == org.apache.spark.sql.types.DoubleType,
+          s"kll_quantiles probs must be array<double>, got ${pexpr.dataType.sql}")
         val arr = pexpr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val probs = (0 until arr.numElements()).map(arr.getDouble).toSeq
         val kexpr = args(2)

@@ -40,6 +40,9 @@ object Scalars {
     * `{"mqttPayload": <text>}` so the store only ever holds JSON
     * (`src/mqtt/MqttServer.ts:21-30`). */
   def mqttWrap(c: Column): Column =
-    when(get_json_object(c, "$").isNotNull, c)
+    // the trim = 'null' disjunct covers the one valid-JSON root
+    // get_json_object cannot represent (it returns SQL NULL for a JSON
+    // null): the reference's JSON.parse accepts it unwrapped
+    when(get_json_object(c, "$").isNotNull || trim(c) === "null", c)
       .otherwise(concat(lit("{\"mqttPayload\":\""), Formats.jsonEscape(c), lit("\"}")))
 }

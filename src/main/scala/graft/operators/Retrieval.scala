@@ -55,8 +55,13 @@ object Retrieval {
       .join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
       .join(broadcast(qterms), Seq("tok"))
+      // same in-plan pow4 headroom guard as TextAnalysis.bm25TopK: the
+      // exact idf wraps int64 past 55,107 documents — fail loudly
       .withColumn("idf4",
-        bits(expr("((n+1)*(n+1)*(n+1)*(n+1)) div (df*df*df*df)")))
+        when(col("n") + 1 <= 55108,
+          bits(expr("((n+1)*(n+1)*(n+1)*(n+1)) div (df*df*df*df)")))
+          .otherwise(raise_error(lit(
+            "bm25ForQueries exact idf overflows past 55107 documents"))))
       .withColumn("c",
         col("idf4") * expr("(1000000*22*l*tf) div (10*l*tf + 3*l + 9*dl*n)"))
     contrib

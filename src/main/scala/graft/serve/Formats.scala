@@ -17,11 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  /** Minimal JSON string escaping (backslash, quote, newline, CR, tab) —
-    * expressible identically in any engine's replace chain. */
+  /** JSON.stringify's full escape table: backslash and quote first (so
+    * later-inserted backslashes are never re-escaped), the five
+    * short-form controls (\b \t \n \f \r), and \u00xx for every other
+    * control char — RFC 8259 requires ALL of U+0000–U+001F escaped, and
+    * the store's "only ever holds JSON" invariant rides on it. ONE Scala
+    * source of truth: the DuckDB oracle's replace chain is generated
+    * from this same list. */
+  val JsonEscapes: Seq[(String, String)] =
+    Seq("\\" -> "\\\\", "\"" -> "\\\"") ++
+      (0x00 until 0x20).map { i =>
+        val to = i match {
+          case 0x08 => "\\b"
+          case 0x09 => "\\t"
+          case 0x0A => "\\n"
+          case 0x0C => "\\f"
+          case 0x0D => "\\r"
+          case _ => f"\\u$i%04x"
+        }
+        i.toChar.toString -> to
+      }
+
+  /** [[JsonEscapes]] as a replace chain — expressible identically in any
+    * engine. */
   def jsonEscape(c: Column): Column =
-    Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
-      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    JsonEscapes.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
 
   /** NTZ → epoch ms under the engine's NTZ-as-UTC convention. The cast
     * goes through the session timezone, which [[graft.GraftEngine]] and

@@ -83,24 +83,33 @@ object QueryApi {
     jsParseInt(req.partition) match {
       case None =>
         bad(s"""Path parameter "partition" not a number: ${req.partition}""")
-      case Some(partitionL) if partitionL != partitionL.toInt.toLong =>
-        // a partition number outside int32 exists nowhere; the reference
-        // passes the oversized number to storage and streams an empty
-        // result — answer no_resend instead of truncating to a partition
-        // that DOES exist and serving the wrong data
-        Right(Iterator(Resend.NoResend()))
       case Some(partitionL) =>
-        val partition = partitionL.toInt
+        // format/version validation runs BEFORE the oversized-partition
+        // empty answer: the reference validates request parameters in the
+        // HTTP handler and only then queries storage, so a bogus format
+        // is a 400 even when the partition points at nothing
         val formatName = q.getOrElse("format", "object")
         if (!Formats.contains(formatName))
           bad(s"""Query parameter "format" is invalid: ${q.getOrElse("format", "")}""")
         else {
           val versionRaw = q.get("version")
-          val version = versionRaw.flatMap(jsParseInt).map(_.toInt)
-          if (versionRaw.isDefined && version.isEmpty)
+          val versionL = versionRaw.flatMap(jsParseInt)
+          if (versionRaw.isDefined && versionL.isEmpty)
             bad(s"""Query parameter "version" not a number: ${versionRaw.get}""")
+          else if (versionL.exists(v => v != v.toInt.toLong))
+            // out-of-int32 versions must not wrap into a SUPPORTED one
+            // (.toInt of 4294967327 is 31); the reference's serialize
+            // throws UnsupportedVersionError for them
+            bad(s"Unsupported protocol version ${versionL.get} (supported: 30, 31, 32)")
+          else if (partitionL != partitionL.toInt.toLong)
+            // a partition number outside int32 exists nowhere; the
+            // reference passes the oversized number to storage and
+            // streams an empty result — answer no_resend instead of
+            // truncating to a partition that DOES exist
+            Right(Iterator(Resend.NoResend()))
           else
-            asBadRequest(dispatch(engine, req, partition, formatName, version))
+            asBadRequest(dispatch(engine, req, partitionL.toInt, formatName,
+              versionL.map(_.toInt)))
         }
     }
   }

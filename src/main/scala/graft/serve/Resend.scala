@@ -138,12 +138,13 @@ final class SubscriptionRegistry(queueCapacity: Int = 10000) extends AutoCloseab
     * so delivery happens here; the distributed plan has already shrunk the
     * batch to subscribed stream-parts. */
   def dispatch(batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, concat_ws}
+    import org.apache.spark.sql.functions.col
     val wanted = subs.values().asScala
       .map(s => key(s.streamId, s.partition)).toSet
     if (wanted.isEmpty) return
     batch
-      .filter(concat_ws("::", col("stream_id"), col("stream_partition"))
+      .filter(graft.functions.Scalars
+        .streamPartKey(col("stream_id"), col("stream_partition"))
         .isInCollection(wanted))
       .select(col("stream_id"), col("stream_partition"),
         Formats.objectJson.as("msg_object"), Formats.protocolJson.as("msg_protocol"))

@@ -296,10 +296,11 @@ object TextAnalysis {
     * broadcast) and one token scan FILTERED to the query terms before the
     * only exchange, so the shuffle carries ≤ |terms| rows per document;
     * df comes from that same tiny table and broadcasts back. Top-k is
-    * TakeOrdered (per-partition heaps, no global sort). The int64
-    * headroom bounds are generous at any realistic sf (1e6·22·L·tf needs
-    * L·tf < 4e11) but a 100 TB corpus (L ≈ 1e13) would overflow the
-    * fixed-point product — `exactFixedPoint = false` runs the SAME plan
+    * TakeOrdered (per-partition heaps, no global sort). Exact-mode int64
+    * headroom: the BINDING bound is the pow4 idf — (n+1)^4 wraps past
+    * 55,107 documents, guarded in-plan with a loud error — with the
+    * 1e6·22·L·tf product (L·tf < 4e11) the next constraint;
+    * `exactFixedPoint = false` runs the SAME plan
     * with the textbook double-arithmetic BM25 (k1 = 1.2, b = 0.75, the
     * Robertson–Spärck Jones idf), the corpus-scale mode: exactness is a
     * property the oracle gate needs, not the ranking. Reference
@@ -324,8 +325,18 @@ object TextAnalysis {
     val contrib =
       if (exactFixedPoint)
         scored
+          // the pow4 idf wraps int64 once n+1 > 55108 (55109^4 > 2^63) —
+          // a FAR tighter exact-mode bound than the 1e6·22·L·tf product's
+          // L·tf < 4e11; fail loudly instead of ranking on wrapped
+          // garbage (non-ANSI Spark would not throw on its own). The
+          // guard lives INSIDE the idf expression so column pruning can
+          // never elide it.
           .withColumn("idf4",
-            bits(expr("((n+1)*(n+1)*(n+1)*(n+1)) div (df*df*df*df)")))
+            when(col("n") + 1 <= 55108,
+              bits(expr("((n+1)*(n+1)*(n+1)*(n+1)) div (df*df*df*df)")))
+              .otherwise(raise_error(lit(
+                "bm25TopK exactFixedPoint overflows past 55107 documents; " +
+                  "use exactFixedPoint = false"))))
           .withColumn("c",
             col("idf4") * expr("(1000000*22*l*tf) div (10*l*tf + 3*l + 9*dl*n)"))
       else
@@ -508,7 +519,6 @@ object TextAnalysis {
     * so the doubles (and therefore every `<=` against the cutoffs) are
     * bit-identical across engines. */
   def pplBuckets(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = lmBits(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     val hist = scored.groupBy(col("lang"), col("mean_bits"))
@@ -663,7 +673,6 @@ object TextAnalysis {
     * sort of the scored corpus. */
   def dsirScores(target: DataFrame, raw: DataFrame, buckets: Int = 256,
       selectK: Int = 100, slices: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def features(docs: DataFrame): DataFrame = {
       val toks = wsTokens(col("text"))
       docs.select(col("doc_id"),
@@ -694,6 +703,10 @@ object TextAnalysis {
         (col("sum_d") + col("n_feats")
           * (bits(col("t_r") + buckets.toLong) - bits(col("t_t") + buckets.toLong)))
           .as("score"))
+      // consumed TWICE (top-k selection + the final score join): persist
+      // so the feature explode + broadcast scoring pass runs once, not
+      // once per branch — the heavyHitters candidate-table discipline
+      .persist()
     // salted two-phase top-k selection (same shape as Similarity's ANN
     // ranking): the global window only ever sees slice-local survivors
     val order = Seq(col("score").desc, col("doc_id").asc)

@@ -88,6 +88,20 @@ class QueryApiSpec extends SparkSpec {
     val e = errorOf(get("last",
       query = Map("format" -> "protocol", "version" -> "29")))
     assert(e.status == 400 && e.error.contains("Unsupported protocol version 29"))
+    // out-of-int32 versions must NOT wrap into a supported one
+    // (4294967327.toInt == 31) — the reference's serialize throws
+    val big = errorOf(get("last",
+      query = Map("format" -> "protocol", "version" -> "4294967327")))
+    assert(big.status == 400 &&
+      big.error.contains("Unsupported protocol version 4294967327"), big)
+  }
+
+  test("parameter validation precedes the oversized-partition empty answer") {
+    // bogus format + oversized partition: the reference validates the
+    // request before querying storage, so this is a 400, not no_resend
+    val e = errorOf(get("last", partition = "99999999999999999999",
+      query = Map("format" -> "bogus")))
+    assert(e.status == 400 && e.error.contains("\"format\" is invalid"), e)
   }
 
   test("last: default count=1, JS parseInt tolerates junk tails") {

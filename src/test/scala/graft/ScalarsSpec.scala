@@ -29,6 +29,27 @@ class ScalarsSpec extends SparkSpec {
     assert(one(Scalars.mqttWrap(lit("hello"))).getString(0) == """{"mqttPayload":"hello"}""")
     assert(one(Scalars.mqttWrap(lit("say \"hi\""))).getString(0) ==
       """{"mqttPayload":"say \"hi\""}""")
+    // the one JSON root get_json_object can't represent: JSON.parse
+    // accepts a bare null, so it must pass through unwrapped
+    assert(one(Scalars.mqttWrap(lit("null"))).getString(0) == "null")
+    assert(one(Scalars.mqttWrap(lit(" null "))).getString(0) == " null ")
+  }
+
+  test("mqttWrap escapes ALL control characters to valid JSON (RFC 8259)") {
+    // short forms for \b \t \n \f \r, \u00xx for the rest — the store's
+    // "only ever holds JSON" invariant requires every one escaped
+    assert(one(Scalars.mqttWrap(lit(s"a${1.toChar}b"))).getString(0) ==
+      "{\"mqttPayload\":\"a\\" + "u0001b\"}")
+    assert(one(Scalars.mqttWrap(lit("a\bb\fc"))).getString(0) ==
+      """{"mqttPayload":"a\bb\fc"}""")
+    (0 until 0x20).foreach { i =>
+      val wrapped = one(Scalars.mqttWrap(lit(s"x${i.toChar}y"))).getString(0)
+      assert(!wrapped.exists(_ < 0x20), s"raw control char 0x$i%02x survives")
+      // and it must parse back to the original content
+      assert(one(org.apache.spark.sql.functions.get_json_object(
+        lit(wrapped), "$.mqttPayload")).getString(0) == s"x${i.toChar}y",
+        s"round-trip failed for 0x$i")
+    }
   }
 
   test("payloadField extracts stored JSON fields") {
