@@ -3270,11 +3270,17 @@ object SparkEntry {
       // skyline oracle is the definition itself — a dominance anti-join
       // over the distinct point set (DuckDB plans the two-inequality
       // NOT EXISTS as an IEJoin), deliberately NOT the window
-      // reformulation the Spark side uses
+      // reformulation the Spark side uses; both sides pin the operator's
+      // explicit null policy (fully-observed points only — see
+      // Skyline.skyline2D scaladoc) so the formulations cannot diverge
+      // on null dimensions
       "q_skyline" ->
         """WITH pts AS (SELECT o_totalprice, o_orderdate,
           |               CAST(count(*) AS BIGINT) AS cnt
-          |             FROM orders GROUP BY 1, 2)
+          |             FROM orders
+          |             WHERE o_totalprice IS NOT NULL
+          |               AND o_orderdate IS NOT NULL
+          |             GROUP BY 1, 2)
           |SELECT o_totalprice, o_orderdate, cnt FROM pts a
           |WHERE NOT EXISTS (SELECT 1 FROM pts b
           |  WHERE b.o_totalprice >= a.o_totalprice

@@ -174,10 +174,20 @@ object Metrics {
     *
     * Determinism: x is the minute index RELATIVE to each part's first
     * active minute (keeps products small), y the integer count; all five
-    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact longs, and
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) are summed as exact
+    * DECIMAL(38,0) (Σx² alone wraps int64 past ~3e6 active minutes), and
     * slope/intercept derive from them in one fixed IEEE expression each —
     * the same exact-int-then-double discipline as the anomaly variance.
     * Single-minute parts report NULL (zero variance in x).
+    *
+    * Exactness bound: every intermediate (n·Σx², Σx·Σx, n·Σxy, Σx·Σy) is
+    * exact up to 10^38 — n·Σx² ≈ n⁴/3 stays inside that through ~2e9
+    * active minutes (~3,800 years per part), and n·Σxy through per-minute
+    * rates of ~10^10 at that span. Past the bound Spark's non-ANSI
+    * DECIMAL overflow yields NULL, which the in-plan guard converts into
+    * a loud `raise_error` instead of a silent wrong slope (same
+    * fail-loudly discipline as [[graft.text.TextAnalysis.bm25TopK]]'s
+    * idf guard and HITS's DECIMAL(38) normalization).
     *
     * Scale: sums are map-side combined on the same (stream, part) key the
     * minute counts already shuffled on; nothing global, output is one row
@@ -185,16 +195,23 @@ object Metrics {
   def rateTrend(streamData: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val part = Window.partitionBy(col("stream_id"), col("stream_partition"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val stats = minuteCounts(streamData)
       .withColumn("idx", minuteIdx)
-      .withColumn("x", col("idx") - min(col("idx")).over(part))
-      .withColumn("y", col("msgs").cast("long"))
+      .withColumn("x", dec(col("idx") - min(col("idx")).over(part)))
+      .withColumn("y", dec(col("msgs")))
       .groupBy(col("stream_id"), col("stream_partition"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-    val den = col("n") * col("sxx") - col("sx") * col("sx")
-    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"rateTrend: $what exceeds the exact DECIMAL(38) bound " +
+          "(minute span/rate out of supported range)")))
+    val den = exact(dec(col("n")) * col("sxx") - col("sx") * col("sx"),
+      "n*sxx - sx*sx")
+    val num = exact(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
+      "n*sxy - sx*sy")
     val slope = num.cast("double") / den.cast("double")
     stats.select(col("stream_id"), col("stream_partition"), col("n"),
       when(den > 0, slope).as("slope"),
@@ -206,14 +223,18 @@ object Metrics {
   /** Pearson correlation between every pair of streams' per-minute rates
     * (partitions summed, pairs matched on common active minutes) — the
     * cross-stream dependence monitor ("do error spikes track click
-    * spikes?"). Same exact-integer sufficient statistics as [[rateTrend]]
-    * (n, Σx, Σy, Σxy, Σx², Σy² are longs), correlation derived in one
-    * fixed IEEE expression; constant series report NULL.
+    * spikes?"). Same exact-DECIMAL(38,0) sufficient statistics as
+    * [[rateTrend]] (n, Σx, Σy, Σxy, Σx², Σy²), correlation derived in one
+    * fixed IEEE expression; constant series report NULL. As in
+    * [[rateTrend]], every intermediate is exact to 10^38 — good through
+    * ~2e9 common minutes at per-minute stream rates up to ~10^10 — and
+    * overflow past that raises loudly in-plan instead of wrapping.
     *
     * Scale: the self-join matches on the minute key — per-minute fan-out
     * is |streams|², a metadata-sized constant, never data-sized; sums are
     * map-side combined per (a, b) pair. */
   def crossStreamCorrelation(streamData: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val sm = minuteCounts(streamData)
       .groupBy(col("stream_id"), col("minute"))
       .agg(sum(col("msgs")).as("msgs"))
@@ -221,15 +242,22 @@ object Metrics {
         col("a.minute") === col("b.minute") &&
           col("a.stream_id") < col("b.stream_id"))
       .select(col("a.stream_id").as("stream_a"), col("b.stream_id").as("stream_b"),
-        col("a.msgs").as("x"), col("b.msgs").as("y"))
+        dec(col("a.msgs")).as("x"), dec(col("b.msgs")).as("y"))
     val stats = pairs.groupBy(col("stream_a"), col("stream_b"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
-    val denx = col("n") * col("sxx") - col("sx") * col("sx")
-    val deny = col("n") * col("syy") - col("sy") * col("sy")
-    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"crossStreamCorrelation: $what exceeds the exact DECIMAL(38) " +
+          "bound (minute span/rate out of supported range)")))
+    val denx = exact(dec(col("n")) * col("sxx") - col("sx") * col("sx"),
+      "n*sxx - sx*sx")
+    val deny = exact(dec(col("n")) * col("syy") - col("sy") * col("sy"),
+      "n*syy - sy*sy")
+    val num = exact(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
+      "n*sxy - sx*sy")
     stats.select(col("stream_a"), col("stream_b"), col("n"),
       when(denx > 0 && deny > 0,
         num.cast("double") /

@@ -130,15 +130,30 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderpriority"))
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    // table names carry the scratch-dir hash (the same disambiguation
+    // scratchStore applies to paths): two sessions benching different
+    // dirs in one JVM get DISTINCT catalog entries instead of clobbering
+    // each other's layout mid-read, and a repeat invocation against the
+    // same dir REUSES the existing layout — the "pay the bucket shuffle
+    // once" contract holds across calls, not just within one.
+    val tag = Integer.toHexString((scratch + ":" + buckets).hashCode)
     def persist(df: DataFrame, key: String, table: String): DataFrame = {
-      df.write.format("parquet")
-        .bucketBy(buckets, key).sortBy(key)
-        .option("path", s"$scratch/$table")
-        .mode("overwrite").saveAsTable(table)
+      val path = s"$scratch/$table"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val onDisk = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+      if (!spark.catalog.tableExists(table) || !onDisk) {
+        if (spark.catalog.tableExists(table))
+          spark.sql(s"DROP TABLE `$table`")
+        df.write.format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", path)
+          .mode("overwrite").saveAsTable(table)
+      }
       spark.table(table)
     }
-    val o = persist(ord, "o_orderkey", "graft_bkt_orders")
-    val l = persist(li, "l_orderkey", "graft_bkt_lineitem")
+    val o = persist(ord, "o_orderkey", s"graft_bkt_orders_$tag")
+    val l = persist(li, "l_orderkey", s"graft_bkt_lineitem_$tag")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(

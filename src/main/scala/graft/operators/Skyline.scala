@@ -29,11 +29,23 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Skyline of `points` maximizing both `x` and `y`. Returns the DISTINCT
-    * non-dominated points with their multiplicity `cnt`. */
+    * non-dominated points with their multiplicity `cnt`.
+    *
+    * Null policy: rows with a NULL in either dimension are EXCLUDED up
+    * front, explicitly. Dominance over a null dimension is undefined —
+    * a SQL `NOT EXISTS` anti-join would retain such a row (all its
+    * comparisons are NULL ⇒ no dominator "exists"), while the running-max
+    * window here would drop it (the survives predicate is null-false) —
+    * so rather than let the two formulations diverge silently, the
+    * operator pins the contract: the skyline is over fully-observed
+    * points only. Callers who want null-dimension rows kept must decide
+    * what dominance means for them and union them back explicitly. */
   def skyline2D(points: DataFrame, x: String, y: String, buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val survives = (m: org.apache.spark.sql.Column) => m.isNull || m < col(y)
-    val pts = points.groupBy(col(x), col(y)).agg(count(lit(1)).as("cnt"))
+    val pts = points
+      .filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(x), col(y)).agg(count(lit(1)).as("cnt"))
     val localW = Window.partitionBy(col("_b"))
       .orderBy(col(x).desc, col(y).desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -819,15 +819,20 @@ object MessageStore {
     // bucket whose tail rows are younger than an intra-day cutoff (the
     // hazard pruneTimeMixed handles on the read path). `granularity` is
     // retained for signature stability; the width decision is per name.
+    // total on malformed input: a right-length-but-unparseable name (a
+    // corrupted directory, a foreign file) is SKIPPED like wrong-length
+    // names are, never deletes, never aborts the sweep mid-way
     def bucketEndMs(bucketName: String): Option[Long] = {
       val fmt = if (bucketName.length == 13) HourBucket
         else if (bucketName.length == 10) DayBucket
         else return None
-      val start = java.time.LocalDateTime.parse(
-        bucketName + (if (fmt == DayBucket) "-00" else ""),
-        java.time.format.DateTimeFormatter.ofPattern(HourBucket))
-      val end = if (fmt == DayBucket) start.plusDays(1) else start.plusHours(1)
-      Some(end.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      scala.util.Try {
+        val start = java.time.LocalDateTime.parse(
+          bucketName + (if (fmt == DayBucket) "-00" else ""),
+          java.time.format.DateTimeFormatter.ofPattern(HourBucket))
+        val end = if (fmt == DayBucket) start.plusDays(1) else start.plusHours(1)
+        end.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }.toOption
     }
     val dropped = for {
       stream <- fs.listStatus(root) if stream.isDirectory

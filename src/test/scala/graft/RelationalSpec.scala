@@ -48,6 +48,33 @@ class RelationalSpec extends SparkSpec {
     assert(totalCustomers == graft.sources.Tables.customer(spark, dir).count())
   }
 
+  test("bucketedRevenueByPriority: layout is scratch-scoped and reused across calls") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-bkt-reuse").toString
+    val first = Relational.bucketedRevenueByPriority(spark, dir, scratch)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    val tag = Integer.toHexString((scratch + ":" + 8).hashCode)
+    val success = new java.io.File(
+      s"$scratch/graft_bkt_orders_$tag/_SUCCESS")
+    assert(success.exists(), "bucketed layout must land under the scratch dir")
+    val mtime = success.lastModified()
+    // second call against the same scratch must NOT rewrite the layout
+    val second = Relational.bucketedRevenueByPriority(spark, dir, scratch)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(success.lastModified() == mtime,
+      "repeat invocation rewrote the pay-once bucketed layout")
+    assert(first.sameElements(second))
+    // a DIFFERENT scratch dir gets its own catalog entries (no clobber)
+    val scratch2 = java.nio.file.Files
+      .createTempDirectory("graft-bkt-reuse2").toString
+    val tag2 = Integer.toHexString((scratch2 + ":" + 8).hashCode)
+    Relational.bucketedRevenueByPriority(spark, dir, scratch2).collect()
+    assert(tag != tag2 &&
+      new java.io.File(s"$scratch2/graft_bkt_orders_$tag2/_SUCCESS").exists())
+    assert(success.lastModified() == mtime,
+      "benching a second dir clobbered the first dir's layout")
+  }
+
   test("topEventsPerType: at most k per group, rank starts at 1") {
     val rows = Relational.topEventsPerType(spark, dir, k = 3).collect()
     val byType = rows.groupBy(_.getAs[String]("event_type"))

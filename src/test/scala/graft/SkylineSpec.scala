@@ -41,6 +41,18 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
+  test("skyline2D: null-dimension rows are excluded explicitly, frontier unchanged") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq[(Option[Long], Option[Long])](
+      (Some(5L), Some(1L)), (Some(1L), Some(5L)), (Some(2L), Some(1L)),
+      (None, Some(9L)), (Some(9L), None), (None, None))
+      .toDF("x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 1L, 1L), (1L, 5L, 1L)))
+  }
+
   test("skyline2D: a totally-ordered chain keeps only its maximum") {
     val got = Skyline.skyline2D(
         ptsOf((1L, 1L), (2L, 2L), (3L, 3L)), "x", "y")

@@ -264,6 +264,21 @@ class StoreStreamingSpec extends SparkSpec {
     assert(dropped2.size == 1)
   }
 
+  test("dropAgedBuckets: a malformed right-length bucket name is skipped, not fatal") {
+    val path = tmpDir("graft-ttl-malformed")
+    MessageStore.append(streamDataOf(
+      msg("s", 0, 1699920000000L, 0)), path) // bucket=2023-11-14
+    val partDir = new java.io.File(s"$path/stream_id=s/stream_partition=0")
+    // a corrupted/foreign directory whose name LENGTH matches a day bucket
+    // but which is not a date — the old LocalDateTime.parse aborted the
+    // whole sweep on it; it must now be skipped like wrong-length names
+    assert(new java.io.File(partDir, "bucket=GARBAGE-XX").mkdir())
+    val dropped = MessageStore.dropAgedBuckets(spark, path,
+      MsgRef(1700006400000L, 0)) // past the day's exclusive end
+    assert(dropped.size == 1 && dropped.head.contains("2023-11-14"))
+    assert(new java.io.File(partDir, "bucket=GARBAGE-XX").exists())
+  }
+
   test("autoCompact recovers a crashed swap before applying the policy") {
     val path = tmpDir("graft-ac-recover")
     (0 until 2).foreach { i =>
