@@ -703,15 +703,16 @@ object SparkEntry {
 
     // q-gram-filtered edit join: ALL pairs within 10 edits on the 160-char
     // prefix, candidates from each doc's 31 rarest grams (constant
-    // probing prefix). The gate bounds the corpus to 1k docs: the
-    // synthetic vocabulary's character-gram diversity is too low for the
-    // count filter to prune (documented corpus-dependence — on web-scale
-    // text the rare-gram buckets are sparse; here every gram is hot), so
-    // the demo corpus is bounded rather than the semantics weakened
+    // probing prefix). The gate bounds the corpus to 1k docs via the
+    // operator's own auditMaxDocId contract: the synthetic vocabulary's
+    // character-gram diversity is too low for the count filter to prune
+    // (documented corpus-dependence — on web-scale text the rare-gram
+    // buckets are sparse; here every gram is hot), so the demo corpus is
+    // bounded rather than the semantics weakened
     "q_qgram_edit" -> ((s, dir) =>
       Dedup.qgramEditPairs(
-        docsParallel(s, dir).filter(col("doc_id") < 1000),
-        maxDist = 10, q = 3, prefixLen = 160)
+        docsParallel(s, dir),
+        maxDist = 10, q = 3, prefixLen = 160, auditMaxDocId = Some(1000L))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // sorted-neighborhood blocking: (lang, first-char) blocks, 512-char

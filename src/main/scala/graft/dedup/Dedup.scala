@@ -449,13 +449,18 @@ object Dedup {
     * grows with the corpus) but not on a tiny shared vocabulary, where
     * every gram is hot and the candidate set approaches all-pairs — on
     * such data prefer [[snmPairs]] (adjacency-bounded) and treat this as
-    * the completeness-checking audit pass over a bounded sample. */
+    * the completeness-checking audit pass over a bounded sample. That
+    * bounded-audit contract is part of the API, not a call-site
+    * convention: `auditMaxDocId = Some(n)` restricts the pass to
+    * `doc_id < n` (deterministic, id-ordered — the same slice every
+    * run), `None` audits the full input. */
   def qgramEditPairs(docs: DataFrame, maxDist: Int = 10, q: Int = 3,
-      prefixLen: Int = 160): DataFrame = {
+      prefixLen: Int = 160, auditMaxDocId: Option[Long] = None): DataFrame = {
     require(maxDist > 0 && q > 0 && prefixLen > 0,
       s"positive maxDist/q/prefixLen: $maxDist/$q/$prefixLen")
     val W = org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+    val audited = auditMaxDocId.fold(docs)(n => docs.filter(col("doc_id") < n))
+    val base = audited.select(col("doc_id").cast("long").as("doc_id"),
       substring(col("text"), 1, prefixLen).as("pfx"))
       .withColumn("plen", length(col("pfx")).cast("long"))
     val eligible = base

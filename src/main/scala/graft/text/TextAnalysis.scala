@@ -703,10 +703,16 @@ object TextAnalysis {
         (col("sum_d") + col("n_feats")
           * (bits(col("t_r") + buckets.toLong) - bits(col("t_t") + buckets.toLong)))
           .as("score"))
-      // consumed TWICE (top-k selection + the final score join): persist
-      // so the feature explode + broadcast scoring pass runs once, not
-      // once per branch — the heavyHitters candidate-table discipline
-      .persist()
+      // consumed TWICE (top-k selection + the final score join): an EAGER
+      // localCheckpoint materializes the feature explode + broadcast
+      // scoring pass exactly once, HERE, so both branches read the
+      // checkpoint — and unlike persist(), it does not register with the
+      // CacheManager, so a later identical call re-pays the real cost
+      // instead of silently reusing a cache another invocation left
+      // behind (the r10 bench showed a 4.08s-first / 0.60s-min split
+      // that was cross-run cache reuse masquerading as steady-state) —
+      // the Graph.scala iteration discipline applied to a two-consumer DAG
+      .localCheckpoint()
     // salted two-phase top-k selection (same shape as Similarity's ANN
     // ranking): the global window only ever sees slice-local survivors
     val order = Seq(col("score").desc, col("doc_id").asc)

@@ -435,6 +435,28 @@ class DedupSpec extends SparkSpec {
       .collect().exists(r => r.getLong(0) >= 3L))
   }
 
+  test("qgramEditPairs: auditMaxDocId bounds the pass in-API, None audits all") {
+    val tail = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = docsOf(
+      (1L, s"AAAA $tail"),
+      (2L, s"ZZZZ $tail"),
+      (10L, s"QQQQ $tail"),
+      (11L, s"RRRR $tail"))
+    // bound at 10: only the (1,2) pair is in scope — identical to the
+    // caller pre-filtering doc_id < 10 (the old call-site convention)
+    val bounded = Dedup.qgramEditPairs(docs, maxDist = 10,
+        auditMaxDocId = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == Set((1L, 2L)))
+    val manual = Dedup.qgramEditPairs(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10),
+        maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == manual)
+    // None = full input: all six cross-pairs of the shared tail
+    assert(Dedup.qgramEditPairs(docs, maxDist = 10).count() == 6)
+  }
+
   test("snmPairs: custom block column re-blocks; bounded sort key ties on doc_id") {
     import org.apache.spark.sql.functions.{col, substring}
     // default block (lang:first-char) would pair these; a finer custom
