@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // cluster-shape probe: SPARK_GRAFT_SHUFFLE decouples the shuffle
+    // partition count from the core count (e.g. 256 partitions on 32
+    // cores — the multi-executor fan-out a real cluster would run with),
+    // evidence that operator timings don't depend on local[32]'s
+    // single-JVM 1:1 partition:core shuffle
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -109,7 +115,13 @@ object Bench {
     val reruns = scala.collection.mutable.LinkedHashMap[String, Int]()
     val contendedQs = scala.collection.mutable.ListBuffer[String]()
     val floorViolations = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep to a named
+    // subset (targeted probes — e.g. the 256-partition cluster-shape run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def one(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -71,18 +71,37 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
   }
 
-  /** The iterative trainer: `numMerges` rounds of count-pairs →
-    * pick-best → re-segment, all over the cached vocabulary table.
-    * Returns the ordered merge list and the final segmentation
-    * `(w, wc, syms)`. Stops early when no pair remains.
+  /** The iterative trainer: rounds of count-pairs → pick-best →
+    * re-segment, all over the cached vocabulary table. Returns the
+    * ordered merge list and the final segmentation `(w, wc, syms)`.
+    * Stops early when no pair remains.
     *
-    * Driver state is the merge list itself — `numMerges` rows, the
-    * bounded-model-state pattern (centroids, bloom words) — plus a 1-row
-    * argmax collect per round. Each round re-segments the vocab table and
-    * `localCheckpoint`s it (the [[graft.dedup.Dedup]] iterative-plan
-    * discipline: lineage stays O(1), the previous round's cache is
-    * released). */
-  def train(docs: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
+    * `mergeBatch = 1` (the default) is EXACT Sennrich: one argmax, one
+    * merge, one re-segmentation per round. `mergeBatch = M > 1` is the
+    * standard large-vocab batching trick: each round takes the frozen
+    * `(n desc, a, b)` ranking and greedily accepts a PREFIX of it — a
+    * candidate is accepted only while its components and concatenation
+    * are symbol-disjoint from every already-accepted pair's (the first
+    * rejected candidate ends the batch) — then applies all accepted
+    * merges in ONE re-segmentation. Disjointness makes the application
+    * exact: none of the accepted merges can create, destroy, or reorder
+    * each other's occurrences (merging two adjacent symbols never makes
+    * two previously non-adjacent symbols adjacent), so applying the
+    * batch equals applying it sequentially in rank order. What batching
+    * MAY change vs `mergeBatch = 1` is the selection tail: a merge
+    * creates new pairs involving its merged symbol, and exact BPE would
+    * re-rank those before the batch's later entries — so for M > 1 the
+    * merge LIST is a documented approximation (the order within a round
+    * is the frozen ranking, not the re-ranked one). Driver round-trips
+    * drop by the mean accepted-batch size; the per-round collect stays
+    * bounded (`4·M` candidate rows, the bounded-model-state pattern).
+    *
+    * Each round re-segments the vocab table and `localCheckpoint`s it
+    * (the [[graft.dedup.Dedup]] iterative-plan discipline: lineage stays
+    * O(1), the previous round's cache is released). */
+  def train(docs: DataFrame, numMerges: Int,
+      mergeBatch: Int = 1): (Seq[Merge], DataFrame) = {
+    require(mergeBatch >= 1, s"mergeBatch must be >= 1: $mergeBatch")
     var seg = wordCounts(docs)
       .withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))
       .localCheckpoint()
@@ -90,19 +109,33 @@ object Bpe {
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      val best = pairStats(seg)
+      val want = math.min(mergeBatch, numMerges - rank + 1)
+      val top = pairStats(seg)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(math.max(1, want * 4)).collect()
+      if (top.isEmpty) done = true
       else {
-        val r = best(0)
-        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += Merge(rank, a, b, a + b, n)
-        val next = seg.withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint()
+        // greedy prefix acceptance under symbol-string disjointness:
+        // stop at the FIRST conflicting candidate — skipping it and
+        // accepting a later one would reorder the frozen ranking
+        val used = scala.collection.mutable.Set[String]()
+        val accepted = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+        val it = top.iterator
+        var open = true
+        while (open && it.hasNext && accepted.size < want) {
+          val r = it.next()
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          val parts = Set(a, b, a + b)
+          if (parts.exists(used.contains)) open = false
+          else { accepted += ((a, b, n)); used ++= parts }
+        }
+        val next = accepted.foldLeft(seg) { case (s, (a, b, n)) =>
+          merges += Merge(rank, a, b, a + b, n)
+          rank += 1
+          s.withColumn("syms", applyMerge(col("syms"), a, b))
+        }.localCheckpoint()
         seg.unpersist()
         seg = next
-        rank += 1
       }
     }
     (merges.result(), seg)

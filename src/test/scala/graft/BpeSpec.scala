@@ -48,6 +48,36 @@ class BpeSpec extends SparkSpec {
     assert(segs("widest") == List("w", "i", "d", "est"))
   }
 
+  test("train: mergeBatch > 1 preserves the Sennrich walkthrough (prefix-disjoint acceptance)") {
+    // round 1's frozen ranking is es(9), st(9), ... — st shares 's' with
+    // es, so the batch cuts BEFORE it and the created 'est' pair gets
+    // re-ranked next round, exactly as sequential training would
+    val (merges, seg) = Bpe.train(sennrich, numMerges = 4, mergeBatch = 4)
+    assert(merges.map(_.merged) == Seq("es", "est", "lo", "low"))
+    assert(merges.map(_.n) == Seq(9L, 9L, 7L, 7L))
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4))
+    val segs = seg.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(segs("lower") == List("low", "e", "r"))
+    assert(segs("newest") == List("n", "e", "w", "est"))
+  }
+
+  test("train: a disjoint batch applies in one round identically to sequential") {
+    // two unrelated high-count pairs: batched and sequential agree on
+    // both the merge list and the final segmentation
+    val corpus = docsOf(
+      (1L, Seq.fill(9)("ab").mkString(" "), "en", "s"),
+      (2L, Seq.fill(7)("cd").mkString(" "), "en", "s"),
+      (3L, Seq.fill(2)("abcd").mkString(" "), "en", "s"))
+    val (seqM, seqSeg) = Bpe.train(corpus, numMerges = 2)
+    val (batM, batSeg) = Bpe.train(corpus, numMerges = 2, mergeBatch = 2)
+    assert(batM == seqM)
+    val f = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(f(batSeg) == f(seqSeg))
+    assert(f(batSeg)("abcd") == List("ab", "cd"))
+  }
+
   test("train: greedy left-to-right non-overlapping merge (aaa -> [aa, a])") {
     val (merges, seg) = Bpe.train(docsOf((1L, "aaa", "en", "s")), numMerges = 1)
     assert(merges.map(_.merged) == Seq("aa"))
