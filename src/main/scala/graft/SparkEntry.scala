@@ -825,6 +825,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // trigram Stupid-Backoff LM scoring (cross-corpus, so all three
+    // backoff tiers fire: seen trigram / backed-off bigram / add-one
+    // unigram incl. OOV) — integer floor-log2 bits, penalty 2 bits/tier
+    "q_lm_backoff" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      TextAnalysis.lmBackoffBits(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling: hashed-n-gram bag-of-features importance
     // weights (target = en corpus) score every non-en doc by how
     // target-like it is; the 100 highest-scoring docs are selected
@@ -3152,6 +3162,54 @@ object SparkEntry {
           |      LEFT JOIN c1 ON string_split(bigram, ' ')[1] = c1.tok
           |      CROSS JOIN v)
           |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS sum_bits,
+          |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // trigram Stupid Backoff: three count tables from the en corpus,
+      // CASE tiers on gram presence, +2 bits per backoff, add-one OOV
+      "q_lm_backoff" ->
+        """WITH ttoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          |               FROM documents WHERE lang = 'en'),
+          |stoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          |          FROM documents WHERE lang <> 'en'),
+          |c1 AS (SELECT tok, count(*) AS c1
+          |       FROM (SELECT unnest(t) AS tok FROM ttoks) GROUP BY tok),
+          |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok, count(*) AS vocab FROM c1),
+          |c2 AS (SELECT bg, count(*) AS c2 FROM (
+          |         SELECT unnest(list_transform(range(len(t)-1),
+          |           i -> t[i+1] || ' ' || t[i+2])) AS bg
+          |         FROM ttoks WHERE len(t) >= 2) GROUP BY bg),
+          |c3 AS (SELECT tri, count(*) AS c3 FROM (
+          |         SELECT unnest(list_transform(range(len(t)-2),
+          |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS tri
+          |         FROM ttoks WHERE len(t) >= 3) GROUP BY tri),
+          |pos AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+          |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS tri
+          |        FROM stoks WHERE len(t) >= 3),
+          |p2 AS (SELECT doc_id, tri,
+          |         string_split(tri, ' ')[1] || ' ' || string_split(tri, ' ')[2] AS ctx2,
+          |         string_split(tri, ' ')[2] || ' ' || string_split(tri, ' ')[3] AS bg,
+          |         string_split(tri, ' ')[2] AS ctx1,
+          |         string_split(tri, ' ')[3] AS w
+          |       FROM pos),
+          |b AS (SELECT doc_id,
+          |        CASE
+          |          WHEN c3.c3 IS NOT NULL THEN
+          |            (length(bin(c2a.c2)) - 1) - (length(bin(c3.c3)) - 1)
+          |          WHEN c2b.c2 IS NOT NULL THEN
+          |            2 + (length(bin(c1a.c1)) - 1) - (length(bin(c2b.c2)) - 1)
+          |          ELSE
+          |            4 + (length(bin(tot.n_tok + tot.vocab)) - 1)
+          |              - (length(bin(COALESCE(c1b.c1, 0) + 1)) - 1)
+          |        END AS bits
+          |      FROM p2
+          |      LEFT JOIN c3 USING (tri)
+          |      LEFT JOIN c2 c2a ON p2.ctx2 = c2a.bg
+          |      LEFT JOIN c2 c2b ON p2.bg = c2b.bg
+          |      LEFT JOIN c1 c1a ON p2.ctx1 = c1a.tok
+          |      LEFT JOIN c1 c1b ON p2.w = c1b.tok
+          |      CROSS JOIN tot)
+          |SELECT doc_id, count(*) AS n_tri, CAST(sum(bits) AS BIGINT) AS sum_bits,
           |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -495,6 +495,74 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Trigram Stupid-Backoff LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the higher-order upgrade
+    * of [[lmBits]]: a position is scored by its trigram if the training
+    * corpus has seen it, else backs off to the bigram, else to the
+    * add-one unigram, each backoff step paying a fixed penalty. Stupid
+    * Backoff is THE web-scale LM formulation precisely because its
+    * scores are count ratios with a constant backoff factor — no
+    * discount re-normalization pass over the count tables — which is
+    * what makes it computable as three shuffled aggregations.
+    *
+    * Integer-exact ([[lmBits]] rule — no float log anywhere): a tier's
+    * surprisal is `bits(contextCount) − bits(gramCount)` with
+    * `bits(x) = length(bin(x)) − 1` (floor-log2), and the backoff factor
+    * α = 0.4 becomes the integer penalty `BackoffPenaltyBits = 2` per
+    * backed-off tier (⌈−log2 0.4⌉ = 2; the ceiling only shifts tiers by
+    * a constant, order within a tier is untouched). A trigram present in
+    * `train` guarantees its context bigram is too (every trigram
+    * occurrence contains one), so tier arithmetic never sees NULL and
+    * `bits(ctx) ≥ bits(gram)` holds by containment — scores are
+    * non-negative by construction. OOV words pay the full add-one
+    * unigram surprisal `bits(N+V) − bits(1)` plus both penalties.
+    *
+    * Scale: the three count tables are the sharded LM (gram-keyed
+    * map-side-combined aggregates, never driver-held); scoring is five
+    * key-partitioned left joins (c2 and c1 each reused under two keys)
+    * plus one map-side-combined per-doc aggregate — the standard
+    * distributed-LM-scoring shape at any corpus size. Docs with < 3
+    * tokens have no trigram positions and drop, as in [[lmBits]]. */
+  val BackoffPenaltyBits = 2L
+
+  def lmBackoffBits(train: DataFrame, score: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    def grams(docs: DataFrame, n: Int, out: String): DataFrame =
+      docs.filter(size(toks) >= n).select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))).as(out))
+    val c1 = grams(train, 1, "tok").groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val totals = c1.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("vocab"))
+    val c2 = grams(train, 2, "bg").groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c3 = grams(train, 3, "tri").groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val parts = split(col("tri"), " ")
+    val pos = grams(score, 3, "tri").select(col("doc_id"), col("tri"),
+      concat_ws(" ", parts.getItem(0), parts.getItem(1)).as("ctx2"),
+      concat_ws(" ", parts.getItem(1), parts.getItem(2)).as("bg"),
+      parts.getItem(1).as("ctx1"),
+      parts.getItem(2).as("w"))
+    val pen = lit(BackoffPenaltyBits)
+    pos
+      .join(c3, Seq("tri"), "left")
+      .join(c2.toDF("ctx2", "c2ctx"), Seq("ctx2"), "left")
+      .join(c2.toDF("bg", "c2bg"), Seq("bg"), "left")
+      .join(c1.toDF("ctx1", "c1ctx"), Seq("ctx1"), "left")
+      .join(c1.toDF("w", "c1w"), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, bits(col("c2ctx")) - bits(col("c3")))
+          .when(col("c2bg").isNotNull,
+            pen + bits(col("c1ctx")) - bits(col("c2bg")))
+          .otherwise(pen * 2 + bits(col("n_tok") + col("vocab"))
+            - bits(coalesce(col("c1w"), lit(0L)) + 1))
+          .as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("b")).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") / col("n_tri").cast("double"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * per language, split the corpus into head / middle / tail terciles by

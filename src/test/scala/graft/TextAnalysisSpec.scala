@@ -216,6 +216,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((10L, 0L), (11L, 1L), (12L, 2L)))
   }
 
+  test("lmBackoffBits: hand-computed tiers — seen trigram, bigram backoff, " +
+      "add-one unigram incl. OOV; short docs drop") {
+    val s = spark
+    import s.implicits._
+    // train: c1(a)=3 c1(b)=3 c1(c)=2 c1(d)=1, N=9, V=4;
+    // c2: "a b"=3 "b c"=2 "b d"=1; c3: "a b c"=2 "a b d"=1
+    val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),   // tier 1: bits(c2["a b"]=3) - bits(c3=2) = 1-1 = 0
+      (11L, "a b x"),   // tier 3 (OOV w): 4 + bits(9+4) - bits(0+1) = 4+3-0 = 7
+      (12L, "x b c"),   // tier 2: 2 + bits(c1[b]=3) - bits(c2["b c"]=2) = 2+1-1 = 2
+      (13L, "a b c d"), // "a b c"→0, "b c d"→tier 3: 4+bits(13)-bits(1+1)=6; mean 3.0
+      (14L, "a b")      // < 3 tokens: no trigram positions, drops
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.lmBackoffBits(train, score)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tri"),
+        r.getAs[Long]("sum_bits"), r.getAs[Double]("mean_bits"))).toSeq
+    assert(got == Seq((10L, 1L, 0L, 0.0), (11L, 1L, 7L, 7.0),
+      (12L, 1L, 2L, 2.0), (13L, 2L, 6L, 3.0)))
+  }
+
   test("lmBits: rare constructions score strictly higher than common ones") {
     val s = spark
     import s.implicits._
