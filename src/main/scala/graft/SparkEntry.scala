@@ -53,6 +53,33 @@ object SparkEntry {
   private val budgetMemo =
     scala.collection.concurrent.TrieMap[String, Long]()
 
+  /** The ONE BPE-encode merge table: applied by `Bpe.encode` AND unrolled
+    * into the oracle's CTE chain by [[bpeSegSqlCtes]], so the two cannot
+    * desync. Order is rank order; later merges consume earlier outputs
+    * (t+h → th, th+e → the). */
+  private val EncodeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "the" -> "r")
+
+  /** DuckDB CTE chain s0..sK segmenting the distinct-word table `vocab`
+    * under [[EncodeMerges]]: s0 is the char split, each s(i+1) applies one
+    * merge as a list_reduce fold over singleton-wrapped symbols (greedy
+    * left-to-right non-overlapping — the same fold Bpe.applyMerge runs).
+    * Built as a CTE per merge, not nested expressions, so SQL size stays
+    * linear in the merge count. */
+  private def bpeSegSqlCtes: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val s0 = "s0 AS (SELECT w, list_transform(range(length(w)), i -> substr(w, i+1, 1)) AS syms FROM vocab)"
+    val steps = EncodeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""s${i + 1} AS (SELECT w, CASE WHEN len(syms) = 0 THEN syms ELSE
+         |  list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ${q(a)} AND x[1] = ${q(b)}
+         |                THEN list_append(acc[1:len(acc)-1], ${q(a + b)})
+         |                ELSE list_concat(acc, x) END) END AS syms FROM s$i)""".stripMargin
+    }
+    (s0 +: steps).mkString(",\n")
+  }
+
   /** The ONE k-core convergence cap: passed to Graph.kCore AND
     * interpolated into the oracle's recursive-CTE bound, so the two can
     * never desync (peeling past the cap would silently diverge). */
@@ -721,6 +748,13 @@ object SparkEntry {
       Dedup.snmPairs(docsParallel(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Fellegi–Sunter linkage: SNM-blocked candidates scored field-by-field
+    // with frequency-based integer agreement weights, thresholded into
+    // match / possible / nonmatch
+    "q_linkage" -> ((s, dir) =>
+      Dedup.linkagePairs(docsParallel(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // bloom-pruned scale path: bit-identical to q_contamination (no false
     // negatives + exact re-check), gated by the same oracle SQL
     "q_contamination_bloom" -> ((s, dir) => {
@@ -991,6 +1025,19 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("source"))),
 
+    // melt (UNPIVOT) — the q_pivot wide table back to long form: one
+    // Expand pass, no shuffle beyond the pivot's own aggregation
+    "q_unpivot" -> ((s, dir) => {
+      val wide = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      graft.operators.Relational
+        .melt(wide, Seq("source"), Seq("de", "en", "es", "fr", "zh"), "lang", "n")
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // approximate distinct-count sketch (HLL++ — merge-commutative, so
     // deterministic for fixed data); no SQL oracle: DuckDB's sketch
     // differs, driver records the weaker rows-only check. The exact
@@ -1076,6 +1123,13 @@ object SparkEntry {
     // iterative trainer is BpeSpec's hand-computed-merge coverage
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.pairCounts(docsParallel(s, dir), topK = 50)),
+
+    // BPE tokenizer APPLY: the fixed 10-merge table encoded over the
+    // distinct-word table (vocab-bounded folds), corpus re-encoded by one
+    // keyed join + per-doc ordered reassembly
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.text.Bpe.encode(docsParallel(s, dir), EncodeMerges)
+        .orderBy(col("doc_id"))),
 
     // content-defined chunking: rolling-hash cut rule (native codegen),
     // ~64-char expected chunks — the insertion-robust segmenter
@@ -2904,6 +2958,52 @@ object SparkEntry {
           |FROM p WHERE d <= 20
           |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // Fellegi–Sunter: same SNM window, frequency tables joined on the
+      // left value (equal on agreement, unused on disagreement), integer
+      // surprisal weights + constant penalties, FS verdict bands
+      "q_linkage" ->
+        """WITH b AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS len,
+          |             substr(text, 1, 16) AS p16,
+          |             lang || ':' || substr(text, 1, 1) AS block,
+          |             substr(text, 1, 512) AS skey
+          |           FROM documents),
+          |sf AS (SELECT source, count(*) AS c_src FROM documents GROUP BY source),
+          |pf AS (SELECT substr(text, 1, 16) AS p16, count(*) AS c_pfx
+          |       FROM documents GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |l AS (SELECT doc_id, source, len, p16,
+          |        lag(doc_id, 1) OVER w AS id1, lag(source, 1) OVER w AS s1,
+          |        lag(len, 1) OVER w AS l1, lag(p16, 1) OVER w AS q1,
+          |        lag(doc_id, 2) OVER w AS id2, lag(source, 2) OVER w AS s2,
+          |        lag(len, 2) OVER w AS l2, lag(p16, 2) OVER w AS q2,
+          |        lag(doc_id, 3) OVER w AS id3, lag(source, 3) OVER w AS s3,
+          |        lag(len, 3) OVER w AS l3, lag(p16, 3) OVER w AS q3
+          |      FROM b WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)),
+          |p AS (SELECT doc_id, source, len, p16, id1 AS other, s1 AS osource,
+          |             l1 AS olen, q1 AS op16 FROM l WHERE id1 IS NOT NULL
+          |      UNION ALL SELECT doc_id, source, len, p16, id2, s2, l2, q2
+          |        FROM l WHERE id2 IS NOT NULL
+          |      UNION ALL SELECT doc_id, source, len, p16, id3, s3, l3, q3
+          |        FROM l WHERE id3 IS NOT NULL),
+          |sc AS (SELECT
+          |         CAST(least(doc_id, other) AS BIGINT) AS doc_a,
+          |         CAST(greatest(doc_id, other) AS BIGINT) AS doc_b,
+          |         CAST(CASE WHEN source = osource
+          |           THEN (length(bin(n.n_docs)) - 1) - (length(bin(sf.c_src)) - 1)
+          |           ELSE -2 END AS BIGINT) AS w_source,
+          |         CAST(CASE WHEN abs(len - olen) * 10 <= least(len, olen)
+          |           THEN 2 ELSE -1 END AS BIGINT) AS w_len,
+          |         CAST(CASE WHEN p16 = op16
+          |           THEN (length(bin(n.n_docs)) - 1) - (length(bin(pf.c_pfx)) - 1)
+          |           ELSE -1 END AS BIGINT) AS w_prefix
+          |       FROM p JOIN sf USING (source) JOIN pf USING (p16) CROSS JOIN n)
+          |SELECT doc_a, doc_b, w_source, w_len, w_prefix,
+          |       w_source + w_len + w_prefix AS score,
+          |       CASE WHEN w_source + w_len + w_prefix >= 8 THEN 'match'
+          |            WHEN w_source + w_len + w_prefix >= 4 THEN 'possible'
+          |            ELSE 'nonmatch' END AS verdict
+          |FROM sc ORDER BY doc_a, doc_b""".stripMargin,
+
       "q_contamination" -> contaminationSql,
 
       // the bloom prune is exact-output-preserving, so the bloom variant
@@ -3365,6 +3465,18 @@ object SparkEntry {
           |  CAST(count(*) FILTER (WHERE lang='zh') AS BIGINT) AS zh
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "q_unpivot" ->
+        """WITH p AS (SELECT source,
+          |  CAST(count(*) FILTER (WHERE lang='de') AS BIGINT) AS de,
+          |  CAST(count(*) FILTER (WHERE lang='en') AS BIGINT) AS en,
+          |  CAST(count(*) FILTER (WHERE lang='es') AS BIGINT) AS es,
+          |  CAST(count(*) FILTER (WHERE lang='fr') AS BIGINT) AS fr,
+          |  CAST(count(*) FILTER (WHERE lang='zh') AS BIGINT) AS zh
+          |FROM documents GROUP BY 1)
+          |SELECT source, lang, n
+          |FROM (UNPIVOT p ON de, en, es, fr, zh INTO NAME lang VALUE n)
+          |ORDER BY source, lang""".stripMargin,
+
       "q_exact_distinct" ->
         s"""$sd
            |SELECT stream_id,
@@ -3563,6 +3675,24 @@ object SparkEntry {
           |      FROM wt WHERE length(w) >= 2)
           |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
           |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
+      // BPE encode: the same 10 merges unrolled as a CTE chain of
+      // list_reduce folds over the distinct-word table, then the keyed
+      // join + ordered flatten reassembly
+      "q_bpe_encode" ->
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |vocab AS (SELECT DISTINCT unnest(t) AS w FROM toks),
+           |$bpeSegSqlCtes,
+           |px AS (SELECT doc_id, p.p AS pos, p.w AS w FROM (
+           |         SELECT doc_id, unnest(list_transform(range(len(t)),
+           |           i -> {'p': i, 'w': t[i+1]})) AS p FROM toks)),
+           |enc AS (SELECT doc_id, count(*) AS n_words,
+           |          flatten(list(syms ORDER BY pos)) AS subs
+           |        FROM px JOIN s${EncodeMerges.size} USING (w) GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |       CAST(len(subs) AS BIGINT) AS n_subwords,
+           |       array_to_string(subs, ' ') AS encoded
+           |FROM enc ORDER BY doc_id""".stripMargin,
 
       // CDC chunks: the O(n·w) direct window sum replays the engine's
       // O(n) rolling residues (B=31 powers mod 1e9+7, w=8, mask=64)

@@ -167,6 +167,16 @@ object Relational {
     * with every predicate pushed to parquet (row-group min/max skipping
     * does the heavy lifting at scale; no join, no shuffle beyond the
     * single partial-agg merge). */
+  /** Long-form melt — the inverse of `pivot`. Spark 3.4+ ships `unpivot`
+    * as a first-class logical operator (Unpivot, planned as Expand): one
+    * narrow pass that emits `values.size` rows per input row — no join,
+    * no shuffle, fully codegen'd — so melt is declared, not hand-rolled
+    * (SURVEY §2.3 composition rule). Value columns must share a common
+    * type, as in SQL UNPIVOT. */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String = "variable", valName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
   def forecastRevenue(
       spark: SparkSession, dir: String,
       from: LocalDateTime = LocalDateTime.parse("1996-01-01T00:00:00"),

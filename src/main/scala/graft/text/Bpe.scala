@@ -71,6 +71,42 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
   }
 
+  /** Corpus ENCODING with a fixed merge table — tokenizer APPLY, the
+    * other half of the BPE lifecycle: [[train]] produces a merge list;
+    * this applies a given one (e.g. a published tokenizer's merges) to a
+    * corpus. Merge-list order IS rank order — merge `i` is fully applied
+    * (greedy left-to-right, non-overlapping, [[applyMerge]]) before
+    * merge `i+1`, matching reference BPE encoders.
+    *
+    * Scale (Sennrich's own trick, same asymmetry as [[train]]): the K
+    * merge folds run over the DISTINCT-WORD table — bounded by
+    * vocabulary, millions of rows at 100 TB — never the corpus; the
+    * trillions of token positions pay one keyed join against the
+    * segmented vocab plus a per-doc ordered reassembly (both map-side
+    * combinable shuffles). A word-level cache is exactly how production
+    * tokenizers amortize encoding, expressed relationally.
+    *
+    * Output: `(doc_id, n_words, n_subwords, encoded)` with `encoded`
+    * the space-joined subword sequence in document order. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val vocab = docs.select(explode(toks).as("w")).distinct()
+    val seg = merges.foldLeft(
+      vocab.withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))) {
+      case (v, (a, b)) => v.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+      .join(seg, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          p => p.getField("syms"))).as("subs"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("subs")).cast("long").as("n_subwords"),
+        concat_ws(" ", col("subs")).as("encoded"))
+  }
+
   /** The iterative trainer: rounds of count-pairs → pick-best →
     * re-segment, all over the cached vocabulary table. Returns the
     * ordered merge list and the final segmentation `(w, wc, syms)`.

@@ -85,6 +85,33 @@ class BpeSpec extends SparkSpec {
     assert(syms("aaa") == List("aa", "a"))
   }
 
+  test("encode: rank-ordered merge application, doc-order reassembly, counts") {
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d")
+    val out = Bpe.encode(docsOf(
+      (1L, "the and then x", "en", "s"),
+      (2L, "thx", "en", "s")), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_subwords"), r.getString(3)))
+    // the -> [the]; and -> [and]; then -> th+e? no: t+h -> [th,e,n], th+e
+    // -> [the,n]; x stays [x]
+    assert(out(0) == ((1L, 4L, 5L, "the and the n x")))
+    assert(out(1) == ((2L, 1L, 2L, "th x")))
+  }
+
+  test("encode: applying train's own merges matches train's segmentation") {
+    val (merges, seg) = Bpe.train(sennrich, numMerges = 4)
+    val enc = Bpe.encode(sennrich, merges.map(m => m.left -> m.right))
+      .orderBy("doc_id").collect()
+    // doc 3 = "newest"×6; train after 4 merges segments newest as
+    // [n,e,w,est] (es then est are the first two merges)
+    val newest = seg.collect().map(r => r.getString(0) -> r.getSeq[String](2))
+      .toMap.apply("newest")
+    val d3 = enc(2)
+    assert(d3.getString(3) == Seq.fill(6)(newest.mkString(" ")).mkString(" "))
+    assert(d3.getAs[Long]("n_subwords") == 6L * newest.size)
+  }
+
   test("train: stops early when no pairs remain") {
     val (merges, _) = Bpe.train(docsOf((1L, "ab ab", "en", "s")), numMerges = 5)
     // after merging (a,b) every word is a single symbol — no further pairs

@@ -323,6 +323,31 @@ class DedupSpec extends SparkSpec {
     assert(wide == Seq((1L, 3L)))
   }
 
+  test("linkagePairs: hand-computed FS weights, verdict bands, block isolation") {
+    val s = spark
+    import s.implicits._
+    // N=4 -> bits(4)=2; source web x2 / books x1 / other x1;
+    // p16 "hello world aaaa" x2
+    val docs = Seq(
+      (1L, "hello world aaaaaaaa", "en", "web"),   // len 20
+      (2L, "hello world aaaaaaab", "en", "web"),   // len 20, same p16
+      (3L, "hello there", "en", "books"),          // len 11
+      (4L, "zzz alone", "en", "other"))            // block en:z — isolated
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val out = Dedup.linkagePairs(docs, window = 3)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("w_source"),
+        r.getAs[Long]("w_len"), r.getAs[Long]("w_prefix"),
+        r.getAs[Long]("score"), r.getAs[String]("verdict")))
+    // (1,2): src agree web -> bits(4)-bits(2)=1; len band +2; p16 agree
+    // -> 1; score 4 -> possible. (1,3)/(2,3): all disagree -> -2-1-1=-4
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 2L, 1L, 4L, "possible"),
+      (1L, 3L, -2L, -1L, -1L, -4L, "nonmatch"),
+      (2L, 3L, -2L, -1L, -1L, -4L, "nonmatch")))
+  }
+
   test("weightedJaccardPairs: repeated spans keep their mass, df cap changes semantics") {
     // unigram shingles (k=1) make the bag arithmetic auditable by hand
     val docs = docsOf(

@@ -140,6 +140,27 @@ class PlanContractSpec extends SparkSpec {
       s"q_metrics_dense lost the sequence-exploded spine: $md")
   }
 
+  test("r11 additions keep their scale-critical shapes") {
+    // stupid-backoff LM: the 1-row totals ride as a broadcast; the five
+    // gram joins stay keyed (never nested-loop)
+    val lb = planOf("q_lm_backoff")
+    assert(lb.contains("BroadcastExchange"), "q_lm_backoff totals must broadcast")
+    // BPE encode: no nested-loop anywhere — merge folds are narrow maps
+    // over the distinct-word table, the corpus pays one keyed join
+    val be = planOf("q_bpe_encode")
+    assert(!be.contains("BroadcastNestedLoopJoin"),
+      s"q_bpe_encode must not plan a nested-loop join: $be")
+    // FS linkage: source-frequency + totals broadcast; candidates come
+    // from the block-partitioned window (cartesian sweep covers the rest)
+    val lk = planOf("q_linkage")
+    assert(lk.contains("BroadcastExchange"), "q_linkage model tables must broadcast")
+    // melt: the unpivot leg plans as Expand, and the only join-free
+    // reshape — no Join node anywhere in the plan
+    val up = planOf("q_unpivot")
+    assert(up.contains("Expand"), s"q_unpivot must plan as Expand: $up")
+    assert(!up.contains("Join"), s"q_unpivot must not join: $up")
+  }
+
   test("prefix-filter join keeps the single token exchange; pmi is TakeOrdered") {
     val plan = planOf("q_prefix_filter")
     // the explicit repartition(tok) exchange feeds df count, both

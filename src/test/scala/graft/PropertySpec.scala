@@ -351,6 +351,41 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("lmBackoffBits == in-memory stupid-backoff reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    val genDocs = Gen.choose(1, 5).flatMap(d => Gen.listOfN(d,
+      Gen.choose(0, 8).flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c")))))
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    holdsFewer(Prop.forAll(genDocs, genDocs) { (tr, sc) =>
+      val trT = tr.map(_.mkString(" ").split(" ", -1).toSeq)
+      val c1 = trT.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = c1.values.sum
+      val v = c1.size.toLong
+      def grams(k: Int) = trT.flatMap(_.sliding(k).filter(_.size == k)
+        .map(_.mkString(" "))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c2 = grams(2)
+      val c3 = grams(3)
+      val scD = sc.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      val expect = scD.flatMap { case (id, text) =>
+        val t = text.split(" ", -1).toSeq
+        val bs = t.sliding(3).filter(_.size == 3).map { w =>
+          val tri = w.mkString(" ")
+          val bg = w.drop(1).mkString(" ")
+          if (c3.contains(tri)) bits(c2(w.take(2).mkString(" "))) - bits(c3(tri))
+          else if (c2.contains(bg)) 2 + bits(c1(w(1))) - bits(c2(bg))
+          else 4 + bits(n + v) - bits(c1.getOrElse(w(2), 0L) + 1)
+        }.toSeq
+        if (bs.isEmpty) None else Some(id -> ((bs.size.toLong, bs.sum)))
+      }.toMap
+      val trDF = tr.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.lmBackoffBits(trDF, scD.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == expect
+    })
+  }
+
   test("quotaCap: monotone in k; per-source count = min(k, source size)") {
     import graft.operators.Sampling
     val s = spark

@@ -8,6 +8,19 @@ class RelationalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("melt: inverse of pivot — wide columns to long rows, Expand not join") {
+    val s = spark
+    import s.implicits._
+    val wide = Seq(("a", 1L, 2L), ("b", 0L, 5L)).toDF("k", "x", "y")
+    val df = Relational.melt(wide, Seq("k"), Seq("x", "y"), "variable", "value")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "melt must be a narrow Expand pass, no shuffle")
+    val out = df.orderBy("k", "variable").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", "x", 1L), ("a", "y", 2L),
+      ("b", "x", 0L), ("b", "y", 5L)))
+  }
+
   test("shippingPriority: broadcasts dimensions, pushes filters, top-10") {
     val df = Relational.shippingPriority(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
