@@ -53,6 +53,21 @@ object SparkEntry {
   private val budgetMemo =
     scala.collection.concurrent.TrieMap[String, Long]()
 
+  /** Winnowing CTE chain shared by q_winnow / q_winnow_pairs: k=16-char
+    * gram md5-60 hashes, w=16 windows, rightmost-min selection (pos =
+    * window start + w − position-in-reversed-window), docs below the
+    * w+k−1 = 31-char guarantee threshold dropped — the same rule
+    * Dedup.winnow applies. */
+  private val winnowCtes =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 31),
+      |h AS (SELECT doc_id, list_transform(range(length(text) - 15),
+      |        i -> ('0x' || substr(md5(substr(text, CAST(i + 1 AS INTEGER), 16)), 1, 15))::BIGINT) AS h
+      |      FROM d),
+      |s AS (SELECT doc_id, unnest(list_transform(range(len(h) - 15), j ->
+      |        {'pos': j + 17 - list_position(list_reverse(h[j+1:j+16]), list_min(h[j+1:j+16])),
+      |         'fp': list_min(h[j+1:j+16])})) AS s
+      |      FROM h)""".stripMargin
+
   /** The ONE BPE-encode merge table: applied by `Bpe.encode` AND unrolled
     * into the oracle's CTE chain by [[bpeSegSqlCtes]], so the two cannot
     * desync. Order is rank order; later merges consume earlier outputs
@@ -746,6 +761,18 @@ object SparkEntry {
     // bounded sort key, 3-row neighborhood, 160-char-prefix edit dist <= 20
     "q_sorted_neighborhood" -> ((s, dir) =>
       Dedup.snmPairs(docsParallel(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // winnowing fingerprints (MOSS): k=16-char gram hashes, w=16 windows,
+    // rightmost-min selection — the substring-granular local fingerprint
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnow(docsParallel(s, dir))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))),
+
+    // MOSS match detection: pairs sharing >= 2 selected fingerprints,
+    // keyed join on the fingerprint hash
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docsParallel(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Fellegi–Sunter linkage: SNM-blocked candidates scored field-by-field
@@ -2957,6 +2984,21 @@ object SparkEntry {
           |       CAST(d AS BIGINT) AS dist
           |FROM p WHERE d <= 20
           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // winnowing: same k-gram md5-60 hashes, rightmost-min via
+      // list_position over the reversed window, DISTINCT selections
+      "q_winnow" -> (winnowCtes +
+        "\nSELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp" +
+        "\nFROM s ORDER BY doc_id, pos, fp"),
+
+      "q_winnow_pairs" -> (winnowCtes + "," +
+        """
+          |f AS (SELECT DISTINCT doc_id, s.fp AS fp FROM s)
+          |SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b,
+          |       CAST(count(*) AS BIGINT) AS shared
+          |FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY doc_a, doc_b""".stripMargin),
 
       // Fellegi–Sunter: same SNM window, frequency tables joined on the
       // left value (equal on agreement, unused on disagreement), integer

@@ -421,6 +421,59 @@ object Dedup {
         greatest(col("doc_id"), col("e.other")).as("doc_b"), col("dist"))
   }
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS algorithm): hash every `k`-char gram, slide a `w`-hash
+    * window, select each window's MINIMUM hash (rightmost on ties, the
+    * paper's robust-winnowing rule), and emit the distinct selected
+    * `(pos, fp)` pairs per document. The guarantee that makes it the
+    * substring-granular complement to shingle/MinHash dedup: any shared
+    * substring of length ≥ `w + k − 1` between two documents selects at
+    * least one common fingerprint — detection is LOCAL, with expected
+    * density 2/(w+1), so the fingerprint table is a tunable fraction of
+    * corpus size.
+    *
+    * Hashes are [[graft.text.TextAnalysis.md5Int60]] (engine-exact); the
+    * whole selection is a narrow per-document map (transform over the
+    * hash array — no shuffle until the output distinct), so at 100 TB it
+    * scans once and shuffles only the ~2n/(w+1) selected fingerprints.
+    * Documents shorter than `w + k − 1` chars yield no fingerprints
+    * (below the guarantee threshold, the paper's own boundary). */
+  def winnow(docs: DataFrame, k: Int = 16, w: Int = 16): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+    val nGrams = length(col("text")) - (k - 1)
+    docs.filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), nGrams),
+          i => md5Int60(col("text").substr(i, lit(k)))).as("h"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("h")) - (w - 1)), j => {
+          val win = slice(col("h"), j, lit(w))
+          val m = array_min(win)
+          val rpos = lit(w) + 1 -
+            call_function("array_position", reverse(win), m)
+          struct((j + rpos - 1).cast("long").as("pos"), m.as("fp"))
+        })).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .distinct()
+  }
+
+  /** MOSS-style match detection over [[winnow]] fingerprints: pairs of
+    * documents sharing ≥ `minShared` selected fingerprints, with the
+    * shared count as match strength. The join is keyed on the
+    * fingerprint hash — pairs only materialize where 16-char substrings
+    * actually coincide, the shared-shingle candidate-generation shape. */
+  def winnowPairs(docs: DataFrame, k: Int = 16, w: Int = 16,
+      minShared: Long = 2): DataFrame = {
+    val fp = winnow(docs, k, w).select(col("doc_id"), col("fp")).distinct()
+    fp.toDF("a", "fp").join(fp.toDF("b", "fp2"),
+        col("fp") === col("fp2") && col("a") < col("b"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("shared"))
+  }
+
   /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, "A
     * Theory for Record Linkage", JASA 64) over SNM-blocked candidates:
     * each candidate pair is scored field by field — agreement on a field

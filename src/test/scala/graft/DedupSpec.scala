@@ -323,6 +323,43 @@ class DedupSpec extends SparkSpec {
     assert(wide == Seq((1L, 3L)))
   }
 
+  test("winnow == reference selection; shared-substring guarantee; pairs") {
+    val s = spark
+    import s.implicits._
+    def md60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    def ref(text: String, k: Int, w: Int): Set[(Long, Long)] =
+      if (text.length < k + w - 1) Set.empty
+      else {
+        val h = (0 to text.length - k).map(i => md60(text.substring(i, i + k)))
+        (0 to h.size - w).map { j =>
+          val win = h.slice(j, j + w)
+          val m = win.min
+          ((j + win.lastIndexOf(m) + 1).toLong, m)
+        }.toSet
+      }
+    // docs 1/2 share the 12-char span "shared  span" >= w+k-1=6 chars;
+    // doc 3 is below the length threshold and must vanish
+    val texts = Map(1L -> "xx shared span qq", 2L -> "yyyy shared span zz",
+      3L -> "tiny")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = Dedup.winnow(docs, k = 4, w = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == Set(1L, 2L))
+    texts.filter(_._2.length >= 6).foreach { case (id, t) =>
+      assert(got(id) == ref(t, 4, 3), s"doc $id selection mismatch")
+    }
+    // the winnowing guarantee: a shared substring of length >= w+k-1
+    // selects at least one common fingerprint hash
+    val fps = got.view.mapValues(_.map(_._2)).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    val pairs = Dedup.winnowPairs(docs, k = 4, w = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
   test("linkagePairs: hand-computed FS weights, verdict bands, block isolation") {
     val s = spark
     import s.implicits._
