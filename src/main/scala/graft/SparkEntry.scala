@@ -871,6 +871,11 @@ object SparkEntry {
     "q_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQuality(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // token-entropy quality signal: floor-log2 integer proxy — 0 for a
+    // single repeated token, ~bits(n) for all-distinct hash soup
+    "q_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docsParallel(s, dir)).orderBy(col("doc_id"))),
+
     // bigram LM quality score: integer floor-log2 cross-entropy proxy —
     // the CCNet "rank by LM perplexity" signal without a single float log
     "q_lm_bits" -> ((s, dir) =>
@@ -3258,6 +3263,21 @@ object SparkEntry {
            |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
            |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FingerprintMod}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // token entropy: per-(doc, token) counts, Σ c·(bits(n) − bits(c))
+      "q_entropy" ->
+        """WITH c AS (SELECT doc_id, tok, count(*) AS c FROM (
+          |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |         FROM documents) GROUP BY doc_id, tok),
+          |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |        CAST(count(*) AS BIGINT) AS n_distinct,
+          |        CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sb
+          |      FROM c GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_distinct,
+          |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - sb AS BIGINT) AS ent_bits,
+          |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - sb AS DOUBLE)
+          |         / CAST(n_tokens AS DOUBLE) AS mean_bits
+          |FROM a ORDER BY doc_id""".stripMargin,
 
       // bigram LM bits: same count tables, same floor-log2-via-binary-
       // string-length proxy (bin() is unpadded in both engines)

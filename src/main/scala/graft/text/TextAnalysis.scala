@@ -121,6 +121,36 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Token-entropy quality signal — the information-theoretic gibberish /
+    * boilerplate detector the ratio heuristics ([[stats]], [[repetition]])
+    * miss: near-zero entropy flags looped generation and template spam
+    * (one token dominating), near-log2(n) entropy flags hash soup / OCR
+    * noise (every token distinct). Shannon entropy needs float logs, so
+    * this reports the floor-log2 PROXY the engine's LM scores use:
+    * `ent_bits = Σ c_i · (bits(n) − bits(c_i))` with `bits(x) =
+    * length(bin(x)) − 1` — exact integer arithmetic, identical on any
+    * engine, order-equivalent to entropy at the granularity quality
+    * filters threshold on. `mean_bits = ent_bits / n` is the per-token
+    * figure; 0 ⇔ a single repeated token, and ≤ the true entropy ≤
+    * mean_bits + 2 by the floor-log2 sandwich.
+    *
+    * Shape: one explode → per-(doc, token) count → per-doc aggregate,
+    * both map-side combined; nothing corpus-sized shuffles un-reduced —
+    * the [[repetition]] scale shape with one more integer column. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * bits(col("c"))).as("sb"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") * bits(col("n_tokens")) - col("sb")).as("ent_bits"))
+      .withColumn("mean_bits",
+        col("ent_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Split documents into fixed-size token windows with overlap — the
     * pre-training chunking pass (long documents become `maxTokens`-token
     * training sequences; `overlap` tokens of context carry across chunk

@@ -216,6 +216,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((10L, 0L), (11L, 1L), (12L, 2L)))
   }
 
+  test("tokenEntropy: floor-log2 proxy — 0 for repeated token, bits(n) for " +
+      "all-distinct, hand value in between") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),      // one token: ent = 4*bits(4) - 4*bits(4) = 0
+      (2L, "a b c d"),      // all distinct: 4*2 - 4*0 = 8, mean 2.0
+      (3L, "a a b c"))      // 4*2 - (2*1 + 0 + 0) = 6, mean 1.5
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.tokenEntropy(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("ent_bits"),
+        r.getAs[Double]("mean_bits"))).toSeq
+    assert(got == Seq((1L, 4L, 1L, 0L, 0.0), (2L, 4L, 4L, 8L, 2.0),
+      (3L, 4L, 3L, 6L, 1.5)))
+  }
+
   test("lmBackoffBits: hand-computed tiers — seen trigram, bigram backoff, " +
       "add-one unigram incl. OOV; short docs drop") {
     val s = spark
