@@ -912,6 +912,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // count-min sketch: 4x512 md5-hashed count rows, min-over-rows
+    // estimates for the top-50 true tokens — est >= true by construction,
+    // the sketch rebuilt identically by the oracle (no rows-only waiver)
+    "q_cms" -> ((s, dir) =>
+      TextAnalysis.cmsEstimates(docsParallel(s, dir)).orderBy(col("tok"))),
+
     // two-pass distributed heavy hitters: Misra-Gries candidates per
     // partition (O(k) memory, no full-token shuffle) + exact recount —
     // the sketch only prunes, so the output is exact and oracle-gated
@@ -3408,6 +3414,25 @@ object SparkEntry {
       // heavy hitters: the MG sketch only prunes candidates, so the exact
       // SQL (count + strict integer cross-multiplied threshold) is the
       // full semantics
+      // CMS: identical d:token md5 hashing rebuilds the same 4x512
+      // sketch; min over rows per probed token
+      "q_cms" ->
+        """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          |e AS (SELECT tok, unnest(range(4)) AS d FROM tk),
+          |h AS (SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 512 AS b
+          |      FROM e),
+          |sk AS (SELECT d, b, count(*) AS c FROM h GROUP BY d, b),
+          |t AS (SELECT tok, count(*) AS true_count FROM tk GROUP BY tok
+          |      ORDER BY true_count DESC, tok ASC LIMIT 50),
+          |p AS (SELECT tok, true_count, unnest(range(4)) AS d FROM t),
+          |pb AS (SELECT tok, true_count, d,
+          |         ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 512 AS b
+          |       FROM p)
+          |SELECT tok, CAST(true_count AS BIGINT) AS true_count,
+          |       CAST(min(c) AS BIGINT) AS cms_est
+          |FROM pb JOIN sk USING (d, b)
+          |GROUP BY tok, true_count ORDER BY tok""".stripMargin,
+
       "q_heavy_hitters" ->
         """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
           |n AS (SELECT count(*) AS total FROM t),

@@ -698,6 +698,46 @@ object TextAnalysis {
     * Pass 1 also carries each partition's token count out as a sentinel
     * row, so `total` needs no third corpus scan.
     */
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005,
+    * "An improved data stream summary: the count-min sketch and its
+    * applications") — the mergeable bounded-memory frequency summary next
+    * to the KLL quantile sketch and Misra-Gries [[heavyHitters]]:
+    * `depth` hash rows × `width` buckets of counts, `est(x) =
+    * min_d sketch[d][h_d(x)]`. One-sided error: `est ≥ true` always
+    * (collisions only ADD), and `est − true ≤ e·N/width` w.h.p. — the
+    * 100 TB answer for per-key frequency under a fixed memory budget.
+    *
+    * Fully deterministic (row hashes are md5 of `"d:token"`), so the
+    * DuckDB oracle REBUILDS the identical sketch and the estimates
+    * hash-gate exactly — no rows-only concession like HLL sketches need.
+    *
+    * Shape: one corpus explode fanned ×depth, aggregated map-side to the
+    * depth×width count table (broadcast-sized model state — the entire
+    * point of a sketch); probing joins the top-K truth table × depth
+    * against that broadcast. The corpus never shuffles un-reduced.
+    * Output (gate-oriented): the `topK` true tokens with `true_count`
+    * and `cms_est`, so the overestimate property is visible per row. */
+  def cmsEstimates(docs: DataFrame, depth: Int = 4, width: Int = 512,
+      topK: Int = 50): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth/width >= 1: $depth/$width")
+    val toks = docs.select(explode(wsTokens(col("text"))).as("tok"))
+    def bucket = pmod(md5Int32(
+      concat(col("d").cast("string"), lit(":"), col("tok"))), lit(width.toLong))
+    val sketch = toks
+      .select(col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), bucket.as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("tok").asc).limit(topK)
+    truth
+      .select(col("tok"), col("true_count"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("b", bucket)
+      .join(broadcast(sketch), Seq("d", "b"))
+      .groupBy(col("tok"), col("true_count"))
+      .agg(min(col("c")).as("cms_est"))
+  }
+
   def heavyHitters(docs: DataFrame, k: Int = 200): DataFrame = {
     require(k >= 2, "need k >= 2")
     val spark = docs.sparkSession

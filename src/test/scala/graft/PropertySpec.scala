@@ -351,6 +351,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("cmsEstimates: one-sided error on random corpora — est >= true, " +
+      "and exact at collision-free width") {
+    val s = spark
+    import s.implicits._
+    val genDocs = Gen.choose(1, 5).flatMap(d => Gen.listOfN(d,
+      Gen.choose(1, 10).flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e")))))
+    holdsFewer(Prop.forAll(genDocs) { toks =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val truth = toks.flatMap(identity).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      // narrow width forces collisions; estimates must never undercount
+      val est = graft.text.TextAnalysis
+        .cmsEstimates(docs, depth = 2, width = 4, topK = 10).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      est.forall { case (t, tc, e) => tc == truth(t) && e >= tc }
+    })
+  }
+
   test("lmBackoffBits == in-memory stupid-backoff reference on random corpora") {
     val s = spark
     import s.implicits._

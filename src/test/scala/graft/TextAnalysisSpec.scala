@@ -216,6 +216,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((10L, 0L), (11L, 1L), (12L, 2L)))
   }
 
+  test("cmsEstimates: exact when collision-free enough; always >= true; " +
+      "width-1 degenerate counts everything") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a c d")).toDF("doc_id", "text")
+    // width 512, depth 4: 6 distinct tokens almost surely collision-free
+    // in at least one row -> estimates exact
+    val wide = graft.text.TextAnalysis.cmsEstimates(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = Map("a" -> 4L, "b" -> 2L, "c" -> 2L, "d" -> 1L)
+    exact.foreach { case (t, c) =>
+      val (tc, est) = wide(t)
+      assert(tc == c && est >= tc, s"$t: true=$tc est=$est")
+    }
+    assert(wide("a")._2 == 4L) // 512 buckets, 6 keys: row-min is exact
+    // width=1: every token collides into the one bucket -> est = N = 9
+    val tiny = graft.text.TextAnalysis
+      .cmsEstimates(docs, depth = 2, width = 1).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(tiny.forall(_._2 == 9L))
+  }
+
   test("tokenEntropy: floor-log2 proxy — 0 for repeated token, bits(n) for " +
       "all-distinct, hand value in between") {
     val s = spark
