@@ -404,6 +404,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product quantization with ADC (Jégou et al.): 4 subspace codebooks
+    // of 8 learned centroids, corpus compressed to 4 codes/vector, scored
+    // by code lookup only — the memory-bound 100 TB serving path
+    "q_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // scalar-quantized serving path (FAISS SQ8 shape): 7-bit codes against
     // a per-vector max-abs scale, approximate-cosine ranking from the
     // exact integer code dot — the memory-bounded ANN variant
@@ -1666,6 +1676,73 @@ object SparkEntry {
       s"""c${i}n AS MATERIALIZED (SELECT cid, list_value($kmMean) AS c FROM a$i GROUP BY cid),
          |c$i AS MATERIALIZED (SELECT * FROM c${i}n UNION ALL
          |        SELECT * FROM c${i - 1} WHERE cid NOT IN (SELECT cid FROM c${i}n))""".stripMargin
+    // PQ oracle: per-subspace replay of the SAME Lloyd's CTEs over offset
+    // slices of qe (seeds, assignment tie-breaks, integer-sum/IEEE means
+    // all identical to the full-space kmeans above), then ADC as the
+    // slice-by-slice, dim-by-dim left-to-right double chain pqTopK folds.
+    val pqSql = {
+      val pqM = 4
+      val pqSd = kmDim / pqM
+      val pqK = 8
+      def pqDist(qe: String, c: String, off: Int): String =
+        (1 to pqSd).map(i =>
+          s"(CAST($qe[${off + i}] AS DOUBLE)-$c[$i])*(CAST($qe[${off + i}] AS DOUBLE)-$c[$i])")
+          .mkString(" + ")
+      def pqMean(off: Int): String =
+        (1 to pqSd).map(i => s"CAST(sum(qe[${off + i}]) AS DOUBLE)/count(*)").mkString(", ")
+      def sub(m: Int): String = {
+        val off = m * pqSd
+        def assign(name: String, cents: String) =
+          s"""${name}_$m AS MATERIALIZED (SELECT vec_id, qe, nq, cid FROM (
+             |  SELECT t.vec_id, t.qe, t.nq, c.cid,
+             |         row_number() OVER (PARTITION BY t.vec_id
+             |           ORDER BY ${pqDist("t.qe", "c.c", off)}, c.cid) AS rn
+             |  FROM corp t CROSS JOIN ${cents}_$m c) WHERE rn = 1)""".stripMargin
+        def step(i: Int) =
+          s"""c${i}n_$m AS MATERIALIZED (SELECT cid, list_value(${pqMean(off)}) AS c FROM a${i}_$m GROUP BY cid),
+             |c${i}_$m AS MATERIALIZED (SELECT * FROM c${i}n_$m UNION ALL
+             |        SELECT * FROM c${i - 1}_$m WHERE cid NOT IN (SELECT cid FROM c${i}n_$m))""".stripMargin
+        s"""c0_$m AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+           |              list_transform(qe[${off + 1}:${off + pqSd}], x -> CAST(x AS DOUBLE)) AS c
+           |       FROM (SELECT vec_id, qe FROM corp
+           |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK)),
+           |${assign("a1", "c0")},
+           |${step(1)},
+           |${assign("a2", "c1")},
+           |${step(2)},
+           |${assign("a3", "c2")}""".stripMargin
+      }
+      val subs = (0 until pqM).map(sub).mkString(",\n")
+      val codeSel = (0 until pqM).map(m => s", j$m.code_$m").mkString
+      val codeJoin = (0 until pqM)
+        .map(m => s"JOIN (SELECT vec_id, cid AS code_$m FROM a3_$m) j$m USING (vec_id)")
+        .mkString("\n")
+      val adc = (0 until pqM).map { m =>
+        val off = m * pqSd
+        "(" + (1 to pqSd).map(i => s"CAST(q.qe[${off + i}] AS DOUBLE)*cb$m.c[$i]")
+          .mkString(" + ") + ")"
+      }.mkString(" + ")
+      val cbJoins = (0 until pqM)
+        .map(m => s"JOIN c2_$m cb$m ON cb$m.cid = t.code_$m").mkString("\n")
+      s"""$quantCte,
+         |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n WHERE vec_id >= 8),
+         |qs AS MATERIALIZED (SELECT vec_id AS query_id, qe, nq FROM n WHERE vec_id < 8),
+         |$subs,
+         |codes AS (SELECT c.vec_id, c.nq$codeSel
+         |          FROM corp c
+         |$codeJoin),
+         |scored AS (
+         |  SELECT q.query_id, t.vec_id AS neighbor_id,
+         |         ($adc)
+         |           / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(t.nq AS DOUBLE))) AS cos
+         |  FROM codes t CROSS JOIN qs q
+         |$cbJoins),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT query_id, "rank", neighbor_id, cos FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    }
     val simhashSums = (0 until 32).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
     val simhashVal = (0 until 32)
       .map(j => s"CASE WHEN 2*s$j >= n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
@@ -2241,6 +2318,8 @@ object SparkEntry {
            |      FROM scored)
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      "q_ann_pq" -> pqSql,
 
       // scalar-quantized ANN: 7-bit codes against the per-vector max-abs
       // scale (one correctly-rounded double division per dim), exact

@@ -336,6 +336,67 @@ object Similarity {
     centroids
   }
 
+  /** Product-quantization ANN with asymmetric distance computation (Jégou
+    * et al. 2011, "Product Quantization for Nearest Neighbor Search",
+    * IEEE TPAMI) — the memory-bound serving path next to [[sqTopK]]'s
+    * scalar codes and [[ivfKmeansTopK]]'s coarse pruning: the vector
+    * space is split into `subspaces` orthogonal slices, each slice gets
+    * its own `kClusters`-centroid codebook (the same deterministic
+    * hash-seeded Lloyd's as [[trainCentroids]], run per slice), and every
+    * corpus vector is compressed to `subspaces` small codes. Serving is
+    * ADC: the query stays exact, each candidate scores as
+    * `Σ_m dot(querySlice_m, codebook_m[code_m])` — a code lookup, never
+    * a corpus-vector read. At dim=64 / 4×8 codebooks that is 64 floats →
+    * 4 bytes per vector: the compression that lets 100 TB of embeddings
+    * serve from memory. Compose with [[ivfKmeansTopK]]'s coarse
+    * assignment for IVFPQ when a linear code scan is too much.
+    *
+    * Determinism (oracle-exact): codebooks inherit [[trainCentroids]]'
+    * integer-sum/IEEE-mean arithmetic per slice (same seeds — the
+    * smallest `(md5(vec_id), vec_id)` rows — in every slice); ADC sums
+    * fold slice-by-slice, dim-by-dim left-to-right, so the DuckDB oracle
+    * replays the identical double chain bit-for-bit.
+    *
+    * Scale: codebooks are `subspaces × kClusters × subDim` driver-held
+    * metadata; encoding is one narrow map over the corpus (the
+    * [[graft.functions.CentroidRank]] kernel per slice); scoring joins
+    * the CODE table (4 small ints + norm per vector) against the
+    * broadcast query set — the corpus embedding column is never read
+    * again after encoding. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      subspaces: Int = 4, kClusters: Int = 8, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces slices")
+    val subDim = dim / subspaces
+    import graft.functions.CentroidRank.centroid_rank
+    val c = prepared(corpus)
+    val books: Seq[Seq[Seq[Double]]] = (0 until subspaces).map { m =>
+      trainCentroids(
+        c.select(col("vec_id"),
+          slice(col("qe"), m * subDim + 1, subDim).as("qe")),
+        kClusters, iters, subDim)
+    }
+    // encode once, then DROP the vectors — ADC serves from codes + norm
+    val codes = books.zipWithIndex.foldLeft(
+      c.select(col("vec_id"), col("qe"), col("nq"))) { case (df, (book, m)) =>
+      df.withColumn(s"code$m", element_at(
+        centroid_rank(slice(col("qe"), m * subDim + 1, subDim), book), 1))
+    }.drop("qe")
+    val q = prepared(queries).select(col("vec_id").as("query_id"),
+      col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val approxDot = (0 until subspaces).map { m =>
+      val cent = element_at(typedlit(books(m)), col(s"code$m").cast("int") + 1)
+      (1 to subDim).map(i =>
+        element_at(col("q_qe"), m * subDim + i).cast("double")
+          * element_at(cent, i)).reduce(_ + _)
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("cos", approxDot
+        / (sqrt(col("q_nq").cast("double")) * sqrt(col("nq").cast("double"))))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then inside
     * each cluster drop every vector that has a lower-id neighbor with

@@ -38,7 +38,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("ANN scoring broadcasts the query side") {
-    Seq("q_ann_topk", "q_ann_ivf", "q_ann_kmeans", "q_ann_sq",
+    Seq("q_ann_topk", "q_ann_ivf", "q_ann_kmeans", "q_ann_sq", "q_ann_pq",
       "q_contamination", "q_contamination_fuzzy",
       "q_contamination_bloom").foreach { name =>
       val plan = planOf(name)

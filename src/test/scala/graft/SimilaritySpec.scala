@@ -29,6 +29,37 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._3) < 1e-9)
   }
 
+  test("pqTopK: exact regime — corpus size == kClusters makes every vector " +
+      "its own codeword, so ADC equals brute force bit-for-bit") {
+    val corpus = vecsOf(
+      (10L, pad(Seq(1f, 0f)), 0),
+      (11L, pad(Seq(0.9f, 0.1f)), 0),
+      (12L, pad(Seq(0f, 1f)), 0),
+      (13L, pad(Seq(-1f, 0.5f)), 0))
+    val queries = vecsOf((1L, pad(Seq(2f, 0f)), 0), (2L, pad(Seq(0f, 3f)), 0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    val pq = rows(Similarity.pqTopK(corpus, queries, k = 3,
+      subspaces = 2, kClusters = 4, iters = 2, dim = 8))
+    val bf = rows(Similarity.bruteForceTopK(corpus, queries, k = 3))
+    // with 4 corpus vectors and 4 centroids per subspace, Lloyd's settles
+    // on each sub-vector exactly; the int x double ADC products are exact
+    // below 2^53, so not just ranks but the cosines are bit-identical
+    assert(pq == bf)
+  }
+
+  test("pqTopK: deterministic, k rows per query, codes-only serving") {
+    val corpus = vecsOf((10L to 29L).map(i =>
+      (i, pad(Seq((i % 7).toFloat / 7f, (i % 5).toFloat / 5f, 1f)), 0)): _*)
+    val queries = vecsOf((1L, pad(Seq(0.5f, 0.3f, 1f)), 0))
+    def run() = Similarity.pqTopK(corpus, queries, k = 5,
+      subspaces = 2, kClusters = 4, iters = 2, dim = 8)
+    val a = run().collect().map(_.toSeq).toSeq
+    assert(a == run().collect().map(_.toSeq).toSeq)
+    assert(a.size == 5)
+  }
+
   test("rpTopK: JL sketch preserves an exact-match top-1; signs are deterministic ±1") {
     val s1 = Similarity.rpSigns(4, 8)
     assert(s1 == Similarity.rpSigns(4, 8))
