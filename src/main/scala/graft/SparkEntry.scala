@@ -35,6 +35,14 @@ object SparkEntry {
     else docs
   }
 
+  /** Blocklist constants shared by the Spark plans and the generated
+    * DuckDB oracle SQL (q_mpm / q_blocklist). The mpm set deliberately
+    * includes an overlap-capable phrase ("a a" occurs twice in "a a a")
+    * and word-internal fragments ("tab" in "table", "alue" in "value") —
+    * the substring semantics under test. */
+  private val MpmPatterns = Seq("hash", "scan", "a a", "tab", "alue", "merge")
+  private val BlockWords = Seq("spark", "hash", "merge", "sort", "slow")
+
   /** Scale-relative corpus/increment fixture for the incremental-dedup
     * gates: corpus = first 90% of doc ids, increment = the last 10% plus
     * re-published copies of the first ten corpus docs (id + 100000), so
@@ -617,6 +625,27 @@ object SparkEntry {
     "q_pmi" -> ((s, dir) =>
       TextAnalysis.bigramLift(docsParallel(s, dir), minCount = 3, topK = 100)),
 
+    // distinct-vocabulary overlap between two sources: one token-keyed
+    // shuffle, membership flags OR-folded, one-row exact result
+    "q_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(docsParallel(s, dir), "src18", "src6")),
+
+    // rank agreement between the n_chars and token-count top-50 rankings:
+    // overlap@{10,25,50} — exact counts over depth-bounded top-k inputs
+    "q_rank_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("item_id"), col("n_chars"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_toks"))
+      def top(c: String) = base
+        .orderBy(col(c).desc, col("item_id")).limit(50) // distributed TakeOrdered
+        .withColumn("rank", row_number().over( // 50-row bounded relation
+          Window.orderBy(col(c).desc, col("item_id"))).cast("long"))
+        .select(col("item_id"), col("rank"))
+      graft.operators.Retrieval.rankOverlap(top("n_chars"), top("n_toks"))
+        .orderBy(col("k"))
+    }),
+
     // mixture rebalancing: exact target proportions (en:de:fr = 5:2:1),
     // scarcest stratum binding, strata without weights dropped
     "q_mixture" -> ((s, dir) =>
@@ -690,6 +719,21 @@ object SparkEntry {
     "q_shard_balance" -> ((s, dir) =>
       graft.operators.Packing.shardBalance(docsParallel(s, dir), shards = 7)
         .orderBy(col("doc_id"))),
+
+    // rendezvous (HRW) sharding under membership change: assignment with
+    // 3 nodes vs 2 — the migration matrix proves only node-c's keys move
+    "q_rendezvous" -> ((s, dir) => {
+      import graft.operators.Packing.rendezvousAssign
+      val keys = Tables.documents(s, dir).select(col("doc_id"))
+      val before = rendezvousAssign(keys, "doc_id",
+        Seq("node-a", "node-b", "node-c"))
+        .withColumnRenamed("node", "node_before")
+      rendezvousAssign(before, "doc_id", Seq("node-a", "node-b"))
+        .withColumnRenamed("node", "node_after")
+        .groupBy(col("node_before"), col("node_after"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("node_before"), col("node_after"))
+    }),
 
     // concat-and-chunk: the whole corpus as one doc_id-ordered token
     // stream cut into 64-token examples crossing doc boundaries — the
@@ -865,6 +909,19 @@ object SparkEntry {
           TextAnalysis.redact(concat(col("text"),
             lit(" contact user"), col("doc_id"),
             lit("@example.com or 555-123-4567 now"))).as("scrubbed"))
+        .orderBy(col("doc_id"))),
+
+    // flagged-phrase audit: ONE Aho–Corasick scan counts every
+    // (pattern, position) occurrence — overlapping included — vs the
+    // oracle's brute-force per-position substring compare
+    "q_mpm" -> ((s, dir) =>
+      TextAnalysis.multiPatternHits(docsParallel(s, dir), MpmPatterns)
+        .orderBy(col("doc_id"))),
+
+    // word-boundary blocklist gate: token occurrences + distinct
+    // blocklisted types per doc, clean docs dropped in the scan stage
+    "q_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistHits(docsParallel(s, dir), BlockWords)
         .orderBy(col("doc_id"))),
 
     "q_lang_confusion" -> ((s, dir) =>
@@ -1207,6 +1264,25 @@ object SparkEntry {
         stringCols = Seq("event_type", "props"))
         .orderBy(col("col_name"))),
 
+    // Benford leading-digit audit: digit from the decimal rendering of
+    // the 1e-6 fixed-point integer — no float log10 anywhere
+    "q_benford" -> ((s, dir) =>
+      graft.operators.Profile.benford(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("digit"))),
+
+    // rank-based quantile normalization: exact integer micro-quantiles
+    // over the (value, event_id) total order
+    "q_quantile_norm" -> ((s, dir) =>
+      graft.operators.RobustStats.quantileNormalize(Tables.events(s, dir))
+        .orderBy(col("event_id"))),
+
+    // k-anonymity audit: equivalence-class sizes over the (lang, source)
+    // quasi-identifiers, classes under k flagged for suppression
+    "q_kanon" -> ((s, dir) =>
+      graft.operators.Profile.kAnonymity(Tables.documents(s, dir),
+        Seq("lang", "source"), k = 10)
+        .orderBy(col("lang"), col("source"))),
+
     // mergeable KLL quantile sketch per event type: with k above the group
     // size no compaction fires, so the one-pass mergeable sketch emits the
     // EXACT nearest-rank percentiles — hash-gateable against the oracle's
@@ -1381,6 +1457,13 @@ object SparkEntry {
         .orderBy(col("gid"), col("event_type").asc_nulls_first,
           col("day").asc_nulls_first)),
 
+    // arbitrary GROUPING SETS: the non-hierarchical subtotal combination
+    // rollup/cube can't express, one Expand over a single scan
+    "q_grouping_sets" -> ((s, dir) =>
+      Relational.lineitemGroupingSets(s, dir)
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // percentile winsorization: per-type [p05, p95] clamp + clipped flag
     "q_winsorize" -> ((s, dir) =>
       graft.operators.RobustStats.winsorize(Tables.events(s, dir))
@@ -1390,6 +1473,29 @@ object SparkEntry {
     "q_mad" -> ((s, dir) =>
       graft.operators.RobustStats.medianAbsDev(Tables.events(s, dir))
         .orderBy(col("event_type"))),
+
+    // hour-of-day seasonality profile + peak-hour flag per event type
+    "q_seasonal" -> ((s, dir) =>
+      Relational.seasonalProfile(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("hod"))),
+
+    // burstiness: Fano factor of per-active-minute counts, exact
+    // sufficient statistics, one division at the output edge
+    "q_burst" -> ((s, dir) =>
+      Relational.burstiness(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
+    // Theil–Sen robust slope per user: positional median of pairwise
+    // slopes over the last-64 window, output as the exact rational pair
+    "q_theil_sen" -> ((s, dir) =>
+      graft.operators.RobustStats.theilSen(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // SCD2 dimension history: each user's event_type change points as
+    // [valid_from, valid_to) epoch-ms intervals, open row NULL-terminated
+    "q_scd2" -> ((s, dir) =>
+      Relational.scd2(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("version"))),
 
     // cohort retention: first-activity week × return offset, integer weeks
     "q_cohort" -> ((s, dir) =>
@@ -2764,6 +2870,38 @@ object SparkEntry {
            |FROM documents ORDER BY doc_id""".stripMargin
       },
 
+      // brute-force per-position substring compare over a constant position
+      // series (this DuckDB build's range() takes constants only); the chk
+      // CTE makes an over-length corpus fail loudly instead of undercounting
+      "q_mpm" -> {
+        val vals = MpmPatterns.map(p => s"('$p')").mkString(", ")
+        s"""WITH chk AS (
+           |  SELECT CASE WHEN max(length(text)) > 4096
+           |              THEN error('q_mpm oracle: text exceeds the 4096 position bound')
+           |              ELSE 1 END AS ok FROM documents),
+           |pats AS (SELECT * FROM (VALUES $vals) p(pat)),
+           |pos AS (SELECT CAST(r.i AS INTEGER) AS i
+           |        FROM range(1, 4097) r(i), chk WHERE chk.ok = 1),
+           |hit AS (
+           |  SELECT d.doc_id, p.pat, count(*) AS c
+           |  FROM documents d, pats p, pos
+           |  WHERE pos.i + length(p.pat) - 1 <= length(d.text)
+           |    AND substr(d.text, pos.i, length(p.pat)) = p.pat
+           |  GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits, count(*) AS n_pats
+           |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin
+      },
+
+      "q_blocklist" -> {
+        val inList = BlockWords.map(w => s"'$w'").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           |SELECT doc_id, count(*) AS n_bad_tokens,
+           |       count(DISTINCT tok) AS n_bad_types
+           |FROM toks WHERE tok IN ($inList)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin
+      },
+
       // leakage-safe split: same recursive cluster chain, split hashed on
       // the cluster id with q_split's exact md5 idiom
       "q_split_safe" ->
@@ -2784,6 +2922,37 @@ object SparkEntry {
           |SELECT CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split,
           |       count(*) AS n
           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // two-set distinct-cardinality overlap via OR-folded membership flags
+      "q_vocab_overlap" ->
+        """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+          |           FROM documents WHERE source IN ('src18', 'src6')),
+          |f AS (SELECT tok, max(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS in_a,
+          |             max(CASE WHEN source = 'src6' THEN 1 ELSE 0 END) AS in_b
+          |      FROM t GROUP BY 1)
+          |SELECT CAST(sum(in_a) AS BIGINT) AS n_a, CAST(sum(in_b) AS BIGINT) AS n_b,
+          |       CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+          |       CAST(sum(in_a * in_b) AS DOUBLE)
+          |         / CAST(sum(in_a) + sum(in_b) - sum(in_a * in_b) AS DOUBLE) AS jaccard
+          |FROM f""".stripMargin,
+
+      // overlap@k between the n_chars and token-count top-50 rankings;
+      // left join keeps zero-overlap depths
+      "q_rank_overlap" ->
+        """WITH base AS (SELECT doc_id AS item_id, n_chars,
+          |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          |              FROM documents),
+          |ra AS (SELECT item_id, row_number() OVER (ORDER BY n_chars DESC, item_id) AS ra
+          |       FROM base),
+          |rb AS (SELECT item_id, row_number() OVER (ORDER BY n_toks DESC, item_id) AS rb
+          |       FROM base),
+          |j AS (SELECT item_id, ra, rb FROM ra JOIN rb USING (item_id)
+          |      WHERE ra <= 50 AND rb <= 50),
+          |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (10), (25), (50)) kv(k))
+          |SELECT ks.k, count(j.item_id) AS n_overlap,
+          |       CAST(count(j.item_id) AS DOUBLE) / CAST(ks.k AS DOUBLE) AS overlap_frac
+          |FROM ks LEFT JOIN j ON j.ra <= ks.k AND j.rb <= ks.k
+          |GROUP BY ks.k ORDER BY ks.k""".stripMargin,
 
       // top bigrams by corpus term frequency with doc frequency; ties at
       // the cut break on the gram string in both engines
@@ -2977,6 +3146,25 @@ object SparkEntry {
           |  CAST(CASE WHEN (rn // 7) % 2 = 0 THEN rn % 7
           |            ELSE 6 - (rn % 7) END AS BIGINT) AS shard
           |FROM r ORDER BY doc_id""".stripMargin,
+
+      // HRW weights via the engine's 15-hex-char md5 idiom; argmax =
+      // row_number 1 over (w DESC, node DESC) — the greatest(struct) order
+      "q_rendezvous" ->
+        """WITH n3 AS (SELECT * FROM (VALUES ('node-a'), ('node-b'), ('node-c')) t(node)),
+          |s3 AS (SELECT d.doc_id, n.node,
+          |         ('0x' || substr(md5(n.node || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS w
+          |       FROM documents d, n3 n),
+          |b AS (SELECT doc_id, node AS node_before,
+          |             row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, node DESC) AS rn
+          |      FROM s3),
+          |bb AS (SELECT doc_id, node_before FROM b WHERE rn = 1),
+          |a AS (SELECT doc_id, node AS node_after,
+          |             row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, node DESC) AS rn
+          |      FROM s3 WHERE node <> 'node-c'),
+          |aa AS (SELECT doc_id, node_after FROM a WHERE rn = 1)
+          |SELECT node_before, node_after, count(*) AS n
+          |FROM bb JOIN aa USING (doc_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_pack" ->
         """WITH RECURSIVE d AS (
@@ -3911,6 +4099,35 @@ object SparkEntry {
           |                          WHERE o.o_orderkey = l.l_orderkey))
           |ORDER BY check_name""".stripMargin,
 
+      // observed leading-digit table from the identical fixed-point string
+      "q_benford" ->
+        """WITH m AS (SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS m
+          |           FROM events WHERE value > 0),
+          |d AS (SELECT event_type, CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          |      FROM m WHERE m >= 1),
+          |c AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2)
+          |SELECT event_type, digit, n,
+          |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS frac
+          |FROM c ORDER BY event_type, digit""".stripMargin,
+
+      // identical row_number total order; integer floor-division micro-quantile
+      "q_quantile_norm" ->
+        """WITH r AS (SELECT event_id, event_type, value,
+          |             row_number() OVER (PARTITION BY event_type
+          |               ORDER BY value, event_id) AS rank,
+          |             count(*) OVER (PARTITION BY event_type) AS n
+          |           FROM events)
+          |SELECT event_id, event_type, value, rank, n,
+          |       CASE WHEN n > 1 THEN (1000000 * (rank - 1)) // (n - 1)
+          |            ELSE 0 END AS norm_micro
+          |FROM r ORDER BY event_id""".stripMargin,
+
+      // k-anonymity: class sizes + the k=10 suppression verdict
+      "q_kanon" ->
+        """SELECT lang, source, count(*) AS n,
+          |       CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
       // profile: one UNION ALL arm per column with the same typed channels
       "q_profile" ->
         """SELECT 'event_id' AS col_name, count(*) AS n_rows,
@@ -4040,6 +4257,67 @@ object SparkEntry {
           |       count(*) AS n
           |FROM events JOIN m USING (event_type)
           |GROUP BY event_type, median ORDER BY event_type""".stripMargin,
+
+      // hour-of-day profile; peak = row_number 1 over (n DESC, hod) — the
+      // same unique row the Spark struct-max selects
+      "q_seasonal" ->
+        """WITH prof AS (
+          |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n,
+          |         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_sum_micro
+          |  FROM events GROUP BY 1, 2),
+          |pk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          |                 ORDER BY n DESC, hod) AS rn FROM prof)
+          |SELECT event_type, hod, n, value_sum_micro,
+          |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+          |FROM pk ORDER BY event_type, hod""".stripMargin,
+
+      // Fano factor from the identical integer sufficient statistics; the
+      // single division is the only float op in either engine
+      "q_burst" ->
+        """WITH m AS (SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS c
+          |           FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, count(*) AS n_minutes,
+          |             CAST(sum(c) AS BIGINT) AS n_events,
+          |             CAST(sum(c * c) AS BIGINT) AS sum_c2
+          |      FROM m GROUP BY 1)
+          |SELECT event_type, n_minutes, n_events,
+          |       CAST(n_minutes * sum_c2 - n_events * n_events AS DOUBLE)
+          |         / CAST(n_minutes * n_events AS DOUBLE) AS fano
+          |FROM s ORDER BY event_type""".stripMargin,
+
+      // positional lower median over the identical (ratio, num, den) total
+      // order — the selected pair's exact integers, never an averaged float
+      "q_theil_sen" ->
+        """WITH recent AS (
+          |  SELECT user_id, epoch_us(ts) AS t, CAST(floor(value * 1000) AS BIGINT) AS v,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events),
+          |r AS (SELECT user_id, t, v FROM recent WHERE rn <= 64),
+          |p AS (SELECT a.user_id, b.v - a.v AS num, b.t - a.t AS den
+          |      FROM r a JOIN r b ON a.user_id = b.user_id AND a.t < b.t),
+          |o AS (SELECT user_id, num, den,
+          |             row_number() OVER (PARTITION BY user_id
+          |               ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den) AS r,
+          |             count(*) OVER (PARTITION BY user_id) AS c
+          |      FROM p)
+          |SELECT user_id, c AS n_pairs, num AS slope_num, den AS slope_den
+          |FROM o WHERE r = (c + 1) // 2 ORDER BY user_id""".stripMargin,
+
+      // SCD2: identical lag-filter-lead chain over the (t_ms, event_id)
+      // total order; the open interval's valid_to stays NULL
+      "q_scd2" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms, event_type AS attr
+          |           FROM events),
+          |c AS (SELECT user_id, event_id, t_ms, attr,
+          |             lag(attr) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS prev
+          |      FROM e),
+          |f AS (SELECT * FROM c WHERE prev IS NULL OR attr <> prev),
+          |v AS (SELECT user_id, attr, t_ms AS valid_from,
+          |             lead(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS valid_to,
+          |             row_number() OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS version
+          |      FROM f)
+          |SELECT user_id, CAST(version AS BIGINT) AS version, attr, valid_from, valid_to
+          |FROM v ORDER BY user_id, version""".stripMargin,
 
       "q_cohort" ->
         """WITH uw AS (SELECT DISTINCT user_id,
@@ -4184,6 +4462,16 @@ object SparkEntry {
           |       min(x) AS min_x, max(x) AS max_x,
           |       min(y) AS min_y, max(y) AS max_y
           |FROM z GROUP BY 1 ORDER BY cell""".stripMargin,
+
+      // arbitrary GROUPING SETS with the standard GROUPING() bit encoding;
+      // quantity in the q1_pricing exact-decimal idiom
+      "q_grouping_sets" ->
+        """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
       // ROLLUP grouping sets; value summed in 1e-6 fixed point so every
       // subtotal is an exact integer in any addition order

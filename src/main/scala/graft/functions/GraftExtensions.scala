@@ -98,6 +98,28 @@ object GraftExtensions {
         QuantileSketchAgg(args.head, probs,
           kexpr.eval().asInstanceOf[Number].intValue())
       }),
+    (FunctionIdentifier("multi_pattern_count"),
+      info("multi_pattern_count",
+        "multi_pattern_count(text, patterns) - per-pattern ALL-occurrence (overlapping) " +
+          "substring counts in one Aho-Corasick DFA scan; patterns a foldable " +
+          "array<string> literal (the automaton is a plan-time reference object)"),
+      { args =>
+        require(args.size == 2, "multi_pattern_count(text, patterns)")
+        val pexpr = args(1)
+        require(pexpr.foldable &&
+          pexpr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          pexpr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType == StringType,
+          "multi_pattern_count patterns must be a foldable array<string> literal")
+        val arr = pexpr.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pats = (0 until arr.numElements()).map { i =>
+          val u = arr.getUTF8String(i)
+          require(u != null, "multi_pattern_count: null pattern")
+          u.toString
+        }.toSeq
+        MultiPatternCount(args.head, pats)
+      }),
     (FunctionIdentifier("zorder2"),
       info("zorder2",
         "zorder2(x, y) - Morton interleave of two bigint dims in [0, 2^31) into a 62-bit z-value"),

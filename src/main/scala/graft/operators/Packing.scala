@@ -163,4 +163,28 @@ object Packing {
         when(pmod(pass, lit(2L)) === 0, pos)
           .otherwise(lit(s) - 1 - pos).cast("long").as("shard"))
   }
+
+  /** Highest-random-weight (rendezvous) node assignment — Thaler &
+    * Ravishankar 1998: each key goes to `argmax_node md5(node ':' key)`,
+    * so when membership changes ONLY the keys owned by the departed (or
+    * claimed by the arriving) node move — the elastic-membership sharding
+    * the md5-ring partitioner (`src/helpers/partition.ts:10-12` hashes to
+    * FIXED partition counts) cannot give. Weights reuse the engine's
+    * 60-bit md5 ([[graft.text.TextAnalysis.md5Int60]] — native codegen,
+    * oracle-reproducible); the argmax is one `greatest()` over |nodes|
+    * structs with ties broken on the node name — a pure narrow map fused
+    * into the scan: no shuffle, no state, O(|nodes|) per key with the
+    * node list living in the plan as literals. */
+  def rendezvousAssign(keys: DataFrame, keyCol: String,
+      nodes: Seq[String]): DataFrame = {
+    require(nodes.nonEmpty, "rendezvousAssign: empty node set")
+    require(nodes.distinct.length == nodes.length,
+      s"rendezvousAssign: duplicate nodes in $nodes")
+    val scored = nodes.map(n => struct(
+      graft.text.TextAnalysis.md5Int60(
+        concat(lit(n), lit(":"), col(keyCol).cast("string"))).as("w"),
+      lit(n).as("node")))
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    keys.withColumn("node", best.getField("node")) // appends — chainable
+  }
 }

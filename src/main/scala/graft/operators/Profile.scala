@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiler — the `ANALYZE TABLE`-grade statistics panel every data
@@ -100,5 +101,53 @@ object Profile {
         (lit(lo) + col("bucket").cast("double") * lit((hi - lo) / bins)).as("lo_edge"),
         (lit(lo) + (col("bucket") + 1L).cast("double") * lit((hi - lo) / bins)).as("hi_edge"),
         col("n"))
+  }
+
+  /** Benford first-significant-digit audit (Benford 1938, the fraud/
+    * data-fabrication screen): per group, the observed distribution of
+    * leading digits of positive values. Natural multi-scale data follows
+    * `log10(1+1/d)`; a uniform or spiked digit profile is the
+    * tampered-/synthetic-data signal. The comparison to the expected curve
+    * is the consumer's (it needs a log; the exact OBSERVED table is the
+    * engine's deliverable and the hash gate).
+    *
+    * Exactness: values quantize to 1e-6 fixed point (`floor(v·1e6)`, the
+    * engine-standard idiom), the leading digit is the first character of
+    * the INTEGER's decimal rendering — no float log10 anywhere — and the
+    * fraction is one division of exact counts at the output edge.
+    * Scale: one map-side-combined aggregate onto ≤ 9·|groups| rows; the
+    * share window runs over ≤ 9-row groups. */
+  def benford(df: DataFrame, value: String = "value",
+      group: String = "event_type"): DataFrame = {
+    val m = floor(col(value) * lit(1000000.0)).cast("long")
+    df.filter(col(value) > 0)
+      .select(col(group), m.as("m"))
+      .filter(col("m") >= 1) // sub-1e-6 positives have no leading digit
+      .select(col(group),
+        substring(col("m").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col(group), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col(group))).cast("double"))
+  }
+
+  /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier
+    * columns and flag every equivalence class smaller than `k` — the rows
+    * a release must suppress or generalize before the table stops
+    * re-identifying individuals. The governance gate a training-data
+    * pipeline runs before publishing metadata-joined corpora.
+    *
+    * Output: one row per equivalence class with its size and the
+    * `suppressed` verdict; the caller either anti-joins the flagged
+    * classes away (suppression) or coarsens the quasi-identifiers and
+    * re-audits (generalization). One map-side-combined aggregation on the
+    * quasi key — the same cost as any groupBy-count at 100 TB; nothing
+    * driver-sized. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity: no quasi-identifier columns")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppressed", (col("n") < k).cast("long"))
   }
 }

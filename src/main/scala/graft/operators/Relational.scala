@@ -2,7 +2,7 @@ package graft.operators
 
 import java.time.LocalDateTime
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -369,6 +369,118 @@ object Relational {
         sum(col("vmicro")).as("value_sum_micro"))
       .select(col("gid"), col("event_type"), col("day"), col("n"),
         col("value_sum_micro"))
+
+  /** Slowly-changing-dimension type-2 history (Kimball's SCD2): collapse
+    * each key's attribute stream to its CHANGE points and emit validity
+    * intervals `[valid_from, valid_to)` — `valid_to` NULL on the open
+    * current row, `version` the 1-based change ordinal. The
+    * dimension-table build every warehouse load runs; also the
+    * state-timeline view of the broker's assignment changes
+    * (`src/StorageNodeRegistry.ts:31-64` refreshes membership over time —
+    * this is that history as intervals).
+    *
+    * Exactness: epoch-ms longs, change detection is string equality, and
+    * the (ts, event_id) total order removes same-timestamp ambiguity.
+    * Scale: two windows over the SAME (key × time) partitioning — the
+    * second runs on the already-filtered change points, so one shuffle
+    * partitions both; no self-join, no data-sized state. */
+  def scd2(events: DataFrame, key: String = "user_id",
+      attr: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col(key))
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+    events
+      .select(col(key), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("t_ms"),
+        col(attr).cast("string").as("attr"))
+      .withColumn("prev", lag(col("attr"), 1).over(byTime))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+      .withColumn("valid_from", col("t_ms"))
+      .withColumn("valid_to", lead(col("t_ms"), 1).over(byTime))
+      .withColumn("version", row_number().over(byTime).cast("long"))
+      .select(col(key), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"))
+  }
+
+  /** Hour-of-day seasonality profile per event type: count + exact
+    * fixed-point value sum per (type, hour 0–23), plus the peak-hour flag
+    * (max count, ties to the earliest hour). The load-shape fingerprint a
+    * capacity planner reads off a year of traffic.
+    *
+    * Scale: one map-side-combined aggregation onto ≤ 24·|types| rows —
+    * the shuffle carries pre-reduced partials, and the peak window runs
+    * over each type's ≤ 24-row group. Exact integers throughout. */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prof = events
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vmicro"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("vmicro")).as("value_sum_micro"))
+    val peak = Window.partitionBy(col("event_type"))
+    prof.withColumn("is_peak",
+      (struct(col("n"), -col("hod")) ===
+        max(struct(col("n"), -col("hod"))).over(peak)).cast("long"))
+  }
+
+  /** Burstiness per event type: the Fano factor (variance-to-mean ratio)
+    * of per-ACTIVE-minute event counts — 1 ≈ Poisson arrivals, > 1 bursty,
+    * < 1 regular. Idle minutes are excluded by construction (the
+    * dispersion of the traffic that exists, not of the calendar); the
+    * dense-spine variant is one [[graft.metrics.Metrics.denseMinuteCounts]]
+    * swap away.
+    *
+    * Exactness: population variance from integer sufficient statistics
+    * (n, Σc, Σc²) widened to DECIMAL(38,0) — overflow raises in-plan
+    * (the rateTrend guard) instead of wrapping — and the single IEEE
+    * division `(n·Σc² − (Σc)²) / (n·Σc)` happens once at the output edge.
+    *
+    * Scale: two map-side-combined aggregations (minute keys, then type
+    * keys); nothing data-sized crosses the wire after the first partial
+    * reduce. */
+  def burstiness(events: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val perMin = events
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perMin.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_minutes"), sum(col("c")).as("n_events"),
+        sum(dec(col("c")) * dec(col("c"))).as("sum_c2"))
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"burstiness: $what exceeds the exact DECIMAL(38) bound")))
+    val num = exact(
+      dec(col("n_minutes")) * col("sum_c2")
+        - dec(col("n_events")) * dec(col("n_events")),
+      "n*sum_c2 - sum^2")
+    val den = dec(col("n_minutes")) * dec(col("n_events"))
+    stats.select(col("event_type"), col("n_minutes"), col("n_events"),
+      (num.cast("double") / den.cast("double")).as("fano"))
+  }
+
+  /** Arbitrary GROUPING SETS in one scan — the non-hierarchical subtotal
+    * combination neither ROLLUP (strict prefix chain, [[eventRollup]]) nor
+    * CUBE (every combination) expresses: here
+    * `((l_returnflag, l_linestatus), (l_linestatus), ())` — the
+    * per-linestatus marginal WITHOUT the per-returnflag one. Catalyst
+    * plans all sets through one Expand over a single scan with map-side
+    * partial aggregation — the fan-out factor is the set count, a plan
+    * constant, so at 100 TB this costs `sets × one shuffle`, never one
+    * job per set. `gid` follows the standard bit encoding (first grouping
+    * column = most significant), identical in DuckDB's `GROUPING(...)` —
+    * parity proven by q_rollup's hash gate. Quantity sums use the
+    * q1_pricing DECIMAL(18,2) idiom: exact in any addition order. */
+  def lineitemGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_qty"))
 
   /** Hopping (sliding) window aggregation: count + value sum per
     * `(window, event_type)` where windows are `widthMin` minutes wide and

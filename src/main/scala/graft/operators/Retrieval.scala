@@ -107,4 +107,36 @@ object Retrieval {
       .select(col("query_id"), col("fused_rank"), col("item_id"),
         col("rrf_micro"), col("n_lists"))
   }
+
+  /** Rank-agreement table between two rankings: overlap@k — |top-k(A) ∩
+    * top-k(B)| — at each requested depth, plus the fraction. The
+    * rank-correlation diagnostic run when swapping a retrieval scorer
+    * (does the cheap ranker agree with the expensive one where it
+    * matters — at the top?).
+    *
+    * Inputs are `(item_id, rank)` relations whose rank is a dense 1-based
+    * total order (the [[rrfFuse]]/top-k producers' contract). Only rows
+    * with rank ≤ max(depths) participate, so the join touches
+    * depth-bounded inputs — at 100 TB the rankings are the small output
+    * of a prior top-k stage, never the corpus. Output is one exact row
+    * per depth (depths with zero overlap included via the left join). */
+  def rankOverlap(a: DataFrame, b: DataFrame,
+      depths: Seq[Int] = Seq(10, 25, 50)): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1), s"bad depths $depths")
+    val kMax = depths.max
+    val joined = a.filter(col("rank") <= kMax)
+      .select(col("item_id"), col("rank").as("ra"))
+      .join(b.filter(col("rank") <= kMax)
+        .select(col("item_id"), col("rank").as("rb")), Seq("item_id"))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ks = depths.map(_.toLong).toDF("k")
+    broadcast(ks)
+      .join(joined, col("ra") <= col("k") && col("rb") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(count(col("item_id")).as("n_overlap"))
+      .select(col("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("k").cast("double"))
+          .as("overlap_frac"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust per-group statistics for outlier handling in metric/feature
@@ -46,5 +47,84 @@ object RobustStats {
       .groupBy(col(group), col("median"))
       .agg(percentile(abs(col(value) - col("median")), lit(0.5)).as("mad"),
         count(lit(1)).as("n"))
+  }
+
+  /** Rank-based quantile normalization per group: each value mapped to its
+    * empirical quantile `(rank-1)/(n-1)` in integer micro-units — the
+    * cross-source score calibration that makes "quality 0.9 from source A"
+    * comparable to source B's scale (rank transforms survive arbitrary
+    * monotone distortions where z-scores don't).
+    *
+    * Exactness: `rank` is `row_number` over the `(value, event_id)` total
+    * order — ties broken deterministically, no averaged fractional ranks —
+    * and `norm_micro = (1e6·(rank-1)) div (n-1)` is pure integer
+    * arithmetic; singleton groups normalize to 0.
+    *
+    * Scale: one keyed shuffle + per-group sort — the honest cost of EXACT
+    * ranks. When a group outgrows one reducer at 100 TB, the
+    * bucket-decomposed rank (the shardBalance/concat-chunk trick) or a
+    * KLL-sketch approximate CDF ([[graft.functions.QuantileSketch]])
+    * replaces the window; this exact form is the oracle-provable
+    * reference. */
+  def quantileNormalize(events: DataFrame, group: String = "event_type",
+      value: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(col(value).asc, col("event_id").asc)
+    events
+      .select(col("event_id"), col(group), col(value))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
+      .withColumn("norm_micro",
+        when(col("n") > 1,
+          expr("(1000000 * (rank - 1)) div (n - 1)")).otherwise(lit(0L)))
+  }
+
+  /** Theil–Sen robust slope per group (Sen 1968): the median of all
+    * pairwise slopes `(v_j - v_i) / (t_j - t_i)` over each group's `lastN`
+    * most recent events — up to 29% outliers cannot move it, where the
+    * least-squares slope ([[graft.metrics.Metrics]] rateTrend) chases them.
+    *
+    * Exactness contract: values quantize to integer milli-units
+    * (`floor(v·1000)` — floor of an IEEE product, identical in any engine),
+    * timestamps to epoch micros, so every pair's slope is the exact
+    * rational `num/den`. The median is picked POSITIONALLY: pairs totally
+    * ordered by `(num/den as one IEEE division, num, den)` and the lower
+    * median (row `(n+1) div 2`) selected — the output is that pair's exact
+    * `(num, den)`, never an averaged float, so the gate hash-matches
+    * cross-engine. Pairs with `t_i = t_j` are excluded (vertical slope),
+    * standard for the estimator.
+    *
+    * Scale: the self-join shuffles each side once on the group key; the
+    * `lastN` window bounds every group to ≤ lastN·(lastN-1)/2 pairs, so
+    * skewed keys cannot quadratic-blow — the same bounded-window trade
+    * snmPairs makes. O(lastN²) per key is the documented cost knob. */
+  def theilSen(events: DataFrame, group: String = "user_id",
+      ts: String = "ts", value: String = "value", lastN: Int = 64): DataFrame = {
+    require(lastN >= 2, s"theilSen: lastN must be >= 2, got $lastN")
+    val recentW = Window.partitionBy(col(group))
+      .orderBy(col("t").desc, col("event_id").desc) // micros order == ts order
+    val recent = events
+      .select(col(group), col("event_id"),
+        // NTZ sources cast through TIMESTAMP (session UTC) = oracle epoch_us
+        unix_micros(col(ts).cast("timestamp")).as("t"),
+        floor(col(value) * lit(1000)).cast("long").as("v"))
+      .withColumn("rn", row_number().over(recentW))
+      .filter(col("rn") <= lastN)
+      .select(col(group), col("t"), col("v"))
+    val pairs = recent.select(col(group), col("t").as("ta"), col("v").as("va"))
+      .join(recent.select(col(group), col("t").as("tb"), col("v").as("vb")),
+        Seq(group))
+      .filter(col("ta") < col("tb"))
+      .select(col(group), (col("vb") - col("va")).as("num"),
+        (col("tb") - col("ta")).as("den"))
+    val orderW = Window.partitionBy(col(group))
+      .orderBy((col("num").cast("double") / col("den").cast("double")).asc,
+        col("num").asc, col("den").asc)
+    pairs
+      .withColumn("r", row_number().over(orderW))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col(group))))
+      .filter(col("r") === floor((col("n_pairs") + 1) / 2).cast("long"))
+      .select(col(group), col("n_pairs"),
+        col("num").as("slope_num"), col("den").as("slope_den"))
   }
 }

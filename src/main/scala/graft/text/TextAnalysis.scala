@@ -205,6 +205,68 @@ object TextAnalysis {
       regexp_replace(acc, re, token)
     }
 
+  /** Flagged-phrase audit in ONE corpus scan: per doc, the total number of
+    * occurrences of any pattern (all positions, overlapping included) and
+    * the number of distinct patterns present — the C4-style
+    * blocklist/contamination-phrase gate. Docs with zero hits are dropped
+    * (at 100 TB the clean majority never leaves the scan stage).
+    *
+    * The kernel is the flattened Aho–Corasick DFA
+    * ([[graft.functions.MultiPatternCount]]): O(bytes) per row regardless
+    * of pattern count, fused into the parquet scan by whole-stage codegen —
+    * vs N separate `regexp_count` passes for the declarative spelling. No
+    * shuffle; scales as a pure map stage. */
+  def multiPatternHits(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val counts =
+      graft.functions.MultiPatternCount.multi_pattern_count(col("text"), patterns)
+    docs
+      .select(col("doc_id"), counts.as("counts"))
+      .select(col("doc_id"),
+        aggregate(col("counts"), lit(0L), (a, x) => a + x).as("n_hits"),
+        size(filter(col("counts"), _ > lit(0L))).cast("long").as("n_pats"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** Word-boundary blocklist filter (the token-level sibling of
+    * [[multiPatternHits]]): per doc, occurrences of blocklisted words among
+    * the whitespace tokens and the distinct blocklisted types present; docs
+    * with no hit are dropped. The word list broadcasts as a literal array —
+    * one narrow codegen'd map over the scan, no shuffle. */
+  def blocklistHits(docs: DataFrame, words: Seq[String]): DataFrame = {
+    val bad = array(words.map(lit): _*)
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => array_contains(bad, t)))
+          .cast("long").as("n_bad_tokens"),
+        size(array_intersect(col("toks"), bad)).cast("long").as("n_bad_types"))
+      .filter(col("n_bad_tokens") > 0)
+  }
+
+  /** Distinct-vocabulary overlap between two sub-corpora: |V_a|, |V_b|,
+    * |V_a ∩ V_b| and the Jaccard — the domain-shift smell test run before
+    * mixing a new source into a training corpus (high overlap → redundant;
+    * low → distribution shift to sanity-check).
+    *
+    * One pass: tokens keyed once, per-token membership flags OR-folded via
+    * `max`, then a single global sum — the classic two-set-cardinality
+    * shape with ONE shuffle on the token key (map-side combined) and a
+    * one-row result; |V| never materializes driver-side. Jaccard is the
+    * single IEEE division at the output edge over exact counts. */
+  def vocabOverlap(docs: DataFrame, srcA: String, srcB: String): DataFrame =
+    docs
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(max(when(col("source") === srcA, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("source") === srcB, 1L).otherwise(0L)).as("in_b"))
+      .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+
   /** Gopher-style quality gate (the word-level subset of the Rae et al.
     * heuristics that applies to single-line corpora): word count bounds,
     * mean word length bounds, symbol-to-word ratio, and the

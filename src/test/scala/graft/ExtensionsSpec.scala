@@ -101,4 +101,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("centroid_rank") ||
       bad.getMessage.contains("DATATYPE"))
   }
+
+  test("multi_pattern_count: overlapping all-occurrence semantics, UTF-8, contracts") {
+    import graft.functions.MultiPatternCount.multi_pattern_count
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    def counts(text: String, pats: Seq[String]): List[Long] =
+      Seq(text).toDF("t")
+        .select(multi_pattern_count(col("t"), pats).as("c"))
+        .collect().head.getSeq[Long](0).toList
+
+    // overlapping occurrences all count: "aa" twice in "aaa"
+    assert(counts("aaa", Seq("aa", "a")) == List(2L, 3L))
+    // the classic AC dictionary walkthrough (Aho & Corasick 1975 §2)
+    assert(counts("ushers", Seq("he", "she", "his", "hers")) ==
+      List(1L, 1L, 0L, 1L))
+    // patterns sharing proper suffixes both fire at one end position
+    assert(counts("a a a the", Seq("a a", "the", "he")) == List(2L, 1L, 1L))
+    // multi-byte UTF-8: byte-level DFA still counts character occurrences
+    assert(counts("héllo hé", Seq("hé")) == List(2L))
+    assert(counts("", Seq("x")) == List(0L))
+    // null text stays null (UnaryExpression null propagation)
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(multi_pattern_count(col("t"), Seq("x")).as("c"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+    // construction contracts: empty set / empty pattern / duplicates
+    intercept[IllegalArgumentException](counts("x", Seq.empty))
+    intercept[IllegalArgumentException](counts("x", Seq("")))
+    intercept[IllegalArgumentException](counts("x", Seq("a", "a")))
+    // analysis-time contract: input must be a string column
+    val bad2 = intercept[Exception](
+      Seq(1L).toDF("v").select(multi_pattern_count(col("v"), Seq("a"))).collect())
+    assert(bad2.getMessage.contains("multi_pattern_count") ||
+      bad2.getMessage.contains("DATATYPE"))
+    // SQL surface: registered with a foldable array<string> pattern literal
+    GraftExtensions.register(spark)
+    val sqlGot = spark.sql(
+      "SELECT multi_pattern_count('ushers', array('he', 'she', 'hers')) AS c")
+      .collect().head.getSeq[Long](0).toList
+    assert(sqlGot == List(1L, 1L, 1L))
+    val sqlBad = intercept[Exception](
+      spark.sql("SELECT multi_pattern_count('x', array(CAST(NULL AS STRING)))").collect())
+    assert(sqlBad.getMessage.nonEmpty)
+  }
 }

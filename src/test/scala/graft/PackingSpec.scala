@@ -148,4 +148,33 @@ class PackingSpec extends SparkSpec {
     }
     assert(Packing.concatChunk(docs.limit(0), seqLen = 8).count() == 0L)
   }
+
+  test("rendezvousAssign: minimal disruption on membership change, deterministic") {
+    val s = spark
+    import s.implicits._
+    val keys = (0L until 100L).toDF("k")
+    val n3 = Seq("node-a", "node-b", "node-c")
+    val before = Packing.rendezvousAssign(keys, "k", n3)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("node")).toMap
+    val after = Packing.rendezvousAssign(keys, "k", n3.filterNot(_ == "node-c"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("node")).toMap
+    // every node owns something under 3-node membership
+    assert(before.values.toSet == n3.toSet)
+    // the defining HRW property: keys NOT on the departed node never move
+    before.foreach { case (k, n) =>
+      if (n != "node-c") assert(after(k) == n, s"key $k moved $n -> ${after(k)}")
+      else assert(after(k) != "node-c")
+    }
+    // deterministic: a second evaluation is identical
+    val again = Packing.rendezvousAssign(keys, "k", n3)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("node")).toMap
+    assert(again == before)
+    // single-node membership degenerates to that node; contracts enforced
+    assert(Packing.rendezvousAssign(keys, "k", Seq("only"))
+      .select("node").distinct().collect().map(_.getString(0)).toSeq == Seq("only"))
+    intercept[IllegalArgumentException](
+      Packing.rendezvousAssign(keys, "k", Seq.empty))
+    intercept[IllegalArgumentException](
+      Packing.rendezvousAssign(keys, "k", Seq("a", "a")))
+  }
 }

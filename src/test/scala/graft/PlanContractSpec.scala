@@ -29,6 +29,19 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("scd2 partitions once: lag, lead, and version share one hash exchange") {
+    val plan = planOf("q_scd2").split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"q_scd2 expected exactly one hash exchange, got $n:\n$plan")
+  }
+
+  test("narrow map operators never join: rendezvous, multi-pattern, blocklist") {
+    Seq("q_rendezvous", "q_mpm", "q_blocklist").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name must stay join-free:\n$plan")
+    }
+  }
+
   test("star joins broadcast their dimension side") {
     Seq("q3_shipping", "q5_local").foreach { name =>
       val plan = planOf(name)

@@ -191,6 +191,138 @@ class RelationalSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("clipped") == 1L))
   }
 
+  test("benford: leading digit from fixed-point rendering, non-positives dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 123.0), (2L, "a", 0.25), (3L, "a", 9.9),
+      (4L, "a", -5.0), (5L, "a", 0.0000005), (6L, "b", 42.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.operators.Profile.benford(df)
+      .orderBy("event_type", "digit").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("digit"),
+        r.getAs[Long]("n"), r.getAs[Double]("frac")))
+    assert(got.toList == List(
+      ("a", 1L, 1L, 1.0 / 3.0), ("a", 2L, 1L, 1.0 / 3.0), ("a", 9L, 1L, 1.0 / 3.0),
+      ("b", 4L, 1L, 1.0)))
+  }
+
+  test("quantileNormalize: integer micro-quantiles, deterministic tie order, singleton = 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0),
+      (4L, "a", 30.0), (9L, "b", 7.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.operators.RobustStats.quantileNormalize(df)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n"), r.getAs[Long]("norm_micro")))
+    assert(got.toList == List(
+      (1L, 1L, 4L, 0L), (2L, 2L, 4L, 333333L),
+      (3L, 3L, 4L, 666666L), (4L, 4L, 4L, 1000000L),
+      (9L, 1L, 1L, 0L)))
+  }
+
+  test("scd2: change points only, half-open intervals, open row NULL-terminated") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq( // user 1: a, a (no change), b, a
+      (1L, 1L, 1000L, "a"), (1L, 2L, 2000L, "a"),
+      (1L, 3L, 3000L, "b"), (1L, 4L, 4000L, "a"),
+      (2L, 5L, 9000L, "x")) // single-event user: one open row
+      .toDF("user_id", "event_id", "tms", "event_type")
+      .select($"user_id", $"event_id",
+        timestamp_millis($"tms").as("ts"), $"event_type")
+    val got = Relational.scd2(ev).orderBy("user_id", "version").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("attr"), r.getAs[Long]("valid_from"),
+        if (r.isNullAt(r.fieldIndex("valid_to"))) -1L else r.getAs[Long]("valid_to")))
+    assert(got.toList == List(
+      (1L, 1L, "a", 1000L, 3000L),
+      (1L, 2L, "b", 3000L, 4000L),
+      (1L, 3L, "a", 4000L, -1L),
+      (2L, 1L, "x", 9000L, -1L)))
+  }
+
+  test("kAnonymity: class sizes and the suppression verdict") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("de", "b"))
+      .toDF("lang", "source")
+    val got = graft.operators.Profile.kAnonymity(df, Seq("lang", "source"), k = 2)
+      .orderBy("lang", "source").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n"), r.getAs[Long]("suppressed")))
+    assert(got.toList == List(("de", "b", 1L, 1L), ("en", "a", 3L, 0L)))
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.kAnonymity(df, Seq.empty, 2))
+  }
+
+  test("seasonalProfile: per-hour exact sums, peak ties break to the earliest hour") {
+    val s = spark
+    import s.implicits._
+    val hourMs = 3600000L
+    val ev = Seq( // two events in hour 1, two in hour 3 — tie → peak hour 1
+      (1L, 1 * hourMs, "click", 1.5), (2L, 1 * hourMs + 60000L, "click", 2.0),
+      (3L, 3 * hourMs, "click", 0.25), (4L, 3 * hourMs + 60000L, "click", 0.25),
+      (5L, 2 * hourMs, "view", 1.0))
+      .toDF("event_id", "tms", "event_type", "value")
+      .select($"event_id", timestamp_millis($"tms").as("ts"), $"event_type", $"value")
+    val got = Relational.seasonalProfile(ev).orderBy("event_type", "hod").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hod"),
+        r.getAs[Long]("n"), r.getAs[Long]("value_sum_micro"), r.getAs[Long]("is_peak")))
+    assert(got.toList == List(
+      ("click", 1L, 2L, 3500000L, 1L),
+      ("click", 3L, 2L, 500000L, 0L),
+      ("view", 2L, 1L, 1000000L, 1L)))
+  }
+
+  test("burstiness: Fano factor from hand-computed sufficient statistics") {
+    val s = spark
+    import s.implicits._
+    val minMs = 60000L
+    val ev = Seq( // type a: minute counts [1, 3]; type b: [2, 2]
+      (1L, 0L, "a", 0.0),
+      (2L, minMs, "a", 0.0), (3L, minMs + 1000L, "a", 0.0), (4L, minMs + 2000L, "a", 0.0),
+      (5L, 0L, "b", 0.0), (6L, 1000L, "b", 0.0),
+      (7L, minMs, "b", 0.0), (8L, minMs + 1000L, "b", 0.0))
+      .toDF("event_id", "tms", "event_type", "value")
+      .select($"event_id", timestamp_millis($"tms").as("ts"), $"event_type", $"value")
+    val got = Relational.burstiness(ev).orderBy("event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_minutes"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("fano")))
+    // a: (2*10 - 16) / (2*4) = 0.5 (bursty); b: (2*8 - 16) / 8 = 0 (regular)
+    assert(got.toList == List(("a", 2L, 4L, 0.5), ("b", 2L, 4L, 0.0)))
+  }
+
+  test("theilSen: positional lower median of pairwise slopes, ties excluded, lastN bound") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    def ev(rows: (Long, Long, Long, Double)*) = // (user, event_id, t_sec, v)
+      rows.toSeq.toDF("user_id", "event_id", "t_sec", "value")
+        .withColumn("ts", timestamp_micros(col("t_sec") * 1000000L))
+        .drop("t_sec")
+    // user 1: slopes .001/.005/.009 per (num,den) micros — median (10000, 2e6)
+    // user 2: 6 pairs incl. a three-way ratio tie broken on num — row 3 is (2000, 2e6)
+    // user 3: both events share ts → zero pairs → absent
+    val df = graft.operators.RobustStats.theilSen(ev(
+      (1L, 1L, 0L, 0.0), (1L, 2L, 1L, 1.0), (1L, 3L, 2L, 10.0),
+      (2L, 4L, 0L, 0.0), (2L, 5L, 1L, 1.0), (2L, 6L, 2L, 4.0), (2L, 7L, 3L, 3.0),
+      (3L, 8L, 5L, 1.0), (3L, 9L, 5L, 2.0)))
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den")))
+    assert(df.toList == List(
+      (1L, 3L, 10000L, 2000000L),
+      (2L, 6L, 2000L, 2000000L)))
+    // lastN=2 keeps only the two most recent events: one pair, its own slope
+    val capped = graft.operators.RobustStats.theilSen(ev(
+      (9L, 1L, 0L, 100.0), (9L, 2L, 10L, 0.0), (9L, 3L, 11L, 1.0)), lastN = 2)
+      .collect().map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("slope_num"),
+        r.getAs[Long]("slope_den")))
+    assert(capped.toList == List((1L, 1000L, 1000000L)))
+  }
+
   test("medianAbsDev: mad is non-negative and <= max deviation; hand case") {
     val s = spark
     import s.implicits._
@@ -221,6 +353,28 @@ class RelationalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(plan.split("Scan parquet").length - 1 == 1,
       s"rollup must expand grouping sets over ONE scan:\n$plan")
+  }
+
+  test("lineitemGroupingSets: exactly the requested sets, one scan, exact re-adds") {
+    val df = Relational.lineitemGroupingSets(spark, dir)
+    val rows = df.collect()
+    // gid 0 = leaves (rf, ls); gid 2 = per-linestatus marginal (rf grouped
+    // out); gid 3 = grand total. The rollup-only gid 1 (per-returnflag)
+    // must NOT appear — that's what makes the sets non-hierarchical.
+    val gids = rows.map(_.getAs[Long]("gid")).distinct.sorted
+    assert(gids.toList == List(0L, 2L, 3L))
+    val total = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length == 1)
+    val leaves = rows.filter(_.getAs[Long]("gid") == 0L)
+    val byStatus = rows.filter(_.getAs[Long]("gid") == 2L)
+    assert(leaves.map(_.getAs[Long]("n")).sum == total.head.getAs[Long]("n"))
+    assert(byStatus.map(_.getAs[Long]("n")).sum == total.head.getAs[Long]("n"))
+    // per-status rows carry a null returnflag, leaves carry both keys
+    assert(byStatus.forall(r => r.isNullAt(r.fieldIndex("l_returnflag"))
+      && !r.isNullAt(r.fieldIndex("l_linestatus"))))
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"grouping sets must expand over ONE scan:\n$plan")
   }
 
   test("hoppingAgg: each event lands in width/slide epoch-aligned windows") {

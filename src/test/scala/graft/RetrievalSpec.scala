@@ -82,4 +82,20 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("item_id")).toSeq
     assert(tie == Seq(4L))
   }
+
+  test("rankOverlap: exact overlap@k per depth, zero-overlap depths kept") {
+    val s = spark
+    import s.implicits._
+    def ranking(items: Long*) =
+      items.zipWithIndex.map { case (it, i) => (it, (i + 1).toLong) }
+        .toDF("item_id", "rank")
+    val a = ranking(1L, 2L, 3L, 4L, 5L)
+    val b = ranking(5L, 4L, 3L, 2L, 1L) // fully reversed
+    val got = Retrieval.rankOverlap(a, b, depths = Seq(2, 3, 5))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_overlap"),
+        r.getAs[Double]("overlap_frac")))
+    // @2: {1,2} vs {5,4} → 0; @3: {1,2,3} vs {5,4,3} → 1; @5: identical sets
+    assert(got.toList == List((2L, 0L, 0.0), (3L, 1L, 1.0 / 3.0), (5L, 5L, 1.0)))
+  }
 }

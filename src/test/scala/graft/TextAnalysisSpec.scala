@@ -446,4 +446,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Set("en", "fr").forall(l =>
       got.exists(r => r._2 == l && r._4 == "head")))
   }
+
+  test("vocabOverlap: exact set cardinalities and Jaccard, other sources ignored") {
+    val r = TextAnalysis.vocabOverlap(docsOf(
+      (1L, "x y z", "en", "a"),
+      (2L, "y z w", "en", "b"),
+      (3L, "q q q", "en", "c")), // source c must not contribute
+      "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_common") == 2L) // {y, z}
+    assert(r.getAs[Double]("jaccard") == 2.0 / 4.0)
+  }
+
+  test("multiPatternHits: totals and distinct-pattern counts, clean docs dropped") {
+    val got = TextAnalysis.multiPatternHits(docsOf(
+      (1L, "the hash of a hash table", "en", "s"),   // hash x2, tab x1
+      (2L, "a a a clean line", "en", "s"),           // "a a" overlaps -> 2
+      (3L, "nothing flagged here", "en", "s")),
+      Seq("hash", "tab", "a a"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("n_pats")))
+    assert(got.toList == List((1L, 3L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("blocklistHits: token occurrences vs distinct types, word-boundary only") {
+    val got = TextAnalysis.blocklistHits(docsOf(
+      (1L, "spark spark merge ok", "en", "s"),
+      (2L, "sparkle merger", "en", "s"), // substrings do NOT hit at word level
+      (3L, "sort", "en", "s")),
+      Seq("spark", "merge", "sort"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bad_tokens"), r.getAs[Long]("n_bad_types")))
+    assert(got.toList == List((1L, 3L, 2L), (3L, 1L, 1L)))
+  }
 }
