@@ -319,6 +319,30 @@ object SparkEntry {
       Metrics.rateTrend(Tables.streamData(s, dir))
         .orderBy(col("stream_id"), col("stream_partition"))),
 
+    // exact 15-minute rolling median rate — the robust smoother that
+    // ignores the spike the mean-based EWMA chases
+    "q_rolling_median" -> ((s, dir) =>
+      Metrics.rollingMedian(Tables.streamData(s, dir), window = 15)
+        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+
+    // skewness/excess kurtosis via the min-shift trick: DECIMAL(38)
+    // centered power sums, one fixed IEEE chain at the output edge
+    "q_moments" -> ((s, dir) =>
+      graft.operators.Profile.moments(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
+    // lag-60 autocorrelation of the dense per-minute rate — the periodic-
+    // load detector; lead() over the existing keyed window, no self-join
+    "q_autocorr" -> ((s, dir) =>
+      Metrics.autocorrelation(Tables.streamData(s, dir), lag = 60)
+        .orderBy(col("stream_id"), col("stream_partition"))),
+
+    // CUSUM change-point statistics via the prefix-min identity for the
+    // max(0,·) recursion — two window passes, alarms at n·tau
+    "q_cusum" -> ((s, dir) =>
+      Metrics.cusum(Tables.streamData(s, dir), tauMsgs = 5L)
+        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+
     // pairwise Pearson correlation of per-minute stream rates on common
     // active minutes — cross-stream dependence monitoring
     "q_corr" -> ((s, dir) =>
@@ -901,6 +925,25 @@ object SparkEntry {
             .otherwise(col("text"))))
         .orderBy(col("doc_id"))),
 
+    // per-source PII exposure report: plant emails on ids %3 and phones
+    // on ids %5 (the raw corpus is clean), then detect — same patterns
+    // the scrubber applies, so detect and scrub can never disagree
+    "q_pii" -> ((s, dir) =>
+      TextAnalysis.piiReport(docsParallel(s, dir)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" mail user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit("")))))
+        .orderBy(col("source"))),
+
+    // first-occurrence novelty: the marginal-information curve over
+    // ingestion order — one gram-keyed shuffle, no pair generation
+    "q_novelty" -> ((s, dir) =>
+      Dedup.noveltyFraction(docsParallel(s, dir), n = 5)
+        .orderBy(col("doc_id"))),
+
     // PII scrub: plant a per-doc email + phone so the replacement path is
     // actually exercised (the raw corpus carries no PII), then redact
     "q_redact" -> ((s, dir) =>
@@ -1173,6 +1216,13 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(purchCoEdges(s, dir), rounds = 4)
         .orderBy(col("node"))
     }),
+
+    // BFS hop distances from user 0 over the purchase co-occurrence
+    // graph, depth-bounded — first visit IS the distance, no min-reduce
+    "q_bfs" -> ((s, dir) =>
+      graft.operators.Graph.bfsLevels(purchCoEdges(s, dir),
+        seed = 0L, maxDepth = 4)
+        .orderBy(col("level"), col("node"))),
 
     // 6-core of the same graph: periphery peeled to the unique maximal
     // subgraph of minimum degree 6 — no tie-breaks, a monotone fixpoint
@@ -2248,6 +2298,117 @@ object SparkEntry {
            |  END AS intercept
            |FROM s ORDER BY 1, 2""".stripMargin,
 
+      // windowed quantile_cont ≡ Spark window percentile (parity proven
+      // by q_percentiles/q_mad), same dense spine
+      "q_rolling_median" ->
+        s"""$sd, $minuteCte,
+           |rng AS (SELECT stream_id, stream_partition,
+           |          min(minute) AS lo, max(minute) AS hi
+           |        FROM mc GROUP BY 1, 2),
+           |spine AS (SELECT stream_id, stream_partition,
+           |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+           |          FROM rng),
+           |dn AS (SELECT s.stream_id, s.stream_partition, s.minute,
+           |         CAST(coalesce(mc.msgs, 0) AS BIGINT) AS msgs
+           |       FROM spine s
+           |       LEFT JOIN mc USING (stream_id, stream_partition, minute))
+           |SELECT stream_id, stream_partition, minute, msgs,
+           |       quantile_cont(msgs, 0.5) OVER w AS median_rate,
+           |       count(*) OVER w AS n_window
+           |FROM dn
+           |WINDOW w AS (PARTITION BY stream_id, stream_partition ORDER BY minute
+           |             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+           |ORDER BY 1, 2, 3""".stripMargin,
+
+      // min-shift central moments: identical integer power sums, then
+      // the same left-associated double chain as the Spark plan
+      "q_moments" ->
+        """WITH q AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS x
+          |           FROM events),
+          |mn AS (SELECT event_type, min(x) AS mn FROM q GROUP BY 1),
+          |cs AS (SELECT q.event_type, mn.mn, CAST(q.x - mn.mn AS HUGEINT) AS c
+          |       FROM q JOIN mn USING (event_type)),
+          |s AS (SELECT event_type, mn, CAST(count(*) AS BIGINT) AS n,
+          |        sum(c) AS s1, sum(c*c) AS s2,
+          |        sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+          |      FROM cs GROUP BY 1, 2),
+          |f AS (SELECT event_type, mn, n,
+          |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS d,
+          |        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+          |        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+          |        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+          |      FROM s)
+          |SELECT event_type, n, CAST(mn AS DOUBLE) + d AS mean_milli,
+          |       e2 - d*d AS m2,
+          |       CASE WHEN e2 - d*d > 0
+          |            THEN (e3 - 3.0*d*e2 + 2.0*d*d*d)
+          |                 / sqrt((e2 - d*d) * (e2 - d*d) * (e2 - d*d)) END AS skew,
+          |       CASE WHEN e2 - d*d > 0
+          |            THEN (e4 - 4.0*d*e3 + 6.0*d*d*e2 - 3.0*d*d*d*d)
+          |                 / ((e2 - d*d) * (e2 - d*d)) - 3.0 END AS kurt_excess
+          |FROM f ORDER BY event_type""".stripMargin,
+
+      // same dense spine as q_metrics_dense, lag pairing via lead();
+      // identical sufficient-statistics chain as q_corr
+      "q_autocorr" ->
+        s"""$sd, $minuteCte,
+           |rng AS (SELECT stream_id, stream_partition,
+           |          min(minute) AS lo, max(minute) AS hi
+           |        FROM mc GROUP BY 1, 2),
+           |spine AS (SELECT stream_id, stream_partition,
+           |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+           |          FROM rng),
+           |dn AS (SELECT s.stream_id, s.stream_partition, s.minute,
+           |         CAST(coalesce(mc.msgs, 0) AS BIGINT) AS msgs
+           |       FROM spine s
+           |       LEFT JOIN mc USING (stream_id, stream_partition, minute)),
+           |p AS (SELECT stream_id, stream_partition, msgs AS x,
+           |        lead(msgs, 60) OVER (PARTITION BY stream_id, stream_partition
+           |                             ORDER BY minute) AS y
+           |      FROM dn),
+           |s2 AS (SELECT stream_id, stream_partition, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |         CAST(sum(x*y) AS BIGINT) AS sxy,
+           |         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+           |       FROM p WHERE y IS NOT NULL GROUP BY 1, 2)
+           |SELECT stream_id, stream_partition, CAST(60 AS BIGINT) AS lag, n,
+           |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+           |       THEN CAST(n*sxy - sx*sy AS DOUBLE)
+           |            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+           |               * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           |  END AS corr
+           |FROM s2 ORDER BY 1, 2""".stripMargin,
+
+      // the prefix-min/-max reformulation of the CUSUM recursions over
+      // the identical dense spine; alarms at n*tau with tau = 5
+      "q_cusum" ->
+        s"""$sd, $minuteCte,
+           |rng AS (SELECT stream_id, stream_partition,
+           |          min(minute) AS lo, max(minute) AS hi
+           |        FROM mc GROUP BY 1, 2),
+           |spine AS (SELECT stream_id, stream_partition,
+           |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+           |          FROM rng),
+           |dn AS (SELECT s.stream_id, s.stream_partition, s.minute,
+           |         CAST(coalesce(mc.msgs, 0) AS BIGINT) AS msgs
+           |       FROM spine s
+           |       LEFT JOIN mc USING (stream_id, stream_partition, minute)),
+           |t AS (SELECT *, CAST(count(*) OVER p AS BIGINT) AS n,
+           |        CAST(sum(msgs) OVER p AS BIGINT) AS s_total
+           |      FROM dn WINDOW p AS (PARTITION BY stream_id, stream_partition)),
+           |cc AS (SELECT *, CAST(sum(n * msgs - s_total) OVER q AS BIGINT) AS c
+           |       FROM t WINDOW q AS (PARTITION BY stream_id, stream_partition
+           |                           ORDER BY minute ROWS UNBOUNDED PRECEDING)),
+           |f AS (SELECT *,
+           |        c - least(CAST(0 AS BIGINT), min(c) OVER q) AS cusum_pos,
+           |        greatest(CAST(0 AS BIGINT), max(c) OVER q) - c AS cusum_neg
+           |      FROM cc WINDOW q AS (PARTITION BY stream_id, stream_partition
+           |                           ORDER BY minute ROWS UNBOUNDED PRECEDING))
+           |SELECT stream_id, stream_partition, minute, msgs, cusum_pos, cusum_neg,
+           |       CAST(CASE WHEN cusum_pos > n * 5 THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+           |       CAST(CASE WHEN cusum_neg > n * 5 THEN 1 ELSE 0 END AS BIGINT) AS alarm_down
+           |FROM f ORDER BY 1, 2, 3""".stripMargin,
+
       "q_corr" ->
         s"""$sd, $minuteCte,
            |sm AS (SELECT stream_id, minute, CAST(sum(msgs) AS BIGINT) AS msgs
@@ -2857,6 +3018,44 @@ object SparkEntry {
           |       CAST(sum(CASE WHEN nd >= 5 THEN c ELSE 0 END) AS DOUBLE)
           |         / CAST(sum(c) AS DOUBLE) AS boiler_frac
           |FROM dg JOIN dfr USING (gh) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // detection twin of q_redact, generated from the same PiiPatterns;
+      // counts via regexp_extract_all length (no regexp_count in DuckDB)
+      "q_pii" -> {
+        val Seq((emailRe, _), (phoneRe, _)) = TextAnalysis.PiiPatterns
+        s"""WITH t AS (SELECT source, text
+           |  || CASE WHEN doc_id % 3 = 0
+           |          THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |          ELSE '' END
+           |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+           |  FROM documents),
+           |c AS (SELECT source,
+           |        CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+           |        CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phone
+           |      FROM t)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           |       CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           |       CAST(sum(n_email) AS BIGINT) AS total_emails,
+           |       CAST(sum(n_phone) AS BIGINT) AS total_phones
+           |FROM c GROUP BY 1 ORDER BY source""".stripMargin
+      },
+
+      // per-doc distinct 5-grams vs their global first occurrence; the
+      // fraction is the same integer floor division
+      "q_novelty" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 4),
+          |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+          |      FROM toks WHERE len(t) >= 5),
+          |gh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g),
+          |f AS (SELECT gh, min(doc_id) AS first_doc FROM gh GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_grams,
+          |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          |       (1000000 * CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT))
+          |         // count(*) AS novelty_micro
+          |FROM gh JOIN f USING (gh)
+          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
       // generated from the same PiiPatterns constants as the Spark plan
       // (DuckDB regexp_replace needs the explicit 'g' flag Spark implies)
@@ -3858,6 +4057,24 @@ object SparkEntry {
 
       // synchronous LPA replayed exactly: the recursive working table is
       // one round's labels; each step aggregates neighbor labels, takes
+      // recursive frontier with UNION dedup bounded by level < 4; the
+      // min(level) group-by recovers the first-visit BFS distance
+      "q_bfs" ->
+        """WITH RECURSIVE n AS (SELECT DISTINCT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 AS h
+          |           FROM events WHERE event_type = 'purchase'),
+          |e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          |      FROM n x JOIN n y ON x.h = y.h AND x.user_id < y.user_id),
+          |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+          |bfs(node, level) AS (
+          |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          |  UNION
+          |  SELECT und.v, bfs.level + 1
+          |  FROM bfs JOIN und ON und.u = bfs.node
+          |  WHERE bfs.level < 4)
+          |SELECT node, min(level) AS level
+          |FROM bfs GROUP BY 1 ORDER BY level, node""".stripMargin,
+
       // the (count desc, label asc) top-1 per node, and keeps the own
       // label when isolated — integer counts, total-order tie-breaks
       "q_label_prop" ->

@@ -983,6 +983,39 @@ object Dedup {
         (col("rk") === 1).cast("long").as("is_canonical"))
   }
 
+  /** First-occurrence novelty per document: the fraction of each doc's
+    * DISTINCT n-grams whose global first occurrence (minimum doc_id) is
+    * this doc — the marginal-information curve of a growing corpus. The
+    * curation signal behind "the next crawl snapshot adds almost nothing":
+    * ingestion-ordered novelty decays as the corpus saturates, and docs
+    * with near-zero novelty are template/boilerplate candidates the
+    * pairwise dedup family prices per-pair instead of per-doc.
+    *
+    * All-integer: grams key on the 60-bit md5, the fraction is
+    * `1e6·novel div distinct`. Scale: the gram explode is narrow; ONE
+    * gram-keyed shuffle serves the per-doc distinct, the first-occurrence
+    * min, and the join back (same key, same partitioning); the final
+    * rollup is doc-keyed. No pair generation anywhere — this is the O(n)
+    * complement to the O(pairs) dedup operators. */
+  def noveltyFraction(docs: DataFrame, n: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("t")) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j + 1)): _*)))
+        .as("g"))
+      .select(col("doc_id"), md5Int60(col("g")).as("gh"))
+      .distinct()
+    val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_grams").as("novelty_micro"))
+  }
+
+
   /** Exact duplicate-substring spans (the substring-dedup signal of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499 §3.1): every maximal token span of a document whose

@@ -233,6 +233,118 @@ object Metrics {
     * Scale: the self-join matches on the minute key — per-minute fan-out
     * is |streams|², a metadata-sized constant, never data-sized; sums are
     * map-side combined per (a, b) pair. */
+  /** Lag-k autocorrelation of each stream-part's per-minute rate — the
+    * self-similarity scan that detects periodic load (a strong lag-60
+    * autocorrelation = hourly cycle) before capacity planning trusts a
+    * linear [[rateTrend]]. Runs over the DENSE series
+    * ([[denseMinuteCounts]]): idle minutes are real zeros to a cycle
+    * detector, and skipping them would splice unrelated epochs together.
+    *
+    * Same exact-DECIMAL(38,0) sufficient statistics and single fixed IEEE
+    * expression as [[crossStreamCorrelation]]; constant series report
+    * NULL. The lag pairing is one `lead()` over the (stream, part) keyed
+    * window the dense series already produced — no self-join, no second
+    * shuffle. */
+  def autocorrelation(streamData: DataFrame, lag: Int = 60): DataFrame = {
+    require(lag >= 1, s"autocorrelation lag must be >= 1, got $lag")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
+      .orderBy(col("minute"))
+    val pairs = denseMinuteCounts(streamData)
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"))
+      .withColumn("y", lead(col("msgs"), lag).over(w))
+      .filter(col("y").isNotNull)
+      .select(col("stream_id"), col("stream_partition"),
+        dec(col("msgs")).as("x"), dec(col("y")).as("y"))
+    val stats = pairs.groupBy(col("stream_id"), col("stream_partition"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"autocorrelation: $what exceeds the exact DECIMAL(38) bound")))
+    val denx = exact(dec(col("n")) * col("sxx") - col("sx") * col("sx"),
+      "n*sxx - sx*sx")
+    val deny = exact(dec(col("n")) * col("syy") - col("sy") * col("sy"),
+      "n*syy - sy*sy")
+    val num = exact(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
+      "n*sxy - sx*sy")
+    stats.select(col("stream_id"), col("stream_partition"),
+      lit(lag.toLong).as("lag"), col("n"),
+      when(denx > 0 && deny > 0,
+        num.cast("double") /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double")))).as("corr"))
+  }
+
+  /** Exact sliding-window median of the dense per-minute rate — the
+    * robust smoother that ignores a spike the mean-based EWMA chases
+    * ([[ewmaRates]]): the despiked baseline for display and alerting.
+    *
+    * `percentile` as a WINDOW aggregate over a `window`-row trailing
+    * frame — exact linear-interpolation median, hash-proven equivalent
+    * to DuckDB's `quantile_cont` by q_percentiles/q_mad. Warm-up rows
+    * report the median of however many minutes exist (`n_window` says
+    * how many). Scale: the frame is a constant-size buffer per row over
+    * the one (stream, part) keyed sort the dense series already
+    * produced — no self-join, state O(window). */
+  def rollingMedian(streamData: DataFrame, window: Int = 15): DataFrame = {
+    require(window >= 1, s"rollingMedian window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
+      .orderBy(col("minute"))
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    denseMinuteCounts(streamData)
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"))
+      .withColumn("median_rate", percentile(col("msgs"), lit(0.5)).over(w))
+      .withColumn("n_window", count(lit(1)).over(w))
+  }
+
+  /** CUSUM change-point detection (Page 1954) over each stream-part's
+    * dense per-minute rate: the classic recursions
+    * `s⁺_t = max(0, s⁺_{t-1} + d_t)` / `s⁻_t = max(0, s⁻_{t-1} − d_t)`
+    * with `d_t = n·x_t − S` (deviation from the part's mean, scaled by
+    * `n` so everything stays integer: `mean = S/n` never materializes as
+    * a float). A sustained rate shift accumulates where the z-score
+    * alarm ([[anomalyFlags]]) only sees single-minute spikes.
+    *
+    * The max(0, ·) recursion is NOT a plain running sum — but it has the
+    * exact prefix form `s⁺_t = c_t − min(0, min_{j≤t} c_j)` (and the
+    * mirrored `s⁻_t = max(0, max_{j≤t} c_j) − c_t`) where `c` is the
+    * plain cumulative sum of `d` — so the whole detector is two window
+    * passes over the one (stream, part) keyed sort, no UDAF, no driver
+    * fold, oracle-replayable verbatim. Alarms fire when a statistic
+    * exceeds `n·tauMsgs` — τ is "accumulated excess messages", the
+    * interpretable unit. Integer bound: |c_t| ≤ n·S — at month-scale
+    * n ≈ 4·10⁴ minutes this holds to S ≈ 2·10¹⁴ messages per part,
+    * far past any real stream-part; beyond that, widen to DECIMAL(38)
+    * as rateTrend does. */
+  def cusum(streamData: DataFrame, tauMsgs: Long = 50L): DataFrame = {
+    require(tauMsgs >= 1, s"cusum tauMsgs must be >= 1, got $tauMsgs")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("stream_id"), col("stream_partition"))
+    val byMin = part.orderBy(col("minute"))
+    val prefix = byMin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    denseMinuteCounts(streamData)
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("s_total", sum(col("msgs")).over(part))
+      .withColumn("d", col("n") * col("msgs") - col("s_total"))
+      .withColumn("c", sum(col("d")).over(prefix))
+      .withColumn("cusum_pos",
+        col("c") - least(lit(0L), min(col("c")).over(prefix)))
+      .withColumn("cusum_neg",
+        greatest(lit(0L), max(col("c")).over(prefix)) - col("c"))
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"), col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > col("n") * lit(tauMsgs)).cast("long").as("alarm_up"),
+        (col("cusum_neg") > col("n") * lit(tauMsgs)).cast("long").as("alarm_down"))
+  }
+
   def crossStreamCorrelation(streamData: DataFrame): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val sm = minuteCounts(streamData)

@@ -226,6 +226,51 @@ object Graph {
       .groupBy(col("v")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** BFS levels from a seed node over an undirected edge set (rows
+    * (a, b)): each reachable node's hop distance, `maxDepth`-bounded —
+    * the trusted-seed proximity CRAWL frontier (how many link hops from a
+    * curated source?) and the cheap reachability probe before a full
+    * [[personalizedPageRank]].
+    *
+    * Level-synchronous frontier expansion: round d joins the current
+    * frontier against the adjacency list and anti-joins everything
+    * already levelled — first visit wins, which IS the BFS distance, no
+    * min-reduction needed. The seed reports level 0 even when isolated
+    * (the oracle's recursive base row does too). Same iteration
+    * discipline as [[kCore]]: localCheckpoint per round truncates
+    * lineage, the empty-frontier check early-exits, and each round is
+    * one keyed join bounded by the frontier size — never whole-graph
+    * state on the driver. */
+  def bfsLevels(edges: DataFrame, seed: Long, maxDepth: Int = 6): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var levels = Seq((seed, 0L)).toDF("node", "level").localCheckpoint(true)
+    var frontier = levels.select(col("node"))
+    var d = 1L
+    var done = false
+    while (d <= maxDepth && !done) {
+      val next = frontier.join(adj, frontier("node") === adj("u"))
+        .select(col("v").as("node")).distinct()
+        .join(levels, Seq("node"), "left_anti")
+        .withColumn("level", lit(d))
+        .localCheckpoint(true)
+      done = next.isEmpty
+      if (!done) {
+        val merged = levels.unionAll(next).localCheckpoint(true)
+        levels.unpersist(blocking = false)
+        levels = merged
+        frontier = next.select(col("node"))
+      }
+      d += 1
+    }
+    adj.unpersist(blocking = false)
+    levels
+  }
+
   /** Co-occurrence edges: distinct user pairs (a < b) active in the same
     * `block` (an hour, a session, a document …). The block is the
     * fan-out bound: pairs per block grow quadratically in block

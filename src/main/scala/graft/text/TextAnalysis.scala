@@ -205,6 +205,30 @@ object TextAnalysis {
       regexp_replace(acc, re, token)
     }
 
+  /** Per-source PII exposure report — the governance DETECTION companion
+    * to [[redact]] (scrub): for each source, how many docs carry each PII
+    * type and how many total matches exist. The release-gate table a
+    * privacy review reads before a corpus ships; sources with exposure
+    * route to the scrub pass or get dropped.
+    *
+    * Counts via `regexp_count` over the SAME [[PiiPatterns]] the scrubber
+    * applies (one source of truth — detect and scrub can never disagree),
+    * aggregated map-side onto |sources| rows. One narrow scan, no
+    * shuffle beyond the tiny final rollup. */
+  def piiReport(docs: DataFrame): DataFrame = {
+    val Seq((emailRe, _), (phoneRe, _)) = PiiPatterns
+    docs
+      .select(col("source"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phone"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_email") > 0).cast("long")).as("docs_with_email"),
+        sum((col("n_phone") > 0).cast("long")).as("docs_with_phone"),
+        sum(col("n_email")).as("total_emails"),
+        sum(col("n_phone")).as("total_phones"))
+  }
+
   /** Flagged-phrase audit in ONE corpus scan: per doc, the total number of
     * occurrences of any pattern (all positions, overlapping included) and
     * the number of distinct patterns present — the C4-style

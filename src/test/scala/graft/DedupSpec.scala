@@ -585,4 +585,20 @@ class DedupSpec extends SparkSpec {
       assert(rc == h.toDouble / t.toDouble)
     }
   }
+
+  test("noveltyFraction: first occurrence wins, repeats collapse, short docs drop") {
+    val got = Dedup.noveltyFraction(docsOf(
+      (1L, "a b c"),      // grams "a b","b c" — both novel
+      (2L, "a b x"),      // "a b" seen, "b x" novel
+      (3L, "a"),          // shorter than n — dropped
+      (4L, "b c b c")),   // distinct {"b c","c b"}; only "c b" novel
+      n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_micro")))
+    assert(got.toList == List(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (4L, 2L, 1L, 500000L)))
+  }
 }

@@ -194,4 +194,22 @@ class GraphSpec extends SparkSpec {
     val b = Graph.labelPropagation(e, rounds = 3).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("bfsLevels: hop distances from the seed, depth-bounded, isolated seed = level 0") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3 plus a disconnected 8-9 component
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
+    val got = Graph.bfsLevels(e, seed = 0L, maxDepth = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("level")).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L)) // 3 is beyond maxDepth; 8/9 unreachable
+    // full depth reaches the path end; the other component never appears
+    val full = Graph.bfsLevels(e, seed = 0L, maxDepth = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("level")).toMap
+    assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // isolated seed still reports itself at level 0
+    val iso = Graph.bfsLevels(e, seed = 42L, maxDepth = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("level")).toMap
+    assert(iso == Map(42L -> 0L))
+  }
 }

@@ -191,6 +191,25 @@ class RelationalSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("clipped") == 1L))
   }
 
+  test("moments: min-shift central moments, hand-computed skew/kurtosis, constant = NULL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 0.0), (2L, "a", 0.001), (3L, "a", 0.002),
+      (4L, "a", 0.009), (5L, "b", 5.0), (6L, "b", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.operators.Profile.moments(df).orderBy("event_type").collect()
+    val a = got(0)
+    // x = [0,1,2,9] milli: d=3, m2=12.5, m3=45, m4=348.5 (hand-derived)
+    assert(a.getAs[Long]("n") == 4L)
+    assert(a.getAs[Double]("mean_milli") == 3.0)
+    assert(a.getAs[Double]("m2") == 12.5)
+    assert(a.getAs[Double]("skew") == 45.0 / math.sqrt(12.5 * 12.5 * 12.5))
+    assert(a.getAs[Double]("kurt_excess") == 348.5 / (12.5 * 12.5) - 3.0)
+    val b = got(1) // constant group: zero variance -> NULLs
+    assert(b.getAs[Double]("m2") == 0.0)
+    assert(b.isNullAt(b.fieldIndex("skew")) && b.isNullAt(b.fieldIndex("kurt_excess")))
+  }
+
   test("benford: leading digit from fixed-point rendering, non-positives dropped") {
     val s = spark
     import s.implicits._

@@ -249,4 +249,56 @@ class ServeIngestMetricsSpec extends SparkSpec {
     // fold: seed 2.0; 2.0*0.8 + 1*0.2 = 1.8; 1.8*0.8 + 3*0.2 = 2.04
     assert(math.abs(r.getAs[Double]("rate_ewma") - 2.04) < 1e-12)
   }
+
+  test("autocorrelation: period-2 series gives -1 at lag 1 and +1 at lag 2; constant = NULL") {
+    // minutes 0,2,4 carry two messages each; dense series = [2,0,2,0,2]
+    val periodic = Seq(0L, 2L, 4L).flatMap(m => Seq(
+      msg("s", 0, m * 60000L, (m * 2).toInt, payload = "x"),
+      msg("s", 0, m * 60000L + 1, (m * 2).toInt + 1, payload = "x")))
+    val sd = streamDataOf(periodic: _*)
+    val lag1 = Metrics.autocorrelation(sd, lag = 1).collect().head
+    assert(lag1.getAs[Long]("lag") == 1L && lag1.getAs[Long]("n") == 4L)
+    assert(lag1.getAs[Double]("corr") == -1.0)
+    val lag2 = Metrics.autocorrelation(sd, lag = 2).collect().head
+    // the defined IEEE chain: 8/(sqrt(8)*sqrt(8)) — 1 ulp under 1.0, and
+    // bit-identical in any engine running the same expression
+    assert(lag2.getAs[Long]("n") == 3L &&
+      lag2.getAs[Double]("corr") == 8.0 / (math.sqrt(8.0) * math.sqrt(8.0)))
+    // constant series: zero variance -> NULL, not NaN
+    val const = streamDataOf((0 until 3).map(m =>
+      msg("c", 0, m * 60000L, m, payload = "x")): _*)
+    val c = Metrics.autocorrelation(const, lag = 1).collect().head
+    assert(c.isNullAt(c.fieldIndex("corr")))
+  }
+
+  test("rollingMedian: exact window median ignores the spike EWMA chases") {
+    // dense minutes [1, 9, 1, 1, 5]
+    val msgs = Seq(0L -> 1, 1L -> 9, 2L -> 1, 3L -> 1, 4L -> 5).flatMap {
+      case (m, k) => (0 until k).map(j =>
+        msg("s", 0, m * 60000L + j, (m * 10 + j).toInt, payload = "x"))
+    }
+    val got = Metrics.rollingMedian(streamDataOf(msgs: _*), window = 3)
+      .orderBy("minute").collect()
+      .map(r => (r.getAs[Long]("msgs"), r.getAs[Double]("median_rate"),
+        r.getAs[Long]("n_window")))
+    assert(got.toList == List(
+      (1L, 1.0, 1L), (9L, 5.0, 2L), (1L, 1.0, 3L),
+      (1L, 1.0, 3L), (5L, 1.0, 3L)))
+  }
+
+  test("cusum: prefix-min identity reproduces the max(0,·) recursions; alarms at n*tau") {
+    // dense minute counts [1, 0, 4, 0, 1]: n=5, S=6, d = 5x-6
+    val msgs = Seq(0L -> 1, 2L -> 4, 4L -> 1).flatMap { case (m, k) =>
+      (0 until k).map(j => msg("s", 0, m * 60000L + j, (m * 10 + j).toInt, payload = "x"))
+    }
+    val got = Metrics.cusum(streamDataOf(msgs: _*), tauMsgs = 2L)
+      .orderBy("minute").collect()
+      .map(r => (r.getAs[Long]("msgs"), r.getAs[Long]("cusum_pos"),
+        r.getAs[Long]("cusum_neg"), r.getAs[Long]("alarm_up"),
+        r.getAs[Long]("alarm_down")))
+    // hand recursion: s+ = [0,0,14,8,7], s- = [1,7,0,6,7]; alarm when > 5*2
+    assert(got.toList == List(
+      (1L, 0L, 1L, 0L, 0L), (0L, 0L, 7L, 0L, 0L), (4L, 14L, 0L, 1L, 0L),
+      (0L, 8L, 6L, 0L, 0L), (1L, 7L, 7L, 0L, 0L)))
+  }
 }

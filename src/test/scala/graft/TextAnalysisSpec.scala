@@ -447,6 +447,20 @@ class TextAnalysisSpec extends SparkSpec {
       got.exists(r => r._2 == l && r._4 == "head")))
   }
 
+  test("piiReport: per-source doc and match counts from the scrubber's patterns") {
+    val got = TextAnalysis.piiReport(docsOf(
+      (1L, "mail a@b.com and c@d.org", "en", "s1"), // two emails, one doc
+      (2L, "call 555-123-4567 now", "en", "s1"),
+      (3L, "clean text", "en", "s2")))
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("docs_with_email"), r.getAs[Long]("docs_with_phone"),
+        r.getAs[Long]("total_emails"), r.getAs[Long]("total_phones")))
+    assert(got.toList == List(
+      ("s1", 2L, 1L, 1L, 2L, 1L),
+      ("s2", 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("vocabOverlap: exact set cardinalities and Jaccard, other sources ignored") {
     val r = TextAnalysis.vocabOverlap(docsOf(
       (1L, "x y z", "en", "a"),
