@@ -1326,6 +1326,12 @@ object SparkEntry {
       graft.operators.RobustStats.quantileNormalize(Tables.events(s, dir))
         .orderBy(col("event_id"))),
 
+    // exact GLOBAL rank with no single-partition sort: range-bucket
+    // decomposition (offset + within-bucket row_number), micro-unit order
+    "q_global_rank" -> ((s, dir) =>
+      graft.operators.RobustStats.globalRank(Tables.events(s, dir))
+        .orderBy(col("rnk"))),
+
     // k-anonymity audit: equivalence-class sizes over the (lang, source)
     // quasi-identifiers, classes under k flagged for suppression
     "q_kanon" -> ((s, dir) =>
@@ -1555,6 +1561,41 @@ object SparkEntry {
     // strict-ordering funnel: each step's event must land strictly after
     // the user's previous-step completion; counts + conversion vs step 1
     "q_funnel" -> ((s, dir) => Relational.funnel(s, dir)),
+
+    // time-bounded funnel: each advance must land within 24h of the
+    // previous step's completion — the "converted within a day" variant
+    "q_funnel_window" -> ((s, dir) =>
+      Relational.funnel(s, dir, maxGapMs = Some(86400000L))),
+
+    // first-order Markov transition matrix of the event stream: one
+    // user-keyed window shuffle, exact pair counts, row-normalized p
+    "q_transitions" -> ((s, dir) => Relational.transitions(s, dir)),
+
+    // first-/last-touch attribution for the first purchase per user:
+    // both bookends ride one struct-min/max aggregation
+    "q_attribution" -> ((s, dir) => Relational.attribution(s, dir)),
+
+    // RFM lifecycle segmentation with fixed scoring bands: one user-keyed
+    // aggregate + a 1-row broadcast "now", ≤64 output cells
+    "q_rfm" -> ((s, dir) => Relational.rfm(s, dir)),
+
+    // duplicate-cluster size histogram: the dedup-savings profile
+    // (how much mass sits in big clusters) over the same cluster chain
+    "q_dup_hist" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.dupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.1,
+          maxDocFrequency = Some(5)))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
+    // additive seasonal-trend decomposition of the dense rate series:
+    // centered-mean trend, minute-of-day seasonal, exact-int divisions
+    "q_stl" -> ((s, dir) =>
+      Metrics.decompose(Tables.streamData(s, dir), halfWindow = 30)
+        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
 
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>
@@ -2297,6 +2338,38 @@ object SparkEntry {
            |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
            |  END AS intercept
            |FROM s ORDER BY 1, 2""".stripMargin,
+
+      // classical decomposition over the dense spine: span-scaled integer
+      // detrending, every double a single division of exact integers
+      "q_stl" ->
+        s"""$sd, $minuteCte,
+           |rng AS (SELECT stream_id, stream_partition,
+           |          min(minute) AS lo, max(minute) AS hi
+           |        FROM mc GROUP BY 1, 2),
+           |spine AS (SELECT stream_id, stream_partition,
+           |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+           |          FROM rng),
+           |dn AS (SELECT s.stream_id, s.stream_partition, s.minute,
+           |         CAST(coalesce(mc.msgs, 0) AS BIGINT) AS msgs
+           |       FROM spine s
+           |       LEFT JOIN mc USING (stream_id, stream_partition, minute)),
+           |w AS (SELECT *, CAST(sum(msgs) OVER f AS BIGINT) AS w_sum,
+           |        count(*) OVER f AS w_cnt,
+           |        epoch_us(CAST(minute AS TIMESTAMP)) // 60000000 AS midx
+           |      FROM dn
+           |      WINDOW f AS (PARTITION BY stream_id, stream_partition ORDER BY minute
+           |                   ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)),
+           |i AS (SELECT *, 61 * msgs - w_sum AS detr, midx % 1440 AS mod_min
+           |      FROM w WHERE w_cnt = 61),
+           |se AS (SELECT *, CAST(sum(detr) OVER g AS BIGINT) AS s_sum,
+           |         count(*) OVER g AS s_cnt
+           |       FROM i WINDOW g AS (PARTITION BY stream_id, stream_partition, mod_min))
+           |SELECT stream_id, stream_partition, minute, msgs,
+           |       CAST(w_sum AS DOUBLE) / 61.0 AS trend,
+           |       CAST(s_sum AS DOUBLE) / CAST(61 * s_cnt AS DOUBLE) AS seasonal,
+           |       CAST(msgs AS DOUBLE) - CAST(w_sum AS DOUBLE) / 61.0
+           |         - CAST(s_sum AS DOUBLE) / CAST(61 * s_cnt AS DOUBLE) AS residual
+           |FROM se ORDER BY 1, 2, 3""".stripMargin,
 
       // windowed quantile_cont ≡ Spark window percentile (parity proven
       // by q_percentiles/q_mad), same dense spine
@@ -3646,6 +3719,14 @@ object SparkEntry {
             |       CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
             |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin),
 
+      // cluster-size histogram over the same recursive cluster chain
+      "q_dup_hist" ->
+        (dupClusterCte +
+          """,
+            |cl AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id),
+            |szs AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY 1)
+            |SELECT sz, count(*) AS n_clusters FROM szs GROUP BY 1 ORDER BY sz""".stripMargin),
+
       // quality-aware canonical: same cluster chain, longest member wins
       "q_canonical" ->
         (dupClusterCte +
@@ -4339,6 +4420,44 @@ object SparkEntry {
           |            ELSE 0 END AS norm_micro
           |FROM r ORDER BY event_id""".stripMargin,
 
+      // identical integer day-distance / micro-unit bands
+      "q_rfm" ->
+        """WITH e AS (SELECT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+          |             CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+          |           FROM events),
+          |u AS (SELECT user_id, max(tms) AS last_ms, count(*) AS freq,
+          |        CAST(sum(v_micro) AS BIGINT) AS mon_micro
+          |      FROM e GROUP BY 1),
+          |d AS (SELECT *, ((SELECT max(tms) FROM e) - last_ms) // 86400000
+          |               AS rec_days FROM u),
+          |s AS (SELECT mon_micro,
+          |        CASE WHEN rec_days <= 1 THEN 4
+          |             WHEN rec_days <= 7 THEN 3
+          |             WHEN rec_days <= 30 THEN 2
+          |             ELSE 1 END AS r_score,
+          |        CASE WHEN freq >= 21 THEN 4 WHEN freq >= 6 THEN 3
+          |             WHEN freq >= 2 THEN 2 ELSE 1 END AS f_score,
+          |        CASE WHEN mon_micro >= 100000000 THEN 4
+          |             WHEN mon_micro >= 20000000 THEN 3
+          |             WHEN mon_micro >= 5000000 THEN 2 ELSE 1 END AS m_score
+          |      FROM d)
+          |SELECT CAST(r_score AS BIGINT) AS r_score,
+          |       CAST(f_score AS BIGINT) AS f_score,
+          |       CAST(m_score AS BIGINT) AS m_score,
+          |       count(*) AS users, CAST(sum(mon_micro) AS BIGINT) AS mon_micro
+          |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+      // the single-sort formulation the distributed decomposition must
+      // exactly reproduce rank-for-rank
+      "q_global_rank" ->
+        """WITH e AS (SELECT event_id,
+          |             CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+          |           FROM events)
+          |SELECT event_id, v_micro,
+          |       row_number() OVER (ORDER BY v_micro, event_id) AS rnk
+          |FROM e ORDER BY rnk""".stripMargin,
+
       // k-anonymity: class sizes + the k=10 suppression verdict
       "q_kanon" ->
         """SELECT lang, source, count(*) AS n,
@@ -4567,6 +4686,71 @@ object SparkEntry {
           |       CAST(users AS DOUBLE) /
           |         CAST((SELECT count(*) FROM s1) AS DOUBLE) AS conversion
           |FROM c ORDER BY step""".stripMargin,
+
+      // same chain with the 24h (86400e6 us) per-advance bound
+      "q_funnel_window" ->
+        """WITH e AS (SELECT user_id, event_type,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+          |           FROM events),
+          |s1 AS (SELECT user_id, min(tus) AS t FROM e
+          |       WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(tus) AS t FROM e JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND e.tus > s1.t
+          |         AND e.tus <= s1.t + 86400000000 GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(tus) AS t FROM e JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND e.tus > s2.t
+          |         AND e.tus <= s2.t + 86400000000 GROUP BY 1),
+          |c AS (SELECT 1 AS step, 'view' AS step_name,
+          |             (SELECT count(*) FROM s1) AS users
+          |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+          |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+          |SELECT CAST(step AS BIGINT) AS step, step_name,
+          |       CAST(users AS BIGINT) AS users,
+          |       CAST(users AS DOUBLE) /
+          |         CAST((SELECT count(*) FROM s1) AS DOUBLE) AS conversion
+          |FROM c ORDER BY step""".stripMargin,
+
+      // same (ts, event_id) per-user order; p = exact-count division
+      "q_transitions" ->
+        """WITH e AS (SELECT user_id, event_type,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+          |           FROM events),
+          |pr AS (SELECT lag(event_type) OVER
+          |           (PARTITION BY user_id ORDER BY tus, event_id) AS from_type,
+          |         event_type AS to_type
+          |       FROM e),
+          |c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+          |      WHERE from_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+          |       CAST(n AS DOUBLE) /
+          |         CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+          |FROM c ORDER BY 1, 2""".stripMargin,
+
+      // bookends via ordered first/last aggregates over the same
+      // (tus, event_id) total order
+      "q_attribution" ->
+        """WITH e AS (SELECT user_id, event_type,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+          |           FROM events),
+          |cv AS (SELECT user_id, tus AS cts, event_id AS cid FROM (
+          |         SELECT user_id, tus, event_id, row_number() OVER
+          |             (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+          |         FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+          |pre AS (SELECT e.user_id, e.event_type, e.tus, e.event_id
+          |        FROM e JOIN cv USING (user_id)
+          |        WHERE e.event_type <> 'purchase'
+          |          AND (e.tus < cv.cts
+          |               OR (e.tus = cv.cts AND e.event_id < cv.cid))),
+          |t AS (SELECT user_id,
+          |        first(event_type ORDER BY tus, event_id) AS ft,
+          |        last(event_type ORDER BY tus, event_id) AS lt
+          |      FROM pre GROUP BY 1),
+          |f AS (SELECT ft AS channel, count(*) AS first_touch FROM t GROUP BY 1),
+          |l AS (SELECT lt AS channel, count(*) AS last_touch FROM t GROUP BY 1)
+          |SELECT channel,
+          |       CAST(coalesce(first_touch, 0) AS BIGINT) AS first_touch,
+          |       CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch
+          |FROM f FULL JOIN l USING (channel) ORDER BY channel""".stripMargin,
 
       // as-of join replayed in the identical merge-sort formulation:
       // tagged union + running last_value(IGNORE NULLS) per user, right

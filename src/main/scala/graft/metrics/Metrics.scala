@@ -279,6 +279,52 @@ object Metrics {
           (sqrt(denx.cast("double")) * sqrt(deny.cast("double")))).as("corr"))
   }
 
+  /** Additive seasonal-trend decomposition of the dense per-minute rate
+    * (the classical-decomposition core of STL, Cleveland et al. 1990,
+    * without the robustness loops): `x = trend + seasonal + residual`
+    * where trend is the centered `2·halfWindow+1`-minute moving mean,
+    * seasonal the per-(part, minute-of-day) mean of the detrended
+    * series, and residual the remainder — the load-shape separation a
+    * capacity planner wants before alerting on "unusual for 3am".
+    *
+    * Exactness: edge minutes without a full window are DROPPED (the
+    * standard classical-decomposition edge rule), so the window count is
+    * the constant `span` and the detrended value `span·x − Σwindow` is an
+    * exact integer; every output double is a single division of exact
+    * integers (no float ever sums across rows, so no engine-dependent
+    * accumulation order exists).
+    *
+    * Scale: two window passes — the centered frame over the existing
+    * (part, minute) sort, then a (part, minute-of-day) keyed window —
+    * both O(1) state per row; nothing driver-sized. */
+  def decompose(streamData: DataFrame, halfWindow: Int = 30): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    import org.apache.spark.sql.expressions.Window
+    val span = 2 * halfWindow + 1
+    val frame = Window.partitionBy(col("stream_id"), col("stream_partition"))
+      .orderBy(col("minute"))
+      .rowsBetween(-halfWindow.toLong, halfWindow.toLong)
+    val interior = denseMinuteCounts(streamData)
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"))
+      .withColumn("w_sum", sum(col("msgs")).over(frame))
+      .withColumn("w_cnt", count(lit(1)).over(frame))
+      .filter(col("w_cnt") === span.toLong)
+      .withColumn("detr", lit(span.toLong) * col("msgs") - col("w_sum"))
+      .withColumn("mod_min", pmod(minuteIdx, lit(1440L)))
+    val seas = Window.partitionBy(col("stream_id"), col("stream_partition"),
+      col("mod_min"))
+    val trendC = col("w_sum").cast("double") / lit(span.toDouble)
+    val seasC = col("s_sum").cast("double") /
+      (lit(span.toLong) * col("s_cnt")).cast("double")
+    interior
+      .withColumn("s_sum", sum(col("detr")).over(seas))
+      .withColumn("s_cnt", count(lit(1)).over(seas))
+      .select(col("stream_id"), col("stream_partition"), col("minute"),
+        col("msgs"), trendC.as("trend"), seasC.as("seasonal"),
+        (col("msgs").cast("double") - trendC - seasC).as("residual"))
+  }
+
   /** Exact sliding-window median of the dense per-minute rate — the
     * robust smoother that ignores a spike the mean-based EWMA chases
     * ([[ewmaRates]]): the despiked baseline for display and alerting.

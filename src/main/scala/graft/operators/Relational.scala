@@ -234,13 +234,19 @@ object Relational {
     * the cumulative "reached step ≥ s" sum runs over that steps-sized
     * table, never over users. */
   def funnel(spark: SparkSession, dir: String,
-      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
-    funnelOf(spark, Tables.events(spark, dir), steps)
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      maxGapMs: Option[Long] = None): DataFrame =
+    funnelOf(spark, Tables.events(spark, dir), steps, maxGapMs)
 
-  /** [[funnel]] over an arbitrary `(user_id, event_type, ts)` frame. */
+  /** [[funnel]] over an arbitrary `(user_id, event_type, ts)` frame.
+    * `maxGapMs` bounds each step-to-step advance: a step counts only
+    * within `maxGapMs` of the previous step's completion (the
+    * "converted within 24h" product question); `None` keeps the
+    * unbounded strict-ordering semantics. */
   def funnelOf(spark: SparkSession, events: DataFrame,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxGapMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapMs.forall(_ > 0), s"maxGapMs must be positive: $maxGapMs")
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
@@ -253,7 +259,9 @@ object Relational {
         val nxt = ev.filter(col("event_type") === step)
           .join(prev.filter(col("lvl") === i)
             .select(col("user_id"), col("t").as("tp")), Seq("user_id"))
-          .filter(col("ts") > col("tp"))
+          .filter(col("ts") > col("tp") && maxGapMs.map(g =>
+            col("ts") <= col("tp") + expr(s"INTERVAL $g MILLISECOND"))
+            .getOrElse(lit(true)))
           .groupBy(col("user_id")).agg(min(col("ts")).as("tn"))
         prev.join(nxt, Seq("user_id"), "left")
           .select(col("user_id"),
@@ -283,6 +291,144 @@ object Relational {
               Window.unboundedFollowing)).cast("double"))
       .select(col("step"), col("step_name"), col("users"), col("conversion"))
       .orderBy(col("step"))
+  }
+
+  /** First-order Markov transition matrix of the event stream: for each
+    * ordered pair of event types, how often a user's event of `from_type`
+    * is IMMEDIATELY followed by one of `to_type`, plus the row-normalized
+    * transition probability — the "where do users go next" flow model
+    * behind sankey diagrams and next-step prediction baselines.
+    *
+    * Determinism: per-user order is `(ts, event_id)` — event_id breaks
+    * timestamp ties identically on any engine — and `p` is a single
+    * division of two exact integer counts (pair count / from-type total).
+    *
+    * Scale: ONE window shuffle keyed on user_id (lag carries O(1) state
+    * per row), then a map-side-combined count to a |types|²-row table;
+    * the row-normalizing window runs over that tiny aggregate, never over
+    * events. */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOf(Tables.events(spark, dir))
+
+  /** [[transitions]] over an arbitrary `(user_id, event_type, ts,
+    * event_id)` frame. */
+  def transitionsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(perUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("event_type").as("to_type"), col("n"),
+        (col("n").cast("double") / col("from_total").cast("double")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation of the user base
+    * with FIXED scoring bands — the classic lifecycle segmentation
+    * (champions / at-risk / hibernating) counted per (r, f, m) score
+    * cell. Bands are fixed, documented thresholds rather than data-driven
+    * quantiles: that is both standard practice (scores must be comparable
+    * across runs) and the scale-honest choice — no global sort, no
+    * quantile pass; for quantile-based bands compose with
+    * [[graft.operators.RobustStats.globalRank]].
+    *
+    * Scores (1 = worst, 4 = best): recency days since the user's last
+    * event relative to the corpus max timestamp (≤1d → 4, ≤7d → 3,
+    * ≤30d → 2, else 1), frequency = event count (≥21 → 4, ≥6 → 3, ≥2 → 2,
+    * else 1), monetary = summed `floor(value·1e6)` micro-units (≥100e6 →
+    * 4, ≥20e6 → 3, ≥5e6 → 2, else 1).
+    *
+    * Determinism: day distance is integer millis floor-division, monetary
+    * sums integer micro-units (per-event floor BEFORE the sum, so
+    * addition order cannot matter), banding is pure comparison.
+    *
+    * Scale: the corpus max-ts is a 1-row aggregate broadcast into the
+    * per-user pass; the user aggregate is ONE map-side-combinable keyed
+    * shuffle; the segment rollup reduces |users| rows to ≤64 cells. */
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    rfmOf(Tables.events(spark, dir))
+
+  /** [[rfm]] over an arbitrary `(user_id, ts, value)` frame. */
+  def rfmOf(events: DataFrame): DataFrame = {
+    val dayMs = 86400000L
+    val ev = events.select(col("user_id"),
+      unix_millis(col("ts").cast("timestamp")).as("tms"),
+      floor(col("value") * lit(1000000)).cast("long").as("v_micro"))
+    val nowRow = ev.agg(max(col("tms")).as("now_ms"))
+    def band(b4: Column, b3: Column, b2: Column): Column =
+      when(b4, 4L).when(b3, 3L).when(b2, 2L).otherwise(1L)
+    val scored = ev.groupBy(col("user_id"))
+      .agg(max(col("tms")).as("last_ms"), count(lit(1)).as("freq"),
+        sum(col("v_micro")).as("mon_micro"))
+      .crossJoin(broadcast(nowRow))
+      .withColumn("rec_days",
+        expr(s"(now_ms - last_ms) div $dayMs"))
+      .select(col("user_id"), col("mon_micro"),
+        band(col("rec_days") <= 1, col("rec_days") <= 7,
+          col("rec_days") <= 30).as("r_score"),
+        band(col("freq") >= 21, col("freq") >= 6,
+          col("freq") >= 2).as("f_score"),
+        band(col("mon_micro") >= 100000000L,
+          col("mon_micro") >= 20000000L, col("mon_micro") >= 5000000L)
+          .as("m_score"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("users"), sum(col("mon_micro")).as("mon_micro"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** First-touch / last-touch attribution: for each user's FIRST
+    * `convType` conversion, credit the user's earliest preceding
+    * non-conversion event (first touch) and the latest one strictly before
+    * the conversion (last touch), and count conversions credited to each
+    * channel — the two bookend models of marketing attribution. Users
+    * whose conversion has no preceding touch are excluded (nothing to
+    * credit).
+    *
+    * Determinism: "first"/"last"/"before" all order by the unique
+    * `(ts, event_id)` pair, and both bookends ride ONE aggregation as
+    * min/max over a `(ts, event_id, event_type)` struct (lexicographic
+    * struct ordering — the ohlcBars trick), so the credited channel is
+    * total-order deterministic on any engine.
+    *
+    * Scale: conversion times are a ≤|users|-row table joined back on the
+    * user key (key-partitioned, no broadcast of event data); the bookend
+    * min/max is map-side combinable; the final counts aggregate |users|
+    * rows down to |types| rows. */
+  def attribution(spark: SparkSession, dir: String,
+      convType: String = "purchase"): DataFrame =
+    attributionOf(Tables.events(spark, dir), convType)
+
+  /** [[attribution]] over an arbitrary `(user_id, event_type, ts,
+    * event_id)` frame. */
+  def attributionOf(events: DataFrame, convType: String): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"),
+      col("event_id"))
+    val conv = ev.filter(col("event_type") === convType)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("cv"))
+    val touches = ev.filter(col("event_type") =!= convType)
+      .join(conv, Seq("user_id"))
+      .filter(struct(col("ts"), col("event_id")) < col("cv"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type"))).as("ft"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("lt"))
+    val first = touches.groupBy(col("ft.event_type").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val last = touches.groupBy(col("lt.event_type").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    first.join(last, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+      .orderBy(col("channel"))
   }
 
   /** Hierarchy aggregation with ROLLUP grouping sets: per (event_type,

@@ -127,4 +127,49 @@ object RobustStats {
       .select(col(group), col("n_pairs"),
         col("num").as("slope_num"), col("den").as("slope_den"))
   }
+
+  /** Exact GLOBAL rank over the `(v_micro, event_id)` total order with NO
+    * single-partition sort — the scale path [[quantileNormalize]]'s
+    * scaladoc promises for groups that outgrow one reducer. A plain
+    * `row_number() OVER (ORDER BY …)` funnels 100 TB through one task;
+    * this decomposes it: a range exchange spreads the order across
+    * `buckets` partitions (every row in bucket i precedes every row in
+    * bucket i+1), the per-bucket counts — `buckets` rows, metadata-sized —
+    * collect to the driver, and each row's rank is its bucket's running
+    * offset plus its `row_number` WITHIN the bucket (the epochOrder /
+    * shardBalance decomposition, here over a VALUE order instead of a
+    * hash order).
+    *
+    * Exactness: values quantize to integer micro-units (`floor(v·1e6)`,
+    * one IEEE multiply + floor — identical on any engine), `event_id`
+    * breaks ties, so the rank of every row is total-order determined no
+    * matter where the sampled range boundaries land. The bucket
+    * assignment is pinned with a `localCheckpoint` so the count collect
+    * and the rank window see the SAME assignment (range boundaries are
+    * sampled per execution).
+    *
+    * Scale: one range exchange + one bucket-keyed window — each bucket
+    * sorts ~n/buckets rows; nothing data-sized ever visits the driver. */
+  def globalRank(events: DataFrame, value: String = "value",
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"globalRank: buckets must be >= 1, got $buckets")
+    val base = events.select(col("event_id"),
+      floor(col(value) * lit(1000000)).cast("long").as("v_micro"))
+    val ranged = base
+      .repartitionByRange(buckets, col("v_micro"), col("event_id"))
+      .withColumn("__b", spark_partition_id().cast("long"))
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty)
+      return base.filter(lit(false)).withColumn("rnk", lit(0L))
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("v_micro"), col("event_id"))
+    ranged
+      .withColumn("rnk", element_at(typedlit(offsets), col("__b")) +
+        row_number().over(w).cast("long"))
+      .select(col("event_id"), col("v_micro"), col("rnk"))
+  }
 }

@@ -172,6 +172,15 @@ class PlanContractSpec extends SparkSpec {
     val up = planOf("q_unpivot")
     assert(up.contains("Expand"), s"q_unpivot must plan as Expand: $up")
     assert(!up.contains("Join"), s"q_unpivot must not join: $up")
+    // global rank: the rank window runs per range-bucket (hash exchange
+    // on __b), NEVER as a single-partition global sort — the whole point
+    // of the decomposition (the output orderBy's rangepartitioning is the
+    // distributed display sort, which is fine)
+    val gr = planOf("q_global_rank")
+    assert(gr.contains("hashpartitioning(__b"),
+      s"q_global_rank lost its bucket-keyed rank window: $gr")
+    assert(!gr.contains("Exchange SinglePartition"),
+      s"q_global_rank must not plan a single-partition exchange: $gr")
   }
 
   test("prefix-filter join keeps the single token exchange; pmi is TakeOrdered") {

@@ -130,6 +130,93 @@ class RelationalSpec extends SparkSpec {
     assert(g2.toSeq == Seq((1L, 2L, 1.0), (2L, 2L, 1.0)))
   }
 
+  test("funnelOf maxGapMs: advance counts only within the window, boundary inclusive") {
+    val s = spark
+    import s.implicits._
+    val hour = 3600000L
+    // u1's click lands 2h after the view — outside a 1h window; u2's
+    // click at +30min advances, and its purchase exactly AT the 1h
+    // boundary from the click still counts (<=, not <)
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 2 * hour),
+      (2L, "view", 0L), (2L, "click", hour / 2),
+      (2L, "purchase", hour / 2 + hour))
+      .toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.funnelOf(spark, ev, Seq("view", "click", "purchase"),
+      maxGapMs = Some(hour))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    // unbounded semantics unchanged: u1 advances too
+    val unb = Relational.funnelOf(spark, ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(unb.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("transitionsOf: lag pairs per user, event_id breaks ts ties, p row-normalized") {
+    val s = spark
+    import s.implicits._
+    // u1: A,B,A -> A>B, B>A; u2: B,B -> B>B; u3: C,D at the SAME ts —
+    // event_id order decides C>D (not D>C)
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 1L), (3L, 1L, "A", 2L),
+      (4L, 2L, "B", 0L), (5L, 2L, "B", 1L),
+      (6L, 3L, "C", 7L), (7L, 3L, "D", 7L))
+      .toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.transitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("A", "B", 1L, 1.0), ("B", "A", 1L, 0.5), ("B", "B", 1L, 0.5),
+      ("C", "D", 1L, 1.0)))
+  }
+
+  test("attributionOf: bookends before the FIRST conversion, ts-tie uses event_id") {
+    val s = spark
+    import s.implicits._
+    // u1: view,click,purchase,view -> ft view / lt click (the post-
+    // conversion view is ignored); u2: click,purchase,purchase -> both
+    // bookends click (first purchase binds); u3: purchase only ->
+    // excluded; u4: view at the SAME ts as the purchase but a smaller
+    // event_id -> strictly-before by (ts, event_id), so it counts
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 1L), (3L, 1L, "purchase", 2L),
+      (4L, 1L, "view", 3L),
+      (5L, 2L, "click", 0L), (6L, 2L, "purchase", 1L), (7L, 2L, "purchase", 2L),
+      (8L, 3L, "purchase", 0L),
+      (10L, 4L, "view", 5L), (11L, 4L, "purchase", 5L))
+      .toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.attributionOf(ev, "purchase").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("click", 1L, 2L), ("view", 2L, 1L)))
+  }
+
+  test("rfmOf: fixed bands from integer day-distance and micro-unit sums") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    // "now" = max ts = u2's last event. u1: last 40 days before now (r=1),
+    // 1 event (f=1), 3.5 units (m=1 — under the 5-unit band). u2: last at
+    // now (r=4), 2 events (f=2), 150 units total (m=4).
+    val ev = Seq(
+      (1L, 0L, 3.5), (2L, 38 * day, 100.0), (2L, 40 * day, 50.0))
+      .toDF("user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.rfmOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 3500000L), (4L, 2L, 4L, 1L, 150000000L)))
+    // band boundary: exactly 1 full day ago is still r=4 (floor-div days)
+    val ev2 = Seq((1L, 0L, 10.0), (2L, day, 10.0))
+      .toDF("user_id", "ms", "value")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val r2 = Relational.rfmOf(ev2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(r2 == Seq((4L, 2L))) // both users land in r=4, one cell
+  }
+
   test("funnelOf: a skipped intermediate step blocks advancement") {
     val s = spark
     import s.implicits._
@@ -239,6 +326,29 @@ class RelationalSpec extends SparkSpec {
       (1L, 1L, 4L, 0L), (2L, 2L, 4L, 333333L),
       (3L, 3L, 4L, 666666L), (4L, 4L, 4L, 1000000L),
       (9L, 1L, 1L, 0L)))
+  }
+
+  test("globalRank: bucket decomposition reproduces the single-sort rank exactly") {
+    val s = spark
+    import s.implicits._
+    // 40 rows with heavy value ties (only 5 distinct v_micro) across 8
+    // range buckets — tie runs MUST split across bucket boundaries for
+    // the offset+row_number decomposition to be exercised, and event_id
+    // must resolve them to the same total order a single sort would
+    val rows = (1L to 40L).map(id => (id, ((id * 7) % 5).toDouble / 2.0))
+    val df = rows.toDF("event_id", "value")
+    val got = graft.operators.RobustStats.globalRank(df, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = rows
+      .map { case (id, v) => (id, math.floor(v * 1000000).toLong) }
+      .sortBy { case (id, vm) => (vm, id) }
+      .zipWithIndex.map { case ((id, vm), i) => (id, vm, i + 1L) }
+    assert(got.sortBy(_._3).toSeq == expected)
+    // empty input keeps the schema with zero rows
+    val empty = graft.operators.RobustStats.globalRank(
+      df.filter($"event_id" < 0L), buckets = 4)
+    assert(empty.columns.toSeq == Seq("event_id", "v_micro", "rnk"))
+    assert(empty.count() == 0L)
   }
 
   test("scd2: change points only, half-open intervals, open row NULL-terminated") {

@@ -271,6 +271,29 @@ class ServeIngestMetricsSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("corr")))
   }
 
+  test("decompose: centered trend, seasonal from matched minutes-of-day, edges dropped") {
+    // two "days" compressed: minute 1 and minute 1441 share mod_min 1 —
+    // data [1,5,1] at minutes 0-2 and [3,7,3] at 1440-1442
+    val msgs = Seq(0L -> 1, 1L -> 5, 2L -> 1, 1440L -> 3, 1441L -> 7, 1442L -> 3)
+      .flatMap { case (m, k) => (0 until k).map(j =>
+        msg("s", 0, m * 60000L + j, (m % 1000).toInt * 10 + j, payload = "x")) }
+    val got = Metrics.decompose(streamDataOf(msgs: _*), halfWindow = 1)
+      .collect().map(r => r.getAs[java.time.LocalDateTime]("minute").getMinute
+        + 60 * r.getAs[java.time.LocalDateTime]("minute").getHour
+        + 1440 * (r.getAs[java.time.LocalDateTime]("minute").getDayOfMonth - 1) ->
+        (r.getAs[Double]("trend"), r.getAs[Double]("seasonal"),
+          r.getAs[Double]("residual"))).toMap
+    // edges (minutes 0 and 1442) dropped: first/last lack a full window
+    assert(!got.contains(0) && !got.contains(1442))
+    // minute 1: window [1,5,1] -> trend 7/3; detr = 15-7 = 8 twice (min 1441
+    // window [3,7,3] -> 21-13 = 8), so seasonal(mod 1) = 16/(3*2)
+    val t1 = 7.0 / 3.0
+    val s1 = 16.0 / (3.0 * 2.0)
+    assert(got(1) == ((t1, s1, 5.0 - t1 - s1)))
+    val t1441 = 13.0 / 3.0
+    assert(got(1441) == ((t1441, s1, 7.0 - t1441 - s1)))
+  }
+
   test("rollingMedian: exact window median ignores the spike EWMA chases") {
     // dense minutes [1, 9, 1, 1, 5]
     val msgs = Seq(0L -> 1, 1L -> 9, 2L -> 1, 3L -> 1, 4L -> 5).flatMap {
