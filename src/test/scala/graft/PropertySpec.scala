@@ -667,6 +667,28 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("globalRank == single-sort row_number for random ties and bucket counts") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      vals <- Gen.listOfN(n, Gen.choose(0, 4)) // heavy ties across buckets
+      buckets <- Gen.choose(1, 8)
+    } yield (vals, buckets)
+    holdsFewer(Prop.forAll(gen) { case (vals, buckets) =>
+      val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong + 1, v / 2.0) }
+      val got = graft.operators.RobustStats.globalRank(
+        rows.toDF("event_id", "value"), buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3).toSeq
+      val expect = rows
+        .map { case (id, v) => (id, math.floor(v * 1000000).toLong) }
+        .sortBy { case (id, vm) => (vm, id) }
+        .zipWithIndex.map { case ((id, vm), i) => (id, vm, i + 1L) }
+      got == expect
+    })
+  }
+
   test("gapfill: contiguous spine, endpoints exact, interpolation between neighbors") {
     val genSeries = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, for {
       m <- Gen.choose(0L, 30L)   // minute
