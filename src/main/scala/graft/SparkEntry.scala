@@ -414,6 +414,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // hard-negative mining: for each anchor (vec_id < 8) the 5 most
+    // cosine-similar vectors of a DIFFERENT label — the contrastive-
+    // training negative set; same quantized-exact scoring as q_ann_topk
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // recall@5 of the sign-IVF index vs the exact brute-force ranking —
     // the ANN quality monitor; zero-hit queries surface as recall 0
     "q_ann_recall" -> ((s, dir) => {
@@ -514,6 +523,13 @@ object SparkEntry {
     // ---- deduplication for training-data pipelines ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("canonical_id"))),
+
+    // per-source duplication attribution: corpus-wide exact-dup group
+    // sizes (count window on the hash shuffle, no join) rolled up per
+    // source — the pre-quota crawl audit
+    "q_dup_source" -> ((s, dir) =>
+      Dedup.dupRateBySource(Tables.documents(s, dir))
+        .orderBy(col("source"))),
 
     // segment-level dedup with reassembly (the CCNet/RefinedWeb line-dedup
     // pass over token windows): only the globally-first occurrence of each
@@ -1035,6 +1051,39 @@ object SparkEntry {
       TextAnalysis.heavyHitters(docsParallel(s, dir), k = 30)
         .orderBy(col("tok"))),
 
+    // chi-square feature selection: top-100 tokens whose document presence
+    // best discriminates lang=en from the rest — exact integer contingency
+    // cells, deterministic IEEE chi2 chain (the bigramLift rule)
+    "q_chi2" -> ((s, dir) =>
+      TextAnalysis.chiSquareTokens(docsParallel(s, dir), "en",
+        minDf = 5, topK = 100)
+        .orderBy(col("tok"))),
+
+    // skip-gram co-occurrence: ordered (w1, w2, dist<=3) corpus counts via
+    // a join-free array expression — the word2vec/GloVe training statistic
+    "q_skipgram" -> ((s, dir) =>
+      TextAnalysis.skipGramPairs(docsParallel(s, dir))
+        .orderBy(col("w1"), col("w2"), col("dist"))),
+
+    // hashed multinomial Naive Bayes classifier inference: train on even
+    // doc_ids, predict lang for the odd half — integer floor-log2 scores,
+    // argmax vs true label (the fastText-shaped corpus-filter pass)
+    "q_nb_classify" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      TextAnalysis.nbClassify(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-class precision/recall of the NB classifier — exact tp/fp/fn
+    // counts, single divisions; the measure-before-deploy filter eval
+    "q_nb_eval" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      TextAnalysis.nbEvaluate(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+        .orderBy(col("lang"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
@@ -1095,6 +1144,10 @@ object SparkEntry {
     "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
 
     "q5_local" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+
+    // TPC-H Q8-shaped national market share: four broadcast dims around
+    // one fact scan, decimal-exact volumes, single share division
+    "q_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
 
     "q6_forecast" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
 
@@ -1216,6 +1269,12 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(purchCoEdges(s, dir), rounds = 4)
         .orderBy(col("node"))
     }),
+
+    // resource-allocation link prediction over the same purchase graph:
+    // top-50 non-adjacent pairs by sum(1e6 div deg(z)) over common
+    // neighbors — per-term floored integers, anti-join drops known edges
+    "q_link_pred" -> ((s, dir) =>
+      graft.operators.Graph.linkPrediction(purchCoEdges(s, dir), topK = 50)),
 
     // BFS hop distances from user 0 over the purchase co-occurrence
     // graph, depth-bounded — first visit IS the distance, no min-reduce
@@ -1570,6 +1629,19 @@ object SparkEntry {
     // first-order Markov transition matrix of the event stream: one
     // user-keyed window shuffle, exact pair counts, row-normalized p
     "q_transitions" -> ((s, dir) => Relational.transitions(s, dir)),
+
+    // sequential pattern mining: top-20 length-3 event-type motifs by
+    // distinct-user support — transitions' len=2 generalized; the leads
+    // share one user-keyed window shuffle
+    "q_seqpat" -> ((s, dir) =>
+      Relational.seqPatterns(Tables.events(s, dir))),
+
+    // per-event lag/rolling ML features: lags, trailing 3-row sum/mean,
+    // inter-event gap — five features on ONE user-keyed window shuffle,
+    // integer micro-unit exactness
+    "q_lag_features" -> ((s, dir) =>
+      Relational.lagFeatures(Tables.events(s, dir))
+        .orderBy(col("event_id"))),
 
     // first-/last-touch attribution for the first purchase per user:
     // both bookends ride one struct-min/max aggregation
@@ -2569,6 +2641,22 @@ object SparkEntry {
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+      // hard negatives: same quantized cosine, candidates restricted to
+      // label <> anchor label (the anchor itself shares its own label)
+      "q_hard_negatives" ->
+        s"""$quantCte,
+           |scored AS (
+           |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+           |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM n c, n qs WHERE qs.vec_id < 8 AND c.label <> qs.label
+           |),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+           |      FROM scored)
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
       // recall@5: both rankings replayed, per-query neighbor overlap /
       // k, zero-hit queries kept via the left join
       "q_ann_recall" ->
@@ -2764,6 +2852,17 @@ object SparkEntry {
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
           |       count(*) AS dup_count
           |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+      // per-source dup attribution: same corpus-wide group-size window
+      "q_dup_source" ->
+        """WITH h AS (SELECT source, md5(text) AS text_hash FROM documents),
+          |g AS (SELECT source,
+          |        count(*) OVER (PARTITION BY text_hash) AS gsz FROM h)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+          |  CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS dup_rate
+          |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
       // segment dedup: the same token windows as q_chunks (stride =
       // window, no overlap), globally-first occurrence by (doc_id, idx)
@@ -3987,6 +4086,118 @@ object SparkEntry {
           |SELECT tok, freq, total FROM c, n
           |WHERE freq * 30 > total ORDER BY tok""".stripMargin,
 
+      // chi2 feature selection: presence contingency over list_distinct
+      // tokens, same factor-by-factor double chain as the Spark plan
+      "q_chi2" ->
+        """WITH pres AS (SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+          |              FROM documents),
+          |cnt AS (SELECT tok,
+          |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+          |          sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
+          |        FROM pres GROUP BY tok),
+          |tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+          |               sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n_neg
+          |        FROM documents),
+          |x AS (SELECT tok, a, b, n_pos - a AS c, n_neg - b AS d, n_pos, n_neg
+          |      FROM cnt CROSS JOIN tot
+          |      WHERE a + b >= 5 AND (n_pos - a) + (n_neg - b) > 0)
+          |SELECT tok, CAST(a AS BIGINT) AS df_pos, CAST(b AS BIGINT) AS df_neg,
+          |       (CAST(n_pos + n_neg AS DOUBLE)
+          |          * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE))
+          |       / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+          |          * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS chi2
+          |FROM x ORDER BY chi2 DESC, tok ASC LIMIT 100""".stripMargin,
+
+      // skip-gram pairs: lateral-unnest positions x distances, same
+      // (w1, w2, dist) surface and minCount=2 prune
+      "q_skipgram" ->
+        """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |p AS (SELECT toks[i+1] AS w1, toks[i+d+1] AS w2, CAST(d AS BIGINT) AS dist
+          |      FROM t, UNNEST(range(len(toks))) AS u(i), UNNEST(range(1, 4)) AS v(d)
+          |      WHERE i + d < len(toks))
+          |SELECT w1, w2, dist, count(*) AS pairs FROM p
+          |GROUP BY w1, w2, dist HAVING count(*) >= 2
+          |ORDER BY w1, w2, dist""".stripMargin,
+
+      // hashed NB classifier: identical md5%256 features, floor-log2
+      // add-one scores, argmax over (score DESC, cand ASC)
+      "q_nb_classify" ->
+        """WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          |te AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+          |ftr AS (SELECT lang AS cand,
+          |          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+          |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr)),
+          |model AS (SELECT cand, b, count(*) AS c FROM ftr GROUP BY cand, b),
+          |ctot AS (SELECT cand, count(*) AS t FROM ftr GROUP BY cand),
+          |prior AS (SELECT lang AS cand, count(*) AS n_docs FROM tr GROUP BY lang),
+          |fte AS (SELECT doc_id,
+          |          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+          |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)),
+          |fd AS (SELECT doc_id, b, count(*) AS m FROM fte GROUP BY doc_id, b),
+          |sc AS (SELECT fd.doc_id, p.cand,
+          |         sum(fd.m) AS n_feats,
+          |         sum(fd.m * (length(bin(COALESCE(model.c, 0) + 1)) - 1)) AS sum_bits
+          |       FROM fd CROSS JOIN (SELECT cand FROM prior) p
+          |       LEFT JOIN model ON model.cand = p.cand AND model.b = fd.b
+          |       GROUP BY fd.doc_id, p.cand),
+          |s2 AS (SELECT sc.doc_id, sc.cand,
+          |         sum_bits - n_feats * (length(bin(t + 256)) - 1)
+          |           + (length(bin(n_docs)) - 1) AS score
+          |       FROM sc JOIN ctot USING (cand) JOIN prior USING (cand)),
+          |top AS (SELECT doc_id, cand AS predicted, score,
+          |          row_number() OVER (PARTITION BY doc_id
+          |            ORDER BY score DESC, cand ASC) AS rn
+          |        FROM s2)
+          |SELECT t.doc_id, te.lang AS true_lang, t.predicted,
+          |       CAST(t.score AS BIGINT) AS score,
+          |       CAST(CASE WHEN t.predicted = te.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+          |FROM top t JOIN te USING (doc_id) WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin,
+
+      // per-class precision/recall over the identical NB prediction pass
+      "q_nb_eval" ->
+        """WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          |te AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+          |ftr AS (SELECT lang AS cand,
+          |          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+          |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr)),
+          |model AS (SELECT cand, b, count(*) AS c FROM ftr GROUP BY cand, b),
+          |ctot AS (SELECT cand, count(*) AS t FROM ftr GROUP BY cand),
+          |prior AS (SELECT lang AS cand, count(*) AS n_docs FROM tr GROUP BY lang),
+          |fte AS (SELECT doc_id,
+          |          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+          |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)),
+          |fd AS (SELECT doc_id, b, count(*) AS m FROM fte GROUP BY doc_id, b),
+          |sc AS (SELECT fd.doc_id, p.cand,
+          |         sum(fd.m) AS n_feats,
+          |         sum(fd.m * (length(bin(COALESCE(model.c, 0) + 1)) - 1)) AS sum_bits
+          |       FROM fd CROSS JOIN (SELECT cand FROM prior) p
+          |       LEFT JOIN model ON model.cand = p.cand AND model.b = fd.b
+          |       GROUP BY fd.doc_id, p.cand),
+          |s2 AS (SELECT sc.doc_id, sc.cand,
+          |         sum_bits - n_feats * (length(bin(t + 256)) - 1)
+          |           + (length(bin(n_docs)) - 1) AS score
+          |       FROM sc JOIN ctot USING (cand) JOIN prior USING (cand)),
+          |top AS (SELECT doc_id, cand AS predicted, score,
+          |          row_number() OVER (PARTITION BY doc_id
+          |            ORDER BY score DESC, cand ASC) AS rn
+          |        FROM s2),
+          |pr AS (SELECT t.doc_id, te.lang AS true_lang, t.predicted,
+          |         CASE WHEN t.predicted = te.lang THEN 1 ELSE 0 END AS correct
+          |       FROM top t JOIN te USING (doc_id) WHERE rn = 1),
+          |bp AS (SELECT predicted AS lang, sum(correct) AS tp_p,
+          |         count(*) AS pred_n FROM pr GROUP BY 1),
+          |bt AS (SELECT true_lang AS lang, sum(correct) AS tp_t,
+          |         count(*) AS true_n FROM pr GROUP BY 1)
+          |SELECT COALESCE(bt.lang, bp.lang) AS lang,
+          |  CAST(COALESCE(tp_t, tp_p, 0) AS BIGINT) AS tp,
+          |  CAST(COALESCE(pred_n, 0) - COALESCE(tp_p, 0) AS BIGINT) AS fp,
+          |  CAST(COALESCE(true_n, 0) - COALESCE(tp_t, 0) AS BIGINT) AS fn,
+          |  CAST(COALESCE(tp_p, 0) AS DOUBLE) / CAST(pred_n AS DOUBLE) AS "precision",
+          |  CAST(COALESCE(tp_t, 0) AS DOUBLE) / CAST(true_n AS DOUBLE) AS recall
+          |FROM bt FULL OUTER JOIN bp ON bt.lang = bp.lang
+          |ORDER BY lang""".stripMargin,
+
       "q3_shipping" ->
         """SELECT l_orderkey, o_orderdate, o_orderpriority,
           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -4010,6 +4221,33 @@ object SparkEntry {
           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+      // TPC-H Q8 shape: identical DECIMAL(28,4) volume terms, explicit
+      // decimal 0 ELSE, share = one division of the two double casts
+      "q_market_share" ->
+        """WITH rn AS (SELECT n_nationkey FROM nation JOIN region
+          |              ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'),
+          |c AS (SELECT c_custkey FROM customer
+          |      WHERE c_nationkey IN (SELECT n_nationkey FROM rn)),
+          |s AS (SELECT s_suppkey, n_name FROM supplier
+          |      JOIN nation ON s_nationkey = n_nationkey),
+          |f AS (SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+          |        CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS vol,
+          |        s.n_name
+          |      FROM lineitem
+          |      JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+          |      JOIN orders ON l_orderkey = o_orderkey
+          |      JOIN c ON o_custkey = c_custkey
+          |      JOIN s ON l_suppkey = s_suppkey)
+          |SELECT CAST(o_year AS BIGINT) AS o_year,
+          |  CAST(sum(CASE WHEN n_name = 'NATION_1' THEN vol
+          |             ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS nation_volume,
+          |  CAST(sum(vol) AS DOUBLE) AS total_volume,
+          |  CAST(sum(CASE WHEN n_name = 'NATION_1' THEN vol
+          |             ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+          |    / CAST(sum(vol) AS DOUBLE) AS share
+          |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
 
       "q6_forecast" ->
         """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -4135,6 +4373,28 @@ object SparkEntry {
           |      UNION ALL SELECT v3 FROM t)
           |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           |FROM u GROUP BY node ORDER BY node""".stripMargin,
+
+      // resource-allocation link prediction: wedges through z over the
+      // same purchase graph, per-term floored 1e6//deg, non-edges only
+      "q_link_pred" ->
+        """WITH n AS (SELECT DISTINCT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 AS h
+          |           FROM events WHERE event_type = 'purchase'),
+          |e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          |      FROM n x JOIN n y ON x.h = y.h AND x.user_id < y.user_id),
+          |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+          |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+          |adj AS (SELECT u AS z, v AS x FROM und),
+          |w AS (SELECT l.x AS a, r.x AS b, l.z AS z
+          |      FROM adj l JOIN adj r ON l.z = r.z AND l.x < r.x),
+          |sc AS (SELECT a, b, count(*) AS common,
+          |         sum(1000000 // deg) AS ra_micro
+          |       FROM w JOIN deg ON deg.u = w.z GROUP BY a, b),
+          |ne AS (SELECT sc.a, sc.b, sc.common, sc.ra_micro FROM sc
+          |       LEFT JOIN e ON e.a = sc.a AND e.b = sc.b WHERE e.a IS NULL)
+          |SELECT a, b, CAST(common AS BIGINT) AS common,
+          |       CAST(ra_micro AS BIGINT) AS ra_micro
+          |FROM ne ORDER BY ra_micro DESC, a, b LIMIT 50""".stripMargin,
 
       // synchronous LPA replayed exactly: the recursive working table is
       // one round's labels; each step aggregates neighbor labels, takes
@@ -4725,6 +4985,47 @@ object SparkEntry {
           |       CAST(n AS DOUBLE) /
           |         CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
           |FROM c ORDER BY 1, 2""".stripMargin,
+
+      // length-3 sequential patterns: two leads over the same (tus,
+      // event_id) total order, support = distinct users, total-order cut
+      "q_seqpat" ->
+        """WITH e AS (SELECT user_id, event_type,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+          |           FROM events),
+          |w AS (SELECT user_id, event_type AS s1,
+          |        lead(event_type, 1) OVER
+          |          (PARTITION BY user_id ORDER BY tus, event_id) AS s2,
+          |        lead(event_type, 2) OVER
+          |          (PARTITION BY user_id ORDER BY tus, event_id) AS s3
+          |      FROM e),
+          |c AS (SELECT s1, s2, s3, count(*) AS occurrences,
+          |        count(DISTINCT user_id) AS support
+          |      FROM w WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+          |SELECT s1, s2, s3, CAST(occurrences AS BIGINT) AS occurrences,
+          |       CAST(support AS BIGINT) AS support
+          |FROM c ORDER BY support DESC, occurrences DESC, s1, s2, s3
+          |LIMIT 20""".stripMargin,
+
+      // lag/rolling features: identical micro-unit quantization and
+      // (tus, event_id) window order; mean = one division of exact ints
+      "q_lag_features" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+          |             CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+          |           FROM events)
+          |SELECT user_id, event_id, tus, v_micro,
+          |       lag(v_micro, 1) OVER w AS lag1_micro,
+          |       lag(v_micro, 2) OVER w AS lag2_micro,
+          |       CAST(sum(v_micro) OVER f AS BIGINT) AS roll_sum_micro,
+          |       CAST(count(*) OVER f AS BIGINT) AS roll_cnt,
+          |       tus - lag(tus, 1) OVER w AS delta_us,
+          |       CAST(sum(v_micro) OVER f AS DOUBLE)
+          |         / CAST(count(*) OVER f AS DOUBLE) AS roll_mean_micro
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id),
+          |       f AS (PARTITION BY user_id ORDER BY tus, event_id
+          |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
 
       // bookends via ordered first/last aggregates over the same
       // (tus, event_id) total order

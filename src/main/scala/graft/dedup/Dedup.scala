@@ -47,6 +47,33 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Per-source duplication report: for each `source`, how many documents
+    * it contributed and how many of them belong to a corpus-wide exact
+    * duplicate group (group size > 1 over the [[exactGroups]] text hash) —
+    * the "which domains are recycling content" audit every crawl-curation
+    * pass runs before setting per-source quotas, and the natural monitor
+    * next to [[exactDedup]] (which removes) and [[dupSizeHistogram]]
+    * (which profiles sizes): this one ATTRIBUTES.
+    *
+    * `dup_rate` is one division of two exact counts. Duplication is
+    * corpus-wide by design: a source copying another source's text counts
+    * as duplicated even if unique within its own source.
+    *
+    * Scale: the group size rides a whole-partition count window over the
+    * SAME 16-byte-hash shuffle the dedup family uses (no join, no second
+    * scan), then a map-side-combined rollup to |sources| rows. */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("source"), md5(col("text")).as("text_hash"))
+      .withColumn("gsz",
+        count(lit(1)).over(Window.partitionBy(col("text_hash"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gsz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Exact dedup: keep one row per distinct text (the minimum doc_id). */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.join(

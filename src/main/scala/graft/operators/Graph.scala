@@ -286,6 +286,46 @@ object Graph {
       .distinct()
   }
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009, "Predicting
+    * missing links via local information" — RA consistently beats
+    * common-neighbors and Adamic-Adar in their benchmark): score every
+    * NON-adjacent pair sharing ≥1 neighbor by `Σ_z 1/deg(z)` over common
+    * neighbors z, keep the top-K — the "users who should know each other" /
+    * "sources that should link" candidate generator for graph densification
+    * and recommendation.
+    *
+    * Integer-exact: each term is `1000000 div deg(z)` (per-term floor
+    * BEFORE the sum, so addition order cannot matter — the [[graft
+    * .operators.Relational.rfmOf]] micro-unit rule), common-neighbor counts
+    * ride alongside, and the top-K cut orders by the total
+    * `(ra_micro desc, a, b)`.
+    *
+    * Scale shape: wedge enumeration through the common neighbor z is the
+    * [[triangleCounts]] join shape — fan-out O(Σ deg(z)²), so hub nodes
+    * dominate; the standard mitigations (degree-cap the z side, or the
+    * degree-ordered orientation) compose upstream by filtering `edges`.
+    * Everything downstream is keyed: one degree count, one wedge join, one
+    * (a,b)-keyed aggregate, an anti-join against the edge set, and a
+    * TakeOrdered — no global sort, nothing collects. */
+  def linkPrediction(edges: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"need topK >= 1: $topK")
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("z"), col("v").as("x"))
+    val wedges = adj.as("l").join(adj.as("r"),
+        col("l.z") === col("r.z") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("a"), col("r.x").as("b"), col("l.z").as("z"))
+    wedges
+      .join(deg.withColumnRenamed("u", "z"), "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div deg")).as("ra_micro"))
+      .join(edges.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007,
     * "Near linear time algorithm to detect community structures") over an
     * undirected edge set (rows (a, b) with a < b, no duplicates) — the

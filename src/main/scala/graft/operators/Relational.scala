@@ -74,6 +74,63 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** National market share (the TPC-H Q8 shape): among parts of `ptype`
+    * bought by customers in `region`, the fraction of sales volume
+    * supplied by `nation`, per order year — the five-dimension star join
+    * whose plan quality (join order, broadcast placement) separates a
+    * tuned engine from a naive one.
+    *
+    * Exactness: volumes sum in DECIMAL(28,4) (the [[localSupplierVolume]]
+    * rule — exact, order-independent), the conditional national slice uses
+    * an explicit decimal 0 ELSE so empty years are 0 not NULL, and the
+    * share is ONE division of the two exactly-summed doubles.
+    *
+    * Scale: every dimension (part slice, region-filtered customers,
+    * supplier→nation map) broadcasts; the lineitem fact is scanned once,
+    * filtered map-side by the part broadcast BEFORE the only shuffle (the
+    * orders join on orderkey), and the final aggregate reduces to
+    * |years| rows. Catalyst pushes p_type/r_name into the dim scans. */
+  def marketShare(spark: SparkSession, dir: String,
+      region: String = "AMERICA", nation: String = "NATION_1",
+      ptype: String = "STANDARD"): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+    val regionNationKeys = nations
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(regionNationKeys),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === ptype).select(col("p_partkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .cast("decimal(28,4)")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("n_name") === nation, vol)
+          .otherwise(lit(0).cast("decimal(28,4)"))).cast("double")
+          .as("nation_volume"),
+        sum(vol).cast("double").as("total_volume"))
+      .withColumn("share", col("nation_volume") / col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
   /** Per-nation counts of customers with and without orders — the
     * production plan (SURVEY §2.3): ONE scan of each table, one left join
     * against the distinct order keys, and a conditional aggregation. The
@@ -328,6 +385,81 @@ object Relational {
       .select(col("from_type"), col("event_type").as("to_type"), col("n"),
         (col("n").cast("double") / col("from_total").cast("double")).as("p"))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Frequent sequential patterns: the top-K contiguous length-`len`
+    * event-type sequences ranked by SUPPORT (distinct users exhibiting the
+    * pattern — the GSP/PrefixSpan counting rule, Srikant & Agrawal 1996)
+    * with raw occurrence counts alongside — [[transitionsOf]] is the
+    * `len = 2` Markov special case; at `len = 3+` this surfaces the
+    * multi-step behavioural motifs funnels have to be TOLD about
+    * ([[funnel]] checks a GIVEN sequence; this MINES them).
+    *
+    * Determinism: per-user total order is `(ts, event_id)`; ranking is
+    * `(support desc, occurrences desc, pattern asc)` — a total order over
+    * patterns, so the top-K cut is engine-identical.
+    *
+    * Scale: all `len−1` leads share ONE user-keyed window shuffle (O(len)
+    * state per row), the pattern count is a map-side-combined aggregate to
+    * ≤|types|^len rows, support's count-distinct expands over that same
+    * keyed aggregate, and the top-K is a TakeOrdered over the tiny pattern
+    * table — events never sort globally. */
+  def seqPatterns(events: DataFrame, len: Int = 3, topK: Int = 20): DataFrame = {
+    require(len >= 2 && topK >= 1, s"need len >= 2, topK >= 1: $len/$topK")
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("s1", col("event_type"))
+    val withSteps = (2 to len).foldLeft(base) { (df, i) =>
+      df.withColumn(s"s$i", lead(col("event_type"), i - 1).over(perUser))
+    }
+    val patCols = (1 to len).map(i => col(s"s$i"))
+    withSteps.filter(patCols.last.isNotNull)
+      .groupBy(patCols: _*)
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("user_id")).as("support"))
+      .orderBy(col("support").desc +: col("occurrences").desc +:
+        patCols.map(_.asc): _*)
+      .limit(topK)
+  }
+
+  /** Per-event lag/rolling feature generation — the feature-matrix pass a
+    * training pipeline runs before fitting any sequence model: previous
+    * two values, a trailing `rollRows`-row sum/mean, and the gap to the
+    * previous event, each per user in `(ts, event_id)` order.
+    *
+    * Determinism: values quantize to `floor(value·1e6)` int64 micro-units
+    * BEFORE any window math (the [[rfmOf]] rule), so lags and rolling sums
+    * are exact integers; `roll_mean_micro` is one division of two exact
+    * integers; `delta_us` subtracts exact integer epoch-micros. First
+    * events carry NULL lag/delta — the honest encoding consumers impute
+    * explicitly, rather than a silent sentinel.
+    *
+    * Scale: ONE user-keyed window shuffle serves every column (all five
+    * window expressions share the same partitioning + ordering, and the
+    * rolling frame is rows-bounded so state is O(rollRows) per user) —
+    * the feature pass costs exactly one exchange regardless of how many
+    * features ride on it. */
+  def lagFeatures(events: DataFrame, rollRows: Int = 3): DataFrame = {
+    require(rollRows >= 1, s"need rollRows >= 1: $rollRows")
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val frame = perUser.rowsBetween(-(rollRows - 1), 0)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        floor(col("value") * lit(1000000)).cast("long").as("v_micro"))
+      .select(col("user_id"), col("event_id"), col("tus"), col("v_micro"),
+        lag(col("v_micro"), 1).over(perUser).as("lag1_micro"),
+        lag(col("v_micro"), 2).over(perUser).as("lag2_micro"),
+        sum(col("v_micro")).over(frame).as("roll_sum_micro"),
+        count(lit(1)).over(frame).as("roll_cnt"),
+        (col("tus") - lag(col("tus"), 1).over(perUser)).as("delta_us"))
+      .withColumn("roll_mean_micro",
+        col("roll_sum_micro").cast("double") / col("roll_cnt").cast("double"))
   }
 
   /** RFM (recency / frequency / monetary) segmentation of the user base

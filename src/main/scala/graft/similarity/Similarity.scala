@@ -96,6 +96,36 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     cosineTopK(prepared(corpus), prepared(queries), k)
 
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade every dense-retriever recipe ships — e.g. Karpukhin et al.
+    * 2020 DPR §4.2, Xiong et al. 2021 ANCE): for each anchor, the `k`
+    * nearest corpus vectors with a DIFFERENT label — the
+    * maximally-confusable negatives that make embedding training converge,
+    * versus random negatives the model separates immediately. Same-label
+    * rows (including the anchor itself) are excluded by the label filter.
+    *
+    * Exactness: the [[bruteForceTopK]] quantized-cosine path — integer dot
+    * products, one division — with `(cos desc, neighbor_id)` rank ties, so
+    * the mined set is engine-identical.
+    *
+    * Scale: anchors are the batch being trained on — broadcast-sized by
+    * construction — so scoring stays a map stage over the corpus scan
+    * (corpus never shuffles) and selection is the shared salted two-phase
+    * top-k. For mining against the full corpus repeatedly, compose with
+    * [[ivfTopK]]'s sign-bucket pruning: the label filter is orthogonal to
+    * the candidate-generation strategy. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val c = prepared(corpus)
+    val q = prepared(anchors).select(col("vec_id").as("query_id"),
+      col("label").as("q_label"), col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos",
+        cosineQ(dotQ(col("qe"), col("q_qe")), col("q_nq"), col("nq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** IVF-bucketed approximate top-k: candidates restricted to the query's
     * sign bucket — trades recall for a 2^signBits-fold candidate cut. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, signBits: Int = 8): DataFrame = {

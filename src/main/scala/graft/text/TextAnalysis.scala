@@ -952,4 +952,198 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_feats"), col("score"),
         coalesce(col("selected"), lit(0L)).as("selected"))
   }
+
+  /** Chi-square (χ²) feature selection over token document-presence (Yang &
+    * Pedersen 1997, "A comparative study on feature selection in text
+    * categorization" — χ² was their top-scoring selector): rank every token
+    * by how strongly its presence discriminates the `posLang` class from the
+    * rest, the standard first step before training a quality/domain
+    * classifier on a corpus.
+    *
+    * Per token, the 2×2 contingency table over document presence is
+    * `a` (pos docs containing), `b` (neg containing), `c = nPos − a`,
+    * `d = nNeg − b`, and `χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`.
+    * Every cell is an exact integer; the double is the [[bigramLift]]
+    * deterministic-IEEE-chain form — factors cast individually, identical
+    * multiply/divide order in the oracle SQL — so it hash-gates exactly.
+    * `ad − bc` is computed in int64 and guarded in-plan (the [[bigramLift]]
+    * / bm25 loud-overflow rule): it wraps once nPos·nNeg exceeds int64, so
+    * past ~3e9 docs per class the plan raises instead of corrupting ranks.
+    * Tokens present in EVERY document (c+d = 0 ⇒ 0/0 = NaN, whose sort
+    * order differs across engines) are excluded — a token carried by every
+    * doc has no selective power by definition.
+    *
+    * Scale: presence is a narrow `array_distinct` explode fused into the
+    * scan; the only shuffle is the token-keyed count (map-side combined);
+    * class totals ride as a 1-row broadcast; top-K is a TakeOrdered, never
+    * a global sort. */
+  def chiSquareTokens(docs: DataFrame, posLang: String = "en",
+      minDf: Long = 5, topK: Int = 100): DataFrame = {
+    require(topK >= 1 && minDf >= 1, s"need topK/minDf >= 1: $topK/$minDf")
+    val pres = docs.select(col("lang"),
+      explode(array_distinct(wsTokens(col("text")))).as("tok"))
+    val counts = pres.groupBy(col("tok")).agg(
+      sum(when(col("lang") === posLang, 1L).otherwise(0L)).as("a"),
+      sum(when(col("lang") =!= posLang, 1L).otherwise(0L)).as("b"))
+    val totals = docs.agg(
+      sum(when(col("lang") === posLang, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("lang") =!= posLang, 1L).otherwise(0L)).as("n_neg"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("a") + col("b") >= minDf)
+      .withColumn("c", col("n_pos") - col("a"))
+      .withColumn("d", col("n_neg") - col("b"))
+      .filter(col("c") + col("d") > 0)
+      // a·d and b·c are each ≤ nPos·nNeg; bounding both totals by
+      // floor(sqrt(Long.Max)) keeps the products (and so their
+      // difference, both non-negative) inside int64 exactly
+      .withColumn("diff",
+        when(col("n_pos") <= 3037000499L && col("n_neg") <= 3037000499L,
+          col("a") * col("d") - col("b") * col("c"))
+          .otherwise(raise_error(lit(
+            "chiSquareTokens contingency product overflows int64 past ~3e9 docs per class"))))
+      .select(col("tok"), col("a").as("df_pos"), col("b").as("df_neg"),
+        (((col("n_pos") + col("n_neg")).cast("double")
+          * col("diff").cast("double") * col("diff").cast("double"))
+          / ((col("a") + col("b")).cast("double")
+            * (col("c") + col("d")).cast("double")
+            * col("n_pos").cast("double")
+            * col("n_neg").cast("double"))).as("chi2"))
+      .orderBy(col("chi2").desc, col("tok").asc)
+      .limit(topK)
+  }
+
+  /** Skip-gram co-occurrence counts (Mikolov et al. 2013 word2vec data
+    * prep; with the distance column kept this is also the GloVe
+    * co-occurrence matrix before its 1/d weighting): for every ordered
+    * token pair at positional distance `d ∈ [1, window]` within a document,
+    * the corpus-wide count — the raw statistic embedding trainers,
+    * collocation miners, and distributional-similarity measures consume.
+    * [[bigramLift]] is the `window = 1` PMI special case; this emits the
+    * full (w1, w2, dist) surface so the consumer chooses the weighting.
+    *
+    * Shape: pair generation is a pure array expression — `transform` over
+    * the distance range nested in `transform` over positions, flattened
+    * and exploded — so it fuses into the scan with NO join and NO shuffle
+    * before the single map-side-combined count aggregate. Fan-out is
+    * exactly `window` rows per token (bounded, corpus-linear); the
+    * alternative positional self-join would shuffle the exploded corpus
+    * twice. `minCount` prunes the hapax tail before the result
+    * materializes. */
+  def skipGramPairs(docs: DataFrame, window: Int = 3,
+      minCount: Long = 2): DataFrame = {
+    require(window >= 1, s"need window >= 1: $window")
+    val toks = wsTokens(col("text"))
+    val pairT = "array<struct<w1:string,w2:string,dist:bigint>>"
+    docs
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(window)),
+        d => when(size(toks) > d,
+          transform(sequence(lit(0), size(toks) - d - 1), i =>
+            struct(
+              element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + d + 1).as("w2"),
+              d.cast("long").as("dist"))))
+          .otherwise(array().cast(pairT))))).as("p"))
+      .select(col("p.w1"), col("p.w2"), col("p.dist"))
+      .groupBy(col("w1"), col("w2"), col("dist"))
+      .agg(count(lit(1)).as("pairs"))
+      .filter(col("pairs") >= minCount)
+  }
+
+  /** Multinomial Naive Bayes language classification with hashed token
+    * features (McCallum & Nigam 1998, "A comparison of event models for
+    * Naive Bayes text classification"; hashing per Weinberger et al. 2009):
+    * fit per-class add-one-smoothed feature counts on `train`, score every
+    * `test` document against every class, and emit the argmax prediction
+    * next to the true label — the classifier-inference shape quality/domain
+    * filters run over a whole corpus (fastText-style: linear scores over
+    * hashed bags of words).
+    *
+    * Scoring is the [[lmBits]]/[[dsirScores]] integer floor-log2 proxy, so
+    * scores and the argmax are bit-identical across engines:
+    * `score_L = Σ_b m_b·bits(c_L(b)+1) − n_feats·bits(T_L + B) +
+    * bits(docs_L)` (the last term the class prior). Ties break on lang asc.
+    *
+    * Scale (100 TB): the model is `|classes| × buckets` count rows —
+    * broadcast-sized by construction, the point of hashed features. Test
+    * docs reduce FIRST to (doc_id, bucket, multiplicity) via a
+    * map-side-combined aggregate, so the ×|classes| scoring fan-out
+    * multiplies the reduced table (≤ docs×buckets rows), not the raw token
+    * stream; per-class scores aggregate keyed on (doc, class) and the
+    * argmax is a row_number over |classes| rows per doc — every stage is
+    * keyed, nothing collects. */
+  def nbClassify(train: DataFrame, test: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1: $buckets")
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    def feats(docs: DataFrame, key: Column): DataFrame =
+      docs.select(key.as("k"), explode(wsTokens(col("text"))).as("tok"))
+        .select(col("k"),
+          pmod(md5Int32(col("tok")), lit(buckets.toLong)).as("b"))
+    val ftrain = feats(train, col("lang"))
+    val model = ftrain.groupBy(col("k").as("cand"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val clsTot = ftrain.groupBy(col("k").as("cand"))
+      .agg(count(lit(1)).as("t"))
+    val prior = train.groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("n_docs"))
+    val fd = feats(test, col("doc_id"))
+      .groupBy(col("k").as("doc_id"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val scored = fd
+      .crossJoin(broadcast(prior.select(col("cand"))))
+      .join(broadcast(model), Seq("cand", "b"), "left")
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("m")).as("n_feats"),
+        sum(col("m") * bits(coalesce(col("c"), lit(0L)) + 1)).as("sum_bits"))
+      .join(broadcast(clsTot), Seq("cand"))
+      .join(broadcast(prior), Seq("cand"))
+      .select(col("doc_id"), col("cand"),
+        (col("sum_bits") - col("n_feats") * bits(col("t") + buckets.toLong)
+          + bits(col("n_docs"))).as("score"))
+    val top = scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cand").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("predicted"), col("score"))
+    top.join(test.select(col("doc_id"), col("lang").as("true_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("true_lang"), col("predicted"), col("score"),
+        when(col("predicted") === col("true_lang"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
+  /** Per-class precision/recall evaluation of [[nbClassify]] — the
+    * measure-before-deploy step every corpus filter needs: a quality or
+    * language classifier with 99% precision on `en` but 40% recall on `fr`
+    * silently skews the training mixture, and this report is where that
+    * shows up. Emits, per class: `tp` (predicted = true = class), `fp`
+    * (predicted class, true differs), `fn` (true class, predicted
+    * differs), and precision/recall as single divisions of those exact
+    * counts. Classes never predicted report NULL precision (0/0 — the
+    * honest value, matching SQL division semantics); classes absent from
+    * the test set report NULL recall.
+    *
+    * Scale: the prediction pass is [[nbClassify]]'s (broadcast model, all
+    * keyed); the eval itself is two |classes|-row aggregates full-outer
+    * joined — metadata-sized. */
+  def nbEvaluate(train: DataFrame, test: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    val pred = nbClassify(train, test, buckets)
+    val byPred = pred.groupBy(col("predicted").as("lang"))
+      .agg(sum(col("correct")).as("tp_p"), count(lit(1)).as("pred_n"))
+    val byTrue = pred.groupBy(col("true_lang").as("lang"))
+      .agg(sum(col("correct")).as("tp_t"), count(lit(1)).as("true_n"))
+    byTrue.join(byPred, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("tp_t"), col("tp_p"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L))
+          - coalesce(col("tp_p"), lit(0L))).as("fp"),
+        (coalesce(col("true_n"), lit(0L))
+          - coalesce(col("tp_t"), lit(0L))).as("fn"),
+        (coalesce(col("tp_p"), lit(0L)).cast("double")
+          / col("pred_n").cast("double")).as("precision"),
+        (coalesce(col("tp_t"), lit(0L)).cast("double")
+          / col("true_n").cast("double")).as("recall"))
+  }
 }

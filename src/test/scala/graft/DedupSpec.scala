@@ -601,4 +601,20 @@ class DedupSpec extends SparkSpec {
       (2L, 2L, 1L, 500000L),
       (4L, 2L, 1L, 500000L)))
   }
+
+  test("dupRateBySource: corpus-wide groups attributed per source") {
+    val s = spark
+    import s.implicits._
+    // "x" appears in s1 AND s2 (cross-source dup counts for both);
+    // "y" twice within s1; "z" unique to s2
+    val docs = Seq(
+      (1L, "x", "s1"), (2L, "y", "s1"), (3L, "y", "s1"),
+      (4L, "x", "s2"), (5L, "z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.dedup.Dedup.dupRateBySource(docs)
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup_docs"), r.getAs[Double]("dup_rate")))
+    assert(got.toSeq == Seq(("s1", 3L, 3L, 1.0), ("s2", 2L, 1L, 0.5)))
+  }
 }

@@ -212,4 +212,15 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("level")).toMap
     assert(iso == Map(42L -> 0L))
   }
+
+  test("linkPrediction: RA over common neighbors, existing edges excluded") {
+    // triangle {1,2,3} + pendant 3-4: candidate non-edges are (1,4) and
+    // (2,4), each with common neighbor 3 (deg 3) -> 1000000 div 3;
+    // the triangle's own edges must NOT appear
+    val got = Graph.linkPrediction(
+      pairs((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), topK = 10)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("common"), r.getAs[Long]("ra_micro")))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 333333L), (2L, 4L, 1L, 333333L)))
+  }
 }

@@ -546,4 +546,45 @@ class RelationalSpec extends SparkSpec {
     assert(a.getAs[Long]("n_intervals") == 2L && a.getAs[Long]("span_ms") == 3000L)
     assert(a.getAs[Double]("twap") == 7.0e9 / 3000.0 / 1000000.0)
   }
+
+  test("seqPatterns: contiguous trigrams, support counts users once") {
+    val s = spark
+    import s.implicits._
+    // u1: a b c d (abc, bcd); u2: a b c (abc); u3: a b (too short)
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "c", 3L, 3L), (1L, "d", 4L, 4L),
+      (2L, "a", 1L, 5L), (2L, "b", 2L, 6L), (2L, "c", 3L, 7L),
+      (3L, "a", 1L, 8L), (3L, "b", 2L, 9L))
+      .toDF("user_id", "event_type", "ms", "event_id")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.seqPatterns(ev, len = 3, topK = 10)
+      .collect().map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"),
+        r.getAs[String]("s3"), r.getAs[Long]("occurrences"),
+        r.getAs[Long]("support")))
+    assert(got.toSeq == Seq(("a", "b", "c", 2L, 2L), ("b", "c", "d", 1L, 1L)))
+  }
+
+  test("lagFeatures: exact micro-unit lags, rolling frame, and gaps") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 1000L, 1.5, 1L), (1L, 2000L, 2.25, 2L), (1L, 4000L, -1.0, 3L))
+      .toDF("user_id", "ms", "value", "event_id")
+      .withColumn("ts", timestamp_millis($"ms").cast("timestamp_ntz"))
+      .drop("ms")
+    val got = Relational.lagFeatures(ev).orderBy("event_id").collect()
+    val r1 = got(0)
+    assert(r1.isNullAt(r1.fieldIndex("lag1_micro")))
+    assert(r1.isNullAt(r1.fieldIndex("delta_us")))
+    assert(r1.getAs[Long]("roll_sum_micro") == 1500000L
+      && r1.getAs[Long]("roll_cnt") == 1L)
+    val r3 = got(2)
+    assert(r3.getAs[Long]("v_micro") == -1000000L)
+    assert(r3.getAs[Long]("lag1_micro") == 2250000L
+      && r3.getAs[Long]("lag2_micro") == 1500000L)
+    assert(r3.getAs[Long]("roll_sum_micro") == 2750000L
+      && r3.getAs[Long]("roll_cnt") == 3L)
+    assert(r3.getAs[Long]("delta_us") == 2000000L)
+    assert(r3.getAs[Double]("roll_mean_micro") == 2750000.0 / 3.0)
+  }
 }

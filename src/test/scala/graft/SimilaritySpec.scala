@@ -29,6 +29,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._3) < 1e-9)
   }
 
+  test("hardNegatives: nearest DIFFERENT-label vectors only") {
+    val corpus = vecsOf(
+      (10L, pad(Seq(1f, 0f)), 0),     // same label as anchor: excluded
+      (11L, pad(Seq(0.9f, 0.1f)), 1), // cross-label, nearest
+      (12L, pad(Seq(0f, 1f)), 1),     // cross-label, orthogonal
+      (13L, pad(Seq(1f, 0f)), 0))     // same label: excluded despite cos 1
+    val anchors = vecsOf((1L, pad(Seq(2f, 0f)), 0))
+    val got = Similarity.hardNegatives(corpus, anchors, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    // only the two label-1 vectors qualify, nearest first
+    assert(got.toSeq == Seq((1L, 11L), (2L, 12L)))
+  }
+
   test("pqTopK: exact regime — corpus size == kClusters makes every vector " +
       "its own codeword, so ADC equals brute force bit-for-bit") {
     val corpus = vecsOf(

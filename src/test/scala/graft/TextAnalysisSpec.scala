@@ -485,6 +485,79 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toList == List((1L, 3L, 2L), (2L, 2L, 1L)))
   }
 
+  test("chiSquareTokens: exact 2x2 contingency, all-doc tokens excluded") {
+    // en docs carry aa, de docs carry dd, bb/cc are split evenly, zz is in
+    // every doc (c+d = 0 -> excluded by the selective-power rule)
+    val got = TextAnalysis.chiSquareTokens(docsOf(
+      (1L, "aa bb zz", "en", "s"),
+      (2L, "aa cc zz", "en", "s"),
+      (3L, "bb dd zz", "de", "s"),
+      (4L, "cc dd zz", "de", "s")), "en", minDf = 1, topK = 10)
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("df_pos"),
+        r.getAs[Long]("df_neg"), r.getAs[Double]("chi2")))
+    // aa: (2,0,0,2) diff=4, chi2 = 4*16/(2*2*2*2) = 4; dd mirrors it;
+    // bb/cc: (1,1,1,1) diff=0 -> chi2 0. Order: chi2 desc, tok asc.
+    assert(got.toList == List(
+      ("aa", 2L, 0L, 4.0), ("dd", 0L, 2L, 4.0),
+      ("bb", 1L, 1L, 0.0), ("cc", 1L, 1L, 0.0)))
+  }
+
+  test("skipGramPairs: window-bounded ordered pairs with distance") {
+    val got = TextAnalysis.skipGramPairs(docsOf(
+      (1L, "a b c d", "en", "s"),
+      (2L, "a b", "en", "s"),
+      (3L, "x", "en", "s")), // single token: no pairs
+      window = 2, minCount = 1)
+      .orderBy("w1", "w2", "dist")
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("dist"), r.getAs[Long]("pairs")))
+    assert(got.toList == List(
+      ("a", "b", 1L, 2L), ("a", "c", 2L, 1L),
+      ("b", "c", 1L, 1L), ("b", "d", 2L, 1L),
+      ("c", "d", 1L, 1L)))
+  }
+
+  test("nbClassify: floor-log2 NB argmax and correctness flag") {
+    val train = docsOf(
+      (2L, "cat cat dog", "en", "s"),
+      (4L, "chien chien chat", "fr", "s"))
+    val test = docsOf(
+      (1L, "cat dog", "en", "s"),
+      (3L, "chien chat", "en", "s")) // looks fr -> misclassified
+    val got = TextAnalysis.nbClassify(train, test)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("predicted"), r.getAs[Long]("score"),
+        r.getAs[Long]("correct")))
+    // doc1 en: bits(3)+bits(2) - 2*bits(259) + bits(1) = 2 - 16 = -14
+    //      fr: bits(1)+bits(1) - 16 = -16  -> en, correct
+    // doc3 symmetric -> fr at -14, en at -16 -> fr, incorrect
+    assert(got.toList == List(
+      (1L, "en", -14L, 1L), (3L, "fr", -14L, 0L)))
+  }
+
+  test("nbEvaluate: per-class tp/fp/fn from the prediction pass") {
+    val train = docsOf(
+      (2L, "cat cat dog", "en", "s"),
+      (4L, "chien chien chat", "fr", "s"))
+    // doc1 -> en (true en: tp for en); doc3 -> fr (true en: fp for fr,
+    // fn for en); no true fr docs in test
+    val test = docsOf(
+      (1L, "cat dog", "en", "s"),
+      (3L, "chien chat", "en", "s"))
+    val got = TextAnalysis.nbEvaluate(train, test)
+      .orderBy("lang").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Long]("fn")))
+    assert(got.toSeq == Seq(("en", 1L, 0L, 1L), ("fr", 0L, 1L, 0L)))
+    val rows = TextAnalysis.nbEvaluate(train, test).orderBy("lang").collect()
+    assert(rows(0).getAs[Double]("precision") == 1.0
+      && rows(0).getAs[Double]("recall") == 0.5)
+    // fr was predicted once (wrongly) but never true: recall is NULL
+    assert(rows(1).getAs[Double]("precision") == 0.0
+      && rows(1).isNullAt(rows(1).fieldIndex("recall")))
+  }
+
   test("blocklistHits: token occurrences vs distinct types, word-boundary only") {
     val got = TextAnalysis.blocklistHits(docsOf(
       (1L, "spark spark merge ok", "en", "s"),
