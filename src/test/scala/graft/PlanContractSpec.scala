@@ -430,4 +430,41 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"q_cdc_chunks must not shuffle before the sink: $plan")
   }
+
+  test("skip-gram pairs: join-free array expansion, shuffle only to count") {
+    val plan = planOf("q_skipgram")
+    assert(plan.contains("Generate"), s"q_skipgram lost its explode: $plan")
+    assert(!plan.contains("Join"), s"q_skipgram grew a join: $plan")
+  }
+
+  test("market share: dimensions broadcast, at most the fact-orders merge join") {
+    val plan = planOf("q_market_share").split("== Initial Plan ==")(0)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4, s"q_market_share expected >=4 broadcast joins, got $bhj:\n$plan")
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smj <= 1, s"q_market_share fact side must shuffle at most once, got $smj:\n$plan")
+  }
+
+  test("NB classifier and hard negatives broadcast their model/anchor side") {
+    Seq("q_nb_classify", "q_hard_negatives").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastExchange"), s"$name lost its broadcast")
+    }
+  }
+
+  test("lag features: every window column shares ONE user-keyed exchange") {
+    val plan = planOf("q_lag_features").split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"q_lag_features expected exactly one hash exchange, got $n:\n$plan")
+  }
+
+  test("seq patterns: one window shuffle + the bounded pattern aggregate") {
+    val plan = planOf("q_seqpat").split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // window(user) + the two-phase count-distinct aggregate; anything more
+    // means the leads stopped sharing their window spec
+    assert(n <= 3, s"q_seqpat expected <=3 hash exchanges, got $n:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_seqpat top-k is not TakeOrdered: $plan")
+  }
 }
