@@ -414,6 +414,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // embedding-space label diagnostics: floor-mean centroids per label,
+    // pairwise centroid cosine — the class-separation monitor
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))
+        .orderBy(col("label_a"), col("label_b"))),
+
     // hard-negative mining: for each anchor (vec_id < 8) the 5 most
     // cosine-similar vectors of a DIFFERENT label — the contrastive-
     // training negative set; same quantized-exact scoring as q_ann_topk
@@ -601,6 +607,23 @@ object SparkEntry {
         Map("en" -> (1, 10), "de" -> (1, 2)))
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
+
+    // deterministic Poisson bootstrap: 64 hash-seeded resamples of the
+    // mean event value in micro-units — the sampling distribution of the
+    // mean with no RNG and no global row numbering; CI = percentile it
+    "q_bootstrap" -> ((s, dir) =>
+      graft.operators.Sampling.bootstrapMeans(Tables.events(s, dir),
+        col("event_id"), col("value")).orderBy(col("b"))),
+
+    // A/B experiment readout: user_id-parity variants, purchase
+    // conversion, exact 2x2 cells + Pearson chi2 (deterministic chain)
+    "q_ab_test" -> ((s, dir) => Relational.abTest(Tables.events(s, dir))),
+
+    // fightin'-words keyness: top-10 distinctive tokens per source by
+    // integer log-odds bits — the per-domain content profile
+    "q_group_words" -> ((s, dir) =>
+      TextAnalysis.groupWords(docsParallel(s, dir))
+        .orderBy(col("grp"), col("rk"))),
 
     // fixed-SIZE per-stratum sample: exactly 20 docs per language, chosen
     // by salted md5 rank — the same 20 on any engine, any run
@@ -1636,6 +1659,16 @@ object SparkEntry {
     "q_seqpat" -> ((s, dir) =>
       Relational.seqPatterns(Tables.events(s, dir))),
 
+    // Apriori L2 pair itemsets over (user, day) baskets: join-free array
+    // pair expansion, basket-keyed collect, exact support counts
+    "q_itemsets" -> ((s, dir) =>
+      Relational.pairItemsets(Tables.events(s, dir))),
+
+    // time-to-convert histogram: first view -> first purchase gap in
+    // whole hours, two conditional mins on one user-keyed shuffle
+    "q_time_to_convert" -> ((s, dir) =>
+      Relational.timeToConvert(Tables.events(s, dir))),
+
     // per-event lag/rolling ML features: lags, trailing 3-row sum/mean,
     // inter-event gap — five features on ONE user-keyed window shuffle,
     // integer micro-unit exactness
@@ -1836,6 +1869,13 @@ object SparkEntry {
         |r AS (SELECT query_id, doc_id, score, terms,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
         |      FROM agg)""".stripMargin
+    // Poisson(1) inverse-CDF weight over the uint32 hash `u` — thresholds
+    // interpolated from the one Scala source of truth
+    // (Sampling.PoissonThresholds) so the two engines can never drift
+    val poissonCase = "CASE " +
+      graft.operators.Sampling.PoissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ") +
+      s" ELSE ${graft.operators.Sampling.PoissonThresholds.size} END"
     val quantCte =
       """WITH q AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS qe
@@ -2640,6 +2680,26 @@ object SparkEntry {
            |      FROM scored)
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      // label centroids: identical per-dim integer sums, floor-mean
+      // (s // n) BEFORE the dot, ordered list rebuild, one cos division
+      "q_label_centroids" ->
+        s"""$quantCte,
+           |d AS (SELECT label, i AS dim,
+           |        CAST(sum(qe[i+1]) AS BIGINT) AS s, count(*) AS cnt
+           |      FROM n, UNNEST(range(len(qe))) u(i) GROUP BY label, i),
+           |c AS (SELECT label, list(s // cnt ORDER BY dim) AS c,
+           |        max(cnt) AS cnt
+           |      FROM d GROUP BY label),
+           |pr AS (SELECT a.label AS label_a, b.label AS label_b,
+           |         a.cnt AS n_a, b.cnt AS n_b, a.c AS ca, b.c AS cb
+           |       FROM c a JOIN c b ON a.label < b.label)
+           |SELECT label_a, label_b, CAST(n_a AS BIGINT) AS n_a,
+           |       CAST(n_b AS BIGINT) AS n_b,
+           |       ${dotExpr.format("ca", "ca", "cb")}
+           |         / (sqrt(CAST(${dotExpr.format("ca", "ca", "ca")} AS DOUBLE))
+           |          * sqrt(CAST(${dotExpr.format("cb", "cb", "cb")} AS DOUBLE))) AS cos
+           |FROM pr ORDER BY label_a, label_b""".stripMargin,
 
       // hard negatives: same quantized cosine, candidates restricted to
       // label <> anchor label (the anchor itself shares its own label)
@@ -3796,6 +3856,71 @@ object SparkEntry {
           |  WHEN lang = 'de' THEN ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 < 1
           |  ELSE TRUE END
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Poisson bootstrap: identical md5(b:id) hash and threshold chain
+      "q_bootstrap" ->
+        s"""WITH e AS (SELECT CAST(event_id AS VARCHAR) AS id,
+           |             CAST(floor(value * 1000000) AS BIGINT) AS v
+           |           FROM events),
+           |x AS (SELECT id, v, unnest(range(1, 65)) AS b FROM e),
+           |h AS (SELECT b, v,
+           |        ('0x' || substr(md5(CAST(b AS VARCHAR) || ':' || id), 1, 8))::BIGINT AS u
+           |      FROM x),
+           |w AS (SELECT b, v, $poissonCase AS w FROM h)
+           |SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+           |       CAST(sum(w * v) AS BIGINT) AS sum_wv,
+           |       CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_micro
+           |FROM w GROUP BY b ORDER BY b""".stripMargin,
+
+      // A/B: identical cells, rates, and chi2 factor order
+      "q_ab_test" ->
+        """WITH pu AS (SELECT user_id,
+          |              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          |            FROM events GROUP BY user_id),
+          |v AS (SELECT user_id % 2 AS variant, conv FROM pu),
+          |cells AS (SELECT
+          |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS users0,
+          |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS users1,
+          |    sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv0,
+          |    sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv1
+          |  FROM v),
+          |x AS (SELECT users0, users1, conv0, conv1,
+          |        conv0 AS a, users0 - conv0 AS b,
+          |        conv1 AS c, users1 - conv1 AS d
+          |      FROM cells)
+          |SELECT CAST(users0 AS BIGINT) AS users0, CAST(users1 AS BIGINT) AS users1,
+          |  CAST(conv0 AS BIGINT) AS conv0, CAST(conv1 AS BIGINT) AS conv1,
+          |  CAST(conv0 AS DOUBLE) / CAST(users0 AS DOUBLE) AS rate0,
+          |  CAST(conv1 AS DOUBLE) / CAST(users1 AS DOUBLE) AS rate1,
+          |  CASE WHEN users0 > 0 AND users1 > 0
+          |        AND conv0 + conv1 > 0 AND b + d > 0 THEN
+          |    (CAST(users0 + users1 AS DOUBLE)
+          |       * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE))
+          |    / (CAST(users0 AS DOUBLE) * CAST(users1 AS DOUBLE)
+          |       * CAST(conv0 + conv1 AS DOUBLE) * CAST(b + d AS DOUBLE))
+          |  END AS chi2
+          |FROM x""".stripMargin,
+
+      // keyness: same floor-log2 log-odds, same add-one vocab mass
+      "q_group_words" ->
+        """WITH t AS (SELECT source AS grp,
+          |             unnest(string_split(text, ' ')) AS tok FROM documents),
+          |bg AS (SELECT grp, tok, count(*) AS c_g FROM t GROUP BY 1, 2),
+          |bt AS (SELECT tok, sum(c_g) AS c_all FROM bg GROUP BY 1),
+          |gt AS (SELECT grp, sum(c_g) AS t_g FROM bg GROUP BY 1),
+          |tot AS (SELECT sum(c_all) AS t_all, count(*) AS vocab FROM bt),
+          |sc AS (SELECT bg.grp, bg.tok, bg.c_g,
+          |         ((length(bin(c_g + 1)) - 1) - (length(bin(t_g + vocab)) - 1))
+          |       - ((length(bin(c_all - c_g + 1)) - 1)
+          |          - (length(bin(t_all - t_g + vocab)) - 1)) AS score
+          |       FROM bg JOIN bt USING (tok) JOIN gt USING (grp) CROSS JOIN tot),
+          |r AS (SELECT grp, tok, c_g, score,
+          |        row_number() OVER (PARTITION BY grp
+          |          ORDER BY score DESC, tok ASC) AS rk
+          |      FROM sc)
+          |SELECT grp, CAST(rk AS BIGINT) AS rk, tok, CAST(c_g AS BIGINT) AS c_g,
+          |       CAST(score AS BIGINT) AS score
+          |FROM r WHERE rk <= 10 ORDER BY grp, rk""".stripMargin,
 
       "q_sample_fixed" ->
         """SELECT doc_id, lang, sample_rank FROM (
@@ -4985,6 +5110,35 @@ object SparkEntry {
           |       CAST(n AS DOUBLE) /
           |         CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
           |FROM c ORDER BY 1, 2""".stripMargin,
+
+      // pair itemsets: the self-join formulation — semantically identical
+      // to the engine's array expansion over sorted distinct items
+      "q_itemsets" ->
+        """WITH i AS (SELECT DISTINCT user_id,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |             event_type
+          |           FROM events),
+          |p AS (SELECT l.event_type AS item_a, r.event_type AS item_b
+          |      FROM i l JOIN i r ON l.user_id = r.user_id AND l.day = r.day
+          |        AND l.event_type < r.event_type)
+          |SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS support
+          |FROM p GROUP BY 1, 2
+          |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+      // time-to-convert: conditional first-event mins, hour floor-div
+      "q_time_to_convert" ->
+        """WITH e AS (SELECT user_id,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type
+          |           FROM events),
+          |u AS (SELECT user_id,
+          |        min(CASE WHEN event_type = 'view' THEN tus END) AS t_from,
+          |        min(CASE WHEN event_type = 'purchase' THEN tus END) AS t_to
+          |      FROM e GROUP BY user_id)
+          |SELECT (t_to - t_from) // 3600000000 AS bucket_h,
+          |       CAST(count(*) AS BIGINT) AS n_users
+          |FROM u
+          |WHERE t_from IS NOT NULL AND t_to IS NOT NULL AND t_to >= t_from
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // length-3 sequential patterns: two leads over the same (tus,
       // event_id) total order, support = distinct users, total-order cut

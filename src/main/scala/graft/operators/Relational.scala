@@ -131,6 +131,59 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** Two-variant experiment analysis (the A/B readout): split users by
+    * `user_id % 2`, measure per-user conversion (≥1 `convType` event), and
+    * report the 2×2 contingency cells, conversion rates, and the Pearson
+    * χ² statistic (1 dof; χ² > 3.84 ≈ p < 0.05) — the decision table an
+    * experimentation pipeline emits per metric.
+    *
+    * Exactness: cells are exact integer counts; rates are single
+    * divisions; χ² is the [[graft.text.TextAnalysis.chiSquareTokens]]
+    * deterministic IEEE chain (factors cast individually, identical
+    * multiply/divide order in the oracle), NULL when any margin is zero
+    * (the 0/0 case whose float encoding differs across engines). The
+    * `a·d − b·c` int64 product is safe to ~3e9 users per variant — the
+    * chiSquareTokens bound, loud-guarded the same way.
+    *
+    * Scale: one user-keyed aggregate (map-side combined), then a 1-row
+    * conditional rollup — nothing else moves. */
+  def abTest(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    perUser.groupBy()
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users1"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv0"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv1"))
+      .withColumn("a", col("conv0"))
+      .withColumn("b", col("users0") - col("conv0"))
+      .withColumn("c", col("conv1"))
+      .withColumn("d", col("users1") - col("conv1"))
+      .withColumn("diff",
+        when(col("users0") <= 3037000499L && col("users1") <= 3037000499L,
+          col("a") * col("d") - col("b") * col("c"))
+          .otherwise(raise_error(lit(
+            "abTest contingency product overflows int64 past ~3e9 users per variant"))))
+      .select(
+        col("users0"), col("users1"), col("conv0"), col("conv1"),
+        (col("conv0").cast("double") / col("users0").cast("double"))
+          .as("rate0"),
+        (col("conv1").cast("double") / col("users1").cast("double"))
+          .as("rate1"),
+        when(col("users0") > 0 && col("users1") > 0
+            && col("conv0") + col("conv1") > 0
+            && col("b") + col("d") > 0,
+          ((col("users0") + col("users1")).cast("double")
+            * col("diff").cast("double") * col("diff").cast("double"))
+            / (col("users0").cast("double") * col("users1").cast("double")
+              * (col("conv0") + col("conv1")).cast("double")
+              * (col("b") + col("d")).cast("double")))
+          .as("chi2"))
+  }
+
   /** Per-nation counts of customers with and without orders — the
     * production plan (SURVEY §2.3): ONE scan of each table, one left join
     * against the distinct order keys, and a conditional aggregation. The
@@ -385,6 +438,78 @@ object Relational {
       .select(col("from_type"), col("event_type").as("to_type"), col("n"),
         (col("n").cast("double") / col("from_total").cast("double")).as("p"))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Frequent pair itemsets (the Apriori L2 market-basket pass — Agrawal
+    * & Srikant 1994): baskets are (user, UTC day), items the distinct
+    * event types in the basket, support the number of baskets containing
+    * BOTH items of an unordered pair — [[seqPatterns]] without the order:
+    * "seen together" rather than "in this order".
+    *
+    * Shape: baskets reduce to sorted distinct-item arrays in ONE keyed
+    * shuffle (`sort_array(collect_set(...))` — sorted so the array is
+    * deterministic and pairs come out a < b), pairs expand as a pure
+    * array expression bounded by |types|² per basket (never a self-join —
+    * the join formulation shuffles the basket table twice), and the
+    * pair count is map-side combined. Top-K is a TakeOrdered over the
+    * total order (support desc, item_a, item_b). */
+  def pairItemsets(events: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"need topK >= 1: $topK")
+    val baskets = events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_type"))
+      .withColumn("day", expr("tus div 86400000000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("items"))
+    val n = size(col("items"))
+    baskets
+      .select(explode(when(n >= 2,
+        flatten(transform(sequence(lit(0), n - 2), i =>
+          transform(sequence(i + 1, n - 1), j =>
+            struct(element_at(col("items"), i + 1).as("item_a"),
+              element_at(col("items"), j + 1).as("item_b"))))))
+        .otherwise(array().cast(
+          "array<struct<item_a:string,item_b:string>>"))).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** Time-to-convert histogram: for each user with both a first `fromType`
+    * and a LATER (or simultaneous) first `toType` event, the whole-hour
+    * bucket of the gap between them, counted per bucket — the
+    * time-to-event readout behind conversion-window tuning and funnel SLA
+    * monitoring ([[attribution]] says which touch converted; this says
+    * how long conversion takes).
+    *
+    * Determinism: first events are integer `min(epoch-micros)` per user
+    * (total order, no window needed), the gap is exact integer
+    * subtraction, and the bucket is integer floor-division by 3.6e9 μs.
+    * Users whose first conversion precedes their first exposure are
+    * excluded (negative gap = not attributable to the exposure).
+    *
+    * Scale: two conditional min aggregates share ONE user-keyed
+    * map-side-combined shuffle; the histogram reduces |users| rows to
+    * |buckets|. */
+  def timeToConvert(events: DataFrame, fromType: String = "view",
+      toType: String = "purchase"): DataFrame = {
+    events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === fromType, col("tus"))).as("t_from"),
+        min(when(col("event_type") === toType, col("tus"))).as("t_to"))
+      .filter(col("t_from").isNotNull && col("t_to").isNotNull
+        && col("t_to") >= col("t_from"))
+      .withColumn("gap_us", col("t_to") - col("t_from"))
+      .withColumn("bucket_h", expr("gap_us div 3600000000"))
+      .groupBy(col("bucket_h"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("bucket_h"))
   }
 
   /** Frequent sequential patterns: the top-K contiguous length-`len`

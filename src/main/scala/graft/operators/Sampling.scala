@@ -351,4 +351,54 @@ object Sampling {
     }
     df.withColumn("split", label)
   }
+
+  /** Poisson(1) inverse-CDF thresholds over the uint32 hash space:
+    * `floor(CDF(k) · 2³²)` for k = 0..5 (mass beyond 6 is ~8×10⁻⁵ and
+    * caps there). Shared verbatim with the oracle SQL so both engines
+    * draw the identical bootstrap weights. */
+  val PoissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L)
+
+  /** Deterministic Poisson bootstrap of a mean (Efron 1979 via the
+    * Poisson approximation standard for distributed data — Chamandy et
+    * al. 2012, "Estimating uncertainty for massive data streams": each
+    * row's multiplicity in resample b is Poisson(1), so no global row
+    * numbering or n-way sampling pass is needed). Weights are the
+    * Poisson(1) inverse CDF applied to `md5(b:key)` — pure hash, no RNG —
+    * so every engine (and every re-run) draws the identical resamples:
+    * the [[hashSample]] reproducibility rule extended to uncertainty
+    * quantification. Emits one row per resample `(b, n_eff, sum_wv,
+    * mean_micro)`; the spread of `mean_micro` across the B rows IS the
+    * sampling distribution of the mean — percentile it for a CI.
+    *
+    * Exactness: values quantize to `floor(value·1e6)` micro-units before
+    * weighting; `sum_wv` and `n_eff` are exact integer sums;
+    * `mean_micro` is one division.
+    *
+    * Scale: one scan, a ×B `sequence` fan-out that partial-aggregates
+    * map-side to B rows per partition before the only (B-row) shuffle —
+    * the corpus never materializes ×B. B is the knob: 64 resamples of a
+    * 100 TB table cost one scan plus 64 counters per partition. */
+  def bootstrapMeans(df: DataFrame, key: Column, value: Column,
+      resamples: Int = 64): DataFrame = {
+    require(resamples >= 1, s"need resamples >= 1: $resamples")
+    val h = md5Int32(concat(col("b").cast("string"), lit(":"),
+      col("id").cast("string")))
+    val w = PoissonThresholds.zipWithIndex
+      .foldRight(lit(PoissonThresholds.size.toLong)) { case ((t, k), rest) =>
+        when(col("h") < t, k.toLong).otherwise(rest)
+      }
+    df.select(key.cast("string").as("id"),
+        floor(value * lit(1000000)).cast("long").as("v"))
+      .select(col("id"), col("v"),
+        explode(sequence(lit(1), lit(resamples))).as("b"))
+      .withColumn("h", h)
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("sum_wv"))
+      .select(col("b").cast("long").as("b"), col("n_eff"), col("sum_wv"),
+        (col("sum_wv").cast("double") / col("n_eff").cast("double"))
+          .as("mean_micro"))
+  }
 }

@@ -126,6 +126,46 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Embedding-space label diagnostics: the floor-mean centroid of each
+    * label's vectors and the pairwise cosine between label centroids —
+    * the "are my classes separable / is this embedding collapsing"
+    * monitor an embedding-training pipeline tracks per checkpoint (high
+    * inter-label centroid cosine = classes not separated).
+    *
+    * Determinism: per-dimension sums of the quantized vectors are exact
+    * integers; the centroid is the integer FLOOR mean `sum div n` (floor
+    * before any dot product, so addition order cannot matter and the
+    * centroid dot stays ≤ 64·(1e6·|x|max)² — no overflow for any corpus
+    * size, unlike dotting raw sums); centroid cosine is the shared
+    * [[cosineQ]] one-division form. Pairs emit once as label_a < label_b.
+    *
+    * Scale: the per-dim sum is a (label, dim)-keyed map-side-combined
+    * aggregate (64·|labels| rows); centroids rebuild via a deterministic
+    * `array_sort(collect_list(struct(dim, …)))` over those rows; the
+    * pairwise pass is |labels|² over a broadcast-sized table. The corpus
+    * is scanned once and never shuffles un-reduced. */
+  def labelCentroids(vectors: DataFrame): DataFrame = {
+    val p = prepared(vectors)
+    val sums = p
+      .select(col("label"), posexplode(col("qe")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val cent = sums
+      .withColumn("m", expr("s div n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("c"),
+        max(col("n")).as("n"))
+    val a = cent.select(col("label").as("label_a"), col("c").as("ca"),
+      col("n").as("n_a"))
+    val b = cent.select(col("label").as("label_b"), col("c").as("cb"),
+      col("n").as("n_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        cosineQ(dotQ(col("ca"), col("cb")),
+          dotQ(col("ca"), col("ca")), dotQ(col("cb"), col("cb"))).as("cos"))
+  }
+
   /** IVF-bucketed approximate top-k: candidates restricted to the query's
     * sign bucket — trades recall for a 2^signBits-fold candidate cut. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, signBits: Int = 8): DataFrame = {

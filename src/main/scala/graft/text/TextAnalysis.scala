@@ -1113,6 +1113,53 @@ object TextAnalysis {
           .as("correct"))
   }
 
+  /** Distinctive terms per group ("keyness" / fightin'-words analysis —
+    * Monroe, Colaresi & Quinn 2008, "Fightin' Words: Lexical Feature
+    * Selection and Evaluation for Identifying the Content of Political
+    * Conflict"): for each `group` value, the top-K tokens whose
+    * add-one-smoothed rate in the group most exceeds their rate in the
+    * REST of the corpus — the "what is this source actually about" report
+    * behind per-domain quality review and topic drift monitoring.
+    * [[chiSquareTokens]] ranks one class's features by significance; this
+    * profiles EVERY group at once by effect direction.
+    *
+    * Score is the [[lmBits]] integer floor-log2 log-odds proxy:
+    * `[bits(c_g+1) − bits(T_g+V)] − [bits(c_rest+1) − bits(T_rest+V)]`
+    * with V the corpus vocabulary size as the add-one mass — exact
+    * integers, ties on tok asc, so per-group rankings are
+    * engine-identical.
+    *
+    * Scale: one (group, token)-keyed count (map-side combined), a
+    * token-keyed rollup JOINED BACK keyed on token (never broadcast — the
+    * vocabulary is corpus-sized), group totals and the 1-row corpus
+    * totals as broadcasts, and a per-group top-K window that
+    * short-circuits via WindowGroupLimit. */
+  def groupWords(docs: DataFrame, group: String = "source",
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"need topK >= 1: $topK")
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val toks = docs.select(col(group).as("grp"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val byGrp = toks.groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("c_g"))
+    val byTok = byGrp.groupBy(col("tok")).agg(sum(col("c_g")).as("c_all"))
+    val grpTot = byGrp.groupBy(col("grp")).agg(sum(col("c_g")).as("t_g"))
+    val totals = byTok.agg(sum(col("c_all")).as("t_all"),
+      count(lit(1)).as("vocab"))
+    byGrp.join(byTok, "tok")
+      .join(broadcast(grpTot), "grp")
+      .crossJoin(broadcast(totals))
+      .withColumn("c_rest", col("c_all") - col("c_g"))
+      .withColumn("t_rest", col("t_all") - col("t_g"))
+      .withColumn("score",
+        (bits(col("c_g") + 1) - bits(col("t_g") + col("vocab")))
+          - (bits(col("c_rest") + 1) - bits(col("t_rest") + col("vocab"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("score").desc, col("tok").asc)).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("grp"), col("rk"), col("tok"), col("c_g"), col("score"))
+  }
+
   /** Per-class precision/recall evaluation of [[nbClassify]] — the
     * measure-before-deploy step every corpus filter needs: a quality or
     * language classifier with 99% precision on `en` but 40% recall on `fr`

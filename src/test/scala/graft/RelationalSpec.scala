@@ -547,6 +547,56 @@ class RelationalSpec extends SparkSpec {
     assert(a.getAs[Double]("twap") == 7.0e9 / 3000.0 / 1000000.0)
   }
 
+  test("pairItemsets: (user, day) baskets, unordered distinct pairs") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    // u1 day0 {a,b,c}; u1 day1 {a,b}; u2 day0 {a,b} (b seen twice in the
+    // basket: distinct items, pair counted once)
+    val ev = Seq(
+      (1L, "a", 1000L), (1L, "b", 2000L), (1L, "c", 3000L),
+      (1L, "a", day + 1000L), (1L, "b", day + 2000L),
+      (2L, "a", 500L), (2L, "b", 600L), (2L, "b", 700L))
+      .toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.pairItemsets(ev, topK = 10)
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b"), r.getAs[Long]("support")))
+    assert(got.toSeq == Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("timeToConvert: first-to-first gaps, non-attributable users dropped") {
+    val s = spark
+    import s.implicits._
+    val h = 3600000L
+    val ev = Seq(
+      (1L, "view", 1000L), (1L, "purchase", 1000L + h + h / 2), // 1.5h -> bucket 1
+      (2L, "view", 1000L),                                      // never converts
+      (3L, "purchase", 500L), (3L, "view", 1000L),              // converted first
+      (4L, "view", 2000L), (4L, "purchase", 2000L))             // instant -> bucket 0
+      .toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val got = Relational.timeToConvert(ev)
+      .collect().map(r => (r.getAs[Long]("bucket_h"), r.getAs[Long]("n_users")))
+    assert(got.toSeq == Seq((0L, 1L), (1L, 1L)))
+  }
+
+  test("abTest: exact 2x2 cells and hand-computed chi2") {
+    val s = spark
+    import s.implicits._
+    // v0 = users 0,2 (one converts); v1 = users 1,3 (both convert)
+    val ev = Seq(
+      (0L, "purchase"), (0L, "view"), (2L, "view"),
+      (1L, "purchase"), (3L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r = Relational.abTest(ev).collect()(0)
+    assert(r.getAs[Long]("users0") == 2L && r.getAs[Long]("conv0") == 1L)
+    assert(r.getAs[Long]("users1") == 2L && r.getAs[Long]("conv1") == 2L)
+    assert(r.getAs[Double]("rate0") == 0.5 && r.getAs[Double]("rate1") == 1.0)
+    // a=1 b=1 c=2 d=0, diff=-2: chi2 = 4*4 / (2*2*3*1)
+    assert(r.getAs[Double]("chi2") == (4.0 * -2.0 * -2.0) / (2.0 * 2.0 * 3.0 * 1.0))
+  }
+
   test("seqPatterns: contiguous trigrams, support counts users once") {
     val s = spark
     import s.implicits._

@@ -291,4 +291,28 @@ class SamplingSpec extends SparkSpec {
     val lightPicked = ids("sp0").count(_ % 50L == 0L)
     assert(lightPicked == 0, s"light rows picked: $lightPicked")
   }
+
+  test("bootstrapMeans: deterministic Poisson weights, exact micro sums") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2.5), (2L, 2.5), (3L, 2.5), (4L, 2.5))
+      .toDF("event_id", "value")
+    def run() = Sampling.bootstrapMeans(df,
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"), resamples = 64)
+      .orderBy("b").collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("n_eff"),
+        r.getAs[Long]("sum_wv")))
+    val a = run()
+    assert(a.length == 64 && a.map(_._1).toSeq == (1L to 64L))
+    // all values equal: every resample's sum is exactly n_eff * 2_500_000
+    a.foreach { case (_, n, s2) => assert(s2 == n * 2500000L) }
+    // Poisson(1) weights cap at 6 per row, 4 rows per resample
+    a.foreach { case (b, n, _) => assert(n >= 0 && n <= 24, s"b=$b n=$n") }
+    // hash-seeded: mean effective size across 64 resamples near 4 (E[w]=1)
+    val mean = a.map(_._2).sum.toDouble / 64
+    assert(mean > 2.5 && mean < 5.5, s"mean n_eff $mean")
+    // fully deterministic across runs
+    assert(run().toSeq == a.toSeq)
+  }
 }

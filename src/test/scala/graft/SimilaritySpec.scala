@@ -29,6 +29,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._3) < 1e-9)
   }
 
+  test("labelCentroids: floor-mean centroids, pairwise cosine separation") {
+    val vecs = vecsOf(
+      (1L, pad(Seq(1f, 0f)), 0), (2L, pad(Seq(1f, 0f)), 0), // centroid (1,0)
+      (3L, pad(Seq(0f, 1f)), 1),                            // centroid (0,1)
+      (4L, pad(Seq(1f, 0f)), 2))                            // centroid (1,0)
+    val got = Similarity.labelCentroids(vecs)
+      .orderBy("label_a", "label_b").collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("cos")))
+    assert(got.toSeq == Seq(
+      (0, 1, 2L, 1L, 0.0), (0, 2, 2L, 1L, 1.0), (1, 2, 1L, 1L, 0.0)))
+  }
+
   test("hardNegatives: nearest DIFFERENT-label vectors only") {
     val corpus = vecsOf(
       (10L, pad(Seq(1f, 0f)), 0),     // same label as anchor: excluded

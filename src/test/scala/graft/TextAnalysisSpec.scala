@@ -536,6 +536,22 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "en", -14L, 1L), (3L, "fr", -14L, 0L)))
   }
 
+  test("groupWords: integer log-odds keyness per group") {
+    // s1: aa aa bb (t_g 3); s2: cc bb (t_g 2); vocab 3, t_all 5
+    // score(s1,aa) = [bits(3)-bits(6)] - [bits(1)-bits(5)] = -1 + 2 = 1
+    // score(s2,cc) = [bits(2)-bits(5)] - [bits(1)-bits(6)] = -1 + 2 = 1
+    // bb scores 0 in both groups
+    val got = TextAnalysis.groupWords(docsOf(
+      (1L, "aa aa bb", "en", "s1"),
+      (2L, "cc bb", "en", "s2")), "source", topK = 10)
+      .orderBy("grp", "rk").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("rk"),
+        r.getAs[String]("tok"), r.getAs[Long]("c_g"), r.getAs[Long]("score")))
+    assert(got.toSeq == Seq(
+      ("s1", 1L, "aa", 2L, 1L), ("s1", 2L, "bb", 1L, 0L),
+      ("s2", 1L, "cc", 1L, 1L), ("s2", 2L, "bb", 1L, 0L)))
+  }
+
   test("nbEvaluate: per-class tp/fp/fn from the prediction pass") {
     val train = docsOf(
       (2L, "cat cat dog", "en", "s"),
