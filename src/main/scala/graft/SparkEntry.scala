@@ -301,17 +301,19 @@ object SparkEntry {
         .orderBy(col("stream_id"), col("stream_partition"), col("day"))),
 
     // dense minute series: full per-part minute spine, idle minutes as
-    // explicit zero-rate rows (what EWMA/alerting consume)
+    // explicit zero-rate rows (what EWMA/alerting consume).
+    // Full-series gates return UNSORTED: a global range sort of a
+    // corpus-sized series is the anti-shape at 100 TB (and Spark's range
+    // partitioner re-executes the plan for boundary sampling, doubling
+    // the measured cost); the driver's compare sorts rows before hashing
     "q_metrics_dense" -> ((s, dir) =>
-      Metrics.denseMinuteCounts(Tables.streamData(s, dir))
-        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+      Metrics.denseMinuteCounts(Tables.streamData(s, dir))),
 
     // gap-filled minute series: idle minutes linearly interpolated
     // (integer-exact floor) between their surrounding active minutes —
     // the gauge-style fill, vs q_metrics_dense's counter-style zeros
     "q_gapfill" -> ((s, dir) =>
-      Metrics.interpolatedMinuteCounts(Tables.streamData(s, dir))
-        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+      Metrics.interpolatedMinuteCounts(Tables.streamData(s, dir))),
 
     // per-part least-squares rate trend from exact integer sufficient
     // statistics — the capacity-planning drift detector
@@ -322,8 +324,7 @@ object SparkEntry {
     // exact 15-minute rolling median rate — the robust smoother that
     // ignores the spike the mean-based EWMA chases
     "q_rolling_median" -> ((s, dir) =>
-      Metrics.rollingMedian(Tables.streamData(s, dir), window = 15)
-        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+      Metrics.rollingMedian(Tables.streamData(s, dir), window = 15)),
 
     // skewness/excess kurtosis via the min-shift trick: DECIMAL(38)
     // centered power sums, one fixed IEEE chain at the output edge
@@ -340,8 +341,7 @@ object SparkEntry {
     // CUSUM change-point statistics via the prefix-min identity for the
     // max(0,·) recursion — two window passes, alarms at n·tau
     "q_cusum" -> ((s, dir) =>
-      Metrics.cusum(Tables.streamData(s, dir), tauMsgs = 5L)
-        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+      Metrics.cusum(Tables.streamData(s, dir), tauMsgs = 5L)),
 
     // pairwise Pearson correlation of per-minute stream rates on common
     // active minutes — cross-stream dependence monitoring
@@ -1699,8 +1699,7 @@ object SparkEntry {
     // additive seasonal-trend decomposition of the dense rate series:
     // centered-mean trend, minute-of-day seasonal, exact-int divisions
     "q_stl" -> ((s, dir) =>
-      Metrics.decompose(Tables.streamData(s, dir), halfWindow = 30)
-        .orderBy(col("stream_id"), col("stream_partition"), col("minute"))),
+      Metrics.decompose(Tables.streamData(s, dir), halfWindow = 30)),
 
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>
@@ -3869,7 +3868,9 @@ object SparkEntry {
            |w AS (SELECT b, v, $poissonCase AS w FROM h)
            |SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
            |       CAST(sum(w * v) AS BIGINT) AS sum_wv,
-           |       CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_micro
+           |       CASE WHEN sum(w) > 0 THEN
+           |         CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+           |       END AS mean_micro
            |FROM w GROUP BY b ORDER BY b""".stripMargin,
 
       // A/B: identical cells, rates, and chi2 factor order

@@ -397,8 +397,12 @@ object Sampling {
       .withColumn("w", w)
       .groupBy(col("b"))
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("sum_wv"))
+      // a resample can draw weight 0 for EVERY row (P = e^-n per
+      // resample — real only for tiny inputs): its mean is undefined,
+      // reported as NULL rather than an engine-dependent 0/0 encoding
       .select(col("b").cast("long").as("b"), col("n_eff"), col("sum_wv"),
-        (col("sum_wv").cast("double") / col("n_eff").cast("double"))
+        when(col("n_eff") > 0,
+          col("sum_wv").cast("double") / col("n_eff").cast("double"))
           .as("mean_micro"))
   }
 }

@@ -689,6 +689,102 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("skipGramPairs: total pair mass == sum over docs of max(0, len-d)") {
+    val s = spark
+    import s.implicits._
+    val genDocs = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")))))
+    holdsFewer(Prop.forAll(genDocs) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.skipGramPairs(df,
+        window = 3, minCount = 1)
+        .collect().map(_.getAs[Long]("pairs")).sum
+      // "" splits to [""], a single token — same as a 1-token doc
+      val expect = docs.map(t => math.max(t.size, 1)).map { len =>
+        (1 to 3).map(d => math.max(0, len - d)).sum
+      }.sum
+      got == expect
+    })
+  }
+
+  test("pairItemsets == brute-force basket pair counts") {
+    val s = spark
+    import s.implicits._
+    val genEv = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      day <- Gen.choose(0L, 2L)
+      t <- Gen.oneOf("a", "b", "c", "d")
+    } yield (u, day, t)))
+    holdsFewer(Prop.forAll(genEv) { ev =>
+      val df = ev.map { case (u, day, t) =>
+        (u, t, new java.sql.Timestamp(day * 86400000L + u * 1000L)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = graft.operators.Relational.pairItemsets(df, topK = 100)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("support"))
+        .toMap
+      val expect = ev.groupBy { case (u, d, _) => (u, d) }
+        .values.map(_.map(_._3).distinct.sorted)
+        .flatMap(items => for {
+          i <- items.indices; j <- (i + 1) until items.size
+        } yield (items(i), items(j)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got == expect
+    })
+  }
+
+  test("linkPrediction == brute-force RA over common neighbors") {
+    val s = spark
+    import s.implicits._
+    val genEdges = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 6L); b <- Gen.choose(1L, 6L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))).map(_.distinct)
+    holdsFewer(Prop.forAll(genEdges) { edges =>
+      val got = graft.operators.Graph.linkPrediction(
+        edges.toDF("a", "b"), topK = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Long]("common"), r.getAs[Long]("ra_micro"))).toMap
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val expect = (for {
+        a <- nodes; b <- nodes if a < b
+        if !adj(a).contains(b)
+        common = adj(a) & adj(b)
+        if common.nonEmpty
+      } yield (a, b) -> (common.size.toLong,
+        common.toSeq.map(z => 1000000L / adj(z).size).sum)).toMap
+      got == expect
+    })
+  }
+
+  test("bootstrapMeans weights replay the local md5 Poisson inverse CDF") {
+    val s = spark
+    import s.implicits._
+    val genIds = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 1000L))).map(_.distinct)
+    holdsFewer(Prop.forAll(genIds) { ids =>
+      val df = ids.map(id => (id, 1.0)).toDF("event_id", "value")
+      val got = graft.operators.Sampling.bootstrapMeans(df,
+        col("event_id"), col("value"), resamples = 8)
+        .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("n_eff")).toMap
+      def w(b: Int, id: Long): Long = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$b:$id".getBytes("UTF-8"))
+        val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        val ts = graft.operators.Sampling.PoissonThresholds
+        ts.indexWhere(u < _) match { case -1 => ts.size.toLong; case k => k.toLong }
+      }
+      val expect = (1 to 8).map(b => b.toLong -> ids.map(w(b, _)).sum).toMap
+      got == expect
+    })
+  }
+
   test("gapfill: contiguous spine, endpoints exact, interpolation between neighbors") {
     val genSeries = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, for {
       m <- Gen.choose(0L, 30L)   // minute
