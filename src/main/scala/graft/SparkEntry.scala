@@ -619,11 +619,26 @@ object SparkEntry {
     // conversion, exact 2x2 cells + Pearson chi2 (deterministic chain)
     "q_ab_test" -> ((s, dir) => Relational.abTest(Tables.events(s, dir))),
 
+    // PSI feature-drift report: first 14 days vs the rest over fixed 5.0
+    // value bands, floor-log2 contribution proxy — sum for the headline
+    "q_psi" -> ((s, dir) =>
+      Relational.psiDrift(Tables.events(s, dir)).orderBy(col("band"))),
+
+    // banded two-sample KS distance between the same periods: integer
+    // cross-multiplied cumulative max over the bounded band histogram
+    "q_ks" -> ((s, dir) => Relational.ksDrift(Tables.events(s, dir))),
+
     // fightin'-words keyness: top-10 distinctive tokens per source by
     // integer log-odds bits — the per-domain content profile
     "q_group_words" -> ((s, dir) =>
       TextAnalysis.groupWords(docsParallel(s, dir))
         .orderBy(col("grp"), col("rk"))),
+
+    // vocabulary coverage curve: smallest top-frequency vocab prefix
+    // covering 50/90/95/99% of corpus tokens — count-histogram
+    // decomposition, no vocabulary-sized global sort
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(docsParallel(s, dir)).orderBy(col("pct"))),
 
     // fixed-SIZE per-stratum sample: exactly 20 docs per language, chosen
     // by salted md5 rank — the same 20 on any engine, any run
@@ -1298,6 +1313,16 @@ object SparkEntry {
     // neighbors — per-term floored integers, anti-join drops known edges
     "q_link_pred" -> ((s, dir) =>
       graft.operators.Graph.linkPrediction(purchCoEdges(s, dir), topK = 50)),
+
+    // Newman modularity of the 4-round LPA communities: exact per-
+    // community sufficient stats, Q_c = q_num/(2m)^2 single division —
+    // the "are these communities real" eval next to q_label_prop
+    "q_modularity" -> ((s, dir) => {
+      val edges = purchCoEdges(s, dir)
+      graft.operators.Graph.modularity(edges,
+        graft.operators.Graph.labelPropagation(edges, rounds = 4))
+        .orderBy(col("community"))
+    }),
 
     // BFS hop distances from user 0 over the purchase co-occurrence
     // graph, depth-bounded — first visit IS the distance, no min-reduce
@@ -3902,6 +3927,49 @@ object SparkEntry {
           |  END AS chi2
           |FROM x""".stripMargin,
 
+      // PSI: identical band/period split, same floor-log2 contribution
+      "q_psi" ->
+        """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+          |             CAST(floor(value * 1000000) AS BIGINT) AS v
+          |           FROM events),
+          |p AS (SELECT CASE WHEN tus // 86400000000 < 19737 THEN 1 ELSE 2 END AS period,
+          |        v // 5000000 AS band FROM e),
+          |b AS (SELECT band,
+          |        sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c1,
+          |        sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS c2
+          |      FROM p GROUP BY band),
+          |t AS (SELECT sum(c1) AS t1, sum(c2) AS t2 FROM b)
+          |SELECT band, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+          |  CAST(c2*t1 - c1*t2 AS BIGINT) AS delta_num,
+          |  CAST((length(bin(c2*t1 + 1)) - 1)
+          |     - (length(bin(c1*t2 + 1)) - 1) AS BIGINT) AS dbits,
+          |  CAST((c2*t1 - c1*t2) * ((length(bin(c2*t1 + 1)) - 1)
+          |     - (length(bin(c1*t2 + 1)) - 1)) AS DOUBLE)
+          |    / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS psi_contrib
+          |FROM b CROSS JOIN t ORDER BY band""".stripMargin,
+
+      // banded KS: same histogram, integer cross-multiplied ECDF max
+      "q_ks" ->
+        """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+          |             CAST(floor(value * 1000000) AS BIGINT) AS v
+          |           FROM events),
+          |p AS (SELECT CASE WHEN tus // 86400000000 < 19737 THEN 1 ELSE 2 END AS period,
+          |        v // 5000000 AS band FROM e),
+          |b AS (SELECT band,
+          |        sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c1,
+          |        sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS c2
+          |      FROM p GROUP BY band),
+          |c AS (SELECT band,
+          |        sum(c1) OVER (ORDER BY band) AS cum1,
+          |        sum(c2) OVER (ORDER BY band) AS cum2
+          |      FROM b),
+          |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM b)
+          |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |  CAST(max(abs(cum1*n2 - cum2*n1)) AS BIGINT) AS d_num,
+          |  CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE)
+          |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d
+          |FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin,
+
       // keyness: same floor-log2 log-odds, same add-one vocab mass
       "q_group_words" ->
         """WITH t AS (SELECT source AS grp,
@@ -3922,6 +3990,32 @@ object SparkEntry {
           |SELECT grp, CAST(rk AS BIGINT) AS rk, tok, CAST(c_g AS BIGINT) AS c_g,
           |       CAST(score AS BIGINT) AS score
           |FROM r WHERE rk <= 10 ORDER BY grp, rk""".stripMargin,
+
+      // vocab coverage: identical count-histogram cumulative and the
+      // same integer ceiling divisions
+      "q_vocab_coverage" ->
+        """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          |cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+          |hist AS (SELECT c, count(*) AS m FROM cnt GROUP BY c),
+          |cum AS (SELECT c, m,
+          |          sum(c * m) OVER (ORDER BY c DESC) AS cum_toks,
+          |          sum(m) OVER (ORDER BY c DESC) AS cum_vocab
+          |        FROM hist),
+          |x AS (SELECT c, m, cum_toks, cum_vocab,
+          |        cum_toks - c * m AS prev_toks,
+          |        cum_vocab - m AS prev_vocab
+          |      FROM cum),
+          |tot AS (SELECT sum(c * m) AS total FROM hist),
+          |th AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+          |j AS (SELECT x.*, tot.total, th.pct,
+          |        (tot.total * th.pct + 99) // 100 AS target
+          |      FROM x CROSS JOIN tot CROSS JOIN th)
+          |SELECT CAST(pct AS BIGINT) AS pct,
+          |  CAST(prev_vocab + ((target - prev_toks + c - 1) // c) AS BIGINT) AS vocab_size,
+          |  CAST(prev_toks + ((target - prev_toks + c - 1) // c) * c AS BIGINT) AS tokens_covered,
+          |  CAST(total AS BIGINT) AS total_tokens
+          |FROM j WHERE prev_toks < target AND target <= cum_toks
+          |ORDER BY pct""".stripMargin,
 
       "q_sample_fixed" ->
         """SELECT doc_id, lang, sample_rank FROM (
@@ -4572,6 +4666,53 @@ object SparkEntry {
           |  ) step
           |)
           |SELECT node, community FROM lab WHERE r = 4 ORDER BY node""".stripMargin,
+
+      // Newman modularity over the SAME replayed LPA rounds: exact
+      // integer sufficient stats, identical q_num and division chain
+      "q_modularity" ->
+        """WITH RECURSIVE n AS (SELECT DISTINCT user_id,
+          |             epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 AS h
+          |           FROM events WHERE event_type = 'purchase'),
+          |e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          |      FROM n x JOIN n y ON x.h = y.h AND x.user_id < y.user_id),
+          |und AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+          |lab(r, node, community) AS (
+          |  SELECT 0, v, v FROM (SELECT DISTINCT v FROM und) nodes(v)
+          |  UNION ALL
+          |  SELECT * FROM (
+          |    SELECT me.r + 1 AS r, me.node AS node,
+          |           coalesce(best.bl, me.community) AS community
+          |    FROM lab me
+          |    LEFT JOIN (
+          |      SELECT v, bl FROM (
+          |        SELECT c.v, c.community AS bl,
+          |               row_number() OVER (PARTITION BY c.v
+          |                 ORDER BY c.cnt DESC, c.community ASC) AS rk
+          |        FROM (SELECT und.v AS v, nb.community AS community, count(*) AS cnt
+          |              FROM und JOIN lab nb ON nb.node = und.u
+          |              GROUP BY 1, 2) c
+          |      ) rb WHERE rk = 1
+          |    ) best ON me.node = best.v
+          |    WHERE me.r < 4
+          |  ) step
+          |),
+          |fin AS (SELECT node, community FROM lab WHERE r = 4),
+          |din AS (SELECT fa.community AS community, count(*) AS m_in
+          |        FROM e JOIN fin fa ON e.a = fa.node
+          |        JOIN fin fb ON e.b = fb.node
+          |        WHERE fa.community = fb.community GROUP BY 1),
+          |deg AS (SELECT v AS node, count(*) AS deg FROM und GROUP BY v),
+          |perc AS (SELECT community, count(*) AS n_nodes, sum(deg) AS d_sum
+          |         FROM fin JOIN deg USING (node) GROUP BY community),
+          |mm AS (SELECT count(*) AS m FROM e)
+          |SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes,
+          |  CAST(COALESCE(m_in, 0) AS BIGINT) AS m_in,
+          |  CAST(d_sum AS BIGINT) AS d_sum, CAST(m AS BIGINT) AS m,
+          |  CAST(4*m*COALESCE(m_in, 0) - d_sum*d_sum AS BIGINT) AS q_num,
+          |  CAST(4*m*COALESCE(m_in, 0) - d_sum*d_sum AS DOUBLE)
+          |    / (CAST(2*m AS DOUBLE) * CAST(2*m AS DOUBLE)) AS q_contrib
+          |FROM perc LEFT JOIN din USING (community) CROSS JOIN mm
+          |ORDER BY community""".stripMargin,
 
       // synchronous 6-core peel to the fixpoint: once stable the working
       // table reproduces itself, so reading round KCoreMaxRounds reads

@@ -131,6 +131,103 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** Shared fixed-band value histogram of two time periods — the binned
+    * sufficient statistics [[psiDrift]] and [[ksDrift]] both consume:
+    * events split at UTC day `splitDay` into reference (before) and
+    * current (from), values floored to `bandMicro`-wide integer bands. */
+  private def driftBands(events: DataFrame, splitDay: Long,
+      bandMicro: Long): DataFrame = {
+    events
+      .select(
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        floor(col("value") * lit(1000000)).cast("long").as("v_micro"))
+      .withColumn("period",
+        when(expr("tus div 86400000000") < splitDay, lit(1L)).otherwise(lit(2L)))
+      .withColumn("band", expr(s"v_micro div $bandMicro"))
+      .groupBy(col("band"))
+      .agg(sum(when(col("period") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("period") === 2, 1L).otherwise(0L)).as("c2"))
+  }
+
+  /** Population-stability drift report (the PSI monitor every deployed
+    * model's input features run under; banded, as PSI always is): per
+    * value band, the reference/current counts and a floor-log2 PSI
+    * contribution — `(c2·T1 − c1·T2)·[bits(c2·T1+1) − bits(c1·T2+1)]
+    * / (T1·T2)`, the [[graft.text.TextAnalysis.lmBits]] integer proxy for
+    * `(p2−p1)·ln(p2/p1)` (bits is monotone, so every contribution is
+    * ≥ 0 exactly like true PSI terms, zero-count bands degrade gracefully
+    * where classic PSI hits ln 0, and no transcendental log can diverge
+    * across engines). Sum `psi_contrib` downstream; the conventional
+    * alert bands (0.1 warn / 0.25 act, in ln units) map to ~0.14 / 0.36
+    * in bits.
+    *
+    * In-plan int64 guard: `delta_num·Δbits ≤ T1·T2·63` wraps past
+    * ~3.8e8 events per period — raises loudly (the bm25 rule); at larger
+    * volumes widen to DECIMAL(38) as rateTrend does.
+    *
+    * Scale: ONE scan, a band-keyed map-side-combined count to ≤|bands|
+    * rows, totals as a 1-row broadcast — the report is metadata-sized. */
+  def psiDrift(events: DataFrame, splitDay: Long = 19737L,
+      bandMicro: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bandMicro >= 1, s"need bandMicro >= 1: $bandMicro")
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val bands = driftBands(events, splitDay, bandMicro)
+    // totals via a full-frame window over the BOUNDED band table: a
+    // 1-row aggregate branch would duplicate the whole band subtree in
+    // the plan (two scans of events) — the contract test pins this
+    val all = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bands
+      .withColumn("t1", sum(col("c1")).over(all))
+      .withColumn("t2", sum(col("c2")).over(all))
+      .withColumn("delta_num",
+        when(col("t1") <= 380000000L && col("t2") <= 380000000L,
+          col("c2") * col("t1") - col("c1") * col("t2"))
+          .otherwise(raise_error(lit(
+            "psiDrift contribution overflows int64 past ~3.8e8 events per period"))))
+      .withColumn("dbits",
+        bits(col("c2") * col("t1") + 1) - bits(col("c1") * col("t2") + 1))
+      .select(col("band"), col("c1"), col("c2"),
+        col("delta_num"), col("dbits"),
+        ((col("delta_num") * col("dbits")).cast("double")
+          / (col("t1").cast("double") * col("t2").cast("double")))
+          .as("psi_contrib"))
+  }
+
+  /** Banded two-sample Kolmogorov-Smirnov distance between the same two
+    * periods — `D = max_band |F1(band) − F2(band)|` over the shared
+    * fixed-band histogram (binned KS, the standard large-scale practice:
+    * exact KS needs a global sort of both samples; banding bounds the
+    * cumulative pass by |bands| and lower-bounds the true D). Integer
+    * cross-multiplied: `d_num = max |cum1·n2 − cum2·n1|`, `D = d_num /
+    * (n1·n2)` — one division, no float cumulative.
+    *
+    * Scale: the cumulative window runs over the ≤|bands| histogram (the
+    * [[graft.text.TextAnalysis.vocabCoverage]] bounded-window rule),
+    * never over events. */
+  def ksDrift(events: DataFrame, splitDay: Long = 19737L,
+      bandMicro: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals share the cumulative's sort (full frame over the bounded
+    // band table) — see psiDrift for why not a 1-row aggregate branch
+    val all = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    driftBands(events, splitDay, bandMicro)
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .withColumn("n1", sum(col("c1")).over(all))
+      .withColumn("n2", sum(col("c2")).over(all))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        .as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))).as("d"))
+  }
+
   /** Two-variant experiment analysis (the A/B readout): split users by
     * `user_id % 2`, measure per-user conversion (≥1 `convType` event), and
     * report the 2×2 contingency cells, conversion rates, and the Pearson

@@ -1160,6 +1160,53 @@ object TextAnalysis {
       .select(col("grp"), col("rk"), col("tok"), col("c_g"), col("score"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design question "how many
+    * vocabulary entries cover X% of corpus tokens": for each percentage
+    * threshold, the smallest top-frequency vocabulary prefix whose
+    * occurrence mass reaches it (Zipf's law makes this curve the budget
+    * chart every BPE vocab-size decision reads).
+    *
+    * Scale-honest decomposition: tokens with EQUAL counts are
+    * interchangeable for coverage, so instead of a global sort of the
+    * (possibly billions-row) vocabulary, the cumulative runs over the
+    * count HISTOGRAM — |distinct count values| rows, a metadata-sized
+    * table (the [[graft.operators.RobustStats.globalRank]] bucket trick
+    * applied to frequencies; the unpartitioned window is bounded by that
+    * histogram, never by the vocabulary). Within the bracketing count
+    * class the needed entries are a ceiling division — all integer:
+    * `target = ceil(total·pct/100)`, `k = prev_vocab +
+    * ceil((target − prev_toks)/c)`. */
+  def vocabCoverage(docs: DataFrame,
+      thresholds: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(p => p >= 1 && p <= 100),
+      s"thresholds must be in [1,100]: $thresholds")
+    val cnt = docs.select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val hist = cnt.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("c").desc)
+    val cum = hist
+      .withColumn("cum_toks", sum(col("c") * col("m")).over(w))
+      .withColumn("cum_vocab", sum(col("m")).over(w))
+      .withColumn("prev_toks", col("cum_toks") - col("c") * col("m"))
+      .withColumn("prev_vocab", col("cum_vocab") - col("m"))
+    // total rides the SAME histogram sort as the cumulative (full
+    // frame): a 1-row aggregate branch would re-run the token count —
+    // two corpus scans — since Spark duplicates shared plan subtrees
+    val allRows = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum.withColumn("total", sum(col("c") * col("m")).over(allRows))
+      .withColumn("pct", explode(typedLit(thresholds.map(_.toLong))))
+      .withColumn("target", expr("(total * pct + 99) div 100"))
+      .filter(col("prev_toks") < col("target")
+        && col("target") <= col("cum_toks"))
+      .withColumn("needed",
+        expr("(target - prev_toks + c - 1) div c"))
+      .select(col("pct"),
+        (col("prev_vocab") + col("needed")).as("vocab_size"),
+        (col("prev_toks") + col("needed") * col("c")).as("tokens_covered"),
+        col("total").as("total_tokens"))
+  }
+
   /** Per-class precision/recall evaluation of [[nbClassify]] — the
     * measure-before-deploy step every corpus filter needs: a quality or
     * language classifier with 99% precision on `en` but 40% recall on `fr`

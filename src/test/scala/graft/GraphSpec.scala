@@ -213,6 +213,24 @@ class GraphSpec extends SparkSpec {
     assert(iso == Map(42L -> 0L))
   }
 
+  test("modularity: two triangles bridged by one edge, hand-computed Q") {
+    val s = spark
+    import s.implicits._
+    // m=7; each triangle community: m_in=3, d_sum=7
+    // q_num = 4*7*3 - 49 = 35; Q_c = 35/196
+    val edges = pairs((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val comms = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "community")
+    val got = Graph.modularity(edges, comms).orderBy("community").collect()
+      .map(r => (r.getAs[Long]("community"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("m_in"), r.getAs[Long]("d_sum"),
+        r.getAs[Long]("q_num"), r.getAs[Double]("q_contrib")))
+    assert(got.toSeq == Seq(
+      (10L, 3L, 3L, 7L, 35L, 35.0 / 196.0),
+      (20L, 3L, 3L, 7L, 35L, 35.0 / 196.0)))
+  }
+
   test("linkPrediction: RA over common neighbors, existing edges excluded") {
     // triangle {1,2,3} + pendant 3-4: candidate non-edges are (1,4) and
     // (2,4), each with common neighbor 3 (deg 3) -> 1000000 div 3;

@@ -458,6 +458,27 @@ class PlanContractSpec extends SparkSpec {
     assert(n == 1, s"q_lag_features expected exactly one hash exchange, got $n:\n$plan")
   }
 
+  test("drift pair: one band-keyed exchange off a single scan") {
+    // psi: the only hash exchange is the band count (totals broadcast);
+    // ks adds the (n1, n2) rollup of the band table at most
+    val psi = planOf("q_psi").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(psi).length == 1,
+      s"q_psi expected exactly one hash exchange:\n$psi")
+    val ks = planOf("q_ks").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(ks).length <= 2,
+      s"q_ks expected <=2 hash exchanges:\n$ks")
+  }
+
+  test("vocab coverage: histogram-bounded — two keyed exchanges, no join") {
+    val plan = planOf("q_vocab_coverage").split("== Initial Plan ==")(0)
+    // token count + count histogram; the cumulative window and the
+    // threshold explode run over the histogram, never the vocabulary
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"q_vocab_coverage grew an extra shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_vocab_coverage must not shuffle-join:\n$plan")
+  }
+
   test("seq patterns: one window shuffle + the bounded pattern aggregate") {
     val plan = planOf("q_seqpat").split("== Initial Plan ==")(0)
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length

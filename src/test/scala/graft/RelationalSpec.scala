@@ -581,6 +581,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L), (1L, 1L)))
   }
 
+  test("psiDrift and ksDrift: hand-computed banded drift statistics") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    // period 1 (day 0): 4 values in band 0; period 2 (day 1): 1 in band
+    // 0 and 3 in band 1 — a clean distribution shift
+    val ev = (Seq.fill(4)(1.0).map((_, 1000L)) ++
+      Seq((1.0, day + 1000L), (6.0, day + 2000L),
+        (6.0, day + 3000L), (6.0, day + 4000L)))
+      .toDF("value", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val psi = Relational.psiDrift(ev, splitDay = 1L)
+      .orderBy("band").collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("c1"),
+        r.getAs[Long]("c2"), r.getAs[Long]("delta_num"),
+        r.getAs[Long]("dbits"), r.getAs[Double]("psi_contrib")))
+    // band0: delta=1*4-4*4=-12, dbits=bits(5)-bits(17)=2-4=-2 -> 24/16
+    // band1: delta=3*4-0=12, dbits=bits(13)-bits(1)=3-0=3 -> 36/16
+    assert(psi.toSeq == Seq(
+      (0L, 4L, 1L, -12L, -2L, 1.5), (1L, 0L, 3L, 12L, 3L, 2.25)))
+    val ks = Relational.ksDrift(ev, splitDay = 1L).collect()(0)
+    // cumulative: band0 |4*4 - 1*4| = 12; band1 |16-16| = 0
+    assert(ks.getAs[Long]("n1") == 4L && ks.getAs[Long]("n2") == 4L)
+    assert(ks.getAs[Long]("d_num") == 12L && ks.getAs[Double]("d") == 0.75)
+  }
+
   test("abTest: exact 2x2 cells and hand-computed chi2") {
     val s = spark
     import s.implicits._

@@ -536,6 +536,18 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "en", -14L, 1L), (3L, "fr", -14L, 0L)))
   }
 
+  test("vocabCoverage: histogram-decomposed coverage with tie classes") {
+    // counts a:4 b:2 c:1 d:1, total 8; 50% -> 1 entry covers 4;
+    // 90% -> target 8, needs both singleton-count tokens: vocab 4
+    val got = TextAnalysis.vocabCoverage(docsOf(
+      (1L, "a a a a b", "en", "s"),
+      (2L, "b c d", "en", "s")), thresholds = Seq(50, 90))
+      .orderBy("pct").collect()
+      .map(r => (r.getAs[Long]("pct"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("tokens_covered"), r.getAs[Long]("total_tokens")))
+    assert(got.toSeq == Seq((50L, 1L, 4L, 8L), (90L, 4L, 8L, 8L)))
+  }
+
   test("groupWords: integer log-odds keyness per group") {
     // s1: aa aa bb (t_g 3); s2: cc bb (t_g 2); vocab 3, t_all 5
     // score(s1,aa) = [bits(3)-bits(6)] - [bits(1)-bits(5)] = -1 + 2 = 1
