@@ -628,6 +628,16 @@ object SparkEntry {
     // cross-multiplied cumulative max over the bounded band histogram
     "q_ks" -> ((s, dir) => Relational.ksDrift(Tables.events(s, dir))),
 
+    // Gini concentration of per-user spend: exact-rank identity over the
+    // value histogram in DECIMAL(38), one division — the key-dominance
+    // summary next to the skew-mitigation tools
+    "q_gini" -> ((s, dir) =>
+      graft.operators.RobustStats.gini(
+        Tables.events(s, dir).groupBy(col("user_id"))
+          .agg(sum(floor(col("value") * lit(1000000)).cast("long"))
+            .as("spend")),
+        col("spend"))),
+
     // fightin'-words keyness: top-10 distinctive tokens per source by
     // integer log-odds bits — the per-domain content profile
     "q_group_words" -> ((s, dir) =>
@@ -3926,6 +3936,23 @@ object SparkEntry {
           |       * CAST(conv0 + conv1 AS DOUBLE) * CAST(b + d AS DOUBLE))
           |  END AS chi2
           |FROM x""".stripMargin,
+
+      // Gini: same histogram rank identity, HUGEINT-exact, one division
+      "q_gini" ->
+        """WITH u AS (SELECT user_id,
+          |             sum(CAST(floor(value * 1000000) AS BIGINT)) AS x
+          |           FROM events GROUP BY user_id),
+          |h AS (SELECT x, count(*) AS m FROM u GROUP BY x),
+          |c AS (SELECT x, m, sum(m) OVER (ORDER BY x) - m AS prev,
+          |        sum(m) OVER () AS n,
+          |        sum(x * m) OVER () AS sx
+          |      FROM h),
+          |s AS (SELECT max(n) AS n, max(sx) AS sx,
+          |        sum(x * (2*prev*m + m*(m+1))) AS sr2
+          |      FROM c)
+          |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS DOUBLE) AS sum_value,
+          |  CAST(sr2 - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE) AS gini
+          |FROM s""".stripMargin,
 
       // PSI: identical band/period split, same floor-log2 contribution
       "q_psi" ->

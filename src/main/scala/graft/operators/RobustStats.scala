@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,49 @@ import org.apache.spark.sql.functions._
   * shuffles for the clamp itself.
   */
 object RobustStats {
+
+  /** Gini concentration coefficient of a non-negative value column —
+    * "how dominated is this corpus/revenue/traffic by its top keys", the
+    * inequality summary next to [[graft.operators.Skew]]'s mitigation
+    * tools (Gini 0 = uniform, → 1 = one key carries everything).
+    *
+    * Exact-rank identity over the VALUE HISTOGRAM (the
+    * [[graft.text.TextAnalysis.vocabCoverage]] decomposition — ties are
+    * interchangeable, so no row-level global sort exists):
+    * `G = (2·Σᵢ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx)` where for a value class
+    * (x, m) after `prev` smaller items the rank sum is
+    * `x·(prev·m + m(m+1)/2)`. Sums accumulate in DECIMAL(38,0) (the
+    * rateTrend exactness rule — no int64 wrap at any n), and G is ONE
+    * division of the two exactly-derived doubles.
+    *
+    * Scale: one keyed aggregate to the per-key values, one map-side
+    * combined histogram, and two window passes over the |distinct
+    * values| histogram — the unpartitioned window is bounded by the
+    * histogram, never by the keys. */
+  def gini(values: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val hist = values.select(value.as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("m"))
+    val byX = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("prev", sum(col("m")).over(byX) - col("m"))
+      // 2·Σ rank·x carried as ONE integer-valued decimal term per class
+      // (x·(2·prev·m + m·(m+1))) so no fractional scale ever appears
+      .withColumn("rank_sum2",
+        dec(col("x")) * (lit(2) * dec(col("prev")) * dec(col("m"))
+          + dec(col("m")) * (dec(col("m")) + 1)))
+      .withColumn("n", sum(col("m")).over(all))
+      .withColumn("sx", sum(dec(col("x")) * dec(col("m"))).over(all))
+      .withColumn("sr2", sum(col("rank_sum2")).over(all))
+      .select(col("n"), col("sx").cast("double").as("sum_value"),
+        ((col("sr2") - (dec(col("n")) + 1) * col("sx")).cast("double")
+          / (dec(col("n")) * col("sx")).cast("double")).as("gini"))
+      .limit(1)
+  }
 
   /** Events with their value clamped into the group's [lo, hi] percentile
     * band, plus a clipped flag. One aggregate over the facts + a broadcast

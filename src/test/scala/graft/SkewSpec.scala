@@ -34,4 +34,20 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("hot" -> (1 to 500).map(_.toLong).sum, "cold" -> 10L))
   }
+
+  test("gini: exact rank identity over the value histogram, with ties") {
+    val s = spark
+    import s.implicits._
+    // values 1,1,2,4: ranks 1..4, 2*sum(rank*x) = 2*(1+2+6+16) = 50
+    // G = (50 - 5*8) / (4*8) = 0.3125
+    val got = graft.operators.RobustStats.gini(
+      Seq(1L, 1L, 2L, 4L).toDF("v"), col("v")).collect()(0)
+    assert(got.getAs[Long]("n") == 4L)
+    assert(got.getAs[Double]("sum_value") == 8.0)
+    assert(got.getAs[Double]("gini") == 0.3125)
+    // uniform values: G exactly 0
+    val uni = graft.operators.RobustStats.gini(
+      Seq(5L, 5L, 5L).toDF("v"), col("v")).collect()(0)
+    assert(uni.getAs[Double]("gini") == 0.0)
+  }
 }
