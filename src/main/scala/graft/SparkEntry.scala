@@ -3951,7 +3951,9 @@ object SparkEntry {
           |        sum(x * (2*prev*m + m*(m+1))) AS sr2
           |      FROM c)
           |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS DOUBLE) AS sum_value,
-          |  CAST(sr2 - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE) AS gini
+          |  CASE WHEN sx > 0 THEN
+          |    CAST(sr2 - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE)
+          |  END AS gini
           |FROM s""".stripMargin,
 
       // PSI: identical band/period split, same floor-log2 contribution

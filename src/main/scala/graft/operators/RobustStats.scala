@@ -61,9 +61,12 @@ object RobustStats {
       .withColumn("n", sum(col("m")).over(all))
       .withColumn("sx", sum(dec(col("x")) * dec(col("m"))).over(all))
       .withColumn("sr2", sum(col("rank_sum2")).over(all))
+      // all-zero values: G is undefined (0/0) — NULL on both engines
+      // rather than an ANSI divide-by-zero (the bootstrapMeans rule)
       .select(col("n"), col("sx").cast("double").as("sum_value"),
-        ((col("sr2") - (dec(col("n")) + 1) * col("sx")).cast("double")
-          / (dec(col("n")) * col("sx")).cast("double")).as("gini"))
+        when(col("sx") > 0,
+          (col("sr2") - (dec(col("n")) + 1) * col("sx")).cast("double")
+            / (dec(col("n")) * col("sx")).cast("double")).as("gini"))
       .limit(1)
   }
 

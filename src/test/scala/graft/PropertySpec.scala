@@ -785,6 +785,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("gini == brute-force O(n^2) mean-absolute-difference form") {
+    val s = spark
+    import s.implicits._
+    // G = sum_ij |xi - xj| / (2 n sum) — the definitional form, O(n²),
+    // checked against the histogram rank identity
+    val genVals = Gen.choose(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 9L)))
+    holdsFewer(Prop.forAll(genVals) { vals =>
+      val sx = vals.sum
+      (sx == 0) || {
+        val r = graft.operators.RobustStats.gini(
+          vals.toDF("v"), col("v")).collect()(0)
+        val mad = (for (a <- vals; b <- vals) yield math.abs(a - b)).sum
+        val expect = mad.toDouble / (2.0 * vals.size * sx)
+        r.getAs[Long]("n") == vals.size &&
+          math.abs(r.getAs[Double]("gini") - expect) < 1e-12
+      }
+    })
+  }
+
   test("gapfill: contiguous spine, endpoints exact, interpolation between neighbors") {
     val genSeries = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, for {
       m <- Gen.choose(0L, 30L)   // minute
