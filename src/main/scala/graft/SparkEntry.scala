@@ -414,7 +414,7 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // embedding-space label diagnostics: floor-mean centroids per label,
+    // embedding-space label diagnostics: truncated-mean centroids per label,
     // pairwise centroid cosine — the class-separation monitor
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))
@@ -912,7 +912,10 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"), col("fp"))),
 
     // MOSS match detection: pairs sharing >= 2 selected fingerprints,
-    // keyed join on the fingerprint hash
+    // keyed join on the fingerprint hash. Default maxDf=1000 drops
+    // boilerplate fingerprints before the self-join; the corpus max df
+    // is 236 at sf0.1, so the cap is inert here — the oracle needs no
+    // df clause
     "q_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(docsParallel(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1320,7 +1323,10 @@ object SparkEntry {
 
     // resource-allocation link prediction over the same purchase graph:
     // top-50 non-adjacent pairs by sum(1e6 div deg(z)) over common
-    // neighbors — per-term floored integers, anti-join drops known edges
+    // neighbors — per-term floored integers, anti-join drops known
+    // edges. Default maxDegree=10000 caps z-side hubs before the wedge
+    // join; the graph's max degree is 171 at sf0.1, so the cap is inert
+    // here — the oracle needs no degree clause
     "q_link_pred" -> ((s, dir) =>
       graft.operators.Graph.linkPrediction(purchCoEdges(s, dir), topK = 50)),
 
@@ -2715,8 +2721,9 @@ object SparkEntry {
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
-      // label centroids: identical per-dim integer sums, floor-mean
-      // (s // n) BEFORE the dot, ordered list rebuild, one cos division
+      // label centroids: identical per-dim integer sums, truncated
+      // (toward-zero) mean (s // n) BEFORE the dot, ordered list rebuild,
+      // one cos division
       "q_label_centroids" ->
         s"""$quantCte,
            |d AS (SELECT label, i AS dim,
@@ -3926,8 +3933,10 @@ object SparkEntry {
           |      FROM cells)
           |SELECT CAST(users0 AS BIGINT) AS users0, CAST(users1 AS BIGINT) AS users1,
           |  CAST(conv0 AS BIGINT) AS conv0, CAST(conv1 AS BIGINT) AS conv1,
-          |  CAST(conv0 AS DOUBLE) / CAST(users0 AS DOUBLE) AS rate0,
-          |  CAST(conv1 AS DOUBLE) / CAST(users1 AS DOUBLE) AS rate1,
+          |  CASE WHEN users0 > 0 THEN
+          |    CAST(conv0 AS DOUBLE) / CAST(users0 AS DOUBLE) END AS rate0,
+          |  CASE WHEN users1 > 0 THEN
+          |    CAST(conv1 AS DOUBLE) / CAST(users1 AS DOUBLE) END AS rate1,
           |  CASE WHEN users0 > 0 AND users1 > 0
           |        AND conv0 + conv1 > 0 AND b + d > 0 THEN
           |    (CAST(users0 + users1 AS DOUBLE)
@@ -3972,9 +3981,10 @@ object SparkEntry {
           |  CAST(c2*t1 - c1*t2 AS BIGINT) AS delta_num,
           |  CAST((length(bin(c2*t1 + 1)) - 1)
           |     - (length(bin(c1*t2 + 1)) - 1) AS BIGINT) AS dbits,
-          |  CAST((c2*t1 - c1*t2) * ((length(bin(c2*t1 + 1)) - 1)
-          |     - (length(bin(c1*t2 + 1)) - 1)) AS DOUBLE)
-          |    / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS psi_contrib
+          |  CASE WHEN t1 > 0 AND t2 > 0 THEN
+          |    CAST((c2*t1 - c1*t2) * ((length(bin(c2*t1 + 1)) - 1)
+          |       - (length(bin(c1*t2 + 1)) - 1)) AS DOUBLE)
+          |      / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) END AS psi_contrib
           |FROM b CROSS JOIN t ORDER BY band""".stripMargin,
 
       // banded KS: same histogram, integer cross-multiplied ECDF max
@@ -3995,8 +4005,9 @@ object SparkEntry {
           |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM b)
           |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
           |  CAST(max(abs(cum1*n2 - cum2*n1)) AS BIGINT) AS d_num,
-          |  CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE)
-          |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d
+          |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |    CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE)
+          |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS d
           |FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin,
 
       // keyness: same floor-log2 log-odds, same add-one vocab mass

@@ -12,6 +12,9 @@ object Verify {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, q) =>
         (s, o, Some(q.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -489,11 +489,27 @@ object Dedup {
     * documents sharing ≥ `minShared` selected fingerprints, with the
     * shared count as match strength. The join is keyed on the
     * fingerprint hash — pairs only materialize where 16-char substrings
-    * actually coincide, the shared-shingle candidate-generation shape. */
+    * actually coincide, the shared-shingle candidate-generation shape.
+    *
+    * `maxDf` drops fingerprints appearing in more than that many
+    * documents BEFORE the self-join — the same hot-key cap the shingle
+    * and q-gram joins apply, and the rule MOSS itself uses (boilerplate
+    * is dropped above a df threshold): a cookie-banner 16-gram shared by
+    * N docs would otherwise alone emit N²/2 candidate pairs. The df pass
+    * is one extra groupBy over the fingerprint table (already reduced to
+    * ~2n/(w+1) of corpus size), and dropping a ubiquitous fingerprint
+    * loses no real match signal — a boilerplate substring shared by half
+    * the corpus identifies nothing. */
   def winnowPairs(docs: DataFrame, k: Int = 16, w: Int = 16,
-      minShared: Long = 2): DataFrame = {
+      minShared: Long = 2, maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 2, s"need maxDf >= 2 (pairs need df >= 2): $maxDf")
     val fp = winnow(docs, k, w).select(col("doc_id"), col("fp")).distinct()
-    fp.toDF("a", "fp").join(fp.toDF("b", "fp2"),
+    val kept = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf),
+      Seq("fp"), "left_anti")
+    kept.select(col("doc_id").as("a"), col("fp"))
+      .join(kept.select(col("doc_id").as("b"), col("fp").as("fp2")),
         col("fp") === col("fp2") && col("a") < col("b"))
       .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -524,11 +540,22 @@ object Dedup {
     * partitioned, O(window·n), never all-pairs); the source-frequency
     * table is value-cardinality-sized and broadcasts; the prefix
     * frequency join is key-partitioned on the prefix. Totals ride as a
-    * 1-row broadcast. */
+    * 1-row broadcast.
+    *
+    * `block` / `sortKey` are caller knobs with the [[snmPairs]] defaults
+    * (`lang:first-char` block, `sortPrefixLen`-char sort key) — the SNM
+    * window puts each block on ONE task, so at corpus scale the caller
+    * MUST shard blocks to match the data (e.g. a longer discriminating
+    * prefix, or lang + a hash band): a handful of coarse blocks over
+    * 100 TB is a single-reducer terabyte sort. Lifting the block into
+    * the signature is what keeps that a call-site decision instead of a
+    * rebuild. */
   def linkagePairs(docs: DataFrame, window: Int = 3,
-      upper: Long = 8, lower: Long = 4): DataFrame = {
+      upper: Long = 8, lower: Long = 4, sortPrefixLen: Int = 512,
+      block: Option[Column] = None, sortKey: Option[Column] = None): DataFrame = {
     require(window > 0, s"window must be positive: $window")
     require(upper >= lower, s"upper ($upper) must be >= lower ($lower)")
+    require(sortPrefixLen > 0, s"sortPrefixLen must be positive: $sortPrefixLen")
     def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("block")).orderBy(col("skey").asc, col("doc_id").asc)
@@ -536,8 +563,9 @@ object Dedup {
       col("doc_id").cast("long").as("doc_id"),
       col("source"), col("n_chars").cast("long").as("len"),
       substring(col("text"), 1, 16).as("p16"),
-      concat(col("lang"), lit(":"), substring(col("text"), 1, 1)).as("block"),
-      substring(col("text"), 1, 512).as("skey"))
+      block.getOrElse(
+        concat(col("lang"), lit(":"), substring(col("text"), 1, 1))).as("block"),
+      sortKey.getOrElse(substring(col("text"), 1, sortPrefixLen)).as("skey"))
     val srcFreq = docs.groupBy(col("source")).agg(count(lit(1)).as("c_src"))
     val pfxFreq = docs.groupBy(substring(col("text"), 1, 16).as("p16"))
       .agg(count(lit(1)).as("c_pfx"))

@@ -302,22 +302,35 @@ object Graph {
     *
     * Scale shape: wedge enumeration through the common neighbor z is the
     * [[triangleCounts]] join shape — fan-out O(Σ deg(z)²), so hub nodes
-    * dominate; the standard mitigations (degree-cap the z side, or the
-    * degree-ordered orientation) compose upstream by filtering `edges`.
-    * Everything downstream is keyed: one degree count, one wedge join, one
-    * (a,b)-keyed aggregate, an anti-join against the edge set, and a
-    * TakeOrdered — no global sort, nothing collects. */
-  def linkPrediction(edges: DataFrame, topK: Int = 50): DataFrame = {
+    * dominate: one celebrity node with 10⁶ neighbors would alone emit
+    * ~10¹² wedges. `maxDegree` caps the z side IN the operator (the same
+    * skew discipline [[triangleCounts]]' degree orientation applies):
+    * nodes with more than `maxDegree` neighbors are excluded as common
+    * neighbors before the wedge join, bounding per-z fan-out to
+    * maxDegree². The recall trade is explicit and mild — RA already
+    * weights a hub's evidence by 1/deg(z), so a dropped 10⁶-degree hub
+    * contributed ≤ 1 micro-unit per pair; capped pairs can still appear
+    * through their other (low-degree) common neighbors. Everything
+    * downstream is keyed: one degree count, one wedge join (which now
+    * carries deg(z) along, so no second deg join), one (a,b)-keyed
+    * aggregate, an anti-join against the edge set, and a TakeOrdered —
+    * no global sort, nothing collects. */
+  def linkPrediction(edges: DataFrame, topK: Int = 50,
+      maxDegree: Int = 10000): DataFrame = {
     require(topK >= 1, s"need topK >= 1: $topK")
+    require(maxDegree >= 1, s"need maxDegree >= 1: $maxDegree")
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // z-side hub cap BEFORE the self-join: the capped adjacency carries
+    // deg(z) so the RA weight needs no post-wedge join
     val adj = und.select(col("u").as("z"), col("v").as("x"))
+      .join(deg.filter(col("deg") <= maxDegree).withColumnRenamed("u", "z"),
+        Seq("z"))
     val wedges = adj.as("l").join(adj.as("r"),
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
-      .select(col("l.x").as("a"), col("r.x").as("b"), col("l.z").as("z"))
+      .select(col("l.x").as("a"), col("r.x").as("b"), col("l.deg").as("deg"))
     wedges
-      .join(deg.withColumnRenamed("u", "z"), "z")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"),
         sum(expr("1000000 div deg")).as("ra_micro"))

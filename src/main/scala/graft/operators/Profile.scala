@@ -129,8 +129,18 @@ object Profile {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val q = df.select(col(group), floor(col(value) * lit(1000)).cast("long").as("x"))
     val mins = q.groupBy(col(group)).agg(min(col("x")).as("mn"))
+    // per-ROW guard on the shift: c⁴ must fit DECIMAL(38,0), so c must
+    // stay under floor((10³⁸−1)^¼) ≈ 3.162e9 milli-units of spread. In a
+    // non-ANSI session an overflowing c⁴ is NULL per row and sum() skips
+    // NULLs — the aggregated exact() guard below would never fire and the
+    // moments would be silently understated — so the raise has to happen
+    // before aggregation, on the row that overflows.
+    val c4Bound = 3162277659L
     val cent = q.join(broadcast(mins), Seq(group))
-      .withColumn("c", dec(col("x") - col("mn")))
+      .withColumn("c",
+        when(col("x") - col("mn") <= c4Bound, dec(col("x") - col("mn")))
+          .otherwise(raise_error(lit(
+            "moments: value spread exceeds the exact DECIMAL(38) c^4 bound (~3.2e9 milli-units)"))))
       .groupBy(col(group), col("mn"))
       .agg(count(lit(1)).as("n"),
         sum(col("c")).as("s1"),

@@ -190,8 +190,12 @@ object Relational {
         bits(col("c2") * col("t1") + 1) - bits(col("c1") * col("t2") + 1))
       .select(col("band"), col("c1"), col("c2"),
         col("delta_num"), col("dbits"),
-        ((col("delta_num") * col("dbits")).cast("double")
-          / (col("t1").cast("double") * col("t2").cast("double")))
+        // NULL-on-undefined: if every event fell on one side of splitDay
+        // the t1·t2 denominator is 0 — ANSI would error where the oracle
+        // yields NaN, so emit NULL (the bootstrapMeans convention)
+        when(col("t1") > 0 && col("t2") > 0,
+          (col("delta_num") * col("dbits")).cast("double")
+            / (col("t1").cast("double") * col("t2").cast("double")))
           .as("psi_contrib"))
   }
 
@@ -224,8 +228,10 @@ object Relational {
       .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
         .as("d_num"))
       .select(col("n1"), col("n2"), col("d_num"),
-        (col("d_num").cast("double")
-          / (col("n1").cast("double") * col("n2").cast("double"))).as("d"))
+        // NULL-on-undefined when a period is empty (see psiDrift)
+        when(col("n1") > 0 && col("n2") > 0,
+          col("d_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("d"))
   }
 
   /** Two-variant experiment analysis (the A/B readout): split users by
@@ -266,9 +272,13 @@ object Relational {
             "abTest contingency product overflows int64 past ~3e9 users per variant"))))
       .select(
         col("users0"), col("users1"), col("conv0"), col("conv1"),
-        (col("conv0").cast("double") / col("users0").cast("double"))
+        // NULL-on-undefined like chi2: an empty variant must not hit
+        // ANSI divide-by-zero where the oracle would yield NaN
+        when(col("users0") > 0,
+          col("conv0").cast("double") / col("users0").cast("double"))
           .as("rate0"),
-        (col("conv1").cast("double") / col("users1").cast("double"))
+        when(col("users1") > 0,
+          col("conv1").cast("double") / col("users1").cast("double"))
           .as("rate1"),
         when(col("users0") > 0 && col("users1") > 0
             && col("conv0") + col("conv1") > 0

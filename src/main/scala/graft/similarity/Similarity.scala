@@ -126,15 +126,19 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
-  /** Embedding-space label diagnostics: the floor-mean centroid of each
-    * label's vectors and the pairwise cosine between label centroids —
+  /** Embedding-space label diagnostics: the truncated-mean centroid of
+    * each label's vectors and the pairwise cosine between label centroids —
     * the "are my classes separable / is this embedding collapsing"
     * monitor an embedding-training pipeline tracks per checkpoint (high
     * inter-label centroid cosine = classes not separated).
     *
     * Determinism: per-dimension sums of the quantized vectors are exact
-    * integers; the centroid is the integer FLOOR mean `sum div n` (floor
-    * before any dot product, so addition order cannot matter and the
+    * integers; the centroid is the TRUNCATED (toward-zero) integer mean
+    * `sum div n` — Spark's `div` and DuckDB's `//` both truncate toward
+    * zero, which for a negative per-dimension sum is NOT the floor; the
+    * engines agree with each other, so don't "fix" one side to floor
+    * semantics — (truncate before any dot product, so addition order
+    * cannot matter and the
     * centroid dot stays ≤ 64·(1e6·|x|max)² — no overflow for any corpus
     * size, unlike dotting raw sums); centroid cosine is the shared
     * [[cosineQ]] one-division form. Pairs emit once as label_a < label_b.

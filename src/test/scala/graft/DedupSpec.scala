@@ -360,6 +360,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("winnowPairs: maxDf drops boilerplate fingerprints before the self-join") {
+    val s = spark
+    import s.implicits._
+    // docs 1-3 identical (every fingerprint df=3 — "boilerplate"),
+    // doc 4 unrelated
+    val docs = Seq(1L -> "common boilerplate text", 2L -> "common boilerplate text",
+      3L -> "common boilerplate text", 4L -> "something else entirely ok")
+      .toDF("doc_id", "text")
+    val all = Dedup.winnowPairs(docs, k = 4, w = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(all == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // df cap 2 removes every df=3 fingerprint -> no candidate pairs left
+    val capped = Dedup.winnowPairs(docs, k = 4, w = 3, minShared = 1, maxDf = 2)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("linkagePairs: hand-computed FS weights, verdict bands, block isolation") {
     val s = spark
     import s.implicits._
@@ -383,6 +400,29 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 1L, 2L, 1L, 4L, "possible"),
       (1L, 3L, -2L, -1L, -1L, -4L, "nonmatch"),
       (2L, 3L, -2L, -1L, -1L, -4L, "nonmatch")))
+    // the block is a caller knob (the snmPairs sharding discipline): one
+    // coarse block makes doc 4 — isolated under the default en:z block —
+    // a window candidate of every other doc. Sort order by text prefix is
+    // 3 < 1 < 2 < 4, so window=3 yields all 6 pairs.
+    val oneBlock = Dedup.linkagePairs(docs, window = 3,
+      block = Some(org.apache.spark.sql.functions.lit("*")))
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(oneBlock == Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    // a custom sortKey reorders the window: sorting by doc_id descending
+    // proxy (negated via lpad of (9 - doc_id)) still yields the same set
+    // under one block at window=3 over 4 docs — but a window of 1 pairs
+    // only sort-adjacent docs, proving the key is actually applied
+    val adjacent = Dedup.linkagePairs(docs, window = 1,
+      block = Some(org.apache.spark.sql.functions.lit("*")),
+      sortKey = Some(org.apache.spark.sql.functions.lpad(
+        (org.apache.spark.sql.functions.lit(9) - org.apache.spark.sql.functions.col("doc_id"))
+          .cast("string"), 2, "0")))
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sort order under 9-doc_id: 4, 3, 2, 1 -> adjacent pairs (3,4), (2,3), (1,2)
+    assert(adjacent == Seq((1L, 2L), (2L, 3L), (3L, 4L)))
   }
 
   test("weightedJaccardPairs: repeated spans keep their mass, df cap changes semantics") {

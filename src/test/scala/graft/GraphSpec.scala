@@ -241,4 +241,20 @@ class GraphSpec extends SparkSpec {
         r.getAs[Long]("common"), r.getAs[Long]("ra_micro")))
     assert(got.toSeq == Seq((1L, 4L, 1L, 333333L), (2L, 4L, 1L, 333333L)))
   }
+
+  test("linkPrediction: maxDegree excludes hub common neighbors, keeps the rest") {
+    // hub 0 (deg 3: 1,2,3) and low-degree 5 (deg 2: 1,2) are both common
+    // neighbors of (1,2); (1,3)/(2,3) exist only through the hub
+    val es = pairs((0L, 1L), (0L, 2L), (0L, 3L), (5L, 1L), (5L, 2L))
+    def run(cap: Int) = Graph.linkPrediction(es, topK = 10, maxDegree = cap)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("common"), r.getAs[Long]("ra_micro"))).toSeq
+    // uncapped: (0,5) via z=1,z=2 (deg 2 each); (1,2) via z=0 (div 3) and
+    // z=5 (div 2); (1,3)/(2,3) via z=0 only
+    assert(run(10000) == Seq((0L, 5L, 2L, 1000000L), (1L, 2L, 2L, 833333L),
+      (1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)))
+    // cap 2: hub 0 can no longer serve as z — (1,3)/(2,3) vanish, (1,2)
+    // survives through its remaining low-degree common neighbor
+    assert(run(2) == Seq((0L, 5L, 2L, 1000000L), (1L, 2L, 1L, 500000L)))
+  }
 }

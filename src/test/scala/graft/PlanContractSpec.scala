@@ -488,4 +488,26 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"q_seqpat top-k is not TakeOrdered: $plan")
   }
+
+  test("link prediction: z-side degree cap filters BEFORE the wedge join") {
+    val plan = planOf("q_link_pred")
+    // the default maxDegree=10000 must survive into the physical plan as
+    // a filter on the degree count — without it one hub node makes the
+    // wedge join quadratic in its degree
+    assert(plan.contains("<= 10000"),
+      s"q_link_pred lost the maxDegree z-side cap: $plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_link_pred top-k is not TakeOrdered: $plan")
+  }
+
+  test("winnow pairs: hot-fingerprint df cap anti-joins BEFORE the self-join") {
+    val plan = planOf("q_winnow_pairs")
+    // the default maxDf=1000 boilerplate cap must appear as the df filter
+    // feeding a LeftAnti against the fingerprint table — without it one
+    // cookie-banner fingerprint shared by N docs emits N²/2 pairs
+    assert(plan.contains("> 1000"),
+      s"q_winnow_pairs lost the maxDf fingerprint cap: $plan")
+    assert(plan.contains("LeftAnti"),
+      s"q_winnow_pairs df cap must be a left-anti join: $plan")
+  }
 }
