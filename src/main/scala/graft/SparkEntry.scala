@@ -159,6 +159,33 @@ object SparkEntry {
     path
   }
 
+  /** The ONE dense per-minute series the four window-pass metric gates
+    * (q_autocorr, q_stl, q_rolling_median, q_cusum) consume, materialized
+    * ONCE per (process, sfDir) — the pay-once amortization the bucketed
+    * join applies to its layout: each consumer previously re-derived the
+    * identical 1.7M-row-at-sf0.1 densification (scan + two keyed
+    * aggregations + spine join) before its own window pass, re-paying the
+    * heaviest shared stage four times. q_metrics_dense itself still
+    * computes the series directly (it IS the materialization query, and
+    * its plan contract pins the sequence-exploded spine shape).
+    *
+    * The path carries the graft_store_ prefix so scratchStore's
+    * dead-owner sweep reclaims abandoned copies, the sfDir hash so two
+    * dirs never collide, and the PID so concurrent Bench/Verify
+    * processes each own their copy. The _SUCCESS marker gates reuse —
+    * a partial write (killed mid-materialization) is rewritten. */
+  private def denseShared(s: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_store_dense_" +
+      Integer.toHexString(dir.hashCode) + "_p" + ProcessHandle.current().pid()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      Metrics.denseMinuteCounts(Tables.streamData(s, dir))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** The ONE purchase co-occurrence graph the three graph gates
     * (q_triangles, q_label_prop, q_kcore) and their oracle CTEs all share:
     * users purchasing in the same 15-minute block (900000 ms — the
@@ -322,9 +349,10 @@ object SparkEntry {
         .orderBy(col("stream_id"), col("stream_partition"))),
 
     // exact 15-minute rolling median rate — the robust smoother that
-    // ignores the spike the mean-based EWMA chases
+    // ignores the spike the mean-based EWMA chases; reads the shared
+    // materialized dense series (pay the densification once)
     "q_rolling_median" -> ((s, dir) =>
-      Metrics.rollingMedian(Tables.streamData(s, dir), window = 15)),
+      Metrics.rollingMedianOfDense(denseShared(s, dir), window = 15)),
 
     // skewness/excess kurtosis via the min-shift trick: DECIMAL(38)
     // centered power sums, one fixed IEEE chain at the output edge
@@ -333,15 +361,17 @@ object SparkEntry {
         .orderBy(col("event_type"))),
 
     // lag-60 autocorrelation of the dense per-minute rate — the periodic-
-    // load detector; lead() over the existing keyed window, no self-join
+    // load detector; lead() over the existing keyed window, no self-join;
+    // shared dense series (see denseShared)
     "q_autocorr" -> ((s, dir) =>
-      Metrics.autocorrelation(Tables.streamData(s, dir), lag = 60)
+      Metrics.autocorrelationOfDense(denseShared(s, dir), lag = 60)
         .orderBy(col("stream_id"), col("stream_partition"))),
 
     // CUSUM change-point statistics via the prefix-min identity for the
-    // max(0,·) recursion — two window passes, alarms at n·tau
+    // max(0,·) recursion — two window passes, alarms at n·tau; shared
+    // dense series (see denseShared)
     "q_cusum" -> ((s, dir) =>
-      Metrics.cusum(Tables.streamData(s, dir), tauMsgs = 5L)),
+      Metrics.cusumOfDense(denseShared(s, dir), tauMsgs = 5L)),
 
     // pairwise Pearson correlation of per-minute stream rates on common
     // active minutes — cross-stream dependence monitoring
@@ -1738,9 +1768,10 @@ object SparkEntry {
     }),
 
     // additive seasonal-trend decomposition of the dense rate series:
-    // centered-mean trend, minute-of-day seasonal, exact-int divisions
+    // centered-mean trend, minute-of-day seasonal, exact-int divisions;
+    // shared dense series (see denseShared)
     "q_stl" -> ((s, dir) =>
-      Metrics.decompose(Tables.streamData(s, dir), halfWindow = 30)),
+      Metrics.decomposeOfDense(denseShared(s, dir), halfWindow = 30)),
 
     // ---- relational surface: TPC-H-ish pricing summary (§2.4) ----
     "q1_pricing" -> ((s, dir) =>

@@ -245,13 +245,23 @@ object Metrics {
     * NULL. The lag pairing is one `lead()` over the (stream, part) keyed
     * window the dense series already produced — no self-join, no second
     * shuffle. */
-  def autocorrelation(streamData: DataFrame, lag: Int = 60): DataFrame = {
+  def autocorrelation(streamData: DataFrame, lag: Int = 60): DataFrame =
+    autocorrelationOfDense(denseMinuteCounts(streamData), lag)
+
+  /** [[autocorrelation]] over a PRE-densified minute series (the
+    * [[denseMinuteCounts]] schema). The four dense-series consumers
+    * (autocorrelation, decompose, rollingMedian, cusum) each need the
+    * same 1.7M-row-at-sf0.1 dense rebuild; at scale the series is
+    * materialized ONCE (pay-once, like a bucketed layout) and every
+    * consumer takes this entry point — rebuilding it per consumer
+    * re-pays the scan+shuffle N times for bit-identical input. */
+  def autocorrelationOfDense(dense: DataFrame, lag: Int = 60): DataFrame = {
     require(lag >= 1, s"autocorrelation lag must be >= 1, got $lag")
     import org.apache.spark.sql.expressions.Window
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
       .orderBy(col("minute"))
-    val pairs = denseMinuteCounts(streamData)
+    val pairs = dense
       .select(col("stream_id"), col("stream_partition"), col("minute"),
         col("msgs"))
       .withColumn("y", lead(col("msgs"), lag).over(w))
@@ -297,14 +307,19 @@ object Metrics {
     * Scale: two window passes — the centered frame over the existing
     * (part, minute) sort, then a (part, minute-of-day) keyed window —
     * both O(1) state per row; nothing driver-sized. */
-  def decompose(streamData: DataFrame, halfWindow: Int = 30): DataFrame = {
+  def decompose(streamData: DataFrame, halfWindow: Int = 30): DataFrame =
+    decomposeOfDense(denseMinuteCounts(streamData), halfWindow)
+
+  /** [[decompose]] over a pre-densified series — see
+    * [[autocorrelationOfDense]] for the pay-once rationale. */
+  def decomposeOfDense(dense: DataFrame, halfWindow: Int = 30): DataFrame = {
     require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
     import org.apache.spark.sql.expressions.Window
     val span = 2 * halfWindow + 1
     val frame = Window.partitionBy(col("stream_id"), col("stream_partition"))
       .orderBy(col("minute"))
       .rowsBetween(-halfWindow.toLong, halfWindow.toLong)
-    val interior = denseMinuteCounts(streamData)
+    val interior = dense
       .select(col("stream_id"), col("stream_partition"), col("minute"),
         col("msgs"))
       .withColumn("w_sum", sum(col("msgs")).over(frame))
@@ -336,13 +351,18 @@ object Metrics {
     * how many). Scale: the frame is a constant-size buffer per row over
     * the one (stream, part) keyed sort the dense series already
     * produced — no self-join, state O(window). */
-  def rollingMedian(streamData: DataFrame, window: Int = 15): DataFrame = {
+  def rollingMedian(streamData: DataFrame, window: Int = 15): DataFrame =
+    rollingMedianOfDense(denseMinuteCounts(streamData), window)
+
+  /** [[rollingMedian]] over a pre-densified series — see
+    * [[autocorrelationOfDense]] for the pay-once rationale. */
+  def rollingMedianOfDense(dense: DataFrame, window: Int = 15): DataFrame = {
     require(window >= 1, s"rollingMedian window must be >= 1, got $window")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("stream_id"), col("stream_partition"))
       .orderBy(col("minute"))
       .rowsBetween(-(window - 1).toLong, Window.currentRow)
-    denseMinuteCounts(streamData)
+    dense
       .select(col("stream_id"), col("stream_partition"), col("minute"),
         col("msgs"))
       .withColumn("median_rate", percentile(col("msgs"), lit(0.5)).over(w))
@@ -368,13 +388,18 @@ object Metrics {
     * n ≈ 4·10⁴ minutes this holds to S ≈ 2·10¹⁴ messages per part,
     * far past any real stream-part; beyond that, widen to DECIMAL(38)
     * as rateTrend does. */
-  def cusum(streamData: DataFrame, tauMsgs: Long = 50L): DataFrame = {
+  def cusum(streamData: DataFrame, tauMsgs: Long = 50L): DataFrame =
+    cusumOfDense(denseMinuteCounts(streamData), tauMsgs)
+
+  /** [[cusum]] over a pre-densified series — see
+    * [[autocorrelationOfDense]] for the pay-once rationale. */
+  def cusumOfDense(dense: DataFrame, tauMsgs: Long = 50L): DataFrame = {
     require(tauMsgs >= 1, s"cusum tauMsgs must be >= 1, got $tauMsgs")
     import org.apache.spark.sql.expressions.Window
     val part = Window.partitionBy(col("stream_id"), col("stream_partition"))
     val byMin = part.orderBy(col("minute"))
     val prefix = byMin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    denseMinuteCounts(streamData)
+    dense
       .select(col("stream_id"), col("stream_partition"), col("minute"),
         col("msgs"))
       .withColumn("n", count(lit(1)).over(part))
