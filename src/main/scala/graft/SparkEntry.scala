@@ -950,6 +950,18 @@ object SparkEntry {
       Dedup.winnowPairs(docsParallel(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // winnowing-based duplicate clusters: the THIRD independent pair
+    // signal (substring-granular MOSS fingerprints) routed through the
+    // same union-find tail the Jaccard (q_dup_clusters) and SimHash
+    // pair generators share — same star-contraction machinery, different
+    // candidate generator
+    "q_winnow_clusters" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.dupClusters(docs,
+        Dedup.winnowPairs(docs).select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fellegi–Sunter linkage: SNM-blocked candidates scored field-by-field
     // with frequency-based integer agreement weights, thresholded into
     // match / possible / nonmatch
@@ -3780,6 +3792,25 @@ object SparkEntry {
           |FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
           |GROUP BY 1, 2 HAVING count(*) >= 2
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+      // same pair tail, then the recursive min-label component chain the
+      // Jaccard cluster oracles use; every doc appears, singletons are
+      // their own canonical cluster
+      "q_winnow_clusters" ->
+        (winnowCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+          """
+            |f AS (SELECT DISTINCT doc_id, s.fp AS fp FROM s),
+            |pr AS (SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b
+            |       FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+            |       GROUP BY 1, 2 HAVING count(*) >= 2),
+            |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+            |          UNION ALL SELECT doc_b, doc_a FROM pr),
+            |cc AS (SELECT doc_id AS id, doc_id AS label FROM documents
+            |       UNION
+            |       SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src)
+            |SELECT id AS doc_id, min(label) AS cluster,
+            |       CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+            |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin),
 
       // Fellegi–Sunter: same SNM window, frequency tables joined on the
       // left value (equal on agreement, unused on disagreement), integer

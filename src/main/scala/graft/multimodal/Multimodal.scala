@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * per-row), typed outputs — while the codec itself is STUBBED with a
   * deterministic fake (`StubCodec`): this container has no image/audio
   * libraries, and the stub's byte-level features keep every stage testable
-  * and engine-reproducible. Swapping in a real codec changes only the
-  * function body marked below.
+  * and engine-reproducible. Swapping in a real codec means implementing
+  * the [[Multimodal.MediaCodec]] trait and passing it to the stages —
+  * nothing else changes.
   *
   * Scale notes: media rows are large (MBs); the table partitions on
   * `media_id` hash so decode work spreads evenly, metadata-only queries
@@ -41,13 +42,27 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
+  /** The codec SEAM: every decode-shaped stage (features, frames, resize)
+    * goes through this interface, so swapping in a real image/audio codec
+    * is one new implementation — none of the Spark plumbing (schema,
+    * partitioning, batch shape) changes. Serializable because instances
+    * are captured by executor-side closures. MultimodalSpec proves the
+    * seam by running the pipeline under a second, unrelated codec. */
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
+    def decodeFeatures(data: Array[Byte]): Array[Float]
+    def sampleFrames(data: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]]
+    def resize(data: Array[Byte], targetBytes: Int): Array[Byte]
+  }
+
   /** ====== STUB CODEC — deterministic fake, replace with real decode ======
     * A real implementation would decode `data` with an image/audio library
     * and emit pixel/sample tensors. The stub derives a 16-dim byte-histogram
     * feature (counts of each high nibble, L1-normalized) — deterministic,
     * cheap, and shaped exactly like a real embedding hand-off. */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     val FeatureDim = 16
+    override def featureDim: Int = FeatureDim
 
     def decodeFeatures(data: Array[Byte]): Array[Float] = {
       val counts = new Array[Float](FeatureDim)
@@ -94,13 +109,14 @@ object Multimodal {
 
   /** Feature extraction over partition-sized batches: one codec context per
     * partition (the real-codec cost model), small typed rows out. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real codec: initialize decoder/session once per partition here
       rows.map { r =>
         MediaFeatures(r.media_id, r.kind, r.data.length.toLong,
-          StubCodec.decodeFeatures(r.data))
+          codec.decodeFeatures(r.data))
       }
     }
   }
@@ -110,7 +126,8 @@ object Multimodal {
     * extraction at scale, so downstream stages shuffle bounded rows. The
     * metadata columns ride along; `width`/`height` are rescaled in
     * proportion like a real resize would. */
-  def resize(media: Dataset[MediaRow], targetBytes: Int = 4096): Dataset[MediaRow] = {
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 4096,
+      codec: MediaCodec = StubCodec): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -118,7 +135,7 @@ object Multimodal {
         else {
           val scale = targetBytes.toDouble / r.data.length
           r.copy(
-            data = StubCodec.resize(r.data, targetBytes),
+            data = codec.resize(r.data, targetBytes),
             width = if (r.width >= 0) math.max(1, (r.width * scale).toInt) else r.width,
             height = if (r.height >= 0) math.max(1, (r.height * scale).toInt) else r.height)
         }
@@ -127,10 +144,11 @@ object Multimodal {
   }
 
   /** Frame-sample stage: media → (media_id, frame_idx, frame bytes). */
-  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256, stride: Int = 4,
+      codec: MediaCodec = StubCodec): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      StubCodec.sampleFrames(r.data, frameBytes, stride).zipWithIndex.map {
+      codec.sampleFrames(r.data, frameBytes, stride).zipWithIndex.map {
         case (frame, i) => (r.media_id, i, frame)
       }
     }.toDF("media_id", "frame_idx", "frame")

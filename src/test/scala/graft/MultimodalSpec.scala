@@ -92,4 +92,51 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_frames") == 1L) // ceil(ceil(600/256)=3 /4)=1
     assert(out(1).getAs[Long]("n_frames") == 1L)
   }
+
+  /** A second, unrelated codec implementation — proves the MediaCodec swap
+    * point is real: the full pipeline (resize → features → frames) runs
+    * under it with zero changes to the Spark plumbing. Features are a
+    * 4-dim [min, max, first, last] byte profile; "frames" split from the
+    * END of the payload; "resize" truncates (prefix) instead of sampling. */
+  private object AltCodec extends Multimodal.MediaCodec {
+    override def featureDim: Int = 4
+    override def decodeFeatures(data: Array[Byte]): Array[Float] =
+      if (data.isEmpty) Array.fill(4)(0f)
+      else Array(data.min.toFloat, data.max.toFloat,
+        data.head.toFloat, data.last.toFloat)
+    override def sampleFrames(data: Array[Byte], frameBytes: Int,
+        stride: Int): Seq[Array[Byte]] =
+      data.reverse.grouped(frameBytes).zipWithIndex
+        .collect { case (c, i) if i % stride == 0 => c.reverse }.toSeq
+    override def resize(data: Array[Byte], targetBytes: Int): Array[Byte] =
+      data.take(targetBytes)
+  }
+
+  test("codec seam: the pipeline runs identically-shaped under a swapped codec") {
+    val media = Multimodal.asMedia(Multimodal.mediaFromDocuments(
+      docsOf((0L, "abca" * 400), (1L, "zq"))))
+    // resize honors the alternative policy (prefix truncation)
+    val resized = Multimodal.resize(media, targetBytes = 100, codec = AltCodec)
+    val r0 = resized.collect().find(_.media_id == 0L).get
+    assert(r0.data.length == 100 &&
+      r0.data.sameElements(("abca" * 25).getBytes("UTF-8")))
+    // features carry the alt codec's dimension and values
+    val f = Multimodal.extractFeatures(resized, codec = AltCodec)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(f(0L).features.length == AltCodec.featureDim)
+    assert(f(1L).features.sameElements(
+      Array('q'.toFloat, 'z'.toFloat, 'z'.toFloat, 'q'.toFloat)))
+    // frames split from the payload END: 100 bytes -> frames of 36+64
+    // under frameBytes=64 (tail-aligned), stride 1 keeps both
+    val frames = Multimodal.sampleFrames(resized, frameBytes = 64,
+      stride = 1, codec = AltCodec)
+      .collect().filter(_.getAs[Long]("media_id") == 0L)
+      .sortBy(_.getAs[Int]("frame_idx"))
+    assert(frames.length == 2)
+    assert(frames(0).getAs[Array[Byte]]("frame").length == 64)
+    assert(frames(1).getAs[Array[Byte]]("frame").length == 36)
+    // and the stub path still runs unchanged next to it (both codecs green)
+    val stub = Multimodal.extractFeatures(media).collect()
+    assert(stub.forall(_.features.length == Multimodal.StubCodec.FeatureDim))
+  }
 }
