@@ -658,6 +658,21 @@ object SparkEntry {
     // cross-multiplied cumulative max over the bounded band histogram
     "q_ks" -> ((s, dir) => Relational.ksDrift(Tables.events(s, dir))),
 
+    // Mann-Whitney U drift per event type between the same periods:
+    // doubled tie-averaged ranks from the value histogram (DECIMAL-exact),
+    // tie-corrected z as one fixed IEEE chain — the rank-based,
+    // band-free complement to q_psi/q_ks
+    "q_mwu" -> ((s, dir) =>
+      graft.operators.RobustStats.mannWhitneyDrift(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
+    // banded Spearman day-vs-value rank trend per event type: doubled
+    // average ranks from two bounded histograms, Pearson over exact
+    // DECIMAL stats — the robust monotone-drift detector next to q_trend
+    "q_spearman" -> ((s, dir) =>
+      graft.operators.RobustStats.spearmanTrend(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
     // Gini concentration of per-user spend: exact-rank identity over the
     // value histogram in DECIMAL(38), one division — the key-dominance
     // summary next to the skew-mitigation tools
@@ -4048,6 +4063,80 @@ object SparkEntry {
           |       - (length(bin(c1*t2 + 1)) - 1)) AS DOUBLE)
           |      / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) END AS psi_contrib
           |FROM b CROSS JOIN t ORDER BY band""".stripMargin,
+
+      // Mann-Whitney U: same period split, doubled tie-averaged ranks
+      // from the per-type value histogram, tie-corrected z in the same
+      // fixed IEEE chain (HUGEINT-exact until the final casts)
+      "q_mwu" ->
+        """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+          |             CAST(floor(value * 1000000) AS BIGINT) AS v
+          |           FROM events),
+          |p AS (SELECT event_type, v,
+          |        CASE WHEN tus // 86400000000 < 19737 THEN 1 ELSE 2 END AS period
+          |      FROM e),
+          |h AS (SELECT event_type, v,
+          |        sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c1,
+          |        sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS c2
+          |      FROM p GROUP BY 1, 2),
+          |c AS (SELECT event_type, c1, c2, c1 + c2 AS t,
+          |        sum(c1 + c2) OVER (PARTITION BY event_type ORDER BY v)
+          |          - (c1 + c2) AS prev
+          |      FROM h),
+          |s AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2,
+          |        sum(c1 * (2*prev + t + 1)) AS r1_2x,
+          |        sum(t*t*t - t) AS tie_cubes
+          |      FROM c GROUP BY 1),
+          |u AS (SELECT event_type, n1, n2, tie_cubes,
+          |        r1_2x - n1*(n1+1) AS u1_2x
+          |      FROM s)
+          |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |  CAST(u1_2x AS DOUBLE) AS u1_2x,
+          |  CAST(2*n1*n2 - u1_2x AS DOUBLE) AS u2_2x,
+          |  CAST(tie_cubes AS DOUBLE) AS tie_cubes,
+          |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |    CASE WHEN CAST(n1*n2 AS DOUBLE) * (CAST(n1+n2+1 AS DOUBLE)
+          |            - CAST(tie_cubes AS DOUBLE)
+          |              / CAST((n1+n2)*(n1+n2-1) AS DOUBLE)) / 12.0 > 0
+          |    THEN CAST(u1_2x - n1*n2 AS DOUBLE)
+          |      / (2.0 * sqrt(CAST(n1*n2 AS DOUBLE) * (CAST(n1+n2+1 AS DOUBLE)
+          |            - CAST(tie_cubes AS DOUBLE)
+          |              / CAST((n1+n2)*(n1+n2-1) AS DOUBLE)) / 12.0))
+          |    END
+          |  END AS z
+          |FROM u ORDER BY event_type""".stripMargin,
+
+      // banded Spearman: doubled average ranks from the day and value
+      // histograms, Pearson over HUGEINT-exact rank sufficient stats
+      "q_spearman" ->
+        """WITH e AS (SELECT event_type,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |             CAST(floor(value * 1000000) AS BIGINT) AS v
+          |           FROM events),
+          |hd AS (SELECT event_type, day, count(*) AS t FROM e GROUP BY 1, 2),
+          |rd AS (SELECT event_type, day,
+          |         2*(sum(t) OVER (PARTITION BY event_type ORDER BY day) - t)
+          |           + t + 1 AS r
+          |       FROM hd),
+          |hv AS (SELECT event_type, v, count(*) AS t FROM e GROUP BY 1, 2),
+          |rv AS (SELECT event_type, v,
+          |         2*(sum(t) OVER (PARTITION BY event_type ORDER BY v) - t)
+          |           + t + 1 AS r
+          |       FROM hv),
+          |pr AS (SELECT e.event_type, rd.r AS x, rv.r AS y
+          |       FROM e
+          |       JOIN rd ON e.event_type = rd.event_type AND e.day = rd.day
+          |       JOIN rv ON e.event_type = rv.event_type AND e.v = rv.v),
+          |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+          |        sum(x*x) AS sxx, sum(y*y) AS syy
+          |      FROM pr GROUP BY 1)
+          |SELECT event_type, n,
+          |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+          |       THEN CAST(n*sxy - sx*sy AS DOUBLE)
+          |            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+          |               * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+          |  END AS rho
+          |FROM s ORDER BY event_type""".stripMargin,
 
       // banded KS: same histogram, integer cross-multiplied ECDF max
       "q_ks" ->

@@ -218,4 +218,137 @@ object RobustStats {
         row_number().over(w).cast("long"))
       .select(col("event_id"), col("v_micro"), col("rnk"))
   }
+
+  /** Mann–Whitney U two-sample drift test (Mann & Whitney 1947) per
+    * event type: did the VALUE distribution shift between the reference
+    * period (before UTC day `splitDay`) and the current one? The
+    * rank-based complement to the binned [[graft.operators.Relational
+    * .psiDrift]]/[[graft.operators.Relational.ksDrift]] monitors — U is
+    * exactly P(X1 > X2)-shaped, needs no band width, and is the standard
+    * nonparametric location test when values are heavy-tailed.
+    *
+    * Exact decomposition over the per-type VALUE HISTOGRAM (the
+    * [[gini]]/vocabCoverage tie-class rule — tied values are
+    * interchangeable, so no row-level rank sort exists): for a micro-value
+    * class with period counts (c1, c2), t = c1 + c2 and `prev` smaller
+    * items, every member's DOUBLED average rank is the integer
+    * `2·prev + t + 1`, so `2·R1 = Σ c1·(2·prev + t + 1)` and
+    * `2·U1 = 2·R1 − n1·(n1+1)` accumulate exactly in DECIMAL(38,0) (the
+    * rateTrend rule — loud raise on overflow, no int64 wrap at any n).
+    * The tie-corrected normal approximation
+    * `z = (U1 − n1·n2/2) / sqrt(n1·n2/12 · ((N+1) − Σ(t³−t)/(N(N−1))))`
+    * is ONE fixed IEEE chain over doubles cast from those exact integers
+    * (the chiSquareTokens determinism rule); z is NULL when a period is
+    * empty or every value is tied (σ = 0 — the 0/0 whose encoding
+    * differs across engines).
+    *
+    * Scale: one (type, value)-keyed aggregation, then the cumulative
+    * window runs over the HISTOGRAM (bounded by distinct micro-values
+    * per type — the ksDrift bounded-window rule), never over events. A
+    * type whose value support is genuinely unbounded at 100 TB outgrows
+    * the per-type histogram window the same way quantileNormalize
+    * documents: decompose the cumulative with [[globalRank]]'s
+    * range-exchange buckets. */
+  def mannWhitneyDrift(events: DataFrame, splitDay: Long = 19737L): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"mannWhitneyDrift: $what exceeds the exact DECIMAL(38) bound")))
+    val hist = events
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        floor(col("value") * lit(1000000)).cast("long").as("v"))
+      .withColumn("period",
+        when(expr("tus div 86400000000") < splitDay, lit(1L)).otherwise(lit(2L)))
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("period") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("period") === 2, 1L).otherwise(0L)).as("c2"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = hist
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("prev", sum(col("t")).over(cum) - col("t"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(dec(col("c1")) * dec(lit(2L) * col("prev") + col("t") + 1L))
+          .as("r1_2x"),
+        sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+          .as("tie_cubes"))
+    val u1_2x = exact(col("r1_2x"), "2*R1") -
+      dec(col("n1")) * dec(col("n1") + 1L)
+    val bigN = col("n1") + col("n2")
+    val varU = (dec(col("n1")) * dec(col("n2"))).cast("double") *
+      ((bigN + 1L).cast("double") -
+        exact(col("tie_cubes"), "sum(t^3 - t)").cast("double") /
+          (dec(bigN) * dec(bigN - 1L)).cast("double")) / lit(12.0)
+    stats.select(col("event_type"), col("n1"), col("n2"),
+      u1_2x.cast("double").as("u1_2x"),
+      (dec(lit(2L)) * dec(col("n1")) * dec(col("n2")) - u1_2x)
+        .cast("double").as("u2_2x"),
+      col("tie_cubes").cast("double").as("tie_cubes"),
+      when(col("n1") > 0 && col("n2") > 0,
+        when(varU > 0,
+          (u1_2x - dec(col("n1")) * dec(col("n2"))).cast("double") /
+            (lit(2.0) * sqrt(varU)))).as("z"))
+  }
+
+  /** Banded Spearman rank trend per event type: the rank correlation
+    * between WHEN an event happened (its UTC day) and its VALUE — the
+    * robust monotone-drift detector next to the least-squares
+    * [[graft.metrics.Metrics.rateTrend]] (a single outlier day swings a
+    * slope; it barely moves a rank correlation). Banded exactly as the
+    * binned KS is: days are the natural time bands, values use their
+    * micro-unit classes, and ranks are tie-averaged over each band — the
+    * standard large-scale practice, since exact per-row Spearman needs a
+    * global sort per group.
+    *
+    * Exactness: both rank tables carry DOUBLED average ranks (integer
+    * `2·prev + t + 1`, see [[mannWhitneyDrift]]); ρ is then Pearson over
+    * the two integer rank columns with DECIMAL(38,0) sufficient
+    * statistics and the crossStreamCorrelation one-chain IEEE output —
+    * NULL for a constant side. Doubling cancels in ρ (both numerator
+    * and denominator scale by 4).
+    *
+    * Scale: two histogram-sized rank tables (days per type, distinct
+    * micro-values per type) built with bounded cumulative windows, joined
+    * back keyed on (type, band) — the fact table shuffles once per join
+    * key and never sorts row-level. */
+  def spearmanTrend(events: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"spearmanTrend: $what exceeds the exact DECIMAL(38) bound")))
+    val base = events.select(col("event_type"),
+      expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+      floor(col("value") * lit(1000000)).cast("long").as("v"))
+    def rank2x(keyCol: String, out: String): DataFrame = {
+      val cum = Window.partitionBy(col("event_type")).orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("event_type"), col(keyCol))
+        .agg(count(lit(1)).as("t"))
+        .withColumn("prev", sum(col("t")).over(cum) - col("t"))
+        .select(col("event_type"), col(keyCol),
+          (lit(2L) * col("prev") + col("t") + 1L).as(out))
+    }
+    val paired = base
+      .join(rank2x("day", "rd"), Seq("event_type", "day"))
+      .join(rank2x("v", "rv"), Seq("event_type", "v"))
+      .select(col("event_type"), dec(col("rd")).as("x"), dec(col("rv")).as("y"))
+    val stats = paired.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val denx = exact(dec(col("n")) * col("sxx") - col("sx") * col("sx"),
+      "n*sxx - sx*sx")
+    val deny = exact(dec(col("n")) * col("syy") - col("sy") * col("sy"),
+      "n*syy - sy*sy")
+    val num = exact(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
+      "n*sxy - sx*sy")
+    stats.select(col("event_type"), col("n"),
+      when(denx > 0 && deny > 0,
+        num.cast("double") /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double")))).as("rho"))
+  }
 }

@@ -663,4 +663,75 @@ class RelationalSpec extends SparkSpec {
     assert(r3.getAs[Long]("delta_us") == 2000000L)
     assert(r3.getAs[Double]("roll_mean_micro") == 2750000.0 / 3.0)
   }
+
+  test("mannWhitneyDrift: hand-computed U with tie-averaged ranks and tie-corrected z") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val s = spark
+    import s.implicits._
+    // type a: period1 {1,2}, period2 {2,3} — combined avg ranks
+    // 1->1, 2->2.5 (tie), 3->4; R1 = 3.5, U1 = 0.5, U2 = 3.5,
+    // tie term 2^3-2 = 6, z = -sqrt(1.5)
+    // type b: all four values tied -> sigma 0 -> z NULL
+    val ev = Seq(
+      ("a", "2024-01-10 00:00:00", 1.0), ("a", "2024-01-10 01:00:00", 2.0),
+      ("a", "2024-01-20 00:00:00", 2.0), ("a", "2024-01-20 01:00:00", 3.0),
+      ("b", "2024-01-10 00:00:00", 7.0), ("b", "2024-01-10 01:00:00", 7.0),
+      ("b", "2024-01-20 00:00:00", 7.0), ("b", "2024-01-20 01:00:00", 7.0))
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = graft.operators.RobustStats.mannWhitneyDrift(ev)
+      .orderBy("event_type").collect()
+    val a = got(0)
+    assert(a.getAs[Long]("n1") == 2L && a.getAs[Long]("n2") == 2L)
+    assert(a.getAs[Double]("u1_2x") == 1.0 && a.getAs[Double]("u2_2x") == 7.0)
+    assert(a.getAs[Double]("tie_cubes") == 6.0)
+    assert(math.abs(a.getAs[Double]("z") - (-math.sqrt(1.5))) < 1e-12)
+    val b = got(1)
+    assert(b.getAs[Double]("u1_2x") == 4.0 && b.getAs[Double]("u2_2x") == 4.0,
+      "all-tied U must sit at n1*n2/2")
+    assert(b.isNullAt(b.fieldIndex("z")), "sigma=0 must yield NULL z")
+  }
+
+  test("spearmanTrend: monotone day/value gives rho ±1, ties averaged, constant NULL") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // up: strictly increasing by day -> rho = 1.0 exactly
+      ("up", "2024-01-01 00:00:00", 10.0), ("up", "2024-01-02 00:00:00", 20.0),
+      ("up", "2024-01-03 00:00:00", 30.0),
+      // down: strictly decreasing -> rho = -1.0
+      ("down", "2024-01-01 00:00:00", 9.0), ("down", "2024-01-02 00:00:00", 5.0),
+      ("down", "2024-01-03 00:00:00", 1.0),
+      // flat: constant value -> zero variance -> NULL
+      ("flat", "2024-01-01 00:00:00", 4.0), ("flat", "2024-01-02 00:00:00", 4.0))
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = graft.operators.RobustStats.spearmanTrend(ev)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (if (r.isNullAt(r.fieldIndex("rho"))) None
+         else Some(r.getAs[Double]("rho")))).toMap
+    // sqrt(d)*sqrt(d) reproduces d only to the ulp, so rho lands within
+    // an ulp of ±1 (deterministically — the same chain runs in the oracle)
+    assert(math.abs(got("up").get - 1.0) < 1e-12)
+    assert(math.abs(got("down").get - (-1.0)) < 1e-12)
+    assert(got("flat").isEmpty)
+    // same-day tie: two events on day 1 share the averaged day rank, so
+    // a value swap WITHIN the day cannot change rho
+    val tied = Seq(
+      ("t", "2024-01-01 00:00:00", 2.0), ("t", "2024-01-01 01:00:00", 1.0),
+      ("t", "2024-01-02 00:00:00", 3.0))
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val swapped = Seq(
+      ("t", "2024-01-01 00:00:00", 1.0), ("t", "2024-01-01 01:00:00", 2.0),
+      ("t", "2024-01-02 00:00:00", 3.0))
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val r1 = graft.operators.RobustStats.spearmanTrend(tied)
+      .collect().head.getAs[Double]("rho")
+    val r2 = graft.operators.RobustStats.spearmanTrend(swapped)
+      .collect().head.getAs[Double]("rho")
+    assert(r1 == r2)
+  }
 }
