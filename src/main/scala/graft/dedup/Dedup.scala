@@ -503,11 +503,16 @@ object Dedup {
   def winnowPairs(docs: DataFrame, k: Int = 16, w: Int = 16,
       minShared: Long = 2, maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 2, s"need maxDf >= 2 (pairs need df >= 2): $maxDf")
-    val fp = winnow(docs, k, w).select(col("doc_id"), col("fp")).distinct()
-    val kept = fp.join(
-      fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf),
-      Seq("fp"), "left_anti")
+    // the df cap rides the fp-keyed exchange the self-join needs anyway:
+    // a window count over the distinct fingerprint table partitions on
+    // fp, the filter drops hot keys in place, and BOTH join sides read
+    // that one shuffle output (ReuseExchange — the simhashPairs /
+    // shingle-join shape), so the cap costs no extra corpus pass
+    val kept = winnow(docs, k, w).select(col("doc_id"), col("fp")).distinct()
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("fp"))
     kept.select(col("doc_id").as("a"), col("fp"))
       .join(kept.select(col("doc_id").as("b"), col("fp").as("fp2")),
         col("fp") === col("fp2") && col("a") < col("b"))

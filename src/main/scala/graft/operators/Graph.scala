@@ -322,12 +322,15 @@ object Graph {
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // z-side hub cap BEFORE the self-join: the capped adjacency carries
-    // deg(z) so the RA weight needs no post-wedge join
     val adj = und.select(col("u").as("z"), col("v").as("x"))
+    // z-side hub cap BEFORE the self-join, applied to the LEFT side only
+    // (z-equality makes it bind both sides), so the plain right-side
+    // adjacency subtree stays join-free — the capped side also carries
+    // deg(z), so the RA weight needs no post-wedge join
+    val capped = adj
       .join(deg.filter(col("deg") <= maxDegree).withColumnRenamed("u", "z"),
         Seq("z"))
-    val wedges = adj.as("l").join(adj.as("r"),
+    val wedges = capped.as("l").join(adj.as("r"),
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
       .select(col("l.x").as("a"), col("r.x").as("b"), col("l.deg").as("deg"))
     wedges

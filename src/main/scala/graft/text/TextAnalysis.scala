@@ -571,8 +571,32 @@ object TextAnalysis {
     * scoring shape — counts sharded by gram, never driver-held), and the
     * per-doc aggregate is map-side combined. Docs with < 2 tokens have no
     * bigrams and drop, same as [[repetition]]. */
-  /** Self-scored variant: the corpus is its own LM (every gram count ≥ 1). */
-  def lmBits(docs: DataFrame): DataFrame = lmBits(docs, docs)
+  /** Self-scored variant: the corpus is its own LM (every gram count ≥ 1).
+    * Because train == score, the bigram table is tokenized ONCE and its
+    * count `c12` comes from a window over that same table (one bigram-keyed
+    * exchange) instead of the two-corpus form's second tokenization pass +
+    * count join — observationally identical (the window counts the same
+    * rows the join's aggregate would), one fewer corpus scan. */
+  def lmBits(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c1 = docs.select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("vocab"))
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    docBigrams(docs)
+      .withColumn("c12",
+        count(lit(1)).over(Window.partitionBy(col("bigram"))))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(c1, col("w1") === col("tok"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (bits(coalesce(col("c1"), lit(0L)) + col("vocab"))
+          - bits(col("c12") + 1)).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+  }
 
   private def docBigrams(docs: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))

@@ -500,14 +500,15 @@ class PlanContractSpec extends SparkSpec {
       s"q_link_pred top-k is not TakeOrdered: $plan")
   }
 
-  test("winnow pairs: hot-fingerprint df cap anti-joins BEFORE the self-join") {
+  test("winnow pairs: hot-fingerprint df cap filters BEFORE the self-join") {
     val plan = planOf("q_winnow_pairs")
-    // the default maxDf=1000 boilerplate cap must appear as the df filter
-    // feeding a LeftAnti against the fingerprint table — without it one
-    // cookie-banner fingerprint shared by N docs emits N²/2 pairs
-    assert(plan.contains("> 1000"),
+    // the default maxDf=1000 boilerplate cap must appear as a filter on
+    // the fp-partitioned window count — without it one cookie-banner
+    // fingerprint shared by N docs emits N²/2 pairs. The cap must ride
+    // the fp exchange (window spec on fp), not add a join of its own.
+    assert(plan.contains("<= 1000"),
       s"q_winnow_pairs lost the maxDf fingerprint cap: $plan")
-    assert(plan.contains("LeftAnti"),
-      s"q_winnow_pairs df cap must be a left-anti join: $plan")
+    assert(plan.contains("windowspecdefinition(fp"),
+      s"q_winnow_pairs df cap must be the fp-keyed window count: $plan")
   }
 }
