@@ -1110,6 +1110,18 @@ object SparkEntry {
     "q_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(docsParallel(s, dir)).orderBy(col("doc_id"))),
 
+    // per-source language diversity: exact Simpson concentration (one
+    // division of DECIMAL-exact pair counts) + Shannon floor-log2 bits
+    // proxy — the mixture-design governance panel
+    "q_diversity" -> ((s, dir) =>
+      TextAnalysis.sourceDiversity(Tables.documents(s, dir))
+        .orderBy(col("source"))),
+
+    // Chao1 unseen-vocabulary estimate from singleton/doubleton type
+    // counts — bias-corrected form, exact integers to one division
+    "q_chao1" -> ((s, dir) =>
+      TextAnalysis.chao1Richness(docsParallel(s, dir))),
+
     // bigram LM quality score: integer floor-log2 cross-entropy proxy —
     // the CCNet "rank by LM perplexity" signal without a single float log
     "q_lm_bits" -> ((s, dir) =>
@@ -4341,6 +4353,38 @@ object SparkEntry {
           |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - sb AS DOUBLE)
           |         / CAST(n_tokens AS DOUBLE) AS mean_bits
           |FROM a ORDER BY doc_id""".stripMargin,
+
+      // per-source lang diversity: same bits identity over languages,
+      // exact Simpson pair probability, NULL for single-doc sources
+      "q_diversity" ->
+        """WITH lc AS (SELECT source, lang, count(*) AS c
+          |            FROM documents GROUP BY 1, 2),
+          |s AS (SELECT source, sum(c) AS n_docs, count(*) AS n_langs,
+          |        sum(c * (length(bin(c)) - 1)) AS sb,
+          |        sum(c * (c - 1)) AS pair_num
+          |      FROM lc GROUP BY 1)
+          |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(n_langs AS BIGINT) AS n_langs,
+          |  CAST(n_docs * (length(bin(n_docs)) - 1) - sb AS BIGINT) AS ent_bits,
+          |  CASE WHEN n_docs > 1 THEN CAST(pair_num AS DOUBLE)
+          |    / CAST(n_docs * (n_docs - 1) AS DOUBLE) END AS simpson
+          |FROM s ORDER BY source""".stripMargin,
+
+      // Chao1: singleton/doubleton counts off the same token counts,
+      // bias-corrected V + F1(F1-1)/(2(F2+1)), one division
+      "q_chao1" ->
+        """WITH c AS (SELECT tok, count(*) AS c FROM (
+          |         SELECT unnest(string_split(text, ' ')) AS tok
+          |         FROM documents) GROUP BY tok),
+          |a AS (SELECT count(*) AS vocab,
+          |        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+          |        sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+          |      FROM c)
+          |SELECT CAST(vocab AS BIGINT) AS vocab, CAST(f1 AS BIGINT) AS f1,
+          |  CAST(f2 AS BIGINT) AS f2,
+          |  CAST(vocab AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+          |    / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1
+          |FROM a""".stripMargin,
 
       // bigram LM bits: same count tables, same floor-log2-via-binary-
       // string-length proxy (bin() is unpadded in both engines)

@@ -1264,4 +1264,68 @@ object TextAnalysis {
         (coalesce(col("tp_t"), lit(0L)).cast("double")
           / col("true_n").cast("double")).as("recall"))
   }
+
+  /** Per-source corpus diversity over the language distribution — the
+    * "is this source monolingual spam or a balanced crawl" governance
+    * panel a mixture designer reads before assigning sampling weights:
+    * Simpson concentration `λ = Σ nᵢ(nᵢ−1) / (N(N−1))` (the exact
+    * probability two random docs from the source share a language —
+    * 1 ⇔ monolingual, 1/k ⇔ k balanced languages) and the Shannon
+    * diversity in the engine's floor-log2 bits proxy
+    * (`ent_bits = N·bits(N) − Σ nᵢ·bits(nᵢ)`, the [[tokenEntropy]]
+    * identity over languages instead of tokens).
+    *
+    * Exactness: λ's numerator and denominator accumulate in
+    * DECIMAL(38,0) (no int64 wrap at any corpus size) and λ is ONE
+    * double division, NULL for single-doc sources (0/0); `ent_bits` is
+    * pure int64 (N·bits(N) ≤ n·63).
+    *
+    * Scale: a (source, lang)-keyed count — |sources|·|langs| rows,
+    * metadata-sized — then a per-source aggregate; the corpus is
+    * scanned once and shuffles only the counted pairs. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("c") * bits(col("c"))).as("sb"),
+        sum(dec(col("c")) * dec(col("c") - 1L)).as("pair_num"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        (col("n_docs") * bits(col("n_docs")) - col("sb")).as("ent_bits"),
+        when(col("n_docs") > 1,
+          col("pair_num").cast("double")
+            / (dec(col("n_docs")) * dec(col("n_docs") - 1L)).cast("double"))
+          .as("simpson"))
+  }
+
+  /** Chao1 vocabulary-richness estimate (Chao 1984, "Nonparametric
+    * estimation of the number of classes in a population") from the
+    * token count histogram: how many token types the corpus WOULD show
+    * with unbounded sampling — the "how much unseen vocabulary remains"
+    * companion to [[vocabCoverage]] (which reads the seen distribution).
+    * Uses the bias-corrected form `V + F₁(F₁−1) / (2(F₂+1))` (defined
+    * even when no doubletons exist), where F₁/F₂ are the singleton /
+    * doubleton type counts: many singletons relative to doubletons ⇒
+    * the crawl is still discovering vocabulary.
+    *
+    * Exactness: V/F₁/F₂ are exact counts, F₁(F₁−1) accumulates in
+    * DECIMAL(38,0), and the estimate is ONE double division plus one
+    * addition — identical on any engine.
+    *
+    * Scale: token counts are the [[vocabCoverage]] aggregation; the
+    * histogram-of-counts is ≤ |distinct counts| rows, and the final
+    * reduce is a 1-row aggregate. Nothing vocabulary-sized sorts. */
+  def chao1Richness(docs: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    docs.select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocab"), col("f1"), col("f2"),
+        (col("vocab").cast("double") +
+          (dec(col("f1")) * dec(col("f1") - 1L)).cast("double")
+            / (lit(2L) * (col("f2") + 1L)).cast("double")).as("chao1"))
+  }
 }

@@ -597,4 +597,42 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Long]("n_bad_tokens"), r.getAs[Long]("n_bad_types")))
     assert(got.toList == List((1L, 3L, 2L), (3L, 1L, 1L)))
   }
+
+  test("sourceDiversity: Simpson exact pair probability, bits entropy, single-doc NULL") {
+    val docs = docsOf(
+      // mono: 3 docs one lang -> simpson 1, ent_bits 3*1 - 3*1 = 0
+      (1L, "x", "en", "mono"), (2L, "x", "en", "mono"), (3L, "x", "en", "mono"),
+      // bal: 2+2 across two langs -> simpson (2+2)/(4*3) = 1/3,
+      // ent_bits = 4*2 - (2*1 + 2*1) = 4
+      (4L, "x", "en", "bal"), (5L, "x", "en", "bal"),
+      (6L, "x", "de", "bal"), (7L, "x", "de", "bal"),
+      // solo: one doc -> 0/0 -> NULL simpson
+      (8L, "x", "fr", "solo"))
+    val got = TextAnalysis.sourceDiversity(docs).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_langs"), r.getAs[Long]("ent_bits"),
+        if (r.isNullAt(r.fieldIndex("simpson"))) None
+        else Some(r.getAs[Double]("simpson"))))
+    assert(got.toList == List(
+      ("bal", 4L, 2L, 4L, Some(4.0 / 12.0)),
+      ("mono", 3L, 1L, 0L, Some(1.0)),
+      ("solo", 1L, 1L, 0L, None)))
+  }
+
+  test("chao1Richness: bias-corrected singleton/doubleton estimate") {
+    // tokens a a b b c -> V=3, F1=1 (c), F2=2 (a,b) -> 3 + 1*0/(2*3) = 3.0
+    val r1 = TextAnalysis.chao1Richness(docsOf((1L, "a a b b c", "en", "w")))
+      .collect().head
+    assert(r1.getAs[Long]("vocab") == 3L && r1.getAs[Long]("f1") == 1L
+      && r1.getAs[Long]("f2") == 2L && r1.getAs[Double]("chao1") == 3.0)
+    // tokens a b c c -> V=3, F1=2, F2=1 -> 3 + 2*1/(2*2) = 3.5
+    val r2 = TextAnalysis.chao1Richness(docsOf((1L, "a b c c", "en", "w")))
+      .collect().head
+    assert(r2.getAs[Double]("chao1") == 3.5)
+    // no doubletons: a b -> 2 + 2*1/(2*1) = 3.0 (bias correction keeps
+    // the estimate finite where the classic F1^2/(2 F2) would divide by 0)
+    val r3 = TextAnalysis.chao1Richness(docsOf((1L, "a b", "en", "w")))
+      .collect().head
+    assert(r3.getAs[Long]("f2") == 0L && r3.getAs[Double]("chao1") == 3.0)
+  }
 }
