@@ -835,4 +835,84 @@ class PropertySpec extends SparkSpec {
         }
     })
   }
+
+  test("mannWhitneyDrift == brute-force pairwise U with tie halves") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n1 <- Gen.choose(0, 10)
+      n2 <- Gen.choose(0, 10)
+      p1 <- Gen.listOfN(n1, Gen.choose(0, 4))
+      p2 <- Gen.listOfN(n2, Gen.choose(0, 4))
+    } yield (p1, p2)
+    holdsFewer(Prop.forAll(gen) { case (p1, p2) =>
+      val rows =
+        p1.map(v =>
+          ("t", java.sql.Timestamp.valueOf("2024-01-10 12:00:00"), v / 2.0)) ++
+        p2.map(v =>
+          ("t", java.sql.Timestamp.valueOf("2024-01-20 12:00:00"), v / 2.0))
+      val out = graft.operators.RobustStats
+        .mannWhitneyDrift(rows.toDF("event_type", "ts", "value")).collect()
+      if (rows.isEmpty) out.isEmpty
+      else {
+        val r = out.head
+        // doubled brute-force U1: 2 per strict win, 1 per tie
+        val u1x2 = (for { a <- p1; b <- p2 } yield
+          if (a > b) 2L else if (a == b) 1L else 0L).sum
+        val tieCubes = (p1 ++ p2).groupBy(identity).values
+          .map(g => g.size.toLong).map(t => t * t * t - t).sum
+        val (n1L, n2L) = (p1.size.toLong, p2.size.toLong)
+        val zOk =
+          if (n1L == 0 || n2L == 0) r.isNullAt(r.fieldIndex("z"))
+          else {
+            val bigN = n1L + n2L
+            val varU = (n1L * n2L).toDouble * ((bigN + 1).toDouble -
+              tieCubes.toDouble / (bigN * (bigN - 1)).toDouble) / 12.0
+            if (varU <= 0) r.isNullAt(r.fieldIndex("z"))
+            else r.getAs[Double]("z") ==
+              (u1x2 - n1L * n2L).toDouble / (2.0 * math.sqrt(varU))
+          }
+        r.getAs[Long]("n1") == n1L && r.getAs[Long]("n2") == n2L &&
+          r.getAs[Double]("u1_2x") == u1x2.toDouble &&
+          r.getAs[Double]("u2_2x") == (2 * n1L * n2L - u1x2).toDouble &&
+          r.getAs[Double]("tie_cubes") == tieCubes.toDouble && zOk
+      }
+    })
+  }
+
+  test("spearmanTrend == brute-force tie-averaged rank Pearson") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, for {
+      d <- Gen.choose(1, 4)
+      v <- Gen.choose(0, 4)
+    } yield (d, v)))
+    holdsFewer(Prop.forAll(gen) { pts =>
+      // noon pins every row mid-day, so any uniform JVM-zone shift moves
+      // ALL rows the same whole number of days and ranks are unchanged
+      val rows = pts.map { case (d, v) =>
+        ("t", java.sql.Timestamp.valueOf(s"2024-01-0$d 12:00:00"), v / 2.0) }
+      val out = graft.operators.RobustStats
+        .spearmanTrend(rows.toDF("event_type", "ts", "value")).collect()
+      if (pts.isEmpty) out.isEmpty
+      else {
+        // doubled average rank of key k among keys: 2*|smaller| + ties + 1
+        def rank2x(keys: List[Int]): List[Long] = keys.map(k =>
+          2L * keys.count(_ < k) + keys.count(_ == k) + 1L)
+        val xs = rank2x(pts.map(_._1))
+        val ys = rank2x(pts.map(_._2))
+        val n = pts.size.toLong
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+        val (denx, deny) = (n * sxx - sx * sx, n * syy - sy * sy)
+        val r = out.head
+        val rhoOk =
+          if (denx <= 0 || deny <= 0) r.isNullAt(r.fieldIndex("rho"))
+          else r.getAs[Double]("rho") == (n * sxy - sx * sy).toDouble /
+            (math.sqrt(denx.toDouble) * math.sqrt(deny.toDouble))
+        r.getAs[Long]("n") == n && rhoOk
+      }
+    })
+  }
 }
