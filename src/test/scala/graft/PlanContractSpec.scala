@@ -511,4 +511,25 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(fp"),
       s"q_winnow_pairs df cap must be the fp-keyed window count: $plan")
   }
+
+  test("rank drift/diversity stats stay histogram-bounded") {
+    // MWU and diversity: histogram aggregations + bounded windows — a
+    // join or extra exchange means a rank table grew data-sized
+    Seq("q_mwu", "q_diversity").foreach { name =>
+      val plan = planOf(name).split("== Initial Plan ==")(0)
+      assert(!plan.contains("Join"), s"$name must stay join-free:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+        s"$name grew an extra shuffle:\n$plan")
+    }
+    // chao1: one count exchange, 1-row reduce
+    val c = planOf("q_chao1").split("== Initial Plan ==")(0)
+    assert(!c.contains("Join") &&
+      "Exchange hashpartitioning".r.findAllIn(c).length <= 1,
+      s"q_chao1 must be one keyed count + a global reduce:\n$c")
+    // spearman: the two bounded rank tables must BROADCAST back onto the
+    // fact rows — a shuffle join here means a histogram went data-sized
+    val sp = planOf("q_spearman")
+    assert(sp.contains("BroadcastExchange"),
+      s"q_spearman lost the broadcast rank-table joins: $sp")
+  }
 }
