@@ -18,7 +18,7 @@ PAIR_PRODUCING = {
     "q_dup_clusters", "q_dup_spans", "q_segment_dedup",
     "q_sorted_neighborhood", "q_weighted_jaccard", "q_prefix_filter",
     "q_qgram_edit", "q_triangles", "q_interval",
-    "q_winnow_pairs", "q_linkage", "q_theil_sen",
+    "q_winnow_pairs", "q_winnow_clusters", "q_linkage", "q_theil_sen",
     "q_link_pred", "q_itemsets",
 }
 
