@@ -673,6 +673,26 @@ object SparkEntry {
       graft.operators.RobustStats.spearmanTrend(Tables.events(s, dir))
         .orderBy(col("event_type"))),
 
+    // banded Kendall tau-b day-vs-value concordance per event type:
+    // exact concordant/discordant pair mass off the banded contingency
+    // table, marginal-tie correction — the pair-concordance cross-check
+    // next to q_spearman's rank covariance
+    "q_kendall" -> ((s, dir) =>
+      graft.operators.RobustStats.kendallTau(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
+    // Good-Turing frequency-of-frequencies over trigrams: exact n_r per
+    // low count r, raw Turing r* = (r+1)n_{r+1}/n_r, unseen mass
+    // p0 = n_1/N — the count-smoothing table next to the q_lm_* scorers
+    "q_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(docsParallel(s, dir)).orderBy(col("r"))),
+
+    // banded Zipf slope per source: floor-log2 staircase OLS over each
+    // source's top-128 token frequencies — natural text sits near -1,
+    // template spam flattens; the distribution-shape source audit
+    "q_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(docsParallel(s, dir)).orderBy(col("source"))),
+
     // Gini concentration of per-user spend: exact-rank identity over the
     // value histogram in DECIMAL(38), one division — the key-dominance
     // summary next to the skew-mitigation tools
@@ -4149,6 +4169,86 @@ object SparkEntry {
           |               * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
           |  END AS rho
           |FROM s ORDER BY event_type""".stripMargin,
+
+      // banded Kendall tau-b: same banded contingency table, exact
+      // concordant/discordant cell-pair mass, marginal-tie correction
+      "q_kendall" ->
+        """WITH e AS (SELECT event_type,
+          |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS d,
+          |             CAST(floor(value * 1000000) AS BIGINT) // 5000000 AS b
+          |           FROM events WHERE ts IS NOT NULL),
+          |cells AS (SELECT event_type, d, b, count(*) AS t FROM e GROUP BY 1,2,3),
+          |cd AS (SELECT l.event_type,
+          |         sum(CASE WHEN r.b > l.b THEN l.t * r.t ELSE 0 END) AS conc,
+          |         sum(CASE WHEN r.b < l.b THEN l.t * r.t ELSE 0 END) AS disc
+          |       FROM cells l JOIN cells r
+          |         ON l.event_type = r.event_type AND l.d < r.d
+          |       GROUP BY 1),
+          |md AS (SELECT event_type, sum(tt) AS n, sum(tt*(tt-1)) AS tx2
+          |       FROM (SELECT event_type, d, sum(t) AS tt FROM cells GROUP BY 1,2)
+          |       GROUP BY 1),
+          |mb AS (SELECT event_type, sum(tt*(tt-1)) AS ty2
+          |       FROM (SELECT event_type, b, sum(t) AS tt FROM cells GROUP BY 1,2)
+          |       GROUP BY 1),
+          |j AS (SELECT md.event_type, md.n, md.tx2, mb.ty2,
+          |        COALESCE(cd.conc, 0) AS conc, COALESCE(cd.disc, 0) AS disc
+          |      FROM md JOIN mb ON md.event_type = mb.event_type
+          |      LEFT JOIN cd ON md.event_type = cd.event_type)
+          |SELECT event_type, CAST(n AS BIGINT) AS n,
+          |  CAST(conc AS DOUBLE) AS conc, CAST(disc AS DOUBLE) AS disc,
+          |  CASE WHEN n*(n-1) - tx2 > 0 AND n*(n-1) - ty2 > 0 THEN
+          |    2.0 * CAST(conc - disc AS DOUBLE)
+          |      / (sqrt(CAST(n*(n-1) - tx2 AS DOUBLE))
+          |         * sqrt(CAST(n*(n-1) - ty2 AS DOUBLE)))
+          |  END AS tau_b
+          |FROM j ORDER BY event_type""".stripMargin,
+
+      // Good-Turing: frequency-of-frequencies off the trigram count
+      // histogram, lead() for n_{r+1}, full-frame windows for N and n_1
+      "q_good_turing" ->
+        """WITH g AS (SELECT unnest(list_transform(range(len(t) - 2),
+          |             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+          |           FROM (SELECT string_split(text, ' ') AS t
+          |                 FROM documents)
+          |           WHERE len(t) >= 3),
+          |cnt AS (SELECT g, count(*) AS r FROM g GROUP BY 1),
+          |hist AS (SELECT r, count(*) AS n_r FROM cnt GROUP BY 1),
+          |x AS (SELECT r, n_r,
+          |        lead(r) OVER (ORDER BY r) AS r_next,
+          |        lead(n_r) OVER (ORDER BY r) AS n_next,
+          |        sum(r * n_r) OVER () AS total,
+          |        sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) OVER () AS n1
+          |      FROM hist)
+          |SELECT r, n_r,
+          |  CAST(CASE WHEN r_next = r + 1 THEN n_next ELSE 0 END AS BIGINT) AS n_r1,
+          |  CAST((r + 1) * (CASE WHEN r_next = r + 1 THEN n_next ELSE 0 END)
+          |       AS DOUBLE) / CAST(n_r AS DOUBLE) AS r_star,
+          |  CAST(n1 AS DOUBLE) / CAST(total AS DOUBLE) AS p0
+          |FROM x WHERE r <= 10 ORDER BY r""".stripMargin,
+
+      // banded Zipf: same floor-log2 bin()-length identity, OLS over
+      // HUGEINT-exact sufficient stats, one division
+      "q_zipf" ->
+        """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+          |           FROM documents),
+          |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          |r AS (SELECT source, c,
+          |        row_number() OVER (PARTITION BY source
+          |                           ORDER BY c DESC, tok ASC) AS rk
+          |      FROM c),
+          |p AS (SELECT source,
+          |        CAST(length(bin(rk)) - 1 AS BIGINT) AS x,
+          |        CAST(length(bin(c)) - 1 AS BIGINT) AS y
+          |      FROM r WHERE rk <= 128),
+          |s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |        sum(x*y) AS sxy, sum(x*x) AS sxx
+          |      FROM p GROUP BY 1)
+          |SELECT source, CAST(n AS BIGINT) AS n,
+          |  CASE WHEN n*sxx - sx*sx > 0
+          |       THEN CAST(n*sxy - sx*sy AS DOUBLE)
+          |            / CAST(n*sxx - sx*sx AS DOUBLE)
+          |  END AS slope
+          |FROM s ORDER BY source""".stripMargin,
 
       // banded KS: same histogram, integer cross-multiplied ECDF max
       "q_ks" ->

@@ -351,4 +351,81 @@ object RobustStats {
         num.cast("double") /
           (sqrt(denx.cast("double")) * sqrt(deny.cast("double")))).as("rho"))
   }
+  /** Banded Kendall tau-b per event type between WHEN (day band) and
+    * VALUE (micro-unit band) — the concordance-based ordinal association
+    * next to [[spearmanTrend]] (Kendall 1938, "A new measure of rank
+    * correlation"; tau-b is the tie-adjusted form). Spearman reads rank
+    * covariance; tau reads pair concordance — less sensitive to a few
+    * large rank gaps, the standard cross-check when the two disagree.
+    *
+    * Banding IS the scale answer: exact per-row tau is O(n log n) per
+    * group with a global sort, so days collapse to `dayBand`-day bands
+    * and values to `valueBand` micro-unit bands, and tau-b is computed
+    * EXACTLY on the banded contingency table — concordant/discordant
+    * pair mass between cells with strictly-increasing day band read off
+    * the joint histogram, ties from the two marginals. Cells per type
+    * are bounded by (day bands × value bands), and the cell self-join by
+    * its square — both independent of row count, and the equi-key join
+    * reuses one exchange for its two sides. Widen the bands if a corpus
+    * ever grows the cell product; the trade is banding resolution, not
+    * correctness of the banded statistic.
+    *
+    * Exactness: cell counts, concordant/discordant products, and tie
+    * terms accumulate in DECIMAL(38,0) with raise_error guards; tau-b is
+    * ONE fixed IEEE chain `2·(C−D) / (√(n(n−1)−Tx) · √(n(n−1)−Ty))`
+    * over doubles cast from those exact integers — NULL when either
+    * marginal is fully tied (denominator 0). */
+  def kendallTau(events: DataFrame, dayBand: Long = 7L,
+      valueBand: Long = 5000000L): DataFrame = {
+    require(dayBand >= 1 && valueBand >= 1,
+      s"bands must be >= 1: dayBand=$dayBand valueBand=$valueBand")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"kendallTau: $what exceeds the exact DECIMAL(38) bound")))
+    // the explicit NULL-day filter matches the isnotnull(d) the planner
+    // infers on the pair-join branches, so every branch below shares ONE
+    // canonical cells subtree and AQE's ReuseExchange runs the events
+    // scan + (type, d, b) shuffle once, not once per branch (a row with
+    // no timestamp can never join a concordance pair anyway)
+    val cells = events
+      .select(col("event_type"),
+        expr(s"unix_micros(cast(ts as timestamp)) div 86400000000 div $dayBand")
+          .as("d"),
+        expr(s"cast(floor(value * 1000000) as bigint) div $valueBand").as("b"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("event_type"), col("d"), col("b"))
+      .agg(count(lit(1)).as("t"))
+    val pairs = cells.select(col("event_type"), col("d").as("d1"),
+        col("b").as("b1"), col("t").as("t1"))
+      .join(cells.select(col("event_type"), col("d").as("d2"),
+        col("b").as("b2"), col("t").as("t2")), Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+    val cd = pairs.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("b2") > col("b1"), dec(col("t1")) * dec(col("t2")))
+          .otherwise(dec(lit(0L)))).as("conc"),
+        sum(when(col("b2") < col("b1"), dec(col("t1")) * dec(col("t2")))
+          .otherwise(dec(lit(0L)))).as("disc"))
+    def marginalTies(key: String, out: String): DataFrame =
+      cells.groupBy(col("event_type"), col(key)).agg(sum(col("t")).as("tt"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("tt")).as(s"n_$out"),
+          sum(dec(col("tt")) * dec(col("tt") - 1L)).as(out))
+    val base = marginalTies("d", "tx2").withColumnRenamed("n_tx2", "n")
+      .join(marginalTies("b", "ty2").drop("n_ty2"), Seq("event_type"))
+      .join(cd, Seq("event_type"), "left")
+      .withColumn("conc", coalesce(col("conc"), dec(lit(0L))))
+      .withColumn("disc", coalesce(col("disc"), dec(lit(0L))))
+    val n02 = dec(col("n")) * dec(col("n") - 1L)
+    val dx = exact(n02 - col("tx2"), "n(n-1) - Tx")
+    val dy = exact(n02 - col("ty2"), "n(n-1) - Ty")
+    val num = exact(col("conc") - col("disc"), "C - D")
+    base.select(col("event_type"), col("n"),
+      col("conc").cast("double").as("conc"),
+      col("disc").cast("double").as("disc"),
+      when(dx > 0 && dy > 0,
+        lit(2.0) * num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))).as("tau_b"))
+  }
 }

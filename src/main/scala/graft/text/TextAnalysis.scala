@@ -1328,4 +1328,102 @@ object TextAnalysis {
           (dec(col("f1")) * dec(col("f1") - 1L)).cast("double")
             / (lit(2L) * (col("f2") + 1L)).cast("double")).as("chao1"))
   }
+  /** Simple Good–Turing frequency-of-frequencies table (Good 1953; Gale &
+    * Sampson 1995, "Good-Turing frequency estimation without tears") over
+    * word `n`-grams: for each low count `r`, how many gram types occur
+    * exactly `r` times (`n_r`), the adjusted Turing count
+    * `r* = (r+1)·n_{r+1}/n_r`, and the unseen-mass estimate `p0 = n_1/N`
+    * — the smoothing table every count-based LM ([[lmBits]],
+    * [[lmBackoffBits]]) reads to decide how much probability the corpus
+    * still owes to unseen events. Defaults to trigrams, the gram order
+    * [[lmBackoffBits]] backs off from (unigrams in a crawl are all
+    * high-count; the low-r tail GT describes lives in the higher orders).
+    *
+    * Exactness: all counts are exact; `r*` and `p0` are each ONE double
+    * division of DECIMAL(38,0)-exact integers (guarded), identical on any
+    * engine. `n_{r+1}` comes from a `lead` over the count histogram —
+    * 0 when the next count class is absent (the raw-Turing convention;
+    * Gale–Sampson's smoothed fallback is a caller-side fit).
+    *
+    * Scale: the frequency-of-frequencies table is |distinct count
+    * values| rows — metadata-sized (the [[vocabCoverage]] bounded-window
+    * rule), so the global lead/total windows never see the gram
+    * vocabulary, only its count histogram. */
+  def goodTuring(docs: DataFrame, n: Int = 3, maxR: Int = 10): DataFrame = {
+    require(n >= 1, s"need n >= 1: $n")
+    require(maxR >= 1, s"need maxR >= 1: $maxR")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"goodTuring: $what exceeds the exact DECIMAL(38) bound")))
+    val toks = wsTokens(col("text"))
+    val hist = docs.filter(size(toks) >= n)
+      .select(explode(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val byR = Window.orderBy(col("r").asc)
+    val full = byR.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("total", sum(dec(col("r")) * dec(col("n_r"))).over(full))
+      .withColumn("n1",
+        sum(when(col("r") === 1L, col("n_r")).otherwise(lit(0L))).over(full))
+      .withColumn("r_next", lead(col("r"), 1).over(byR))
+      .withColumn("n_next", lead(col("n_r"), 1).over(byR))
+      .filter(col("r") <= maxR)
+      .withColumn("n_r1",
+        when(col("r_next") === col("r") + 1L, col("n_next")).otherwise(lit(0L)))
+      .select(col("r"), col("n_r"), col("n_r1"),
+        ((dec(col("r") + 1L) * dec(col("n_r1"))).cast("double")
+          / col("n_r").cast("double")).as("r_star"),
+        (col("n1").cast("double")
+          / exact(col("total"), "token total").cast("double")).as("p0"))
+  }
+
+  /** Banded Zipf-law fit per source: the least-squares slope of
+    * floor-log2(frequency) against floor-log2(rank) over each source's
+    * top-`topK` tokens (Zipf 1949; slope ≈ −s of `f ∝ r^−s`) — the
+    * one-number "is this source natural language or boilerplate/spam"
+    * distribution check next to [[sourceDiversity]]: natural text sits
+    * near −1, template spam flattens, ID dumps steepen.
+    *
+    * Exactness: both axes are floor-log2 INTEGER bands (the
+    * `length(bin(x))−1` identity shared with [[groupWords]]), the OLS
+    * sufficient statistics accumulate in DECIMAL(38,0) with guards, and
+    * the slope is ONE double division — identical on any engine. The
+    * banding makes this a fit of the log-log STAIRCASE, disclosed in the
+    * name; rank banding collapses [2^k, 2^k+1) to one x, which is the
+    * resolution trade, not an approximation of the banded statistic.
+    *
+    * Scale: per-source top-K needs the per-source rank window over the
+    * (source, token) counts — the [[groupWords]] cost, accepted there;
+    * everything after is ≤ topK rows per source. */
+  def zipfSlope(docs: DataFrame, topK: Int = 128): DataFrame = {
+    require(topK >= 2, s"need topK >= 2: $topK")
+    def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"zipfSlope: $what exceeds the exact DECIMAL(38) bound")))
+    val pts = docs
+      .select(col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("tok").asc)).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("source"), dec(bits(col("rk"))).as("x"),
+        dec(bits(col("c"))).as("y"))
+    val stats = pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val den = exact(dec(col("n")) * col("sxx") - col("sx") * col("sx"),
+      "n*sxx - sx*sx")
+    val num = exact(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
+      "n*sxy - sx*sy")
+    stats.select(col("source"), col("n"),
+      when(den > 0, num.cast("double") / den.cast("double")).as("slope"))
+  }
 }

@@ -532,4 +532,27 @@ class PlanContractSpec extends SparkSpec {
     assert(sp.contains("BroadcastExchange"),
       s"q_spearman lost the broadcast rank-table joins: $sp")
   }
+  test("kendall collapses to one scan; good-turing/zipf stay join-free") {
+    // kendall: two marginals + two pair-join sides all derive from the
+    // same cells aggregation — after AQE exchange reuse the events scan
+    // must run ONCE (the explicit null-day filter keeps the four
+    // branches canonically identical)
+    val kdf = SparkEntry.queries("q_kendall")(spark, sfDir)
+    kdf.collect()
+    val k = kdf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(k).length == 1,
+      s"q_kendall must scan events once after exchange reuse:\n$k")
+    assert(k.contains("ReusedExchange"),
+      s"q_kendall lost cells-exchange reuse:\n$k")
+    // good-turing: gram count -> count histogram -> bounded
+    // single-partition windows; any join means the histogram grew a
+    // second corpus pass
+    val g = planOf("q_good_turing").split("== Initial Plan ==")(0)
+    assert(!g.contains("Join"), s"q_good_turing must stay join-free:\n$g")
+    // zipf: per-source rank window over the token counts, then a
+    // <=topK-row aggregate — join-free by construction
+    val z = planOf("q_zipf").split("== Initial Plan ==")(0)
+    assert(!z.contains("Join"), s"q_zipf must stay join-free:\n$z")
+  }
 }

@@ -915,4 +915,45 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+  test("kendallTau == brute-force pairwise concordance with tie correction") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, for {
+      d <- Gen.choose(1, 5)
+      v <- Gen.choose(0, 4)
+    } yield (d, v)))
+    holdsFewer(Prop.forAll(gen) { pts =>
+      // dayBand=1 / valueBand=1e6 make the bands the raw (day, int value)
+      // so banded tau-b IS plain tau-b over the generated points
+      val rows = pts.map { case (d, v) =>
+        ("t", java.sql.Timestamp.valueOf(s"2024-01-0$d 12:00:00"), v.toDouble) }
+      val out = graft.operators.RobustStats
+        .kendallTau(rows.toDF("event_type", "ts", "value"),
+          dayBand = 1L, valueBand = 1000000L).collect()
+      if (pts.isEmpty) out.isEmpty
+      else {
+        val idx = pts.toIndexedSeq
+        var c = 0L; var d = 0L
+        for (i <- idx.indices; j <- (i + 1) until idx.size) {
+          val (d1, v1) = idx(i); val (d2, v2) = idx(j)
+          if (d1 != d2 && v1 != v2) {
+            if ((d1 < d2) == (v1 < v2)) c += 1 else d += 1
+          }
+        }
+        val n = pts.size.toLong
+        val tx2 = pts.groupBy(_._1).values.map(_.size.toLong)
+          .map(t => t * (t - 1)).sum
+        val ty2 = pts.groupBy(_._2).values.map(_.size.toLong)
+          .map(t => t * (t - 1)).sum
+        val (dx, dy) = (n * (n - 1) - tx2, n * (n - 1) - ty2)
+        val r = out.head
+        val tauOk =
+          if (dx <= 0 || dy <= 0) r.isNullAt(r.fieldIndex("tau_b"))
+          else r.getAs[Double]("tau_b") == 2.0 * (c - d).toDouble /
+            (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+        r.getAs[Long]("n") == n && r.getAs[Double]("conc") == c.toDouble &&
+          r.getAs[Double]("disc") == d.toDouble && tauOk
+      }
+    })
+  }
 }

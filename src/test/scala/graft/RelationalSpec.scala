@@ -734,4 +734,34 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getAs[Double]("rho")
     assert(r1 == r2)
   }
+  test("kendallTau: hand-computed banded tau-b with marginal tie correction") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val s = spark
+    import s.implicits._
+    // type a, two 7-day bands: band1 cells {b0:1, b1:1}, band2 {b1:1, b2:1}
+    // cross-band pairs: (0,1)+ (0,2)+ (1,2)+ concordant, (1,1) tied -> C=3 D=0
+    // ties: tx2 = 2*1 + 2*1 = 4 (two days of 2), ty2 = 2*1 = 2 (b1 twice)
+    // tau_b = 2*3 / (sqrt(12-4) * sqrt(12-2)) = 6 / sqrt(80)
+    val ev = Seq(
+      ("a", "2024-01-01 12:00:00", 1.0), ("a", "2024-01-01 13:00:00", 7.0),
+      ("a", "2024-01-10 12:00:00", 7.0), ("a", "2024-01-10 13:00:00", 12.0),
+      // type b: ONE day band -> no orderable pairs -> NULL tau, zero C/D
+      ("b", "2024-01-01 12:00:00", 1.0), ("b", "2024-01-01 13:00:00", 9.0))
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = graft.operators.RobustStats.kendallTau(ev)
+      .orderBy("event_type").collect()
+    val a = got(0)
+    assert(a.getAs[Long]("n") == 4L)
+    assert(a.getAs[Double]("conc") == 3.0 && a.getAs[Double]("disc") == 0.0)
+    assert(a.getAs[Double]("tau_b") ==
+      2.0 * 3.0 / (math.sqrt(8.0) * math.sqrt(10.0)))
+    val b = got(1)
+    assert(b.getAs[Double]("conc") == 0.0 && b.getAs[Double]("disc") == 0.0)
+    assert(b.isNullAt(b.fieldIndex("tau_b")),
+      "fully day-tied type must yield NULL tau_b")
+    intercept[IllegalArgumentException] {
+      graft.operators.RobustStats.kendallTau(ev, dayBand = 0)
+    }
+  }
 }

@@ -635,4 +635,66 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().head
     assert(r3.getAs[Long]("f2") == 0L && r3.getAs[Double]("chao1") == 3.0)
   }
+  test("goodTuring: frequency-of-frequencies, lead gap handling, unseen mass") {
+    // unigram form — counts a:3 b:2 c:1 -> hist {1:1, 2:1, 3:1}, N=6, n1=1
+    val got = TextAnalysis.goodTuring(docsOf(
+      (1L, "a a a b b c", "en", "s")), n = 1).orderBy("r").collect()
+    assert(got.map(_.getAs[Long]("r")).toSeq == Seq(1L, 2L, 3L))
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_r") == 1L && r1.getAs[Long]("n_r1") == 1L)
+    assert(r1.getAs[Double]("r_star") == 2.0) // (1+1)*1/1
+    assert(r1.getAs[Double]("p0") == 1.0 / 6.0)
+    assert(got(1).getAs[Double]("r_star") == 3.0) // (2+1)*1/1
+    assert(got(2).getAs[Long]("n_r1") == 0L
+      && got(2).getAs[Double]("r_star") == 0.0, "absent n_{r+1} is raw 0")
+
+    // count classes with a GAP: x:4 y:1 -> lead lands on r=4, NOT r=2,
+    // so n_r1 at r=1 must be 0 — the lead/adjacency distinction
+    val gap = TextAnalysis.goodTuring(docsOf(
+      (1L, "x x x x y", "en", "s")), n = 1).orderBy("r").collect()
+    assert(gap.map(_.getAs[Long]("r")).toSeq == Seq(1L, 4L))
+    assert(gap(0).getAs[Long]("n_r1") == 0L
+      && gap(0).getAs[Double]("r_star") == 0.0)
+    assert(gap(0).getAs[Double]("p0") == 0.2)
+
+    // maxR truncates the report, not the totals: p0 still reads ALL mass
+    val cut = TextAnalysis.goodTuring(docsOf(
+      (1L, "x x x x y", "en", "s")), n = 1, maxR = 1).collect()
+    assert(cut.length == 1 && cut(0).getAs[Double]("p0") == 0.2)
+
+    // trigram default: "a b a b a" -> {"a b a":2, "b a b":1}; docs
+    // shorter than the gram order contribute nothing
+    val tri = TextAnalysis.goodTuring(docsOf(
+      (1L, "a b a b a", "en", "s"),
+      (2L, "a b", "en", "s"))).orderBy("r").collect()
+    assert(tri.map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"))).toSeq
+      == Seq((1L, 1L), (2L, 1L)))
+    assert(tri(0).getAs[Double]("r_star") == 2.0) // (1+1)*1/1
+    assert(tri(0).getAs[Double]("p0") == 1.0 / 3.0)
+  }
+
+  test("zipfSlope: hand-computed floor-log2 staircase OLS") {
+    // freqs 8,4,2,1 -> ranks 1..4: x = bits(rank) = 0,1,1,2 and
+    // y = bits(freq) = 3,2,1,0; OLS: den = 4*6-16 = 8,
+    // num = 4*3-4*6 = -12 -> slope -1.5
+    val text = (Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++
+      Seq.fill(2)("w3") ++ Seq("w4")).mkString(" ")
+    val got = TextAnalysis.zipfSlope(docsOf((1L, text, "en", "s"))).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n") == 4L)
+    assert(got(0).getAs[Double]("slope") == -1.5)
+
+    // a single-type source has zero x-variance -> NULL slope, and the
+    // topK cap bounds the fit window
+    val one = TextAnalysis.zipfSlope(docsOf((1L, "only only", "en", "s")))
+      .collect()
+    assert(one(0).getAs[Long]("n") == 1L
+      && one(0).isNullAt(one(0).fieldIndex("slope")))
+    val capped = TextAnalysis.zipfSlope(
+      docsOf((1L, text, "en", "s")), topK = 2).collect()
+    assert(capped(0).getAs[Long]("n") == 2L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfSlope(docsOf((1L, "a", "en", "s")), topK = 1)
+    }
+  }
 }
