@@ -693,6 +693,14 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) =>
       TextAnalysis.zipfSlope(docsParallel(s, dir)).orderBy(col("source"))),
 
+    // Unicode canonicalization audit: NFC + combining-mark stripping via
+    // the native unicode_norm codegen expression; the deterministic
+    // decomposed "Cafe"+U+0301 prefix exercises the real composition
+    // path (this synthetic corpus is pure ASCII, disclosed in the
+    // operator scaladoc) and the *_head columns gate normalized BYTES
+    "q_unicode" -> ((s, dir) =>
+      TextAnalysis.unicodeAudit(docsParallel(s, dir)).orderBy(col("lang"))),
+
     // Gini concentration of per-user spend: exact-rank identity over the
     // value histogram in DECIMAL(38), one division — the key-dominance
     // summary next to the skew-mitigation tools
@@ -4249,6 +4257,26 @@ object SparkEntry {
           |            / CAST(n*sxx - sx*sx AS DOUBLE)
           |  END AS slope
           |FROM s ORDER BY source""".stripMargin,
+
+      // Unicode audit: nfc_normalize / strip_accents(nfc_normalize(.))
+      // mirror unicode_norm NFC / NFD-drop-Mn-NFC for combining-mark
+      // accents; the chr(769) prefix is the same decomposed U+0301
+      "q_unicode" ->
+        """WITH a AS (SELECT lang, 'Cafe' || chr(769) || ' ' || text AS t
+          |           FROM documents),
+          |n AS (SELECT lang, t, nfc_normalize(t) AS tn,
+          |        strip_accents(nfc_normalize(t)) AS ts
+          |      FROM a)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(length(t)) AS BIGINT) AS raw_chars,
+          |  CAST(sum(length(tn)) AS BIGINT) AS nfc_chars,
+          |  CAST(sum(CASE WHEN tn <> t THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS changed_nfc,
+          |  CAST(sum(CASE WHEN ts <> tn THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS changed_strip,
+          |  min(substr(tn, 1, 8)) AS nfc_head,
+          |  min(substr(ts, 1, 8)) AS strip_head
+          |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
       // banded KS: same histogram, integer cross-multiplied ECDF max
       "q_ks" ->

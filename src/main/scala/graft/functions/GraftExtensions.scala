@@ -120,6 +120,14 @@ object GraftExtensions {
         }.toSeq
         MultiPatternCount(args.head, pats)
       }),
+    (FunctionIdentifier("unicode_norm"),
+      info("unicode_norm",
+        "unicode_norm(text, form) - Unicode normalization (NFC/NFD/NFKC/NFKD), " +
+          "form a foldable string"),
+      { args =>
+        require(args.size == 2, "unicode_norm(text, form)")
+        UnicodeNorm(Cast(args.head, StringType), Cast(args(1), StringType))
+      }),
     (FunctionIdentifier("zorder2"),
       info("zorder2",
         "zorder2(x, y) - Morton interleave of two bigint dims in [0, 2^31) into a 62-bit z-value"),

@@ -1426,4 +1426,54 @@ object TextAnalysis {
     stats.select(col("source"), col("n"),
       when(den > 0, num.cast("double") / den.cast("double")).as("slope"))
   }
+  /** NFC normalization of a column — [[graft.functions.UnicodeNorm]]. */
+  def nfc(text: Column): Column =
+    graft.functions.UnicodeNorm.unicode_norm(text, "NFC")
+
+  /** Combining-mark accent stripping: NFD, drop the `Mn` category, NFC —
+    * value-identical to DuckDB's `strip_accents(nfc_normalize(x))` for
+    * combining-sequence accents (é/ü/ñ …). Deliberately does NOT fold
+    * single-codepoint letters (ø, ß): that is a locale policy table, not
+    * Unicode normalization. */
+  def stripMarks(text: Column): Column =
+    graft.functions.UnicodeNorm.unicode_norm(
+      regexp_replace(
+        graft.functions.UnicodeNorm.unicode_norm(text, "NFD"),
+        "\\p{Mn}", ""),
+      "NFC")
+
+  /** Per-language Unicode canonicalization audit — the "how much of this
+    * corpus is byte-divergent for the same logical text" report run
+    * before any hash-keyed dedup: per lang, document count, codepoint
+    * counts before/after NFC, how many documents NFC actually changed,
+    * how many accent stripping changed beyond NFC, and the normalized /
+    * stripped head of the lexicographically-first document (a direct
+    * cross-engine check of the normalized BYTES, not just lengths).
+    *
+    * `decomposedPrefix` exists because a SYNTHETIC corpus can be pure
+    * ASCII end to end, which would make every column a trivial identity:
+    * the default prepends a fixed decomposed "Cafe" + U+0301 + space to
+    * every document, so the audit exercises the real composition path on
+    * any corpus deterministically (disclosed in the gate comment; pass
+    * "" to audit the corpus as-is).
+    *
+    * Scale: one narrow projection + one lang-keyed aggregate; the
+    * normalization is the [[graft.functions.UnicodeNorm]] codegen
+    * expression with its ASCII fast-path, so the audit is scan-bound. */
+  def unicodeAudit(docs: DataFrame,
+      decomposedPrefix: String = "Cafe\u0301 "): DataFrame = {
+    val aug = concat(lit(decomposedPrefix), col("text"))
+    docs
+      .select(col("lang"), aug.as("t"), nfc(aug).as("tn"),
+        stripMarks(aug).as("ts"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("t"))).as("raw_chars"),
+        sum(length(col("tn"))).as("nfc_chars"),
+        sum(when(col("tn") =!= col("t"), 1L).otherwise(0L)).as("changed_nfc"),
+        sum(when(col("ts") =!= col("tn"), 1L).otherwise(0L))
+          .as("changed_strip"),
+        min(substring(col("tn"), 1, 8)).as("nfc_head"),
+        min(substring(col("ts"), 1, 8)).as("strip_head"))
+  }
 }

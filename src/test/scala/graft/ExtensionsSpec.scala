@@ -146,4 +146,48 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT multi_pattern_count('x', array(CAST(NULL AS STRING)))").collect())
     assert(sqlBad.getMessage.nonEmpty)
   }
+  test("unicode_norm: NFC/NFD/NFKC forms, ASCII fast-path, analysis errors") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.UnicodeNorm.unicode_norm
+    val s = spark
+    import s.implicits._
+    val decomposed = "Cafe\u0301"  // e + combining acute
+    val composed = "Caf\u00e9"     // precomposed é
+    val df = Seq((decomposed, composed)).toDF("d", "c")
+    val r = df.select(
+      unicode_norm(col("d"), "NFC").as("nfc"),
+      unicode_norm(col("c"), "NFD").as("nfd"),
+      unicode_norm(lit("ﬁle"), "NFKC").as("nfkc"), // fi ligature
+      unicode_norm(lit("ﬁle"), "NFC").as("nfc_lig"))
+      .collect().head
+    assert(r.getString(0) == composed, "NFC must compose e+U+0301")
+    assert(r.getString(1) == decomposed, "NFD must decompose the é")
+    assert(r.getString(2) == "file", "NFKC must fold the fi ligature")
+    assert(r.getString(3) == "ﬁle",
+      "NFC must NOT fold compatibility ligatures")
+    // SQL registration, null propagation, ASCII identity
+    val sql = spark.sql(
+      """SELECT unicode_norm('plain ascii', 'NFKD') AS a,
+        |       unicode_norm(CAST(NULL AS STRING), 'NFC') AS n""".stripMargin)
+      .collect().head
+    assert(sql.getString(0) == "plain ascii" && sql.isNullAt(1))
+    // a bad form is an analysis-time error, not per-row garbage
+    val e = intercept[Exception](
+      spark.sql("SELECT unicode_norm('x', 'NFX')").collect())
+    assert(e.getMessage.contains("unicode_norm")
+      || e.getMessage.contains("DATATYPE"))
+  }
+
+  test("stripMarks: combining accents dropped, single-codepoint letters kept") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val got = Seq("Café ü ñ ø")
+      .toDF("t")
+      .select(graft.text.TextAnalysis.stripMarks(col("t")))
+      .collect().head.getString(0)
+    // é->e, ü->u, ñ->n (combining sequences), ø untouched (no Mn mark)
+    assert(got == "Cafe u n ø")
+  }
 }

@@ -555,4 +555,16 @@ class PlanContractSpec extends SparkSpec {
     val z = planOf("q_zipf").split("== Initial Plan ==")(0)
     assert(!z.contains("Join"), s"q_zipf must stay join-free:\n$z")
   }
+
+  test("unicode audit is one scan-bound lang aggregate") {
+    // the normalization runs inside the scan->aggregate pipeline as a
+    // codegen expression: no join, no window, ONE hash exchange
+    val u = planOf("q_unicode").split("== Initial Plan ==")(0)
+    assert(!u.contains("Join") && !u.contains("Window"),
+      s"q_unicode must be a single aggregate:\n$u")
+    assert("Exchange hashpartitioning".r.findAllIn(u).length == 1,
+      s"q_unicode expected exactly one hash exchange:\n$u")
+    assert(u.contains("unicode_norm"),
+      s"q_unicode lost the native expression:\n$u")
+  }
 }

@@ -697,4 +697,31 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.zipfSlope(docsOf((1L, "a", "en", "s")), topK = 1)
     }
   }
+  test("unicodeAudit: per-lang NFC and strip counts over the decomposed prefix") {
+    // prefix "Cafe"+U+0301+" " is 6 codepoints raw, 5 after NFC; ASCII
+    // doc bodies are normalization-fixed, so per doc: raw = 6 + len,
+    // nfc = 5 + len, every doc changed by NFC and again by stripping
+    val got = TextAnalysis.unicodeAudit(docsOf(
+      (1L, "abc", "en", "s"),
+      (2L, "de", "en", "s"),
+      (3L, "xyzw", "fr", "s"))).orderBy("lang").collect()
+    val en = got(0)
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("raw_chars") == (6 + 3) + (6 + 2))
+    assert(en.getAs[Long]("nfc_chars") == (5 + 3) + (5 + 2))
+    assert(en.getAs[Long]("changed_nfc") == 2L
+      && en.getAs[Long]("changed_strip") == 2L)
+    assert(en.getAs[String]("nfc_head") == "Café abc"
+      && en.getAs[String]("strip_head") == "Cafe abc")
+    val fr = got(1)
+    assert(fr.getAs[String]("nfc_head") == "Café xyz")
+
+    // empty prefix: a pure-ASCII corpus is a fixed point — zero changes
+    val asIs = TextAnalysis.unicodeAudit(
+      docsOf((1L, "plain", "en", "s")), decomposedPrefix = "").collect()
+    assert(asIs(0).getAs[Long]("changed_nfc") == 0L
+      && asIs(0).getAs[Long]("changed_strip") == 0L
+      && asIs(0).getAs[Long]("raw_chars")
+        == asIs(0).getAs[Long]("nfc_chars"))
+  }
 }
