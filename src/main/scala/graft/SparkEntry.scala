@@ -693,6 +693,22 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) =>
       TextAnalysis.zipfSlope(docsParallel(s, dir)).orderBy(col("source"))),
 
+    // distinct l-diversity: per (lang, source) class, distinct sensitive
+    // length-band count + top-band frequency — the "k-anonymous but
+    // single-valued" disclosure k-anonymity misses, next to q_kanon
+    "q_ldiversity" -> ((s, dir) =>
+      graft.operators.Profile.lDiversity(Tables.documents(s, dir),
+        Seq("lang", "source"), expr("n_chars div 100"), l = 3)
+        .orderBy(col("lang"), col("source"))),
+
+    // banded t-closeness: exact integer cross-multiplied EMD between each
+    // class's length-band distribution and the global one — catches the
+    // skewed-but-diverse classes l-diversity waves through
+    "q_tcloseness" -> ((s, dir) =>
+      graft.operators.Profile.tCloseness(Tables.documents(s, dir),
+        Seq("lang", "source"), expr("n_chars div 100"), t = 0.2)
+        .orderBy(col("lang"), col("source"))),
+
     // Unicode canonicalization audit: NFC + combining-mark stripping via
     // the native unicode_norm codegen expression; the deterministic
     // decomposed "Cafe"+U+0301 prefix exercises the real composition
@@ -4257,6 +4273,47 @@ object SparkEntry {
           |            / CAST(n*sxx - sx*sx AS DOUBLE)
           |  END AS slope
           |FROM s ORDER BY source""".stripMargin,
+
+      // l-diversity: two keyed aggregations, the same class key as q_kanon
+      "q_ldiversity" ->
+        """WITH h AS (SELECT lang, source, n_chars // 100 AS s, count(*) AS c
+          |           FROM documents GROUP BY 1, 2, 3)
+          |SELECT lang, source, CAST(sum(c) AS BIGINT) AS n,
+          |  count(*) AS n_sensitive,
+          |  CAST(max(c) AS BIGINT) AS top_sensitive,
+          |  CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS BIGINT)
+          |    AS violating
+          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // t-closeness: dense class x band grid, integer cross-multiplied
+      // cumulative EMD, one double division
+      "q_tcloseness" ->
+        """WITH h AS (SELECT lang, source, n_chars // 100 AS v, count(*) AS c
+          |           FROM documents GROUP BY 1, 2, 3),
+          |cls AS (SELECT lang, source, sum(c) AS n FROM h GROUP BY 1, 2),
+          |bands AS (SELECT v, sum(c) AS g,
+          |            sum(sum(c)) OVER () AS big_n,
+          |            count(*) OVER () AS m
+          |          FROM h GROUP BY 1),
+          |grid AS (SELECT cls.lang, cls.source, cls.n, bands.v, bands.g,
+          |           bands.big_n, bands.m, COALESCE(h.c, 0) AS c
+          |         FROM cls CROSS JOIN bands
+          |         LEFT JOIN h ON h.lang = cls.lang AND h.source = cls.source
+          |                    AND h.v = bands.v),
+          |cum AS (SELECT lang, source, n, big_n, m,
+          |          sum(c * big_n - g * n)
+          |            OVER (PARTITION BY lang, source ORDER BY v) AS cd
+          |        FROM grid),
+          |e AS (SELECT lang, source, n, big_n, m, sum(abs(cd)) AS emd_num
+          |      FROM cum GROUP BY 1, 2, 3, 4, 5)
+          |SELECT lang, source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+          |  CASE WHEN m > 1 AND n > 0 THEN
+          |    CAST(emd_num AS DOUBLE) / CAST(n * big_n * (m - 1) AS DOUBLE)
+          |  END AS emd,
+          |  CAST(CASE WHEN m > 1 AND n > 0 THEN
+          |    CAST(emd_num AS DOUBLE) / CAST(n * big_n * (m - 1) AS DOUBLE)
+          |      > 0.2 END AS BIGINT) AS violating
+          |FROM e ORDER BY lang, source""".stripMargin,
 
       // Unicode audit: nfc_normalize / strip_accents(nfc_normalize(.))
       // mirror unicode_norm NFC / NFD-drop-Mn-NFC for combining-mark

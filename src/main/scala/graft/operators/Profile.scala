@@ -213,4 +213,94 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .withColumn("suppressed", (col("n") < k).cast("long"))
   }
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2007,
+    * "l-Diversity: privacy beyond k-anonymity"): k-anonymity only bounds
+    * CLASS SIZE — a class of 10,000 rows that all share one sensitive
+    * value still discloses it; this audit counts, per quasi-identifier
+    * equivalence class, how many DISTINCT sensitive values appear
+    * (`n_sensitive`) and the largest single value's frequency
+    * (`top_sensitive`, the recursive-(c,l) ingredient), flagging classes
+    * below `l`. Run next to [[kAnonymity]] before any metadata release.
+    *
+    * Scale: two map-side-combined keyed aggregations — (quasi, sensitive)
+    * then quasi — nothing driver-sized, nothing row-sorted. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: Column,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty, "lDiversity: no quasi-identifier columns")
+    require(l >= 2, s"lDiversity: l must be >= 2, got $l")
+    val q = quasi.map(col)
+    df.groupBy(q :+ sensitive.as("s"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(q: _*)
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_sensitive"),
+        max(col("c")).as("top_sensitive"))
+      .withColumn("violating", (col("n_sensitive") < l).cast("long"))
+  }
+
+  /** Banded t-closeness audit (Li, Li & Venkatasubramanian 2007,
+    * "t-Closeness: privacy beyond k-anonymity and l-diversity") for an
+    * ORDERED sensitive attribute: the earth-mover's distance between each
+    * quasi-identifier class's sensitive-value distribution and the global
+    * one — l-diversity misses skew (a class that is 99% one disease and
+    * 1% another is "2-diverse" yet disclosive); EMD reads the whole
+    * distribution. For ordered values with unit ground distance,
+    * `EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m−1)`.
+    *
+    * Exactness: the cumulative difference is kept in the INTEGER
+    * cross-multiplied form `Σ|cum(c·N − g·n)|` (DECIMAL(38,0), guarded),
+    * and `emd = num / (n·N·(m−1))` is ONE double division — identical on
+    * any engine. NULL when the global support is a single band (m = 1 —
+    * EMD undefined).
+    *
+    * Scale: the caller bands the sensitive attribute (`sensitive` is an
+    * already-banded column — the [[graft.operators.RobustStats.kendallTau]]
+    * banding discipline), so the (class × band) dense grid this builds is
+    * bounded by |classes|·|bands|, independent of row count: one
+    * (quasi, band) aggregation over the data, then every derived table —
+    * class totals, band totals (full-frame window for N and m), the dense
+    * cross join (broadcast, never cartesian-planned), the per-class
+    * cumulative — is metadata-sized, and all three reads of the histogram
+    * ride one reused exchange. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: Column,
+      t: Double): DataFrame = {
+    require(quasi.nonEmpty, "tCloseness: no quasi-identifier columns")
+    require(t > 0 && t < 1, s"tCloseness: t must be in (0,1), got $t")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"tCloseness: $what exceeds the exact DECIMAL(38) bound")))
+    val q = quasi.map(col)
+    // the histogram is the ONLY data-sized pass; localCheckpoint pins the
+    // bounded (class x band) table so its three consumers (class totals,
+    // band totals, the grid's left join) read one materialization instead
+    // of re-running the corpus aggregation per branch — column pruning
+    // gives each branch a differently-pruned scan, so exchange reuse
+    // cannot collapse them (the globalRank pinning discipline)
+    val h = df.groupBy(q :+ sensitive.as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val classes = h.groupBy(q: _*).agg(sum(col("c")).as("n"))
+    val full = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bands = h.groupBy(col("v")).agg(sum(col("c")).as("g"))
+      .withColumn("big_n", sum(col("g")).over(full))
+      .withColumn("m", count(lit(1)).over(full))
+    val grid = classes.crossJoin(broadcast(bands))
+      .join(h, quasi :+ "v", "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val cum = Window.partitionBy(q: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val num = grid
+      .withColumn("cd", sum(dec(col("c")) * dec(col("big_n"))
+        - dec(col("g")) * dec(col("n"))).over(cum))
+      .groupBy(q :+ col("n") :+ col("big_n") :+ col("m"): _*)
+      .agg(sum(abs(col("cd"))).as("emd_num"))
+    val den = dec(col("n")) * dec(col("big_n")) * dec(col("m") - 1L)
+    num.select(q :+ col("n") :+ col("m") :+
+      when(col("m") > 1 && col("n") > 0,
+        exact(col("emd_num"), "sum |cum|").cast("double")
+          / den.cast("double")).as("emd"): _*)
+      .withColumn("violating",
+        (col("emd") > t).cast("long"))
+  }
 }

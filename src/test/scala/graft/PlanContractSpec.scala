@@ -556,6 +556,29 @@ class PlanContractSpec extends SparkSpec {
     assert(!z.contains("Join"), s"q_zipf must stay join-free:\n$z")
   }
 
+  test("privacy audits stay histogram-bounded") {
+    // l-diversity: two keyed aggregations, join-free
+    val l = planOf("q_ldiversity").split("== Initial Plan ==")(0)
+    assert(!l.contains("Join"), s"q_ldiversity must stay join-free:\n$l")
+    assert("Exchange hashpartitioning".r.findAllIn(l).length <= 2,
+      s"q_ldiversity grew an extra shuffle:\n$l")
+    // t-closeness: the dense grid must build from BROADCAST bounded
+    // tables (cross join of two aggregates — never cartesian-planned),
+    // and the corpus scan lives ONLY in the checkpointed histogram — the
+    // returned plan reads the pinned (class x band) table, zero rescans
+    val tdf = SparkEntry.queries("q_tcloseness")(spark, sfDir)
+    tdf.collect()
+    val t = tdf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(t.contains("BroadcastNestedLoopJoin") ||
+      t.contains("BroadcastExchange"),
+      s"q_tcloseness lost the broadcast grid build:\n$t")
+    assert(!t.contains("FileScan parquet"),
+      s"q_tcloseness must read the pinned histogram, not rescan:\n$t")
+    assert("Scan ExistingRDD".r.findAllIn(t).length == 3,
+      s"q_tcloseness expected three reads of ONE pinned histogram:\n$t")
+  }
+
   test("unicode audit is one scan-bound lang aggregate") {
     // the normalization runs inside the scan->aggregate pipeline as a
     // codegen expression: no join, no window, ONE hash exchange

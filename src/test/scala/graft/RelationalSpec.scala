@@ -764,4 +764,59 @@ class RelationalSpec extends SparkSpec {
       graft.operators.RobustStats.kendallTau(ev, dayBand = 0)
     }
   }
+  test("lDiversity: distinct sensitive counts and the top-value frequency") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // class a: values {1, 1, 2, 3} -> 3 distinct, top freq 2
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L),
+      // class b: all one value -> 1 distinct -> violating at l=2
+      ("b", 9L), ("b", 9L), ("b", 9L)).toDF("grp", "v")
+    val got = graft.operators.Profile
+      .lDiversity(df, Seq("grp"), col("v"), l = 2)
+      .orderBy("grp").collect()
+    val a = got(0)
+    assert(a.getAs[Long]("n") == 4L && a.getAs[Long]("n_sensitive") == 3L)
+    assert(a.getAs[Long]("top_sensitive") == 2L
+      && a.getAs[Long]("violating") == 0L)
+    val b = got(1)
+    assert(b.getAs[Long]("n_sensitive") == 1L
+      && b.getAs[Long]("top_sensitive") == 3L
+      && b.getAs[Long]("violating") == 1L)
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.lDiversity(df, Seq("grp"), col("v"), l = 1))
+  }
+
+  test("tCloseness: hand-computed ordered EMD, single-band NULL") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // A: bands {0:3, 1:1}, B: {0:1, 1:3} -> global {0:4, 1:4}, N=8, m=2
+    // A: cum(c*N - g*n) = |3*8-4*4| = 8 -> emd = 8/(4*8*1) = 0.25
+    val df = Seq(
+      ("A", 0L), ("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 0L), ("B", 1L), ("B", 1L), ("B", 1L)).toDF("grp", "v")
+    val got = graft.operators.Profile
+      .tCloseness(df, Seq("grp"), col("v"), t = 0.2)
+      .orderBy("grp").collect()
+    assert(got.length == 2)
+    for (r <- got) {
+      assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("m") == 2L)
+      assert(r.getAs[Double]("emd") == 0.25)
+      assert(r.getAs[Long]("violating") == 1L)
+    }
+    // one global band: EMD undefined -> NULL emd, NULL verdict
+    val one = graft.operators.Profile.tCloseness(
+      Seq(("A", 5L), ("B", 5L)).toDF("grp", "v"),
+      Seq("grp"), col("v"), t = 0.2).collect()
+    assert(one.forall(r => r.isNullAt(r.fieldIndex("emd"))
+      && r.isNullAt(r.fieldIndex("violating"))))
+    // identical distributions: emd exactly 0, not violating
+    val same = graft.operators.Profile.tCloseness(
+      Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)).toDF("grp", "v"),
+      Seq("grp"), col("v"), t = 0.2).collect()
+    assert(same.forall(r => r.getAs[Double]("emd") == 0.0
+      && r.getAs[Long]("violating") == 0L))
+  }
 }
