@@ -693,6 +693,13 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) =>
       TextAnalysis.zipfSlope(docsParallel(s, dir)).orderBy(col("source"))),
 
+    // exact quantized-embedding covariance (upper triangle): the d x d
+    // sufficient-stat table PCA/whitening eigen-decomposes driver-side;
+    // n*d^2/2 products map-side combine to <= 2080 rows per partition
+    "q_embed_cov" -> ((s, dir) =>
+      graft.similarity.Similarity.embedCovariance(Tables.embeddings(s, dir))
+        .orderBy(col("i"), col("j"))),
+
     // distinct l-diversity: per (lang, source) class, distinct sensitive
     // length-band count + top-band frequency — the "k-anonymous but
     // single-valued" disclosure k-anonymity misses, next to q_kanon
@@ -4273,6 +4280,26 @@ object SparkEntry {
           |            / CAST(n*sxx - sx*sx AS DOUBLE)
           |  END AS slope
           |FROM s ORDER BY source""".stripMargin,
+
+      // covariance: same 1e-6 floor quantization, HUGEINT-exact
+      // sufficient stats, one division; the range bound pins this
+      // corpus's 64 dims (the Spark side is dimension-agnostic)
+      "q_embed_cov" ->
+        """WITH e AS (SELECT list_transform(embedding,
+          |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+          |             AS q
+          |           FROM embeddings WHERE embedding IS NOT NULL),
+          |p AS (SELECT s.i - 1 AS i, t.j - 1 AS j, q[s.i] AS qi, q[t.j] AS qj
+          |      FROM e, range(1, 65) s(i), range(1, 65) t(j)
+          |      WHERE s.i <= len(q) AND t.j <= len(q) AND s.i <= t.j),
+          |st AS (SELECT i, j, count(*) AS n, sum(qi) AS sx, sum(qj) AS sy,
+          |         sum(qi * qj) AS sxy
+          |       FROM p GROUP BY 1, 2)
+          |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+          |  CAST(n AS BIGINT) AS n,
+          |  CASE WHEN n > 1 THEN CAST(n*sxy - sx*sy AS DOUBLE)
+          |                       / CAST(n*(n-1) AS DOUBLE) END AS cov
+          |FROM st ORDER BY i, j""".stripMargin,
 
       // l-diversity: two keyed aggregations, the same class key as q_kanon
       "q_ldiversity" ->

@@ -596,4 +596,48 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
   }
+  /** Exact covariance matrix of the quantized embedding corpus — the
+    * sufficient-statistic table a PCA / whitening / decorrelation step
+    * eigen-decomposes DRIVER-side (d×d is bounded — the classic
+    * tall-skinny covariance shape: the EIGEN work is O(d³) on one node,
+    * the DATA work is distributed here). Emits the upper triangle
+    * (i ≤ j): per dimension pair, `n` and the sample covariance
+    * `(n·Σxy − Σx·Σy) / (n(n−1))` in quantized units².
+    *
+    * Exactness: the [[quantize]] 1e-6 fixed-point convention, so every
+    * sufficient statistic is an exact DECIMAL(38,0) integer (guarded);
+    * the covariance is ONE double division per pair. NULL when n < 2.
+    *
+    * Scale: the heavy part is n·d(d+1)/2 products from two nested
+    * posexplodes — pure map work that PARTIALLY AGGREGATES to at most
+    * d(d+1)/2 rows per partition before the only shuffle (the map-side
+    * combine is the whole trick: nothing row-count-sized ever moves).
+    * At extreme n, sample the frame first — the estimate converges long
+    * before the corpus ends, and the operator takes whatever frame it is
+    * given. */
+  def embedCovariance(emb: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def exact(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"embedCovariance: $what exceeds the exact DECIMAL(38) bound")))
+    val pairs = emb.filter(col("embedding").isNotNull)
+      .select(quantize(col("embedding")).as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"),
+        posexplode(slice(col("q"), col("i") + 1, size(col("q")) - col("i")))
+          .as(Seq("jo", "qj")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("jo")).cast("long").as("j"),
+        col("qi"), col("qj"))
+    val stats = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("qi"))).as("sx"), sum(dec(col("qj"))).as("sy"),
+        sum(dec(col("qi")) * dec(col("qj"))).as("sxy"))
+    val num = exact(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
+      "n*sxy - sx*sy")
+    stats.select(col("i"), col("j"), col("n"),
+      when(col("n") > 1,
+        num.cast("double")
+          / (dec(col("n")) * dec(col("n") - 1L)).cast("double")).as("cov"))
+  }
 }

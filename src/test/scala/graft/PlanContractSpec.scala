@@ -556,6 +556,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!z.contains("Join"), s"q_zipf must stay join-free:\n$z")
   }
 
+  test("embedding covariance is one map-side-combined exchange") {
+    // n*d^2/2 products must stay pure map work: no join, exactly one
+    // hash exchange (the (i, j) aggregate), partials combined before it
+    val p = planOf("q_embed_cov").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"q_embed_cov must stay join-free:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"q_embed_cov expected exactly one hash exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q_embed_cov lost the map-side combine:\n$p")
+  }
+
   test("privacy audits stay histogram-bounded") {
     // l-diversity: two keyed aggregations, join-free
     val l = planOf("q_ldiversity").split("== Initial Plan ==")(0)

@@ -281,4 +281,21 @@ class SimilaritySpec extends SparkSpec {
         s"neighbor $id: approx $a vs exact ${exact(id)}")
     }
   }
+  test("embedCovariance: hand-computed 2-dim upper triangle, n<2 NULL") {
+    val s = spark
+    import s.implicits._
+    // q = (1e6, 2e6), (3e6, 4e6): every pair's sample covariance is 2e12
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedCovariance(emb).orderBy("i", "j").collect()
+    assert(got.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSeq
+      == Seq((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(got.forall(_.getAs[Long]("n") == 2L))
+    assert(got.forall(_.getAs[Double]("cov") == 2.0e12))
+    // single vector: covariance undefined -> NULL
+    val one = Similarity.embedCovariance(
+      Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")).collect()
+    assert(one.forall(r => r.isNullAt(r.fieldIndex("cov"))))
+  }
 }
