@@ -120,6 +120,14 @@ object GraftExtensions {
         }.toSeq
         MultiPatternCount(args.head, pats)
       }),
+    (FunctionIdentifier("cov_stats"),
+      info("cov_stats",
+        "cov_stats(q) - covariance sufficient statistics of an array<bigint> " +
+          "vector column: array<struct<i,j,n,sx,sy,sxy>> over the upper triangle"),
+      { args =>
+        require(args.size == 1, "cov_stats(quantizedVector)")
+        CovStatsAgg(args.head).toAggregateExpression(isDistinct = false)
+      }),
     (FunctionIdentifier("unicode_norm"),
       info("unicode_norm",
         "unicode_norm(text, form) - Unicode normalization (NFC/NFD/NFKC/NFKD), " +

@@ -608,36 +608,29 @@ object Similarity {
     * sufficient statistic is an exact DECIMAL(38,0) integer (guarded);
     * the covariance is ONE double division per pair. NULL when n < 2.
     *
-    * Scale: the heavy part is n·d(d+1)/2 products from two nested
-    * posexplodes — pure map work that PARTIALLY AGGREGATES to at most
-    * d(d+1)/2 rows per partition before the only shuffle (the map-side
-    * combine is the whole trick: nothing row-count-sized ever moves).
-    * At extreme n, sample the frame first — the estimate converges long
-    * before the corpus ends, and the operator takes whatever frame it is
-    * given. */
+    * Scale: the sufficient statistics accumulate in the
+    * [[graft.functions.CovStatsAgg]] imperative aggregate — a
+    * d(d+1)/2-long checked-int64 buffer per partition, merged once per
+    * partition at the single exchange. The O(n·d²) multiply-adds are
+    * inherent to exact covariance; what the aggregate removes is the
+    * d²× ROW amplification a posexplode-pair form pays (4.2M generated
+    * rows for 2,000 64-dim vectors; at corpus scale, the difference
+    * between a buffer merge and a shuffle of n·d²/2 rows). Overflow
+    * raises loudly (addExact — never understates); at extreme n, sample
+    * the frame first — the estimate converges long before the corpus
+    * ends. */
   def embedCovariance(emb: DataFrame): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def exact(c: Column, what: String): Column =
-      when(c.isNotNull, c).otherwise(raise_error(lit(
-        s"embedCovariance: $what exceeds the exact DECIMAL(38) bound")))
-    val pairs = emb.filter(col("embedding").isNotNull)
+    val stats = emb.filter(col("embedding").isNotNull)
       .select(quantize(col("embedding")).as("q"))
-      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
-      .select(col("i"), col("qi"),
-        posexplode(slice(col("q"), col("i") + 1, size(col("q")) - col("i")))
-          .as(Seq("jo", "qj")))
-      .select(col("i").cast("long").as("i"),
-        (col("i") + col("jo")).cast("long").as("j"),
-        col("qi"), col("qj"))
-    val stats = pairs.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("qi"))).as("sx"), sum(dec(col("qj"))).as("sy"),
-        sum(dec(col("qi")) * dec(col("qj"))).as("sxy"))
-    val num = exact(dec(col("n")) * col("sxy") - col("sx") * col("sy"),
-      "n*sxy - sx*sy")
-    stats.select(col("i"), col("j"), col("n"),
-      when(col("n") > 1,
-        num.cast("double")
-          / (dec(col("n")) * dec(col("n") - 1L)).cast("double")).as("cov"))
+      .agg(graft.functions.CovStatsAgg.cov_stats(col("q")).as("s"))
+      .select(explode(col("s")).as("p"))
+    stats.select(col("p.i").as("i"), col("p.j").as("j"),
+      col("p.n").as("n"),
+      when(col("p.n") > 1,
+        (dec(col("p.n")) * dec(col("p.sxy"))
+          - dec(col("p.sx")) * dec(col("p.sy"))).cast("double")
+          / (dec(col("p.n")) * dec(col("p.n") - 1L)).cast("double"))
+        .as("cov"))
   }
 }

@@ -190,4 +190,48 @@ class ExtensionsSpec extends SparkSpec {
     // é->e, ü->u, ñ->n (combining sequences), ø untouched (no Mn mark)
     assert(got == "Cafe u n ø")
   }
+  test("SQL cov_stats: sufficient stats match hand sums; ragged dims raise") {
+    GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    Seq((Array(1L, 2L)), (Array(3L, 4L))).toDF("q")
+      .createOrReplaceTempView("covq")
+    val rows = spark.sql(
+      """SELECT p.i, p.j, p.n, p.sx, p.sy, p.sxy
+        |FROM (SELECT cov_stats(q) AS s FROM covq)
+        |LATERAL VIEW explode(s) t AS p ORDER BY p.i, p.j""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows == Seq(
+      (0L, 0L, 2L, 4L, 4L, 10L),   // sxx = 1 + 9
+      (0L, 1L, 2L, 4L, 6L, 14L),   // sxy = 2 + 12
+      (1L, 1L, 2L, 6L, 6L, 20L)))  // syy = 4 + 16
+    // ragged dims must raise loudly, not mis-pair coordinates
+    val e = intercept[Exception] {
+      Seq((Array(1L, 2L)), (Array(3L))).toDF("q")
+        .createOrReplaceTempView("ragged")
+      spark.sql("SELECT cov_stats(q) FROM ragged").collect()
+    }
+    assert(e.getMessage.contains("ragged")
+      || e.getCause != null && e.getCause.getMessage.contains("ragged"))
+  }
+
+  test("CovState: merge equals single-pass; overflow raises, never wraps") {
+    import graft.functions.CovState
+    val a = new CovState; val b = new CovState; val whole = new CovState
+    a.insert(Array(1L, 2L)); b.insert(Array(3L, 4L))
+    whole.insert(Array(1L, 2L)); whole.insert(Array(3L, 4L))
+    a.mergeWith(b)
+    assert(a.n == whole.n && a.sx.toSeq == whole.sx.toSeq
+      && a.sxy.toSeq == whole.sxy.toSeq)
+    // serialization round-trip preserves every statistic
+    val rt = CovState.fromBytes(a.toBytes)
+    assert(rt.n == a.n && rt.sx.toSeq == a.sx.toSeq
+      && rt.sxy.toSeq == a.sxy.toSeq)
+    // int64 overflow is LOUD (addExact), never a silent wrap
+    val big = new CovState
+    big.insert(Array(3037000499L)) // q*q = 9.223e18 still fits int64
+    // the second accumulation pushes the sxy sum past Long.MaxValue
+    intercept[ArithmeticException](big.insert(Array(3037000499L)))
+  }
 }

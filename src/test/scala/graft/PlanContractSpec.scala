@@ -556,15 +556,18 @@ class PlanContractSpec extends SparkSpec {
     assert(!z.contains("Join"), s"q_zipf must stay join-free:\n$z")
   }
 
-  test("embedding covariance is one map-side-combined exchange") {
-    // n*d^2/2 products must stay pure map work: no join, exactly one
-    // hash exchange (the (i, j) aggregate), partials combined before it
+  test("embedding covariance is one imperative-aggregate buffer merge") {
+    // the sufficient stats must ride the cov_stats imperative aggregate
+    // (one buffer per partition to a single merge) — no join, no
+    // generated pair-row stream, no hash exchange at all
     val p = planOf("q_embed_cov").split("== Initial Plan ==")(0)
     assert(!p.contains("Join"), s"q_embed_cov must stay join-free:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
-      s"q_embed_cov expected exactly one hash exchange:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial_sum"),
-      s"q_embed_cov lost the map-side combine:\n$p")
+    assert(p.contains("cov_stats"),
+      s"q_embed_cov lost the imperative aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q_embed_cov must shuffle only aggregate buffers:\n$p")
+    assert("partial_cov_stats".r.findAllIn(p).length == 1,
+      s"q_embed_cov lost the per-partition partial:\n$p")
   }
 
   test("privacy audits stay histogram-bounded") {
