@@ -956,4 +956,63 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+  test("tCloseness == brute-force integer cross-multiplied ordered EMD") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, for {
+      g <- Gen.oneOf("A", "B", "C")
+      v <- Gen.choose(0L, 4L)
+    } yield (g, v)))
+    holdsFewer(Prop.forAll(gen) { pts =>
+      val out = graft.operators.Profile
+        .tCloseness(pts.toDF("grp", "v"), Seq("grp"),
+          org.apache.spark.sql.functions.col("v"), t = 0.2)
+        .collect().map(r => r.getAs[String]("grp") ->
+          (if (r.isNullAt(r.fieldIndex("emd"))) None
+           else Some(r.getAs[Double]("emd")))).toMap
+      val bigN = pts.size.toLong
+      val global = pts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val vs = global.keys.toSeq.sorted
+      val m = vs.size.toLong
+      pts.groupBy(_._1).forall { case (grp, rows) =>
+        val n = rows.size.toLong
+        val cls = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        var cum = 0L; var num = 0L
+        vs.foreach { v =>
+          cum += cls.getOrElse(v, 0L) * bigN - global(v) * n
+          num += math.abs(cum)
+        }
+        val expect =
+          if (m <= 1) None
+          else Some(num.toDouble / (n * bigN * (m - 1)).toDouble)
+        out(grp) == expect
+      }
+    })
+  }
+
+  test("goodTuring == brute-force frequency-of-frequencies (unigram form)") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")))
+    holdsFewer(Prop.forAll(gen) { toks =>
+      val docs = Seq((1L, toks.mkString(" "), "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+      val got = graft.text.TextAnalysis.goodTuring(docs, n = 1)
+        .collect().map(r => r.getAs[Long]("r") ->
+          (r.getAs[Long]("n_r"), r.getAs[Long]("n_r1"),
+            r.getAs[Double]("r_star"), r.getAs[Double]("p0"))).toMap
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val hist = counts.values.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val total = toks.size.toLong
+      val n1 = hist.getOrElse(1L, 0L)
+      hist.filter(_._1 <= 10L).forall { case (r, nr) =>
+        val nr1 = hist.getOrElse(r + 1, 0L)
+        got.get(r).contains((nr, nr1,
+          ((r + 1) * nr1).toDouble / nr.toDouble,
+          n1.toDouble / total.toDouble))
+      } && got.size == hist.count(_._1 <= 10L)
+    })
+  }
 }

@@ -298,4 +298,35 @@ class SimilaritySpec extends SparkSpec {
       Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")).collect()
     assert(one.forall(r => r.isNullAt(r.fieldIndex("cov"))))
   }
+  test("embedCovariance feeds driver-side PCA: power iteration recovers the known axis") {
+    val s = spark
+    import s.implicits._
+    // rank-1 corpus along (0.6, 0.8): covariance = var(t) * outer(axis)
+    val emb = Seq(-2.0f, -1.0f, 1.0f, 2.0f).zipWithIndex.map { case (t, k) =>
+      (k.toLong, Array(0.6f * t, 0.8f * t)) }
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.embedCovariance(emb).collect()
+      .map(r => (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt,
+        r.getAs[Double]("cov")))
+    // assemble the symmetric matrix driver-side (the operator's contract:
+    // d x d is bounded, the eigen work is a one-node O(d^3) epilogue)
+    val d = 2
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    var v = Array(1.0, 0.0)
+    for (_ <- 1 to 50) {
+      val w = Array.tabulate(d)(i => (0 until d).map(k => m(i)(k) * v(k)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    val vAbs = v.map(math.abs)
+    assert(math.abs(vAbs(0) - 0.6) < 1e-6 && math.abs(vAbs(1) - 0.8) < 1e-6,
+      s"principal axis should be (0.6, 0.8), got ${v.toSeq}")
+    // rank-1: the second eigenvalue is ~0 -> residual after deflation tiny
+    val lambda = (0 until d).map(i => (0 until d).map(k => m(i)(k) * v(k)).sum / v(i)).head
+    val residual = (0 until d).flatMap(i => (0 until d).map(j =>
+      m(i)(j) - lambda * v(i) * v(j))).map(math.abs).max
+    assert(residual < 1e-3 * math.abs(lambda),
+      s"rank-1 corpus must deflate to ~zero residual (lambda=$lambda residual=$residual)")
+  }
 }
