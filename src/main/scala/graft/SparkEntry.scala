@@ -594,6 +594,21 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docsParallel(s, dir), k = 3, threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // asymmetric CONTAINMENT pairs (Broder): a short doc quoted inside a
+    // long one scores ~0 Jaccard but ~1 containment on the short side —
+    // the quote/subset detector, same df-capped shingle join
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docsParallel(s, dir), k = 3, threshold = 0.5,
+        maxDocFrequency = Some(5))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // padding-waste audit for length-bucketed batching: per 64-token
+    // band, the pad tokens naive bucketing burns — the measurement that
+    // justifies (or sizes) a q_pack packing run
+    "q_padding" -> ((s, dir) =>
+      TextAnalysis.paddingWaste(docsParallel(s, dir), bandWidth = 64L)
+        .orderBy(col("band"))),
+
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsParallel(s, dir), k = 3, numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -3131,6 +3146,38 @@ object SparkEntry {
            |JOIN sizes sb ON doc_b = sb.doc_id
            |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_containment_pairs" -> // same df-capped shingle join, both-direction containment
+        s"""$shingleCte,
+           |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
+           |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |          FROM shc a JOIN shc b USING (shingle)
+           |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+           |       CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+           |       CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+           |FROM pairs
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+           |               CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // padding audit: one band-keyed aggregate, exact integers
+      "q_padding" ->
+        """WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+          |           FROM documents),
+          |b AS (SELECT len // 64 AS band, count(*) AS docs,
+          |        CAST(sum(len) AS BIGINT) AS tokens
+          |      FROM l GROUP BY 1)
+          |SELECT band, docs, tokens, (band + 1) * 64 AS band_upper,
+          |  docs * (band + 1) * 64 AS padded,
+          |  docs * (band + 1) * 64 - tokens AS waste,
+          |  CAST(docs * (band + 1) * 64 - tokens AS DOUBLE)
+          |    / CAST(docs * (band + 1) * 64 AS DOUBLE) AS waste_frac
+          |FROM b ORDER BY band""".stripMargin,
 
       "q_weighted_jaccard" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

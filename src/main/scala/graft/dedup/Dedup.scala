@@ -1249,4 +1249,48 @@ object Dedup {
         md5(col("text").substr(col("col.s") + 1, col("col.l")))
           .as("chunk_md5"))
   }
+  /** Asymmetric shingle CONTAINMENT pairs (Broder 1997, "On the
+    * resemblance and containment of documents": c(A,B) =
+    * |S(A)∩S(B)| / |S(A)|) — the near-dup semantic Jaccard cannot see: a
+    * short document quoted wholesale inside a long one scores near-zero
+    * Jaccard (the union is dominated by the long side) but containment
+    * ~1.0 on the short side. The quote/subset/boilerplate-page detector
+    * next to [[ngramJaccardPairs]].
+    *
+    * Emits both directions (`cont_a` = fraction of A's shingles inside
+    * B, `cont_b` symmetric) for every pair clearing `threshold` on
+    * EITHER side — the caller reads which side is the contained one.
+    * Each containment is ONE double division of exact counts.
+    *
+    * Scale: identical machinery to the Jaccard join — distinct-shingle
+    * table, `maxDocFrequency` cap dropping boilerplate shingles before
+    * the self-join (the O(df²) bound), pair fan-out only where overlap
+    * exists. */
+  def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      maxDocFrequency: Option[Int] = Some(1000)): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val sh = shingleTable(docs, k).repartition(col("shingle"))
+    val shc = maxDocFrequency match {
+      case Some(cap) =>
+        val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("shingle"))
+        sh.join(kept, Seq("shingle"))
+      case None => sh
+    }
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = shc.as("a")
+      .join(shc.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("cont_a", col("inter").cast("double") / col("na").cast("double"))
+      .withColumn("cont_b", col("inter").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("cont_a"), col("cont_b"))
+  }
 }

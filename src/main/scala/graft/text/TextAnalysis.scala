@@ -1476,4 +1476,26 @@ object TextAnalysis {
         min(substring(col("tn"), 1, 8)).as("nfc_head"),
         min(substring(col("ts"), 1, 8)).as("strip_head"))
   }
+  /** Padding-waste audit for length-bucketed batching: when a training
+    * batcher groups documents into `bandWidth`-token length buckets and
+    * pads each document to its bucket's upper edge, how many pad tokens
+    * does each bucket burn? Per band: document count, real tokens, the
+    * padded cost `docs · band_upper`, the waste, and the waste fraction
+    * (ONE double division of exact integers) — the audit that decides
+    * band width before a packing run ([[graft.operators.Packing]] is the
+    * zero-waste alternative; this measures what naive bucketing costs).
+    *
+    * Scale: one narrow projection and one band-keyed aggregate. */
+  def paddingWaste(docs: DataFrame, bandWidth: Long = 64L): DataFrame = {
+    require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth")
+    docs.select((size(wsTokens(col("text")))).cast("long").as("len"))
+      .select(col("len"), expr(s"len div $bandWidth").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("docs"), sum(col("len")).as("tokens"))
+      .withColumn("band_upper", (col("band") + 1L) * bandWidth)
+      .withColumn("padded", col("docs") * col("band_upper"))
+      .withColumn("waste", col("padded") - col("tokens"))
+      .withColumn("waste_frac",
+        col("waste").cast("double") / col("padded").cast("double"))
+  }
 }

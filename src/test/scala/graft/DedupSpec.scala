@@ -657,4 +657,29 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("n_dup_docs"), r.getAs[Double]("dup_rate")))
     assert(got.toSeq == Seq(("s1", 3L, 3L, 1.0), ("s2", 2L, 1L, 0.5)))
   }
+  test("containmentPairs: quoted short doc scores ~1 on its side, low Jaccard") {
+    val s = spark
+    import s.implicits._
+    // doc 1 = 4 tokens fully quoted inside doc 2's 12 tokens:
+    // doc1 shingles (k=3): 2, all shared -> cont_a = 1.0, cont_b = 0.2
+    val docs = Seq(
+      (1L, "q w e r"),
+      (2L, "a b c d e f q w e r x y"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, k = 3, threshold = 0.5,
+      maxDocFrequency = None).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("inter") == 2L
+      && r.getAs[Long]("na") == 2L && r.getAs[Long]("nb") == 10L)
+    assert(r.getAs[Double]("cont_a") == 1.0
+      && r.getAs[Double]("cont_b") == 0.2)
+    // the same pair fails the symmetric Jaccard at the same bar:
+    // 2 / (2 + 10 - 2) = 0.2 — the asymmetry is the point
+    val jac = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
+    assert(jac.collect().isEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, threshold = 0.0))
+  }
 }

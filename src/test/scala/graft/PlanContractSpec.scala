@@ -556,6 +556,19 @@ class PlanContractSpec extends SparkSpec {
     assert(!z.contains("Join"), s"q_zipf must stay join-free:\n$z")
   }
 
+  test("containment rides the capped shingle join; padding is one aggregate") {
+    // containment must carry the same df-cap filter shape as the capped
+    // jaccard (a HAVING <= 5 on the shingle df before the self-join)
+    val c = planOf("q_containment_pairs").split("== Initial Plan ==")(0)
+    assert(c.contains("<= 5"),
+      s"q_containment_pairs lost the df cap:\n$c")
+    val p = planOf("q_padding").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q_padding must be a single band aggregate:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"q_padding expected exactly one hash exchange:\n$p")
+  }
+
   test("embedding covariance is one imperative-aggregate buffer merge") {
     // the sufficient stats must ride the cov_stats imperative aggregate
     // (one buffer per partition to a single merge) — no join, no

@@ -724,4 +724,22 @@ class TextAnalysisSpec extends SparkSpec {
       && asIs(0).getAs[Long]("raw_chars")
         == asIs(0).getAs[Long]("nfc_chars"))
   }
+  test("paddingWaste: band edges, exact waste, fraction") {
+    // lengths 3, 4, 5 with bandWidth 4: band 0 holds {3} (upper 4,
+    // waste 1), band 1 holds {4, 5} (upper 8, padded 16, waste 7)
+    val got = TextAnalysis.paddingWaste(docsOf(
+      (1L, "a b c", "en", "s"),
+      (2L, "a b c d", "en", "s"),
+      (3L, "a b c d e", "en", "s")), bandWidth = 4L)
+      .orderBy("band").collect()
+    assert(got.length == 2)
+    val b0 = got(0)
+    assert(b0.getAs[Long]("band") == 0L && b0.getAs[Long]("docs") == 1L)
+    assert(b0.getAs[Long]("band_upper") == 4L && b0.getAs[Long]("waste") == 1L)
+    assert(b0.getAs[Double]("waste_frac") == 0.25)
+    val b1 = got(1)
+    assert(b1.getAs[Long]("docs") == 2L && b1.getAs[Long]("tokens") == 9L)
+    assert(b1.getAs[Long]("padded") == 16L && b1.getAs[Long]("waste") == 7L)
+    assert(b1.getAs[Double]("waste_frac") == 7.0 / 16.0)
+  }
 }
