@@ -594,6 +594,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docsParallel(s, dir), k = 3, threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // TPC-H Q10 shape: returned-item revenue per customer for a quarter
+    // — facts shuffle once on orderkey, customer/nation broadcast,
+    // top-20 by exact DECIMAL revenue
+    "q10_returns" -> ((s, dir) =>
+      Relational.returnedItemRevenue(s, dir)),
+
     // asymmetric CONTAINMENT pairs (Broder): a short doc quoted inside a
     // long one scores ~0 Jaccard but ~1 containment on the short side —
     // the quote/subset detector, same df-capped shingle join
@@ -4923,6 +4929,18 @@ object SparkEntry {
           |  AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
           |GROUP BY 1, 2, 3
           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q10_returns" ->
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          |    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+          |FROM customer, orders, lineitem, nation
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
       "q5_local" ->
         """SELECT n_name,

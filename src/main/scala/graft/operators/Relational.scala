@@ -74,6 +74,39 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+/** TPC-H Q10 shape — returned-item revenue per customer: which
+    * customers returned the most merchandise in a quarter (reference
+    * relevance: the harness's "who is churning and why" read over the
+    * same star schema). lineitem filtered to returnflag = 'R' and orders
+    * to the quarter SHUFFLE once on orderkey; customer and nation are
+    * broadcast dimensions; top-K by exact DECIMAL revenue with the
+    * custkey tiebreak. */
+  def returnedItemRevenue(
+      spark: SparkSession, dir: String,
+      from: LocalDateTime = LocalDateTime.parse("1996-10-01T00:00:00"),
+      until: LocalDateTime = LocalDateTime.parse("1997-01-01T00:00:00"),
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"need topK >= 1: $topK")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topK)
+  }
+
   /** National market share (the TPC-H Q8 shape): among parts of `ptype`
     * bought by customers in `region`, the fraction of sales volume
     * supplied by `nation`, per order year — the five-dimension star join

@@ -43,7 +43,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("star joins broadcast their dimension side") {
-    Seq("q3_shipping", "q5_local").foreach { name =>
+    Seq("q3_shipping", "q5_local", "q10_returns").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
         s"$name lost its broadcast: $plan")
