@@ -608,6 +608,13 @@ object SparkEntry {
         maxDocFrequency = Some(5))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // per-lang tokenizer fertility (subwords per word) and compression
+    // (chars per subword) — the budget table multilingual mixture
+    // decisions read; exact integer sums, two divisions
+    "q_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(docsParallel(s, dir))
+        .orderBy(col("lang"))),
+
     // padding-waste audit for length-bucketed batching: per 64-token
     // band, the pad tokens naive bucketing burns — the measurement that
     // justifies (or sizes) a q_pack packing run
@@ -3170,6 +3177,28 @@ object SparkEntry {
            |WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
            |               CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // fertility: the q_text_stats regex segmentation rolled up per lang
+      "q_fertility" ->
+        s"""WITH s AS (SELECT lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+           |    CAST(len(regexp_extract_all(text,
+           |      '${graft.text.TextAnalysis.BpeTokenPattern}')) AS BIGINT) AS b,
+           |    CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS c
+           |  FROM documents),
+           |a AS (SELECT lang, count(*) AS docs, sum(w) AS ws_tokens,
+           |        sum(b) AS bpe_tokens, sum(c) AS chars
+           |      FROM s GROUP BY 1)
+           |SELECT lang, docs, CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           |  CAST(chars AS BIGINT) AS chars,
+           |  CASE WHEN ws_tokens > 0
+           |       THEN CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) END
+           |    AS fertility,
+           |  CASE WHEN bpe_tokens > 0
+           |       THEN CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) END
+           |    AS chars_per_token
+           |FROM a ORDER BY lang""".stripMargin,
 
       // padding audit: one band-keyed aggregate, exact integers
       "q_padding" ->

@@ -1498,4 +1498,34 @@ object TextAnalysis {
       .withColumn("waste_frac",
         col("waste").cast("double") / col("padded").cast("double"))
   }
+  /** Per-language tokenizer fertility and compression — the
+    * tokenizer-budget table every multilingual mixture decision reads
+    * (Rust et al. 2021, "How good is your tokenizer?"): `fertility` =
+    * subword tokens per whitespace word (high fertility means the
+    * tokenizer fragments that language, inflating its effective cost
+    * per character of training signal) and `chars_per_token` = non-space
+    * characters per subword token (the compression rate that converts a
+    * byte budget into a token budget). Uses the engine's BPE-ish regex
+    * segmentation ([[BpeTokenPattern]], the [[stats]] convention); each
+    * ratio is ONE double division of exact per-lang integer sums.
+    *
+    * Scale: one narrow projection, one lang-keyed aggregate. */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    docs.select(col("lang"),
+        size(toks).cast("long").as("w"),
+        regexp_count(col("text"), lit(BpeTokenPattern)).cast("long").as("b"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("w")).as("ws_tokens"),
+        sum(col("b")).as("bpe_tokens"), sum(col("c")).as("chars"))
+      .select(col("lang"), col("docs"), col("ws_tokens"), col("bpe_tokens"),
+        col("chars"),
+        when(col("ws_tokens") > 0,
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"),
+        when(col("bpe_tokens") > 0,
+          col("chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
 }

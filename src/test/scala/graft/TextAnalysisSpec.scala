@@ -742,4 +742,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b1.getAs[Long]("padded") == 16L && b1.getAs[Long]("waste") == 7L)
     assert(b1.getAs[Double]("waste_frac") == 7.0 / 16.0)
   }
+  test("tokenizerFertility: hand-computed per-lang subword and compression rates") {
+    // "ab1 cd": ws 2; bpe segments ab|1, cd -> 3; chars 5
+    // "x!" : ws 1; bpe x|! -> 2; chars 2
+    val got = TextAnalysis.tokenizerFertility(docsOf(
+      (1L, "ab1 cd", "en", "s"),
+      (2L, "x!", "fr", "s"))).orderBy("lang").collect()
+    val en = got(0)
+    assert(en.getAs[Long]("ws_tokens") == 2L
+      && en.getAs[Long]("bpe_tokens") == 3L
+      && en.getAs[Long]("chars") == 5L)
+    assert(en.getAs[Double]("fertility") == 1.5
+      && en.getAs[Double]("chars_per_token") == 5.0 / 3.0)
+    val fr = got(1)
+    assert(fr.getAs[Double]("fertility") == 2.0
+      && fr.getAs[Double]("chars_per_token") == 1.0)
+  }
 }
