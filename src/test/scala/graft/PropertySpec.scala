@@ -1015,4 +1015,31 @@ class PropertySpec extends SparkSpec {
       } && got.size == hist.count(_._1 <= 10L)
     })
   }
+  test("zipfSlope == brute-force staircase OLS over ranked counts") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")))
+    holdsFewer(Prop.forAll(gen) { toks =>
+      val docs = Seq((1L, toks.mkString(" "), "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+      val out = graft.text.TextAnalysis.zipfSlope(docs, topK = 4).collect()
+      def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+      val ranked = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy { case (t, c) => (-c, t) }.take(4)
+      val pts = ranked.zipWithIndex.map { case ((_, c), k) =>
+        (bits(k + 1L), bits(c)) }
+      val n = pts.size.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      val r = out.head
+      val slopeOk =
+        if (den <= 0) r.isNullAt(r.fieldIndex("slope"))
+        else r.getAs[Double]("slope") ==
+          (n * sxy - sx * sy).toDouble / den.toDouble
+      r.getAs[Long]("n") == n && slopeOk
+    })
+  }
 }
