@@ -23,14 +23,17 @@ object SparkEntry {
     BrokerQueries.requestLast(
       Tables.streamData(spark, "/root/testdata/sf0.001"), "click", 3, 100)
 
-  /** The documents table arrives as a single parquet row group locally, so
+  /** The documents table arrives as a single parquet file locally, so
     * CPU-heavy narrow maps (regex, per-token hashing) would run on one
     * core; spreading to the session's parallelism costs one tiny shuffle.
-    * At production scale the source has >= cores splits and this is a
-    * no-op decision made by file layout instead. */
+    * The decision reads the FILE-INDEX metadata (`inputFiles` — already
+    * listed by the source relation), never the RDD conversion, which
+    * would analyze the frame a second time just to count partitions. At
+    * production scale the source has >= cores files and this is a no-op
+    * decision made by file layout instead. */
   private def docsParallel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+    if (docs.inputFiles.length < s.sparkContext.defaultParallelism)
       docs.repartition(s.sparkContext.defaultParallelism)
     else docs
   }
@@ -107,6 +110,15 @@ object SparkEntry {
     * interpolated into the oracle's recursive-CTE bound, so the two can
     * never desync (peeling past the cap would silently diverge). */
   private val KCoreMaxRounds = 32
+
+  /** The ONE winnowing df cap and link-prediction degree cap: passed to
+    * the operators AND interpolated into their oracles' matching
+    * df/degree clauses (the KCoreMaxRounds pattern). Both are inert at
+    * the test scale factors (max winnow df 236, max degree 171 at
+    * sf0.1), but a corpus that crosses a cap now changes BOTH engines
+    * identically instead of flagging with no obvious cause. */
+  private val WinnowMaxDf = 1000
+  private val LinkPredMaxDegree = 10000
 
   private def incrementalSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = docsParallel(s, dir)
@@ -1037,11 +1049,11 @@ object SparkEntry {
 
     // MOSS match detection: pairs sharing >= 2 selected fingerprints,
     // keyed join on the fingerprint hash. Default maxDf=1000 drops
-    // boilerplate fingerprints before the self-join; the corpus max df
-    // is 236 at sf0.1, so the cap is inert here — the oracle needs no
-    // df clause
+    // boilerplate fingerprints before the self-join; the cap is the
+    // shared WinnowMaxDf constant, interpolated into the oracle's df
+    // clause so operator and oracle cannot desync past the cap
     "q_winnow_pairs" -> ((s, dir) =>
-      Dedup.winnowPairs(docsParallel(s, dir))
+      Dedup.winnowPairs(docsParallel(s, dir), maxDf = WinnowMaxDf)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // winnowing-based duplicate clusters: the THIRD independent pair
@@ -1052,7 +1064,8 @@ object SparkEntry {
     "q_winnow_clusters" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
       Dedup.dupClusters(docs,
-        Dedup.winnowPairs(docs).select(col("doc_a"), col("doc_b")))
+        Dedup.winnowPairs(docs, maxDf = WinnowMaxDf)
+          .select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))
     }),
 
@@ -1472,11 +1485,12 @@ object SparkEntry {
     // resource-allocation link prediction over the same purchase graph:
     // top-50 non-adjacent pairs by sum(1e6 div deg(z)) over common
     // neighbors — per-term floored integers, anti-join drops known
-    // edges. Default maxDegree=10000 caps z-side hubs before the wedge
-    // join; the graph's max degree is 171 at sf0.1, so the cap is inert
-    // here — the oracle needs no degree clause
+    // edges. maxDegree is the shared LinkPredMaxDegree constant,
+    // interpolated into the oracle's matching degree clause so a graph
+    // crossing the cap changes both engines identically
     "q_link_pred" -> ((s, dir) =>
-      graft.operators.Graph.linkPrediction(purchCoEdges(s, dir), topK = 50)),
+      graft.operators.Graph.linkPrediction(purchCoEdges(s, dir), topK = 50,
+        maxDegree = LinkPredMaxDegree)),
 
     // Newman modularity of the 4-round LPA communities: exact per-
     // community sufficient stats, Q_c = q_num/(2m)^2 single division —
@@ -3944,9 +3958,12 @@ object SparkEntry {
         "\nSELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp" +
         "\nFROM s ORDER BY doc_id, pos, fp"),
 
+      // df clause interpolated from the shared WinnowMaxDf constant —
+      // the same cap winnowPairs applies before its self-join
       "q_winnow_pairs" -> (winnowCtes + "," +
-        """
-          |f AS (SELECT DISTINCT doc_id, s.fp AS fp FROM s)
+        s"""
+          |f AS (SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, s.fp AS fp FROM s)
+          |      QUALIFY count(*) OVER (PARTITION BY fp) <= $WinnowMaxDf)
           |SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b,
           |       CAST(count(*) AS BIGINT) AS shared
           |FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
@@ -3958,8 +3975,9 @@ object SparkEntry {
       // their own canonical cluster
       "q_winnow_clusters" ->
         (winnowCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
-          """
-            |f AS (SELECT DISTINCT doc_id, s.fp AS fp FROM s),
+          s"""
+            |f AS (SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, s.fp AS fp FROM s)
+            |      QUALIFY count(*) OVER (PARTITION BY fp) <= $WinnowMaxDf),
             |pr AS (SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b
             |       FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
             |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -5136,9 +5154,10 @@ object SparkEntry {
           |FROM u GROUP BY node ORDER BY node""".stripMargin,
 
       // resource-allocation link prediction: wedges through z over the
-      // same purchase graph, per-term floored 1e6//deg, non-edges only
+      // same purchase graph, per-term floored 1e6//deg, non-edges only;
+      // the z-degree clause is the shared LinkPredMaxDegree constant
       "q_link_pred" ->
-        """WITH n AS (SELECT DISTINCT user_id,
+        s"""WITH n AS (SELECT DISTINCT user_id,
           |             epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 AS h
           |           FROM events WHERE event_type = 'purchase'),
           |e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
@@ -5150,7 +5169,8 @@ object SparkEntry {
           |      FROM adj l JOIN adj r ON l.z = r.z AND l.x < r.x),
           |sc AS (SELECT a, b, count(*) AS common,
           |         sum(1000000 // deg) AS ra_micro
-          |       FROM w JOIN deg ON deg.u = w.z GROUP BY a, b),
+          |       FROM w JOIN deg ON deg.u = w.z
+          |       WHERE deg.deg <= $LinkPredMaxDegree GROUP BY a, b),
           |ne AS (SELECT sc.a, sc.b, sc.common, sc.ra_micro FROM sc
           |       LEFT JOIN e ON e.a = sc.a AND e.b = sc.b WHERE e.a IS NULL)
           |SELECT a, b, CAST(common AS BIGINT) AS common,

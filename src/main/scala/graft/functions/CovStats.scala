@@ -59,6 +59,16 @@ case class CovStatsAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
+      // loud-error contract: toLongArray reads a null element as 0 from
+      // UnsafeArrayData, which would silently accumulate a phantom zero
+      // coordinate — scan and raise instead (O(d) vs the O(d²) insert)
+      var k = 0
+      val m = arr.numElements()
+      while (k < m) {
+        if (arr.isNullAt(k)) throw new IllegalArgumentException(
+          s"cov_stats: null vector element at index $k")
+        k += 1
+      }
       buf.insert(arr.toLongArray())
     }
     buf

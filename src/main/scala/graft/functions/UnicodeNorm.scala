@@ -42,6 +42,12 @@ case class UnicodeNorm(left: Expression, right: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_norm"
 
+  // the foldable form argument, resolved ONCE per plan: interpreted eval
+  // and generated code both reference this object, so no row pays the
+  // enum parse (checkInputDataTypes has already guaranteed validity)
+  @transient private lazy val resolvedForm: Normalizer.Form =
+    Normalizer.Form.valueOf(right.eval().toString)
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (_: StringType, _: StringType) if right.foldable =>
@@ -56,12 +62,16 @@ case class UnicodeNorm(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(s: Any, form: Any): Any =
-    UnicodeNorm.normalize(
-      s.asInstanceOf[UTF8String], form.asInstanceOf[UTF8String])
+    UnicodeNorm.normalize(s.asInstanceOf[UTF8String], resolvedForm)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the resolved Form rides the references array (source-form class
+    // name — the binary Normalizer$Form would not compile as Java source)
+    val formRef =
+      ctx.addReferenceObj("unicodeForm", resolvedForm, "java.text.Normalizer.Form")
     defineCodeGen(ctx, ev,
-      (s, f) => s"graft.functions.UnicodeNorm.normalize($s, $f)")
+      (s, _) => s"graft.functions.UnicodeNorm.normalize($s, $formRef)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UnicodeNorm =
@@ -73,8 +83,10 @@ object UnicodeNorm {
   private[functions] val formNames =
     Set("NFC", "NFD", "NFKC", "NFKD")
 
-  /** Static entry point shared by interpreted eval and generated code. */
-  def normalize(s: UTF8String, form: UTF8String): UTF8String = {
+  /** Static entry point shared by interpreted eval and generated code.
+    * The Form arrives pre-resolved from the expression's plan-time
+    * lazy val — no per-row enum parse. */
+  def normalize(s: UTF8String, f: Normalizer.Form): UTF8String = {
     // ASCII fast-path: every normalization form fixes ASCII, and almost
     // all crawl text is ASCII — return the original buffer untouched
     val n = s.numBytes()
@@ -85,7 +97,6 @@ object UnicodeNorm {
       i += 1
     }
     if (ascii) return s
-    val f = Normalizer.Form.valueOf(form.toString)
     val str = s.toString
     if (Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(Normalizer.normalize(str, f))

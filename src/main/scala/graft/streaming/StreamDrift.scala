@@ -16,8 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bands: `Σ_band (c2·t1 − c1·t2)·(bitlen(c2·t1+1) − bitlen(c1·t2+1))`
   * divided once by `t1·t2` — floor-log2 integer bits, one IEEE division
   * per report, so a backfilled batch run over the same windows reproduces
-  * the streamed values exactly. Same int64 bound as the batch form
-  * (~3.8e8 rows per window), enforced.
+  * the streamed values exactly. Same per-band int64 bound as the batch
+  * form (~3.8e8 rows per window), enforced — and because this form SUMS
+  * band numerators where the batch form divides per band, the sum itself
+  * accumulates via Math.addExact/multiplyExact: loud, never wrapped.
   *
   * At-arrival contract ([[StreamCusum]] semantics): rows are processed in
   * minute order within each micro-batch; a row whose window precedes the
@@ -42,14 +44,20 @@ object StreamDrift {
   private[graft] def psi(ref: Map[Long, Long], cur: Map[Long, Long]): (Long, Long, Double) = {
     val t1 = ref.valuesIterator.sum
     val t2 = cur.valuesIterator.sum
+    // the row bound makes each band's PRODUCTS fit int64; the cross-band
+    // SUM of delta·Δbits terms can still exceed it (two opposite
+    // full-mass bands reach ~63·t1·t2 each), so every accumulation is
+    // checked — loud, never wrapped (the chiSquareTokens rule)
     require(t1 <= 380000000L && t2 <= 380000000L,
       "StreamDrift contribution overflows int64 past ~3.8e8 rows per window")
     var num = 0L
     (ref.keySet ++ cur.keySet).foreach { b =>
       val c1 = ref.getOrElse(b, 0L)
       val c2 = cur.getOrElse(b, 0L)
-      val delta = c2 * t1 - c1 * t2
-      num += delta * (bitlen(c2 * t1 + 1) - bitlen(c1 * t2 + 1))
+      val delta = Math.subtractExact(
+        Math.multiplyExact(c2, t1), Math.multiplyExact(c1, t2))
+      num = Math.addExact(num,
+        Math.multiplyExact(delta, bitlen(c2 * t1 + 1) - bitlen(c1 * t2 + 1)))
     }
     (t1, t2, num.toDouble / (t1.toDouble * t2.toDouble))
   }

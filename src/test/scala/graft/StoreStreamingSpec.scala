@@ -692,4 +692,95 @@ class StoreStreamingSpec extends SparkSpec {
       .list().filter(_.startsWith("bucket=")).toSeq
     assert(dirs == Seq("bucket=2023-11-14-23"), dirs.toString)
   }
+
+  test("ingest fan-out: drift + vocab monitors consume the validated stream " +
+      "the store persists; monitors checkpoint-restart mid-stream") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.{IngestMonitors, StreamDrift, StreamVocabGrowth}
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("graft-montap")
+    val ckpt = tmpDir("graft-montap-ckpt")
+    val (cpD, outD) = (tmpDir("graft-montap-dcp"), tmpDir("graft-montap-dout"))
+    val (cpV, outV) = (tmpDir("graft-montap-vcp"), tmpDir("graft-montap-vout"))
+    // real-clock base so the persist path's own batch clock agrees with
+    // the monitors' pinned literal about what counts as "future"
+    val nowMs = System.currentTimeMillis()
+    val baseMin = nowMs / 60000L - 10L
+    def tsAt(k: Int): Long = (baseMin + k) * 60000L + 500L
+    val assigned = Set("s::0")
+
+    val input = MemoryStream[StreamMessage](s)
+    // one source, three sinks: the persist query plus both monitors run
+    // off the SAME MemoryStream, each from its own checkpoint
+    val persist = IngestPipeline.start(input.toDF(), path, ckpt,
+      () => Some(assigned))
+    def prepared() =
+      IngestMonitors.prepared(input.toDF(), lit(ldt(nowMs)), Some(assigned))
+    def startDrift() = StreamDrift.detect(
+        IngestMonitors.driftEvents(prepared()),
+        windowMinutes = 1L, bandWidth = 4000000L)
+      .writeStream.format("parquet").option("path", outD)
+      .option("checkpointLocation", cpD)
+      .outputMode(OutputMode.Append()).start()
+    def startVocab() = StreamVocabGrowth.detect(
+        IngestMonitors.vocabEvents(prepared()),
+        windowMinutes = 1L)
+      .writeStream.format("parquet").option("path", outV)
+      .option("checkpointLocation", cpV)
+      .outputMode(OutputMode.Append()).start()
+    var (qd, qv) = (startDrift(), startVocab())
+    def processAll(): Unit =
+      Seq(persist, qd, qv).foreach(_.processAllAvailable())
+    try {
+      // window base+0: two 9-char accepted payloads, plus three rows the
+      // validate/assign chain must hide from store AND monitors alike —
+      // malformed JSON, future timestamp, unassigned part
+      input.addData(
+        msg("s", 0, tsAt(0), 0, payload = """{"a":"x"}"""),
+        msg("s", 0, tsAt(0), 1, payload = """{"a":"x"}"""),
+        msg("s", 0, tsAt(0), 2, payload = "oops"),
+        msg("s", 0, nowMs + 600000L, 3, payload = """{"a":"x"}"""),
+        msg("u", 0, tsAt(0), 4, payload = """{"a":"x"}"""))
+      processAll()
+      // window base+1: one 13-char novel payload + one 9-char repeat of
+      // window 0's token (closes window 0: drift reference, vocab report)
+      input.addData(
+        msg("s", 0, tsAt(1), 5, payload = """{"a":"xyzzy"}"""),
+        msg("s", 0, tsAt(1), 6, payload = """{"a":"x"}"""))
+      processAll()
+      // restart both monitors from their checkpoints mid-stream
+      qd.stop(); qv.stop()
+      qd = startDrift(); qv = startVocab()
+      // window base+2 opener closes window base+1 against the RECOVERED
+      // drift reference / vocab bitmap
+      input.addData(msg("s", 0, tsAt(2), 7, payload = """{"c":1}"""))
+      processAll()
+
+      // store persisted exactly the accepted rows (seq 0,1,5,6,7)
+      val stored = MessageStore.open(spark, path)
+        .select(col("sequence_no")).collect().map(_.getInt(0)).toSet
+      assert(stored == Set(0, 1, 5, 6, 7), stored.toString)
+
+      // drift: ref = {band 2: 2 docs of len 9}; window base+1 = {band 3:
+      // len 13, band 2: len 9} -> band2 term (1·2−2·2)·(bits3−bits5) = 2,
+      // band3 term (1·2−0)·(bits3−bits1) = 2 -> psi = 4/(2·2) = 1.0
+      val drift = spark.read.parquet(outD).collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[Long]("window"),
+          r.getAs[Long]("n_ref"), r.getAs[Long]("n"), r.getAs[Double]("psi")))
+      assert(drift.toSeq == Seq(("s::0", baseMin + 1L, 2L, 2L, 1.0)),
+        drift.mkString(","))
+
+      // vocab: window 0 = 2 tokens 1 new type; window 1 = 2 tokens but
+      // only xyzzy is new — the repeated token proves the bitmap (and the
+      // monitor wiring) survived the checkpoint restart
+      val vocab = spark.read.parquet(outV).collect()
+        .map(r => (r.getAs[Long]("window"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("new_types"), r.getAs[Long]("bits_set")))
+        .sortBy(_._1)
+      assert(vocab.toSeq == Seq(
+        (baseMin + 0L, 2L, 1L, 1L), (baseMin + 1L, 2L, 1L, 2L)),
+        vocab.mkString(","))
+    } finally { persist.stop(); qd.stop(); qv.stop() }
+  }
 }
