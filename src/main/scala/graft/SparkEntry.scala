@@ -503,6 +503,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVFPQ (Jégou et al. IVFADC shape, raw-vector codes): coarse
+    // centroid routing (nprobe=2 of 8 learned lists) composed with PQ
+    // ADC scoring — the 100 TB serving path the separate kmeans/PQ gates
+    // imply; the oracle replays both stages CTE by CTE
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // recall@5 of the composed IVFPQ index vs the exact brute-force
+    // ranking — the deployed-index quality monitor for the composed path
+    "q_ann_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 8)
+      val queries = e.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.ivfPqTopK(corpus, queries, k = 5),
+        Similarity.bruteForceTopK(corpus, queries, k = 5), k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // scalar-quantized serving path (FAISS SQ8 shape): 7-bit codes against
     // a per-vector max-abs scale, approximate-cosine ranking from the
     // exact integer code dot — the memory-bounded ANN variant
@@ -634,6 +657,15 @@ object SparkEntry {
       TextAnalysis.paddingWaste(docsParallel(s, dir), bandWidth = 64L)
         .orderBy(col("band"))),
 
+    // length-bucket batching plan: equal-count length buckets from the
+    // decomposed global rank, per-bucket cap / batch size / projected
+    // waste vs the single-bucket baseline — the decision table the
+    // q_padding measurement sizes (measurement -> batcher config)
+    "q_padding_plan" -> ((s, dir) =>
+      graft.operators.Packing.paddingPlan(docsParallel(s, dir),
+        buckets = 8, budget = 16384L)
+        .orderBy(col("bucket"))),
+
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsParallel(s, dir), k = 3, numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -736,6 +768,15 @@ object SparkEntry {
     // exact quantized-embedding covariance (upper triangle): the d x d
     // sufficient-stat table PCA/whitening eigen-decomposes driver-side;
     // n*d^2/2 products map-side combine to <= 2080 rows per partition
+    // PCA projection: deterministic power-iteration basis (2 components,
+    // 12 iterations) eigen-consuming the exact cov_stats covariance
+    // driver-side, centered projection fused into the corpus scan — the
+    // whitening/visualization seam q_embed_cov opened; the oracle
+    // replays covariance, iterations, deflation, and projection
+    "q_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
+
     "q_embed_cov" -> ((s, dir) =>
       graft.similarity.Similarity.embedCovariance(Tables.embeddings(s, dir))
         .orderBy(col("i"), col("j"))),
@@ -2188,72 +2229,164 @@ object SparkEntry {
       s"""c${i}n AS MATERIALIZED (SELECT cid, list_value($kmMean) AS c FROM a$i GROUP BY cid),
          |c$i AS MATERIALIZED (SELECT * FROM c${i}n UNION ALL
          |        SELECT * FROM c${i - 1} WHERE cid NOT IN (SELECT cid FROM c${i}n))""".stripMargin
-    // PQ oracle: per-subspace replay of the SAME Lloyd's CTEs over offset
-    // slices of qe (seeds, assignment tie-breaks, integer-sum/IEEE means
-    // all identical to the full-space kmeans above), then ADC as the
+    // PQ oracle building blocks, shared by q_ann_pq and q_ann_ivfpq:
+    // per-subspace replay of the SAME Lloyd's CTEs over offset slices of
+    // qe (seeds, assignment tie-breaks, integer-sum/IEEE means all
+    // identical to the full-space kmeans above), then ADC as the
     // slice-by-slice, dim-by-dim left-to-right double chain pqTopK folds.
-    val pqSql = {
-      val pqM = 4
-      val pqSd = kmDim / pqM
-      val pqK = 8
-      def pqDist(qe: String, c: String, off: Int): String =
+    val pqM = 4
+    val pqSd = kmDim / pqM
+    val pqK = 8
+    def pqSub(m: Int): String = {
+      val off = m * pqSd
+      def pqDist(qe: String, c: String): String =
         (1 to pqSd).map(i =>
           s"(CAST($qe[${off + i}] AS DOUBLE)-$c[$i])*(CAST($qe[${off + i}] AS DOUBLE)-$c[$i])")
           .mkString(" + ")
-      def pqMean(off: Int): String =
+      def pqMean: String =
         (1 to pqSd).map(i => s"CAST(sum(qe[${off + i}]) AS DOUBLE)/count(*)").mkString(", ")
-      def sub(m: Int): String = {
-        val off = m * pqSd
-        def assign(name: String, cents: String) =
-          s"""${name}_$m AS MATERIALIZED (SELECT vec_id, qe, nq, cid FROM (
-             |  SELECT t.vec_id, t.qe, t.nq, c.cid,
-             |         row_number() OVER (PARTITION BY t.vec_id
-             |           ORDER BY ${pqDist("t.qe", "c.c", off)}, c.cid) AS rn
-             |  FROM corp t CROSS JOIN ${cents}_$m c) WHERE rn = 1)""".stripMargin
-        def step(i: Int) =
-          s"""c${i}n_$m AS MATERIALIZED (SELECT cid, list_value(${pqMean(off)}) AS c FROM a${i}_$m GROUP BY cid),
-             |c${i}_$m AS MATERIALIZED (SELECT * FROM c${i}n_$m UNION ALL
-             |        SELECT * FROM c${i - 1}_$m WHERE cid NOT IN (SELECT cid FROM c${i}n_$m))""".stripMargin
-        s"""c0_$m AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
-           |              list_transform(qe[${off + 1}:${off + pqSd}], x -> CAST(x AS DOUBLE)) AS c
-           |       FROM (SELECT vec_id, qe FROM corp
-           |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK)),
-           |${assign("a1", "c0")},
-           |${step(1)},
-           |${assign("a2", "c1")},
-           |${step(2)},
-           |${assign("a3", "c2")}""".stripMargin
-      }
-      val subs = (0 until pqM).map(sub).mkString(",\n")
+      def assign(name: String, cents: String) =
+        s"""${name}_$m AS MATERIALIZED (SELECT vec_id, qe, nq, cid FROM (
+           |  SELECT t.vec_id, t.qe, t.nq, c.cid,
+           |         row_number() OVER (PARTITION BY t.vec_id
+           |           ORDER BY ${pqDist("t.qe", "c.c")}, c.cid) AS rn
+           |  FROM corp t CROSS JOIN ${cents}_$m c) WHERE rn = 1)""".stripMargin
+      def step(i: Int) =
+        s"""c${i}n_$m AS MATERIALIZED (SELECT cid, list_value($pqMean) AS c FROM a${i}_$m GROUP BY cid),
+           |c${i}_$m AS MATERIALIZED (SELECT * FROM c${i}n_$m UNION ALL
+           |        SELECT * FROM c${i - 1}_$m WHERE cid NOT IN (SELECT cid FROM c${i}n_$m))""".stripMargin
+      s"""c0_$m AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+         |              list_transform(qe[${off + 1}:${off + pqSd}], x -> CAST(x AS DOUBLE)) AS c
+         |       FROM (SELECT vec_id, qe FROM corp
+         |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK)),
+         |${assign("a1", "c0")},
+         |${step(1)},
+         |${assign("a2", "c1")},
+         |${step(2)},
+         |${assign("a3", "c2")}""".stripMargin
+    }
+    val pqSubs = (0 until pqM).map(pqSub).mkString(",\n")
+    val pqCodesCte = {
       val codeSel = (0 until pqM).map(m => s", j$m.code_$m").mkString
       val codeJoin = (0 until pqM)
         .map(m => s"JOIN (SELECT vec_id, cid AS code_$m FROM a3_$m) j$m USING (vec_id)")
         .mkString("\n")
-      val adc = (0 until pqM).map { m =>
-        val off = m * pqSd
-        "(" + (1 to pqSd).map(i => s"CAST(q.qe[${off + i}] AS DOUBLE)*cb$m.c[$i]")
-          .mkString(" + ") + ")"
-      }.mkString(" + ")
-      val cbJoins = (0 until pqM)
-        .map(m => s"JOIN c2_$m cb$m ON cb$m.cid = t.code_$m").mkString("\n")
+      s"""codes AS (SELECT c.vec_id, c.nq$codeSel
+         |          FROM corp c
+         |$codeJoin)""".stripMargin
+    }
+    def pqAdc(q: String): String = (0 until pqM).map { m =>
+      val off = m * pqSd
+      "(" + (1 to pqSd).map(i => s"CAST($q[${off + i}] AS DOUBLE)*cb$m.c[$i]")
+        .mkString(" + ") + ")"
+    }.mkString(" + ")
+    def pqCbJoins(t: String): String = (0 until pqM)
+      .map(m => s"JOIN c2_$m cb$m ON cb$m.cid = $t.code_$m").mkString("\n")
+    val pqSql =
       s"""$quantCte,
          |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n WHERE vec_id >= 8),
          |qs AS MATERIALIZED (SELECT vec_id AS query_id, qe, nq FROM n WHERE vec_id < 8),
-         |$subs,
-         |codes AS (SELECT c.vec_id, c.nq$codeSel
-         |          FROM corp c
-         |$codeJoin),
+         |$pqSubs,
+         |$pqCodesCte,
          |scored AS (
          |  SELECT q.query_id, t.vec_id AS neighbor_id,
-         |         ($adc)
+         |         (${pqAdc("q.qe")})
          |           / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(t.nq AS DOUBLE))) AS cos
          |  FROM codes t CROSS JOIN qs q
-         |$cbJoins),
+         |${pqCbJoins("t")}),
          |r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
          |      FROM scored)
          |SELECT query_id, "rank", neighbor_id, cos FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    // IVFPQ oracle chain (through the rank CTE `r`): the q_ann_kmeans
+    // coarse chain routes nprobe=2 lists, the q_ann_pq subspace chains
+    // provide codes + codebooks, scoring is ADC restricted to the probed
+    // lists — the same composition ivfPqTopK runs.
+    val ivfpqChain =
+      s"""$quantCte,
+         |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n WHERE vec_id >= 8),
+         |qs AS MATERIALIZED (SELECT vec_id AS query_id, qe, nq FROM n WHERE vec_id < 8),
+         |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+         |              list_transform(qe, x -> CAST(x AS DOUBLE)) AS c
+         |       FROM (SELECT vec_id, qe FROM corp
+         |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |${kmAssign("a1", "c0")},
+         |${kmStep(1)},
+         |${kmAssign("a2", "c1")},
+         |${kmStep(2)},
+         |${kmAssign("a3", "c2")},
+         |$pqSubs,
+         |$pqCodesCte,
+         |probe AS MATERIALIZED (SELECT query_id, qe, nq, cid FROM (
+         |  SELECT q.query_id, q.qe, q.nq, c.cid,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${kmDist("q.qe", "c.c")}, c.cid) AS rn
+         |  FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+         |scored AS MATERIALIZED (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         (${pqAdc("p.qe")})
+         |           / (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(a.nq AS DOUBLE))) AS cos
+         |  FROM probe p JOIN a3 a USING (cid)
+         |  JOIN codes t ON t.vec_id = a.vec_id
+         |${pqCbJoins("t")}),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM scored)""".stripMargin
+    // PCA oracle: covariance sufficient statistics (the q_embed_cov
+    // CTEs), 12 power iterations per component as unrolled left-to-right
+    // matvec/norm double chains, explicit deflation, then the centered
+    // projection — replaying Similarity.pcaBasis/pcaProject step by
+    // step. n is guaranteed > 1 Spark-side (pcaBasis raises), so the
+    // n·(n−1) denominator needs no CASE here.
+    val pcaSql = {
+      val d = 64
+      val it = 12
+      def matvec(c: String, v: String) =
+        (1 to d).map(j => s"$c.row[$j]*$v.v[$j]").mkString(" + ")
+      def norm(wl: String) =
+        (1 to d).map(j => s"$wl[$j]*$wl[$j]").mkString(" + ")
+      // every CTE is MATERIALIZED (the kmeans-oracle discipline): DuckDB
+      // inlines plain CTEs per reference, so each deflated-matrix or
+      // final-select reference would re-expand the whole upstream chain
+      // back to the million-row pair scan
+      def iterCtes(pfx: String, mat: String): String =
+        (1 to it).map { t =>
+          val prev = if (t == 1) "v0" else s"$pfx${t - 1}"
+          s"""${pfx}w$t AS MATERIALIZED (SELECT list(w ORDER BY i) AS wl FROM (
+             |  SELECT c.i AS i, ${matvec("c", "p")} AS w
+             |  FROM $mat c CROSS JOIN $prev p)),
+             |$pfx$t AS MATERIALIZED (SELECT lam, list_transform(wl, x -> x / lam) AS v
+             |  FROM (SELECT wl, sqrt(${norm("wl")}) AS lam FROM ${pfx}w$t))""".stripMargin
+        }.mkString(",\n")
+      def proj(p: String) = (1 to d).map(j =>
+        s"(CAST(e.q[$j] AS DOUBLE) - m.m[$j]) * $p.v[$j]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |pr AS (SELECT s.i - 1 AS i, t.j - 1 AS j, q[s.i] AS qi, q[t.j] AS qj
+         |      FROM e, range(1, ${d + 1}) s(i), range(1, ${d + 1}) t(j)
+         |      WHERE s.i <= len(q) AND t.j <= len(q) AND s.i <= t.j),
+         |st AS MATERIALIZED (SELECT i, j, count(*) AS n, sum(qi) AS sx, sum(qj) AS sy,
+         |         sum(qi * qj) AS sxy
+         |       FROM pr GROUP BY 1, 2),
+         |cv AS MATERIALIZED (SELECT i, j, CAST(n*sxy - sx*sy AS DOUBLE)
+         |                      / CAST(n*(n-1) AS DOUBLE) AS cov FROM st),
+         |fullm AS (SELECT i, j, cov FROM cv
+         |          UNION ALL SELECT j, i, cov FROM cv WHERE i < j),
+         |cm0 AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS row FROM fullm GROUP BY i),
+         |ml AS MATERIALIZED (SELECT list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS m
+         |       FROM st WHERE i = j),
+         |v0 AS (SELECT 0.0 AS lam,
+         |         list_transform(range($d), j -> 1.0/sqrt(CAST($d AS DOUBLE))) AS v),
+         |${iterCtes("pa", "cm0")},
+         |cm1 AS MATERIALIZED (SELECT c.i, list_transform(range($d),
+         |          j -> c.row[j+1] - p.lam * p.v[c.i+1] * p.v[j+1]) AS row
+         |        FROM cm0 c CROSS JOIN pa$it p),
+         |${iterCtes("pb", "cm1")}
+         |SELECT e.vec_id, ${proj("p1")} AS pc1, ${proj("p2")} AS pc2
+         |FROM e CROSS JOIN ml m CROSS JOIN pa$it p1 CROSS JOIN pb$it p2
+         |ORDER BY e.vec_id""".stripMargin
     }
     val simhashSums = (0 until 32).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
     val simhashVal = (0 until 32)
@@ -3013,6 +3146,37 @@ object SparkEntry {
 
       "q_ann_pq" -> pqSql,
 
+      // IVFPQ: the composed coarse-routing + ADC ranking, replayed stage
+      // by stage (see ivfpqChain)
+      "q_ann_ivfpq" ->
+        s"""$ivfpqChain
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      // recall@5 of the composed IVFPQ index vs exact brute force: both
+      // rankings replayed, per-query overlap / k, zero-hit queries kept
+      "q_ann_ivfpq_recall" ->
+        s"""$ivfpqChain,
+           |exact_s AS (
+           |  SELECT qs2.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs2.qe")}
+           |           / (sqrt(CAST(qs2.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM n c, n qs2 WHERE c.vec_id >= 8 AND qs2.vec_id < 8),
+           |exact_r AS (SELECT query_id, neighbor_id,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |      FROM exact_s),
+           |h AS (SELECT e.query_id, count(*) AS hits
+           |      FROM (SELECT query_id, neighbor_id FROM exact_r WHERE rk <= 5) e
+           |      JOIN (SELECT query_id, neighbor_id FROM r WHERE "rank" <= 5) a
+           |        USING (query_id, neighbor_id)
+           |      GROUP BY 1)
+           |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           |       CAST(5 AS BIGINT) AS k,
+           |       CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+           |FROM (SELECT DISTINCT query_id FROM exact_r) q
+           |LEFT JOIN h USING (query_id)
+           |ORDER BY q.query_id""".stripMargin,
+
       // scalar-quantized ANN: 7-bit codes against the per-vector max-abs
       // scale (one correctly-rounded double division per dim), exact
       // integer code dot, fixed-order IEEE rescale chain
@@ -3227,6 +3391,31 @@ object SparkEntry {
           |  CAST(docs * (band + 1) * 64 - tokens AS DOUBLE)
           |    / CAST(docs * (band + 1) * 64 AS DOUBLE) AS waste_frac
           |FROM b ORDER BY band""".stripMargin,
+
+      // equal-count length buckets via the cumulative-count histogram
+      // rank; integer plan arithmetic, one guarded waste_frac division
+      "q_padding_plan" ->
+        """WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+          |           FROM documents),
+          |h AS (SELECT len, count(*) AS cnt FROM l GROUP BY 1),
+          |w AS (SELECT len, cnt,
+          |        sum(cnt) OVER () AS n,
+          |        max(len) OVER () AS gcap,
+          |        COALESCE(sum(cnt) OVER (ORDER BY len
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          |      FROM h),
+          |g AS (SELECT (bef * 8) // n AS bucket, max(len) AS cap,
+          |        sum(cnt) AS docs, sum(len * cnt) AS tokens, max(gcap) AS gcap
+          |      FROM w GROUP BY 1)
+          |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(cap AS BIGINT) AS cap,
+          |  CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
+          |  CAST(CASE WHEN cap > 0 THEN 16384 // cap END AS BIGINT) AS batch_docs,
+          |  CAST(docs * cap - tokens AS BIGINT) AS waste,
+          |  CASE WHEN docs * cap > 0 THEN CAST(docs * cap - tokens AS DOUBLE)
+          |         / CAST(docs * cap AS DOUBLE) END AS waste_frac,
+          |  CAST(docs * gcap - tokens AS BIGINT) AS naive_waste,
+          |  CAST((docs * gcap - tokens) - (docs * cap - tokens) AS BIGINT) AS saved
+          |FROM g ORDER BY bucket""".stripMargin,
 
       "q_weighted_jaccard" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -4384,6 +4573,8 @@ object SparkEntry {
       // covariance: same 1e-6 floor quantization, HUGEINT-exact
       // sufficient stats, one division; the range bound pins this
       // corpus's 64 dims (the Spark side is dimension-agnostic)
+      "q_pca_project" -> pcaSql,
+
       "q_embed_cov" ->
         """WITH e AS (SELECT list_transform(embedding,
           |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))

@@ -164,6 +164,66 @@ object Packing {
           .otherwise(lit(s) - 1 - pos).cast("long").as("shard"))
   }
 
+  /** Length-bucketed batching plan — the DECISION table the
+    * [[graft.text.TextAnalysis.paddingWaste]] measurement sizes: split
+    * the corpus into `buckets` equal-count length buckets, pad each
+    * bucket to its own cap, and report per bucket the cap, the batch
+    * size a `budget`-token batch holds at that cap, and the projected
+    * waste against the single-bucket baseline (everything padded to the
+    * global max) — measurement → decision, the table a pipeline owner
+    * feeds back into the batcher config.
+    *
+    * Bucket boundaries come from the decomposed global rank (the
+    * [[shardBalance]] discipline): a distinct-length histogram carries
+    * cumulative counts through one small-table window and every length
+    * class maps whole into `bucket = cumBefore·buckets div n` — all
+    * docs of one length share a bucket, so the plan is deterministic
+    * and engine-reproducible with no RNG and no global row sort.
+    * Integer-exact except `waste_frac` (one guarded division);
+    * `batch_docs` is NULL for an all-empty bucket (cap 0 fits no
+    * batching) rather than an ANSI division error.
+    *
+    * Scale: one corpus scan reduces to the metadata-sized histogram
+    * (token lengths are bounded in practice); windows and the bucket
+    * aggregate run over that bounded table. The corpus never
+    * shuffles. */
+  def paddingPlan(docs: DataFrame, buckets: Int, budget: Long,
+      tokens: Column = size(graft.text.TextAnalysis.wsTokens(col("text")))
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(budget > 0, s"budget must be positive: $budget")
+    val hist = docs.select(tokens.cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+    // totals via full-frame windows over the BOUNDED histogram — a
+    // 1-row totals aggregate branch would duplicate the corpus subtree
+    val all = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("gcap", max(col("len")).over(all))
+      .withColumn("bef", coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .withColumn("bucket", expr(s"(bef * ${buckets}L) div n"))
+      .groupBy(col("bucket"))
+      .agg(max(col("len")).as("cap"),
+        sum(col("cnt")).as("docs"),
+        sum(col("len") * col("cnt")).as("tokens"),
+        max(col("gcap")).as("gcap"))
+      .withColumn("batch_docs",
+        when(col("cap") > 0, expr(s"${budget}L div cap")))
+      .withColumn("padded", col("docs") * col("cap"))
+      .withColumn("waste", col("padded") - col("tokens"))
+      .withColumn("naive_waste", col("docs") * col("gcap") - col("tokens"))
+      .select(col("bucket"), col("cap"), col("docs"), col("tokens"),
+        col("batch_docs"), col("waste"),
+        when(col("padded") > 0,
+          col("waste").cast("double") / col("padded").cast("double"))
+          .as("waste_frac"),
+        col("naive_waste"),
+        (col("naive_waste") - col("waste")).as("saved"))
+  }
+
   /** Highest-random-weight (rendezvous) node assignment — Thaler &
     * Ravishankar 1998: each key goes to `argmax_node md5(node ':' key)`,
     * so when membership changes ONLY the keys owned by the departed (or

@@ -471,6 +471,72 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** IVFPQ: coarse-centroid routing composed with product-quantization
+    * ADC scoring (Jégou et al. 2011 §IV "IVFADC", minus the residual
+    * encoding — codes quantize the raw vectors, the [[pqTopK]]
+    * convention, so the two stages stay independently auditable against
+    * their standalone gates). This is the 100 TB serving shape the
+    * separate [[ivfKmeansTopK]] and [[pqTopK]] gates only imply: the
+    * coarse quantizer prunes the candidate set to `nprobe` inverted
+    * lists, and the scan over those lists reads CODES (a few bytes per
+    * vector), never the embedding column — memory-bound AND
+    * candidate-bound at once.
+    *
+    * Determinism (oracle-exact): the coarse centroids and all
+    * `subspaces` codebooks inherit [[trainCentroids]]' hash-seeded
+    * integer-sum/IEEE-mean arithmetic; probing and encoding tie-break by
+    * centroid id; ADC folds slice-by-slice, dim-by-dim left-to-right —
+    * the DuckDB oracle replays every stage CTE by CTE.
+    *
+    * Scale: centroids/codebooks are driver-held metadata (k×dim +
+    * subspaces×kClusters×subDim doubles); encoding is one narrow map
+    * over the corpus scan (coarse id + `subspaces` codes per vector);
+    * serving joins the CODE table against broadcast (query × probe)
+    * rows on the coarse id — fan-out bounded by nprobe × list
+    * occupancy, and the full-width vectors are never read after
+    * encoding. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      subspaces: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces slices")
+    require(nprobe >= 1 && nprobe <= kClusters,
+      s"need 1 <= nprobe <= kClusters: $nprobe, $kClusters")
+    val subDim = dim / subspaces
+    import graft.functions.CentroidRank.centroid_rank
+    val c = prepared(corpus)
+    val coarse = trainCentroids(c, kClusters, iters, dim)
+    val books: Seq[Seq[Seq[Double]]] = (0 until subspaces).map { m =>
+      trainCentroids(
+        c.select(col("vec_id"),
+          slice(col("qe"), m * subDim + 1, subDim).as("qe")),
+        kClusters, iters, subDim)
+    }
+    // one encoding pass: coarse list id + the PQ codes, then DROP the
+    // vectors — the serving-side corpus state is (cid, codes, norm)
+    val codes = books.zipWithIndex.foldLeft(
+      c.select(col("vec_id"), col("qe"), col("nq"))
+        .withColumn("cid", element_at(centroid_rank(col("qe"), coarse), 1))) {
+      case (df, (book, m)) =>
+        df.withColumn(s"code$m", element_at(
+          centroid_rank(slice(col("qe"), m * subDim + 1, subDim), book), 1))
+    }.drop("qe")
+    val q = prepared(queries).select(col("vec_id").as("query_id"),
+      col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val probes = q.select(col("query_id"), col("q_qe"), col("q_nq"),
+      explode(slice(centroid_rank(col("q_qe"), coarse), 1, nprobe)).as("cid"))
+    val approxDot = (0 until subspaces).map { m =>
+      val cent = element_at(typedlit(books(m)), col(s"code$m").cast("int") + 1)
+      (1 to subDim).map(i =>
+        element_at(col("q_qe"), m * subDim + i).cast("double")
+          * element_at(cent, i)).reduce(_ + _)
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(probes), "cid")
+      .withColumn("cos", approxDot
+        / (sqrt(col("q_nq").cast("double")) * sqrt(col("nq").cast("double"))))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then inside
     * each cluster drop every vector that has a lower-id neighbor with
@@ -619,6 +685,110 @@ object Similarity {
     * raises loudly (addExact — never understates); at extreme n, sample
     * the frame first — the estimate converges long before the corpus
     * ends. */
+  /** Deterministic power-iteration PCA basis from the exact covariance
+    * sufficient statistics — the consumer [[embedCovariance]] opened: the
+    * classic tall-skinny split where the DATA work (one [[graft.functions
+    * .CovStatsAgg]] pass over the corpus) is distributed and the EIGEN
+    * work (d×d, d = 64) runs driver-side in O(d²·iters).
+    *
+    * Deterministic on any engine, by construction: the sufficient
+    * statistics are exact integers; each covariance entry is one
+    * correctly-rounded int→double conversion and one IEEE division (the
+    * [[embedCovariance]] arithmetic, hash-gated by q_embed_cov); power
+    * iteration starts from the fixed vector `1/√dim`, folds every
+    * matrix-vector product and norm left-to-right over ascending
+    * indices, and normalizes with one division per coordinate — so a
+    * DuckDB replay of the same iteration count reproduces the basis
+    * bit-for-bit (converged or not: parity never depends on
+    * convergence). Components after the first come from explicit
+    * deflation `C −= λ·v·vᵀ` in the same fixed order.
+    *
+    * Returns (per-dim means in quantized units, [(λ, v)] per component,
+    * leading component first). λ is the final iterate's matvec norm —
+    * the dominant eigenvalue once converged. */
+  def pcaBasis(emb: DataFrame, components: Int = 2, iters: Int = 12,
+      dim: Int = 64): (Seq[Double], Seq[(Double, Seq[Double])]) = {
+    require(components >= 1 && iters >= 1,
+      s"need components, iters >= 1: $components, $iters")
+    val row = emb.filter(col("embedding").isNotNull)
+      .select(quantize(col("embedding")).as("q"))
+      .agg(graft.functions.CovStatsAgg.cov_stats(col("q")).as("s"))
+      .head()
+    val entries = row.getSeq[org.apache.spark.sql.Row](0)
+    require(entries.nonEmpty, "pcaBasis: empty corpus")
+    val work = Array.ofDim[Double](dim, dim)
+    val mean = new Array[Double](dim)
+    entries.foreach { e =>
+      val i = e.getLong(0).toInt
+      val j = e.getLong(1).toInt
+      val n = e.getLong(2)
+      require(n > 1, s"pcaBasis needs n >= 2 vectors, got $n")
+      // exact integer numerator/denominator, ONE correctly-rounded
+      // conversion each, one IEEE division — the embedCovariance chain
+      val num = BigInt(n) * BigInt(e.getLong(5)) -
+        BigInt(e.getLong(3)) * BigInt(e.getLong(4))
+      val cov = num.toDouble / (BigInt(n) * BigInt(n - 1)).toDouble
+      work(i)(j) = cov
+      work(j)(i) = cov
+      if (i == j) mean(i) = e.getLong(3).toDouble / n.toDouble
+    }
+    val comps = (0 until components).map { _ =>
+      val v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lam = 0.0
+      for (_ <- 1 to iters) {
+        val w = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += work(i)(j) * v(j); j += 1 }
+          w(i) = acc
+          i += 1
+        }
+        var ss = 0.0
+        i = 0
+        while (i < dim) { ss += w(i) * w(i); i += 1 }
+        lam = math.sqrt(ss)
+        require(lam > 0.0, "pcaBasis: zero matvec (degenerate covariance)")
+        i = 0
+        while (i < dim) { v(i) = w(i) / lam; i += 1 }
+      }
+      // deflate in place: C -= lam * v * v^T, fixed evaluation order
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { work(i)(j) = work(i)(j) - lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (lam, v.toSeq)
+    }
+    (mean.toSeq, comps)
+  }
+
+  /** Project the corpus onto the [[pcaBasis]] components — the gated
+    * whitening/visualization step: per vector, `pc_c = Σ_k (q_k − μ_k)
+    * · v_c[k]` folded left-to-right (engine-exact doubles given the
+    * deterministic basis). Output (vec_id, pc1..pcC).
+    *
+    * Scale: the basis is driver-held metadata (components × dim
+    * doubles); the projection is a narrow map fused into the corpus
+    * scan — the whole operator costs two corpus passes total (one
+    * cov_stats aggregate, one projection), zero shuffles beyond the
+    * single aggregate exchange. */
+  def pcaProject(emb: DataFrame, components: Int = 2, iters: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val (means, comps) = pcaBasis(emb, components, iters, dim)
+    val pcs = comps.zipWithIndex.map { case ((_, v), c) =>
+      (1 to dim).map(k =>
+        (element_at(col("qe"), k).cast("double") - lit(means(k - 1)))
+          * lit(v(k - 1)))
+        .reduce(_ + _).as(s"pc${c + 1}")
+    }
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .select(col("vec_id") +: pcs: _*)
+  }
+
   def embedCovariance(emb: DataFrame): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val stats = emb.filter(col("embedding").isNotNull)

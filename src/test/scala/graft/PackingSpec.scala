@@ -177,4 +177,30 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Packing.rendezvousAssign(keys, "k", Seq("a", "a")))
   }
+
+  test("paddingPlan: equal-count buckets, hand-computed caps and waste") {
+    val s = spark
+    import s.implicits._
+    // lengths 1,1,2,3,100 -> with buckets=2: lengths {1,2} land in
+    // bucket 0 (cumBefore 0,2 of 5), {3,100} in bucket 1 (3,4 of 5)
+    val docs = Seq(1, 1, 2, 3, 100)
+      .map(n => Seq.fill(n)("w").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Packing.paddingPlan(docs, buckets = 2, budget = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cap"),
+        r.getAs[Long]("docs"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("batch_docs"), r.getAs[Long]("waste"),
+        r.getAs[Double]("waste_frac"), r.getAs[Long]("naive_waste"),
+        r.getAs[Long]("saved")))
+    // bucket 0: cap 2, 3 docs, 4 tokens -> padded 6, waste 2, 5 docs per
+    // 10-token batch; vs global cap 100: naive 296, saved 294
+    // bucket 1: cap 100, 2 docs, 103 tokens -> waste 97, batch_docs 0,
+    // saved 0 (this bucket IS the global cap)
+    assert(got.toSeq == Seq(
+      (0L, 2L, 3L, 4L, 5L, 2L, 2.0 / 6.0, 296L, 294L),
+      (1L, 100L, 2L, 103L, 0L, 97L, 97.0 / 200.0, 97L, 0L)),
+      got.mkString(","))
+  }
 }

@@ -52,11 +52,25 @@ class PlanContractSpec extends SparkSpec {
 
   test("ANN scoring broadcasts the query side") {
     Seq("q_ann_topk", "q_ann_ivf", "q_ann_kmeans", "q_ann_sq", "q_ann_pq",
-      "q_contamination", "q_contamination_fuzzy",
+      "q_ann_ivfpq", "q_contamination", "q_contamination_fuzzy",
       "q_contamination_bloom").foreach { name =>
       val plan = planOf(name)
       assert(plan.contains("BroadcastExchange"), s"$name lost its broadcast")
     }
+  }
+
+  test("pca projection is a fused narrow map; padding plan reduces to the histogram") {
+    // q_pca_project's returned frame must be a pure projection over the
+    // corpus scan (the basis is driver-held metadata) — no join, no
+    // aggregate in the serving plan
+    val pca = planOf("q_pca_project")
+    assert(!pca.contains("Join") && !pca.contains("Aggregate"),
+      s"q_pca_project must be a pure projection over the scan: $pca")
+    // q_padding_plan's windows/bucket aggregate run over the bounded
+    // length histogram — the corpus parquet is scanned exactly once
+    val plan = planOf("q_padding_plan").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"q_padding_plan expected one corpus scan, got $scans:\n$plan")
   }
 
   test("BM25 stays corpus-light: broadcast stats/df, TakeOrdered top-k") {

@@ -329,4 +329,46 @@ class SimilaritySpec extends SparkSpec {
     assert(residual < 1e-3 * math.abs(lambda),
       s"rank-1 corpus must deflate to ~zero residual (lambda=$lambda residual=$residual)")
   }
+
+  test("pcaBasis/pcaProject: orthonormal basis, projection preserves dot " +
+      "products in the retained subspace") {
+    // mass lives in dims 0 (variance ~160x) and 1 (variance 1), the rest
+    // exactly zero: a wide eigengap, so 12 power iterations converge to
+    // machine precision and the retained 2-D subspace IS the data's span
+    val vecs = vecsOf((0 until 20).map { i =>
+      (i.toLong, pad(Seq(((i % 5) - 2) * 8f, (i % 2) * 2f - 1f)), 0)
+    }: _*)
+    val dim = 8
+    val (means, comps) = Similarity.pcaBasis(vecs, components = 2, dim = dim)
+    val Seq((lam1, v1), (lam2, v2)) = comps
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // orthonormality of the basis
+    assert(math.abs(dot(v1, v1) - 1.0) < 1e-12, s"|v1| != 1: ${dot(v1, v1)}")
+    assert(math.abs(dot(v2, v2) - 1.0) < 1e-12, s"|v2| != 1: ${dot(v2, v2)}")
+    assert(math.abs(dot(v1, v2)) < 1e-9, s"v1.v2 != 0: ${dot(v1, v2)}")
+    // the leading axis is dim 0 (the high-variance direction), and the
+    // eigenvalues come out in decreasing order
+    assert(math.abs(v1(0)) > 0.9999, s"v1 should align with dim 0: $v1")
+    assert(math.abs(v2(1)) > 0.9999, s"v2 should align with dim 1: $v2")
+    assert(lam1 > lam2 && lam2 > 0.0, s"eigenvalue order: $lam1, $lam2")
+
+    // projection preserves pairwise dot products of the CENTERED vectors
+    // (all centered mass lies in the retained span by construction)
+    val pcs = Similarity.pcaProject(vecs, components = 2, dim = dim)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        Seq(r.getAs[Double]("pc1"), r.getAs[Double]("pc2"))).toMap
+    val centered = (0 until 20).map { i =>
+      val raw = Seq(((i % 5) - 2) * 8.0, (i % 2) * 2.0 - 1.0) ++
+        Seq.fill(dim - 2)(0.0)
+      i.toLong -> raw.zipWithIndex.map { case (x, k) =>
+        math.floor(x * 1e6) - means(k) }
+    }.toMap
+    for (x <- 0L until 20L; y <- x until 20L) {
+      val exact = dot(centered(x), centered(y))
+      val proj = dot(pcs(x), pcs(y))
+      assert(math.abs(proj - exact) <= 1e-6 * (math.abs(exact) + 1.0),
+        s"pair ($x,$y): projected dot $proj != centered dot $exact")
+    }
+  }
 }
