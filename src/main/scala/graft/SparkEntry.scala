@@ -120,6 +120,14 @@ object SparkEntry {
   private val WinnowMaxDf = 1000
   private val LinkPredMaxDegree = 10000
 
+  /** Shared gate↔oracle constants for q_pca_project / q_padding_plan
+    * (same pattern): the iteration count parameterizes BOTH the Spark
+    * basis derivation and the oracle's unrolled CTE chain — a mismatch
+    * would compare different arithmetic, not different engines. */
+  private val PcaIters = 12
+  private val PaddingPlanBuckets = 8
+  private val PaddingPlanBudget = 16384L
+
   private def incrementalSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = docsParallel(s, dir)
     // driver-held scalar from a max() over one long column — one tiny job
@@ -663,7 +671,7 @@ object SparkEntry {
     // q_padding measurement sizes (measurement -> batcher config)
     "q_padding_plan" -> ((s, dir) =>
       graft.operators.Packing.paddingPlan(docsParallel(s, dir),
-        buckets = 8, budget = 16384L)
+        buckets = PaddingPlanBuckets, budget = PaddingPlanBudget)
         .orderBy(col("bucket"))),
 
     "q_minhash_lsh" -> ((s, dir) =>
@@ -774,7 +782,7 @@ object SparkEntry {
     // whitening/visualization seam q_embed_cov opened; the oracle
     // replays covariance, iterations, deflation, and projection
     "q_pca_project" -> ((s, dir) =>
-      Similarity.pcaProject(Tables.embeddings(s, dir))
+      Similarity.pcaProject(Tables.embeddings(s, dir), iters = PcaIters)
         .orderBy(col("vec_id"))),
 
     "q_embed_cov" -> ((s, dir) =>
@@ -2341,7 +2349,7 @@ object SparkEntry {
     // n·(n−1) denominator needs no CASE here.
     val pcaSql = {
       val d = 64
-      val it = 12
+      val it = PcaIters
       def matvec(c: String, v: String) =
         (1 to d).map(j => s"$c.row[$j]*$v.v[$j]").mkString(" + ")
       def norm(wl: String) =
@@ -3393,9 +3401,11 @@ object SparkEntry {
           |FROM b ORDER BY band""".stripMargin,
 
       // equal-count length buckets via the cumulative-count histogram
-      // rank; integer plan arithmetic, one guarded waste_frac division
+      // rank; integer plan arithmetic, one guarded waste_frac division;
+      // bucket count and batch budget interpolated from the shared
+      // PaddingPlanBuckets / PaddingPlanBudget constants
       "q_padding_plan" ->
-        """WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        s"""WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
           |           FROM documents),
           |h AS (SELECT len, count(*) AS cnt FROM l GROUP BY 1),
           |w AS (SELECT len, cnt,
@@ -3404,12 +3414,12 @@ object SparkEntry {
           |        COALESCE(sum(cnt) OVER (ORDER BY len
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
           |      FROM h),
-          |g AS (SELECT (bef * 8) // n AS bucket, max(len) AS cap,
+          |g AS (SELECT (bef * $PaddingPlanBuckets) // n AS bucket, max(len) AS cap,
           |        sum(cnt) AS docs, sum(len * cnt) AS tokens, max(gcap) AS gcap
           |      FROM w GROUP BY 1)
           |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(cap AS BIGINT) AS cap,
           |  CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
-          |  CAST(CASE WHEN cap > 0 THEN 16384 // cap END AS BIGINT) AS batch_docs,
+          |  CAST(CASE WHEN cap > 0 THEN $PaddingPlanBudget // cap END AS BIGINT) AS batch_docs,
           |  CAST(docs * cap - tokens AS BIGINT) AS waste,
           |  CASE WHEN docs * cap > 0 THEN CAST(docs * cap - tokens AS DOUBLE)
           |         / CAST(docs * cap AS DOUBLE) END AS waste_frac,
