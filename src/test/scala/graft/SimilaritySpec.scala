@@ -330,6 +330,81 @@ class SimilaritySpec extends SparkSpec {
       s"rank-1 corpus must deflate to ~zero residual (lambda=$lambda residual=$residual)")
   }
 
+  test("trainPqBooks equals per-slice trainCentroids book for book") {
+    // the batched trainer claims VALUE-identical codebooks to running
+    // the full Lloyd's per slice — pin it double-for-double (same seeds,
+    // same integer sums, same IEEE means), since the q_ann_pq/q_ann_ivfpq
+    // oracles replay the per-slice form
+    val vecs = vecsOf((0 until 30).map { i =>
+      (i.toLong, pad(Seq((i % 5).toFloat, (i % 3).toFloat, (i % 7).toFloat,
+        (i % 2).toFloat)), 0)
+    }: _*)
+    val c = Similarity.prepared(vecs)
+    val dim = 8
+    val sub = 2
+    val subDim = dim / sub
+    val batched = Similarity.trainPqBooks(c, sub, kClusters = 4, iters = 2, dim = dim)
+    val perSlice = (0 until sub).map { m =>
+      Similarity.trainCentroids(
+        c.select(col("vec_id"),
+          slice(col("qe"), m * subDim + 1, subDim).as("qe")),
+        kClusters = 4, iters = 2, dim = subDim)
+    }
+    assert(batched == perSlice,
+      s"batched codebooks diverge from per-slice Lloyd's:\n$batched\nvs\n$perSlice")
+  }
+
+  test("ivfPqTopK with nprobe = kClusters degenerates to pqTopK exactly") {
+    // probing every list removes the candidate cut; scoring is the same
+    // ADC over the same codebooks, so the rankings must be identical —
+    // the composition adds routing, never different arithmetic
+    val vecs = vecsOf((0 until 24).map { i =>
+      (i.toLong, pad(Seq((i % 4).toFloat - 1.5f, (i % 5).toFloat - 2f,
+        (i % 3).toFloat - 1f)), 0)
+    }: _*)
+    val corpus = vecs.filter(col("vec_id") >= 4)
+    val queries = vecs.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq
+    val full = rows(Similarity.ivfPqTopK(corpus, queries, k = 3,
+      kClusters = 4, nprobe = 4, subspaces = 2, dim = 8))
+    val pq = rows(Similarity.pqTopK(corpus, queries, k = 3,
+      subspaces = 2, kClusters = 4, dim = 8))
+    assert(full == pq, s"ivfpq(nprobe=k) != pq:\n$full\nvs\n$pq")
+  }
+
+  test("ivfPqTopK finds the right cluster on a clustered corpus") {
+    // the sf-fixture embeddings are random, so their gated recall is
+    // honestly low; this pins that the machinery finds structure when
+    // structure exists. PQ codes deliberately collapse intra-cluster
+    // distinctions (members of one tight cluster share a code, ADC ties
+    // break by id), so the planted property is CLUSTER membership —
+    // every neighbor the composed index returns for a cluster-center
+    // query must belong to that query's cluster.
+    val dirs = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f), Seq(0f, 0f, 0f, 10f))
+    val members = (0 until 32).map { i =>
+      val d = dirs(i % 4)
+      // small deterministic jitter keeps members distinct but clustered
+      (i.toLong + 100L,
+        pad(d.zipWithIndex.map { case (x, k) =>
+          x + (if (k == (i / 4) % 4) 0.5f + 0.1f * (i % 3) else 0f) }), 0)
+    }
+    val queryRows = (0 until 4).map(q => (q.toLong, pad(dirs(q)), 0))
+    val got = Similarity.ivfPqTopK(vecsOf(members: _*), vecsOf(queryRows: _*),
+      k = 3, kClusters = 4, iters = 2, nprobe = 2, subspaces = 2, dim = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(got.length == 12, s"expected 4 queries x 3 neighbors: ${got.length}")
+    got.foreach { case (q, n) =>
+      assert((n - 100L) % 4 == q,
+        s"query $q (cluster $q) got neighbor $n of cluster ${(n - 100) % 4}")
+    }
+  }
+
   test("pcaBasis/pcaProject: orthonormal basis, projection preserves dot " +
       "products in the retained subspace") {
     // mass lives in dims 0 (variance ~160x) and 1 (variance 1), the rest
