@@ -1118,6 +1118,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ensemble near-dup verdict: pairs flagged by >= 2 of the three
+    // independent signals (df-capped shingle Jaccard, SimHash hamming,
+    // winnowing fingerprints) — the precision-boosting consensus a
+    // pipeline demands before destructive deletion; each generator is
+    // individually gated, this gates their agreement
+    "q_dup_consensus" -> ((s, dir) =>
+      Dedup.consensusPairs(docsParallel(s, dir), winnowMaxDf = WinnowMaxDf)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Fellegi–Sunter linkage: SNM-blocked candidates scored field-by-field
     // with frequency-based integer agreement weights, thresholded into
     // match / possible / nonmatch
@@ -4168,6 +4177,44 @@ object SparkEntry {
           |FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
           |GROUP BY 1, 2 HAVING count(*) >= 2
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+      // ensemble consensus: the three pair chains composed — df-capped
+      // shingle Jaccard, all-pairs SimHash (exact twin of the block join
+      // for maxHamming <= 3 by pigeonhole), df-capped winnow fingerprints
+      // (WinnowMaxDf interpolated) — unioned with signal tags, >= 2 kept
+      "q_dup_consensus" -> (shingleCte + "," +
+        s"""
+           |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
+           |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |          FROM shc a JOIN shc b USING (shingle)
+           |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           |jp AS (SELECT doc_a, doc_b FROM pairs
+           |       JOIN sizes sa ON doc_a = sa.doc_id
+           |       JOIN sizes sb ON doc_b = sb.doc_id
+           |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1),
+           |stok AS (SELECT doc_id,
+           |           ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
+           |         FROM documents),
+           |sagg AS (SELECT doc_id, count(*) AS n, $simhashSums FROM stok GROUP BY 1),
+           |ssh AS (SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash FROM sagg),
+           |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |       FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |${winnowCtes.replaceFirst("WITH ", "")},
+           |f AS (SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, s.fp AS fp FROM s)
+           |      QUALIFY count(*) OVER (PARTITION BY fp) <= $WinnowMaxDf),
+           |wp AS (SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b
+           |       FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+           |       GROUP BY 1, 2 HAVING count(*) >= 2),
+           |u AS (SELECT doc_a, doc_b, 'jaccard' AS signal FROM jp
+           |      UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sp
+           |      UNION ALL SELECT doc_a, doc_b, 'winnow' FROM wp)
+           |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_signals,
+           |       string_agg(signal, ',' ORDER BY signal) AS signals
+           |FROM u GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY doc_a, doc_b""".stripMargin),
 
       // same pair tail, then the recursive min-label component chain the
       // Jaccard cluster oracles use; every doc appears, singletons are

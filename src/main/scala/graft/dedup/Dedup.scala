@@ -522,6 +522,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"))
   }
 
+  /** Ensemble near-duplicate verdict: pairs flagged by at least
+    * `minSignals` of the three INDEPENDENT pair generators — df-capped
+    * k-shingle Jaccard ([[ngramJaccardPairs]]), SimHash Hamming
+    * proximity ([[simhashPairs]]), and winnowing fingerprint overlap
+    * ([[winnowPairs]]). This is the precision-boosting consensus a
+    * pipeline runs before DESTRUCTIVE deletion: each signal has a
+    * different failure mode (shingle Jaccard misses reorderings SimHash
+    * tolerates, SimHash's global fingerprint misses local substring
+    * copies winnowing catches, winnowing fires on boilerplate spans
+    * Jaccard dilutes), so agreement of two is far stronger evidence
+    * than any single detector at the same thresholds. Emits
+    * `(doc_a, doc_b, n_signals, signals)` with `signals` a sorted
+    * comma-joined tag string.
+    *
+    * Scale: each generator is independently fan-out-bounded (shingle df
+    * cap, pigeonhole block join, fingerprint df cap); the consensus adds
+    * one union of three pair-set-sized tables and one (a, b)-keyed
+    * aggregate — never a corpus-sized shuffle of its own. */
+  def consensusPairs(docs: DataFrame, minSignals: Int = 2,
+      jaccardThreshold: Double = 0.1, jaccardMaxDf: Int = 5,
+      maxHamming: Int = 3, winnowMaxDf: Int = 1000): DataFrame = {
+    require(minSignals >= 1 && minSignals <= 3,
+      s"minSignals must be in [1, 3]: $minSignals")
+    def tag(pairs: DataFrame, s: String): DataFrame =
+      pairs.select(col("doc_a"), col("doc_b")).withColumn("signal", lit(s))
+    tag(ngramJaccardPairs(docs, k = 3, threshold = jaccardThreshold,
+        maxDocFrequency = Some(jaccardMaxDf)), "jaccard")
+      .unionByName(tag(simhashPairs(docs, maxHamming), "simhash"))
+      .unionByName(tag(winnowPairs(docs, maxDf = winnowMaxDf), "winnow"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_signals"),
+        concat_ws(",", array_sort(collect_list(col("signal")))).as("signals"))
+      .filter(col("n_signals") >= minSignals)
+  }
+
   /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, "A
     * Theory for Record Linkage", JASA 64) over SNM-blocked candidates:
     * each candidate pair is scored field by field — agreement on a field

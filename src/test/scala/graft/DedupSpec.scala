@@ -682,4 +682,22 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.containmentPairs(docs, threshold = 0.0))
   }
+
+  test("consensusPairs: identical docs trip all three signals, unrelated none") {
+    // identical long docs: jaccard 1.0, simhash hamming 0, shared winnow
+    // fingerprints — all three fire; the unrelated doc pairs with nothing
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val c = "completely different subject matter covering solar panels and wind farms"
+    val docs = docsOf((1L, a), (2L, a), (3L, c))
+    val got = Dedup.consensusPairs(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_signals"), r.getAs[String]("signals")))
+    assert(got.toSeq == Seq((1L, 2L, 3L, "jaccard,simhash,winnow")),
+      got.mkString(","))
+    // minSignals = 1 widens to single-signal pairs; 3 stays the same set
+    assert(Dedup.consensusPairs(docs, minSignals = 3).count() == 1L)
+    intercept[IllegalArgumentException](
+      Dedup.consensusPairs(docs, minSignals = 0))
+  }
 }
