@@ -19,6 +19,7 @@ PAIR_PRODUCING = {
     "q_sorted_neighborhood", "q_weighted_jaccard", "q_prefix_filter",
     "q_qgram_edit", "q_triangles", "q_interval",
     "q_winnow_pairs", "q_winnow_clusters", "q_linkage", "q_theil_sen",
+    "q_dup_consensus",
     "q_link_pred", "q_itemsets",
 }
 
