@@ -674,6 +674,15 @@ object SparkEntry {
         buckets = PaddingPlanBuckets, budget = PaddingPlanBudget)
         .orderBy(col("bucket"))),
 
+    // the plan EXECUTED: every doc assigned its plan bucket and batch
+    // ordinal (decomposed within-bucket rank — histogram cumulative
+    // counts + a length-keyed window, never a bucket-wide sort);
+    // docs that cannot batch at this budget surface as NULL batches
+    "q_padding_apply" -> ((s, dir) =>
+      graft.operators.Packing.paddingApply(docsParallel(s, dir),
+        buckets = PaddingPlanBuckets, budget = PaddingPlanBudget)
+        .orderBy(col("doc_id"))),
+
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsParallel(s, dir), k = 3, numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -3435,6 +3444,35 @@ object SparkEntry {
           |  CAST(docs * gcap - tokens AS BIGINT) AS naive_waste,
           |  CAST((docs * gcap - tokens) - (docs * cap - tokens) AS BIGINT) AS saved
           |FROM g ORDER BY bucket""".stripMargin,
+
+      // the plan executed: same histogram bucketing, then per-doc rank =
+      // bucket-local cumulative shorter-length count + within-length
+      // row_number; nested CASE keeps the cap-0 division unevaluated
+      "q_padding_apply" ->
+        s"""WITH l AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+          |           FROM documents),
+          |h AS (SELECT len, count(*) AS cnt FROM l GROUP BY 1),
+          |w AS (SELECT len, cnt,
+          |        sum(cnt) OVER () AS n,
+          |        COALESCE(sum(cnt) OVER (ORDER BY len
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          |      FROM h),
+          |b AS (SELECT len, cnt, (bef * $PaddingPlanBuckets) // n AS bucket FROM w),
+          |pb AS (SELECT bucket, max(len) AS cap FROM b GROUP BY 1),
+          |bb AS (SELECT len, bucket,
+          |         COALESCE(sum(cnt) OVER (PARTITION BY bucket ORDER BY len
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef_b
+          |       FROM b),
+          |r AS (SELECT l.doc_id, bb.bucket,
+          |        bb.bef_b + row_number() OVER (PARTITION BY l.len ORDER BY l.doc_id) - 1 AS rank_b
+          |      FROM l JOIN bb ON l.len = bb.len)
+          |SELECT r.doc_id, CAST(r.bucket AS BIGINT) AS bucket,
+          |  CAST(pb.cap AS BIGINT) AS cap,
+          |  CAST(CASE WHEN pb.cap > 0 THEN
+          |         (CASE WHEN ($PaddingPlanBudget // pb.cap) >= 1
+          |               THEN rank_b // ($PaddingPlanBudget // pb.cap) END)
+          |       END AS BIGINT) AS batch
+          |FROM r JOIN pb USING (bucket) ORDER BY r.doc_id""".stripMargin,
 
       "q_weighted_jaccard" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -224,6 +224,54 @@ object Packing {
         (col("naive_waste") - col("waste")).as("saved"))
   }
 
+  /** Execute the [[paddingPlan]] decision: assign every document its
+    * plan bucket and its batch ordinal within that bucket — the final
+    * (doc → batch) table the batcher materializes tensors from.
+    * `batch = rankInBucket div batch_docs` with `batch_docs = budget
+    * div cap` from the plan; a bucket whose cap exceeds the budget (or
+    * an all-empty cap-0 bucket) emits NULL batches — those docs cannot
+    * batch at this budget, surfaced rather than silently truncated.
+    *
+    * The within-bucket rank is decomposed like [[shardBalance]]'s
+    * global rank: per-bucket cumulative counts of strictly-shorter
+    * lengths come from the metadata-sized histogram, and the
+    * within-length tiebreak is a `doc_id`-ordered window PARTITIONED by
+    * length — a keyed shuffle, never a bucket-wide (corpus-scale) sort.
+    * Deterministic: (len, doc_id) is a total order, no RNG. */
+  def paddingApply(docs: DataFrame, buckets: Int, budget: Long,
+      tokens: Column = size(graft.text.TextAnalysis.wsTokens(col("text")))
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(budget > 0, s"budget must be positive: $budget")
+    val sized = docs.select(col("doc_id").cast("long").as("doc_id"),
+      tokens.cast("long").as("len"))
+    val hist = sized.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+    val all = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = hist
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("bef", coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .withColumn("bucket", expr(s"(bef * ${buckets}L) div n"))
+    val plan = b.groupBy(col("bucket")).agg(max(col("len")).as("cap"))
+      .withColumn("batch_docs",
+        when(col("cap") > 0, expr(s"${budget}L div cap")))
+    val befInBucket = Window.partitionBy(col("bucket")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lenToBucket = b
+      .withColumn("bef_b", coalesce(sum(col("cnt")).over(befInBucket), lit(0L)))
+      .select(col("len"), col("bucket"), col("bef_b"))
+    val rankInLen = row_number().over(
+      Window.partitionBy(col("len")).orderBy(col("doc_id"))).cast("long")
+    sized.join(broadcast(lenToBucket), "len")
+      .withColumn("rank_b", col("bef_b") + rankInLen - 1L)
+      .join(broadcast(plan), "bucket")
+      .select(col("doc_id"), col("bucket"), col("cap"),
+        when(col("batch_docs") >= 1,
+          expr("rank_b div batch_docs")).as("batch"))
+  }
+
   /** Highest-random-weight (rendezvous) node assignment — Thaler &
     * Ravishankar 1998: each key goes to `argmax_node md5(node ':' key)`,
     * so when membership changes ONLY the keys owned by the departed (or

@@ -203,4 +203,25 @@ class PackingSpec extends SparkSpec {
       (1L, 100L, 2L, 103L, 0L, 97L, 97.0 / 200.0, 97L, 0L)),
       got.mkString(","))
   }
+
+  test("paddingApply: plan buckets executed to (doc, batch); unbatchable docs NULL") {
+    val s = spark
+    import s.implicits._
+    // same corpus as the plan test; budget 4 so bucket 0 (cap 2) holds 2
+    // docs per batch: ranks 0,1 -> batch 0, rank 2 -> batch 1. Bucket 1's
+    // cap 100 exceeds the budget entirely -> NULL batches, not silence.
+    val docs = Seq(1, 1, 2, 3, 100)
+      .map(n => Seq.fill(n)("w").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Packing.paddingApply(docs, buckets = 2, budget = 4L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("cap"),
+        if (r.isNullAt(r.fieldIndex("batch"))) -1L else r.getAs[Long]("batch")))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 0L), (1L, 0L, 2L, 0L), (2L, 0L, 2L, 1L),
+      (3L, 1L, 100L, -1L), (4L, 1L, 100L, -1L)),
+      got.mkString(","))
+  }
 }
