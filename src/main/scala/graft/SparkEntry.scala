@@ -791,7 +791,10 @@ object SparkEntry {
     // whitening/visualization seam q_embed_cov opened; the oracle
     // replays covariance, iterations, deflation, and projection
     "q_pca_project" -> ((s, dir) =>
-      Similarity.pcaProject(Tables.embeddings(s, dir), iters = PcaIters)
+      // components pinned explicitly: the oracle structurally encodes
+      // two iteration chains (pa/pb), so the arity is part of the gate
+      Similarity.pcaProject(Tables.embeddings(s, dir),
+        components = 2, iters = PcaIters)
         .orderBy(col("vec_id"))),
 
     "q_embed_cov" -> ((s, dir) =>
