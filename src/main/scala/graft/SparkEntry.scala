@@ -30,7 +30,19 @@ object SparkEntry {
     * listed by the source relation), never the RDD conversion, which
     * would analyze the frame a second time just to count partitions. At
     * production scale the source has >= cores files and this is a no-op
-    * decision made by file layout instead. */
+    * decision made by file layout instead.
+    *
+    * Known approximation, on purpose: file count is a PROXY for the
+    * scan's planned split count, valid when files are roughly core-sized
+    * (the fixture shape and the sane production layout). It misreads two
+    * layouts — many tiny files bin-pack into fewer splits than files
+    * (repartition skipped that would have helped) and one large
+    * splittable file yields many splits (repartition paid that wasn't
+    * needed). Reading the TRUE planned count means forcing physical
+    * planning (`queryExecution.executedPlan`) per call — a driver-side
+    * analysis pass this hot path deliberately avoids; both misreads cost
+    * one small shuffle or some idle cores at fixture scale, never
+    * correctness. */
   private def docsParallel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     if (docs.inputFiles.length < s.sparkContext.defaultParallelism)
@@ -127,6 +139,20 @@ object SparkEntry {
   private val PcaIters = 12
   private val PaddingPlanBuckets = 8
   private val PaddingPlanBudget = 16384L
+
+  /** Shared gate↔oracle constants for the PQ-family ANN gates (the
+    * KCoreMaxRounds pattern): coarse cluster count and nprobe for the
+    * IVFPQ/IVFADC composition, subspace count and per-subspace codebook
+    * size for the PQ chains — passed to the Similarity calls AND
+    * interpolated into the oracle CTEs' seed LIMITs / probe rank bound,
+    * so changing a parameter changes both engines identically instead of
+    * flagging with no obvious cause. (The Lloyd iteration count stays
+    * structural — the oracle unrolls one CTE pair per iteration, so the
+    * arity is part of the gate, the PcaIters note.) */
+  private val IvfPqClusters = 8
+  private val IvfPqNprobe = 2
+  private val PqSubspaces = 4
+  private val PqClusters = 8
 
   private def incrementalSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = docsParallel(s, dir)
@@ -507,7 +533,8 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.pqTopK(
-        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5,
+        subspaces = PqSubspaces, kClusters = PqClusters)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -518,7 +545,9 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(
-        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5)
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5,
+        kClusters = IvfPqClusters, nprobe = IvfPqNprobe,
+        subspaces = PqSubspaces)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -529,7 +558,9 @@ object SparkEntry {
       val corpus = e.filter(col("vec_id") >= 8)
       val queries = e.filter(col("vec_id") < 8)
       Similarity.recallAtK(
-        Similarity.ivfPqTopK(corpus, queries, k = 5),
+        Similarity.ivfPqTopK(corpus, queries, k = 5,
+          kClusters = IvfPqClusters, nprobe = IvfPqNprobe,
+          subspaces = PqSubspaces),
         Similarity.bruteForceTopK(corpus, queries, k = 5), k = 5)
         .orderBy(col("query_id"))
     }),
@@ -785,6 +816,10 @@ object SparkEntry {
     // exact quantized-embedding covariance (upper triangle): the d x d
     // sufficient-stat table PCA/whitening eigen-decomposes driver-side;
     // n*d^2/2 products map-side combine to <= 2080 rows per partition
+    "q_embed_cov" -> ((s, dir) =>
+      graft.similarity.Similarity.embedCovariance(Tables.embeddings(s, dir))
+        .orderBy(col("i"), col("j"))),
+
     // PCA projection: deterministic power-iteration basis (2 components,
     // 12 iterations) eigen-consuming the exact cov_stats covariance
     // driver-side, centered projection fused into the corpus scan — the
@@ -796,10 +831,6 @@ object SparkEntry {
       Similarity.pcaProject(Tables.embeddings(s, dir),
         components = 2, iters = PcaIters)
         .orderBy(col("vec_id"))),
-
-    "q_embed_cov" -> ((s, dir) =>
-      graft.similarity.Similarity.embedCovariance(Tables.embeddings(s, dir))
-        .orderBy(col("i"), col("j"))),
 
     // distinct l-diversity: per (lang, source) class, distinct sensitive
     // length-band count + top-band frequency — the "k-anonymous but
@@ -2263,9 +2294,9 @@ object SparkEntry {
     // qe (seeds, assignment tie-breaks, integer-sum/IEEE means all
     // identical to the full-space kmeans above), then ADC as the
     // slice-by-slice, dim-by-dim left-to-right double chain pqTopK folds.
-    val pqM = 4
+    val pqM = PqSubspaces
     val pqSd = kmDim / pqM
-    val pqK = 8
+    val pqK = PqClusters
     def pqSub(m: Int): String = {
       val off = m * pqSd
       def pqDist(qe: String, c: String): String =
@@ -2329,9 +2360,11 @@ object SparkEntry {
          |SELECT query_id, "rank", neighbor_id, cos FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
     // IVFPQ oracle chain (through the rank CTE `r`): the q_ann_kmeans
-    // coarse chain routes nprobe=2 lists, the q_ann_pq subspace chains
-    // provide codes + codebooks, scoring is ADC restricted to the probed
-    // lists — the same composition ivfPqTopK runs.
+    // coarse chain routes IvfPqNprobe lists (coarse seed LIMIT and probe
+    // rank bound interpolated from the shared constants the gate call
+    // passes), the q_ann_pq subspace chains provide codes + codebooks,
+    // scoring is ADC restricted to the probed lists — the same
+    // composition ivfPqTopK runs.
     val ivfpqChain =
       s"""$quantCte,
          |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n WHERE vec_id >= 8),
@@ -2339,7 +2372,7 @@ object SparkEntry {
          |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
          |              list_transform(qe, x -> CAST(x AS DOUBLE)) AS c
          |       FROM (SELECT vec_id, qe FROM corp
-         |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfPqClusters)),
          |${kmAssign("a1", "c0")},
          |${kmStep(1)},
          |${kmAssign("a2", "c1")},
@@ -2351,7 +2384,7 @@ object SparkEntry {
          |  SELECT q.query_id, q.qe, q.nq, c.cid,
          |         row_number() OVER (PARTITION BY q.query_id
          |           ORDER BY ${kmDist("q.qe", "c.c")}, c.cid) AS rn
-         |  FROM qs q CROSS JOIN c2 c) WHERE rn <= 2),
+         |  FROM qs q CROSS JOIN c2 c) WHERE rn <= $IvfPqNprobe),
          |scored AS MATERIALIZED (
          |  SELECT p.query_id, a.vec_id AS neighbor_id,
          |         (${pqAdc("p.qe")})
@@ -3425,8 +3458,11 @@ object SparkEntry {
       // rank; integer plan arithmetic, one guarded waste_frac division;
       // bucket count and batch budget interpolated from the shared
       // PaddingPlanBuckets / PaddingPlanBudget constants
+      // len COALESCEd to 0 on BOTH engines: Spark orders ASC nulls FIRST,
+      // DuckDB nulls LAST, so a null-text doc would shift every cumulative
+      // `bef` count on one side only (Packing.normLen is the Spark twin)
       "q_padding_plan" ->
-        s"""WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        s"""WITH l AS (SELECT COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS len
           |           FROM documents),
           |h AS (SELECT len, count(*) AS cnt FROM l GROUP BY 1),
           |w AS (SELECT len, cnt,
@@ -3452,7 +3488,7 @@ object SparkEntry {
       // bucket-local cumulative shorter-length count + within-length
       // row_number; nested CASE keeps the cap-0 division unevaluated
       "q_padding_apply" ->
-        s"""WITH l AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        s"""WITH l AS (SELECT doc_id, COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS len
           |           FROM documents),
           |h AS (SELECT len, count(*) AS cnt FROM l GROUP BY 1),
           |w AS (SELECT len, cnt,

@@ -164,6 +164,18 @@ object Packing {
           .otherwise(lit(s) - 1 - pos).cast("long").as("shard"))
   }
 
+  /** Null-safe token length: a null text (null `size(split(...))`, or the
+    * legacy −1 sentinel `size` can emit for null arrays) becomes an exact
+    * 0-length document INSTEAD of a null histogram key. The bucket
+    * boundaries below ride `ORDER BY len` windows, and null ordering
+    * defaults DIVERGE across engines (Spark ASC is NULLS FIRST, DuckDB is
+    * NULLS LAST) — one null-text doc would silently shift every cumulative
+    * `bef` count on one side only. Pinning nulls to 0 keeps the plan
+    * engine-reproducible by construction; the oracles COALESCE the same
+    * way. */
+  private def normLen(tokens: Column): Column =
+    greatest(coalesce(tokens.cast("long"), lit(0L)), lit(0L))
+
   /** Length-bucketed batching plan — the DECISION table the
     * [[graft.text.TextAnalysis.paddingWaste]] measurement sizes: split
     * the corpus into `buckets` equal-count length buckets, pad each
@@ -192,7 +204,7 @@ object Packing {
   ): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(budget > 0, s"budget must be positive: $budget")
-    val hist = docs.select(tokens.cast("long").as("len"))
+    val hist = docs.select(normLen(tokens).as("len"))
       .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
     // totals via full-frame windows over the BOUNDED histogram — a
     // 1-row totals aggregate branch would duplicate the corpus subtree
@@ -244,7 +256,7 @@ object Packing {
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(budget > 0, s"budget must be positive: $budget")
     val sized = docs.select(col("doc_id").cast("long").as("doc_id"),
-      tokens.cast("long").as("len"))
+      normLen(tokens).as("len"))
     val hist = sized.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
     val all = Window.orderBy(col("len"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
