@@ -565,6 +565,35 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // IVFADC with residual encoding (the full Jégou §IV construction):
+    // PQ codebooks trained over the exact integer residuals
+    // x − floor(coarse centroid); ADC = per-probed-list coarse term +
+    // residual code lookups; the oracle replays coarse chain, quantized
+    // centroids, residual table, residual codebooks, and scoring
+    "q_ann_ivfadc" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfAdcTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), k = 5,
+        kClusters = IvfPqClusters, nprobe = IvfPqNprobe,
+        subspaces = PqSubspaces)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // recall@5 of the residual-encoded index vs exact brute force —
+    // justifies the residual step against q_ann_ivfpq_recall at the
+    // same nprobe/subspace budget
+    "q_ann_ivfadc_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 8)
+      val queries = e.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.ivfAdcTopK(corpus, queries, k = 5,
+          kClusters = IvfPqClusters, nprobe = IvfPqNprobe,
+          subspaces = PqSubspaces),
+        Similarity.bruteForceTopK(corpus, queries, k = 5), k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // scalar-quantized serving path (FAISS SQ8 shape): 7-bit codes against
     // a per-vector max-abs scale, approximate-cosine ranking from the
     // exact integer code dot — the memory-bounded ANN variant
@@ -831,6 +860,15 @@ object SparkEntry {
       Similarity.pcaProject(Tables.embeddings(s, dir),
         components = 2, iters = PcaIters)
         .orderBy(col("vec_id"))),
+
+    // PCA eigen-spectrum report: per component its eigenvalue, the
+    // explained-variance fraction λ/trace (trace exact from the
+    // covariance diagonal), and the cumulative fraction — the table a
+    // pipeline owner reads before choosing `components`
+    "q_pca_variance" -> ((s, dir) =>
+      Similarity.pcaVariance(Tables.embeddings(s, dir),
+        components = 2, iters = PcaIters)
+        .orderBy(col("component"))),
 
     // distinct l-diversity: per (lang, source) class, distinct sensitive
     // length-band count + top-band frequency — the "k-anonymous but
@@ -1169,6 +1207,34 @@ object SparkEntry {
     "q_dup_consensus" -> ((s, dir) =>
       Dedup.consensusPairs(docsParallel(s, dir), winnowMaxDf = WinnowMaxDf)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // the consensus verdict EXECUTED (measurement -> decision ->
+    // execution, the padding_plan/padding_apply arc applied to dedup):
+    // >= 2-signal pairs through the star-contraction union-find,
+    // keep-lowest-id per cluster — the kept slice IS the deduped corpus,
+    // each survivor reporting how many documents its survival deleted
+    "q_dedup_apply" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.dedupApply(docs,
+        Dedup.consensusPairs(docs, winnowMaxDf = WinnowMaxDf)
+          .select(col("doc_a"), col("doc_b")))
+        .filter(col("kept") === 1)
+        .select(col("doc_id"), col("source"), col("cluster"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the audit side-output of the same execution: every dropped doc
+    // names the surviving doc that shadows it — what a pipeline owner
+    // reviews before the deletion becomes irreversible
+    "q_dedup_dropped" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      Dedup.dedupApply(docs,
+        Dedup.consensusPairs(docs, winnowMaxDf = WinnowMaxDf)
+          .select(col("doc_a"), col("doc_b")))
+        .filter(col("kept") === 0)
+        .select(col("doc_id"), col("source"), col("kept_id"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Fellegi–Sunter linkage: SNM-blocked candidates scored field-by-field
     // with frequency-based integer agreement weights, thresholded into
@@ -2297,7 +2363,10 @@ object SparkEntry {
     val pqM = PqSubspaces
     val pqSd = kmDim / pqM
     val pqK = PqClusters
-    def pqSub(m: Int): String = {
+    // `src` is the vector table the subspace chains train/encode over:
+    // "corp" for raw-vector PQ (q_ann_pq / q_ann_ivfpq), "resi" for the
+    // residual-encoded IVFADC chain — same CTEs, different input.
+    def pqSub(m: Int, src: String): String = {
       val off = m * pqSd
       def pqDist(qe: String, c: String): String =
         (1 to pqSd).map(i =>
@@ -2310,14 +2379,14 @@ object SparkEntry {
            |  SELECT t.vec_id, t.qe, t.nq, c.cid,
            |         row_number() OVER (PARTITION BY t.vec_id
            |           ORDER BY ${pqDist("t.qe", "c.c")}, c.cid) AS rn
-           |  FROM corp t CROSS JOIN ${cents}_$m c) WHERE rn = 1)""".stripMargin
+           |  FROM $src t CROSS JOIN ${cents}_$m c) WHERE rn = 1)""".stripMargin
       def step(i: Int) =
         s"""c${i}n_$m AS MATERIALIZED (SELECT cid, list_value($pqMean) AS c FROM a${i}_$m GROUP BY cid),
            |c${i}_$m AS MATERIALIZED (SELECT * FROM c${i}n_$m UNION ALL
            |        SELECT * FROM c${i - 1}_$m WHERE cid NOT IN (SELECT cid FROM c${i}n_$m))""".stripMargin
       s"""c0_$m AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
          |              list_transform(qe[${off + 1}:${off + pqSd}], x -> CAST(x AS DOUBLE)) AS c
-         |       FROM (SELECT vec_id, qe FROM corp
+         |       FROM (SELECT vec_id, qe FROM $src
          |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK)),
          |${assign("a1", "c0")},
          |${step(1)},
@@ -2325,16 +2394,18 @@ object SparkEntry {
          |${step(2)},
          |${assign("a3", "c2")}""".stripMargin
     }
-    val pqSubs = (0 until pqM).map(pqSub).mkString(",\n")
-    val pqCodesCte = {
+    def pqSubsFrom(src: String) = (0 until pqM).map(pqSub(_, src)).mkString(",\n")
+    val pqSubs = pqSubsFrom("corp")
+    def pqCodesCteFrom(src: String) = {
       val codeSel = (0 until pqM).map(m => s", j$m.code_$m").mkString
       val codeJoin = (0 until pqM)
         .map(m => s"JOIN (SELECT vec_id, cid AS code_$m FROM a3_$m) j$m USING (vec_id)")
         .mkString("\n")
       s"""codes AS (SELECT c.vec_id, c.nq$codeSel
-         |          FROM corp c
+         |          FROM $src c
          |$codeJoin)""".stripMargin
     }
+    val pqCodesCte = pqCodesCteFrom("corp")
     def pqAdc(q: String): String = (0 until pqM).map { m =>
       val off = m * pqSd
       "(" + (1 to pqSd).map(i => s"CAST($q[${off + i}] AS DOUBLE)*cb$m.c[$i]")
@@ -2395,13 +2466,84 @@ object SparkEntry {
          |r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
          |      FROM scored)""".stripMargin
+    // IVFADC oracle chain (residual encoding, Jégou §IV in full): the
+    // ivfpq coarse chain, then the coarse centroids floor-quantized to
+    // int64 (cq), residuals as exact integer differences (resi), the PQ
+    // subspace chains re-trained OVER THE RESIDUALS, and ADC scoring as
+    // coarse term + residual code lookups — the exact double chain
+    // ivfAdcTopK folds, coarse first then slice-by-slice left-to-right.
+    val ivfadcChain = {
+      val coarseDot = (1 to kmDim).map(i =>
+        s"CAST(p.qe[$i] AS DOUBLE)*CAST(cq.q[$i] AS DOUBLE)").mkString(" + ")
+      s"""$quantCte,
+         |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n WHERE vec_id >= 8),
+         |qs AS MATERIALIZED (SELECT vec_id AS query_id, qe, nq FROM n WHERE vec_id < 8),
+         |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+         |              list_transform(qe, x -> CAST(x AS DOUBLE)) AS c
+         |       FROM (SELECT vec_id, qe FROM corp
+         |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfPqClusters)),
+         |${kmAssign("a1", "c0")},
+         |${kmStep(1)},
+         |${kmAssign("a2", "c1")},
+         |${kmStep(2)},
+         |${kmAssign("a3", "c2")},
+         |cq AS MATERIALIZED (SELECT cid,
+         |        list_transform(c, x -> CAST(floor(x) AS BIGINT)) AS q FROM c2),
+         |resi AS MATERIALIZED (SELECT a.vec_id,
+         |        list_transform(range(1, ${kmDim + 1}), i -> a.qe[i] - cq.q[i]) AS qe,
+         |        a.nq, a.cid
+         |      FROM a3 a JOIN cq USING (cid)),
+         |${pqSubsFrom("resi")},
+         |${pqCodesCteFrom("resi")},
+         |probe AS MATERIALIZED (SELECT query_id, qe, nq, cid FROM (
+         |  SELECT q.query_id, q.qe, q.nq, c.cid,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${kmDist("q.qe", "c.c")}, c.cid) AS rn
+         |  FROM qs q CROSS JOIN c2 c) WHERE rn <= $IvfPqNprobe),
+         |scored AS MATERIALIZED (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         (($coarseDot) + ${pqAdc("p.qe")})
+         |           / (sqrt(CAST(p.nq AS DOUBLE)) * sqrt(CAST(a.nq AS DOUBLE))) AS cos
+         |  FROM probe p JOIN cq ON cq.cid = p.cid
+         |  JOIN a3 a ON a.cid = p.cid
+         |  JOIN codes t ON t.vec_id = a.vec_id
+         |${pqCbJoins("t")}),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+         |      FROM scored)""".stripMargin
+    }
+    // recall@5 tail shared by the composed-index recall gates (appends
+    // to a chain ending in the approximate rank CTE `r`): exact
+    // brute-force ranking replayed, per-query overlap / k, zero-hit
+    // queries kept as recall 0.
+    val annRecallTail =
+      s""",
+         |exact_s AS (
+         |  SELECT qs2.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotExpr.format("c.qe", "c.qe", "qs2.qe")}
+         |           / (sqrt(CAST(qs2.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+         |  FROM n c, n qs2 WHERE c.vec_id >= 8 AND qs2.vec_id < 8),
+         |exact_r AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |      FROM exact_s),
+         |h AS (SELECT e.query_id, count(*) AS hits
+         |      FROM (SELECT query_id, neighbor_id FROM exact_r WHERE rk <= 5) e
+         |      JOIN (SELECT query_id, neighbor_id FROM r WHERE "rank" <= 5) a
+         |        USING (query_id, neighbor_id)
+         |      GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |       CAST(5 AS BIGINT) AS k,
+         |       CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+         |FROM (SELECT DISTINCT query_id FROM exact_r) q
+         |LEFT JOIN h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin
     // PCA oracle: covariance sufficient statistics (the q_embed_cov
     // CTEs), 12 power iterations per component as unrolled left-to-right
     // matvec/norm double chains, explicit deflation, then the centered
     // projection — replaying Similarity.pcaBasis/pcaProject step by
     // step. n is guaranteed > 1 Spark-side (pcaBasis raises), so the
     // n·(n−1) denominator needs no CASE here.
-    val pcaSql = {
+    val (pcaSql, pcaVarianceSql) = {
       val d = 64
       val it = PcaIters
       def matvec(c: String, v: String) =
@@ -2423,7 +2565,7 @@ object SparkEntry {
         }.mkString(",\n")
       def proj(p: String) = (1 to d).map(j =>
         s"(CAST(e.q[$j] AS DOUBLE) - m.m[$j]) * $p.v[$j]").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+      val chain = s"""WITH e AS (SELECT vec_id, list_transform(embedding,
          |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
          |           FROM embeddings WHERE embedding IS NOT NULL),
          |pr AS (SELECT s.i - 1 AS i, t.j - 1 AS j, q[s.i] AS qi, q[t.j] AS qj
@@ -2445,15 +2587,85 @@ object SparkEntry {
          |cm1 AS MATERIALIZED (SELECT c.i, list_transform(range($d),
          |          j -> c.row[j+1] - p.lam * p.v[c.i+1] * p.v[j+1]) AS row
          |        FROM cm0 c CROSS JOIN pa$it p),
-         |${iterCtes("pb", "cm1")}
-         |SELECT e.vec_id, ${proj("p1")} AS pc1, ${proj("p2")} AS pc2
-         |FROM e CROSS JOIN ml m CROSS JOIN pa$it p1 CROSS JOIN pb$it p2
-         |ORDER BY e.vec_id""".stripMargin
+         |${iterCtes("pb", "cm1")}""".stripMargin
+      val projectSql = chain +
+        s"""
+           |SELECT e.vec_id, ${proj("p1")} AS pc1, ${proj("p2")} AS pc2
+           |FROM e CROSS JOIN ml m CROSS JOIN pa$it p1 CROSS JOIN pb$it p2
+           |ORDER BY e.vec_id""".stripMargin
+      // explained variance: trace = exact diagonal sum, folded over
+      // ascending dims (the pcaBasisWithTrace left-to-right chain);
+      // cum for component 2 is (λ1 + λ2) / trace, one addition then one
+      // division — the identical double arithmetic
+      val varianceSql = chain +
+        s""",
+           |tr AS (SELECT ${(1 to d).map(i => s"ds[$i]").mkString(" + ")} AS t
+           |       FROM (SELECT list(cov ORDER BY i) AS ds FROM cv WHERE i = j))
+           |SELECT CAST(1 AS BIGINT) AS component, p1.lam AS lambda,
+           |       p1.lam / tr.t AS explained_frac, p1.lam / tr.t AS cum_frac
+           |FROM pa$it p1 CROSS JOIN tr
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), p2.lam, p2.lam / tr.t,
+           |       (p1.lam + p2.lam) / tr.t
+           |FROM pa$it p1 CROSS JOIN pb$it p2 CROSS JOIN tr
+           |ORDER BY component""".stripMargin
+      (projectSql, varianceSql)
     }
     val simhashSums = (0 until 32).map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
     val simhashVal = (0 until 32)
       .map(j => s"CASE WHEN 2*s$j >= n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
+    // Ensemble-consensus CTE chain, shared by q_dup_consensus and the
+    // q_dedup_apply / q_dedup_dropped execution gates: the three pair
+    // chains composed — df-capped shingle Jaccard, all-pairs SimHash
+    // (exact twin of the block join for maxHamming <= 3 by pigeonhole),
+    // df-capped winnow fingerprints (WinnowMaxDf interpolated) — unioned
+    // with signal tags into `u`.
+    lazy val consensusCtes = shingleCte + "," +
+      s"""
+         |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM shc a JOIN shc b USING (shingle)
+         |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b FROM pairs
+         |       JOIN sizes sa ON doc_a = sa.doc_id
+         |       JOIN sizes sb ON doc_b = sb.doc_id
+         |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1),
+         |stok AS (SELECT doc_id,
+         |           ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
+         |         FROM documents),
+         |sagg AS (SELECT doc_id, count(*) AS n, $simhashSums FROM stok GROUP BY 1),
+         |ssh AS (SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash FROM sagg),
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |${winnowCtes.replaceFirst("WITH ", "")},
+         |f AS (SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, s.fp AS fp FROM s)
+         |      QUALIFY count(*) OVER (PARTITION BY fp) <= $WinnowMaxDf),
+         |wp AS (SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b
+         |       FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |u AS (SELECT doc_a, doc_b, 'jaccard' AS signal FROM jp
+         |      UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sp
+         |      UNION ALL SELECT doc_a, doc_b, 'winnow' FROM wp)""".stripMargin
+    // The execution tail shared by q_dedup_apply / q_dedup_dropped:
+    // >= 2-signal consensus pairs through the recursive min-label
+    // component chain (the cluster-oracle shape), every doc labeled with
+    // its reachable minimum; kept = the cluster minimum itself.
+    lazy val dedupApplyCtes =
+      consensusCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+        s"""
+           |cons AS (SELECT doc_a, doc_b FROM u GROUP BY 1, 2 HAVING count(*) >= 2),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cons
+           |          UNION ALL SELECT doc_b, doc_a FROM cons),
+           |cc AS (SELECT doc_id AS id, doc_id AS label FROM documents
+           |       UNION
+           |       SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+           |lab AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+           |        FROM cc GROUP BY id),
+           |csz AS (SELECT cluster, count(*) AS n_members FROM lab GROUP BY 1)""".stripMargin
     // DuckDB twin of Formats.jsonEscape — GENERATED from the same
     // Formats.JsonEscapes table (same chain, same order), so the two
     // engines' escaping can never drift.
@@ -3217,27 +3429,19 @@ object SparkEntry {
 
       // recall@5 of the composed IVFPQ index vs exact brute force: both
       // rankings replayed, per-query overlap / k, zero-hit queries kept
-      "q_ann_ivfpq_recall" ->
-        s"""$ivfpqChain,
-           |exact_s AS (
-           |  SELECT qs2.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |         ${dotExpr.format("c.qe", "c.qe", "qs2.qe")}
-           |           / (sqrt(CAST(qs2.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
-           |  FROM n c, n qs2 WHERE c.vec_id >= 8 AND qs2.vec_id < 8),
-           |exact_r AS (SELECT query_id, neighbor_id,
-           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-           |      FROM exact_s),
-           |h AS (SELECT e.query_id, count(*) AS hits
-           |      FROM (SELECT query_id, neighbor_id FROM exact_r WHERE rk <= 5) e
-           |      JOIN (SELECT query_id, neighbor_id FROM r WHERE "rank" <= 5) a
-           |        USING (query_id, neighbor_id)
-           |      GROUP BY 1)
-           |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-           |       CAST(5 AS BIGINT) AS k,
-           |       CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
-           |FROM (SELECT DISTINCT query_id FROM exact_r) q
-           |LEFT JOIN h USING (query_id)
-           |ORDER BY q.query_id""".stripMargin,
+      "q_ann_ivfpq_recall" -> (ivfpqChain + annRecallTail),
+
+      // IVFADC (full Jégou §IV residual encoding): coarse routing, PQ
+      // codebooks trained over the integer residuals x − floor(coarse
+      // centroid), ADC = coarse term + residual code lookups (ivfadcChain)
+      "q_ann_ivfadc" ->
+        s"""$ivfadcChain
+           |SELECT query_id, "rank", neighbor_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      // recall@5 of the residual-encoded index vs exact brute force —
+      // the gate that justifies the residual step vs q_ann_ivfpq_recall
+      "q_ann_ivfadc_recall" -> (ivfadcChain + annRecallTail),
 
       // scalar-quantized ANN: 7-bit codes against the per-vector max-abs
       // scale (one correctly-rounded double division per dim), exact
@@ -4255,43 +4459,36 @@ object SparkEntry {
           |GROUP BY 1, 2 HAVING count(*) >= 2
           |ORDER BY doc_a, doc_b""".stripMargin),
 
-      // ensemble consensus: the three pair chains composed — df-capped
-      // shingle Jaccard, all-pairs SimHash (exact twin of the block join
-      // for maxHamming <= 3 by pigeonhole), df-capped winnow fingerprints
-      // (WinnowMaxDf interpolated) — unioned with signal tags, >= 2 kept
-      "q_dup_consensus" -> (shingleCte + "," +
+      // ensemble consensus: the three pair chains composed (shared
+      // consensusCtes — df-capped shingle Jaccard, all-pairs SimHash,
+      // df-capped winnow fingerprints), unioned with signal tags, >= 2 kept
+      "q_dup_consensus" -> (consensusCtes +
         s"""
-           |kept AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
-           |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-           |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           |          FROM shc a JOIN shc b USING (shingle)
-           |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-           |jp AS (SELECT doc_a, doc_b FROM pairs
-           |       JOIN sizes sa ON doc_a = sa.doc_id
-           |       JOIN sizes sb ON doc_b = sb.doc_id
-           |       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1),
-           |stok AS (SELECT doc_id,
-           |           ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
-           |         FROM documents),
-           |sagg AS (SELECT doc_id, count(*) AS n, $simhashSums FROM stok GROUP BY 1),
-           |ssh AS (SELECT doc_id, CAST($simhashVal AS BIGINT) AS simhash FROM sagg),
-           |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |       FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
-           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-           |${winnowCtes.replaceFirst("WITH ", "")},
-           |f AS (SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, s.fp AS fp FROM s)
-           |      QUALIFY count(*) OVER (PARTITION BY fp) <= $WinnowMaxDf),
-           |wp AS (SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b
-           |       FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
-           |       GROUP BY 1, 2 HAVING count(*) >= 2),
-           |u AS (SELECT doc_a, doc_b, 'jaccard' AS signal FROM jp
-           |      UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sp
-           |      UNION ALL SELECT doc_a, doc_b, 'winnow' FROM wp)
            |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_signals,
            |       string_agg(signal, ',' ORDER BY signal) AS signals
            |FROM u GROUP BY 1, 2 HAVING count(*) >= 2
            |ORDER BY doc_a, doc_b""".stripMargin),
+
+      // the verdict EXECUTED, kept slice: consensus pairs -> recursive
+      // min-label components -> keep-lowest-id; each survivor reports
+      // how many docs its survival deleted
+      "q_dedup_apply" -> (dedupApplyCtes +
+        s"""
+           |SELECT d.doc_id, d.source, l.cluster,
+           |       CAST(c.n_members - 1 AS BIGINT) AS n_dropped
+           |FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+           |JOIN csz c ON l.cluster = c.cluster
+           |WHERE l.doc_id = l.cluster
+           |ORDER BY d.doc_id""".stripMargin),
+
+      // the verdict EXECUTED, audit slice: every dropped doc names the
+      // surviving doc that shadows it
+      "q_dedup_dropped" -> (dedupApplyCtes +
+        s"""
+           |SELECT d.doc_id, d.source, l.cluster AS kept_id
+           |FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+           |WHERE l.doc_id <> l.cluster
+           |ORDER BY d.doc_id""".stripMargin),
 
       // same pair tail, then the recursive min-label component chain the
       // Jaccard cluster oracles use; every doc appears, singletons are
@@ -4708,6 +4905,11 @@ object SparkEntry {
       // sufficient stats, one division; the range bound pins this
       // corpus's 64 dims (the Spark side is dimension-agnostic)
       "q_pca_project" -> pcaSql,
+
+      // PCA eigen-spectrum: per component λ (the pa/pb final-iterate
+      // matvec norms), explained fraction λ / trace with the trace as
+      // the ascending-dim diagonal sum, cumulative fraction
+      "q_pca_variance" -> pcaVarianceSql,
 
       "q_embed_cov" ->
         """WITH e AS (SELECT list_transform(embedding,

@@ -542,15 +542,32 @@ object Dedup {
     * aggregate — never a corpus-sized shuffle of its own. */
   def consensusPairs(docs: DataFrame, minSignals: Int = 2,
       jaccardThreshold: Double = 0.1, jaccardMaxDf: Int = 5,
-      maxHamming: Int = 3, winnowMaxDf: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, winnowMaxDf: Int = 1000): DataFrame =
+    consensusFromPairs(
+      ngramJaccardPairs(docs, k = 3, threshold = jaccardThreshold,
+        maxDocFrequency = Some(jaccardMaxDf)),
+      simhashPairs(docs, maxHamming),
+      winnowPairs(docs, maxDf = winnowMaxDf),
+      minSignals)
+
+  /** [[consensusPairs]] over ALREADY-COMPUTED pair sets — the composition
+    * a real pipeline runs: the three generators are individually gated
+    * (and at scale individually persisted), so re-deriving them inside
+    * the consensus would re-scan and re-tokenize the corpus three times
+    * for tables the pipeline already has. The consensus itself is only a
+    * union of three pair-set-sized frames and one (a, b)-keyed aggregate.
+    * Signal tags are positional (`jaccard`/`simhash`/`winnow`) — callers
+    * substituting a different generator for a slot keep the slot's
+    * failure-mode role. */
+  def consensusFromPairs(jaccard: DataFrame, simhash: DataFrame,
+      winnow: DataFrame, minSignals: Int = 2): DataFrame = {
     require(minSignals >= 1 && minSignals <= 3,
       s"minSignals must be in [1, 3]: $minSignals")
     def tag(pairs: DataFrame, s: String): DataFrame =
       pairs.select(col("doc_a"), col("doc_b")).withColumn("signal", lit(s))
-    tag(ngramJaccardPairs(docs, k = 3, threshold = jaccardThreshold,
-        maxDocFrequency = Some(jaccardMaxDf)), "jaccard")
-      .unionByName(tag(simhashPairs(docs, maxHamming), "simhash"))
-      .unionByName(tag(winnowPairs(docs, maxDf = winnowMaxDf), "winnow"))
+    tag(jaccard, "jaccard")
+      .unionByName(tag(simhash, "simhash"))
+      .unionByName(tag(winnow, "winnow"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_signals"),
         concat_ws(",", array_sort(collect_list(col("signal")))).as("signals"))
@@ -997,14 +1014,61 @@ object Dedup {
     * the data, dominates (the round-6 bench measured exactly that
     * pathology at 618 s for a 500-doc graph). Convergence is detected by
     * an exact multiset comparison of successive edge sets (a shuffle over
-    * the bounded edge table), not an overflow-prone label-sum probe. */
-  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * the bounded edge table), not an overflow-prone label-sum probe.
+    *
+    * Hybrid execution: an edge set at or below `localThreshold` rows is
+    * collected and solved with single-pass union-find + path compression
+    * on the driver (labels identical by definition — component minimum),
+    * because ~log n scheduled star rounds on a driver-sized graph cost
+    * pure job-scheduling overhead; the distributed contraction is the
+    * above-threshold path. The same adaptive small-side-goes-local
+    * decision broadcast joins make, with the same bound discipline. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+      localThreshold: Long = 1L << 20): DataFrame = {
     // star rounds: edges are (node, parent) assignments, treated as
     // undirected; at the fixpoint every component is a star rooted at its
     // minimum node.
     var edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    // small-edge-set fast path: the same small-side-goes-local decision a
+    // broadcast join makes. Dedup pair lists are fan-out-bounded by
+    // construction (df caps, LSH bands, pigeonhole blocks), so in practice
+    // the edge table is FAR below corpus size; when it fits the driver
+    // comfortably (<= localThreshold edges ≈ 16 MB of longs at the 2^20
+    // default), one pass of union-find with path compression replaces
+    // O(log n) scheduled star rounds — each of which costs 3 jobs of pure
+    // scheduling overhead on a graph this small. Labels are identical by
+    // definition (component minimum); the distributed star-contraction
+    // below remains the >threshold path and is property-pinned equal
+    // (DedupSpec forces it via localThreshold = 0). The count is one job
+    // over the ALREADY-materialized checkpoint blocks, not a second scan.
+    if (edges.count() <= localThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // union by min: smaller id becomes the root
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keys.toSeq.map(x => (x, find(x))).filter(p => p._1 != p._2)
+      val s = docs.sparkSession
+      import s.implicits._
+      val lab = labels.toDF("doc_id", "cluster")
+      return docs.select(col("doc_id"))
+        .join(broadcast(lab), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster")).cast("long"))
+    }
     val nodeWin = org.apache.spark.sql.expressions.Window.partitionBy("u")
     // large-star: around each node u, link every strictly-larger neighbor
     // to min(N(u) ∪ {u}); small-star: orient edges large→small, link every
@@ -1056,6 +1120,38 @@ object Dedup {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical",
         (col("doc_id") === col("cluster")).cast("long"))
+  }
+
+  /** Execute a dedup verdict END-TO-END — the destructive step every
+    * upstream operator here only prepares: route the pair verdict
+    * (typically [[consensusPairs]], the precision gate) through the
+    * [[dupClusters]] star-contraction union-find, keep the LOWEST doc_id
+    * per cluster, and emit every document's disposition in one frame:
+    * `(doc_id, <doc passthrough cols>, cluster, kept, kept_id,
+    * n_dropped)`. `kept = 1` rows are the deduped corpus; `kept = 0`
+    * rows are the audit side-output a pipeline owner reviews (each names
+    * the `kept_id` that shadows it); `n_dropped` on a kept row is how
+    * many documents its survival deleted (0 for singletons). The two
+    * slices PARTITION the corpus by construction — kept ∪ dropped is
+    * exactly the input, disjoint (DedupSpec pins it).
+    *
+    * Scale: [[dupClusters]] bounds the iterative work by the pair-list
+    * size (its localCheckpointed edge fixpoint is shared by both slices
+    * of this one frame — filtering kept/dropped does NOT re-run the
+    * union-find); the cluster-size count rides a window over the SAME
+    * cluster-keyed exchange the label join needs, and the join back to
+    * `docs` is doc_id-keyed. No corpus-sized shuffle beyond those two. */
+  def dedupApply(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = dupClusters(docs, pairs)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    docs.join(cl, Seq("doc_id"))
+      .withColumn("kept", col("is_canonical"))
+      .withColumn("kept_id", col("cluster"))
+      .withColumn("n_dropped",
+        when(col("kept") === 1, col("n_members") - 1L).otherwise(lit(0L)))
+      .drop("is_canonical", "n_members")
   }
 
   /** Quality-aware canonical selection over duplicate clusters: instead of

@@ -247,17 +247,35 @@ object Packing {
     * The within-bucket rank is decomposed like [[shardBalance]]'s
     * global rank: per-bucket cumulative counts of strictly-shorter
     * lengths come from the metadata-sized histogram, and the
-    * within-length tiebreak is a `doc_id`-ordered window PARTITIONED by
-    * length — a keyed shuffle, never a bucket-wide (corpus-scale) sort.
-    * Deterministic: (len, doc_id) is a total order, no RNG. */
+    * within-length tiebreak is decomposed ONE LEVEL FURTHER against
+    * length concentration: docs are striped into `subStride`-wide
+    * doc_id sub-ranges (monotone in doc_id, so order is preserved), the
+    * (len, sub) histogram carries each stripe's cumulative offset
+    * within its length, and the residual tiebreak window partitions by
+    * (len, sub) — so even a corpus where 90% of documents share ONE
+    * length never puts more than `subStride` rows in a window
+    * partition. A plain `partitionBy(len)` window would execute that
+    * skew as a single corpus-scale task. The (len, sub) histogram
+    * replaces (and derives) the plain length histogram — same number of
+    * corpus passes, one keyed exchange serving both the offsets join
+    * and the tiebreak window. Deterministic: (len, doc_id) is a total
+    * order, no RNG — identical output to the undecomposed rank by
+    * construction (PackingSpec pins it on a 90%-one-length corpus). */
   def paddingApply(docs: DataFrame, buckets: Int, budget: Long,
-      tokens: Column = size(graft.text.TextAnalysis.wsTokens(col("text")))
-  ): DataFrame = {
+      tokens: Column = size(graft.text.TextAnalysis.wsTokens(col("text"))),
+      subStride: Long = 4096L): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(budget > 0, s"budget must be positive: $budget")
+    require(subStride > 0, s"subStride must be positive: $subStride")
+    // floor-division stripe (pmod keeps it exact for negative ids):
+    // monotone nondecreasing in doc_id, so within-length order splits
+    // cleanly into (stripe offset) + (rank within stripe)
     val sized = docs.select(col("doc_id").cast("long").as("doc_id"),
       normLen(tokens).as("len"))
-    val hist = sized.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sub",
+        expr(s"(doc_id - pmod(doc_id, ${subStride}L)) div ${subStride}L"))
+    val h2 = sized.groupBy(col("len"), col("sub")).agg(count(lit(1)).as("cnt2"))
+    val hist = h2.groupBy(col("len")).agg(sum(col("cnt2")).as("cnt"))
     val all = Window.orderBy(col("len"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val before = Window.orderBy(col("len"))
@@ -274,10 +292,21 @@ object Packing {
     val lenToBucket = b
       .withColumn("bef_b", coalesce(sum(col("cnt")).over(befInBucket), lit(0L)))
       .select(col("len"), col("bucket"), col("bef_b"))
-    val rankInLen = row_number().over(
-      Window.partitionBy(col("len")).orderBy(col("doc_id"))).cast("long")
-    sized.join(broadcast(lenToBucket), "len")
-      .withColumn("rank_b", col("bef_b") + rankInLen - 1L)
+    // per-(len, stripe) offset of strictly-earlier stripes of the same
+    // length — histogram-sized window, never corpus rows
+    val befSub = Window.partitionBy(col("len")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subOff = h2
+      .withColumn("bef_s", coalesce(sum(col("cnt2")).over(befSub), lit(0L)))
+      .select(col("len"), col("sub"), col("bef_s"))
+    // residual tiebreak: bounded to <= subStride rows per partition
+    val rankInStripe = row_number().over(
+      Window.partitionBy(col("len"), col("sub")).orderBy(col("doc_id")))
+      .cast("long")
+    sized.join(subOff, Seq("len", "sub"))
+      .withColumn("rank_l", col("bef_s") + rankInStripe)
+      .join(broadcast(lenToBucket), "len")
+      .withColumn("rank_b", col("bef_b") + col("rank_l") - 1L)
       .join(broadcast(plan), "bucket")
       .select(col("doc_id"), col("bucket"), col("cap"),
         when(col("batch_docs") >= 1,

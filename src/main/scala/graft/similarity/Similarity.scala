@@ -520,7 +520,8 @@ object Similarity {
     * ADC scoring (Jégou et al. 2011 §IV "IVFADC", minus the residual
     * encoding — codes quantize the raw vectors, the [[pqTopK]]
     * convention, so the two stages stay independently auditable against
-    * their standalone gates). This is the 100 TB serving shape the
+    * their standalone gates; [[ivfAdcTopK]] is the residual-encoded
+    * full construction). This is the 100 TB serving shape the
     * separate [[ivfKmeansTopK]] and [[pqTopK]] gates only imply: the
     * coarse quantizer prunes the candidate set to `nprobe` inverted
     * lists, and the scan over those lists reads CODES (a few bytes per
@@ -570,6 +571,83 @@ object Similarity {
         element_at(col("q_qe"), m * subDim + i).cast("double")
           * element_at(cent, i)).reduce(_ + _)
     }.reduce(_ + _)
+    val scored = codes.join(broadcast(probes), "cid")
+      .withColumn("cos", approxDot
+        / (sqrt(col("q_nq").cast("double")) * sqrt(col("nq").cast("double"))))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** IVFADC with RESIDUAL encoding — the full Jégou et al. 2011 §IV
+    * construction [[ivfPqTopK]] deliberately left out: PQ codes quantize
+    * `x − centroid(x)` instead of raw x. Residuals concentrate near the
+    * origin (the coarse quantizer has already explained the
+    * between-list variance), so the same codebook budget spends its
+    * centroids on a far tighter distribution — the quality step that
+    * makes IVFPQ competitive at scale. ADC reconstructs
+    * `dot(q, x) ≈ dot(q, c_coarse) + dot(q, codebook[residual code])`,
+    * so the coarse term is a per-(query, probed-list) scalar and the
+    * residual term is the usual code lookup.
+    *
+    * Determinism (oracle-exact): coarse centroids are floor-quantized
+    * back to int64 before the residual subtraction, so residuals are
+    * EXACT integer differences and the residual codebooks inherit
+    * [[trainCentroids]]' integer-sum/IEEE-mean arithmetic unchanged
+    * (double sums over residuals would be order-dependent across
+    * engines; integer sums are not). List assignment still probes the
+    * full-precision coarse means. The ADC chain folds coarse term
+    * first, then slice-by-slice dim-by-dim left-to-right — the DuckDB
+    * oracle replays the identical double chain.
+    *
+    * Scale: identical serving shape to [[ivfPqTopK]] — centroids, the
+    * quantized-centroid table, and codebooks are driver-held metadata;
+    * one encoding pass (coarse id + `subspaces` residual codes per
+    * vector, vectors dropped after); candidates join the CODE table
+    * against broadcast (query × probe) rows on the coarse id. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      subspaces: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces slices")
+    require(nprobe >= 1 && nprobe <= kClusters,
+      s"need 1 <= nprobe <= kClusters: $nprobe, $kClusters")
+    val subDim = dim / subspaces
+    import graft.functions.CentroidRank.centroid_rank
+    val c = prepared(corpus)
+    val coarse = trainCentroids(c, kClusters, iters, dim)
+    // floor-quantized coarse centroids: residuals stay exact integers
+    val coarseQ: Seq[Seq[Long]] = coarse.map(_.map(v => math.floor(v).toLong))
+    def cq(cid: Column): Column =
+      element_at(typedlit(coarseQ), cid.cast("int") + 1)
+    val assigned = c
+      .withColumn("cid", element_at(centroid_rank(col("qe"), coarse), 1))
+      .withColumn("rq", zip_with(col("qe"), cq(col("cid")), (x, cc) => x - cc))
+    // residual codebooks: the one-pass-per-iteration trainer over the
+    // residual vectors (same seeds — smallest (md5, vec_id) rows)
+    val books = trainPqBooks(
+      assigned.select(col("vec_id"), col("rq").as("qe")),
+      subspaces, kClusters, iters, dim)
+    val codes = books.zipWithIndex.foldLeft(
+      assigned.select(col("vec_id"), col("nq"), col("cid"), col("rq"))) {
+      case (df, (book, m)) =>
+        df.withColumn(s"code$m", element_at(
+          centroid_rank(slice(col("rq"), m * subDim + 1, subDim), book), 1))
+    }.drop("rq")
+    val q = prepared(queries).select(col("vec_id").as("query_id"),
+      col("qe").as("q_qe"), col("nq").as("q_nq"))
+    val probes = q.select(col("query_id"), col("q_qe"), col("q_nq"),
+      explode(slice(centroid_rank(col("q_qe"), coarse), 1, nprobe)).as("cid"))
+    // ADC: coarse term first (dot(q, floor-quantized probed centroid)),
+    // then the residual subspace lookups — fixed left-to-right fold
+    val coarseTerm = (1 to dim).map(i =>
+      element_at(col("q_qe"), i).cast("double")
+        * element_at(cq(col("cid")), i).cast("double")).reduce(_ + _)
+    val subspaceTerms = (0 until subspaces).map { m =>
+      val cent = element_at(typedlit(books(m)), col(s"code$m").cast("int") + 1)
+      (1 to subDim).map(i =>
+        element_at(col("q_qe"), m * subDim + i).cast("double")
+          * element_at(cent, i)).reduce(_ + _)
+    }
+    val approxDot = subspaceTerms.foldLeft(coarseTerm)(_ + _)
     val scored = codes.join(broadcast(probes), "cid")
       .withColumn("cos", approxDot
         / (sqrt(col("q_nq").cast("double")) * sqrt(col("nq").cast("double"))))
@@ -748,6 +826,15 @@ object Similarity {
     * the dominant eigenvalue once converged. */
   def pcaBasis(emb: DataFrame, components: Int = 2, iters: Int = 12,
       dim: Int = 64): (Seq[Double], Seq[(Double, Seq[Double])]) = {
+    val (means, comps, _) = pcaBasisWithTrace(emb, components, iters, dim)
+    (means, comps)
+  }
+
+  /** [[pcaBasis]] plus the covariance trace (Σ of the exact diagonal,
+    * folded over ascending dims) — the total-variance denominator the
+    * explained-variance report divides by. */
+  private[graft] def pcaBasisWithTrace(emb: DataFrame, components: Int,
+      iters: Int, dim: Int): (Seq[Double], Seq[(Double, Seq[Double])], Double) = {
     require(components >= 1 && iters >= 1,
       s"need components, iters >= 1: $components, $iters")
     val row = emb.filter(col("embedding").isNotNull)
@@ -772,6 +859,8 @@ object Similarity {
       work(j)(i) = cov
       if (i == j) mean(i) = e.getLong(3).toDouble / n.toDouble
     }
+    // trace BEFORE deflation: total variance, ascending-dim fold
+    val trace = (0 until dim).map(i => work(i)(i)).sum
     val comps = (0 until components).map { _ =>
       val v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
       var lam = 0.0
@@ -802,7 +891,32 @@ object Similarity {
       }
       (lam, v.toSeq)
     }
-    (mean.toSeq, comps)
+    (mean.toSeq, comps, trace)
+  }
+
+  /** Explained-variance report over the [[pcaBasis]] spectrum — the
+    * table a pipeline owner reads BEFORE choosing `components`: per
+    * component its eigenvalue λ (the converged power-iteration matvec
+    * norm), the explained fraction λ / trace (trace is the exact
+    * covariance diagonal sum — total variance), and the running
+    * cumulative fraction. Deterministic like the basis itself: λ and
+    * trace derive from the same integer sufficient statistics, the
+    * fractions are single IEEE divisions, and the cumulative sum folds
+    * component-by-component.
+    *
+    * Scale: ONE cov_stats corpus pass (the [[pcaBasis]] aggregate);
+    * everything else is a components-row driver frame. */
+  def pcaVariance(emb: DataFrame, components: Int = 2, iters: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val (_, comps, trace) = pcaBasisWithTrace(emb, components, iters, dim)
+    var cum = 0.0
+    val rows = comps.zipWithIndex.map { case ((lam, _), i) =>
+      cum = cum + lam
+      ((i + 1).toLong, lam, lam / trace, cum / trace)
+    }
+    val s = emb.sparkSession
+    import s.implicits._
+    rows.toDF("component", "lambda", "explained_frac", "cum_frac")
   }
 
   /** Project the corpus onto the [[pcaBasis]] components — the gated

@@ -135,6 +135,11 @@ class DedupSpec extends SparkSpec {
       4L -> (4L, 1L), 5L -> (5L, 1L), 6L -> (5L, 0L), 7L -> (7L, 1L)))
     // exactly one canonical doc per cluster
     assert(got.values.count(_._2 == 1L) == 4)
+    // the >threshold DISTRIBUTED star-contraction path (forced via
+    // localThreshold = 0) must produce the identical labeling
+    val dist = Dedup.dupClusters(docs, pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dist == got)
   }
 
   test("simhashPairs multi-probe: recall 1.0 vs exact all-pairs Hamming when maxHamming < rotations") {
@@ -699,5 +704,49 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.consensusPairs(docs, minSignals = 3).count() == 1L)
     intercept[IllegalArgumentException](
       Dedup.consensusPairs(docs, minSignals = 0))
+  }
+
+  test("consensusFromPairs: pre-computed generator frames compose to the same verdict") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val c = "completely different subject matter covering solar panels and wind farms"
+    val docs = docsOf((1L, a), (2L, a), (3L, c), (4L, a + " extra"))
+    // a pipeline that already gated (and persisted) the three signals
+    // composes them without re-deriving — output must be IDENTICAL to
+    // the docs-shaped entry point at the same parameters
+    val composed = Dedup.consensusFromPairs(
+      Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.1,
+        maxDocFrequency = Some(5)),
+      Dedup.simhashPairs(docs, maxHamming = 3),
+      Dedup.winnowPairs(docs, maxDf = 1000))
+    val direct = Dedup.consensusPairs(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_signals"), r.getAs[String]("signals"))).toSet
+    assert(rows(composed) == rows(direct) && rows(direct).nonEmpty)
+  }
+
+  test("dedupApply: kept and dropped partition the corpus; audit names survivors") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val c = "completely different subject matter covering solar panels and wind farms"
+    // {1,2,5} collapse transitively (1-2, 2-5 edges), 3 and 4 singletons
+    val docs = docsOf((1L, a), (2L, a), (3L, c),
+      (4L, "yet another unrelated piece about gardening tulips in spring"), (5L, a))
+    val verdict = Dedup.dedupApply(docs,
+      Dedup.consensusPairs(docs).select(col("doc_a"), col("doc_b")))
+    val rows = verdict.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("cluster"), r.getAs[Long]("kept"),
+      r.getAs[Long]("kept_id"), r.getAs[Long]("n_dropped"))).toSeq
+    // partition: every input doc appears exactly once
+    assert(rows.map(_._1).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    val (kept, dropped) = rows.partition(_._3 == 1L)
+    // keep-lowest-id: 1 survives its cluster and reports 2 deletions;
+    // singletons survive with 0
+    assert(kept.map(r => r._1 -> r._5).toMap ==
+      Map(1L -> 2L, 3L -> 0L, 4L -> 0L))
+    // every dropped doc names a KEPT survivor, and it is its cluster min
+    assert(dropped.map(_._1).sorted == Seq(2L, 5L))
+    assert(dropped.forall(r => r._4 == 1L && kept.exists(_._1 == r._4)))
+    // doc passthrough columns survive the join (text rides along)
+    assert(verdict.columns.contains("text"))
   }
 }

@@ -224,4 +224,36 @@ class PackingSpec extends SparkSpec {
       (3L, 1L, 100L, -1L), (4L, 1L, 100L, -1L)),
       got.mkString(","))
   }
+
+  test("paddingApply: 90%-one-length skew splits across stripes, same assignment") {
+    val s = spark
+    import s.implicits._
+    // 45 of 50 docs share ONE length (3 tokens) — the concentration that
+    // would execute a partitionBy(len) tiebreak as a single task. A
+    // subStride of 8 forces the hot length across ceil(50/8) stripes.
+    val docs = (0 until 50).map { i =>
+      val n = if (i < 45) 3 else (i - 43) * 2
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("cap"),
+        if (r.isNullAt(r.fieldIndex("batch"))) -1L else r.getAs[Long]("batch"))).toSeq
+    val striped = Packing.paddingApply(docs, buckets = 2, budget = 9L,
+      subStride = 8L)
+    // reference: subStride wider than any id = one stripe = the plain
+    // undecomposed within-length rank
+    val plain = Packing.paddingApply(docs, buckets = 2, budget = 9L,
+      subStride = Long.MaxValue)
+    assert(rows(striped) == rows(plain))
+    // plan contract: the residual tiebreak window partitions by
+    // (len, sub), never by len alone — the skew can't serialize
+    val plan = striped.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(len#\\d+L?, sub#".r
+      .findFirstIn(plan).isDefined,
+      s"expected a (len, sub)-partitioned tiebreak window:\n$plan")
+    assert(!"windowspecdefinition\\(len#\\d+L?, doc_id#".r
+      .findFirstIn(plan).isDefined,
+      "found a len-only-partitioned doc window (the skew hazard)")
+  }
 }

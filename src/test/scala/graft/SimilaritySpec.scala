@@ -405,6 +405,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfAdcTopK: residual codes keep cluster membership and recall at " +
+      "least the raw-code IVFPQ's on the clustered fixture") {
+    // the q_ann_ivfpq_recall fixture argument, applied to the residual
+    // path: planted clusters, cluster-center queries, same
+    // nprobe/subspace budget for both indexes. Residual encoding spends
+    // the codebook on the within-list distribution, so its recall must
+    // be >= the raw-code path's — the property that justifies the step.
+    val dirs = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f), Seq(0f, 0f, 0f, 10f))
+    val members = (0 until 32).map { i =>
+      val d = dirs(i % 4)
+      (i.toLong + 100L,
+        pad(d.zipWithIndex.map { case (x, k) =>
+          x + (if (k == (i / 4) % 4) 0.5f + 0.1f * (i % 3) else 0f) }), 0)
+    }
+    val queryRows = (0 until 4).map(q => (q.toLong, pad(dirs(q)), 0))
+    val corpus = vecsOf(members: _*)
+    val queries = vecsOf(queryRows: _*)
+    val adc = Similarity.ivfAdcTopK(corpus, queries,
+      k = 3, kClusters = 4, iters = 2, nprobe = 2, subspaces = 2, dim = 8)
+    // cluster membership: every neighbor belongs to its query's cluster
+    adc.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .foreach { case (q, n) =>
+        assert((n - 100L) % 4 == q,
+          s"query $q (cluster $q) got neighbor $n of cluster ${(n - 100) % 4}")
+      }
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3)
+    def avgRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, k = 3)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val adcRecall = avgRecall(adc)
+    val pqRecall = avgRecall(Similarity.ivfPqTopK(corpus, queries,
+      k = 3, kClusters = 4, iters = 2, nprobe = 2, subspaces = 2, dim = 8))
+    assert(adcRecall >= pqRecall,
+      s"residual encoding must not lose recall: adc=$adcRecall pq=$pqRecall")
+    assert(adcRecall > 0.0, s"degenerate fixture: adc recall $adcRecall")
+  }
+
   test("pcaBasis/pcaProject: orthonormal basis, projection preserves dot " +
       "products in the retained subspace") {
     // mass lives in dims 0 (variance ~160x) and 1 (variance 1), the rest
