@@ -154,6 +154,49 @@ object SparkEntry {
   private val PqSubspaces = 4
   private val PqClusters = 8
 
+  /** The q_image_* oracles' field derivation: the SAME arithmetic (and
+    * the same shared moduli — [[graft.multimodal.Multimodal.ImgWidthMod]]
+    * / ImgHeightMod) the Spark-side fixture builder encodes into real
+    * PNG/JPEG bytes, re-derived directly so the oracle never parses
+    * binary. Any builder/parser disagreement about the byte layout
+    * surfaces as a hash mismatch against this independent computation. */
+  private def imageFieldsCte: String =
+    s"""img AS (
+       |  SELECT doc_id AS media_id, source,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       |    CAST(1 + n_chars % ${graft.multimodal.Multimodal.ImgWidthMod} AS INT) AS width,
+       |    CAST(1 + doc_id % ${graft.multimodal.Multimodal.ImgHeightMod} AS INT) AS height,
+       |    CAST(CASE WHEN doc_id % 2 = 0
+       |         THEN CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END
+       |         ELSE 8 END AS INT) AS bit_depth,
+       |    CAST(CASE WHEN doc_id % 2 = 0
+       |         THEN CASE WHEN (doc_id // 2) % 3 = 0 THEN 0
+       |              WHEN (doc_id // 2) % 3 = 1 THEN 2 ELSE 6 END
+       |         ELSE CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END END AS INT) AS color_type,
+       |    CAST(CASE WHEN doc_id % 2 = 0 THEN -1
+       |         ELSE 1 + (doc_id // 2) % 8 END AS INT) AS orientation
+       |  FROM documents)""".stripMargin
+
+  /** The q_audio_* oracles' field derivation — the audio twin of
+    * [[imageFieldsCte]]: re-derives what [[graft.multimodal.Multimodal.audioTable]]
+    * encodes into real RIFF/WAVE bytes and `wav_header` parses back
+    * (n_frames/duration_ms included — the parser computes them from
+    * data size / block align / sample rate; here they fall out of the
+    * same integer arithmetic). */
+  private def audioFieldsCte: String =
+    s"""aud AS (
+       |  SELECT doc_id AS media_id, source,
+       |    'wav' AS format, CAST(1 AS INT) AS audio_format,
+       |    CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
+       |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |         ELSE 44100 END AS INT) AS sample_rate,
+       |    CAST(CASE WHEN doc_id % 4 >= 2 THEN 8 ELSE 16 END AS INT) AS bits_per_sample,
+       |    CAST(1 + n_chars % ${graft.multimodal.Multimodal.AudFramesMod} AS BIGINT) AS n_frames,
+       |    CAST((1 + n_chars % ${graft.multimodal.Multimodal.AudFramesMod}) * 1000
+       |         // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |             ELSE 44100 END) AS BIGINT) AS duration_ms
+       |  FROM documents)""".stripMargin
+
   private def incrementalSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = docsParallel(s, dir)
     // driver-held scalar from a max() over one long column — one tiny job
@@ -658,6 +701,66 @@ object SparkEntry {
           graft.multimodal.Multimodal.mediaFromDocuments(Tables.documents(s, dir))))
         .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
         .orderBy(col("media_id"), col("frame_idx"))),
+
+    // ---- REAL image bytes through the production codec: the fixture
+    // builds structurally valid PNG/JPEG containers (live CRC32s, EXIF
+    // TIFF in both byte orders), image_header PARSES them back inside
+    // whole-stage codegen, and the oracle re-derives the same fields
+    // arithmetically — a builder↔parser binary round trip gated against
+    // an independent computation (moduli shared via Multimodal.Img*Mod)
+    "q_image_header" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageTable(Tables.documents(s, dir))
+        .select(col("media_id"),
+          graft.functions.ImageHeader.image_header(col("data")).as("h"))
+        .select(col("media_id"), col("h.format").as("format"),
+          col("h.width").as("width"), col("h.height").as("height"),
+          col("h.bit_depth").as("bit_depth"),
+          col("h.color_type").as("color_type"),
+          col("h.orientation").as("orientation"))
+        .orderBy(col("media_id")).limit(500)),
+
+    // per-source image stats off the parsed headers — the corpus audit a
+    // pipeline owner reads before a vision-data mix decision (transposed
+    // = EXIF orientations 5-8, the rotate-before-train set)
+    "q_image_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageTable(Tables.documents(s, dir))
+        .select(col("source"),
+          graft.functions.ImageHeader.image_header(col("data")).as("h"))
+        .groupBy(col("source"), col("h.format").as("format"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          min(col("h.width")).as("min_width"),
+          max(col("h.width")).as("max_width"),
+          avg(col("h.height")).as("avg_height"),
+          sum(when(col("h.orientation") >= 5, 1L).otherwise(0L)).as("n_transposed"))
+        .orderBy(col("source"), col("format"))),
+
+    // the audio twin: real RIFF/WAVE bytes (LE fmt chunk, odd-size LIST
+    // chunk exercising pad-byte alignment) parsed back by wav_header;
+    // n_frames/duration_ms are DERIVED by the parser from data size /
+    // block align / sample rate, the oracle re-derives them arithmetically
+    "q_audio_header" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioTable(Tables.documents(s, dir))
+        .select(col("media_id"),
+          graft.functions.WavHeader.wav_header(col("data")).as("h"))
+        .select(col("media_id"), col("h.format").as("format"),
+          col("h.audio_format").as("audio_format"),
+          col("h.channels").as("channels"),
+          col("h.sample_rate").as("sample_rate"),
+          col("h.bits_per_sample").as("bits_per_sample"),
+          col("h.n_frames").as("n_frames"),
+          col("h.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id")).limit(500)),
+
+    "q_audio_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioTable(Tables.documents(s, dir))
+        .select(graft.functions.WavHeader.wav_header(col("data")).as("h"))
+        .groupBy(col("h.sample_rate").as("sample_rate"),
+          col("h.bits_per_sample").as("bits_per_sample"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("h.n_frames")).as("total_frames"),
+          max(col("h.duration_ms")).as("max_duration_ms"))
+        .orderBy(col("sample_rate"), col("bits_per_sample"))),
 
     // ---- deduplication for training-data pipelines ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -3541,6 +3644,39 @@ object SparkEntry {
           |SELECT media_id, frame_idx,
           |       substring(hx, frame_idx*4*256*2 + 1, 512) AS frame_hex
           |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+      // the image gates' oracle does NOT parse bytes: it re-derives every
+      // header field from the same doc columns (and the same shared
+      // moduli) the Spark-side fixture builder encoded into real PNG/JPEG
+      // containers — so a pass proves builder and parser agree through
+      // the actual binary layout (offsets, endianness, both TIFF orders)
+      "q_image_header" ->
+        s"""WITH $imageFieldsCte
+           |SELECT media_id, format, width, height, bit_depth, color_type, orientation
+           |FROM img ORDER BY media_id LIMIT 500""".stripMargin,
+
+      "q_image_stats" ->
+        s"""WITH $imageFieldsCte
+           |SELECT source, format, CAST(count(*) AS BIGINT) AS n_media,
+           |  min(width) AS min_width, max(width) AS max_width,
+           |  avg(CAST(height AS DOUBLE)) AS avg_height,
+           |  CAST(sum(CASE WHEN orientation >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_transposed
+           |FROM img GROUP BY source, format ORDER BY source, format""".stripMargin,
+
+      "q_audio_header" ->
+        s"""WITH $audioFieldsCte
+           |SELECT media_id, format, audio_format, channels, sample_rate,
+           |       bits_per_sample, n_frames, duration_ms
+           |FROM aud ORDER BY media_id LIMIT 500""".stripMargin,
+
+      "q_audio_stats" ->
+        s"""WITH $audioFieldsCte
+           |SELECT sample_rate, bits_per_sample,
+           |  CAST(count(*) AS BIGINT) AS n_media,
+           |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           |  max(duration_ms) AS max_duration_ms
+           |FROM aud GROUP BY sample_rate, bits_per_sample
+           |ORDER BY sample_rate, bits_per_sample""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,

@@ -142,6 +142,24 @@ object GraftExtensions {
       { args =>
         require(args.size == 2, "zorder2(x, y)")
         ZOrder2(Cast(args.head, LongType), Cast(args(1), LongType))
+      }),
+    (FunctionIdentifier("image_header"),
+      info("image_header",
+        "image_header(data) - parse PNG IHDR / JPEG SOFn+EXIF from a binary column into " +
+          "struct<format, width, height, bit_depth, color_type, orientation>; " +
+          "corrupt bytes yield ('unknown', -1, ...) rather than an error"),
+      { args =>
+        require(args.size == 1, "image_header(data)")
+        ImageHeader(args.head)
+      }),
+    (FunctionIdentifier("wav_header"),
+      info("wav_header",
+        "wav_header(data) - parse a RIFF/WAVE header from a binary column into " +
+          "struct<format, audio_format, channels, sample_rate, bits_per_sample, " +
+          "n_frames, duration_ms>; corrupt bytes yield ('unknown', -1, ...)"),
+      { args =>
+        require(args.size == 1, "wav_header(data)")
+        WavHeader(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

@@ -159,6 +159,208 @@ object Multimodal {
     df.as[MediaRow]
   }
 
+  // ====== real image-bytes fixture + the production header codec ======
+
+  /** Shared gate/oracle constants for the synthetic image corpus — the
+    * DuckDB oracle re-derives width/height/depth/... from these SAME
+    * moduli, so the q_image_* gates verify that the byte BUILDER and the
+    * byte PARSER ([[graft.functions.ImageHeader]]) agree through a real
+    * binary round trip, against an independent arithmetic oracle. */
+  val ImgWidthMod = 1000
+  val ImgHeightMod = 800
+
+  /** Deterministic synthetic corpus of REAL image bytes: even doc_ids
+    * become structurally-valid PNGs (signature, IHDR with live CRC32s,
+    * a tEXt ancillary chunk, IEND), odd doc_ids become JPEG/JFIF streams
+    * (SOI, APP0 JFIF, comment, APP1 EXIF carrying orientation in
+    * alternating TIFF byte orders, DQT, SOF0, SOS, EOI). Field values
+    * derive from doc columns so the oracle can re-derive them without
+    * parsing. */
+  def imageTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (docId, source, nChars) =>
+        val w = (1L + nChars % ImgWidthMod).toInt
+        val h = (1L + docId % ImgHeightMod).toInt
+        val data =
+          if (docId % 2 == 0) {
+            val depth = if (docId % 4 == 0) 16 else 8
+            val colorType = ((docId / 2) % 3) match {
+              case 0 => 0 // greyscale
+              case 1 => 2 // truecolor
+              case _ => 6 // truecolor + alpha
+            }
+            synthPng(w, h, depth, colorType)
+          } else {
+            val components = if (docId % 3 == 0) 1 else 3
+            val orientation = (1L + (docId / 2) % 8).toInt
+            synthJpeg(w, h, components, orientation,
+              bigEndianTiff = docId % 4 == 1)
+          }
+        (docId, source, data)
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  private def crc32(bytes: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(bytes)
+    c.getValue.toInt
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def pngChunk(chunkType: String, payload: Array[Byte]): Array[Byte] = {
+    val body = chunkType.getBytes("US-ASCII") ++ payload
+    be32(payload.length) ++ body ++ be32(crc32(body))
+  }
+
+  /** A structurally valid PNG container: real signature, IHDR with real
+    * CRC32s, one ancillary tEXt chunk, IEND. (No pixel data — header
+    * extraction never reads past IHDR.) */
+  def synthPng(width: Int, height: Int, bitDepth: Int, colorType: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = pngChunk("IHDR",
+      be32(width) ++ be32(height) ++
+        Array(bitDepth.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+    val text = pngChunk("tEXt", "Software\u0000graft".getBytes("US-ASCII"))
+    val iend = pngChunk("IEND", Array.emptyByteArray)
+    sig ++ ihdr ++ text ++ iend
+  }
+
+  /** A JPEG/JFIF byte stream whose header region exercises the whole
+    * marker walk: APP0 (JFIF), COM, APP1 (EXIF TIFF with a Make entry
+    * BEFORE the orientation entry so the IFD loop really walks, in the
+    * requested byte order), DQT, SOF0 with per-component specs, SOS, a
+    * few entropy bytes, EOI. */
+  def synthJpeg(width: Int, height: Int, components: Int, orientation: Int,
+      bigEndianTiff: Boolean): Array[Byte] = {
+    def m(b: Int): Array[Byte] = Array(0xff.toByte, b.toByte)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      m(marker) ++ be16(payload.length + 2) ++ payload
+
+    val app0 = seg(0xe0,
+      "JFIF\u0000".getBytes("US-ASCII") ++
+        Array(1.toByte, 1.toByte, 0.toByte) ++ be16(1) ++ be16(1) ++
+        Array(0.toByte, 0.toByte))
+    val com = seg(0xfe, "graft-fixture".getBytes("US-ASCII"))
+
+    // TIFF: header(8) + IFD0(count 2 + 2 entries + next-offset 4) + "graft\0"
+    def t16(v: Int): Array[Byte] = if (bigEndianTiff) be16(v) else be16(v).reverse
+    def t32(v: Int): Array[Byte] = if (bigEndianTiff) be32(v) else be32(v).reverse
+    val order = if (bigEndianTiff) "MM" else "II"
+    val ifdBytes = t16(2) ++
+      // tag 0x010F Make, ASCII, count 6, value at offset 8+2+24+4 = 38
+      (t16(0x010f) ++ t16(2) ++ t32(6) ++ t32(38)) ++
+      // tag 0x0112 Orientation, SHORT, count 1, value inline (first 2 bytes)
+      (t16(0x0112) ++ t16(3) ++ t32(1) ++ (t16(orientation) ++ t16(0))) ++
+      t32(0)
+    val tiff = order.getBytes("US-ASCII") ++ t16(42) ++ t32(8) ++
+      ifdBytes ++ "graft\u0000".getBytes("US-ASCII")
+    val app1 = seg(0xe1, "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff)
+
+    val dqt = seg(0xdb, 0.toByte +: Array.tabulate[Byte](64)(i => ((i % 63) + 1).toByte))
+    val sof0 = seg(0xc0,
+      Array(8.toByte) ++ be16(height) ++ be16(width) ++ Array(components.toByte) ++
+        Array.tabulate(components)(c =>
+          Array((c + 1).toByte, 0x11.toByte, 0.toByte)).flatten)
+    val sos = seg(0xda,
+      Array(components.toByte) ++
+        Array.tabulate(components)(c => Array((c + 1).toByte, 0.toByte)).flatten ++
+        Array(0.toByte, 63.toByte, 0.toByte))
+    m(0xd8) ++ app0 ++ com ++ app1 ++ dqt ++ sof0 ++ sos ++
+      Array(0x12, 0x34, 0x56).map(_.toByte) ++ m(0xd9)
+  }
+
+  /** Shared gate/oracle constant for the synthetic WAV corpus (the
+    * Img*Mod pattern): frame counts derive as `1 + n_chars % AudFramesMod`
+    * on both engines. */
+  val AudFramesMod = 500
+
+  /** Deterministic synthetic corpus of REAL RIFF/WAVE bytes — the audio
+    * twin of [[imageTable]]: every doc becomes a PCM WAV whose `fmt ` and
+    * `data` chunks encode doc-derived values (channels, sample rate,
+    * bits, frame count), with an odd-sized LIST chunk in between so the
+    * parser's word-alignment pad-byte handling is exercised on every row.
+    * The oracle re-derives the same fields arithmetically. */
+  def audioTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (docId, source, nChars) =>
+        val channels = (1L + (docId / 2) % 2).toInt
+        val sampleRate = (docId % 3) match {
+          case 0 => 8000
+          case 1 => 16000
+          case _ => 44100
+        }
+        val bits = if (docId % 4 >= 2) 8 else 16
+        val nFrames = (1L + nChars % AudFramesMod).toInt
+        (docId, source, synthWav(channels, sampleRate, bits, nFrames))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+
+  /** A complete little-endian PCM RIFF/WAVE byte stream: RIFF size, an
+    * odd-sized LIST/INFO chunk (forces the pad byte), the 16-byte `fmt `
+    * chunk, and a `data` chunk of `nFrames * blockAlign` deterministic
+    * sample bytes. */
+  def synthWav(channels: Int, sampleRate: Int, bitsPerSample: Int, nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nFrames * blockAlign
+    val listPayload = "INFOg".getBytes("US-ASCII") // odd size 5 -> pad byte
+    val list = "LIST".getBytes("US-ASCII") ++ le32(listPayload.length) ++
+      listPayload ++ Array(0.toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample)
+    val samples = Array.tabulate[Byte](dataSize)(j => ((j * 7 + 3) % 251).toByte)
+    val data = "data".getBytes("US-ASCII") ++ le32(dataSize) ++ samples ++
+      (if ((dataSize & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+    val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** The PRODUCTION codec at the [[MediaCodec]] seam: features come from a
+    * real byte parse ([[graft.functions.ImageHeader]] — PNG IHDR / JPEG
+    * SOFn + EXIF), not a byte histogram. Frame sampling and resize keep
+    * the byte-window plumbing (header parsing yields no pixel buffer to
+    * resample; those stages stay payload-shaped by design). */
+  object ImageHeaderCodec extends MediaCodec {
+    val FeatureDim = 6
+    override def featureDim: Int = FeatureDim
+
+    def decodeFeatures(data: Array[Byte]): Array[Float] = {
+      val h = graft.functions.ImageHeader.parse(data)
+      val fmt = h.getUTF8String(0).toString match {
+        case "png" => 1f
+        case "jpeg" => 2f
+        case _ => 0f
+      }
+      Array(fmt, h.getInt(1).toFloat, h.getInt(2).toFloat,
+        h.getInt(3).toFloat, h.getInt(4).toFloat, h.getInt(5).toFloat)
+    }
+
+    def sampleFrames(data: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]] =
+      StubCodec.sampleFrames(data, frameBytes, stride)
+
+    def resize(data: Array[Byte], targetBytes: Int): Array[Byte] =
+      StubCodec.resize(data, targetBytes)
+  }
+
   /** Metadata-only summary — must never read `data` (column pruning): byte
     * size from metadata-carrying octet_length projection, frame count by
     * arithmetic, grouped per modality. */

@@ -234,4 +234,29 @@ class ExtensionsSpec extends SparkSpec {
     // the second accumulation pushes the sxy sum past Long.MaxValue
     intercept[ArithmeticException](big.insert(Array(3037000499L)))
   }
+
+  test("SQL image_header / wav_header parse real container bytes from the registry") {
+    GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, graft.multimodal.Multimodal.synthPng(320, 200, 8, 2)),
+      (2L, graft.multimodal.Multimodal.synthJpeg(64, 48, 3, 6, bigEndianTiff = false)),
+      (3L, graft.multimodal.Multimodal.synthWav(2, 16000, 16, 160)),
+      (4L, "not media".getBytes("UTF-8")))
+      .toDF("id", "data").createOrReplaceTempView("media_bytes")
+    val img = spark.sql(
+      """SELECT id, image_header(data).format AS f, image_header(data).width AS w,
+        |       image_header(data).orientation AS o
+        |FROM media_bytes ORDER BY id""".stripMargin).collect()
+    assert(img.map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((1L, "png", 320, -1), (2L, "jpeg", 64, 6),
+        (3L, "unknown", -1, -1), (4L, "unknown", -1, -1)))
+    val wav = spark.sql(
+      """SELECT wav_header(data).channels AS c, wav_header(data).sample_rate AS sr,
+        |       wav_header(data).n_frames AS nf, wav_header(data).duration_ms AS ms
+        |FROM media_bytes WHERE id = 3""".stripMargin).collect().head
+    assert((wav.getInt(0), wav.getInt(1), wav.getLong(2), wav.getLong(3)) ==
+      ((2, 16000, 160L, 10L)))
+  }
 }
