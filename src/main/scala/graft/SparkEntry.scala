@@ -197,6 +197,23 @@ object SparkEntry {
        |             ELSE 44100 END) AS BIGINT) AS duration_ms
        |  FROM documents)""".stripMargin
 
+  /** The q_video_header / q_media_mix oracles' field derivation — the
+    * video leg: what [[graft.multimodal.Multimodal.videoTable]] encodes
+    * into real ISO-BMFF boxes and `mp4_header` parses back. */
+  private def videoFieldsCte: String =
+    s"""vid AS (
+       |  SELECT doc_id AS media_id, source, 'mp4' AS format,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+       |    CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+       |         ELSE 90000 END AS INT) AS timescale,
+       |    CAST((1 + n_chars % ${graft.multimodal.Multimodal.VidDurMod}) * 1000
+       |         // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+       |             ELSE 90000 END) AS BIGINT) AS duration_ms,
+       |    CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+       |    CAST(16 * (1 + doc_id % 120) AS INT) AS width,
+       |    CAST(16 * (1 + doc_id % 68) AS INT) AS height
+       |  FROM documents)""".stripMargin
+
   private def incrementalSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = docsParallel(s, dir)
     // driver-held scalar from a max() over one long column — one tiny job
@@ -761,6 +778,48 @@ object SparkEntry {
           sum(col("h.n_frames")).as("total_frames"),
           max(col("h.duration_ms")).as("max_duration_ms"))
         .orderBy(col("sample_rate"), col("bits_per_sample"))),
+
+    // the video leg: ISO-BMFF box walk (ftyp brand, mvhd v0 AND v1,
+    // 64-bit largesize boxes, 16.16 fixed-point track dims, audio-track
+    // skipping) over synthesized structurally-valid MP4s
+    "q_video_header" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoTable(Tables.documents(s, dir))
+        .select(col("media_id"),
+          graft.functions.Mp4Header.mp4_header(col("data")).as("h"))
+        .select(col("media_id"), col("h.format").as("format"),
+          col("h.major_brand").as("major_brand"),
+          col("h.timescale").as("timescale"),
+          col("h.duration_ms").as("duration_ms"),
+          col("h.n_tracks").as("n_tracks"),
+          col("h.width").as("width"), col("h.height").as("height"))
+        .orderBy(col("media_id")).limit(500)),
+
+    // cross-modality corpus mix: all three parsed fixture tables unioned
+    // into one per-source modality histogram with a modality-native
+    // volume metric (pixels / audio frames / video ms) — the one-page
+    // audit a multimodal training-mix decision reads
+    "q_media_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val img = graft.multimodal.Multimodal.imageTable(docs)
+        .select(col("source"),
+          graft.functions.ImageHeader.image_header(col("data")).as("h"))
+        .select(col("source"), lit("image").as("modality"),
+          (col("h.width").cast("long") * col("h.height").cast("long")).as("units"))
+      val aud = graft.multimodal.Multimodal.audioTable(docs)
+        .select(col("source"),
+          graft.functions.WavHeader.wav_header(col("data")).as("h"))
+        .select(col("source"), lit("audio").as("modality"),
+          col("h.n_frames").as("units"))
+      val vid = graft.multimodal.Multimodal.videoTable(docs)
+        .select(col("source"),
+          graft.functions.Mp4Header.mp4_header(col("data")).as("h"))
+        .select(col("source"), lit("video").as("modality"),
+          col("h.duration_ms").as("units"))
+      img.unionByName(aud).unionByName(vid)
+        .groupBy(col("source"), col("modality"))
+        .agg(count(lit(1)).as("n_media"), sum(col("units")).as("total_units"))
+        .orderBy(col("source"), col("modality"))
+    }),
 
     // ---- deduplication for training-data pipelines ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -3677,6 +3736,25 @@ object SparkEntry {
            |  max(duration_ms) AS max_duration_ms
            |FROM aud GROUP BY sample_rate, bits_per_sample
            |ORDER BY sample_rate, bits_per_sample""".stripMargin,
+
+      "q_video_header" ->
+        s"""WITH $videoFieldsCte
+           |SELECT media_id, format, major_brand, timescale, duration_ms,
+           |       n_tracks, width, height
+           |FROM vid ORDER BY media_id LIMIT 500""".stripMargin,
+
+      "q_media_mix" ->
+        s"""WITH $imageFieldsCte, $audioFieldsCte, $videoFieldsCte,
+           |u AS (
+           |  SELECT source, 'image' AS modality,
+           |         CAST(width AS BIGINT) * CAST(height AS BIGINT) AS units FROM img
+           |  UNION ALL
+           |  SELECT source, 'audio' AS modality, n_frames AS units FROM aud
+           |  UNION ALL
+           |  SELECT source, 'video' AS modality, duration_ms AS units FROM vid)
+           |SELECT source, modality, CAST(count(*) AS BIGINT) AS n_media,
+           |       CAST(sum(units) AS BIGINT) AS total_units
+           |FROM u GROUP BY source, modality ORDER BY source, modality""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,

@@ -160,6 +160,15 @@ object GraftExtensions {
       { args =>
         require(args.size == 1, "wav_header(data)")
         WavHeader(args.head)
+      }),
+    (FunctionIdentifier("mp4_header"),
+      info("mp4_header",
+        "mp4_header(data) - parse an ISO-BMFF (MP4) header from a binary column into " +
+          "struct<format, major_brand, timescale, duration_ms, n_tracks, width, height>; " +
+          "corrupt bytes yield ('unknown', ...)"),
+      { args =>
+        require(args.size == 1, "mp4_header(data)")
+        Mp4Header(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

@@ -334,6 +334,87 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  /** Shared gate/oracle constant for the synthetic MP4 corpus: movie
+    * duration units derive as `1 + n_chars % VidDurMod`. */
+  val VidDurMod = 100000
+
+  /** Deterministic synthetic corpus of REAL ISO-BMFF (MP4) bytes — the
+    * video leg of the fixture triple: ftyp (doc-derived major brand), a
+    * free box (64-bit largesize on every 7th doc, exercising the u64
+    * size path), moov with mvhd (version 1 on every 5th doc) and one or
+    * two trak/tkhd boxes (video dims in 16.16 fixed point; odd docs add
+    * a 0x0 audio track), and an mdat payload the parser must skip by
+    * size. The oracle re-derives every field arithmetically. */
+  def videoTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (docId, source, nChars) =>
+        val brand = if (docId % 2 == 0) "isom" else "mp42"
+        val timescale = (docId % 3) match {
+          case 0 => 600
+          case 1 => 1000
+          case _ => 90000
+        }
+        val units = 1L + nChars % VidDurMod
+        val w = (16L * (1 + docId % 120)).toInt
+        val h = (16L * (1 + docId % 68)).toInt
+        (docId, source, synthMp4(brand, timescale, units, w, h,
+          audioTrack = docId % 2 == 1,
+          mvhdV1 = docId % 5 == 0,
+          largeFree = docId % 7 == 0))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  private def mp4Box(boxType: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ boxType.getBytes("US-ASCII") ++ payload
+
+  /** A structurally valid minimal MP4: every box size is live, mvhd and
+    * tkhd carry full-length payloads (unity matrix, rate/volume), and
+    * dims ride the spec's 16.16 fixed-point encoding. */
+  def synthMp4(brand: String, timescale: Int, durationUnits: Long,
+      videoW: Int, videoH: Int, audioTrack: Boolean,
+      mvhdV1: Boolean, largeFree: Boolean): Array[Byte] = {
+    require(brand.length == 4, s"4cc brand: $brand")
+    val unityMatrix =
+      be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+    val ftyp = mp4Box("ftyp",
+      brand.getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    val free =
+      if (largeFree) {
+        val payload = Array.tabulate[Byte](9)(i => (i + 1).toByte)
+        be32(1) ++ "free".getBytes("US-ASCII") ++
+          be32(0) ++ be32(16 + payload.length) ++ payload // u64 largesize
+      } else mp4Box("free", Array.tabulate[Byte](6)(i => (i + 1).toByte))
+    val mvhdTail = // rate, volume+reserved, reserved(8), matrix, predefined(24), next track
+      be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+        unityMatrix ++ Array.fill[Byte](24)(0) ++ be32(3)
+    val mvhd =
+      if (mvhdV1)
+        mp4Box("mvhd", Array[Byte](1, 0, 0, 0) ++
+          be64(0L) ++ be64(0L) ++ be32(timescale) ++ be64(durationUnits) ++ mvhdTail)
+      else
+        mp4Box("mvhd", Array[Byte](0, 0, 0, 0) ++
+          be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durationUnits.toInt) ++ mvhdTail)
+    def tkhd(trackId: Int, w: Int, h: Int) =
+      mp4Box("tkhd", Array[Byte](0, 0, 0, 7) ++
+        be32(0) ++ be32(0) ++ be32(trackId) ++ be32(0) ++ be32(durationUnits.toInt) ++
+        be64(0L) ++ be16(0) ++ be16(0) ++ be16(if (w == 0) 0x0100 else 0) ++ be16(0) ++
+        unityMatrix ++ be32(w << 16) ++ be32(h << 16))
+    val traks =
+      (if (audioTrack) mp4Box("trak", tkhd(1, 0, 0)) else Array.emptyByteArray) ++
+        mp4Box("trak", tkhd(if (audioTrack) 2 else 1, videoW, videoH))
+    val moov = mp4Box("moov", mvhd ++ traks)
+    val mdat = mp4Box("mdat", Array.tabulate[Byte](32)(j => ((j * 5 + 1) % 127).toByte))
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  private def be64(v: Long): Array[Byte] =
+    be32((v >>> 32).toInt) ++ be32((v & 0xffffffffL).toInt)
+
   /** The PRODUCTION codec at the [[MediaCodec]] seam: features come from a
     * real byte parse ([[graft.functions.ImageHeader]] — PNG IHDR / JPEG
     * SOFn + EXIF), not a byte histogram. Frame sampling and resize keep

@@ -620,6 +620,31 @@ class PlanContractSpec extends SparkSpec {
       s"q_tcloseness expected three reads of ONE pinned histogram:\n$t")
   }
 
+  test("media header gates keep scan-shaped plans: top-k reads, single-exchange stats") {
+    // per-row header gates: ORDER BY media_id LIMIT 500 must plan as a
+    // TakeOrdered top-k (never a global sort), with the parse expression
+    // in-plan and no join/window
+    Seq("q_image_header" -> "image_header",
+        "q_audio_header" -> "wav_header",
+        "q_video_header" -> "mp4_header").foreach { case (name, expr) =>
+      val p = planOf(name).split("== Initial Plan ==")(0)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name must plan a top-k, not a global sort:\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$name must stay scan-shaped:\n$p")
+      assert(p.contains(expr), s"$name lost the native $expr expression:\n$p")
+    }
+    // stats gates: map-side partial aggregate, exactly one hash exchange,
+    // no join — including the three-modality union, whose branches
+    // partially aggregate BEFORE the single shared exchange
+    Seq("q_image_stats", "q_audio_stats", "q_media_mix").foreach { name =>
+      val p = planOf(name).split("== Initial Plan ==")(0)
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 1, s"$name expected exactly one hash exchange, got $n:\n$p")
+    }
+  }
+
   test("unicode audit is one scan-bound lang aggregate") {
     // the normalization runs inside the scan->aggregate pipeline as a
     // codegen expression: no join, no window, ONE hash exchange
