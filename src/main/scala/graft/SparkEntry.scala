@@ -154,6 +154,12 @@ object SparkEntry {
   private val PqSubspaces = 4
   private val PqClusters = 8
 
+  /** Shared gate↔oracle constants for q_bitext_margin (same pattern):
+    * neighborhood size and the mining threshold appear in the Spark call
+    * AND the oracle's QUALIFY bound / WHERE clause. */
+  private val BitextK = 4
+  private val BitextMinMargin = 1.0
+
   /** The q_image_* oracles' field derivation: the SAME arithmetic (and
     * the same shared moduli — [[graft.multimodal.Multimodal.ImgWidthMod]]
     * / ImgHeightMod) the Spark-side fixture builder encodes into real
@@ -563,6 +569,20 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin):
+    // even labels as the source side, odd as the target; per source the
+    // margin-argmax target above the threshold with the forward-backward
+    // mutual flag — neighborhood sums in integer micro-units so the
+    // margin hashes identically on both engines
+    "q_bitext_margin" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginPairs(
+        e.filter(col("label") % 2 === 0),
+        e.filter(col("label") % 2 === 1),
+        k = BitextK, minMargin = BitextMinMargin)
+        .orderBy(col("src_id"))
     }),
 
     // recall@5 of the sign-IVF index vs the exact brute-force ranking —
@@ -3452,6 +3472,47 @@ object SparkEntry {
            |      FROM scored)
            |SELECT query_id, "rank", neighbor_id, cos FROM r
            |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      // margin-based bitext mining: both directions' exact top-k, the
+      // neighborhood sums in integer micro-units (floor(cos*1e9), summed
+      // as BIGINT — float sums would hash-diverge on order), ratio margin
+      // as ONE division of exact operands, forward-backward mutual flag
+      "q_bitext_margin" ->
+        s"""$quantCte,
+           |fw0 AS (
+           |  SELECT qs.vec_id AS src_id, c.vec_id AS tgt_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+           |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM n c, n qs WHERE c.label % 2 = 1 AND qs.label % 2 = 0),
+           |fw AS (SELECT src_id, tgt_id, cos FROM fw0
+           |       QUALIFY row_number() OVER (PARTITION BY src_id
+           |         ORDER BY cos DESC, tgt_id) <= $BitextK),
+           |bw0 AS (
+           |  SELECT qs.vec_id AS tgt_id, c.vec_id AS src_id,
+           |         ${dotExpr.format("c.qe", "c.qe", "qs.qe")}
+           |           / (sqrt(CAST(qs.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cos
+           |  FROM n c, n qs WHERE c.label % 2 = 0 AND qs.label % 2 = 1),
+           |bw AS (SELECT tgt_id, src_id, cos FROM bw0
+           |       QUALIFY row_number() OVER (PARTITION BY tgt_id
+           |         ORDER BY cos DESC, src_id) <= $BitextK),
+           |sx AS (SELECT src_id,
+           |         CAST(sum(CAST(floor(cos*1000000000.0) AS BIGINT)) AS BIGINT) AS sxm
+           |       FROM fw GROUP BY 1),
+           |sy AS (SELECT tgt_id,
+           |         CAST(sum(CAST(floor(cos*1000000000.0) AS BIGINT)) AS BIGINT) AS sym
+           |       FROM bw GROUP BY 1),
+           |sc AS (SELECT f.src_id, f.tgt_id, f.cos,
+           |         CAST(CAST(floor(f.cos*1000000000.0) AS BIGINT) AS DOUBLE)
+           |           * ${2.0 * BitextK} / CAST(sx.sxm + sy.sym AS DOUBLE) AS margin,
+           |         CASE WHEN b.src_id IS NULL THEN 0 ELSE 1 END AS mut
+           |       FROM fw f JOIN sx ON f.src_id = sx.src_id
+           |       JOIN sy ON f.tgt_id = sy.tgt_id
+           |       LEFT JOIN bw b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id)
+           |SELECT src_id, tgt_id, cos, margin, CAST(mut AS BIGINT) AS mutual
+           |FROM sc WHERE margin >= $BitextMinMargin
+           |QUALIFY row_number() OVER (PARTITION BY src_id
+           |  ORDER BY margin DESC, tgt_id) = 1
+           |ORDER BY src_id""".stripMargin,
 
       // label centroids: identical per-dim integer sums, truncated
       // (toward-zero) mean (s // n) BEFORE the dot, ordered list rebuild,

@@ -211,6 +211,67 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL;
+    * the CCMatrix / LASER mining rule): a candidate pair (x, y) is scored
+    * not by raw cosine — which miscalibrates across hubness regions — but
+    * by the RATIO margin
+    * `cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z) + Σ_{z∈NNk(y)} cos(y,z)) / 2k)`,
+    * i.e. how much better this pair is than each side's neighborhood
+    * average. Candidates are x's forward top-k; the mined pair per source
+    * is the margin-argmax above `minMargin`, with `mutual = 1` when x is
+    * also inside y's backward top-k (the forward-backward agreement
+    * CCMatrix intersects on).
+    *
+    * Engine-exactness: each cosine is the deterministic quantized double
+    * ([[cosineQ]]); neighborhood sums are taken in integer MICRO-units
+    * (`floor(cos · 1e9)` per neighbor, summed as int64 — the
+    * [[graft.operators.Retrieval.rrfFuse]] discipline, because a float Σ
+    * would hash-diverge on summation order), and the margin is one
+    * division of exact operands.
+    *
+    * Scale shape: both top-k frames are queries×k-bounded, so everything
+    * after candidate generation joins evaluation-sized tables; the
+    * neighborhood-sum tables are one-row-per-vector and broadcast. At
+    * corpus scale the two brute-force calls are the swap-in seam — pass
+    * ANN top-k frames ([[ivfPqTopK]]) to [[marginFromTopK]] directly, the
+    * [[graft.dedup.Dedup.consensusFromPairs]] composition pattern. */
+  def marginPairs(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      minMargin: Double = 1.0): DataFrame =
+    marginFromTopK(
+      bruteForceTopK(tgt, src, k),
+      bruteForceTopK(src, tgt, k),
+      k, minMargin)
+
+  /** [[marginPairs]] over ALREADY-COMPUTED forward/backward top-k frames
+    * (`(query_id, rank, neighbor_id, cos)`-shaped, k rows per query). */
+  def marginFromTopK(fwd: DataFrame, bwd: DataFrame, k: Int,
+      minMargin: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def micro(c: Column): Column = floor(c * lit(1e9)).cast("long")
+    val sumX = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(sum(micro(col("cos"))).as("sum_x_micro"))
+    val sumY = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg(sum(micro(col("cos"))).as("sum_y_micro"))
+    val mutual = bwd.select(col("query_id").as("tgt_id"),
+      col("neighbor_id").as("src_id")).withColumn("m", lit(1L))
+    fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cos"))
+      .join(sumX, "src_id")
+      .join(sumY, "tgt_id")
+      .join(mutual, Seq("src_id", "tgt_id"), "left")
+      .withColumn("margin",
+        micro(col("cos")).cast("double") * lit(2.0 * k) /
+          (col("sum_x_micro") + col("sum_y_micro")).cast("double"))
+      .filter(col("margin") >= minMargin)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin").desc, col("tgt_id"))))
+      .filter(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"),
+        coalesce(col("m"), lit(0L)).as("mutual"))
+  }
+
   /** Deterministic ±1 Johnson-Lindenstrauss sign matrix: `outDims` rows of
     * `dim` signs, each from the low bit of md5("rp:<d>:<j>") — no RNG, so
     * every engine (and the oracle) derives the identical matrix. */

@@ -486,4 +486,44 @@ class SimilaritySpec extends SparkSpec {
         s"pair ($x,$y): projected dot $proj != centered dot $exact")
     }
   }
+
+  test("marginPairs mines planted translations: mutual, margin above the field") {
+    // src side: two distinct directions + one hubness decoy close to
+    // everything; tgt side: exact translations of src 1 and 2 (same
+    // direction = cos 1) plus unrelated noise vectors
+    val src = vecsOf(
+      (1L, pad(Seq(1f, 0f, 0f)), 0),
+      (2L, pad(Seq(0f, 1f, 0f)), 0),
+      (3L, pad(Seq(0.6f, 0.6f, 0.5f)), 0)) // decoy: moderately close to all
+    val tgt = vecsOf(
+      (101L, pad(Seq(2f, 0f, 0f)), 1),     // translation of 1
+      (102L, pad(Seq(0f, 3f, 0f)), 1),     // translation of 2
+      (103L, pad(Seq(0f, 0f, 1f)), 1),     // noise
+      (104L, pad(Seq(0.1f, 0.1f, 0.9f)), 1)) // noise
+    val got = Similarity.marginPairs(src, tgt, k = 3, minMargin = 1.0)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        (r.getAs[Long]("tgt_id"), r.getAs[Double]("margin"), r.getAs[Long]("mutual"))).toMap
+    // the planted translations mine with mutual agreement
+    assert(got(1L)._1 == 101L && got(1L)._3 == 1L)
+    assert(got(2L)._1 == 102L && got(2L)._3 == 1L)
+    // translation margins dominate whatever the decoy mined (if anything)
+    val plantedMin = math.min(got(1L)._2, got(2L)._2)
+    got.get(3L).foreach { case (_, m, _) => assert(m < plantedMin) }
+    // margin definition sanity: cos 1.0 vs a neighborhood average < 1
+    assert(got(1L)._2 > 1.0 && got(2L)._2 > 1.0)
+  }
+
+  test("marginFromTopK composes precomputed ANN top-k frames identically") {
+    val src = vecsOf((1L, pad(Seq(1f, 0f, 0f)), 0), (2L, pad(Seq(0f, 1f, 0f)), 0))
+    val tgt = vecsOf(
+      (101L, pad(Seq(1f, 0.1f, 0f)), 1), (102L, pad(Seq(0.1f, 1f, 0f)), 1),
+      (103L, pad(Seq(0.5f, 0.5f, 0.5f)), 1))
+    val fwd = Similarity.bruteForceTopK(tgt, src, 2)
+    val bwd = Similarity.bruteForceTopK(src, tgt, 2)
+    val a = Similarity.marginPairs(src, tgt, k = 2, minMargin = 0.0)
+      .orderBy("src_id").collect().toSeq
+    val b = Similarity.marginFromTopK(fwd, bwd, k = 2, minMargin = 0.0)
+      .orderBy("src_id").collect().toSeq
+    assert(a == b)
+  }
 }
