@@ -645,6 +645,16 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("bitext margin mining broadcasts the query sides; sums stay pre-rank") {
+    val p = planOf("q_bitext_margin").split("== Initial Plan ==")(0)
+    // both brute-force top-k directions broadcast their query side (the
+    // ANN contract); the neighborhood-sum joins ride evaluation-sized
+    // tables so nothing here may plan a sort-merge over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q_bitext_margin lost the broadcast query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_bitext_margin plans a cartesian:\n$p")
+  }
+
   test("unicode audit is one scan-bound lang aggregate") {
     // the normalization runs inside the scan->aggregate pipeline as a
     // codegen expression: no join, no window, ONE hash exchange
