@@ -814,6 +814,39 @@ object SparkEntry {
           col("h.width").as("width"), col("h.height").as("height"))
         .orderBy(col("media_id")).limit(500)),
 
+    // WARC crawl-container framing: real ISO 28500 streams (one blob per
+    // (source, bucket), Content-Length framing, skip-worthy extra
+    // headers) split back into records by warc_records; the oracle
+    // re-derives each record's byte OFFSET by cumulative template
+    // arithmetic, so the gate proves the framing walk against an
+    // independent computation — the Common Crawl ingest shape
+    "q_warc_records" -> ((s, dir) =>
+      graft.multimodal.Multimodal.warcTable(Tables.documents(s, dir))
+        .select(col("source"), col("bucket"),
+          posexplode(graft.functions.WarcRecords.warc_records(col("data")))
+            .as(Seq("rec_idx", "r")))
+        .select(col("source"), col("bucket"),
+          col("rec_idx").cast("long").as("rec_idx"),
+          col("r.offset").as("offset"), col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"),
+          col("r.payload_md5").as("payload_md5"))
+        .orderBy(col("source"), col("bucket"), col("rec_idx"))),
+
+    // the crawl-to-dedup composition: the per-source duplication audit
+    // (q_dup_source's decision) computed DIRECTLY off the WARC containers
+    // — records framed by warc_records, keyed by the parser's payload
+    // digest, no intermediate table
+    "q_warc_ingest" -> ((s, dir) =>
+      graft.multimodal.Multimodal.warcTable(Tables.documents(s, dir))
+        .select(col("source"),
+          explode(graft.functions.WarcRecords.warc_records(col("data"))).as("r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct(col("r.payload_md5")).as("n_unique_payloads"),
+          sum(col("r.content_length")).as("total_bytes"))
+        .orderBy(col("source"))),
+
     // cross-modality corpus mix: all three parsed fixture tables unioned
     // into one per-source modality histogram with a modality-native
     // volume metric (pixels / audio frames / video ms) — the one-page
@@ -3803,6 +3836,39 @@ object SparkEntry {
            |SELECT media_id, format, major_brand, timescale, duration_ms,
            |       n_tracks, width, height
            |FROM vid ORDER BY media_id LIMIT 500""".stripMargin,
+
+      // WARC framing oracle: never parses bytes — record sizes fall out
+      // of the template arithmetic (the shared WarcFixedOverhead constant
+      // + the variable digit/length parts), offsets are the per-blob
+      // cumulative sum in doc_id order
+      "q_warc_records" ->
+        s"""WITH w AS (
+           |  SELECT source, CAST(doc_id % ${graft.multimodal.Multimodal.WarcBuckets} AS BIGINT) AS bucket,
+           |         doc_id, octet_length(encode(text)) AS plen,
+           |         length(CAST(doc_id AS VARCHAR)) AS dlen,
+           |         octet_length(encode(source)) AS slen,
+           |         length(CAST(octet_length(encode(text)) AS VARCHAR)) AS clen,
+           |         md5(text) AS pmd5
+           |  FROM documents),
+           |sz AS (SELECT *,
+           |         ${graft.multimodal.Multimodal.WarcFixedOverhead} + 2*dlen + slen + clen + plen AS rsz
+           |       FROM w)
+           |SELECT source, bucket,
+           |  CAST(row_number() OVER win - 1 AS BIGINT) AS rec_idx,
+           |  CAST(coalesce(sum(rsz) OVER (PARTITION BY source, bucket ORDER BY doc_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+           |  'response' AS warc_type,
+           |  'http://' || source || '/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           |  CAST(plen AS BIGINT) AS content_length,
+           |  pmd5 AS payload_md5
+           |FROM sz WINDOW win AS (PARTITION BY source, bucket ORDER BY doc_id)
+           |ORDER BY source, bucket, rec_idx""".stripMargin,
+
+      "q_warc_ingest" ->
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_records,
+          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_payloads,
+          |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "q_media_mix" ->
         s"""WITH $imageFieldsCte, $audioFieldsCte, $videoFieldsCte,

@@ -169,6 +169,15 @@ object GraftExtensions {
       { args =>
         require(args.size == 1, "mp4_header(data)")
         Mp4Header(args.head)
+      }),
+    (FunctionIdentifier("warc_records"),
+      info("warc_records",
+        "warc_records(data) - split a concatenated WARC (ISO 28500) byte stream into " +
+          "array<struct<offset, warc_type, target_uri, content_length, payload_md5>>; " +
+          "parsing stops at the first malformed record, never errors"),
+      { args =>
+        require(args.size == 1, "warc_records(data)")
+        WarcRecords(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

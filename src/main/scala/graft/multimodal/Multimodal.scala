@@ -415,6 +415,58 @@ object Multimodal {
   private def be64(v: Long): Array[Byte] =
     be32((v >>> 32).toInt) ++ be32((v & 0xffffffffL).toInt)
 
+  /** Per-record byte overhead of [[warcTable]]'s header template beyond
+    * the variable parts (2× the doc-id digit count, the source length,
+    * the content-length digit count, the payload bytes) — shared with
+    * the q_warc_records oracle's offset arithmetic and pinned against
+    * the actual builder output by MultimodalSpec, so template and
+    * constant cannot drift apart silently. */
+  val WarcFixedOverhead = 145
+
+  /** Bucket count bounding each WARC blob ([[warcTable]]): record streams
+    * group on (source, doc_id % WarcBuckets) so blob size stays
+    * core-friendly regardless of source skew. */
+  val WarcBuckets = 32
+
+  /** Deterministic synthetic crawl-container corpus: real ISO 28500 WARC
+    * streams, one blob per (source, bucket), each concatenating that
+    * slice's documents as `WARC/1.0 response` records in doc_id order —
+    * CRLF header block (including WARC-Record-ID / WARC-Date headers the
+    * parser must SKIP), Content-Length framing, CRLFCRLF separators.
+    * The oracle re-derives every record's offset by cumulative byte
+    * arithmetic over the same template. */
+  def warcTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), (col("doc_id") % WarcBuckets).as("bucket"),
+        col("doc_id"), col("text"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String)])]
+      .map { case (source, bucket, recs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (docId, text) =>
+          bos.write(warcRecord(source, docId, Option(text).getOrElse("")))
+        }
+        (source, bucket, bos.toByteArray)
+      }
+      .toDF("source", "bucket", "data")
+  }
+
+  /** One WARC/1.0 response record for (source, docId, text) — the
+    * template [[WarcFixedOverhead]] describes. */
+  def warcRecord(source: String, docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes("UTF-8")
+    val header =
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$docId>\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"WARC-Target-URI: http://$source/$docId\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n"
+    header.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
   /** The PRODUCTION codec at the [[MediaCodec]] seam: features come from a
     * real byte parse ([[graft.functions.ImageHeader]] — PNG IHDR / JPEG
     * SOFn + EXIF), not a byte histogram. Frame sampling and resize keep

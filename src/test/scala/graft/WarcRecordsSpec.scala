@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters, Passed, Proved}
+
+import graft.functions.WarcRecords
+import graft.multimodal.Multimodal
+
+class WarcRecordsSpec extends SparkSpec {
+
+  private val params = Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(org.scalacheck.rng.Seed(123L))
+
+  private def parseStatic(b: Array[Byte]): Seq[(Long, String, String, Long, String)] = {
+    val arr = WarcRecords.parse(b)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 5)
+      (r.getLong(0),
+        Option(r.getUTF8String(1)).map(_.toString).orNull,
+        Option(r.getUTF8String(2)).map(_.toString).orNull,
+        r.getLong(3), r.getUTF8String(4).toString)
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("multi-record stream: offsets, framing, skip of unknown headers, payload digest") {
+    val blob = Multimodal.warcRecord("web", 7L, "hello world") ++
+      Multimodal.warcRecord("web", 42L, "") ++               // empty payload
+      Multimodal.warcRecord("web", 123L, "third doc body")
+    val recs = parseStatic(blob)
+    assert(recs.map(_._3) == Seq("http://web/7", "http://web/42", "http://web/123"))
+    assert(recs.map(_._2).forall(_ == "response"))
+    assert(recs.map(_._4) == Seq(11L, 0L, 14L))
+    assert(recs.map(_._5) == Seq(md5Hex("hello world"), md5Hex(""), md5Hex("third doc body")))
+    // offsets: exactly the shared-constant template arithmetic the oracle uses
+    def rsz(docId: Long, source: String, text: String): Long =
+      Multimodal.WarcFixedOverhead + 2 * docId.toString.length + source.length +
+        text.getBytes("UTF-8").length.toString.length + text.getBytes("UTF-8").length
+    assert(recs.map(_._1) == Seq(0L, rsz(7L, "web", "hello world"),
+      rsz(7L, "web", "hello world") + rsz(42L, "web", "")))
+    // and the constant really describes the builder's bytes (drift guard)
+    assert(Multimodal.warcRecord("web", 7L, "hello world").length == rsz(7L, "web", "hello world"))
+    assert(Multimodal.warcRecord("a", 1234L, "x" * 250).length == rsz(1234L, "a", "x" * 250))
+  }
+
+  test("payload bytes containing WARC/1.0 and CRLFs do not confuse the framing") {
+    val tricky = "WARC/1.0\r\nContent-Length: 3\r\n\r\nfake\r\n\r\n"
+    val blob = Multimodal.warcRecord("s", 1L, tricky) ++
+      Multimodal.warcRecord("s", 2L, "after")
+    val recs = parseStatic(blob)
+    assert(recs.size == 2)
+    assert(recs(1)._3 == "http://s/2" && recs(1)._5 == md5Hex("after"))
+  }
+
+  test("malformed regions end the parse with the records already framed, never throw") {
+    val good = Multimodal.warcRecord("s", 1L, "ok")
+    val cases = Seq(
+      good ++ "HTTP/1.1 200 OK\r\n".getBytes("US-ASCII"),          // not a WARC version
+      good ++ good.dropRight(6),                                    // truncated payload/separator
+      good ++ "WARC/1.0\r\nNoColonHere\r\n\r\n\r\n\r\n".getBytes("US-ASCII"),
+      good ++ "WARC/1.0\r\nContent-Length: -5\r\n\r\n\r\n\r\n".getBytes("US-ASCII"),
+      good ++ "WARC/1.0\r\nContent-Length: 99999999999999999999\r\n\r\n".getBytes("US-ASCII"))
+    cases.foreach { b =>
+      val recs = parseStatic(b)
+      assert(recs.size == 1 && recs.head._3 == "http://s/1", s"case of ${b.length} bytes")
+    }
+    assert(parseStatic(Array.emptyByteArray).isEmpty)
+    val r = check(params, Prop.forAll(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      parseStatic(bytes) != null
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
+  test("warcTable round trip through the DataFrame path (codegen): every doc framed once") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha", "en", "web", 5L),
+      (32L, "beta doc", "en", "web", 8L),   // same bucket as 0
+      (1L, "gamma", "en", "book", 5L),
+      (5L, "delta text", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.warcTable(docs)
+      .select(col("source"), col("bucket"),
+        posexplode(WarcRecords.warc_records(col("data"))).as(Seq("rec_idx", "r")))
+      .select(col("source"), col("bucket"), col("rec_idx"),
+        col("r.target_uri").as("uri"), col("r.offset").as("off"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    assert(out.length == 4)
+    // bucket 0 of web holds docs 0 and 32 in doc_id order with cumulative offsets
+    val webB0 = out.filter(t => t._1 == "web" && t._2 == 0L).sortBy(_._3)
+    assert(webB0.map(_._4).toSeq == Seq("http://web/0", "http://web/32"))
+    assert(webB0.map(_._5).toSeq == Seq(0L,
+      Multimodal.warcRecord("web", 0L, "alpha").length.toLong))
+    assert(out.count(_._1 == "book") == 1)
+  }
+}
