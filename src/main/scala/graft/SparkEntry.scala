@@ -833,6 +833,27 @@ object SparkEntry {
           col("r.payload_md5").as("payload_md5"))
         .orderBy(col("source"), col("bucket"), col("rec_idx"))),
 
+    // the full Common Crawl chain, three layers in one plan: WARC blobs
+    // → warc_payloads (Content-Length framing) → http_head (RFC 9112
+    // status line / headers / body digest) — container, protocol, and
+    // content parsed by independent bounded walks, gated against an
+    // oracle that re-derives every field arithmetically
+    "q_warc_http" -> ((s, dir) =>
+      graft.multimodal.Multimodal.warcHttpTable(Tables.documents(s, dir))
+        .select(col("source"), col("bucket"),
+          posexplode(graft.functions.WarcRecords.warc_payloads(col("data")))
+            .as(Seq("rec_idx", "p")))
+        .select(col("source"), col("bucket"),
+          col("rec_idx").cast("long").as("rec_idx"),
+          graft.functions.HttpHead.http_head(col("p")).as("h"))
+        .select(col("source"), col("bucket"), col("rec_idx"),
+          col("h.status").as("status"), col("h.reason").as("reason"),
+          col("h.content_type").as("content_type"),
+          col("h.content_length").as("content_length"),
+          col("h.body_offset").as("body_offset"),
+          col("h.body_md5").as("body_md5"))
+        .orderBy(col("source"), col("bucket"), col("rec_idx"))),
+
     // the crawl-to-dedup composition: the per-source duplication audit
     // (q_dup_source's decision) computed DIRECTLY off the WARC containers
     // — records framed by warc_records, keyed by the parser's payload
@@ -3863,6 +3884,29 @@ object SparkEntry {
            |  pmd5 AS payload_md5
            |FROM sz WINDOW win AS (PARTITION BY source, bucket ORDER BY doc_id)
            |ORDER BY source, bucket, rec_idx""".stripMargin,
+
+      // three-layer oracle: HTTP fields by doc arithmetic, body_offset by
+      // the shared HttpFixedOverhead template constant + variable lengths
+      "q_warc_http" ->
+        s"""WITH h AS (
+           |  SELECT source, CAST(doc_id % ${graft.multimodal.Multimodal.WarcBuckets} AS BIGINT) AS bucket,
+           |    doc_id,
+           |    CAST(CASE doc_id % 10 WHEN 0 THEN 301 WHEN 1 THEN 404 ELSE 200 END AS INT) AS status,
+           |    CASE doc_id % 10 WHEN 0 THEN 'Moved Permanently'
+           |         WHEN 1 THEN 'Not Found' ELSE 'OK' END AS reason,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+           |         ELSE 'text/plain' END AS content_type,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           |    md5(text) AS body_md5
+           |  FROM documents)
+           |SELECT source, bucket,
+           |  CAST(row_number() OVER (PARTITION BY source, bucket ORDER BY doc_id) - 1 AS BIGINT) AS rec_idx,
+           |  status, reason, content_type, content_length,
+           |  CAST(${graft.multimodal.Multimodal.HttpFixedOverhead}
+           |       + length(reason) + length(content_type)
+           |       + length(CAST(content_length AS VARCHAR)) AS BIGINT) AS body_offset,
+           |  body_md5
+           |FROM h ORDER BY source, bucket, rec_idx""".stripMargin,
 
       "q_warc_ingest" ->
         """SELECT source, CAST(count(*) AS BIGINT) AS n_records,

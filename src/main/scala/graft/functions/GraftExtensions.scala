@@ -178,6 +178,23 @@ object GraftExtensions {
       { args =>
         require(args.size == 1, "warc_records(data)")
         WarcRecords(args.head)
+      }),
+    (FunctionIdentifier("warc_payloads"),
+      info("warc_payloads",
+        "warc_payloads(data) - record payloads of a concatenated WARC stream as array<binary>, " +
+          "framed by the same bounded walk as warc_records"),
+      { args =>
+        require(args.size == 1, "warc_payloads(data)")
+        WarcPayloads(args.head)
+      }),
+    (FunctionIdentifier("http_head"),
+      info("http_head",
+        "http_head(data) - parse an HTTP/1.x response head from a binary column into " +
+          "struct<status, reason, content_type, content_length, body_offset, body_md5>; " +
+          "non-HTTP bytes yield (-1, '', ...)"),
+      { args =>
+        require(args.size == 1, "http_head(data)")
+        HttpHead(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

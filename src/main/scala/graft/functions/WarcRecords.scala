@@ -121,7 +121,16 @@ object WarcRecords {
   }
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def parse(d: Array[Byte]): ArrayData = {
+  def parse(d: Array[Byte]): ArrayData =
+    frame(d, emitPayload = false)
+
+  /** [[WarcPayloads]]' entry: same framing walk, payload bytes out. */
+  def parsePayloads(d: Array[Byte]): ArrayData =
+    frame(d, emitPayload = true)
+
+  /** The one framing walk both expressions run: metadata rows
+    * (offset/type/uri/length/digest) or raw payload copies. */
+  private def frame(d: Array[Byte], emitPayload: Boolean): ArrayData = {
     if (d == null) return new GenericArrayData(Array.empty[Any])
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
@@ -184,9 +193,15 @@ object WarcRecords {
               ok = false
             else {
               i += 4
-              out += new GenericInternalRow(Array[Any](
-                recStart.toLong, warcType, targetUri, contentLength,
-                md5Hex(d, payloadAt, contentLength.toInt)))
+              if (emitPayload) {
+                val p = new Array[Byte](contentLength.toInt)
+                System.arraycopy(d, payloadAt, p, 0, contentLength.toInt)
+                out += p
+              } else {
+                out += new GenericInternalRow(Array[Any](
+                  recStart.toLong, warcType, targetUri, contentLength,
+                  md5Hex(d, payloadAt, contentLength.toInt)))
+              }
             }
           }
         }
@@ -197,4 +212,35 @@ object WarcRecords {
 
   def warc_records(data: Column): Column =
     Bridge.column(WarcRecords(Bridge.expression(data)))
+
+  def warc_payloads(data: Column): Column =
+    Bridge.column(WarcPayloads(Bridge.expression(data)))
+}
+
+/** Payload extraction twin of [[WarcRecords]]: `warc_payloads(data)`
+  * returns `array<binary>` — the record payloads in stream order, framed
+  * by the SAME bounded walk (same caps, same stop-at-malformed
+  * contract). This is the step that feeds per-record processing
+  * (HTTP parse, text extraction): explode it and the payloads become
+  * rows immediately, so the blob is never retained past the scan. */
+case class WarcPayloads(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "warc_payloads"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(data: Any): Any =
+    WarcRecords.parsePayloads(data.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, d => s"graft.functions.WarcRecords.parsePayloads($d)")
+
+  override protected def withNewChildInternal(newChild: Expression): WarcPayloads =
+    copy(child = newChild)
 }

@@ -454,8 +454,10 @@ object Multimodal {
 
   /** One WARC/1.0 response record for (source, docId, text) — the
     * template [[WarcFixedOverhead]] describes. */
-  def warcRecord(source: String, docId: Long, text: String): Array[Byte] = {
-    val payload = text.getBytes("UTF-8")
+  def warcRecord(source: String, docId: Long, text: String): Array[Byte] =
+    warcRecordBytes(source, docId, text.getBytes("UTF-8"))
+
+  def warcRecordBytes(source: String, docId: Long, payload: Array[Byte]): Array[Byte] = {
     val header =
       "WARC/1.0\r\n" +
         "WARC-Type: response\r\n" +
@@ -465,6 +467,61 @@ object Multimodal {
         s"Content-Length: ${payload.length}\r\n" +
         "\r\n"
     header.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  /** Head-byte overhead of [[httpResponse]] beyond the variable parts
+    * (reason, content-type, content-length digit count) — shared with
+    * the q_warc_http oracle's body_offset arithmetic and pinned against
+    * the builder by WarcRecordsSpec (the [[WarcFixedOverhead]] rule). */
+  val HttpFixedOverhead = 66
+
+  /** A real RFC 9112 response head + body: status line, Content-Type, a
+    * skip-worthy Server header, Content-Length, blank line, body. */
+  def httpResponse(status: Int, reason: String, contentType: String,
+      body: Array[Byte]): Array[Byte] = {
+    val head =
+      s"HTTP/1.1 $status $reason\r\n" +
+        s"Content-Type: $contentType\r\n" +
+        "Server: graft\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n"
+    head.getBytes("US-ASCII") ++ body
+  }
+
+  /** Doc-derived HTTP status/reason/content-type — the arithmetic the
+    * q_warc_http oracle re-derives. */
+  def httpFieldsOf(docId: Long): (Int, String, String) = {
+    val (status, reason) = (docId % 10) match {
+      case 0 => (301, "Moved Permanently")
+      case 1 => (404, "Not Found")
+      case _ => (200, "OK")
+    }
+    val ctype =
+      if (docId % 2 == 0) "text/html; charset=utf-8" else "text/plain"
+    (status, reason, ctype)
+  }
+
+  /** The full Common Crawl shape: WARC blobs whose record payloads are
+    * real HTTP responses carrying the doc text as body — the three-layer
+    * fixture for `warc_payloads` → `http_head`. */
+  def warcHttpTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), (col("doc_id") % WarcBuckets).as("bucket"),
+        col("doc_id"), col("text"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String)])]
+      .map { case (source, bucket, recs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (docId, text) =>
+          val (status, reason, ctype) = httpFieldsOf(docId)
+          bos.write(warcRecordBytes(source, docId,
+            httpResponse(status, reason, ctype,
+              Option(text).getOrElse("").getBytes("UTF-8"))))
+        }
+        (source, bucket, bos.toByteArray)
+      }
+      .toDF("source", "bucket", "data")
   }
 
   /** The PRODUCTION codec at the [[MediaCodec]] seam: features come from a

@@ -77,6 +77,52 @@ class WarcRecordsSpec extends SparkSpec {
     assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
   }
 
+  test("http_head: status line, case-insensitive headers, declared-vs-actual body") {
+    import graft.functions.HttpHead
+    def parseHttp(b: Array[Byte]): (Int, String, String, Long, Long, String) = {
+      val r = HttpHead.parse(b)
+      (r.getInt(0), r.getUTF8String(1).toString, r.getUTF8String(2).toString,
+        r.getLong(3), r.getLong(4), r.getUTF8String(5).toString)
+    }
+    val ok = Multimodal.httpResponse(200, "OK", "text/plain", "body!".getBytes("UTF-8"))
+    val got = parseHttp(ok)
+    assert(got._1 == 200 && got._2 == "OK" && got._3 == "text/plain")
+    assert(got._4 == 5L && got._6 == md5Hex("body!"))
+    // body_offset: exactly the shared-constant arithmetic the oracle uses
+    assert(got._5 == Multimodal.HttpFixedOverhead + "OK".length + "text/plain".length + 1)
+    // and the constant describes the builder's actual bytes (drift guard)
+    assert(ok.length == got._5 + 5)
+    // case-insensitive header names, declared-vs-actual disagreement kept
+    val weird = ("HTTP/1.1 404 Not Found\r\ncontent-TYPE: a/b\r\n" +
+      "CONTENT-length: 999\r\nX-Skip: me\r\n\r\nactual").getBytes("US-ASCII")
+    val w = parseHttp(weird)
+    assert(w._1 == 404 && w._2 == "Not Found" && w._3 == "a/b")
+    assert(w._4 == 999L && w._6 == md5Hex("actual")) // truncation signal: 999 declared, 6 actual
+    // malformed -> unknown, never throws
+    Seq("not http at all", "HTTP/1.1 2xx OK\r\n\r\n", "HTTP/1.1 200 OK\r\nNoColon\r\n\r\n",
+      "HTTP/1.1 200 OK\r\nnever-terminated: yes").foreach { s =>
+      assert(parseHttp(s.getBytes("US-ASCII"))._1 == -1, s)
+    }
+    assert(parseHttp(Array.emptyByteArray)._1 == -1)
+  }
+
+  test("warc_payloads + http_head chain: three layers recover the doc bodies") {
+    import graft.functions.{HttpHead, WarcRecords => WR}
+    val blob = Multimodal.warcRecordBytes("web", 2L,
+        Multimodal.httpResponse(200, "OK", "text/html; charset=utf-8", "first".getBytes("UTF-8"))) ++
+      Multimodal.warcRecordBytes("web", 11L,
+        Multimodal.httpResponse(404, "Not Found", "text/plain", "second".getBytes("UTF-8")))
+    val payloads = WR.parsePayloads(blob)
+    assert(payloads.numElements() == 2)
+    val h0 = HttpHead.parse(payloads.getBinary(0))
+    val h1 = HttpHead.parse(payloads.getBinary(1))
+    assert(h0.getInt(0) == 200 && h0.getUTF8String(5).toString == md5Hex("first"))
+    assert(h1.getInt(0) == 404 && h1.getUTF8String(5).toString == md5Hex("second"))
+    // payload framing equals the metadata walk's content lengths
+    val metas = parseStatic(blob)
+    assert(metas.map(_._4) == (0 until 2).map(i => payloads.getBinary(i).length.toLong))
+  }
+
   test("warcTable round trip through the DataFrame path (codegen): every doc framed once") {
     val s = spark
     import s.implicits._
