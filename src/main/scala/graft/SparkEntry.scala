@@ -833,6 +833,24 @@ object SparkEntry {
           col("r.payload_md5").as("payload_md5"))
         .orderBy(col("source"), col("bucket"), col("rec_idx"))),
 
+    // the compression layer: real .warc.gz blobs (one RFC 1952 gzip
+    // member per record, live CRC32/ISIZE trailers) inflated by
+    // gzip_members — checksum-validated — then re-framed by
+    // warc_records; the whole crawl stack runs off compressed bytes
+    "q_warc_gz" -> ((s, dir) =>
+      graft.multimodal.Multimodal.warcGzTable(Tables.documents(s, dir))
+        .select(col("source"), col("bucket"),
+          posexplode(graft.functions.GzipMembers.gzip_members(col("data")))
+            .as(Seq("member_idx", "m")))
+        .select(col("source"), col("bucket"),
+          col("member_idx").cast("long").as("member_idx"),
+          element_at(graft.functions.WarcRecords.warc_records(col("m")), 1).as("r"))
+        .select(col("source"), col("bucket"), col("member_idx"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"),
+          col("r.payload_md5").as("payload_md5"))
+        .orderBy(col("source"), col("bucket"), col("member_idx"))),
+
     // the full Common Crawl chain, three layers in one plan: WARC blobs
     // → warc_payloads (Content-Length framing) → http_head (RFC 9112
     // status line / headers / body digest) — container, protocol, and
@@ -3884,6 +3902,20 @@ object SparkEntry {
            |  pmd5 AS payload_md5
            |FROM sz WINDOW win AS (PARTITION BY source, bucket ORDER BY doc_id)
            |ORDER BY source, bucket, rec_idx""".stripMargin,
+
+      // the gzip layer's oracle never decompresses: each member inflates
+      // back to exactly the record the builder framed, so the fields are
+      // the same doc arithmetic as q_warc_records (member order = record
+      // order; offsets are member-local and not re-derived here)
+      "q_warc_gz" ->
+        s"""SELECT source, CAST(doc_id % ${graft.multimodal.Multimodal.WarcBuckets} AS BIGINT) AS bucket,
+           |  CAST(row_number() OVER (PARTITION BY source, doc_id % ${graft.multimodal.Multimodal.WarcBuckets}
+           |         ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+           |  'http://' || source || '/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           |  md5(text) AS payload_md5
+           |FROM documents
+           |ORDER BY source, bucket, member_idx""".stripMargin,
 
       // three-layer oracle: HTTP fields by doc arithmetic, body_offset by
       // the shared HttpFixedOverhead template constant + variable lengths

@@ -195,6 +195,15 @@ object GraftExtensions {
       { args =>
         require(args.size == 1, "http_head(data)")
         HttpHead(args.head)
+      }),
+    (FunctionIdentifier("gzip_members"),
+      info("gzip_members",
+        "gzip_members(data) - split a concatenated multi-member gzip stream (the .warc.gz " +
+          "form) into array<binary> of INFLATED members, CRC32/ISIZE-checked; a malformed " +
+          "member ends the parse with the members already recovered"),
+      { args =>
+        require(args.size == 1, "gzip_members(data)")
+        GzipMembers(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

@@ -469,6 +469,38 @@ object Multimodal {
     header.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
   }
 
+  /** One RFC 1952 gzip member of `payload` (real DEFLATE via
+    * `GZIPOutputStream`, live CRC32/ISIZE trailer). */
+  def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Common Crawl's actual on-disk form: `.warc.gz` blobs with one gzip
+    * member PER RECORD (RFC 1952 multi-member), one blob per
+    * (source, bucket) — the fixture for `gzip_members` → `warc_records`.
+    * The compressed bytes are whatever DEFLATE emits; the gate compares
+    * only the INFLATED result, which is exact by construction. */
+  def warcGzTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), (col("doc_id") % WarcBuckets).as("bucket"),
+        col("doc_id"), col("text"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String)])]
+      .map { case (source, bucket, recs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (docId, text) =>
+          bos.write(gzipMember(warcRecord(source, docId, Option(text).getOrElse(""))))
+        }
+        (source, bucket, bos.toByteArray)
+      }
+      .toDF("source", "bucket", "data")
+  }
+
   /** Head-byte overhead of [[httpResponse]] beyond the variable parts
     * (reason, content-type, content-length digit count) — shared with
     * the q_warc_http oracle's body_offset arithmetic and pinned against

@@ -123,6 +123,52 @@ class WarcRecordsSpec extends SparkSpec {
     assert(metas.map(_._4) == (0 until 2).map(i => payloads.getBinary(i).length.toLong))
   }
 
+  test("gzip_members: multi-member inflation, checksum validation, bomb/garbage guards") {
+    import graft.functions.GzipMembers
+    val a = "first record body".getBytes("UTF-8")
+    val b = ("x" * 10000).getBytes("UTF-8") // compresses hard: real inflation work
+    val c = Array.emptyByteArray
+    val blob = Multimodal.gzipMember(a) ++ Multimodal.gzipMember(b) ++ Multimodal.gzipMember(c)
+    val got = GzipMembers.parse(blob)
+    assert(got.numElements() == 3)
+    assert(got.getBinary(0).toSeq == a.toSeq)
+    assert(got.getBinary(1).toSeq == b.toSeq)
+    assert(got.getBinary(2).isEmpty)
+
+    // a flipped payload byte fails the CRC -> members BEFORE it survive
+    val m2 = Multimodal.gzipMember(a)
+    m2(12) = (m2(12) ^ 0x01).toByte // corrupt inside the deflate stream
+    val partial = GzipMembers.parse(Multimodal.gzipMember(b) ++ m2)
+    assert(partial.numElements() == 1 && partial.getBinary(0).toSeq == b.toSeq)
+
+    // truncated trailer, garbage, empty: recovered prefix only, no throw
+    assert(GzipMembers.parse(blob.dropRight(4)).numElements() == 2)
+    assert(GzipMembers.parse("not gzip".getBytes("UTF-8")).numElements() == 0)
+    assert(GzipMembers.parse(Array.emptyByteArray).numElements() == 0)
+
+    // FNAME/FCOMMENT/FEXTRA headers skip correctly: hand-build a member
+    // with FNAME set (java never writes one, so construct it)
+    val plain = Multimodal.gzipMember(a)
+    val withName = plain.take(3) ++ Array(0x08.toByte) ++ plain.slice(4, 10) ++
+      ("doc.warc".getBytes("US-ASCII") :+ 0.toByte) ++ plain.drop(10)
+    val named = GzipMembers.parse(withName)
+    assert(named.numElements() == 1 && named.getBinary(0).toSeq == a.toSeq)
+  }
+
+  test("compressed chain end-to-end: .warc.gz members re-frame to the same records") {
+    import graft.functions.{GzipMembers, WarcRecords => WR}
+    val r1 = Multimodal.warcRecord("web", 3L, "compressed body one")
+    val r2 = Multimodal.warcRecord("web", 35L, "compressed body two")
+    val gz = Multimodal.gzipMember(r1) ++ Multimodal.gzipMember(r2)
+    val members = GzipMembers.parse(gz)
+    assert(members.numElements() == 2)
+    val rec1 = WR.parse(members.getBinary(0)).getStruct(0, 5)
+    val rec2 = WR.parse(members.getBinary(1)).getStruct(0, 5)
+    assert(rec1.getUTF8String(2).toString == "http://web/3")
+    assert(rec2.getUTF8String(2).toString == "http://web/35")
+    assert(rec1.getUTF8String(4).toString == md5Hex("compressed body one"))
+  }
+
   test("warcTable round trip through the DataFrame path (codegen): every doc framed once") {
     val s = spark
     import s.implicits._
