@@ -833,6 +833,46 @@ object SparkEntry {
           col("r.payload_md5").as("payload_md5"))
         .orderBy(col("source"), col("bucket"), col("rec_idx"))),
 
+    // the content layer: real HTML pages (escaped text node, script and
+    // style blocks to skip, entity references) stripped back to text by
+    // html_text — the body digest only matches the oracle's md5(text) if
+    // the escape/unescape round trip is byte-exact on corpus data
+    "q_html_text" -> ((s, dir) =>
+      graft.multimodal.Multimodal.htmlTable(Tables.documents(s, dir))
+        .select(col("media_id"),
+          graft.functions.HtmlText.html_text(col("data")).as("t"))
+        .select(col("media_id"), col("t.title").as("title"),
+          md5(col("t.body")).as("body_md5"),
+          col("t.n_tags").as("n_tags"))
+        .orderBy(col("media_id"))),
+
+    // THE END-TO-END CRAWL PIPELINE, five layers in one declarative
+    // plan: .warc.gz blobs → gzip_members (inflate + checksum) →
+    // warc_payloads (Content-Length framing) → http_head + binary
+    // substring (protocol parse, body slice) → html_text (markup
+    // stripped, entities decoded) — every layer a bounded codegen
+    // expression, the final text digest gated against md5(text)
+    "q_crawl_pipeline" -> ((s, dir) =>
+      graft.multimodal.Multimodal.crawlTable(Tables.documents(s, dir))
+        .select(col("source"), col("bucket"),
+          posexplode(graft.functions.GzipMembers.gzip_members(col("data")))
+            .as(Seq("member_idx", "m")))
+        .select(col("source"), col("bucket"),
+          col("member_idx").cast("long").as("member_idx"),
+          element_at(graft.functions.WarcRecords.warc_payloads(col("m")), 1).as("hp"))
+        .select(col("source"), col("bucket"), col("member_idx"), col("hp"),
+          graft.functions.HttpHead.http_head(col("hp")).as("h"))
+        .select(col("source"), col("bucket"), col("member_idx"),
+          col("h.status").as("status"),
+          col("h.content_type").as("content_type"),
+          graft.functions.HtmlText.html_text(
+            expr("substring(hp, CAST(h.body_offset AS INT) + 1, 2147483647)")).as("t"))
+        .select(col("source"), col("bucket"), col("member_idx"),
+          col("status"), col("content_type"),
+          col("t.title").as("title"), md5(col("t.body")).as("body_md5"),
+          col("t.n_tags").as("n_tags"))
+        .orderBy(col("source"), col("bucket"), col("member_idx"))),
+
     // the compression layer: real .warc.gz blobs (one RFC 1952 gzip
     // member per record, live CRC32/ISIZE trailers) inflated by
     // gzip_members — checksum-validated — then re-framed by
@@ -3902,6 +3942,28 @@ object SparkEntry {
            |  pmd5 AS payload_md5
            |FROM sz WINDOW win AS (PARTITION BY source, bucket ORDER BY doc_id)
            |ORDER BY source, bucket, rec_idx""".stripMargin,
+
+      "q_html_text" ->
+        s"""SELECT doc_id AS media_id,
+           |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           |  md5(text) AS body_md5,
+           |  CAST(${graft.multimodal.Multimodal.HtmlTemplateTags} AS INT) AS n_tags
+           |FROM documents ORDER BY media_id""".stripMargin,
+
+      // five-layer pipeline oracle: pure doc arithmetic — the point of
+      // the gate is that gzip+warc+http+html parsing recovers EXACTLY
+      // what the arithmetic predicts, or the hash fails
+      "q_crawl_pipeline" ->
+        s"""SELECT source, CAST(doc_id % ${graft.multimodal.Multimodal.WarcBuckets} AS BIGINT) AS bucket,
+           |  CAST(row_number() OVER (PARTITION BY source, doc_id % ${graft.multimodal.Multimodal.WarcBuckets}
+           |         ORDER BY doc_id) - 1 AS BIGINT) AS member_idx,
+           |  CAST(CASE doc_id % 10 WHEN 0 THEN 301 WHEN 1 THEN 404 ELSE 200 END AS INT) AS status,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+           |       ELSE 'text/plain' END AS content_type,
+           |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           |  md5(text) AS body_md5,
+           |  CAST(${graft.multimodal.Multimodal.HtmlTemplateTags} AS INT) AS n_tags
+           |FROM documents ORDER BY source, bucket, member_idx""".stripMargin,
 
       // the gzip layer's oracle never decompresses: each member inflates
       // back to exactly the record the builder framed, so the fields are

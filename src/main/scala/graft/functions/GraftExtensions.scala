@@ -204,6 +204,15 @@ object GraftExtensions {
       { args =>
         require(args.size == 1, "gzip_members(data)")
         GzipMembers(args.head)
+      }),
+    (FunctionIdentifier("html_text"),
+      info("html_text",
+        "html_text(data) - strip HTML markup from UTF-8 bytes into " +
+          "struct<title, body, n_tags>: script/style content excluded, predefined and " +
+          "numeric character references decoded, never errors on hostile input"),
+      { args =>
+        require(args.size == 1, "html_text(data)")
+        HtmlText(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

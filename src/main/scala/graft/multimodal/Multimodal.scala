@@ -501,6 +501,71 @@ object Multimodal {
       .toDF("source", "bucket", "data")
   }
 
+  /** Tag count of the [[htmlPage]] template — shared with the
+    * q_html_text / q_crawl_pipeline oracles (each page carries exactly
+    * this many tags; `html_text` must count the same). */
+  val HtmlTemplateTags = 14
+
+  /** HTML-escape the five predefined characters — what a well-formed
+    * producer emits; [[graft.functions.HtmlText]] must decode it back
+    * EXACTLY for the body digest to match the oracle's md5(text). */
+  def htmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case '\'' => sb.append("&#39;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** A deterministic HTML page: title from the doc id, script and style
+    * blocks the extractor must SKIP (their content contains '<' and
+    * braces), the escaped doc text as the single body text node. */
+  def htmlPage(docId: Long, text: String): Array[Byte] =
+    (s"<html><head><title>Doc $docId</title>" +
+      "<script>var x = 1 < 2; // not training text</script>" +
+      "<style>p { color: red; }</style>" +
+      s"</head><body><p>${htmlEscape(text)}</p></body></html>").getBytes("UTF-8")
+
+  /** HTML fixture table: one real page per doc. */
+  def htmlTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (docId, source, text) =>
+        (docId, source, htmlPage(docId, Option(text).getOrElse("")))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** The COMPLETE crawl fixture, five layers deep: gzip members (one per
+    * record) of WARC records whose payloads are HTTP responses whose
+    * bodies are HTML pages carrying the doc text — what a Common Crawl
+    * segment actually is. One blob per (source, bucket). */
+  def crawlTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), (col("doc_id") % WarcBuckets).as("bucket"),
+        col("doc_id"), col("text"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String)])]
+      .map { case (source, bucket, recs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (docId, text) =>
+          val (status, reason, ctype) = httpFieldsOf(docId)
+          bos.write(gzipMember(warcRecordBytes(source, docId,
+            httpResponse(status, reason, ctype,
+              htmlPage(docId, Option(text).getOrElse(""))))))
+        }
+        (source, bucket, bos.toByteArray)
+      }
+      .toDF("source", "bucket", "data")
+  }
+
   /** Head-byte overhead of [[httpResponse]] beyond the variable parts
     * (reason, content-type, content-length digit count) — shared with
     * the q_warc_http oracle's body_offset arithmetic and pinned against
