@@ -160,6 +160,52 @@ object SparkEntry {
   private val BitextK = 4
   private val BitextMinMargin = 1.0
 
+  /** The curation-pipeline oracle (exact dedup → 0.5-Jaccard near-dedup
+    * → Gopher quality → hash split), shared by q_pipeline (over the
+    * documents table, lang carried through) and q_crawl_to_corpus (over
+    * the corpus RECONSTRUCTED from .warc.gz containers — byte-identical
+    * text by the five-layer parse, so the same arithmetic gates it;
+    * lang never survives the wire). */
+  private def pipelineOracleSql(withLang: Boolean): String = {
+    val hLang = if (withLang) ", d2.lang" else ""
+    val outLang = if (withLang) "lang, " else ""
+    s"""WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
+       |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
+       |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
+       |        FROM toks WHERE len(t) >= 3),
+       |sh AS (SELECT doc_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM shs),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh a JOIN sh b USING (shingle)
+       |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |           JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |           WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+       |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |g AS (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |        CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |          x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |        CAST(len(regexp_extract_all(text, '[#]|[.][.][.]')) AS BIGINT) AS n_symbols
+       |      FROM d2),
+       |q AS (SELECT doc_id FROM g
+       |      WHERE n_words >= 5 AND n_words <= 100000
+       |        AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) >= 3.0
+       |        AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) <= 10.0
+       |        AND CAST(n_symbols AS DOUBLE)/CAST(n_words AS DOUBLE) <= 0.1
+       |        AND CAST(n_alpha_words AS DOUBLE)/CAST(n_words AS DOUBLE) >= 0.8),
+       |h AS (SELECT d2.doc_id$hLang,
+       |        ('0x' || substr(md5('split0:' || CAST(d2.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS hv
+       |      FROM d2 JOIN q ON d2.doc_id = q.doc_id)
+       |SELECT doc_id, $outLang
+       |       CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   /** The q_image_* oracles' field derivation: the SAME arithmetic (and
     * the same shared moduli — [[graft.multimodal.Multimodal.ImgWidthMod]]
     * / ImgHeightMod) the Spark-side fixture builder encodes into real
@@ -872,6 +918,38 @@ object SparkEntry {
           col("t.title").as("title"), md5(col("t.body")).as("body_md5"),
           col("t.n_tags").as("n_tags"))
         .orderBy(col("source"), col("bucket"), col("member_idx"))),
+
+    // the pipeline a crawl OWNER actually runs: reconstruct the corpus
+    // from the .warc.gz containers (five-layer parse; doc_id recovered
+    // from the page title, text from the stripped body — byte-identical
+    // by the q_html_text round trip), then the SAME curation chain as
+    // q_pipeline: exact dedup → 0.5-Jaccard near-dedup → Gopher quality
+    // → deterministic split. Gated by the same oracle arithmetic.
+    "q_crawl_to_corpus" -> ((s, dir) => {
+      val parsed = graft.multimodal.Multimodal.crawlTable(Tables.documents(s, dir))
+        .select(posexplode(graft.functions.GzipMembers.gzip_members(col("data")))
+          .as(Seq("mi", "m")))
+        .select(element_at(
+          graft.functions.WarcRecords.warc_payloads(col("m")), 1).as("hp"))
+        .select(col("hp"),
+          graft.functions.HttpHead.http_head(col("hp")).as("h"))
+        .select(graft.functions.HtmlText.html_text(
+          expr("substring(hp, CAST(h.body_offset AS INT) + 1, 2147483647)")).as("t"))
+        .select(expr("CAST(substring(t.title, 5) AS BIGINT)").as("doc_id"),
+          col("t.body").as("text"))
+      val exact = Dedup.exactDedup(parsed)
+      val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+      val quality = deduped.join(
+        TextAnalysis.gopherQuality(deduped)
+          .filter(col("passes_gopher") === 1).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      graft.operators.Sampling.splitAssign(quality, col("doc_id"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
 
     // the compression layer: real .warc.gz blobs (one RFC 1952 gzip
     // member per record, live CRC32/ISIZE trailers) inflated by
@@ -5069,42 +5147,12 @@ object SparkEntry {
       // end-to-end pipeline: every stage replays its operator's oracle
       // (exact dedup, exact Jaccard losers, Gopher gate, split hash) over
       // the previous stage's survivors
-      "q_pipeline" ->
-        """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-          |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
-          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
-          |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
-          |          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh_str
-          |        FROM toks WHERE len(t) >= 3),
-          |sh AS (SELECT doc_id, ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS shingle FROM shs),
-          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          |          FROM sh a JOIN sh b USING (shingle)
-          |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
-          |           JOIN sizes sa ON doc_a = sa.doc_id
-          |           JOIN sizes sb ON doc_b = sb.doc_id
-          |           WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
-          |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-          |g AS (SELECT doc_id,
-          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-          |        CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS word_chars,
-          |        CAST(len(list_filter(string_split(text, ' '),
-          |          x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-          |        CAST(len(regexp_extract_all(text, '[#]|[.][.][.]')) AS BIGINT) AS n_symbols
-          |      FROM d2),
-          |q AS (SELECT doc_id FROM g
-          |      WHERE n_words >= 5 AND n_words <= 100000
-          |        AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) >= 3.0
-          |        AND CAST(word_chars AS DOUBLE)/CAST(n_words AS DOUBLE) <= 10.0
-          |        AND CAST(n_symbols AS DOUBLE)/CAST(n_words AS DOUBLE) <= 0.1
-          |        AND CAST(n_alpha_words AS DOUBLE)/CAST(n_words AS DOUBLE) >= 0.8),
-          |h AS (SELECT d2.doc_id, d2.lang,
-          |        ('0x' || substr(md5('split0:' || CAST(d2.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS hv
-          |      FROM d2 JOIN q ON d2.doc_id = q.doc_id)
-          |SELECT doc_id, lang,
-          |       CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split
-          |FROM h ORDER BY doc_id""".stripMargin,
+      "q_pipeline" -> pipelineOracleSql(withLang = true),
+
+      // identical curation chain, sourced from the crawl CONTAINERS: the
+      // oracle is the same pipeline arithmetic (lang never survives the
+      // wire, so the reconstructed corpus carries doc_id + text only)
+      "q_crawl_to_corpus" -> pipelineOracleSql(withLang = false),
 
       // duplicate-substring spans: positioned 5-gram fingerprints, ≥2-doc
       // grams, gaps-and-islands merge — pure integer arithmetic throughout
