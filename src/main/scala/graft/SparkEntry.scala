@@ -937,6 +937,12 @@ object SparkEntry {
           expr("substring(hp, CAST(h.body_offset AS INT) + 1, 2147483647)")).as("t"))
         .select(expr("CAST(substring(t.title, 5) AS BIGINT)").as("doc_id"),
           col("t.body").as("text"))
+        // extract ONCE, curate from the extracted table: the curation
+        // chain rescans its corpus (dedup self-joins, quality, split),
+        // and re-running the five-layer parse per rescan is exactly what
+        // a real pipeline avoids by landing extraction output first —
+        // localCheckpoint is that landing, in-plan
+        .localCheckpoint(true)
       val exact = Dedup.exactDedup(parsed)
       val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
         .select(col("doc_b").as("doc_id")).distinct()

@@ -470,10 +470,14 @@ object Multimodal {
   }
 
   /** One RFC 1952 gzip member of `payload` (real DEFLATE via
-    * `GZIPOutputStream`, live CRC32/ISIZE trailer). */
+    * `GZIPOutputStream`, live CRC32/ISIZE trailer). BEST_SPEED: the
+    * gates compare INFLATED bytes, so the compression level affects only
+    * fixture-build cost, never a hash. */
   def gzipMember(payload: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
-    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    }
     gz.write(payload)
     gz.close()
     bos.toByteArray

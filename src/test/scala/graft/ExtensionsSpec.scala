@@ -259,4 +259,31 @@ class ExtensionsSpec extends SparkSpec {
     assert((wav.getInt(0), wav.getInt(1), wav.getLong(2), wav.getLong(3)) ==
       ((2, 16000, 160L, 10L)))
   }
+
+  test("SQL crawl-stack functions: mp4_header, warc/gzip splitting, http_head, html_text") {
+    GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    val mp4 = graft.multimodal.Multimodal.synthMp4("isom", 1000, 2500L, 320, 240,
+      audioTrack = false, mvhdV1 = false, largeFree = false)
+    val crawlGz = graft.multimodal.Multimodal.gzipMember(
+      graft.multimodal.Multimodal.warcRecordBytes("web", 9L,
+        graft.multimodal.Multimodal.httpResponse(200, "OK", "text/html",
+          graft.multimodal.Multimodal.htmlPage(9L, "sql &amp; stack"))))
+    Seq((1L, mp4), (2L, crawlGz)).toDF("id", "data")
+      .createOrReplaceTempView("crawl_bytes")
+    val m = spark.sql(
+      "SELECT mp4_header(data).duration_ms AS d, mp4_header(data).width AS w " +
+        "FROM crawl_bytes WHERE id = 1").collect().head
+    assert((m.getLong(0), m.getInt(1)) == ((2500L, 320)))
+    val r = spark.sql(
+      """SELECT t.title, t.body, hh.status FROM (
+        |  SELECT http_head(hp) AS hh,
+        |         html_text(substring(hp, CAST(http_head(hp).body_offset AS INT) + 1, 2147483647)) AS t
+        |  FROM (SELECT element_at(warc_payloads(element_at(gzip_members(data), 1)), 1) AS hp
+        |        FROM crawl_bytes WHERE id = 2))""".stripMargin).collect().head
+    assert(r.getString(0) == "Doc 9")
+    assert(r.getString(1) == "sql &amp; stack") // builder escaped the '&' of the raw text
+    assert(r.getInt(2) == 200)
+  }
 }
