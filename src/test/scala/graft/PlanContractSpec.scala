@@ -655,6 +655,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q_bitext_margin plans a cartesian:\n$p")
   }
 
+  test("crawl-stack parsing stays join-free narrow maps end to end") {
+    // five layers of parsing (gzip -> warc -> http -> html) must plan as
+    // explode + projections inside one scan pipeline: no join, no window
+    // (the crawl fixture's own blob-building collect_list aggregate is
+    // the synthetic front end, not the parse — a real deployment scans
+    // .warc.gz files directly)
+    Seq("q_html_text", "q_crawl_pipeline").foreach { name =>
+      val p = planOf(name).split("== Initial Plan ==")(0)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$name must stay a scan-shaped parse pipeline:\n$p")
+    }
+    // the ingest audit aggregates but never joins
+    val ing = planOf("q_warc_ingest").split("== Initial Plan ==")(0)
+    assert(!ing.contains("Join"), s"q_warc_ingest must not join:\n$ing")
+  }
+
   test("unicode audit is one scan-bound lang aggregate") {
     // the normalization runs inside the scan->aggregate pipeline as a
     // codegen expression: no join, no window, ONE hash exchange
