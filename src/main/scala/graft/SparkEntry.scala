@@ -919,6 +919,42 @@ object SparkEntry {
           col("t.n_tags").as("n_tags"))
         .orderBy(col("source"), col("bucket"), col("member_idx"))),
 
+    // WebDataset shards: real ustar archives (computed header checksums,
+    // octal fields, 512-block padding, zero-block terminator) whose
+    // members pair into image-text samples by filename stem — framed
+    // back by tar_entries, offsets gated against cumulative block
+    // arithmetic (the .png members' constant size rides a shared
+    // spec-pinned constant)
+    "q_tar_entries" -> ((s, dir) =>
+      graft.multimodal.Multimodal.webdatasetTable(Tables.documents(s, dir))
+        .select(col("source"), col("bucket"),
+          posexplode(graft.functions.TarEntries.tar_entries(col("data")))
+            .as(Seq("entry_idx", "e")))
+        .select(col("source"), col("bucket"),
+          col("entry_idx").cast("long").as("entry_idx"),
+          col("e.name").as("name"), col("e.type_flag").as("type_flag"),
+          col("e.size").as("size"), col("e.offset").as("offset"),
+          when(col("e.name").endsWith(".txt"), col("e.payload_md5"))
+            .as("payload_md5"))
+        .orderBy(col("source"), col("bucket"), col("entry_idx"))),
+
+    // sample assembly — the WebDataset read path: entries grouped by
+    // stem into (text, image) training samples, completeness audited
+    "q_webdataset" -> ((s, dir) =>
+      graft.multimodal.Multimodal.webdatasetTable(Tables.documents(s, dir))
+        .select(col("source"),
+          explode(graft.functions.TarEntries.tar_entries(col("data"))).as("e"))
+        .select(col("source"),
+          expr("CAST(split(e.name, '\\\\.')[0] AS BIGINT)").as("sample_id"),
+          expr("split(e.name, '\\\\.')[1]").as("ext"),
+          col("e.size").as("size"), col("e.payload_md5").as("payload_md5"))
+        .groupBy(col("source"), col("sample_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          max(when(col("ext") === "txt", col("size"))).as("txt_size"),
+          max(when(col("ext") === "png", col("size"))).as("png_size"),
+          max(when(col("ext") === "txt", col("payload_md5"))).as("txt_md5"))
+        .orderBy(col("source"), col("sample_id"))),
+
     // the pipeline a crawl OWNER actually runs: reconstruct the corpus
     // from the .warc.gz containers (five-layer parse; doc_id recovered
     // from the page title, text from the stripped body — byte-identical
@@ -4048,6 +4084,47 @@ object SparkEntry {
            |  md5(text) AS body_md5,
            |  CAST(${graft.multimodal.Multimodal.HtmlTemplateTags} AS INT) AS n_tags
            |FROM documents ORDER BY source, bucket, member_idx""".stripMargin,
+
+      // tar oracle: payload offsets from cumulative 512-block arithmetic
+      // (txt blocks vary with text length; png members are the constant
+      // WdsPngBytes, one data block); payload_md5 comparable for text
+      // members only (the oracle cannot digest builder-constructed PNGs)
+      "q_tar_entries" ->
+        s"""WITH w AS (
+           |  SELECT source, CAST(doc_id % ${graft.multimodal.Multimodal.WarcBuckets} AS BIGINT) AS bucket,
+           |         doc_id, octet_length(encode(text)) AS plen, md5(text) AS pmd5
+           |  FROM documents),
+           |sz AS (SELECT *, 512 + ((plen + 511) // 512) * 512 AS txt_bytes,
+           |         1024 AS png_bytes FROM w),
+           |c AS (SELECT *, CAST(coalesce(sum(txt_bytes + png_bytes) OVER (
+           |         PARTITION BY source, bucket ORDER BY doc_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+           |      FROM sz),
+           |e AS (
+           |  SELECT source, bucket, doc_id, 0 AS part,
+           |         CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           |         CAST(plen AS BIGINT) AS size, base + 512 AS "offset",
+           |         pmd5 AS payload_md5
+           |  FROM c
+           |  UNION ALL
+           |  SELECT source, bucket, doc_id, 1,
+           |         CAST(doc_id AS VARCHAR) || '.png',
+           |         CAST(${graft.multimodal.Multimodal.WdsPngBytes} AS BIGINT),
+           |         base + txt_bytes + 512, CAST(NULL AS VARCHAR)
+           |  FROM c)
+           |SELECT source, bucket,
+           |  CAST(row_number() OVER (PARTITION BY source, bucket
+           |         ORDER BY doc_id, part) - 1 AS BIGINT) AS entry_idx,
+           |  name, '0' AS type_flag, size, "offset", payload_md5
+           |FROM e ORDER BY source, bucket, entry_idx""".stripMargin,
+
+      "q_webdataset" ->
+        s"""SELECT source, doc_id AS sample_id,
+           |  CAST(2 AS BIGINT) AS n_parts,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS txt_size,
+           |  CAST(${graft.multimodal.Multimodal.WdsPngBytes} AS BIGINT) AS png_size,
+           |  md5(text) AS txt_md5
+           |FROM documents ORDER BY source, sample_id""".stripMargin,
 
       // the gzip layer's oracle never decompresses: each member inflates
       // back to exactly the record the builder framed, so the fields are

