@@ -919,6 +919,21 @@ object SparkEntry {
           col("t.n_tags").as("n_tags"))
         .orderBy(col("source"), col("bucket"), col("member_idx"))),
 
+    // TFRecord shards (the third training container): u64-LE length +
+    // masked-crc32c framing per the public TensorFlow format, BOTH
+    // checksums validated by the parser; offsets gated against
+    // cumulative (16 + length) arithmetic
+    "q_tfrecord" -> ((s, dir) =>
+      graft.multimodal.Multimodal.tfrecordTable(Tables.documents(s, dir))
+        .select(col("source"), col("bucket"),
+          posexplode(graft.functions.TfRecords.tfrecord_entries(col("data")))
+            .as(Seq("rec_idx", "r")))
+        .select(col("source"), col("bucket"),
+          col("rec_idx").cast("long").as("rec_idx"),
+          col("r.offset").as("offset"), col("r.length").as("length"),
+          col("r.payload_md5").as("payload_md5"))
+        .orderBy(col("source"), col("bucket"), col("rec_idx"))),
+
     // WebDataset shards: real ustar archives (computed header checksums,
     // octal fields, 512-block padding, zero-block terminator) whose
     // members pair into image-text samples by filename stem — framed
@@ -4084,6 +4099,23 @@ object SparkEntry {
            |  md5(text) AS body_md5,
            |  CAST(${graft.multimodal.Multimodal.HtmlTemplateTags} AS INT) AS n_tags
            |FROM documents ORDER BY source, bucket, member_idx""".stripMargin,
+
+      // tfrecord oracle: payload offsets from cumulative (16 + length)
+      // arithmetic — 8 length bytes + 4 length-crc + payload + 4
+      // payload-crc per record
+      "q_tfrecord" ->
+        s"""WITH w AS (
+           |  SELECT source, CAST(doc_id % ${graft.multimodal.Multimodal.WarcBuckets} AS BIGINT) AS bucket,
+           |         doc_id, octet_length(encode(text)) AS plen, md5(text) AS pmd5
+           |  FROM documents)
+           |SELECT source, bucket,
+           |  CAST(row_number() OVER win - 1 AS BIGINT) AS rec_idx,
+           |  CAST(coalesce(sum(16 + plen) OVER (PARTITION BY source, bucket ORDER BY doc_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 12 AS BIGINT) AS "offset",
+           |  CAST(plen AS BIGINT) AS length,
+           |  pmd5 AS payload_md5
+           |FROM w WINDOW win AS (PARTITION BY source, bucket ORDER BY doc_id)
+           |ORDER BY source, bucket, rec_idx""".stripMargin,
 
       // tar oracle: payload offsets from cumulative 512-block arithmetic
       // (txt blocks vary with text length; png members are the constant

@@ -222,6 +222,15 @@ object GraftExtensions {
       { args =>
         require(args.size == 1, "tar_entries(data)")
         TarEntries(args.head)
+      }),
+    (FunctionIdentifier("tfrecord_entries"),
+      info("tfrecord_entries",
+        "tfrecord_entries(data) - frame a TFRecord shard into array<struct<offset, length, " +
+          "payload_md5>>; both masked-crc32c checksums validated, malformed records end " +
+          "the parse without error"),
+      { args =>
+        require(args.size == 1, "tfrecord_entries(data)")
+        TfRecords(args.head)
       }))
 
   /** Register on an existing session (tests, notebooks). */

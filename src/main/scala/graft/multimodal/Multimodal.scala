@@ -634,6 +634,42 @@ object Multimodal {
       .toDF("source", "bucket", "data")
   }
 
+  /** One TFRecord: u64-LE length, masked-crc32c(length), payload,
+    * masked-crc32c(payload) — both checksums live. */
+  def tfRecord(payload: Array[Byte]): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val lenBytes = {
+      val v = payload.length.toLong
+      le32(v & 0xffffffffL) ++ le32(v >>> 32)
+    }
+    lenBytes ++
+      le32(graft.functions.TfRecords.maskedCrc32c(lenBytes, 0, 8)) ++
+      payload ++
+      le32(graft.functions.TfRecords.maskedCrc32c(payload, 0, payload.length))
+  }
+
+  /** TFRecord shard fixture: one shard per (source, bucket), records
+    * carrying the doc texts in doc_id order — the third training
+    * container next to [[warcGzTable]] and [[webdatasetTable]]. */
+  def tfrecordTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), (col("doc_id") % WarcBuckets).as("bucket"),
+        col("doc_id"), col("text"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String)])]
+      .map { case (source, bucket, recs) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (_, text) =>
+          bos.write(tfRecord(Option(text).getOrElse("").getBytes("UTF-8")))
+        }
+        (source, bucket, bos.toByteArray)
+      }
+      .toDF("source", "bucket", "data")
+  }
+
   /** Head-byte overhead of [[httpResponse]] beyond the variable parts
     * (reason, content-type, content-length digit count) — shared with
     * the q_warc_http oracle's body_offset arithmetic and pinned against

@@ -63,6 +63,43 @@ class WebDatasetSpec extends SparkSpec {
     assert(Multimodal.synthPng(999, 777, 16, 6).length == Multimodal.WdsPngBytes)
   }
 
+  test("tfrecord framing: masked crc32c both validated, offsets cumulative, never throws") {
+    import graft.functions.TfRecords
+    def parseTf(b: Array[Byte]): Seq[(Long, Long, String)] = {
+      val arr = TfRecords.parse(b)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getLong(0), r.getLong(1), r.getUTF8String(2).toString)
+      }
+    }
+    val a = "first example".getBytes("UTF-8")    // 13 bytes
+    val b = Array.emptyByteArray
+    val c = ("z" * 300).getBytes("UTF-8")
+    val shard = Multimodal.tfRecord(a) ++ Multimodal.tfRecord(b) ++ Multimodal.tfRecord(c)
+    val recs = parseTf(shard)
+    assert(recs.map(_._2) == Seq(13L, 0L, 300L))
+    // offsets: 12; (16+13)+12 = 41; (16+13)+(16+0)+12 = 57
+    assert(recs.map(_._1) == Seq(12L, 41L, 57L))
+    assert(recs.head._3 == md5Hex(a))
+
+    // flipped payload byte fails the payload crc; flipped length byte
+    // fails the length crc — in both cases prior records survive
+    val badPayload = shard.clone(); badPayload(12) = 'X'.toByte
+    assert(parseTf(badPayload).isEmpty)
+    val badLen = shard.clone(); badLen(29 + 0) = 99.toByte // record 2's length field
+    assert(parseTf(badLen).map(_._2) == Seq(13L))
+
+    // truncation, garbage, hostile length: recovered prefix only
+    assert(parseTf(shard.dropRight(2)).map(_._2) == Seq(13L, 0L))
+    assert(parseTf("not a tfrecord".getBytes("UTF-8")).isEmpty)
+    assert(parseTf(Array.emptyByteArray).isEmpty)
+    val r = check(params, Prop.forAll(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      TfRecords.parse(bytes) != null
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+  }
+
   test("webdatasetTable: shards frame to paired samples through the DataFrame path") {
     val s = spark
     import s.implicits._
