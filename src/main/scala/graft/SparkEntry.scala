@@ -3754,7 +3754,8 @@ object SparkEntry {
            |         CASE WHEN b.src_id IS NULL THEN 0 ELSE 1 END AS mut
            |       FROM fw f JOIN sx ON f.src_id = sx.src_id
            |       JOIN sy ON f.tgt_id = sy.tgt_id
-           |       LEFT JOIN bw b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id)
+           |       LEFT JOIN bw b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id
+           |       WHERE sx.sxm + sy.sym > 0)
            |SELECT src_id, tgt_id, cos, margin, CAST(mut AS BIGINT) AS mutual
            |FROM sc WHERE margin >= $BitextMinMargin
            |QUALIFY row_number() OVER (PARTITION BY src_id

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamMessage
@@ -1041,9 +1041,15 @@ object Dedup {
     // scheduling overhead on a graph this small. Labels are identical by
     // definition (component minimum); the distributed star-contraction
     // below remains the >threshold path and is property-pinned equal
-    // (DedupSpec forces it via localThreshold = 0). The count is one job
-    // over the ALREADY-materialized checkpoint blocks, not a second scan.
-    if (edges.count() <= localThreshold) {
+    // (DedupSpec forces it via localThreshold = 0). ONE job decides AND
+    // fetches: limit(threshold+1).collect() over the already-materialized
+    // checkpoint blocks — length <= threshold means we hold the whole edge
+    // set (use it directly), one extra row means it's too big (the <=16 MB
+    // prefix is discarded, no count job ever runs).
+    val localCap = math.min(localThreshold, Int.MaxValue - 1L).toInt
+    val headEdges =
+      if (localCap >= 0) edges.limit(localCap + 1).collect() else Array.empty[Row]
+    if (localCap >= 0 && headEdges.length <= localCap) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -1052,7 +1058,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
+      headEdges.foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         if (ra != rb) { // union by min: smaller id becomes the root
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
@@ -1138,14 +1144,25 @@ object Dedup {
     * Scale: [[dupClusters]] bounds the iterative work by the pair-list
     * size (its localCheckpointed edge fixpoint is shared by both slices
     * of this one frame — filtering kept/dropped does NOT re-run the
-    * union-find); the cluster-size count rides a window over the SAME
-    * cluster-keyed exchange the label join needs, and the join back to
-    * `docs` is doc_id-keyed. No corpus-sized shuffle beyond those two. */
+    * union-find); cluster sizes come from a map-side-combinable
+    * `groupBy(cluster).count()` over ONLY the non-canonical rows — a
+    * frame bounded by the pair-list endpoints, NOT the corpus — left
+    * joined back (singletons coalesce to 1). No `PARTITION BY cluster`
+    * window anywhere: a 90%-one-cluster corpus would force that window's
+    * buffer to hold the mega-cluster in one task, whereas the partial
+    * aggregation combines map-side and the join streams (DedupSpec pins
+    * the mega-cluster case; PlanContractSpec pins the window's absence).
+    * The join back to `docs` is doc_id-keyed. */
   def dedupApply(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cl = dupClusters(docs, pairs)
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    val labels = dupClusters(docs, pairs)
+    // every member of a non-trivial cluster except its root is
+    // non-canonical, so size = non-canonical count + 1; the grouped frame
+    // has one row per NON-TRIVIAL cluster (pair-bounded, never corpus)
+    val sizes = labels.where(col("is_canonical") === 0L)
+      .groupBy(col("cluster"))
+      .agg((count(lit(1)) + 1L).as("n_members"))
+    val cl = labels.join(sizes, Seq("cluster"), "left")
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
     docs.join(cl, Seq("doc_id"))
       .withColumn("kept", col("is_canonical"))
       .withColumn("kept_id", col("cluster"))

@@ -128,6 +128,11 @@ object HtmlText {
         else { cp = cp * (if (hex) 16 else 10) + v; if (cp > 0x10ffff) valid = false }
         k += 1
       }
+      // Surrogate code points are not scalar values: writeCp would emit
+      // CESU-style invalid UTF-8 that corrupts downstream digests. Treat
+      // them like any other invalid reference (literal '&' passthrough),
+      // matching the spec's refusal to decode &#xD800;..&#xDFFF;.
+      if (cp >= 0xd800L && cp <= 0xdfffL) valid = false
       if (valid && cp > 0) { writeCp(out, cp.toInt); semi + 1 }
       else { out.write('&'); i + 1 }
     }

@@ -68,6 +68,12 @@ object TarEntries {
   private val MaxEntries = 65536
   private val Block = 512
 
+  /** Per-entry payload cap (the [[TfRecords.MaxRecordBytes]] pattern): a
+    * ustar size field can encode up to 8^11-1 ≈ 8.5e9, far past what one
+    * in-memory shard blob can hold — a forged header claiming more than
+    * this stops the walk instead of driving offset arithmetic. */
+  val MaxEntryBytes: Long = 256L * 1024 * 1024
+
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
@@ -147,10 +153,14 @@ object TarEntries {
           d(i + 260) == 'a' && d(i + 261) == 'r'
         val size = octal(d, i + 124, 12)
         val chksum = octal(d, i + 148, 8)
-        if (!magicOk || size < 0L || chksum < 0L || headerSum(d, i) != chksum) ok = false
+        if (!magicOk || size < 0L || size > MaxEntryBytes || chksum < 0L ||
+          headerSum(d, i) != chksum) ok = false
         else {
-          val dataBlocks = ((size + Block - 1) / Block).toInt
-          val end = i + Block + dataBlocks * Block
+          // Long arithmetic throughout: a valid-checksum header can still
+          // claim ~8.5e9 bytes, which wraps Int offsets negative and would
+          // break the never-throw contract on the md5 slice below.
+          val dataBlocks = (size + Block - 1) / Block
+          val end = i.toLong + Block + dataBlocks * Block
           if (end > d.length) ok = false
           else {
             val typeFlag = {
@@ -162,7 +172,7 @@ object TarEntries {
             out += new GenericInternalRow(Array[Any](
               nulString(d, i, 100), typeFlag, size, (i + Block).toLong,
               md5Hex(d, i + Block, size.toInt)))
-            i = end
+            i = end.toInt
           }
         }
       }

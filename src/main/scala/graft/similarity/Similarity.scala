@@ -260,6 +260,11 @@ object Similarity {
       .join(sumX, "src_id")
       .join(sumY, "tgt_id")
       .join(mutual, Seq("src_id", "tgt_id"), "left")
+      // Degenerate neighborhoods (all-zero embeddings) make the ratio
+      // denominator non-positive; those candidates are explicitly dropped
+      // rather than left to a null/sign-flipped margin the threshold
+      // filter would silently eat (mirrored in the oracle SQL).
+      .filter(col("sum_x_micro") + col("sum_y_micro") > 0)
       .withColumn("margin",
         micro(col("cos")).cast("double") * lit(2.0 * k) /
           (col("sum_x_micro") + col("sum_y_micro")).cast("double"))

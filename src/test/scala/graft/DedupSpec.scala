@@ -749,4 +749,31 @@ class DedupSpec extends SparkSpec {
     // doc passthrough columns survive the join (text rides along)
     assert(verdict.columns.contains("text"))
   }
+
+  test("dedupApply: 90%-one-cluster corpus — sizes via partial agg, no corpus window") {
+    // 20 docs, 18 chained into ONE cluster (the mega-cluster shape that
+    // would pin a PARTITION BY cluster window's buffer to one task)
+    val docs = docsOf((0L until 20L).map(i => (i, s"doc $i body")): _*)
+    val s = spark
+    import s.implicits._
+    val pairs = (0L until 17L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val verdict = Dedup.dedupApply(docs, pairs)
+    val rows = verdict.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("kept"), r.getAs[Long]("kept_id"),
+      r.getAs[Long]("n_dropped"))).toSeq
+    assert(rows.map(_._1).sorted == (0L until 20L))
+    val kept = rows.filter(_._2 == 1L)
+    // doc 0 survives the 18-member chain reporting 17 deletions;
+    // 18 and 19 are singletons
+    assert(kept.map(r => r._1 -> r._4).toMap ==
+      Map(0L -> 17L, 18L -> 0L, 19L -> 0L))
+    assert(rows.filter(_._2 == 0L).forall(_._3 == 0L))
+    // the plan must size clusters by partial-combinable aggregation, not
+    // a corpus-partitioned window (which cannot stripe a mega-cluster)
+    val plan = verdict.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"dedupApply plans a window over the corpus: $plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"dedupApply lost the partial cluster-size aggregation: $plan")
+  }
 }

@@ -31,6 +31,12 @@ class HtmlTextSpec extends SparkSpec {
     assert(parse("<p>&bogus; &amp no-semi &toolongentityname;</p>")._2 ==
       "&bogus; &amp no-semi &toolongentityname;")
     assert(parse("<p>&#zzz;&#;&#x110000;</p>")._2 == "&#zzz;&#;&#x110000;")
+    // surrogate references must NOT decode (CESU-style bytes would be
+    // malformed UTF-8); they pass through literally like other invalids,
+    // and the output stays valid UTF-8 end to end
+    val surr = parse("<p>&#xD800;&#xDFFF;&#55296;ok</p>")._2
+    assert(surr == "&#xD800;&#xDFFF;&#55296;ok")
+    assert(new String(surr.getBytes("UTF-8"), "UTF-8") == surr)
   }
 
   test("comments, quoted '>' in attributes, case-insensitive raw-text elements") {

@@ -671,6 +671,16 @@ class PlanContractSpec extends SparkSpec {
     assert(!ing.contains("Join"), s"q_warc_ingest must not join:\n$ing")
   }
 
+  test("dedup execution sizes clusters by aggregation, never a corpus window") {
+    // a PARTITION BY cluster window buffers the whole mega-cluster in one
+    // task; the size join must stay a partial-combinable groupBy(cluster)
+    Seq("q_dedup_apply", "q_dedup_dropped").foreach { name =>
+      val p = planOf(name).split("== Initial Plan ==")(0)
+      assert(!p.contains("Window"),
+        s"$name plans a cluster-partitioned window:\n$p")
+    }
+  }
+
   test("unicode audit is one scan-bound lang aggregate") {
     // the normalization runs inside the scan->aggregate pipeline as a
     // codegen expression: no join, no window, ONE hash exchange

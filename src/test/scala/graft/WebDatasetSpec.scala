@@ -57,6 +57,29 @@ class WebDatasetSpec extends SparkSpec {
     assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
   }
 
+  test("forged giant size field stops the walk — Long offsets, no Int overflow") {
+    // a trivially forgeable valid-checksum header can claim 8^11-1 bytes
+    // (~8.5e9): Int offset arithmetic would wrap `end` negative, pass the
+    // length guard, and throw inside the md5 slice. The walk must stop.
+    val good = Multimodal.tarEntry("a.txt", "x".getBytes("UTF-8"))
+    val h = good.take(512)
+    val forged = "77777777777".getBytes("US-ASCII") // max 11-octal-digit size
+    System.arraycopy(forged, 0, h, 124, forged.length)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += (if (i >= 148 && i < 156) 32 else h(i) & 0xff); i += 1 }
+    System.arraycopy(f"$sum%06o".getBytes("US-ASCII"), 0, h, 148, 6)
+    assert(parseStatic(h ++ good.drop(512)).isEmpty) // stops, never throws
+    // just past the per-entry cap: also refused, even when blocks "fit"
+    val capped = good.take(512)
+    val overCap = "%011o".format(TarEntries.MaxEntryBytes + 1).getBytes("US-ASCII")
+    System.arraycopy(overCap, 0, capped, 124, overCap.length)
+    sum = 0L; i = 0
+    while (i < 512) { sum += (if (i >= 148 && i < 156) 32 else capped(i) & 0xff); i += 1 }
+    System.arraycopy(f"$sum%06o".getBytes("US-ASCII"), 0, capped, 148, 6)
+    assert(parseStatic(capped ++ good.drop(512)).isEmpty)
+  }
+
   test("WdsPngBytes pins the constant png member size the oracle arithmetic uses") {
     // every synthPng is the same byte count regardless of field values
     assert(Multimodal.synthPng(1, 1, 8, 0).length == Multimodal.WdsPngBytes)
