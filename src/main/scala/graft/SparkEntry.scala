@@ -167,9 +167,20 @@ object SparkEntry {
     * text by the five-layer parse, so the same arithmetic gates it;
     * lang never survives the wire). */
   private def pipelineOracleSql(withLang: Boolean): String = {
-    val hLang = if (withLang) ", d2.lang" else ""
     val outLang = if (withLang) "lang, " else ""
-    s"""WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    s"""WITH ${pipelineCtes(withLang)}
+       |SELECT doc_id, $outLang
+       |       CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** The WITH-body of [[pipelineOracleSql]], reusable as the prefix of
+    * longer chains (q_corpus_to_shards extends it through BPE, padding,
+    * shard balance, and the emitted-record digests). Ends at `h`
+    * (`doc_id[, lang], hv`); `d2` carries the curated text. */
+  private def pipelineCtes(withLang: Boolean): String = {
+    val hLang = if (withLang) ", d2.lang" else ""
+    s"""keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
        |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t)-2),
@@ -200,11 +211,63 @@ object SparkEntry {
        |        AND CAST(n_alpha_words AS DOUBLE)/CAST(n_words AS DOUBLE) >= 0.8),
        |h AS (SELECT d2.doc_id$hLang,
        |        ('0x' || substr(md5('split0:' || CAST(d2.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS hv
-       |      FROM d2 JOIN q ON d2.doc_id = q.doc_id)
-       |SELECT doc_id, $outLang
-       |       CASE WHEN hv < 8 THEN 'train' WHEN hv < 9 THEN 'val' ELSE 'test' END AS split
-       |FROM h ORDER BY doc_id""".stripMargin
+       |      FROM d2 JOIN q ON d2.doc_id = q.doc_id)""".stripMargin
   }
+
+  /** Shared gate↔oracle constants for the shard-writer gates: shard
+    * counts appear in the Spark `shardBalance` calls AND the oracles'
+    * boustrophedon modulus arithmetic. */
+  private val RoundtripShards = 7
+  private val CorpusShards = 5
+
+  /** The crawl-extraction + curation arc shared by q_crawl_to_corpus and
+    * q_corpus_to_shards: five-layer parse (gzip members → WARC payload →
+    * HTTP head → HTML text), landed once via localCheckpoint (the
+    * curation chain rescans its corpus — dedup self-joins, quality,
+    * split — and re-running the parse per rescan is exactly what a real
+    * pipeline avoids by landing extraction output first), then exact
+    * dedup → 0.5-Jaccard near-dedup → Gopher quality → hash split.
+    * Returns `(doc_id, text, split)`. */
+  private def crawlCurated(s: SparkSession, dir: String): DataFrame = {
+    val parsed = graft.multimodal.Multimodal.crawlTable(Tables.documents(s, dir))
+      .select(posexplode(graft.functions.GzipMembers.gzip_members(col("data")))
+        .as(Seq("mi", "m")))
+      .select(element_at(
+        graft.functions.WarcRecords.warc_payloads(col("m")), 1).as("hp"))
+      .select(col("hp"),
+        graft.functions.HttpHead.http_head(col("hp")).as("h"))
+      .select(graft.functions.HtmlText.html_text(
+        expr("substring(hp, CAST(h.body_offset AS INT) + 1, 2147483647)")).as("t"))
+      .select(expr("CAST(substring(t.title, 5) AS BIGINT)").as("doc_id"),
+        col("t.body").as("text"))
+      .localCheckpoint(true)
+    val exact = Dedup.exactDedup(parsed)
+    val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    val quality = deduped.join(
+      TextAnalysis.gopherQuality(deduped)
+        .filter(col("passes_gopher") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    graft.operators.Sampling.splitAssign(quality, col("doc_id"),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select(col("doc_id"), col("text"), col("split"))
+  }
+
+  /** The shard-writer gates' shared tail: re-parse emitted TFRecord
+    * shards with the VALIDATING reader (both masked crcs checked per
+    * record) and flatten to one gated row per record — the writer proven
+    * by its own adversarial reader, record digests hash-matched against
+    * oracle arithmetic. */
+  private def shardRecordsOut(shards: DataFrame): DataFrame =
+    shards.select(col("shard"), col("n_records"), col("n_bytes"),
+        posexplode(graft.functions.TfRecords.tfrecord_entries(col("data")))
+          .as(Seq("rec_idx", "e")))
+      .select(col("shard"), col("n_records"), col("n_bytes"),
+        col("rec_idx").cast("long").as("rec_idx"),
+        col("e.length").as("rec_len"),
+        col("e.payload_md5").as("payload_md5"))
+      .orderBy(col("shard"), col("rec_idx"))
 
   /** The q_image_* oracles' field derivation: the SAME arithmetic (and
     * the same shared moduli — [[graft.multimodal.Multimodal.ImgWidthMod]]
@@ -976,36 +1039,42 @@ object SparkEntry {
     // by the q_html_text round trip), then the SAME curation chain as
     // q_pipeline: exact dedup → 0.5-Jaccard near-dedup → Gopher quality
     // → deterministic split. Gated by the same oracle arithmetic.
-    "q_crawl_to_corpus" -> ((s, dir) => {
-      val parsed = graft.multimodal.Multimodal.crawlTable(Tables.documents(s, dir))
-        .select(posexplode(graft.functions.GzipMembers.gzip_members(col("data")))
-          .as(Seq("mi", "m")))
-        .select(element_at(
-          graft.functions.WarcRecords.warc_payloads(col("m")), 1).as("hp"))
-        .select(col("hp"),
-          graft.functions.HttpHead.http_head(col("hp")).as("h"))
-        .select(graft.functions.HtmlText.html_text(
-          expr("substring(hp, CAST(h.body_offset AS INT) + 1, 2147483647)")).as("t"))
-        .select(expr("CAST(substring(t.title, 5) AS BIGINT)").as("doc_id"),
-          col("t.body").as("text"))
-        // extract ONCE, curate from the extracted table: the curation
-        // chain rescans its corpus (dedup self-joins, quality, split),
-        // and re-running the five-layer parse per rescan is exactly what
-        // a real pipeline avoids by landing extraction output first —
-        // localCheckpoint is that landing, in-plan
-        .localCheckpoint(true)
-      val exact = Dedup.exactDedup(parsed)
-      val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
-      val quality = deduped.join(
-        TextAnalysis.gopherQuality(deduped)
-          .filter(col("passes_gopher") === 1).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      graft.operators.Sampling.splitAssign(quality, col("doc_id"),
-        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    "q_crawl_to_corpus" -> ((s, dir) =>
+      crawlCurated(s, dir)
         .select(col("doc_id"), col("split"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // the engine's thesis statement, end to end in ONE gated plan: crawl
+    // containers (gzip→WARC→HTTP→HTML, the five-layer parse) → curation
+    // (exact + near dedup, Gopher quality, split) → BPE encode under the
+    // fixed merge table → token-budget batch plan (paddingApply over
+    // subword lengths) → LPT shard balance → EMIT TFRecord shards →
+    // re-parse with the validating reader. Each record's payload carries
+    // doc_id|bucket|batch|encoded, so the hash gate proves every stage's
+    // output byte-for-byte against an oracle that re-derives the whole
+    // arc arithmetically — any seam mismatch between stages surfaces here
+    // even when each stage's own gate is green.
+    "q_corpus_to_shards" -> ((s, dir) => {
+      val train = crawlCurated(s, dir)
+        .filter(col("split") === "train").select(col("doc_id"), col("text"))
+        // the BPE join, the padding histogram, and the shard ranking all
+        // rescan the (bounded, post-curation) corpus — land it once
+        .localCheckpoint(true)
+      val enc = graft.text.Bpe.encode(train, EncodeMerges)
+      val pa = graft.operators.Packing.paddingApply(enc,
+        buckets = PaddingPlanBuckets, budget = PaddingPlanBudget,
+        tokens = col("n_subwords"))
+      val sb = graft.operators.Packing.shardBalance(enc,
+        shards = CorpusShards, tokens = col("n_subwords"))
+      val payload = enc
+        .join(pa.select(col("doc_id"), col("bucket"), col("batch")), "doc_id")
+        .join(sb.select(col("doc_id"), col("shard")), "doc_id")
+        .select(col("shard"), col("doc_id").as("order"),
+          encode(concat_ws("|", col("doc_id"), col("bucket"),
+            coalesce(col("batch"), lit(-1L)), col("encoded")), "UTF-8")
+            .as("payload"))
+      shardRecordsOut(
+        graft.multimodal.ShardWriter.emitTfRecordShards(payload))
     }),
 
     // the compression layer: real .warc.gz blobs (one RFC 1952 gzip
@@ -1502,6 +1571,55 @@ object SparkEntry {
     "q_shard_balance" -> ((s, dir) =>
       graft.operators.Packing.shardBalance(docsParallel(s, dir), shards = 7)
         .orderBy(col("doc_id"))),
+
+    // the WRITE half of the TFRecord container: LPT-balanced shards
+    // emitted as real container bytes (live masked-crc32c framing), then
+    // re-parsed by the gated validating reader — writer and reader
+    // adversarially pinned to each other, record digests and container
+    // byte accounting hash-gated against oracle arithmetic
+    "q_shard_roundtrip" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val sb = graft.operators.Packing.shardBalance(docs,
+        shards = RoundtripShards)
+      val payload = docs.select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .join(sb.select(col("doc_id"), col("shard")), "doc_id")
+        .select(col("shard"), col("doc_id").as("order"),
+          encode(col("text"), "UTF-8").as("payload"))
+      shardRecordsOut(
+        graft.multimodal.ShardWriter.emitTfRecordShards(payload))
+    }),
+
+    // the WRITE half of the WebDataset container: each doc becomes one
+    // sample of two members (`<doc_id>.txt` text, `<doc_id>.src` source)
+    // in a checksum-valid ustar archive per shard, re-parsed by the gated
+    // tar reader — member names, order, sizes, digests, and the
+    // block-arithmetic container size all hash-gated
+    "q_wds_roundtrip" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val sb = graft.operators.Packing.shardBalance(docs,
+        shards = RoundtripShards)
+      val samples = docs.select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"),
+          coalesce(col("source"), lit("")).as("source"))
+        .join(sb.select(col("doc_id"), col("shard")), "doc_id")
+        .select(col("shard"), col("doc_id").as("order"),
+          array(
+            struct(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+              encode(col("text"), "UTF-8").as("data")),
+            struct(concat(col("doc_id").cast("string"), lit(".src")).as("name"),
+              encode(col("source"), "UTF-8").as("data"))).as("members"))
+      graft.multimodal.ShardWriter.emitWebDatasetShards(samples)
+        .select(col("shard"), col("n_samples"), col("n_members"),
+          col("n_bytes"),
+          posexplode(graft.functions.TarEntries.tar_entries(col("data")))
+            .as(Seq("entry_idx", "e")))
+        .select(col("shard"), col("n_samples"), col("n_members"),
+          col("n_bytes"), col("entry_idx").cast("long").as("entry_idx"),
+          col("e.name").as("name"), col("e.size").as("size"),
+          col("e.payload_md5").as("payload_md5"))
+        .orderBy(col("shard"), col("entry_idx"))
+    }),
 
     // rendezvous (HRW) sharding under membership change: assignment with
     // 3 nodes vs 2 — the migration matrix proves only node-c's keys move
@@ -4997,6 +5115,134 @@ object SparkEntry {
           |  CAST(CASE WHEN (rn // 7) % 2 = 0 THEN rn % 7
           |            ELSE 6 - (rn % 7) END AS BIGINT) AS shard
           |FROM r ORDER BY doc_id""".stripMargin,
+
+      // TFRecord writer round-trip: the oracle re-derives shard assignment
+      // (the boustrophedon LPT arithmetic), per-record order, UTF-8 byte
+      // lengths, payload md5s, and the 16-bytes-per-record container
+      // accounting — the Spark side must emit REAL container bytes and
+      // re-parse them through both masked crcs to produce the same rows
+      "q_shard_roundtrip" ->
+        s"""WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+           |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |          FROM documents),
+           |r AS (SELECT doc_id, text,
+           |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+           |      FROM t),
+           |sh AS (SELECT doc_id, text,
+           |         CAST(CASE WHEN (rn // $RoundtripShards) % 2 = 0 THEN rn % $RoundtripShards
+           |                   ELSE ${RoundtripShards - 1} - (rn % $RoundtripShards)
+           |              END AS BIGINT) AS shard
+           |       FROM r),
+           |st AS (SELECT shard, count(*) AS n_records,
+           |         CAST(sum(16 + strlen(text)) AS BIGINT) AS n_bytes
+           |       FROM sh GROUP BY 1),
+           |e AS (SELECT shard, doc_id,
+           |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS rec_idx,
+           |        CAST(strlen(text) AS BIGINT) AS rec_len,
+           |        md5(text) AS payload_md5
+           |      FROM sh)
+           |SELECT e.shard, CAST(st.n_records AS BIGINT) AS n_records, st.n_bytes,
+           |       CAST(e.rec_idx AS BIGINT) AS rec_idx, e.rec_len, e.payload_md5
+           |FROM e JOIN st USING (shard) ORDER BY shard, rec_idx""".stripMargin,
+
+      // WebDataset writer round-trip: two members per sample in declared
+      // order; container bytes re-derived from the ustar block arithmetic
+      // (512-byte header + block-padded payload per member + two close
+      // blocks) — the tar reader validates every header checksum it walks
+      "q_wds_roundtrip" ->
+        s"""WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+           |            COALESCE(source, '') AS source,
+           |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |          FROM documents),
+           |r AS (SELECT doc_id, text, source,
+           |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+           |      FROM t),
+           |sh AS (SELECT doc_id, text, source,
+           |         CAST(CASE WHEN (rn // $RoundtripShards) % 2 = 0 THEN rn % $RoundtripShards
+           |                   ELSE ${RoundtripShards - 1} - (rn % $RoundtripShards)
+           |              END AS BIGINT) AS shard
+           |       FROM r),
+           |m AS (SELECT shard, doc_id, u.i AS mi,
+           |        CAST(doc_id AS VARCHAR) ||
+           |          CASE u.i WHEN 0 THEN '.txt' ELSE '.src' END AS name,
+           |        CASE u.i WHEN 0 THEN text ELSE source END AS body
+           |      FROM sh, (VALUES (0), (1)) u(i)),
+           |st AS (SELECT shard, count(DISTINCT doc_id) AS n_samples,
+           |         count(*) AS n_members,
+           |         CAST(sum(512 + ((strlen(body) + 511) // 512) * 512)
+           |              + 1024 AS BIGINT) AS n_bytes
+           |       FROM m GROUP BY 1),
+           |e AS (SELECT shard, name,
+           |        row_number() OVER (PARTITION BY shard ORDER BY doc_id, mi) - 1 AS entry_idx,
+           |        CAST(strlen(body) AS BIGINT) AS size,
+           |        md5(body) AS payload_md5
+           |      FROM m)
+           |SELECT e.shard, CAST(st.n_samples AS BIGINT) AS n_samples,
+           |       CAST(st.n_members AS BIGINT) AS n_members, st.n_bytes,
+           |       CAST(e.entry_idx AS BIGINT) AS entry_idx, e.name, e.size,
+           |       e.payload_md5
+           |FROM e JOIN st USING (shard) ORDER BY shard, entry_idx""".stripMargin,
+
+      // the full arc re-derived arithmetically: curation (the pipeline
+      // CTEs) → train slice → BPE segmentation (the unrolled merge-table
+      // folds) → padding batch plan over subword lengths → boustrophedon
+      // shard balance → per-record doc_id|bucket|batch|encoded digests +
+      // TFRecord container accounting — one oracle for the whole factory
+      "q_corpus_to_shards" ->
+        s"""WITH ${pipelineCtes(withLang = false)},
+           |tr AS (SELECT d2.doc_id, d2.text FROM d2
+           |       JOIN h ON d2.doc_id = h.doc_id WHERE h.hv < 8),
+           |btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM tr),
+           |vocab AS (SELECT DISTINCT unnest(t) AS w FROM btoks),
+           |$bpeSegSqlCtes,
+           |px AS (SELECT doc_id, p.p AS pos, p.w AS w FROM (
+           |         SELECT doc_id, unnest(list_transform(range(len(t)),
+           |           i -> {'p': i, 'w': t[i+1]})) AS p FROM btoks)),
+           |benc AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS subs
+           |         FROM px JOIN s${EncodeMerges.size} USING (w) GROUP BY doc_id),
+           |e AS (SELECT doc_id, array_to_string(subs, ' ') AS encoded,
+           |        CAST(len(subs) AS BIGINT) AS len FROM benc),
+           |ph AS (SELECT len, count(*) AS cnt FROM e GROUP BY 1),
+           |pw AS (SELECT len, cnt, sum(cnt) OVER () AS n,
+           |         COALESCE(sum(cnt) OVER (ORDER BY len
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+           |       FROM ph),
+           |pb0 AS (SELECT len, cnt, (bef * $PaddingPlanBuckets) // n AS bucket FROM pw),
+           |pcap AS (SELECT bucket, max(len) AS cap FROM pb0 GROUP BY 1),
+           |pbb AS (SELECT len, bucket,
+           |          COALESCE(sum(cnt) OVER (PARTITION BY bucket ORDER BY len
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef_b
+           |        FROM pb0),
+           |pr AS (SELECT e.doc_id, pbb.bucket,
+           |         pbb.bef_b + row_number() OVER (PARTITION BY e.len ORDER BY e.doc_id) - 1 AS rank_b
+           |       FROM e JOIN pbb ON e.len = pbb.len),
+           |pa AS (SELECT pr.doc_id, CAST(pr.bucket AS BIGINT) AS bucket,
+           |         CAST(CASE WHEN pcap.cap > 0 THEN
+           |               (CASE WHEN ($PaddingPlanBudget // pcap.cap) >= 1
+           |                     THEN rank_b // ($PaddingPlanBudget // pcap.cap) END)
+           |             END AS BIGINT) AS batch
+           |       FROM pr JOIN pcap USING (bucket)),
+           |sr AS (SELECT doc_id,
+           |         row_number() OVER (ORDER BY len DESC, doc_id) - 1 AS rn FROM e),
+           |sb AS (SELECT doc_id,
+           |         CAST(CASE WHEN (rn // $CorpusShards) % 2 = 0 THEN rn % $CorpusShards
+           |                   ELSE ${CorpusShards - 1} - (rn % $CorpusShards)
+           |              END AS BIGINT) AS shard
+           |       FROM sr),
+           |pay AS (SELECT e.doc_id, sb.shard,
+           |          CAST(e.doc_id AS VARCHAR) || '|' || CAST(pa.bucket AS VARCHAR) || '|' ||
+           |          CAST(COALESCE(pa.batch, -1) AS VARCHAR) || '|' || e.encoded AS p
+           |        FROM e JOIN pa USING (doc_id) JOIN sb USING (doc_id)),
+           |st AS (SELECT shard, count(*) AS n_records,
+           |         CAST(sum(16 + strlen(p)) AS BIGINT) AS n_bytes
+           |       FROM pay GROUP BY 1),
+           |qq AS (SELECT shard, doc_id,
+           |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS rec_idx,
+           |         CAST(strlen(p) AS BIGINT) AS rec_len, md5(p) AS payload_md5
+           |       FROM pay)
+           |SELECT qq.shard, CAST(st.n_records AS BIGINT) AS n_records, st.n_bytes,
+           |       CAST(qq.rec_idx AS BIGINT) AS rec_idx, qq.rec_len, qq.payload_md5
+           |FROM qq JOIN st USING (shard) ORDER BY shard, rec_idx""".stripMargin,
 
       // HRW weights via the engine's 15-hex-char md5 idiom; argmax =
       // row_number 1 over (w DESC, node DESC) — the greatest(struct) order

@@ -576,35 +576,11 @@ object Multimodal {
     * builder by WebDatasetSpec. */
   val WdsPngBytes = 71
 
-  /** One POSIX ustar entry: 512-byte header (NUL-padded name, octal
-    * size/mtime/mode, computed checksum, `ustar` magic) + payload padded
-    * to the 512-byte block. */
-  def tarEntry(name: String, payload: Array[Byte]): Array[Byte] = {
-    val h = new Array[Byte](512)
-    def put(at: Int, s: String): Unit = {
-      val b = s.getBytes("US-ASCII")
-      System.arraycopy(b, 0, h, at, b.length)
-    }
-    require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
-    put(0, name)
-    put(100, "0000644")   // mode, NUL-terminated by the zero fill
-    put(108, "0000000")   // uid
-    put(116, "0000000")   // gid
-    put(124, f"${payload.length}%011o") // size, 11 octal digits + NUL
-    put(136, "00000000000")             // mtime 0 (deterministic)
-    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum as spaces
-    h(156) = '0'          // regular file
-    put(257, "ustar")     // magic (NUL) + version "00"
-    put(263, "00")
-    put(265, "graft")     // uname
-    put(297, "graft")     // gname
-    var sum = 0L
-    var i = 0
-    while (i < 512) { sum += h(i) & 0xff; i += 1 }
-    put(148, f"$sum%06o") // 6 octal digits + NUL + space (space pre-filled)
-    val padded = (payload.length + 511) / 512 * 512
-    h ++ payload ++ new Array[Byte](padded - payload.length)
-  }
+  /** One POSIX ustar entry — the promoted writer's framer
+    * ([[ShardWriter.tarEntry]]); fixtures and operators share one byte
+    * layout by construction. */
+  def tarEntry(name: String, payload: Array[Byte]): Array[Byte] =
+    ShardWriter.tarEntry(name, payload)
 
   /** WebDataset fixture: real ustar shards, one per (source, bucket),
     * whose members pair into samples by filename stem — `<doc_id>.txt`
@@ -634,21 +610,11 @@ object Multimodal {
       .toDF("source", "bucket", "data")
   }
 
-  /** One TFRecord: u64-LE length, masked-crc32c(length), payload,
-    * masked-crc32c(payload) — both checksums live. */
-  def tfRecord(payload: Array[Byte]): Array[Byte] = {
-    def le32(v: Long): Array[Byte] = Array(
-      (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
-      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
-    val lenBytes = {
-      val v = payload.length.toLong
-      le32(v & 0xffffffffL) ++ le32(v >>> 32)
-    }
-    lenBytes ++
-      le32(graft.functions.TfRecords.maskedCrc32c(lenBytes, 0, 8)) ++
-      payload ++
-      le32(graft.functions.TfRecords.maskedCrc32c(payload, 0, payload.length))
-  }
+  /** One TFRecord frame — the promoted writer's framer
+    * ([[ShardWriter.tfRecordFrame]]); fixtures and operators share one
+    * byte layout by construction. */
+  def tfRecord(payload: Array[Byte]): Array[Byte] =
+    ShardWriter.tfRecordFrame(payload)
 
   /** TFRecord shard fixture: one shard per (source, bucket), records
     * carrying the doc texts in doc_id order — the third training

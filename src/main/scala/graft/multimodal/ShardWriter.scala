@@ -1,0 +1,171 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-shard WRITERS — the emit half of the container trio whose
+  * read half is the gated parsers ([[graft.functions.TfRecords]],
+  * [[graft.functions.TarEntries]]). A training-data pipeline's
+  * deliverable is shard files: crawl → curate → encode → pack ends here,
+  * producing container BYTES per shard that any consumer of the public
+  * formats (TFRecord with live masked-crc32c framing, WebDataset ustar
+  * archives) reads back verbatim. The reference's arc stops at serving
+  * stored messages back over its own protocol
+  * (`src/plugins/storage/Storage.ts` requestLast/requestRange); this is
+  * that arc's training-factory upgrade, SURVEY §2's pipeline tail.
+  *
+  * Validation discipline: every writer is gated by ROUND-TRIPPING through
+  * its own adversarial reader — emit, re-parse with the checksum-validating
+  * parser, hash-match record digests against an oracle that re-derives
+  * them arithmetically (q_shard_roundtrip / q_wds_roundtrip /
+  * q_corpus_to_shards). A framing bug cannot hide: the reader validates
+  * every CRC/checksum it walks.
+  *
+  * Scale design: `repartition(shard)` hash-routes each shard's rows to one
+  * task and `sortWithinPartitions(shard, order)` makes shards contiguous
+  * runs in shuffle order — the per-shard assembly is then a streaming
+  * single pass (mapPartitions over the sorted run), no `collect_list`
+  * buffer, no sort_array copy, no driver involvement. One shard's bytes
+  * must fit in a task (inherent to a one-blob-per-shard output row); the
+  * upstream LPT balance ([[graft.operators.Packing.shardBalance]]) is what
+  * sizes shards, so the memory bound is the caller's shard-size policy,
+  * not a skew accident. Several shards hashing to one partition stream
+  * sequentially through the same iterator.
+  */
+object ShardWriter {
+
+  /** One TFRecord frame: u64-LE length, masked-crc32c(length), payload,
+    * masked-crc32c(payload) — both checksums live, the published format
+    * [[graft.functions.TfRecords]] validates. */
+  def tfRecordFrame(payload: Array[Byte]): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val lenBytes = {
+      val v = payload.length.toLong
+      le32(v & 0xffffffffL) ++ le32(v >>> 32)
+    }
+    lenBytes ++
+      le32(graft.functions.TfRecords.maskedCrc32c(lenBytes, 0, 8)) ++
+      payload ++
+      le32(graft.functions.TfRecords.maskedCrc32c(payload, 0, payload.length))
+  }
+
+  /** One POSIX ustar entry: 512-byte header (NUL-padded name, octal
+    * size/mtime/mode, computed checksum, `ustar` magic) + payload padded
+    * to the 512-byte block. Deterministic (mtime 0) so emitted shards are
+    * byte-reproducible across runs. */
+  def tarEntry(name: String, payload: Array[Byte]): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(at: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, at, b.length)
+    }
+    require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
+    put(0, name)
+    put(100, "0000644")   // mode, NUL-terminated by the zero fill
+    put(108, "0000000")   // uid
+    put(116, "0000000")   // gid
+    put(124, f"${payload.length}%011o") // size, 11 octal digits + NUL
+    put(136, "00000000000")             // mtime 0 (deterministic)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum as spaces
+    h(156) = '0'          // regular file
+    put(257, "ustar")     // magic (NUL) + version "00"
+    put(263, "00")
+    put(265, "graft")     // uname
+    put(297, "graft")     // gname
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o") // 6 octal digits + NUL + space (space pre-filled)
+    val padded = (payload.length + 511) / 512 * 512
+    h ++ payload ++ new Array[Byte](padded - payload.length)
+  }
+
+  /** Emit TFRecord shard blobs: one output row per distinct `shardCol`
+    * value, records framed in ascending `orderCol` order (the pair must be
+    * a total key — ties would make emitted bytes nondeterministic).
+    * Returns `(shard, n_records, n_bytes, data)`; `n_bytes` counts the
+    * full container (16 framing bytes per record + payloads). Null
+    * payloads frame as zero-length records — present, never invented. */
+  def emitTfRecordShards(records: DataFrame,
+      shardCol: Column = col("shard"), orderCol: Column = col("order"),
+      payloadCol: Column = col("payload")): DataFrame = {
+    val s = records.sparkSession
+    import s.implicits._
+    records.select(shardCol.cast("long").as("shard"),
+        orderCol.cast("long").as("order"),
+        payloadCol.cast("binary").as("payload"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("order"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        shardRuns(it)(_._1) { (bos, row) =>
+          bos.write(tfRecordFrame(Option(row._3).getOrElse(Array.emptyByteArray)))
+          1L
+        }.map { case (shard, n, _, data) => (shard, n, data.length.toLong, data) }
+      }
+      .toDF("shard", "n_records", "n_bytes", "data")
+  }
+
+  /** Emit WebDataset (ustar) shard blobs: each input row is one SAMPLE
+    * whose `membersCol` (`array<struct<name string, data binary>>`)
+    * becomes consecutive archive members — the filename-stem pairing
+    * convention (`<key>.txt`, `<key>.png`, …) is the caller's naming;
+    * this writer preserves member order within a sample and sample order
+    * by `orderCol` within a shard, and closes every archive with the two
+    * end-of-archive zero blocks. Returns
+    * `(shard, n_samples, n_members, n_bytes, data)`. */
+  def emitWebDatasetShards(samples: DataFrame,
+      shardCol: Column = col("shard"), orderCol: Column = col("order"),
+      membersCol: Column = col("members")): DataFrame = {
+    val s = samples.sparkSession
+    import s.implicits._
+    samples.select(shardCol.cast("long").as("shard"),
+        orderCol.cast("long").as("order"),
+        transform(membersCol, m =>
+          struct(m.getField("name").cast("string").as("_1"),
+            m.getField("data").cast("binary").as("_2"))).as("members"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("order"))
+      .as[(Long, Long, Seq[(String, Array[Byte])])]
+      .mapPartitions { it =>
+        shardRuns(it)(_._1) { (bos, row) =>
+          val members = Option(row._3).getOrElse(Seq.empty)
+          members.foreach { case (name, data) =>
+            bos.write(tarEntry(name, Option(data).getOrElse(Array.emptyByteArray)))
+          }
+          members.length.toLong
+        }.map { case (shard, nSamples, nMembers, body) =>
+          val data = body ++ new Array[Byte](1024) // end-of-archive blocks
+          (shard, nSamples, nMembers, data.length.toLong, data)
+        }
+      }
+      .toDF("shard", "n_samples", "n_members", "n_bytes", "data")
+  }
+
+  /** Streaming run-grouper: folds a (shard-contiguous, order-sorted)
+    * iterator into one `(key, rowCount, unitCount, bytes)` per contiguous
+    * key run — `write` appends one row's bytes and returns its unit count
+    * (records, members). Never holds more than the current shard's
+    * buffer. */
+  private def shardRuns[T](it: Iterator[T])(key: T => Long)(
+      write: (java.io.ByteArrayOutputStream, T) => Long
+  ): Iterator[(Long, Long, Long, Array[Byte])] =
+    new Iterator[(Long, Long, Long, Array[Byte])] {
+      private var pending: Option[T] = if (it.hasNext) Some(it.next()) else None
+      override def hasNext: Boolean = pending.isDefined
+      override def next(): (Long, Long, Long, Array[Byte]) = {
+        val shard = key(pending.get)
+        val bos = new java.io.ByteArrayOutputStream()
+        var n = 0L
+        var units = 0L
+        while (pending.isDefined && key(pending.get) == shard) {
+          units += write(bos, pending.get)
+          n += 1L
+          pending = if (it.hasNext) Some(it.next()) else None
+        }
+        (shard, n, units, bos.toByteArray)
+      }
+    }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TarEntries, TfRecords}
+import graft.multimodal.ShardWriter
+
+class ShardWriterSpec extends SparkSpec {
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+
+  test("tfrecord writer round-trips through its own validating parser") {
+    val s = spark
+    import s.implicits._
+    // 3 shards, records deliberately appended out of order; shard 2 empty
+    // payloads included
+    val rows = Seq(
+      (0L, 2L, "gamma".getBytes("UTF-8")),
+      (0L, 1L, "beta".getBytes("UTF-8")),
+      (0L, 0L, "alpha".getBytes("UTF-8")),
+      (1L, 0L, Array.emptyByteArray),
+      (1L, 1L, null.asInstanceOf[Array[Byte]]),
+      (2L, 5L, "solo".getBytes("UTF-8")))
+    val shards = ShardWriter.emitTfRecordShards(
+      rows.toDF("shard", "order", "payload"))
+    val out = shards.orderBy("shard").collect()
+    assert(out.map(_.getAs[Long]("shard")).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("n_records")).toSeq == Seq(3L, 2L, 1L))
+    // container accounting: 16 framing bytes per record + payload bytes
+    assert(out.map(_.getAs[Long]("n_bytes")).toSeq ==
+      Seq(16L * 3 + 14, 16L * 2, 16L + 4))
+    assert(out.forall(r =>
+      r.getAs[Array[Byte]]("data").length == r.getAs[Long]("n_bytes")))
+    // the adversarial reader (validates both masked crcs) recovers every
+    // record in emitted (= order-column) order
+    val back = shards
+      .select(col("shard"), posexplode(TfRecords.tfrecord_entries(col("data")))
+        .as(Seq("idx", "e")))
+      .select(col("shard"), col("idx"), col("e.length").as("len"),
+        col("e.payload_md5").as("m"))
+      .orderBy("shard", "idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(back.toSeq == Seq(
+      (0L, 0, 5L, md5Hex("alpha".getBytes("UTF-8"))),
+      (0L, 1, 4L, md5Hex("beta".getBytes("UTF-8"))),
+      (0L, 2, 5L, md5Hex("gamma".getBytes("UTF-8"))),
+      (1L, 0, 0L, md5Hex(Array.emptyByteArray)),
+      (1L, 1, 0L, md5Hex(Array.emptyByteArray)), // null framed as empty
+      (2L, 0, 4L, md5Hex("solo".getBytes("UTF-8")))))
+  }
+
+  test("webdataset writer: member order kept, archives closed, stats exact") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, 1L, Seq(("1.txt", "one".getBytes("UTF-8")),
+        ("1.cls", "a".getBytes("UTF-8")))),
+      (0L, 0L, Seq(("0.txt", "zero".getBytes("UTF-8")),
+        ("0.cls", "b".getBytes("UTF-8")))),
+      (1L, 0L, Seq(("9.txt", "nine".getBytes("UTF-8")))))
+    val shards = ShardWriter.emitWebDatasetShards(rows
+      .toDF("shard", "order", "members")
+      .select(col("shard"), col("order"),
+        transform(col("members"),
+          m => struct(m.getField("_1").as("name"),
+            m.getField("_2").as("data"))).as("members")))
+    val out = shards.orderBy("shard").collect()
+    assert(out.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_samples"),
+      r.getAs[Long]("n_members"))).toSeq == Seq((0L, 2L, 4L), (1L, 1L, 1L)))
+    // ustar accounting: header + 1 data block per member + 2 close blocks
+    assert(out.map(_.getAs[Long]("n_bytes")).toSeq ==
+      Seq(1024L * 4 + 1024, 1024L + 1024))
+    val back = shards
+      .select(col("shard"), posexplode(TarEntries.tar_entries(col("data")))
+        .as(Seq("idx", "e")))
+      .select(col("shard"), col("idx"), col("e.name").as("name"),
+        col("e.size").as("size"), col("e.payload_md5").as("m"))
+      .orderBy("shard", "idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    // samples in order-column order, members in array order within each
+    assert(back.toSeq == Seq(
+      (0L, 0, "0.txt", 4L, md5Hex("zero".getBytes("UTF-8"))),
+      (0L, 1, "0.cls", 1L, md5Hex("b".getBytes("UTF-8"))),
+      (0L, 2, "1.txt", 3L, md5Hex("one".getBytes("UTF-8"))),
+      (0L, 3, "1.cls", 1L, md5Hex("a".getBytes("UTF-8"))),
+      (1L, 0, "9.txt", 4L, md5Hex("nine".getBytes("UTF-8")))))
+  }
+
+  test("emitted bytes are deterministic across runs and partitionings") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 200L).map(i => (i % 5, i, s"payload $i".getBytes("UTF-8")))
+    def digestOf(parts: Int): Map[Long, String] =
+      ShardWriter.emitTfRecordShards(
+        rows.toDF("shard", "order", "payload").repartition(parts))
+        .collect()
+        .map(r => r.getAs[Long]("shard") -> md5Hex(r.getAs[Array[Byte]]("data")))
+        .toMap
+    val a = digestOf(1)
+    assert(a.keySet == (0L until 5L).toSet)
+    assert(digestOf(7) == a && digestOf(32) == a)
+  }
+}
