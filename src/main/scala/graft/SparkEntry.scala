@@ -908,6 +908,17 @@ object SparkEntry {
           max(col("h.duration_ms")).as("max_duration_ms"))
         .orderBy(col("sample_rate"), col("bits_per_sample"))),
 
+    // REAL sample decode through the codec seam: WavPcmCodec walks the
+    // RIFF chunks to the data payload and decodes every PCM sample
+    // (16-bit signed LE / 8-bit unsigned re-centered) into integer-exact
+    // amplitude stats; the oracle re-derives the same sums from the
+    // fixture's synthesis arithmetic ((j*7+3) % 251 sample bytes) — the
+    // decoder proven against the generator, cross-engine
+    "q_audio_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioStats(
+        graft.multimodal.Multimodal.audioTable(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+
     // the video leg: ISO-BMFF box walk (ftyp brand, mvhd v0 AND v1,
     // 64-bit largesize boxes, 16.16 fixed-point track dims, audio-track
     // skipping) over synthesized structurally-valid MP4s
@@ -1094,6 +1105,23 @@ object SparkEntry {
           col("r.content_length").as("content_length"),
           col("r.payload_md5").as("payload_md5"))
         .orderBy(col("source"), col("bucket"), col("member_idx"))),
+
+    // the stop-at-malformed contract gated CROSS-ENGINE: every blob
+    // carries one deterministically-corrupted member (md5-derived index,
+    // CRC trailer flipped), the reader must recover EXACTLY the prefix
+    // before it — count and per-record payload digests both gated against
+    // an oracle that never parses a byte (data loss bounded, data
+    // invention impossible — the contract a real crawl read lives by)
+    "q_warc_malformed" -> ((s, dir) =>
+      graft.multimodal.Multimodal.warcGzCorruptTable(Tables.documents(s, dir))
+        .select(col("source"), col("bucket"),
+          graft.functions.GzipMembers.gzip_members(col("data")).as("ms"))
+        .select(col("source"), col("bucket"),
+          size(col("ms")).cast("long").as("n_recovered"),
+          concat_ws(",", transform(col("ms"), m =>
+            element_at(graft.functions.WarcRecords.warc_records(m), 1)
+              .getField("payload_md5"))).as("recovered_md5s"))
+        .orderBy(col("source"), col("bucket"))),
 
     // the full Common Crawl chain, three layers in one plan: WARC blobs
     // → warc_payloads (Content-Length framing) → http_head (RFC 9112
@@ -4164,6 +4192,32 @@ object SparkEntry {
            |FROM aud GROUP BY sample_rate, bits_per_sample
            |ORDER BY sample_rate, bits_per_sample""".stripMargin,
 
+      // real-decode oracle: the per-sample amplitudes fall out of the
+      // fixture's (j*7+3) % 251 byte formula — 16-bit samples recombine
+      // byte pairs little-endian and re-sign, 8-bit re-centers by 128;
+      // the Spark side must decode the ACTUAL data-chunk bytes to match
+      "q_audio_features" ->
+        s"""WITH $audioFieldsCte,
+           |sz AS (SELECT media_id, CAST(bits_per_sample AS BIGINT) AS bits,
+           |         CAST(n_frames * channels AS BIGINT) AS n_samples
+           |       FROM aud),
+           |s AS (SELECT media_id, bits, n_samples,
+           |        unnest(range(n_samples)) AS k FROM sz),
+           |v AS (SELECT media_id, bits, n_samples,
+           |        CASE WHEN bits = 16 THEN
+           |          CASE WHEN ((2*k*7+3) % 251) + 256 * (((2*k+1)*7+3) % 251) >= 32768
+           |               THEN ((2*k*7+3) % 251) + 256 * (((2*k+1)*7+3) % 251) - 65536
+           |               ELSE ((2*k*7+3) % 251) + 256 * (((2*k+1)*7+3) % 251) END
+           |        ELSE ((k*7+3) % 251) - 128 END AS amp
+           |      FROM s)
+           |SELECT media_id, bits AS bits_per_sample, n_samples,
+           |       CAST(min(amp) AS BIGINT) AS min_amp,
+           |       CAST(max(amp) AS BIGINT) AS max_amp,
+           |       CAST(sum(amp) AS BIGINT) AS sum_amp,
+           |       CAST(sum(abs(amp)) AS BIGINT) AS sum_abs
+           |FROM v GROUP BY media_id, bits, n_samples
+           |ORDER BY media_id""".stripMargin,
+
       "q_video_header" ->
         s"""WITH $videoFieldsCte
            |SELECT media_id, format, major_brand, timescale, duration_ms,
@@ -4290,6 +4344,29 @@ object SparkEntry {
            |  md5(text) AS payload_md5
            |FROM documents
            |ORDER BY source, bucket, member_idx""".stripMargin,
+
+      // malformed-contract oracle: the corrupted member index is the same
+      // md5 arithmetic the fixture builder uses; the recovered prefix is
+      // the first ci docs (by doc_id) of each (source, bucket) group —
+      // never parses a byte, so any reader deviation (skipping past the
+      // corruption, inventing records) hash-mismatches
+      "q_warc_malformed" ->
+        s"""WITH g AS (SELECT source,
+           |            CAST(doc_id % ${graft.multimodal.Multimodal.WarcBuckets} AS BIGINT) AS bucket,
+           |            doc_id, md5(text) AS m,
+           |            row_number() OVER (PARTITION BY source, doc_id % ${graft.multimodal.Multimodal.WarcBuckets}
+           |              ORDER BY doc_id) - 1 AS i,
+           |            count(*) OVER (PARTITION BY source, doc_id % ${graft.multimodal.Multimodal.WarcBuckets}) AS n
+           |          FROM documents),
+           |k AS (SELECT DISTINCT source, bucket, n,
+           |        ('0x' || substr(md5('corrupt:' || source || ':' || CAST(bucket AS VARCHAR)), 1, 8))::BIGINT % n AS ci
+           |      FROM g)
+           |SELECT k.source, k.bucket, CAST(k.ci AS BIGINT) AS n_recovered,
+           |       COALESCE(string_agg(g.m, ',' ORDER BY g.i), '') AS recovered_md5s
+           |FROM k LEFT JOIN g ON g.source = k.source AND g.bucket = k.bucket
+           |                  AND g.i < k.ci
+           |GROUP BY k.source, k.bucket, k.ci
+           |ORDER BY k.source, k.bucket""".stripMargin,
 
       // three-layer oracle: HTTP fields by doc arithmetic, body_offset by
       // the shared HttpFixedOverhead template constant + variable lengths

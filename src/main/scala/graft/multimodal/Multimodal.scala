@@ -307,6 +307,45 @@ object Multimodal {
       .toDF("media_id", "source", "data")
   }
 
+  /** Integer-exact amplitude audit over REAL PCM bytes — the gate
+    * surface of [[WavPcmCodec]]: per media row, the decoded sample count
+    * and min/max/sum/abs-sum amplitudes (16-bit signed LE, 8-bit
+    * unsigned re-centered by −128). `mapPartitions` keeps the
+    * one-codec-context-per-partition cost model of [[extractFeatures]];
+    * output is metadata-sized, so the corpus scan reduces immediately.
+    * Rows that don't decode (non-PCM, malformed, unsupported width)
+    * report `bits_per_sample = -1` with zero stats — present, never
+    * dropped, never an exception. */
+  def audioStats(audio: DataFrame): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select(col("media_id").cast("long").as("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          WavPcmCodec.locate(data) match {
+            case Some(p) if p.nSamples > 0 =>
+              var k = 0
+              var sum = 0L
+              var sumAbs = 0L
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              while (k < p.nSamples) {
+                val a = WavPcmCodec.sampleAt(data, p, k).toLong
+                sum += a
+                sumAbs += math.abs(a)
+                if (a < mn) mn = a
+                if (a > mx) mx = a
+                k += 1
+              }
+              (id, p.bitsPerSample.toLong, p.nSamples.toLong, mn, mx, sum, sumAbs)
+            case _ => (id, -1L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "bits_per_sample", "n_samples", "min_amp",
+        "max_amp", "sum_amp", "sum_abs")
+  }
+
   private def le16(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
 
@@ -499,6 +538,52 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         recs.foreach { case (docId, text) =>
           bos.write(gzipMember(warcRecord(source, docId, Option(text).getOrElse(""))))
+        }
+        (source, bucket, bos.toByteArray)
+      }
+      .toDF("source", "bucket", "data")
+  }
+
+  /** Deterministic corruption index for (source, bucket): which gzip
+    * member of the blob gets its CRC trailer flipped — the md5-derived
+    * position the q_warc_malformed oracle re-computes as
+    * `('0x' || substr(md5('corrupt:' || source || ':' || bucket), 1, 8))::BIGINT % n`. */
+  def corruptIdx(source: String, bucket: Long, n: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"corrupt:$source:$bucket".getBytes("UTF-8"))
+    val hex = h.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % n).toInt
+  }
+
+  /** The corrupted-crawl fixture: [[warcGzTable]] blobs with EXACTLY ONE
+    * member's stored CRC32 trailer byte-flipped (XOR 0x5A on the first
+    * trailer byte of member [[corruptIdx]]). The flip is
+    * deterministic-by-construction malformed: the member still inflates,
+    * but its computed CRC cannot equal the altered stored CRC, so a
+    * stop-at-malformed reader recovers exactly the `corruptIdx`-member
+    * prefix — data loss bounded and auditable, data invention impossible.
+    * This is the contract a real 100 TB crawl read exercises constantly
+    * (truncated members, bit rot); q_warc_malformed gates it cross-engine
+    * against pure arithmetic. */
+  def warcGzCorruptTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), (col("doc_id") % WarcBuckets).as("bucket"),
+        col("doc_id"), col("text"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String)])]
+      .map { case (source, bucket, recs) =>
+        val members = recs.map { case (docId, text) =>
+          gzipMember(warcRecord(source, docId, Option(text).getOrElse("")))
+        }
+        val k = corruptIdx(source, bucket, members.length)
+        val bos = new java.io.ByteArrayOutputStream()
+        members.zipWithIndex.foreach { case (m, i) =>
+          if (i == k) {
+            val c = m.clone()
+            c(c.length - 8) = (c(c.length - 8) ^ 0x5a).toByte // stored CRC32
+            bos.write(c)
+          } else bos.write(m)
         }
         (source, bucket, bos.toByteArray)
       }
