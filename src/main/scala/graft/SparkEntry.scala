@@ -220,6 +220,12 @@ object SparkEntry {
   private val RoundtripShards = 7
   private val CorpusShards = 5
 
+  /** Shard count for the incremental-emit gate — STABLE mod assignment
+    * (not LPT, whose global rank reshuffles every shard on any length
+    * change): isolated corpus edits touch few shards, which is the whole
+    * point of diffing manifests before re-emitting. */
+  private val IncShards = 64
+
   /** The crawl-extraction + curation arc shared by q_crawl_to_corpus and
     * q_corpus_to_shards: five-layer parse (gzip members → WARC payload →
     * HTTP head → HTML text), landed once via localCheckpoint (the
@@ -1071,7 +1077,10 @@ object SparkEntry {
         // the BPE join, the padding histogram, and the shard ranking all
         // rescan the (bounded, post-curation) corpus — land it once
         .localCheckpoint(true)
-      val enc = graft.text.Bpe.encode(train, EncodeMerges)
+      // three consumers (padding plan, shard balance, payload assembly)
+      // rescan the encoded corpus — land the BPE join's output once, the
+      // same discipline as the extraction landing above
+      val enc = graft.text.Bpe.encode(train, EncodeMerges).localCheckpoint(true)
       val pa = graft.operators.Packing.paddingApply(enc,
         buckets = PaddingPlanBuckets, budget = PaddingPlanBudget,
         tokens = col("n_subwords"))
@@ -1647,6 +1656,29 @@ object SparkEntry {
           col("e.name").as("name"), col("e.size").as("size"),
           col("e.payload_md5").as("payload_md5"))
         .orderBy(col("shard"), col("entry_idx"))
+    }),
+
+    // the 100 TB resume story: emit BOTH corpus snapshots (v2 = the
+    // q_corpus_diff synthetic move) under a STABLE mod-shard assignment,
+    // manifest each through the validating reader, and diff — the
+    // changed-shard list is exactly the re-emit work list; unchanged
+    // shards are proven skippable by content digest, cross-engine
+    "q_shard_incremental" -> ((s, dir) => {
+      import graft.multimodal.ShardWriter
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def manifest(d: DataFrame): DataFrame =
+        ShardWriter.tfRecordManifest(ShardWriter.emitTfRecordShards(
+          d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
+            col("doc_id").as("order"),
+            encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))))
+      ShardWriter.shardDiff(manifest(docs), manifest(v2))
+        .orderBy(col("shard"))
     }),
 
     // rendezvous (HRW) sharding under membership change: assignment with
@@ -5259,6 +5291,38 @@ object SparkEntry {
            |       CAST(e.entry_idx AS BIGINT) AS entry_idx, e.name, e.size,
            |       e.payload_md5
            |FROM e JOIN st USING (shard) ORDER BY shard, entry_idx""".stripMargin,
+
+      // incremental-emit oracle: both manifests re-derived from text md5s
+      // under the same mod-shard arithmetic (record order = doc_id), the
+      // diff a full outer join on shard — the Spark side must round-trip
+      // real container bytes through the validating reader to match
+      "q_shard_incremental" ->
+        s"""WITH curr AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        md5(COALESCE(text, '')) AS m FROM documents),
+           |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        md5(COALESCE(text, '')) AS m FROM curr),
+           |pm AS (SELECT shard, count(*) AS n_prev,
+           |         md5(string_agg(m, ',' ORDER BY doc_id)) AS prev_digest
+           |       FROM p GROUP BY 1),
+           |cm AS (SELECT shard, count(*) AS n_curr,
+           |         md5(string_agg(m, ',' ORDER BY doc_id)) AS curr_digest
+           |       FROM c GROUP BY 1)
+           |SELECT CAST(COALESCE(pm.shard, cm.shard) AS BIGINT) AS shard,
+           |       CASE WHEN prev_digest IS NULL THEN 'added'
+           |            WHEN curr_digest IS NULL THEN 'removed'
+           |            WHEN prev_digest = curr_digest THEN 'unchanged'
+           |            ELSE 'changed' END AS status,
+           |       CAST(COALESCE(n_prev, 0) AS BIGINT) AS n_prev,
+           |       CAST(COALESCE(n_curr, 0) AS BIGINT) AS n_curr,
+           |       prev_digest, curr_digest
+           |FROM pm FULL OUTER JOIN cm ON pm.shard = cm.shard
+           |ORDER BY shard""".stripMargin,
 
       // the full arc re-derived arithmetically: curation (the pipeline
       // CTEs) → train slice → BPE segmentation (the unrolled merge-table

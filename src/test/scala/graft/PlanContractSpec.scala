@@ -681,6 +681,20 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("shard writers: one shard-keyed exchange feeds the streaming assembler") {
+    // the emit path must be repartition(shard) + in-shuffle sort +
+    // MapPartitions — no collect_list aggregation buffering a whole shard
+    Seq("q_shard_roundtrip", "q_wds_roundtrip", "q_corpus_to_shards").foreach { name =>
+      val p = planOf(name).split("== Initial Plan ==")(0)
+      assert(p.contains("hashpartitioning(shard"),
+        s"$name lost the shard-keyed emit exchange:\n$p")
+      assert(p.contains("MapPartitions"),
+        s"$name lost the streaming shard assembler:\n$p")
+      assert(!p.contains("collect_list(payload") && !p.contains("collect_list(members"),
+        s"$name buffers whole shards in an aggregate:\n$p")
+    }
+  }
+
   test("unicode audit is one scan-bound lang aggregate") {
     // the normalization runs inside the scan->aggregate pipeline as a
     // codegen expression: no join, no window, ONE hash exchange

@@ -89,6 +89,29 @@ class ShardWriterSpec extends SparkSpec {
       (1L, 0, "9.txt", 4L, md5Hex("nine".getBytes("UTF-8")))))
   }
 
+  test("manifest + diff: all four statuses, digests only move with content") {
+    val s = spark
+    import s.implicits._
+    def emit(rows: Seq[(Long, Long, String)]) =
+      ShardWriter.tfRecordManifest(ShardWriter.emitTfRecordShards(
+        rows.map { case (sh, o, t) => (sh, o, t.getBytes("UTF-8")) }
+          .toDF("shard", "order", "payload")))
+    // prev: shards 0 (two recs), 1, 2; curr: 0 unchanged, 1 changed,
+    // 2 removed, 3 added
+    val prev = emit(Seq((0L, 0L, "a"), (0L, 1L, "b"), (1L, 0L, "c"), (2L, 0L, "d")))
+    val curr = emit(Seq((0L, 0L, "a"), (0L, 1L, "b"), (1L, 0L, "C!"), (3L, 0L, "e")))
+    val diff = ShardWriter.shardDiff(prev, curr).orderBy("shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[String]("status"),
+        r.getAs[Long]("n_prev"), r.getAs[Long]("n_curr"))).toSeq
+    assert(diff == Seq((0L, "unchanged", 2L, 2L), (1L, "changed", 1L, 1L),
+      (2L, "removed", 1L, 0L), (3L, "added", 0L, 1L)))
+    // the digest is content-derived: same records -> same digest across
+    // independent emissions (what makes cross-run resume possible)
+    val again = emit(Seq((0L, 1L, "b"), (0L, 0L, "a"))) // order col decides
+    val d0 = prev.filter(col("shard") === 0).collect().head.getAs[String]("content_digest")
+    assert(again.collect().head.getAs[String]("content_digest") == d0)
+  }
+
   test("emitted bytes are deterministic across runs and partitionings") {
     val s = spark
     import s.implicits._
