@@ -1609,6 +1609,32 @@ object SparkEntry {
       graft.operators.Packing.shardBalance(docsParallel(s, dir), shards = 7)
         .orderBy(col("doc_id"))),
 
+    // packed TRAINING EXAMPLES through the writer: each record is one
+    // q_pack greedy pack (its member texts joined in pack_offset order,
+    // prefixed with stratum/pack metadata), framed into TFRecord shard
+    // bytes and re-parsed — the examples a training job actually maps,
+    // gated against the recursive-CTE replay extended with the same
+    // string assembly
+    "q_pack_emit" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val packed = graft.operators.Packing.packGreedy(docs,
+        budget = 256, shards = 2)
+      val packs = packed
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .groupBy(col("stratum"), col("shard"), col("pack_id"))
+        .agg(min(col("doc_id")).as("order"), // unique: each doc packs once
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          concat_ws("\u001f", transform(
+            array_sort(collect_list(struct(col("pack_offset"), col("text")))),
+            p => p.getField("text"))).as("joined"))
+      shardRecordsOut(graft.multimodal.ShardWriter.emitTfRecordShards(
+        packs.select(col("shard"), col("order"),
+          encode(concat_ws("|", col("stratum"), col("pack_id"),
+            col("n_docs"), col("pack_tokens"), col("joined")), "UTF-8")
+            .as("payload"))))
+    }),
+
     // the WRITE half of the TFRecord container: LPT-balanced shards
     // emitted as real container bytes (live masked-crc32c framing), then
     // re-parsed by the gated validating reader — writer and reader
@@ -5426,6 +5452,52 @@ object SparkEntry {
           |  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
           |SELECT doc_id, lang, shard, pack_id, pack_offset, n_tokens
           |FROM p ORDER BY doc_id""".stripMargin,
+
+      // packed-example emit oracle: the q_pack recursive greedy replay
+      // extended with the pack's text assembly (chr(31)-joined in
+      // pack_offset order) and the metadata prefix, then the standard
+      // shard-record digest arithmetic — the Spark side must frame the
+      // same payloads into real container bytes and re-parse them
+      "q_pack_emit" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, lang, text,
+          |         ('0x' || substr(md5('pack0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS shard,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |         CAST(row_number() OVER (
+          |           PARTITION BY lang, ('0x' || substr(md5('pack0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2
+          |           ORDER BY doc_id) AS BIGINT) AS rn
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc_id, lang, text, shard, n_tokens, rn,
+          |         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+          |         n_tokens AS fill
+          |  FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.doc_id, d.lang, d.text, d.shard, d.n_tokens, d.rn,
+          |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+          |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+          |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+          |  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1),
+          |packs AS (
+          |  SELECT lang, shard, pack_id, min(doc_id) AS ord,
+          |         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+          |         string_agg(text, chr(31) ORDER BY pack_offset) AS joined
+          |  FROM p GROUP BY lang, shard, pack_id),
+          |pay AS (
+          |  SELECT shard, ord,
+          |         lang || '|' || CAST(pack_id AS VARCHAR) || '|' ||
+          |         CAST(n_docs AS VARCHAR) || '|' || CAST(pack_tokens AS VARCHAR) ||
+          |         '|' || joined AS pp
+          |  FROM packs),
+          |st AS (SELECT shard, count(*) AS n_records,
+          |         CAST(sum(16 + strlen(pp)) AS BIGINT) AS n_bytes
+          |       FROM pay GROUP BY 1),
+          |e AS (SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY ord) - 1 AS rec_idx,
+          |        CAST(strlen(pp) AS BIGINT) AS rec_len, md5(pp) AS payload_md5
+          |      FROM pay)
+          |SELECT e.shard, CAST(st.n_records AS BIGINT) AS n_records, st.n_bytes,
+          |       CAST(e.rec_idx AS BIGINT) AS rec_idx, e.rec_len, e.payload_md5
+          |FROM e JOIN st USING (shard) ORDER BY shard, rec_idx""".stripMargin,
 
       // snapshot diff: identical digest-only full outer join over the same
       // synthetic v2 construction
