@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.model.StreamMessage
@@ -1042,13 +1042,20 @@ object Dedup {
     // definition (component minimum); the distributed star-contraction
     // below remains the >threshold path and is property-pinned equal
     // (DedupSpec forces it via localThreshold = 0). ONE job decides AND
-    // fetches: limit(threshold+1).collect() over the already-materialized
-    // checkpoint blocks — length <= threshold means we hold the whole edge
-    // set (use it directly), one extra row means it's too big (the <=16 MB
-    // prefix is discarded, no count job ever runs).
+    // fetches: limit(threshold+1) collected as primitive tuples over the
+    // already-materialized checkpoint blocks — length <= threshold means
+    // we hold the whole edge set (use it directly), one extra row means
+    // it's too big and the prefix is discarded. The discarded fetch is
+    // the distributed path's cost for the local path's saved count job:
+    // bounded at ~48 B/edge of transient driver heap (≈50 MB at the 2^20
+    // default, GC'd immediately), paid only on >threshold graphs that
+    // then run O(log n) multi-job star rounds anyway.
+    val s = docs.sparkSession
+    import s.implicits._
     val localCap = math.min(localThreshold, Int.MaxValue - 1L).toInt
-    val headEdges =
-      if (localCap >= 0) edges.limit(localCap + 1).collect() else Array.empty[Row]
+    val headEdges: Array[(Long, Long)] =
+      if (localCap >= 0) edges.limit(localCap + 1).as[(Long, Long)].collect()
+      else Array.empty
     if (localCap >= 0 && headEdges.length <= localCap) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -1058,15 +1065,13 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      headEdges.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      headEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // union by min: smaller id becomes the root
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
       val labels = parent.keys.toSeq.map(x => (x, find(x))).filter(p => p._1 != p._2)
-      val s = docs.sparkSession
-      import s.implicits._
       val lab = labels.toDF("doc_id", "cluster")
       return docs.select(col("doc_id"))
         .join(broadcast(lab), Seq("doc_id"), "left")

@@ -133,7 +133,12 @@ object ShardWriter {
         shardRuns(it)(_._1) { (bos, row) =>
           val members = Option(row._3).getOrElse(Seq.empty)
           members.foreach { case (name, data) =>
-            bos.write(tarEntry(name, Option(data).getOrElse(Array.emptyByteArray)))
+            // null member names frame as "" (present, never invented) —
+            // the null-payload discipline; names the ustar header cannot
+            // represent (>100 bytes) still fail fast in tarEntry, because
+            // silently truncating a name would corrupt the sample pairing
+            bos.write(tarEntry(Option(name).getOrElse(""),
+              Option(data).getOrElse(Array.emptyByteArray)))
           }
           members.length.toLong
         }.map { case (shard, nSamples, nMembers, body) =>

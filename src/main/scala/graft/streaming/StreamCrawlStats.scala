@@ -90,12 +90,12 @@ object StreamCrawlStats {
     import events.sparkSession.implicits._
     val step: (String, Iterator[CrawlEvent], GroupState[CrawlState]) => Iterator[CrawlReport] = {
       case (source, rows, state) =>
-        var st = state.getOption.getOrElse(emptyAt(-1L))
+        var st = state.getOption.getOrElse(emptyAt(Long.MinValue))
         val out = scala.collection.mutable.ArrayBuffer.empty[CrawlReport]
         rows.toSeq.sortBy(_.minute).foreach { r =>
           val w0 = java.lang.Math.floorDiv(r.minute, windowMinutes)
           val w = math.max(w0, st.openWindow)
-          if (st.openWindow == -1L) st = st.copy(openWindow = w)
+          if (st.openWindow == Long.MinValue) st = st.copy(openWindow = w)
           else if (w > st.openWindow) {
             out += report(source, st)
             st = emptyAt(w)

@@ -71,14 +71,14 @@ object StreamDrift {
     val step: (String, Iterator[ValueEvent], GroupState[DriftState]) => Iterator[DriftReport] = {
       case (part, rows, state) =>
         var st = state.getOption.getOrElse(
-          DriftState(-1L, Map.empty, -1L, Map.empty))
+          DriftState(Long.MinValue, Map.empty, Long.MinValue, Map.empty))
         val out = scala.collection.mutable.ArrayBuffer.empty[DriftReport]
         rows.toSeq.sortBy(_.minute).foreach { r =>
           val w0 = java.lang.Math.floorDiv(r.minute, windowMinutes)
           val w = math.max(w0, st.openWindow)
-          if (st.openWindow == -1L) st = st.copy(openWindow = w)
+          if (st.openWindow == Long.MinValue) st = st.copy(openWindow = w)
           else if (w > st.openWindow) {
-            if (st.refWindow == -1L)
+            if (st.refWindow == Long.MinValue)
               st = DriftState(st.openWindow, st.cur, w, Map.empty)
             else {
               val (t1, t2, p) = psi(st.ref, st.cur)

@@ -56,12 +56,12 @@ object StreamVocabGrowth {
     val step: (String, Iterator[TokenEvent], GroupState[VocabState]) => Iterator[VocabReport] = {
       case (part, rows, state) =>
         var st = state.getOption.getOrElse(
-          VocabState(-1L, new Array[Byte](1 << (bitsLog2 - 3)), 0L, 0L, 0L))
+          VocabState(Long.MinValue, new Array[Byte](1 << (bitsLog2 - 3)), 0L, 0L, 0L))
         val out = scala.collection.mutable.ArrayBuffer.empty[VocabReport]
         rows.toSeq.sortBy(_.minute).foreach { r =>
           val w0 = java.lang.Math.floorDiv(r.minute, windowMinutes)
           val w = math.max(w0, st.openWindow)
-          if (st.openWindow == -1L) st = st.copy(openWindow = w)
+          if (st.openWindow == Long.MinValue) st = st.copy(openWindow = w)
           else if (w > st.openWindow) {
             out += VocabReport(part, st.openWindow, st.winTokens,
               st.winNew, st.bitsSet)

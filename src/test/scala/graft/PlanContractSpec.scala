@@ -684,8 +684,12 @@ class PlanContractSpec extends SparkSpec {
   test("shard writers: one shard-keyed exchange feeds the streaming assembler") {
     // the emit path must be repartition(shard) + in-shuffle sort +
     // MapPartitions — no collect_list aggregation buffering a whole shard
-    Seq("q_shard_roundtrip", "q_wds_roundtrip", "q_corpus_to_shards",
-        "q_pack_emit").foreach { name =>
+    // q_corpus_to_shards shares the identical shardRecordsOut emit tail
+    // and is deliberately NOT re-run here — its full factory pipeline
+    // (two eager landings) already executes once in the no-cartesian
+    // sweep above; re-running it to string-match the same tail shape
+    // would double the suite's heaviest execution for no new contract
+    Seq("q_shard_roundtrip", "q_wds_roundtrip", "q_pack_emit").foreach { name =>
       val p = planOf(name).split("== Initial Plan ==")(0)
       assert(p.contains("hashpartitioning(shard"),
         s"$name lost the shard-keyed emit exchange:\n$p")

@@ -87,6 +87,20 @@ class ShardWriterSpec extends SparkSpec {
       (0L, 2, "1.txt", 3L, md5Hex("one".getBytes("UTF-8"))),
       (0L, 3, "1.cls", 1L, md5Hex("a".getBytes("UTF-8"))),
       (1L, 0, "9.txt", 4L, md5Hex("nine".getBytes("UTF-8")))))
+
+    // a null member NAME frames as "" like the null-payload discipline —
+    // present in the archive, never an executor NPE
+    val nullName = ShardWriter.emitWebDatasetShards(
+      Seq((0L, 0L, Seq((null.asInstanceOf[String], "x".getBytes("UTF-8")))))
+        .toDF("shard", "order", "members")
+        .select(col("shard"), col("order"),
+          transform(col("members"),
+            m => struct(m.getField("_1").as("name"),
+              m.getField("_2").as("data"))).as("members")))
+      .select(posexplode(TarEntries.tar_entries(col("data"))).as(Seq("i", "e")))
+      .select(col("e.name"), col("e.size")).collect()
+    assert(nullName.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("", 1L)))
   }
 
   test("manifest + diff: all four statuses, digests only move with content") {

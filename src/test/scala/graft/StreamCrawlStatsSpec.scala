@@ -117,6 +117,24 @@ class StreamCrawlStatsSpec extends SparkSpec {
       assert(streamed == batch && streamed.nonEmpty)
     } finally q.stop()
 
+    // pre-epoch minutes: negative windows must report separately, not
+    // clamp into an uninitialized-state sentinel
+    val input3 = MemoryStream[CrawlEvent](s)
+    val q3 = StreamCrawlStats.monitor(input3.toDS(), windowMinutes = 1L)
+      .writeStream.format("memory").queryName("crawlneg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input3.addData(CrawlEvent("s", -10L, blob("s", Seq(1L))))
+      q3.processAllAvailable()
+      input3.addData(CrawlEvent("s", -5L, blob("s", Seq(2L)))) // closes -10
+      input3.addData(CrawlEvent("s", 0L, blob("s", Seq(3L))))  // closes -5
+      q3.processAllAvailable()
+      val negRows = spark.sql(
+        "SELECT window, n_blobs FROM crawlneg ORDER BY window")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(negRows == Seq((-10L, 1L), (-5L, 1L)))
+    } finally q3.stop()
+
     // at-arrival fold: late rows count into the open window
     val input2 = MemoryStream[CrawlEvent](s)
     val q2 = StreamCrawlStats.monitor(input2.toDS(), windowMinutes = 1L)
