@@ -1684,6 +1684,29 @@ object SparkEntry {
         .orderBy(col("shard"), col("entry_idx"))
     }),
 
+    // the WebDataset manifest: per-shard content digests over the tar
+    // reader's name:payload_md5 sequence (names included — WebDataset
+    // pairing is by filename stem, so a rename IS a content change);
+    // the audit record a consumer checks before training on a shard set
+    "q_wds_manifest" -> ((s, dir) => {
+      val docs = docsParallel(s, dir)
+      val sb = graft.operators.Packing.shardBalance(docs,
+        shards = RoundtripShards)
+      val samples = docs.select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"),
+          coalesce(col("source"), lit("")).as("source"))
+        .join(sb.select(col("doc_id"), col("shard")), "doc_id")
+        .select(col("shard"), col("doc_id").as("order"),
+          array(
+            struct(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+              encode(col("text"), "UTF-8").as("data")),
+            struct(concat(col("doc_id").cast("string"), lit(".src")).as("name"),
+              encode(col("source"), "UTF-8").as("data"))).as("members"))
+      graft.multimodal.ShardWriter.tarManifest(
+        graft.multimodal.ShardWriter.emitWebDatasetShards(samples))
+        .orderBy(col("shard"))
+    }),
+
     // the 100 TB resume story: emit BOTH corpus snapshots (v2 = the
     // q_corpus_diff synthetic move) under a STABLE mod-shard assignment,
     // manifest each through the validating reader, and diff — the
@@ -5317,6 +5340,34 @@ object SparkEntry {
            |       CAST(e.entry_idx AS BIGINT) AS entry_idx, e.name, e.size,
            |       e.payload_md5
            |FROM e JOIN st USING (shard) ORDER BY shard, entry_idx""".stripMargin,
+
+      // wds-manifest oracle: the q_wds_roundtrip member derivation folded
+      // into one name:md5 digest per shard plus the ustar block accounting
+      "q_wds_manifest" ->
+        s"""WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+           |            COALESCE(source, '') AS source,
+           |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |          FROM documents),
+           |r AS (SELECT doc_id, text, source,
+           |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+           |      FROM t),
+           |sh AS (SELECT doc_id, text, source,
+           |         CAST(CASE WHEN (rn // $RoundtripShards) % 2 = 0 THEN rn % $RoundtripShards
+           |                   ELSE ${RoundtripShards - 1} - (rn % $RoundtripShards)
+           |              END AS BIGINT) AS shard
+           |       FROM r),
+           |m AS (SELECT shard, doc_id, u.i AS mi,
+           |        CAST(doc_id AS VARCHAR) ||
+           |          CASE u.i WHEN 0 THEN '.txt' ELSE '.src' END AS name,
+           |        CASE u.i WHEN 0 THEN text ELSE source END AS body
+           |      FROM sh, (VALUES (0), (1)) u(i))
+           |SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_samples,
+           |       CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(sum(512 + ((strlen(body) + 511) // 512) * 512)
+           |            + 1024 AS BIGINT) AS n_bytes,
+           |       md5(string_agg(name || ':' || md5(body), ','
+           |           ORDER BY doc_id, mi)) AS content_digest
+           |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
       // incremental-emit oracle: both manifests re-derived from text md5s
       // under the same mod-shard arithmetic (record order = doc_id), the

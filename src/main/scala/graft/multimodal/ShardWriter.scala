@@ -162,6 +162,19 @@ object ShardWriter {
         graft.functions.TfRecords.tfrecord_entries(col("data")),
         e => e.getField("payload_md5")))).as("content_digest"))
 
+  /** WebDataset twin of [[tfRecordManifest]]: per-shard content digest
+    * over the tar reader's `name:payload_md5` sequence in member order —
+    * names are part of the digest because WebDataset pairing is BY
+    * filename stem, so a renamed member is a changed shard even with
+    * identical bytes. */
+  def tarManifest(shards: DataFrame): DataFrame =
+    shards.select(col("shard"), col("n_samples"), col("n_members"),
+      col("n_bytes"),
+      md5(concat_ws(",", transform(
+        graft.functions.TarEntries.tar_entries(col("data")),
+        e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
+        .as("content_digest"))
+
   /** Shard-level snapshot diff — WHICH SHARDS NEED REWRITING when the
     * corpus moves: full outer join of two manifests on shard, each shard
     * classified added / removed / changed / unchanged by content digest

@@ -126,6 +126,47 @@ class ShardWriterSpec extends SparkSpec {
     assert(again.collect().head.getAs[String]("content_digest") == d0)
   }
 
+  test("framer vs parser on arbitrary payloads (property): every byte round-trips") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Passed, Proved}
+    val params = Parameters.default.withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(47L))
+    val payloadGen = Gen.listOf(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    // TFRecord: frame a random record sequence, re-parse, md5s + lengths
+    // must match — NULs, 0xFF runs, empty records, all of it
+    val r1 = check(params, Prop.forAll(payloadGen) { payloads =>
+      val blob = payloads.foldLeft(Array.emptyByteArray)(
+        (acc, p) => acc ++ ShardWriter.tfRecordFrame(p))
+      val arr = TfRecords.parse(blob)
+      arr.numElements() == payloads.length &&
+        payloads.indices.forall { i =>
+          val e = arr.getStruct(i, 3)
+          e.getLong(1) == payloads(i).length.toLong &&
+            e.getUTF8String(2).toString == md5Hex(payloads(i))
+        }
+    })
+    assert(r1.status == Passed || r1.status.isInstanceOf[Proved], r1.status.toString)
+    // ustar: same property over the tar framer (ascii member names)
+    val named = Gen.listOf(Gen.zip(
+      Gen.resize(20, Gen.identifier), // never exceeds the 100-byte header
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))))
+    val r2 = check(params, Prop.forAll(named) { members =>
+      val blob = members.foldLeft(Array.emptyByteArray)(
+        (acc, m) => acc ++ ShardWriter.tarEntry(m._1, m._2)) ++
+        new Array[Byte](1024)
+      val arr = TarEntries.parse(blob)
+      arr.numElements() == members.length &&
+        members.indices.forall { i =>
+          val e = arr.getStruct(i, 5)
+          e.getUTF8String(0).toString == members(i)._1 &&
+            e.getLong(2) == members(i)._2.length.toLong &&
+            e.getUTF8String(4).toString == md5Hex(members(i)._2)
+        }
+    })
+    assert(r2.status == Passed || r2.status.isInstanceOf[Proved], r2.status.toString)
+  }
+
   test("emitted bytes are deterministic across runs and partitionings") {
     val s = spark
     import s.implicits._

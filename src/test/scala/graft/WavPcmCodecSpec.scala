@@ -59,6 +59,26 @@ class WavPcmCodecSpec extends SparkSpec {
     assert(WavPcmCodec.resize(wav, 4096).sameElements(wav)) // no upscale
   }
 
+  test("hostile input never throws (property): locate/decode over random bytes") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters, Passed, Proved}
+    val params = Parameters.default.withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(53L))
+    val r = check(params, Prop.forAll(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      WavPcmCodec.decodeFeatures(bytes).length == WavPcmCodec.FeatureDim &&
+        WavPcmCodec.sampleFrames(bytes, 64, 2) != null &&
+        WavPcmCodec.resize(bytes, 128) != null
+    })
+    assert(r.status == Passed || r.status.isInstanceOf[Proved], r.status.toString)
+    // and over a valid header with a truncated/corrupted tail
+    val wav = Multimodal.synthWav(2, 44100, 16, 50)
+    (0 until wav.length by 37).foreach { cut =>
+      assert(WavPcmCodec.decodeFeatures(wav.take(cut)).length ==
+        WavPcmCodec.FeatureDim)
+    }
+  }
+
   test("the codec seam runs the REAL decoder end to end over real bytes") {
     val s = spark
     import s.implicits._
