@@ -220,6 +220,11 @@ object SparkEntry {
   private val RoundtripShards = 7
   private val CorpusShards = 5
 
+  /** Byte budget for the shard-seal replay gate (q_seal_replay): the ONE
+    * constant both the StreamShardEmit greedy chain and the oracle's
+    * recursive replay seal on. */
+  private val SealBudgetBytes = 4096L
+
   /** Shard count for the incremental-emit gate — STABLE mod assignment
     * (not LPT, whose global rank reshuffles every shard on any length
     * change): isolated corpus edits touch few shards, which is the whole
@@ -1682,6 +1687,31 @@ object SparkEntry {
           col("e.name").as("name"), col("e.size").as("size"),
           col("e.payload_md5").as("payload_md5"))
         .orderBy(col("shard"), col("entry_idx"))
+    }),
+
+    // the shard-SEALING boundary logic under the oracle: the streaming
+    // sealer's batch twin replays the greedy byte-budget chain per source
+    // (docs in doc_id order; a record seals the open shard only when it
+    // would overflow; the trailing partial stays open and is NOT
+    // emitted), each sealed blob re-parsed by the validating reader into
+    // a content digest — boundaries, accounting, and bytes all gated
+    "q_seal_replay" -> ((s, dir) => {
+      import graft.streaming.StreamShardEmit
+      val sess = s
+      import sess.implicits._
+      val events = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+        .as[(String, Long, Array[Byte])]
+        .map { case (src, id, p) => StreamShardEmit.DocEvent(src, id, p) }
+      StreamShardEmit.batchReplay(events, budgetBytes = SealBudgetBytes)
+        .toDF()
+        .select(col("stream"), col("shard_seq"), col("n_records"),
+          col("n_bytes"), col("first_seq"), col("last_seq"),
+          md5(concat_ws(",", transform(
+            graft.functions.TfRecords.tfrecord_entries(col("data")),
+            e => e.getField("payload_md5")))).as("content_digest"))
+        .orderBy(col("stream"), col("shard_seq"))
     }),
 
     // the WebDataset manifest: per-shard content digests over the tar
@@ -5340,6 +5370,40 @@ object SparkEntry {
            |       CAST(e.entry_idx AS BIGINT) AS entry_idx, e.name, e.size,
            |       e.payload_md5
            |FROM e JOIN st USING (shard) ORDER BY shard, entry_idx""".stripMargin,
+
+      // seal-replay oracle: the greedy byte-budget chain replayed per
+      // source by a recursive CTE (the q_pack discipline over bytes), the
+      // trailing open shard excluded on both engines, digests from the
+      // same md5(text) sequence the reader's payload walk recovers
+      "q_seal_replay" ->
+        s"""WITH RECURSIVE d AS (
+           |  SELECT source, doc_id, COALESCE(text, '') AS text,
+           |         CAST(16 + strlen(COALESCE(text, '')) AS BIGINT) AS rec,
+           |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+           |  FROM documents),
+           |p AS (
+           |  SELECT source, doc_id, text, rec, rn,
+           |         CAST(0 AS BIGINT) AS shard_seq, rec AS fill
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.source, d.doc_id, d.text, d.rec, d.rn,
+           |         CASE WHEN p.fill > 0 AND p.fill + d.rec > $SealBudgetBytes
+           |              THEN p.shard_seq + 1 ELSE p.shard_seq END,
+           |         CASE WHEN p.fill > 0 AND p.fill + d.rec > $SealBudgetBytes
+           |              THEN d.rec ELSE p.fill + d.rec END
+           |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
+           |g AS (SELECT source AS stream, shard_seq,
+           |        CAST(count(*) AS BIGINT) AS n_records,
+           |        CAST(sum(rec) AS BIGINT) AS n_bytes,
+           |        min(doc_id) AS first_seq, max(doc_id) AS last_seq,
+           |        md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS content_digest
+           |      FROM p GROUP BY source, shard_seq),
+           |sealed AS (SELECT g.*, max(shard_seq) OVER (PARTITION BY stream) AS mx
+           |           FROM g)
+           |SELECT stream, shard_seq, n_records, n_bytes, first_seq, last_seq,
+           |       content_digest
+           |FROM sealed WHERE shard_seq < mx
+           |ORDER BY stream, shard_seq""".stripMargin,
 
       // wds-manifest oracle: the q_wds_roundtrip member derivation folded
       // into one name:md5 digest per shard plus the ustar block accounting
