@@ -1157,7 +1157,15 @@ object Dedup {
     * buffer to hold the mega-cluster in one task, whereas the partial
     * aggregation combines map-side and the join streams (DedupSpec pins
     * the mega-cluster case; PlanContractSpec pins the window's absence).
-    * The join back to `docs` is doc_id-keyed. */
+    * The join back to `docs` is doc_id-keyed.
+    *
+    * Precondition: `pairs` endpoints must be drawn from `docs` (every
+    * pair producer in this module guarantees it — pairs come from
+    * self-joins over the corpus). The non-canonical-count-plus-one size
+    * formula counts the cluster ROOT implicitly, so a phantom endpoint
+    * absent from `docs` that happens to be a component minimum would
+    * inflate `n_dropped` by the phantoms; phantom rows themselves never
+    * appear in the output (the doc_id-keyed join back drops them). */
   def dedupApply(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = dupClusters(docs, pairs)
     // every member of a non-trivial cluster except its root is

@@ -36,8 +36,15 @@ object ShardWriter {
 
   /** One TFRecord frame: u64-LE length, masked-crc32c(length), payload,
     * masked-crc32c(payload) — both checksums live, the published format
-    * [[graft.functions.TfRecords]] validates. */
+    * [[graft.functions.TfRecords]] validates. The reader's per-record cap
+    * ([[graft.functions.TfRecords.MaxRecordBytes]]) is enforced HERE too:
+    * a frame the validating reader would refuse to walk must never be
+    * emitted, or a manifest would silently digest only the prefix before
+    * it and an incremental diff would mark the shard `unchanged`. */
   def tfRecordFrame(payload: Array[Byte]): Array[Byte] = {
+    require(payload.length.toLong <= graft.functions.TfRecords.MaxRecordBytes,
+      s"record payload ${payload.length} B exceeds the reader cap " +
+        s"${graft.functions.TfRecords.MaxRecordBytes} B — unreadable by the validating parser")
     def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
       ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
@@ -62,6 +69,11 @@ object ShardWriter {
       System.arraycopy(b, 0, h, at, b.length)
     }
     require(name.getBytes("US-ASCII").length <= 100, s"name too long: $name")
+    // the reader-cap twin of tfRecordFrame's check: an entry the gated
+    // tar reader refuses stops its manifest walk mid-archive
+    require(payload.length.toLong <= graft.functions.TarEntries.MaxEntryBytes,
+      s"member payload ${payload.length} B exceeds the reader cap " +
+        s"${graft.functions.TarEntries.MaxEntryBytes} B — unreadable by the validating parser")
     put(0, name)
     put(100, "0000644")   // mode, NUL-terminated by the zero fill
     put(108, "0000000")   // uid
@@ -77,7 +89,9 @@ object ShardWriter {
     var sum = 0L
     var i = 0
     while (i < 512) { sum += h(i) & 0xff; i += 1 }
-    put(148, f"$sum%06o") // 6 octal digits + NUL + space (space pre-filled)
+    put(148, f"$sum%06o") // 6 octal digits...
+    h(154) = 0            // ...then NUL + space — the POSIX terminator pair
+                          // (strict consumers reject space-space)
     val padded = (payload.length + 511) / 512 * 512
     h ++ payload ++ new Array[Byte](padded - payload.length)
   }
@@ -87,14 +101,17 @@ object ShardWriter {
     * a total key — ties would make emitted bytes nondeterministic).
     * Returns `(shard, n_records, n_bytes, data)`; `n_bytes` counts the
     * full container (16 framing bytes per record + payloads). Null
-    * payloads frame as zero-length records — present, never invented. */
+    * payloads frame as zero-length records — present, never invented.
+    * Null KEYS are different: shard/order must be a non-null total key
+    * (they decide WHERE and IN WHAT ORDER a record lands), so a null in
+    * either fails fast rather than silently routing to a sentinel shard. */
   def emitTfRecordShards(records: DataFrame,
       shardCol: Column = col("shard"), orderCol: Column = col("order"),
       payloadCol: Column = col("payload")): DataFrame = {
     val s = records.sparkSession
     import s.implicits._
-    records.select(shardCol.cast("long").as("shard"),
-        orderCol.cast("long").as("order"),
+    records.select(requireKey(shardCol, "shard").as("shard"),
+        requireKey(orderCol, "order").as("order"),
         payloadCol.cast("binary").as("payload"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("order"))
@@ -121,8 +138,8 @@ object ShardWriter {
       membersCol: Column = col("members")): DataFrame = {
     val s = samples.sparkSession
     import s.implicits._
-    samples.select(shardCol.cast("long").as("shard"),
-        orderCol.cast("long").as("order"),
+    samples.select(requireKey(shardCol, "shard").as("shard"),
+        requireKey(orderCol, "order").as("order"),
         transform(membersCol, m =>
           struct(m.getField("name").cast("string").as("_1"),
             m.getField("data").cast("binary").as("_2"))).as("members"))
@@ -199,6 +216,14 @@ object ShardWriter {
         coalesce(col("n_curr"), lit(0L)).as("n_curr"),
         col("prev_digest"), col("curr_digest"))
   }
+
+  /** Null-key fail-fast as the key VALUE itself (coalesce short-circuits
+    * on the non-null path, so the error branch is free per row and —
+    * unlike a side `assert_true` column — cannot be pruned away). */
+  private def requireKey(c: Column, what: String): Column =
+    coalesce(c.cast("long"),
+      raise_error(lit(s"ShardWriter: null $what key — shard/order must be " +
+        "a non-null total key")).cast("long"))
 
   /** Streaming run-grouper: folds a (shard-contiguous, order-sorted)
     * iterator into one `(key, rowCount, unitCount, bytes)` per contiguous

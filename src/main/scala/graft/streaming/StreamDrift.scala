@@ -41,6 +41,19 @@ object StreamDrift {
 
   private def bitlen(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
 
+  /** Checkpoint-upgrade shim: the pre-r16 uninitialized sentinel was
+    * `-1L`; a state RESTORED from an old checkpoint carrying `-1L`
+    * windows with EMPTY counter maps is the uninitialized state, not a
+    * real open window `-1` — without this, an upgrade-in-place restart
+    * would misfold the first rows after restore and emit one bogus
+    * report. A genuine open window `-1` always carries counted rows, so
+    * the empty-map guard cannot misfire on live state. */
+  private[graft] def normalize(st: DriftState): DriftState =
+    if (st.openWindow == -1L && st.cur.isEmpty &&
+        st.refWindow == -1L && st.ref.isEmpty)
+      DriftState(Long.MinValue, Map.empty, Long.MinValue, Map.empty)
+    else st
+
   private[graft] def psi(ref: Map[Long, Long], cur: Map[Long, Long]): (Long, Long, Double) = {
     val t1 = ref.valuesIterator.sum
     val t2 = cur.valuesIterator.sum
@@ -70,8 +83,8 @@ object StreamDrift {
     import values.sparkSession.implicits._
     val step: (String, Iterator[ValueEvent], GroupState[DriftState]) => Iterator[DriftReport] = {
       case (part, rows, state) =>
-        var st = state.getOption.getOrElse(
-          DriftState(Long.MinValue, Map.empty, Long.MinValue, Map.empty))
+        var st = normalize(state.getOption.getOrElse(
+          DriftState(Long.MinValue, Map.empty, Long.MinValue, Map.empty)))
         val out = scala.collection.mutable.ArrayBuffer.empty[DriftReport]
         rows.toSeq.sortBy(_.minute).foreach { r =>
           val w0 = java.lang.Math.floorDiv(r.minute, windowMinutes)

@@ -51,6 +51,17 @@ object StreamMediaStats {
 
   private def emptyAt(w: Long) = MediaState(w, 0L, 0L, 0L, 0L, 0L)
 
+  /** Checkpoint-upgrade shim (the [[StreamDrift.normalize]] twin): a
+    * restored pre-r16 state carrying the old `-1L` sentinel with ZERO
+    * counters is uninitialized, not a real open window `-1` — live state
+    * always counts at least one row into the open window before
+    * persisting, so the zero-counter guard cannot misfire. */
+  private[graft] def normalize(st: MediaState): MediaState =
+    if (st.openWindow == -1L && st.png == 0L && st.jpeg == 0L &&
+        st.wav == 0L && st.mp4 == 0L && st.unknown == 0L)
+      emptyAt(Long.MinValue)
+    else st
+
   private def report(source: String, st: MediaState): MediaReport =
     MediaReport(source, st.openWindow,
       st.png + st.jpeg + st.wav + st.mp4 + st.unknown,
@@ -61,7 +72,7 @@ object StreamMediaStats {
     import events.sparkSession.implicits._
     val step: (String, Iterator[MediaEvent], GroupState[MediaState]) => Iterator[MediaReport] = {
       case (source, rows, state) =>
-        var st = state.getOption.getOrElse(emptyAt(Long.MinValue))
+        var st = normalize(state.getOption.getOrElse(emptyAt(Long.MinValue)))
         val out = scala.collection.mutable.ArrayBuffer.empty[MediaReport]
         rows.toSeq.sortBy(_.minute).foreach { r =>
           val w0 = java.lang.Math.floorDiv(r.minute, windowMinutes)

@@ -43,6 +43,17 @@ object StreamShardEmit {
       n_records: Long, n_bytes: Long, first_seq: Long, last_seq: Long,
       data: Array[Byte])
 
+  /** Budget guard shared by [[emit]] and [[batchReplay]]: positive, and
+    * small enough that a budget-bounded shard always fits a JVM byte
+    * array — `fill` feeds a `ByteArrayOutputStream` size hint and the
+    * sealed blob is one array, so a budget past `Int.MaxValue - 16`
+    * would overflow the hint into a negative int and throw at seal time
+    * instead of here. (A single oversize record still caps at the JVM
+    * array limit inherently: one record IS one array already.) */
+  private def requireBudget(budgetBytes: Long): Unit =
+    require(budgetBytes > 0 && budgetBytes <= Int.MaxValue.toLong - 16L,
+      s"budgetBytes must be in (0, ${Int.MaxValue.toLong - 16L}]: $budgetBytes")
+
   /** Container bytes a payload adds: the 16 TFRecord framing bytes plus
     * the payload itself. */
   @inline private def recBytes(p: Array[Byte]): Long = 16L + p.length
@@ -51,7 +62,10 @@ object StreamShardEmit {
     ShardState(shardSeq, 0L, -1L, -1L, Vector.empty)
 
   private def seal(stream: String, st: ShardState): SealedShard = {
-    val bos = new java.io.ByteArrayOutputStream(st.fill.toInt)
+    // the hint is clamped, not trusted: an oversize single-record shard's
+    // fill can exceed a legal array size hint even under a valid budget
+    val bos = new java.io.ByteArrayOutputStream(
+      math.min(st.fill, Int.MaxValue.toLong - 16L).toInt)
     st.payloads.foreach(p => bos.write(ShardWriter.tfRecordFrame(p)))
     val data = bos.toByteArray
     SealedShard(stream, st.shardSeq, st.payloads.length.toLong,
@@ -60,7 +74,7 @@ object StreamShardEmit {
 
   def emit(events: Dataset[DocEvent],
       budgetBytes: Long = 1L << 20): Dataset[SealedShard] = {
-    require(budgetBytes > 0, s"budgetBytes must be positive: $budgetBytes")
+    requireBudget(budgetBytes)
     import events.sparkSession.implicits._
     val step: (String, Iterator[DocEvent], GroupState[ShardState]) => Iterator[SealedShard] = {
       case (stream, rows, state) =>
@@ -89,7 +103,7 @@ object StreamShardEmit {
     * emitted (the trailing partial stays open in the stream too). */
   def batchReplay(events: Dataset[DocEvent],
       budgetBytes: Long = 1L << 20): Dataset[SealedShard] = {
-    require(budgetBytes > 0, s"budgetBytes must be positive: $budgetBytes")
+    requireBudget(budgetBytes)
     import events.sparkSession.implicits._
     events.groupByKey(_.stream)
       .flatMapSortedGroups($"seq".asc) { (stream, rows) =>

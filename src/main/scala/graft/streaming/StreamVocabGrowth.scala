@@ -38,6 +38,16 @@ object StreamVocabGrowth {
   final case class VocabReport(part: String, window: Long, tokens: Long,
       new_types: Long, bits_set: Long)
 
+  /** Checkpoint-upgrade shim (the [[StreamDrift.normalize]] twin): a
+    * restored pre-r16 state carrying the old `-1L` sentinel with zero
+    * token/bit counters is uninitialized, not a real open window `-1` —
+    * live state always counts the opening row before persisting. */
+  private[graft] def normalize(st: VocabState): VocabState =
+    if (st.openWindow == -1L && st.winTokens == 0L && st.winNew == 0L &&
+        st.bitsSet == 0L)
+      st.copy(openWindow = Long.MinValue)
+    else st
+
   private def bitIndex(token: String, bitsLog2: Int): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(token.getBytes("UTF-8"))
@@ -55,8 +65,8 @@ object StreamVocabGrowth {
     import tokens.sparkSession.implicits._
     val step: (String, Iterator[TokenEvent], GroupState[VocabState]) => Iterator[VocabReport] = {
       case (part, rows, state) =>
-        var st = state.getOption.getOrElse(
-          VocabState(Long.MinValue, new Array[Byte](1 << (bitsLog2 - 3)), 0L, 0L, 0L))
+        var st = normalize(state.getOption.getOrElse(
+          VocabState(Long.MinValue, new Array[Byte](1 << (bitsLog2 - 3)), 0L, 0L, 0L)))
         val out = scala.collection.mutable.ArrayBuffer.empty[VocabReport]
         rows.toSeq.sortBy(_.minute).foreach { r =>
           val w0 = java.lang.Math.floorDiv(r.minute, windowMinutes)

@@ -181,4 +181,53 @@ class ShardWriterSpec extends SparkSpec {
     assert(a.keySet == (0L until 5L).toSet)
     assert(digestOf(7) == a && digestOf(32) == a)
   }
+
+  test("write-time reader caps: a frame the parser would refuse is never emitted") {
+    // writer/reader symmetry — without these, an oversize member would
+    // stop the manifest walk silently and an incremental diff would call
+    // the shard 'unchanged'
+    val overTf = new Array[Byte]((TfRecords.MaxRecordBytes + 1L).toInt)
+    val eTf = intercept[IllegalArgumentException](ShardWriter.tfRecordFrame(overTf))
+    assert(eTf.getMessage.contains("reader cap"))
+    val overTar = new Array[Byte]((TarEntries.MaxEntryBytes + 1L).toInt)
+    val eTar = intercept[IllegalArgumentException](ShardWriter.tarEntry("big.bin", overTar))
+    assert(eTar.getMessage.contains("reader cap"))
+    // exactly at the cap still frames (boundary, not off-by-one)
+    assert(ShardWriter.tfRecordFrame(
+      new Array[Byte](TfRecords.MaxRecordBytes.toInt)).length.toLong ==
+      TfRecords.MaxRecordBytes + 16L)
+  }
+
+  test("ustar checksum field terminates digits NUL space (POSIX), and parses") {
+    val entry = ShardWriter.tarEntry("t.txt", "hello".getBytes("UTF-8"))
+    // six octal digits, then NUL, then the pre-filled space
+    (148 until 154).foreach(i => assert(entry(i) >= '0' && entry(i) <= '7'))
+    assert(entry(154) == 0, "checksum must be NUL-terminated at byte 154")
+    assert(entry(155) == ' '.toByte)
+    // and the gated reader still validates the recomputed sum
+    val s = spark
+    import s.implicits._
+    val parsed = Seq(Tuple1(entry ++ new Array[Byte](1024)))
+      .toDF("data")
+      .select(explode(TarEntries.tar_entries(col("data"))).as("e"))
+      .select(col("e.name"), col("e.size")).collect()
+    assert(parsed.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t.txt", 5L)))
+  }
+
+  test("null shard/order keys fail fast instead of routing to a sentinel") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L),
+        "a".getBytes("UTF-8")),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L),
+        "b".getBytes("UTF-8")))
+    val e = intercept[Exception](
+      ShardWriter.emitTfRecordShards(rows.toDF("shard", "order", "payload"))
+        .collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null shard key")))
+  }
 }

@@ -89,4 +89,16 @@ class StreamDriftSpec extends SparkSpec {
       assert(rows == Seq((1L, 2L, 1L, 0.5)))
     } finally q2.stop()
   }
+
+  test("legacy -1L checkpoint sentinel restores as uninitialized") {
+    import graft.streaming.StreamDrift.DriftState
+    // pre-r16 checkpoints persisted -1L as 'no window yet': with empty
+    // counters that is the uninitialized state, not a real window -1
+    val legacy = DriftState(-1L, Map.empty, -1L, Map.empty)
+    assert(StreamDrift.normalize(legacy) ==
+      DriftState(Long.MinValue, Map.empty, Long.MinValue, Map.empty))
+    // a GENUINE open window -1 always carries counted rows - untouched
+    val live = DriftState(-2L, Map(0L -> 3L), -1L, Map(1L -> 1L))
+    assert(StreamDrift.normalize(live) eq live)
+  }
 }

@@ -137,4 +137,12 @@ class StreamMediaStatsSpec extends SparkSpec {
       assert(rows == Seq((0L, 2L, 1L, 1L)))
     } finally q2.stop()
   }
+
+  test("legacy -1L checkpoint sentinel restores as uninitialized") {
+    import graft.streaming.StreamMediaStats.MediaState
+    assert(StreamMediaStats.normalize(
+      MediaState(-1L, 0L, 0L, 0L, 0L, 0L)).openWindow == Long.MinValue)
+    val live = MediaState(-1L, 2L, 0L, 0L, 0L, 0L)
+    assert(StreamMediaStats.normalize(live) eq live)
+  }
 }

@@ -16,6 +16,21 @@ class StreamShardEmitSpec extends SparkSpec {
   private def bytes(n: Int, fill: Byte = 'x'): Array[Byte] =
     Array.fill[Byte](n)(fill)
 
+  test("budget bound: a >2 GiB budget is rejected up front, not at seal time") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(DocEvent("a", 0L, bytes(1))).toDS()
+    // above the bound the seal-time ByteArrayOutputStream hint would go
+    // negative — the guard fails fast in the API call instead
+    intercept[IllegalArgumentException](
+      StreamShardEmit.batchReplay(ds, budgetBytes = Int.MaxValue.toLong))
+    intercept[IllegalArgumentException](
+      StreamShardEmit.batchReplay(ds, budgetBytes = 0L))
+    // the boundary itself is legal
+    assert(StreamShardEmit.batchReplay(ds,
+      budgetBytes = Int.MaxValue.toLong - 16L).collect().isEmpty)
+  }
+
   test("greedy seal boundaries; sealed blobs re-parse through the gated reader") {
     val s = spark
     import s.implicits._

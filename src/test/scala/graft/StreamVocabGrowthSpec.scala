@@ -61,4 +61,12 @@ class StreamVocabGrowthSpec extends SparkSpec {
       assert(rows == Seq((0L, 2L, 2L, 2L), (1L, 1L, 0L, 2L)))
     } finally q2.stop()
   }
+
+  test("legacy -1L checkpoint sentinel restores as uninitialized") {
+    import graft.streaming.StreamVocabGrowth.VocabState
+    val legacy = VocabState(-1L, new Array[Byte](16), 0L, 0L, 0L)
+    assert(StreamVocabGrowth.normalize(legacy).openWindow == Long.MinValue)
+    val live = VocabState(-1L, new Array[Byte](16), 1L, 1L, 1L)
+    assert(StreamVocabGrowth.normalize(live) eq live)
+  }
 }
