@@ -214,6 +214,18 @@ object SparkEntry {
        |      FROM d2 JOIN q ON d2.doc_id = q.doc_id)""".stripMargin
   }
 
+  /** OOM-proofing prefix for the memory-heaviest oracles (the kmeans
+    * Lloyd chains, whose MATERIALIZED CTEs cost the most resident
+    * memory): an explicit cap well under the host's RAM plus a temp
+    * directory, because an IN-MEMORY DuckDB cannot spill AT ALL until
+    * `temp_directory` is set — without it, memory pressure is a hard
+    * OutOfMemoryException (which killed the r15 q_ann_kmeans oracle run)
+    * rather than a slow query. The settings persist for the connection,
+    * which is strictly protective: every later oracle gains the spill
+    * path too. */
+  private val oracleMemGuard =
+    "SET memory_limit='24GB'; SET temp_directory='/tmp/duckdb_graft_spill';"
+
   /** Shared gate↔oracle constants for the shard-writer gates: shard
     * counts appear in the Spark `shardBalance` calls AND the oracles'
     * boustrophedon modulus arithmetic. */
@@ -4116,9 +4128,16 @@ object SparkEntry {
 
       // replays ivfKmeansTopK CTE by CTE: hash-seeded init, two Lloyd
       // iterations (integer sums / count means), final assignment, nprobe=2
-      // probing, exact integer-cosine scoring
+      // probing, exact integer-cosine scoring. The SET prefix makes the
+      // gate OOM-proof (the r15 oracle run died allocating 16 KB): an
+      // in-memory DuckDB has NO spill path until temp_directory is set,
+      // so on a contended host the materialized Lloyd chain could only
+      // hard-fail; with a spill dir + an explicit cap it degrades to disk
+      // instead. SETs ride the same execute() call (statements before the
+      // final SELECT), so the driver needs no harness change.
       "q_ann_kmeans" ->
-        s"""$quantCte,
+        s"""$oracleMemGuard
+           |$quantCte,
            |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n WHERE vec_id >= 8),
            |qs AS MATERIALIZED (SELECT vec_id AS query_id, qe, nq FROM n WHERE vec_id < 8),
            |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
@@ -4228,9 +4247,11 @@ object SparkEntry {
 
       // SemDeDup: the k-means CTEs replay Similarity.trainCentroids exactly
       // (same seed order, same IEEE mean/distance arithmetic as
-      // q_ann_kmeans), then the within-cluster lower-id shadow rule
+      // q_ann_kmeans), then the within-cluster lower-id shadow rule.
+      // Same Lloyd-chain memory profile as q_ann_kmeans -> same OOM guard.
       "q_semdedup" ->
-        s"""$quantCte,
+        s"""$oracleMemGuard
+           |$quantCte,
            |corp AS MATERIALIZED (SELECT vec_id, qe, nq FROM n),
            |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
            |              list_transform(qe, x -> CAST(x AS DOUBLE)) AS c
