@@ -1772,6 +1772,112 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // the factory's operational last mile, gated on ON-DISK bytes: emit
+    // TFRecord shards, land them as shard-NNNNN.tfrecord files with the
+    // _SUCCESS-gated manifest, then RE-READ THE FILES (binaryFile scan,
+    // shard ids from file names), re-parse through the validating reader,
+    // and inner-join the persisted manifest on every column — a byte
+    // flipped on disk, a stale file, or a manifest that disagrees with
+    // the directory all surface as row-count/hash mismatches
+    "q_shard_files" -> ((s, dir) => {
+      import graft.multimodal.ShardWriter
+      val docs = docsParallel(s, dir)
+      val sb = graft.operators.Packing.shardBalance(docs,
+        shards = RoundtripShards)
+      val payload = docs.select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .join(sb.select(col("doc_id"), col("shard")), "doc_id")
+        .select(col("shard"), col("doc_id").as("order"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q-shard-files").toString
+      ShardWriter.writeTfRecordShardFiles(
+        ShardWriter.emitTfRecordShards(payload), out)
+      val fromDisk = ShardWriter.readShardFiles(s, out, "tfrecord")
+        .select(col("shard"),
+          size(graft.functions.TfRecords.tfrecord_entries(col("data")))
+            .cast("long").as("n_records"),
+          length(col("data")).cast("long").as("n_bytes"),
+          md5(concat_ws(",", transform(
+            graft.functions.TfRecords.tfrecord_entries(col("data")),
+            e => e.getField("payload_md5")))).as("content_digest"))
+      fromDisk.join(ShardWriter.readShardManifest(s, out),
+          Seq("shard", "n_records", "n_bytes", "content_digest"))
+        .select(col("shard"), col("n_records"), col("n_bytes"),
+          col("content_digest"))
+        .orderBy(col("shard"))
+    }),
+
+    // the WebDataset leg of the file sink: shard-NNNNN.tar files
+    // re-read from disk, every ustar checksum re-walked, name:md5
+    // digests matched against both the persisted manifest and the
+    // oracle's arithmetic
+    "q_wds_files" -> ((s, dir) => {
+      import graft.multimodal.ShardWriter
+      val docs = docsParallel(s, dir)
+      val sb = graft.operators.Packing.shardBalance(docs,
+        shards = RoundtripShards)
+      val samples = docs.select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"),
+          coalesce(col("source"), lit("")).as("source"))
+        .join(sb.select(col("doc_id"), col("shard")), "doc_id")
+        .select(col("shard"), col("doc_id").as("order"),
+          array(
+            struct(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+              encode(col("text"), "UTF-8").as("data")),
+            struct(concat(col("doc_id").cast("string"), lit(".src")).as("name"),
+              encode(col("source"), "UTF-8").as("data"))).as("members"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q-wds-files").toString
+      ShardWriter.writeWebDatasetShardFiles(
+        ShardWriter.emitWebDatasetShards(samples), out)
+      val fromDisk = ShardWriter.readShardFiles(s, out, "tar")
+        .select(col("shard"),
+          length(col("data")).cast("long").as("n_bytes"),
+          md5(concat_ws(",", transform(
+            graft.functions.TarEntries.tar_entries(col("data")),
+            e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
+            .as("content_digest"))
+      fromDisk.join(ShardWriter.readShardManifest(s, out),
+          Seq("shard", "n_bytes", "content_digest"))
+        .select(col("shard"), col("n_samples"), col("n_members"),
+          col("n_bytes"), col("content_digest"))
+        .orderBy(col("shard"))
+    }),
+
+    // the resume story EXECUTED: emit the v1 corpus, diff its manifest
+    // against v2's, re-emit ONLY the changed/added shards from v2's
+    // slice and carry unchanged blobs over byte-for-byte — the combined
+    // set's content manifest must hash-match the oracle's FULL v2
+    // derivation, and the reemitted flag pins that unchanged shards
+    // really were carried, not rebuilt
+    "q_shard_incremental_apply" -> ((s, dir) => {
+      import graft.multimodal.ShardWriter
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def recordsOf(d: DataFrame): DataFrame =
+        d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
+          col("doc_id").as("order"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      val prevBlobs = ShardWriter.emitTfRecordShards(recordsOf(docs))
+        .localCheckpoint(true) // v1 blobs: built once, read twice below
+      val work = ShardWriter.shardDiff(
+        ShardWriter.tfRecordManifest(prevBlobs),
+        ShardWriter.tfRecordManifest(
+          ShardWriter.emitTfRecordShards(recordsOf(v2))))
+      val combined = ShardWriter.reemitChanged(prevBlobs, recordsOf(v2), work)
+      ShardWriter.tfRecordManifest(combined)
+        .join(work.select(col("shard"),
+          col("status").isin("changed", "added").cast("long")
+            .as("reemitted")), Seq("shard"))
+        .orderBy(col("shard"))
+    }),
+
     // rendezvous (HRW) sharding under membership change: assignment with
     // 3 nodes vs 2 — the migration matrix proves only node-c's keys move
     "q_rendezvous" -> ((s, dir) => {
@@ -5546,6 +5652,87 @@ object SparkEntry {
            |SELECT qq.shard, CAST(st.n_records AS BIGINT) AS n_records, st.n_bytes,
            |       CAST(qq.rec_idx AS BIGINT) AS rec_idx, qq.rec_len, qq.payload_md5
            |FROM qq JOIN st USING (shard) ORDER BY shard, rec_idx""".stripMargin,
+
+      // file-sink oracle: the q_shard_roundtrip derivation folded to one
+      // content digest per shard — the Spark side must land real files,
+      // re-read them from disk, and re-parse through both masked crcs
+      // (plus match the persisted manifest) to produce the same rows
+      "q_shard_files" ->
+        s"""WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+           |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |          FROM documents),
+           |r AS (SELECT doc_id, text,
+           |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+           |      FROM t),
+           |sh AS (SELECT doc_id, text,
+           |         CAST(CASE WHEN (rn // $RoundtripShards) % 2 = 0 THEN rn % $RoundtripShards
+           |                   ELSE ${RoundtripShards - 1} - (rn % $RoundtripShards)
+           |              END AS BIGINT) AS shard
+           |       FROM r)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+           |       CAST(sum(16 + strlen(text)) AS BIGINT) AS n_bytes,
+           |       md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS content_digest
+           |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // WebDataset file-sink oracle — the q_wds_manifest arithmetic; the
+      // Spark side must recover it from shard-NNNNN.tar files on disk
+      "q_wds_files" ->
+        s"""WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+           |            COALESCE(source, '') AS source,
+           |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |          FROM documents),
+           |r AS (SELECT doc_id, text, source,
+           |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+           |      FROM t),
+           |sh AS (SELECT doc_id, text, source,
+           |         CAST(CASE WHEN (rn // $RoundtripShards) % 2 = 0 THEN rn % $RoundtripShards
+           |                   ELSE ${RoundtripShards - 1} - (rn % $RoundtripShards)
+           |              END AS BIGINT) AS shard
+           |       FROM r),
+           |m AS (SELECT shard, doc_id, u.i AS mi,
+           |        CAST(doc_id AS VARCHAR) ||
+           |          CASE u.i WHEN 0 THEN '.txt' ELSE '.src' END AS name,
+           |        CASE u.i WHEN 0 THEN text ELSE source END AS body
+           |      FROM sh, (VALUES (0), (1)) u(i))
+           |SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_samples,
+           |       CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(sum(512 + ((strlen(body) + 511) // 512) * 512)
+           |            + 1024 AS BIGINT) AS n_bytes,
+           |       md5(string_agg(name || ':' || md5(body), ','
+           |           ORDER BY doc_id, mi)) AS content_digest
+           |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // incremental-apply oracle: derives the FULL v2 manifest (counts,
+      // byte accounting, content digests) plus the reemitted flag from
+      // the prev-vs-curr digest comparison — the Spark side must arrive
+      // at the identical manifest by re-emitting ONLY flagged shards and
+      // carrying unchanged v1 blobs byte-for-byte
+      "q_shard_incremental_apply" ->
+        s"""WITH curr AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        md5(COALESCE(text, '')) AS m FROM documents),
+           |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        COALESCE(text, '') AS text,
+           |        md5(COALESCE(text, '')) AS m FROM curr),
+           |pm AS (SELECT shard,
+           |         md5(string_agg(m, ',' ORDER BY doc_id)) AS prev_digest
+           |       FROM p GROUP BY 1),
+           |cm AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+           |         CAST(sum(16 + strlen(text)) AS BIGINT) AS n_bytes,
+           |         md5(string_agg(m, ',' ORDER BY doc_id)) AS content_digest
+           |       FROM c GROUP BY 1)
+           |SELECT CAST(cm.shard AS BIGINT) AS shard, cm.n_records, cm.n_bytes,
+           |       cm.content_digest,
+           |       CAST(CASE WHEN pm.prev_digest IS NULL
+           |                   OR pm.prev_digest <> cm.content_digest
+           |            THEN 1 ELSE 0 END AS BIGINT) AS reemitted
+           |FROM cm LEFT JOIN pm ON cm.shard = pm.shard
+           |ORDER BY shard""".stripMargin,
 
       // HRW weights via the engine's 15-hex-char md5 idiom; argmax =
       // row_number 1 over (w DESC, node DESC) — the greatest(struct) order

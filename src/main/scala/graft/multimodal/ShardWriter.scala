@@ -1,7 +1,9 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Training-shard WRITERS — the emit half of the container trio whose
   * read half is the gated parsers ([[graft.functions.TfRecords]],
@@ -215,6 +217,144 @@ object ShardWriter {
         coalesce(col("n_prev"), lit(0L)).as("n_prev"),
         coalesce(col("n_curr"), lit(0L)).as("n_curr"),
         col("prev_digest"), col("curr_digest"))
+  }
+
+  /** EXECUTE a [[shardDiff]] work list — the incremental re-emit that
+    * makes the 100 TB resume story real: shards the diff marked
+    * `unchanged` are carried over as their PREVIOUS blobs byte-for-byte
+    * (never re-framed, never re-read), `changed`/`added` shards are
+    * re-emitted from ONLY their slice of the new corpus, `removed`
+    * shards drop. The result is contract-equal to a full re-emit of the
+    * current corpus (q_shard_incremental_apply gates it hash-for-hash)
+    * at the cost of the changed slice.
+    *
+    * Scale: `work` is manifest-sized metadata — both the semi-join that
+    * prunes the corpus to changed shards and the semi-join that selects
+    * carried-over blobs broadcast it; with a 1% corpus change the emit
+    * exchange moves ~1% of the records a full re-emit would. `records`
+    * must carry the same `(shard, order, payload)` columns
+    * [[emitTfRecordShards]] takes, under the SAME STABLE shard
+    * assignment both manifests were built from (mod/rendezvous — an LPT
+    * re-rank would reshuffle every shard and the diff would mark the
+    * world changed). */
+  def reemitChanged(prevShards: DataFrame, records: DataFrame,
+      work: DataFrame): DataFrame = {
+    val redo = work.filter(col("status").isin("changed", "added"))
+      .select(col("shard"))
+    val keep = work.filter(col("status") === "unchanged")
+      .select(col("shard"))
+    val fresh = emitTfRecordShards(
+      records.join(broadcast(redo), Seq("shard"), "left_semi"))
+    prevShards.select(col("shard"), col("n_records"), col("n_bytes"),
+        col("data"))
+      .join(broadcast(keep), Seq("shard"), "left_semi")
+      .unionByName(fresh)
+  }
+
+  // ------------------------------------------------------------------
+  // The operational last mile: sealed shards as FILES a training job
+  // mounts. Blob rows are what the gates validate; a directory of
+  // `shard-NNNNN.<ext>` files plus a `_SUCCESS`-gated manifest is what
+  // a data loader actually consumes. The crash-safety discipline is the
+  // store's ([[graft.store.MessageStore]]): every observable step is
+  // atomic-or-absent — blobs land under temp names and RENAME into
+  // place, the manifest parquet lands before the marker, `_SUCCESS` is
+  // written LAST and deleted FIRST on rewrite — so a reader either sees
+  // a complete, manifest-described shard set or refuses the directory.
+  // ------------------------------------------------------------------
+
+  /** Write shard blobs as one file per shard via the Hadoop FileSystem
+    * API (HDFS/S3A/local all ride the same connector): each task writes
+    * its own partition's blobs — no driver data path, no collect. File
+    * names are `shard-NNNNN.<ext>` (zero-padded for lexical order,
+    * wider ids never truncate). OVERWRITE semantics for the whole
+    * directory: `_SUCCESS` is removed up front (invalidating the dir
+    * for concurrent readers), stale `shard-*.<ext>` files from a prior
+    * write are removed, and the marker only reappears after every blob
+    * and the manifest parquet (`_manifest/`) are durably in place. */
+  private def writeFiles(shards: DataFrame, manifest: DataFrame,
+      dir: String, ext: String): Unit = {
+    require(ext.matches("[A-Za-z0-9]+"), s"bad extension: $ext")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    fs.mkdirs(root)
+    fs.delete(new Path(root, "_SUCCESS"), false) // invalidate first
+    val stale = fs.globStatus(new Path(root, s"shard-*.$ext"))
+    if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
+    shards.select(col("shard").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+        if (it.hasNext) {
+          val tfs = new Path(dir).getFileSystem(conf.value)
+          it.foreach { case (shard, data) =>
+            require(shard >= 0L, s"file sink requires non-negative shard ids: $shard")
+            val name = f"shard-$shard%05d.$ext"
+            val tmp = new Path(dir, s"_tmp.$name")
+            val out = tfs.create(tmp, true)
+            try out.write(Option(data).getOrElse(Array.emptyByteArray))
+            finally out.close()
+            val dst = new Path(dir, name)
+            tfs.delete(dst, false)
+            if (!tfs.rename(tmp, dst))
+              throw new java.io.IOException(s"rename $tmp -> $dst failed")
+          }
+        }
+      }
+    manifest.write.mode("overwrite")
+      .parquet(new Path(root, "_manifest").toString)
+    val ok = fs.create(new Path(root, "_SUCCESS"), true)
+    ok.close()
+  }
+
+  /** [[emitTfRecordShards]] output → `shard-NNNNN.tfrecord` files plus a
+    * content manifest ([[tfRecordManifest]] — digests derived through
+    * the VALIDATING reader, so the persisted manifest vouches for the
+    * exact bytes on disk). Returns the manifest for chaining. */
+  def writeTfRecordShardFiles(shards: DataFrame, dir: String): DataFrame = {
+    val m = tfRecordManifest(shards)
+    writeFiles(shards, m, dir, "tfrecord")
+    m
+  }
+
+  /** WebDataset twin of [[writeTfRecordShardFiles]]:
+    * `shard-NNNNN.tar` files plus the [[tarManifest]] content manifest. */
+  def writeWebDatasetShardFiles(shards: DataFrame, dir: String): DataFrame = {
+    val m = tarManifest(shards)
+    writeFiles(shards, m, dir, "tar")
+    m
+  }
+
+  /** Read a shard-file directory back as `(shard, data)` blob rows —
+    * refusing a directory without the `_SUCCESS` marker (a crashed or
+    * in-progress write is not data). The distributed `binaryFile`
+    * source does the scan; shard ids come from the file names the
+    * writer controls. */
+  def readShardFiles(spark: SparkSession, dir: String,
+      ext: String = "tfrecord"): DataFrame = {
+    require(ext.matches("[A-Za-z0-9]+"), s"bad extension: $ext")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, "_SUCCESS")),
+      s"$dir has no _SUCCESS marker — incomplete, crashed, or not a shard directory")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"shard-*.$ext").load(dir)
+      .select(
+        regexp_extract(col("path"), s"shard-(\\d+)\\.$ext$$", 1)
+          .cast("long").as("shard"),
+        col("content").as("data"))
+  }
+
+  /** The persisted manifest of a `_SUCCESS`-gated shard directory. */
+  def readShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, "_SUCCESS")),
+      s"$dir has no _SUCCESS marker — incomplete, crashed, or not a shard directory")
+    spark.read.parquet(new Path(root, "_manifest").toString)
   }
 
   /** Null-key fail-fast as the key VALUE itself (coalesce short-circuits
