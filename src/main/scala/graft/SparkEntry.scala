@@ -237,6 +237,11 @@ object SparkEntry {
     * recursive replay seal on. */
   private val SealBudgetBytes = 4096L
 
+  /** Byte budget for the WebDataset seal replay gate (q_wds_seal_replay)
+    * — bounds the whole archive FILE: member blocks plus the two
+    * end-of-archive zero blocks. */
+  private val WdsSealBudgetBytes = 8192L
+
   /** Shard count for the incremental-emit gate — STABLE mod assignment
     * (not LPT, whose global rank reshuffles every shard on any length
     * change): isolated corpus edits touch few shards, which is the whole
@@ -1723,6 +1728,39 @@ object SparkEntry {
           md5(concat_ws(",", transform(
             graft.functions.TfRecords.tfrecord_entries(col("data")),
             e => e.getField("payload_md5")))).as("content_digest"))
+        .orderBy(col("stream"), col("shard_seq"))
+    }),
+
+    // the WebDataset SEALING boundary logic under the oracle — the
+    // ustar twin of q_seal_replay: the live sealer's batch twin replays
+    // the greedy byte-budget chain per source over two-member SAMPLES
+    // (a sample never splits across shards — WebDataset pairing is the
+    // point), budget bounding the whole archive file including the two
+    // close blocks; every sealed archive re-walked checksum-by-checksum
+    // by the validating tar reader into a name:md5 content digest
+    "q_wds_seal_replay" -> ((s, dir) => {
+      import graft.streaming.StreamShardEmit
+      val sess = s
+      import sess.implicits._
+      val events = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .as[(String, Long, String)]
+        .map { case (src, id, text) =>
+          StreamShardEmit.SampleEvent(src, id, Seq(
+            (s"$id.txt", text.getBytes("UTF-8")),
+            (s"$id.src", src.getBytes("UTF-8"))))
+        }
+      StreamShardEmit.batchReplayWds(events,
+          budgetBytes = WdsSealBudgetBytes)
+        .toDF()
+        .select(col("stream"), col("shard_seq"), col("n_samples"),
+          col("n_members"), col("n_bytes"), col("first_seq"),
+          col("last_seq"),
+          md5(concat_ws(",", transform(
+            graft.functions.TarEntries.tar_entries(col("data")),
+            e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
+            .as("content_digest"))
         .orderBy(col("stream"), col("shard_seq"))
     }),
 
@@ -5529,6 +5567,46 @@ object SparkEntry {
            |           FROM g)
            |SELECT stream, shard_seq, n_records, n_bytes, first_seq, last_seq,
            |       content_digest
+           |FROM sealed WHERE shard_seq < mx
+           |ORDER BY stream, shard_seq""".stripMargin,
+
+      // wds-seal-replay oracle: the q_seal_replay recursive chain over
+      // ustar block arithmetic — each sample costs its two members'
+      // header+padded-payload blocks, the seal trips when the file
+      // (members + 1024 close bytes) would overflow, digests fold the
+      // name:md5 pairs in member order, trailing open shard excluded
+      "q_wds_seal_replay" ->
+        s"""WITH RECURSIVE d AS (
+           |  SELECT source, doc_id, COALESCE(text, '') AS text,
+           |         CAST(512 + ((strlen(COALESCE(text, '')) + 511) // 512) * 512
+           |            + 512 + ((strlen(source) + 511) // 512) * 512 AS BIGINT) AS rec,
+           |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+           |  FROM documents),
+           |p AS (
+           |  SELECT source, doc_id, text, rec, rn,
+           |         CAST(0 AS BIGINT) AS shard_seq, rec AS fill
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.source, d.doc_id, d.text, d.rec, d.rn,
+           |         CASE WHEN p.fill + d.rec + 1024 > $WdsSealBudgetBytes
+           |              THEN p.shard_seq + 1 ELSE p.shard_seq END,
+           |         CASE WHEN p.fill + d.rec + 1024 > $WdsSealBudgetBytes
+           |              THEN d.rec ELSE p.fill + d.rec END
+           |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
+           |g AS (SELECT source AS stream, shard_seq,
+           |        CAST(count(*) AS BIGINT) AS n_samples,
+           |        CAST(2 * count(*) AS BIGINT) AS n_members,
+           |        CAST(sum(rec) + 1024 AS BIGINT) AS n_bytes,
+           |        min(doc_id) AS first_seq, max(doc_id) AS last_seq,
+           |        md5(string_agg(
+           |          CAST(doc_id AS VARCHAR) || '.txt:' || md5(text) || ',' ||
+           |          CAST(doc_id AS VARCHAR) || '.src:' || md5(source),
+           |          ',' ORDER BY doc_id)) AS content_digest
+           |      FROM p GROUP BY source, shard_seq),
+           |sealed AS (SELECT g.*, max(shard_seq) OVER (PARTITION BY stream) AS mx
+           |           FROM g)
+           |SELECT stream, shard_seq, n_samples, n_members, n_bytes,
+           |       first_seq, last_seq, content_digest
            |FROM sealed WHERE shard_seq < mx
            |ORDER BY stream, shard_seq""".stripMargin,
 

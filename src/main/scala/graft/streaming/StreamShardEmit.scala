@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.multimodal.ShardWriter
@@ -12,10 +13,11 @@ import graft.multimodal.ShardWriter
   * training shards: documents arrive per stream, accumulate into the
   * OPEN shard, and when the next record would push the container past
   * `budgetBytes` the shard SEALS — emitted downstream as finished
-  * TFRecord container bytes ([[ShardWriter.tfRecordFrame]] framing, the
-  * same bytes the gated validating reader parses) — and a fresh shard
-  * opens. The batch writers ([[ShardWriter.emitTfRecordShards]]) are the
-  * backfill path; this is the continuous one.
+  * container bytes (TFRecord [[ShardWriter.tfRecordFrame]] framing here,
+  * WebDataset ustar framing in [[emitWds]] — the same bytes the gated
+  * validating readers parse) — and a fresh shard opens. The batch
+  * writers ([[ShardWriter.emitTfRecordShards]]) are the backfill path;
+  * this is the continuous one.
   *
   * Greedy seal rule (the packGreedy discipline, bytes instead of
   * tokens): a record seals the open shard only if the shard is
@@ -27,11 +29,17 @@ import graft.multimodal.ShardWriter
   * broker's per-partition ordering guarantee). The OPEN shard rides in
   * state — payload bytes retained, BOUNDED BY `budgetBytes` exactly like
   * the reference's open bucket — and survives checkpoint restart, so a
-  * crash never loses or duplicates a sealed shard. The trailing partial
-  * shard stays open until a later record seals it (or an operational
-  * oversize sentinel flushes it); [[batchReplay]] mirrors that by
-  * emitting ONLY budget-sealed shards, which is what makes stream ==
-  * batch parity exact. */
+  * crash never loses or duplicates a sealed shard.
+  *
+  * The trailing partial shard stays open until a later record seals it
+  * — or, with `idleFlushMs > 0`, until the stream goes QUIET for that
+  * long: the reference's bucket keepalive (`BucketManager.ts:48-52`
+  * closes inactive buckets) re-expressed as a processing-time state
+  * timeout. A flushed shard is emitted with `flushed = true` so the
+  * budget-sealed and inactivity-sealed populations stay auditable;
+  * [[batchReplay]] emits ONLY budget-sealed shards (`flushed` always
+  * false there), which is what makes stream == batch parity exact over
+  * the budget-sealed set. */
 object StreamShardEmit {
 
   final case class DocEvent(stream: String, seq: Long, payload: Array[Byte])
@@ -41,15 +49,35 @@ object StreamShardEmit {
 
   final case class SealedShard(stream: String, shard_seq: Long,
       n_records: Long, n_bytes: Long, first_seq: Long, last_seq: Long,
-      data: Array[Byte])
+      flushed: Boolean, data: Array[Byte])
 
-  /** Budget guard shared by [[emit]] and [[batchReplay]]: positive, and
-    * small enough that a budget-bounded shard always fits a JVM byte
-    * array — `fill` feeds a `ByteArrayOutputStream` size hint and the
-    * sealed blob is one array, so a budget past `Int.MaxValue - 16`
-    * would overflow the hint into a negative int and throw at seal time
-    * instead of here. (A single oversize record still caps at the JVM
-    * array limit inherently: one record IS one array already.) */
+  /** One WebDataset SAMPLE: ordered members (name, payload) framed as
+    * consecutive ustar archive entries on seal. */
+  final case class SampleEvent(stream: String, seq: Long,
+      members: Seq[(String, Array[Byte])])
+
+  /** WebDataset sealer state: samples are kept PRE-FRAMED (each chunk is
+    * its members' complete ustar entries), so seal is pure concatenation
+    * plus the two end-of-archive blocks and the retained state is
+    * exactly the future file bytes — bounded by `budgetBytes`. */
+  final case class WdsState(shardSeq: Long, fill: Long, nMembers: Long,
+      firstSeq: Long, lastSeq: Long, chunks: Seq[Array[Byte]])
+
+  final case class SealedWdsShard(stream: String, shard_seq: Long,
+      n_samples: Long, n_members: Long, n_bytes: Long, first_seq: Long,
+      last_seq: Long, flushed: Boolean, data: Array[Byte])
+
+  /** ustar end-of-archive: two 512-byte zero blocks, counted against the
+    * byte budget (the budget bounds the FILE, trailer included). */
+  private val TarCloseBytes = 1024L
+
+  /** Budget guard shared by all sealers: positive, and small enough that
+    * a budget-bounded shard always fits a JVM byte array — `fill` feeds
+    * a `ByteArrayOutputStream` size hint and the sealed blob is one
+    * array, so a budget past `Int.MaxValue - 16` would overflow the hint
+    * into a negative int and throw at seal time instead of here. (A
+    * single oversize record still caps at the JVM array limit
+    * inherently: one record IS one array already.) */
   private def requireBudget(budgetBytes: Long): Unit =
     require(budgetBytes > 0 && budgetBytes <= Int.MaxValue.toLong - 16L,
       s"budgetBytes must be in (0, ${Int.MaxValue.toLong - 16L}]: $budgetBytes")
@@ -61,7 +89,8 @@ object StreamShardEmit {
   private def empty(shardSeq: Long) =
     ShardState(shardSeq, 0L, -1L, -1L, Vector.empty)
 
-  private def seal(stream: String, st: ShardState): SealedShard = {
+  private def seal(stream: String, st: ShardState,
+      flushed: Boolean): SealedShard = {
     // the hint is clamped, not trusted: an oversize single-record shard's
     // fill can exceed a legal array size hint even under a valid budget
     val bos = new java.io.ByteArrayOutputStream(
@@ -69,38 +98,74 @@ object StreamShardEmit {
     st.payloads.foreach(p => bos.write(ShardWriter.tfRecordFrame(p)))
     val data = bos.toByteArray
     SealedShard(stream, st.shardSeq, st.payloads.length.toLong,
-      data.length.toLong, st.firstSeq, st.lastSeq, data)
+      data.length.toLong, st.firstSeq, st.lastSeq, flushed, data)
   }
 
-  def emit(events: Dataset[DocEvent],
-      budgetBytes: Long = 1L << 20): Dataset[SealedShard] = {
+  /** One greedy step shared by the live and replay TFRecord chains. */
+  private def fold(stream: String, st0: ShardState, r: DocEvent,
+      budgetBytes: Long,
+      out: scala.collection.mutable.ArrayBuffer[SealedShard]): ShardState = {
+    var st = st0
+    val p = Option(r.payload).getOrElse(Array.emptyByteArray)
+    if (st.fill > 0L && st.fill + recBytes(p) > budgetBytes) {
+      out += seal(stream, st, flushed = false)
+      st = empty(st.shardSeq + 1L)
+    }
+    ShardState(st.shardSeq, st.fill + recBytes(p),
+      if (st.payloads.isEmpty) r.seq else st.firstSeq, r.seq,
+      st.payloads :+ p)
+  }
+
+  /** Live TFRecord sealing. `idleFlushMs > 0` arms the keepalive: a
+    * stream quiet for that long has its trailing open shard sealed as
+    * `flushed = true` at the next micro-batch boundary past the
+    * deadline. Processing-time timeouts make the engine schedule
+    * timeout-only batches continuously (`shouldRunAnotherBatch` is
+    * unconditionally true for this timeout mode), so PAIR the keepalive
+    * with a real trigger interval (`Trigger.ProcessingTime(...)`) — the
+    * default run-as-fast-as-possible trigger would busy-loop empty
+    * batches, and `processAllAvailable` never settles while a timeout
+    * is armed. */
+  def emit(events: Dataset[DocEvent], budgetBytes: Long = 1L << 20,
+      idleFlushMs: Long = 0L): Dataset[SealedShard] = {
     requireBudget(budgetBytes)
+    require(idleFlushMs >= 0L, s"idleFlushMs must be >= 0: $idleFlushMs")
     import events.sparkSession.implicits._
     val step: (String, Iterator[DocEvent], GroupState[ShardState]) => Iterator[SealedShard] = {
       case (stream, rows, state) =>
-        var st = state.getOption.getOrElse(empty(0L))
         val out = scala.collection.mutable.ArrayBuffer.empty[SealedShard]
-        rows.toSeq.sortBy(_.seq).foreach { r =>
-          val p = Option(r.payload).getOrElse(Array.emptyByteArray)
-          if (st.fill > 0L && st.fill + recBytes(p) > budgetBytes) {
-            out += seal(stream, st)
-            st = empty(st.shardSeq + 1L)
+        if (state.hasTimedOut) {
+          // keepalive fire: seal whatever is open as an inactivity flush;
+          // shardSeq still advances so a later record opens a FRESH shard
+          val st = state.getOption.getOrElse(empty(0L))
+          if (st.fill > 0L) out += seal(stream, st, flushed = true)
+          state.update(empty(st.shardSeq + (if (st.fill > 0L) 1L else 0L)))
+          // no re-arm: an empty open shard has nothing to flush; the next
+          // row re-arms below
+        } else {
+          var st = state.getOption.getOrElse(empty(0L))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            st = fold(stream, st, r, budgetBytes, out)
           }
-          st = ShardState(st.shardSeq, st.fill + recBytes(p),
-            if (st.payloads.isEmpty) r.seq else st.firstSeq, r.seq,
-            st.payloads :+ p)
+          state.update(st)
+          if (idleFlushMs > 0L && st.fill > 0L)
+            state.setTimeoutDuration(idleFlushMs)
         }
-        state.update(st)
         out.iterator
     }
+    val timeout =
+      if (idleFlushMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.stream)
       .flatMapGroupsWithState[ShardState, SealedShard](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+        OutputMode.Append(), timeout)(step)
   }
 
   /** Batch replay of the same seal chain — the parity oracle: per stream
     * in seq order, identical greedy boundaries, only budget-SEALED shards
-    * emitted (the trailing partial stays open in the stream too). */
+    * emitted (the trailing partial stays open in the stream too, unless
+    * the keepalive flushed it — flushed shards are marked so the parity
+    * set stays recoverable). */
   def batchReplay(events: Dataset[DocEvent],
       budgetBytes: Long = 1L << 20): Dataset[SealedShard] = {
     requireBudget(budgetBytes)
@@ -109,16 +174,120 @@ object StreamShardEmit {
       .flatMapSortedGroups($"seq".asc) { (stream, rows) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[SealedShard]
         var st = empty(0L)
-        rows.foreach { r =>
-          val p = Option(r.payload).getOrElse(Array.emptyByteArray)
-          if (st.fill > 0L && st.fill + recBytes(p) > budgetBytes) {
-            out += seal(stream, st)
-            st = empty(st.shardSeq + 1L)
+        rows.foreach(r => st = fold(stream, st, r, budgetBytes, out))
+        out.iterator
+      }
+  }
+
+  /** LIVE content manifest — the streaming half of the resume story: a
+    * stateless projection over the sealed output (each blob re-parsed by
+    * the VALIDATING reader into the same `content_digest` the batch
+    * [[ShardWriter.tfRecordManifest]] derives), so it runs on the stream
+    * itself and feeds [[ShardWriter.shardDiff]] incrementally as shards
+    * seal — no batch re-scan of the sealed set, ever. Works on a
+    * streaming or batch Dataset alike (StreamShardEmitSpec pins streamed
+    * == batch over the same sealed shards). */
+  def sealedManifest(shards: Dataset[SealedShard]): DataFrame =
+    shards.toDF().select(col("stream"), col("shard_seq"),
+      col("n_records"), col("n_bytes"), col("flushed"),
+      md5(concat_ws(",", transform(
+        graft.functions.TfRecords.tfrecord_entries(col("data")),
+        e => e.getField("payload_md5")))).as("content_digest"))
+
+  // ------------------------------------------------------------------
+  // WebDataset (ustar) twin — the same seal state machine over SAMPLES:
+  // each event's members frame as consecutive tar entries, the budget
+  // bounds the whole archive file (members + the two close blocks), and
+  // a sample never splits across shards (member pairing is the whole
+  // point of WebDataset).
+  // ------------------------------------------------------------------
+
+  private def emptyWds(shardSeq: Long) =
+    WdsState(shardSeq, 0L, 0L, -1L, -1L, Vector.empty)
+
+  /** One sample's complete ustar framing — null member names frame as
+    * "" and null payloads as empty, the [[ShardWriter]] discipline. */
+  private def frameSample(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Option(members).getOrElse(Seq.empty).foreach { case (name, data) =>
+      bos.write(ShardWriter.tarEntry(Option(name).getOrElse(""),
+        Option(data).getOrElse(Array.emptyByteArray)))
+    }
+    bos.toByteArray
+  }
+
+  private def sealWds(stream: String, st: WdsState,
+      flushed: Boolean): SealedWdsShard = {
+    val bos = new java.io.ByteArrayOutputStream(
+      math.min(st.fill + TarCloseBytes, Int.MaxValue.toLong - 16L).toInt)
+    st.chunks.foreach(bos.write)
+    bos.write(new Array[Byte](TarCloseBytes.toInt))
+    val data = bos.toByteArray
+    SealedWdsShard(stream, st.shardSeq, st.chunks.length.toLong,
+      st.nMembers, data.length.toLong, st.firstSeq, st.lastSeq, flushed,
+      data)
+  }
+
+  private def foldWds(stream: String, st0: WdsState, r: SampleEvent,
+      budgetBytes: Long,
+      out: scala.collection.mutable.ArrayBuffer[SealedWdsShard]): WdsState = {
+    var st = st0
+    val chunk = frameSample(r.members)
+    if (st.chunks.nonEmpty &&
+        st.fill + chunk.length + TarCloseBytes > budgetBytes) {
+      out += sealWds(stream, st, flushed = false)
+      st = emptyWds(st.shardSeq + 1L)
+    }
+    WdsState(st.shardSeq, st.fill + chunk.length,
+      st.nMembers + Option(r.members).map(_.length).getOrElse(0).toLong,
+      if (st.chunks.isEmpty) r.seq else st.firstSeq, r.seq,
+      st.chunks :+ chunk)
+  }
+
+  /** Live WebDataset sealing — [[emit]]'s ustar twin, same keepalive. */
+  def emitWds(events: Dataset[SampleEvent], budgetBytes: Long = 1L << 20,
+      idleFlushMs: Long = 0L): Dataset[SealedWdsShard] = {
+    requireBudget(budgetBytes)
+    require(idleFlushMs >= 0L, s"idleFlushMs must be >= 0: $idleFlushMs")
+    import events.sparkSession.implicits._
+    val step: (String, Iterator[SampleEvent], GroupState[WdsState]) => Iterator[SealedWdsShard] = {
+      case (stream, rows, state) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[SealedWdsShard]
+        if (state.hasTimedOut) {
+          val st = state.getOption.getOrElse(emptyWds(0L))
+          if (st.chunks.nonEmpty) out += sealWds(stream, st, flushed = true)
+          state.update(emptyWds(
+            st.shardSeq + (if (st.chunks.nonEmpty) 1L else 0L)))
+        } else {
+          var st = state.getOption.getOrElse(emptyWds(0L))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            st = foldWds(stream, st, r, budgetBytes, out)
           }
-          st = ShardState(st.shardSeq, st.fill + recBytes(p),
-            if (st.payloads.isEmpty) r.seq else st.firstSeq, r.seq,
-            st.payloads :+ p)
+          state.update(st)
+          if (idleFlushMs > 0L && st.chunks.nonEmpty)
+            state.setTimeoutDuration(idleFlushMs)
         }
+        out.iterator
+    }
+    val timeout =
+      if (idleFlushMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.stream)
+      .flatMapGroupsWithState[WdsState, SealedWdsShard](
+        OutputMode.Append(), timeout)(step)
+  }
+
+  /** Batch replay of the WebDataset seal chain — [[batchReplay]]'s twin;
+    * only budget-sealed shards, trailing partial open on both engines. */
+  def batchReplayWds(events: Dataset[SampleEvent],
+      budgetBytes: Long = 1L << 20): Dataset[SealedWdsShard] = {
+    requireBudget(budgetBytes)
+    import events.sparkSession.implicits._
+    events.groupByKey(_.stream)
+      .flatMapSortedGroups($"seq".asc) { (stream, rows) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[SealedWdsShard]
+        var st = emptyWds(0L)
+        rows.foreach(r => st = foldWds(stream, st, r, budgetBytes, out))
         out.iterator
       }
   }
