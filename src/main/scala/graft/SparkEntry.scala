@@ -936,6 +936,17 @@ object SparkEntry {
           max(col("h.duration_ms")).as("max_duration_ms"))
         .orderBy(col("sample_rate"), col("bits_per_sample"))),
 
+    // REAL pixel decode through the codec seam: PngCodec verifies every
+    // chunk CRC, inflates the IDAT, and inverts all five PNG scanline
+    // filters (the fixture cycles them per row) into integer-exact pixel
+    // stats; the oracle re-derives the same sums from the fixture's
+    // (doc_id + 3x + 7y + 11c) % 251 formula — the decoder proven
+    // against the generator, cross-engine
+    "q_image_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imagePixelStats(
+        graft.multimodal.Multimodal.imagePixelTable(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+
     // REAL sample decode through the codec seam: WavPcmCodec walks the
     // RIFF chunks to the data payload and decodes every PCM sample
     // (16-bit signed LE / 8-bit unsigned re-centered) into integer-exact
@@ -4467,6 +4478,35 @@ object SparkEntry {
            |  max(duration_ms) AS max_duration_ms
            |FROM aud GROUP BY sample_rate, bits_per_sample
            |ORDER BY sample_rate, bits_per_sample""".stripMargin,
+
+      // pixel-decode oracle: stats fall out of the fixture's
+      // (doc_id + 3x + 7y + 11c) % 251 formula over the derived dims —
+      // the Spark side must inflate and unfilter the ACTUAL IDAT bytes
+      // (all five filter types live) to reproduce them
+      "q_image_features" ->
+        s"""WITH img AS (
+           |  SELECT doc_id AS media_id,
+           |    CAST(1 + n_chars % ${graft.multimodal.Multimodal.PxWidthMod} AS BIGINT) AS width,
+           |    CAST(1 + doc_id % ${graft.multimodal.Multimodal.PxHeightMod} AS BIGINT) AS height,
+           |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels
+           |  FROM documents),
+           |px AS (SELECT media_id, width, height, channels,
+           |         unnest(range(width)) AS x FROM img),
+           |py AS (SELECT media_id, width, height, channels, x,
+           |         unnest(range(height)) AS y FROM px),
+           |pc AS (SELECT media_id, width, height, channels, x, y,
+           |         unnest(range(channels)) AS c FROM py),
+           |vals AS (SELECT media_id, width, height, channels,
+           |           CAST((media_id + 3*x + 7*y + 11*c)
+           |                % ${graft.multimodal.Multimodal.PxValMod} AS BIGINT) AS v
+           |         FROM pc)
+           |SELECT media_id, width, height, channels,
+           |       CAST(count(*) AS BIGINT) AS n_values,
+           |       CAST(min(v) AS BIGINT) AS min_v,
+           |       CAST(max(v) AS BIGINT) AS max_v,
+           |       CAST(sum(v) AS BIGINT) AS sum_v
+           |FROM vals GROUP BY media_id, width, height, channels
+           |ORDER BY media_id""".stripMargin,
 
       // real-decode oracle: the per-sample amplitudes fall out of the
       // fixture's (j*7+3) % 251 byte formula — 16-bit samples recombine

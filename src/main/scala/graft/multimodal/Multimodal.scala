@@ -203,6 +203,89 @@ object Multimodal {
       .toDF("media_id", "source", "data")
   }
 
+  /** Shared gate/oracle constants for the PIXEL fixture corpus (the
+    * Img*Mod pattern, smaller so the oracle's per-pixel unnest stays
+    * metadata-cheap): dims derive as `1 + n_chars % PxWidthMod` ×
+    * `1 + doc_id % PxHeightMod`, and the pixel at (x, y, channel c) is
+    * `(doc_id + 3x + 7y + 11c) % PxValMod` — mod 251 (prime) so values
+    * never align with the byte lattice. */
+  val PxWidthMod = 16
+  val PxHeightMod = 12
+  val PxValMod = 251
+
+  /** Deterministic synthetic corpus of FULLY DECODABLE PNGs — the pixel
+    * upgrade of [[imageTable]] (which stops at headers): every doc
+    * becomes a real non-interlaced 8-bit PNG (even doc_ids grayscale,
+    * odd truecolor) whose deflated IDAT carries the formula pixels
+    * above, each scanline filtered with type `y % 5` so ALL FIVE PNG
+    * filters are live in every multi-row image. The oracle re-derives
+    * pixel statistics from the formula — never from bytes — so the
+    * encoder/decoder pair cannot agree its way past the gate. */
+  def imagePixelTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (docId, source, nChars) =>
+        val w = (1L + nChars % PxWidthMod).toInt
+        val h = (1L + docId % PxHeightMod).toInt
+        val colorType = if (docId % 2 == 0) 0 else 2
+        val ch = if (colorType == 0) 1 else 3
+        val raw = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              raw((y * w + x) * ch + c) =
+                ((docId + 3L * x + 7L * y + 11L * c) % PxValMod).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (docId, source, PngCodec.encode(w, h, colorType, raw, y => y % 5))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** Integer-exact pixel audit over REAL PNG bytes — the image twin of
+    * [[audioStats]] and the gate surface of [[PngCodec]]: per media row,
+    * the decoded dimensions and count/min/max/sum over every unsigned
+    * pixel sample (all channels). Rows that don't decode report
+    * `channels = -1` with zero stats — present, never dropped, never an
+    * exception. Output is metadata-sized, so the corpus scan reduces
+    * immediately. */
+  def imagePixelStats(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("media_id").cast("long").as("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          PngCodec.decode(data) match {
+            case Some(img) if img.raw.nonEmpty =>
+              var k = 0
+              var sum = 0L
+              var mn = 255L
+              var mx = 0L
+              while (k < img.raw.length) {
+                val v = (img.raw(k) & 0xff).toLong
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                k += 1
+              }
+              (id, img.width.toLong, img.height.toLong, img.channels.toLong,
+                img.raw.length.toLong, mn, mx, sum)
+            case _ => (id, 0L, 0L, -1L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "channels", "n_values",
+        "min_v", "max_v", "sum_v")
+  }
+
   private def crc32(bytes: Array[Byte]): Int = {
     val c = new java.util.zip.CRC32
     c.update(bytes)
