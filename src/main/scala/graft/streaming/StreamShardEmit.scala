@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.multimodal.ShardWriter
 
@@ -193,6 +195,93 @@ object StreamShardEmit {
       md5(concat_ws(",", transform(
         graft.functions.TfRecords.tfrecord_entries(col("data")),
         e => e.getField("payload_md5")))).as("content_digest"))
+
+  // ------------------------------------------------------------------
+  // The live FILE landing — foreachBatch glue between the sealer and
+  // the batch sink's directory discipline ([[ShardWriter]] file sink):
+  // sealed shards reach disk as `<stream>-<seq>.tfrecord` files with a
+  // batch-partitioned manifest. Exactly-once without a transaction log:
+  // file names and bytes are DETERMINISTIC per (stream, shard_seq), so
+  // a replayed micro-batch rewrites identical files in place, and each
+  // batch's manifest partition (`_manifest/batch=<id>`) is written with
+  // overwrite — replay is idempotent end to end. The MANIFEST is the
+  // authoritative set: a crash between blob writes and the manifest
+  // leaves undescribed files that [[readSealedFiles]] ignores (and the
+  // replay re-describes), never phantom data.
+  // ------------------------------------------------------------------
+
+  /** Land one micro-batch of sealed shards — pass to `foreachBatch`
+    * via [[sealedFileSink]], or call directly for backfills. */
+  def landSealedBatch(batch: Dataset[SealedShard], dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    fs.mkdirs(root)
+    batch.persist() // consumed twice (blobs, manifest); seal chain runs once
+    try {
+      batch.foreachPartition { it: Iterator[SealedShard] =>
+        if (it.hasNext) {
+          val tfs = new Path(dir).getFileSystem(conf.value)
+          it.foreach { sh =>
+            // the stream id becomes a file-name component: reject path
+            // metacharacters instead of silently mangling them
+            require(sh.stream != null && sh.stream.matches("[A-Za-z0-9._-]+"),
+              s"stream id not file-name-safe: ${sh.stream}")
+            val name = f"${sh.stream}-${sh.shard_seq}%09d.tfrecord"
+            val tmp = new Path(dir, s"_tmp.$name")
+            val out = tfs.create(tmp, true)
+            try out.write(sh.data)
+            finally out.close()
+            val dst = new Path(dir, name)
+            tfs.delete(dst, false)
+            if (!tfs.rename(tmp, dst))
+              throw new java.io.IOException(s"rename $tmp -> $dst failed")
+          }
+        }
+      }
+      sealedManifest(batch)
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"_manifest/batch=$batchId").toString)
+      val ok = fs.create(new Path(root, "_SUCCESS"), true)
+      ok.close()
+    } finally batch.unpersist()
+  }
+
+  /** The `foreachBatch` function for a live shard-landing query:
+    * {{{
+    * StreamShardEmit.emit(events, budget, idleFlushMs)
+    *   .writeStream.foreachBatch(StreamShardEmit.sealedFileSink(dir))
+    * }}} */
+  def sealedFileSink(dir: String): (Dataset[SealedShard], Long) => Unit =
+    (batch, batchId) => landSealedBatch(batch, dir, batchId)
+
+  /** The manifest-described on-disk shard set of a live landing dir:
+    * blob rows inner-joined against the manifest, so files from a
+    * crashed, not-yet-replayed batch are invisible until described.
+    * Returns `(stream, shard_seq, n_records, n_bytes, flushed,
+    * content_digest, data)`. */
+  def readSealedFiles(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, "_SUCCESS")),
+      s"$dir has no _SUCCESS marker — no completed landing batch")
+    val manifest = spark.read.parquet(new Path(root, "_manifest").toString)
+      .select(col("stream"), col("shard_seq"), col("n_records"),
+        col("n_bytes"), col("flushed"), col("content_digest"))
+      .dropDuplicates("stream", "shard_seq") // replays re-describe identically
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tfrecord").load(dir)
+      .select(
+        regexp_extract(col("path"), "([A-Za-z0-9._-]+)-(\\d+)\\.tfrecord$", 1)
+          .as("stream"),
+        regexp_extract(col("path"), "([A-Za-z0-9._-]+)-(\\d+)\\.tfrecord$", 2)
+          .cast("long").as("shard_seq"),
+        col("content").as("data"))
+    manifest.join(blobs, Seq("stream", "shard_seq"))
+  }
 
   // ------------------------------------------------------------------
   // WebDataset (ustar) twin — the same seal state machine over SAMPLES:

@@ -303,4 +303,66 @@ class StreamShardEmitSpec extends SparkSpec {
       assert(streamed == batch && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("live file landing: manifest-described on-disk set equals the seal chain") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-land").toString
+    val events = (0L until 24L).map(i =>
+      DocEvent(if (i % 2 == 0) "alpha" else "beta.2", i, bytes((i % 4).toInt * 17 + 1)))
+    val input = MemoryStream[DocEvent](s)
+    val q = StreamShardEmit.emit(input.toDS(), budgetBytes = 120L)
+      .writeStream
+      .foreachBatch(StreamShardEmit.sealedFileSink(dir))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(9): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(9): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // on-disk described set == the batch twin, digest for digest
+    val want = StreamShardEmit.sealedManifest(
+      StreamShardEmit.batchReplay(events.toDS(), budgetBytes = 120L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(5))).toSet
+    val got = StreamShardEmit.readSealedFiles(spark, dir)
+      .select("stream", "shard_seq", "n_records", "content_digest")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // the on-disk BYTES re-parse through the gated reader
+    StreamShardEmit.readSealedFiles(spark, dir).collect().foreach { r =>
+      assert(TfRecords.parse(r.getAs[Array[Byte]]("data"))
+        .numElements().toLong == r.getAs[Long]("n_records"))
+    }
+    // an undescribed file (crashed batch debris) is invisible to readers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "ghost-000000099.tfrecord"),
+      Array[Byte](1, 2, 3))
+    assert(StreamShardEmit.readSealedFiles(spark, dir)
+      .where("stream = 'ghost'").count() == 0)
+  }
+
+  test("landing a replayed micro-batch is idempotent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay-land").toString
+    val sealedShards = StreamShardEmit.batchReplay(
+      (0L until 10L).map(i => DocEvent("s", i, bytes(40))).toDS(),
+      budgetBytes = 120L)
+    StreamShardEmit.landSealedBatch(sealedShards, dir, batchId = 7L)
+    val first = StreamShardEmit.readSealedFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("stream"), r.getAs[Long]("shard_seq"),
+        md5Hex(r.getAs[Array[Byte]]("data")))).toSet
+    // the replay rewrites identical files and re-describes the same rows
+    StreamShardEmit.landSealedBatch(sealedShards, dir, batchId = 7L)
+    val second = StreamShardEmit.readSealedFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("stream"), r.getAs[Long]("shard_seq"),
+        md5Hex(r.getAs[Array[Byte]]("data")))).toSet
+    assert(second == first && first.nonEmpty)
+    // one row per shard, not one per landing
+    assert(StreamShardEmit.readSealedFiles(spark, dir).count() ==
+      first.size.toLong)
+  }
 }
