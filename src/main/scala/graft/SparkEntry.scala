@@ -1742,6 +1742,38 @@ object SparkEntry {
         .orderBy(col("stream"), col("shard_seq"))
     }),
 
+    // the live landing under the oracle, ON-DISK: the seal chain's
+    // output landed through the foreachBatch sink (deterministic file
+    // names, batch-partitioned manifest), then read back via the
+    // manifest join and re-parsed from the FILE bytes — boundaries,
+    // accounting, and content digests must all survive the disk trip
+    "q_seal_files" -> ((s, dir) => {
+      import graft.streaming.StreamShardEmit
+      val sess = s
+      import sess.implicits._
+      val events = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+        .as[(String, Long, Array[Byte])]
+        .map { case (src, id, p) => StreamShardEmit.DocEvent(src, id, p) }
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q-seal-files").toString
+      StreamShardEmit.landSealedBatch(
+        StreamShardEmit.batchReplay(events, budgetBytes = SealBudgetBytes),
+        out, batchId = 0L)
+      StreamShardEmit.readSealedFiles(s, out)
+        .select(col("stream"), col("shard_seq"), col("n_records"),
+          col("n_bytes"),
+          md5(concat_ws(",", transform(
+            graft.functions.TfRecords.tfrecord_entries(col("data")),
+            e => e.getField("payload_md5")))).as("disk_digest"),
+          col("content_digest"))
+        .filter(col("disk_digest") === col("content_digest"))
+        .select(col("stream"), col("shard_seq"), col("n_records"),
+          col("n_bytes"), col("content_digest"))
+        .orderBy(col("stream"), col("shard_seq"))
+    }),
+
     // the WebDataset SEALING boundary logic under the oracle — the
     // ustar twin of q_seal_replay: the live sealer's batch twin replays
     // the greedy byte-budget chain per source over two-member SAMPLES
@@ -5607,6 +5639,38 @@ object SparkEntry {
            |           FROM g)
            |SELECT stream, shard_seq, n_records, n_bytes, first_seq, last_seq,
            |       content_digest
+           |FROM sealed WHERE shard_seq < mx
+           |ORDER BY stream, shard_seq""".stripMargin,
+
+      // seal-files oracle: the q_seal_replay arithmetic minus first/last
+      // seq (the landing's manifest carries digests and accounting) —
+      // the Spark side must land real files and recover identical rows
+      // FROM DISK, with the re-parsed digest equal to the manifest's
+      "q_seal_files" ->
+        s"""WITH RECURSIVE d AS (
+           |  SELECT source, doc_id, COALESCE(text, '') AS text,
+           |         CAST(16 + strlen(COALESCE(text, '')) AS BIGINT) AS rec,
+           |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+           |  FROM documents),
+           |p AS (
+           |  SELECT source, doc_id, text, rec, rn,
+           |         CAST(0 AS BIGINT) AS shard_seq, rec AS fill
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.source, d.doc_id, d.text, d.rec, d.rn,
+           |         CASE WHEN p.fill > 0 AND p.fill + d.rec > $SealBudgetBytes
+           |              THEN p.shard_seq + 1 ELSE p.shard_seq END,
+           |         CASE WHEN p.fill > 0 AND p.fill + d.rec > $SealBudgetBytes
+           |              THEN d.rec ELSE p.fill + d.rec END
+           |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
+           |g AS (SELECT source AS stream, shard_seq,
+           |        CAST(count(*) AS BIGINT) AS n_records,
+           |        CAST(sum(rec) AS BIGINT) AS n_bytes,
+           |        md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS content_digest
+           |      FROM p GROUP BY source, shard_seq),
+           |sealed AS (SELECT g.*, max(shard_seq) OVER (PARTITION BY stream) AS mx
+           |           FROM g)
+           |SELECT stream, shard_seq, n_records, n_bytes, content_digest
            |FROM sealed WHERE shard_seq < mx
            |ORDER BY stream, shard_seq""".stripMargin,
 
