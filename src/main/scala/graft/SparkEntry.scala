@@ -1959,6 +1959,48 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // the resume story against the DIRECTORY: bootstrap a shard-file dir
+    // from v1 through the sync API, then sync to v2 — the new state is
+    // derived in one metadata-only digest pass (recordManifest: payload
+    // bytes never shuffle), only changed/added shard FILES are
+    // rewritten, removed files deleted — and the final ON-DISK state
+    // (file bytes re-parsed through both masked crcs, digest required
+    // equal to the stored manifest) must hash-match the oracle's full
+    // v2 derivation, rewritten flags included
+    "q_shard_files_sync" -> ((s, dir) => {
+      import graft.multimodal.ShardWriter
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def recordsOf(d: DataFrame): DataFrame =
+        d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
+          col("doc_id").as("order"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q-files-sync").toString
+      ShardWriter.syncTfRecordShardFiles(recordsOf(docs), out)
+      val sync = ShardWriter.syncTfRecordShardFiles(recordsOf(v2), out)
+        .select(col("shard"), col("rewritten"))
+      val disk = ShardWriter.readShardFiles(s, out, "tfrecord")
+        .select(col("shard"),
+          size(graft.functions.TfRecords.tfrecord_entries(col("data")))
+            .cast("long").as("n_records"),
+          length(col("data")).cast("long").as("n_bytes"),
+          md5(concat_ws(",", transform(
+            graft.functions.TfRecords.tfrecord_entries(col("data")),
+            e => e.getField("payload_md5")))).as("content_digest"))
+      disk.join(ShardWriter.readShardManifest(s, out),
+          Seq("shard", "n_records", "n_bytes", "content_digest"))
+        .join(sync, Seq("shard"))
+        .select(col("shard"), col("n_records"), col("n_bytes"),
+          col("content_digest"), col("rewritten"))
+        .orderBy(col("shard"))
+    }),
+
     // rendezvous (HRW) sharding under membership change: assignment with
     // 3 nodes vs 2 — the migration matrix proves only node-c's keys move
     "q_rendezvous" -> ((s, dir) => {
@@ -5913,6 +5955,37 @@ object SparkEntry {
            |       CAST(CASE WHEN pm.prev_digest IS NULL
            |                   OR pm.prev_digest <> cm.content_digest
            |            THEN 1 ELSE 0 END AS BIGINT) AS reemitted
+           |FROM cm LEFT JOIN pm ON cm.shard = pm.shard
+           |ORDER BY shard""".stripMargin,
+
+      // files-sync oracle: identical to the incremental-apply arithmetic
+      // (full v2 manifest + the rewritten flag from prev-vs-curr digest
+      // comparison) — but the Spark side must recover it from the SYNCED
+      // DIRECTORY's file bytes, with unchanged files untouched on disk
+      "q_shard_files_sync" ->
+        s"""WITH curr AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        md5(COALESCE(text, '')) AS m FROM documents),
+           |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        COALESCE(text, '') AS text,
+           |        md5(COALESCE(text, '')) AS m FROM curr),
+           |pm AS (SELECT shard,
+           |         md5(string_agg(m, ',' ORDER BY doc_id)) AS prev_digest
+           |       FROM p GROUP BY 1),
+           |cm AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+           |         CAST(sum(16 + strlen(text)) AS BIGINT) AS n_bytes,
+           |         md5(string_agg(m, ',' ORDER BY doc_id)) AS content_digest
+           |       FROM c GROUP BY 1)
+           |SELECT CAST(cm.shard AS BIGINT) AS shard, cm.n_records, cm.n_bytes,
+           |       cm.content_digest,
+           |       CAST(CASE WHEN pm.prev_digest IS NULL
+           |                   OR pm.prev_digest <> cm.content_digest
+           |            THEN 1 ELSE 0 END AS BIGINT) AS rewritten
            |FROM cm LEFT JOIN pm ON cm.shard = pm.shard
            |ORDER BY shard""".stripMargin,
 

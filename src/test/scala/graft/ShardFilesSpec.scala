@@ -136,4 +136,95 @@ class ShardFilesSpec extends SparkSpec {
     (0L until 8L).filterNot(flagged).foreach(sh =>
       assert(combD(sh) == prevD(sh)))
   }
+
+  test("recordManifest equals the framed manifest without moving payloads") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 120L).map { i =>
+      val payload: Array[Byte] =
+        if (i % 17 == 0) null
+        else if (i % 11 == 0) Array.emptyByteArray
+        else s"payload $i ${"x" * (i % 23).toInt}".getBytes("UTF-8")
+      (i % 9, i, payload)
+    }.toDF("shard", "order", "payload")
+    val framed = ShardWriter.tfRecordManifest(
+      ShardWriter.emitTfRecordShards(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val direct = ShardWriter.recordManifest(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(direct == framed && direct.nonEmpty)
+  }
+
+  test("sync rewrites only changed files; unchanged files are untouched on disk") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft-files-sync")
+    def corpus(edit: Boolean) = (0L until 40L).map { i =>
+      val text =
+        if (edit && i == 13L) s"doc $i EDITED"     // changes shard 13 % 8 = 5
+        else s"doc $i"
+      (i % 8, i, text.getBytes("UTF-8"))
+    }.filterNot { case (_, i, _) => edit && i == 7L } // removes from shard 7
+      .toDF("shard", "order", "payload")
+    // v1: bootstrap through the sync API itself (no marker -> full write)
+    val boot = ShardWriter.syncTfRecordShardFiles(corpus(edit = false), dir)
+    assert(boot.collect().forall(_.getAs[Long]("rewritten") == 1L))
+    val mtime1 = (0L until 8L).map(sh => sh ->
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, f"shard-$sh%05d.tfrecord")).toMillis).toMap
+    Thread.sleep(1100) // mtime granularity
+    // v2: one doc edited (shard 5), one doc removed (shard 7 shrinks)
+    val sync = ShardWriter.syncTfRecordShardFiles(corpus(edit = true), dir)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        r.getAs[Long]("rewritten")).toMap
+    assert(sync(5L) == 1L && sync(7L) == 1L)
+    assert((0L until 8L).filterNot(Set(5L, 7L)).forall(sync(_) == 0L))
+    // untouched shards kept their files byte- AND mtime-identical
+    (0L until 8L).filterNot(Set(5L, 7L)).foreach { sh =>
+      val t = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, f"shard-$sh%05d.tfrecord")).toMillis
+      assert(t == mtime1(sh), s"shard $sh was rewritten")
+    }
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "shard-00005.tfrecord")).toMillis
+      > mtime1(5L))
+    // the synced directory equals a FULL write of v2, digest for digest
+    val full = tmpDir("graft-files-sync-full")
+    ShardWriter.writeTfRecordShardFiles(
+      ShardWriter.emitTfRecordShards(corpus(edit = true)), full)
+    def state(d: String) = ShardWriter.readShardFiles(spark, d, "tfrecord")
+      .collect().map(r => r.getAs[Long]("shard") ->
+        md5Hex(r.getAs[Array[Byte]]("data"))).toMap
+    assert(state(dir) == state(full))
+    // and the stored manifest describes exactly the new corpus
+    val man = ShardWriter.readShardManifest(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("shard")),
+        r.getAs[Long]("n_records"), r.getAs[String]("content_digest"))).toSet
+    val want = ShardWriter.recordManifest(corpus(edit = true)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(man == want)
+  }
+
+  test("sync deletes files for removed shards") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft-files-sync-rm")
+    val v1 = Seq((0L, 0L, "a"), (1L, 1L, "b"), (9L, 2L, "gone"))
+      .map { case (sh, o, t) => (sh, o, t.getBytes("UTF-8")) }
+      .toDF("shard", "order", "payload")
+    ShardWriter.syncTfRecordShardFiles(v1, dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "shard-00009.tfrecord")))
+    val v2 = Seq((0L, 0L, "a"), (1L, 1L, "b"))
+      .map { case (sh, o, t) => (sh, o, t.getBytes("UTF-8")) }
+      .toDF("shard", "order", "payload")
+    val out = ShardWriter.syncTfRecordShardFiles(v2, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "shard-00009.tfrecord")))
+    assert(out.collect().map(_.getAs[Long]("shard")).toSet == Set(0L, 1L))
+    assert(ShardWriter.readShardFiles(spark, dir, "tfrecord")
+      .collect().map(_.getAs[Long]("shard")).toSet == Set(0L, 1L))
+  }
 }
