@@ -2001,6 +2001,47 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // the WebDataset leg of the directory sync: .tar shard files synced
+    // to the v2 sample corpus via the metadata-only sampleManifest diff,
+    // final ON-DISK archives re-walked checksum-by-checksum and their
+    // name:md5 digests (required equal to the stored manifest) matched
+    // against the oracle's arithmetic, rewritten flags included
+    "q_wds_files_sync" -> ((s, dir) => {
+      import graft.multimodal.ShardWriter
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def samplesOf(d: DataFrame): DataFrame =
+        d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
+          col("doc_id").as("order"),
+          array(struct(
+            concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            encode(coalesce(col("text"), lit("")), "UTF-8").as("data")))
+            .as("members"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q-wds-sync").toString
+      ShardWriter.syncWebDatasetShardFiles(samplesOf(docs), out)
+      val sync = ShardWriter.syncWebDatasetShardFiles(samplesOf(v2), out)
+        .select(col("shard"), col("rewritten"))
+      val disk = ShardWriter.readShardFiles(s, out, "tar")
+        .select(col("shard"),
+          length(col("data")).cast("long").as("n_bytes"),
+          md5(concat_ws(",", transform(
+            graft.functions.TarEntries.tar_entries(col("data")),
+            e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
+            .as("content_digest"))
+      disk.join(ShardWriter.readShardManifest(s, out),
+          Seq("shard", "n_bytes", "content_digest"))
+        .join(sync, Seq("shard"))
+        .select(col("shard"), col("n_samples"), col("n_members"),
+          col("n_bytes"), col("content_digest"), col("rewritten"))
+        .orderBy(col("shard"))
+    }),
+
     // rendezvous (HRW) sharding under membership change: assignment with
     // 3 nodes vs 2 — the migration matrix proves only node-c's keys move
     "q_rendezvous" -> ((s, dir) => {
@@ -5983,6 +6024,39 @@ object SparkEntry {
            |       FROM c GROUP BY 1)
            |SELECT CAST(cm.shard AS BIGINT) AS shard, cm.n_records, cm.n_bytes,
            |       cm.content_digest,
+           |       CAST(CASE WHEN pm.prev_digest IS NULL
+           |                   OR pm.prev_digest <> cm.content_digest
+           |            THEN 1 ELSE 0 END AS BIGINT) AS rewritten
+           |FROM cm LEFT JOIN pm ON cm.shard = pm.shard
+           |ORDER BY shard""".stripMargin,
+
+      // wds-files-sync oracle: the incremental arithmetic over ustar
+      // block accounting and name:md5 digests — one member per sample
+      "q_wds_files_sync" ->
+        s"""WITH curr AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        CAST(doc_id AS VARCHAR) || '.txt:' || md5(COALESCE(text, '')) AS atom
+           |      FROM documents),
+           |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
+           |        COALESCE(text, '') AS text,
+           |        CAST(doc_id AS VARCHAR) || '.txt:' || md5(COALESCE(text, '')) AS atom
+           |      FROM curr),
+           |pm AS (SELECT shard,
+           |         md5(string_agg(atom, ',' ORDER BY doc_id)) AS prev_digest
+           |       FROM p GROUP BY 1),
+           |cm AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_samples,
+           |         CAST(count(*) AS BIGINT) AS n_members,
+           |         CAST(sum(512 + ((strlen(text) + 511) // 512) * 512)
+           |              + 1024 AS BIGINT) AS n_bytes,
+           |         md5(string_agg(atom, ',' ORDER BY doc_id)) AS content_digest
+           |       FROM c GROUP BY 1)
+           |SELECT CAST(cm.shard AS BIGINT) AS shard, cm.n_samples,
+           |       cm.n_members, cm.n_bytes, cm.content_digest,
            |       CAST(CASE WHEN pm.prev_digest IS NULL
            |                   OR pm.prev_digest <> cm.content_digest
            |            THEN 1 ELSE 0 END AS BIGINT) AS rewritten

@@ -266,6 +266,111 @@ object ShardWriter {
       .toDF("shard", "n_records", "n_bytes", "content_digest")
   }
 
+  /** WebDataset twin of [[recordManifest]]: the `name:md5` digest
+    * sequence [[tarManifest]] recovers from archive bytes, derived
+    * straight from samples — member names and payload md5s are folded
+    * map-side into one metadata row per sample, so only digests ride
+    * the exchange. `n_bytes` replays the ustar block arithmetic
+    * (512-byte header + block-padded payload per member + the two
+    * close blocks). */
+  def sampleManifest(samples: DataFrame,
+      shardCol: Column = col("shard"), orderCol: Column = col("order"),
+      membersCol: Column = col("members")): DataFrame = {
+    val s = samples.sparkSession
+    import s.implicits._
+    val part = concat_ws(",", transform(membersCol, e =>
+      concat_ws(":", coalesce(e.getField("name").cast("string"), lit("")),
+        md5(coalesce(e.getField("data").cast("binary"),
+          lit(Array.emptyByteArray))))))
+    val bytes = aggregate(membersCol, lit(0L), (acc, e) =>
+      acc + 512L + ((length(coalesce(e.getField("data").cast("binary"),
+        lit(Array.emptyByteArray))).cast("long") + 511L) / 512L)
+        .cast("long") * 512L) // Column `/` is double division: floor back
+    samples.select(requireKey(shardCol, "shard").as("shard"),
+        requireKey(orderCol, "order").as("order"),
+        coalesce(part, lit("")).as("part"),
+        when(membersCol.isNull, lit(0L))
+          .otherwise(size(membersCol).cast("long")).as("n_members"),
+        coalesce(bytes, lit(0L)).as("sample_bytes"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("order"))
+      .as[(Long, Long, String, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long, String)] {
+          private var pending = if (it.hasNext) Some(it.next()) else None
+          override def hasNext: Boolean = pending.isDefined
+          override def next(): (Long, Long, Long, Long, String) = {
+            val shard = pending.get._1
+            val md = java.security.MessageDigest.getInstance("MD5")
+            var nSamples = 0L
+            var nMembers = 0L
+            var bytes = TarCloseBytesL // the two end-of-archive blocks
+            var wroteAtoms = false
+            while (pending.isDefined && pending.get._1 == shard) {
+              val (_, _, part, nm, sb) = pending.get
+              // an empty-member sample contributes no digest atoms, the
+              // same as tarManifest's walk over an archive without its
+              // entries — but it still counts as a sample
+              if (part.nonEmpty) {
+                if (wroteAtoms) md.update(','.toByte)
+                md.update(part.getBytes("UTF-8"))
+                wroteAtoms = true
+              }
+              nSamples += 1L
+              nMembers += nm
+              bytes += sb
+              pending = if (it.hasNext) Some(it.next()) else None
+            }
+            (shard, nSamples, nMembers, bytes,
+              md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("shard", "n_samples", "n_members", "n_bytes", "content_digest")
+  }
+
+  private val TarCloseBytesL = 1024L
+
+  /** WebDataset twin of [[syncTfRecordShardFiles]]: sync a `.tar` shard
+    * directory to a new sample corpus, rewriting only the shards whose
+    * [[sampleManifest]] digest moved. Same crash discipline; a dir
+    * without a marker falls back to the full overwrite path. */
+  def syncWebDatasetShardFiles(samples: DataFrame, dir: String): DataFrame = {
+    val spark = samples.sparkSession
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curr = sampleManifest(samples).localCheckpoint(true)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      writeWebDatasetShardFiles(emitWebDatasetShards(samples), dir)
+      return curr.withColumn("rewritten", lit(1L))
+        .select(col("shard"), col("rewritten"), col("n_samples"),
+          col("n_members"), col("n_bytes"), col("content_digest"))
+    }
+    val prev = readShardManifest(spark, dir)
+      .withColumnRenamed("n_samples", "n_records")
+    val work = shardDiff(prev,
+      curr.withColumnRenamed("n_samples", "n_records"))
+      .localCheckpoint(true)
+    fs.delete(new Path(root, "_SUCCESS"), false)
+    val redo = work.filter(col("status").isin("changed", "added"))
+      .select(col("shard"))
+    writeBlobFiles(emitWebDatasetShards(
+      samples.join(broadcast(redo), Seq("shard"), "left_semi")),
+      dir, "tar")
+    work.filter(col("status") === "removed").select(col("shard"))
+      .collect().foreach { r =>
+        fs.delete(new Path(root, f"shard-${r.getLong(0)}%05d.tar"), false)
+      }
+    curr.write.mode("overwrite")
+      .parquet(new Path(root, "_manifest").toString)
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+    curr.join(work.select(col("shard"),
+        col("status").isin("changed", "added").cast("long")
+          .as("rewritten")), Seq("shard"))
+      .select(col("shard"), col("rewritten"), col("n_samples"),
+        col("n_members"), col("n_bytes"), col("content_digest"))
+  }
+
   /** Incrementally SYNC a shard-file directory to a new corpus — the
     * resume story executed against the DIRECTORY: the stored manifest
     * is the previous state, [[recordManifest]] derives the new state in

@@ -227,4 +227,68 @@ class ShardFilesSpec extends SparkSpec {
     assert(ShardWriter.readShardFiles(spark, dir, "tfrecord")
       .collect().map(_.getAs[Long]("shard")).toSet == Set(0L, 1L))
   }
+
+  test("sampleManifest equals the framed tar manifest without moving payloads") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 60L).map { i =>
+      val members: Seq[(String, Array[Byte])] =
+        if (i % 19 == 0) Seq.empty
+        else if (i % 13 == 0) Seq((null, "x".getBytes("UTF-8")),
+          (s"$i.bin", null))
+        else Seq((s"$i.txt", s"text $i".getBytes("UTF-8")),
+          (s"$i.src", ("s" * (i % 9).toInt).getBytes("UTF-8")))
+      (i % 7, i, members)
+    }.toDF("shard", "order", "members")
+      .select(col("shard"), col("order"),
+        transform(col("members"),
+          m => struct(m.getField("_1").as("name"),
+            m.getField("_2").as("data"))).as("members"))
+    val framed = ShardWriter.tarManifest(
+      ShardWriter.emitWebDatasetShards(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val direct = ShardWriter.sampleManifest(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(direct == framed && direct.nonEmpty)
+  }
+
+  test("webdataset sync rewrites only changed tar files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft-wds-sync")
+    def corpus(edit: Boolean) = (0L until 24L).map { i =>
+      val text = if (edit && i == 9L) s"doc $i EDITED" else s"doc $i"
+      (i % 6, i, Seq((s"$i.txt", text.getBytes("UTF-8"))))
+    }.toDF("shard", "order", "members")
+      .select(col("shard"), col("order"),
+        transform(col("members"),
+          m => struct(m.getField("_1").as("name"),
+            m.getField("_2").as("data"))).as("members"))
+    ShardWriter.syncWebDatasetShardFiles(corpus(edit = false), dir)
+    val mtime1 = (0L until 6L).map(sh => sh ->
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, f"shard-$sh%05d.tar")).toMillis).toMap
+    Thread.sleep(1100)
+    // i = 9 -> shard 3 changes; everything else untouched
+    val sync = ShardWriter.syncWebDatasetShardFiles(corpus(edit = true), dir)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        r.getAs[Long]("rewritten")).toMap
+    assert(sync(3L) == 1L)
+    assert((0L until 6L).filterNot(_ == 3L).forall(sync(_) == 0L))
+    (0L until 6L).filterNot(_ == 3L).foreach { sh =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, f"shard-$sh%05d.tar")).toMillis
+        == mtime1(sh), s"shard $sh was rewritten")
+    }
+    // synced dir equals a full write, digest for digest
+    val full = tmpDir("graft-wds-sync-full")
+    ShardWriter.writeWebDatasetShardFiles(
+      ShardWriter.emitWebDatasetShards(corpus(edit = true)), full)
+    def state(d: String) = ShardWriter.readShardFiles(spark, d, "tar")
+      .collect().map(r => r.getAs[Long]("shard") ->
+        md5Hex(r.getAs[Array[Byte]]("data"))).toMap
+    assert(state(dir) == state(full))
+  }
 }
