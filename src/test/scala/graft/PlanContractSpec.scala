@@ -700,6 +700,41 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("metadata-only manifests: payload bytes never enter the shuffle") {
+    // recordManifest/sampleManifest exist so the 100 TB diff costs one
+    // metadata exchange — md5s fold map-side; if a payload/member column
+    // survives into the exchange output, the whole point is lost
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, struct, transform}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val recs = (0L until 50L).map(i => (i % 4, i, s"p$i".getBytes("UTF-8")))
+      .toDF("shard", "order", "payload")
+    val samps = (0L until 50L)
+      .map(i => (i % 4, i, Seq((s"$i.txt", s"p$i".getBytes("UTF-8")))))
+      .toDF("shard", "order", "members")
+      .select(col("shard"), col("order"),
+        transform(col("members"), m => struct(m.getField("_1").as("name"),
+          m.getField("_2").as("data"))).as("members"))
+    Seq(
+      "recordManifest" -> graft.multimodal.ShardWriter.recordManifest(recs),
+      "sampleManifest" -> graft.multimodal.ShardWriter.sampleManifest(samps)
+    ).foreach { case (what, df) =>
+      // sparkPlan, not executedPlan: AQE wraps exchanges until runtime
+      val exchanges = df.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e.output.map(_.name)
+      }
+      assert(exchanges.nonEmpty, s"$what lost its shard exchange")
+      exchanges.foreach { cols =>
+        assert(!cols.exists(c => c.startsWith("payload") ||
+            c.startsWith("members") || c.startsWith("data")),
+          s"$what shuffles payload bytes: ${cols.mkString(", ")}")
+      }
+      assert(df.queryExecution.sparkPlan.toString.contains("MapPartitions"),
+        s"$what lost the streaming digest fold")
+    }
+  }
+
   test("unicode audit is one scan-bound lang aggregate") {
     // the normalization runs inside the scan->aggregate pipeline as a
     // codegen expression: no join, no window, ONE hash exchange
