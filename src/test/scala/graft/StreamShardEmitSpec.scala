@@ -365,4 +365,32 @@ class StreamShardEmitSpec extends SparkSpec {
     assert(StreamShardEmit.readSealedFiles(spark, dir).count() ==
       first.size.toLong)
   }
+
+  test("webdataset keepalive flushes the trailing open archive too") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[SampleEvent](s)
+    val q = StreamShardEmit.emitWds(input.toDS(), budgetBytes = 1L << 20,
+      idleFlushMs = 200L)
+      .writeStream.format("memory").queryName("wdsflush")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        SampleEvent("s", 0L, Seq(("0.txt", bytes(10)))),
+        SampleEvent("s", 1L, Seq(("1.txt", bytes(10)))))
+      await("wds idle flush") {
+        spark.sql("SELECT * FROM wdsflush WHERE flushed").count() == 1
+      }
+      val r = spark.sql(
+        "SELECT stream, shard_seq, n_samples, n_members, flushed FROM wdsflush")
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getBoolean(4))).toSeq
+      assert(r == Seq(("s", 0L, 2L, 2L, true)))
+      // the flushed archive is a complete, closed tar
+      val data = spark.sql("SELECT data FROM wdsflush").collect()
+        .head.getAs[Array[Byte]]("data")
+      assert(TarEntries.parse(data).numElements() == 2)
+    } finally q.stop()
+  }
 }
