@@ -320,6 +320,53 @@ object SparkEntry {
        |         ELSE 1 + (doc_id // 2) % 8 END AS INT) AS orientation
        |  FROM documents)""".stripMargin
 
+  /** The q_image_dhash / q_image_dups oracles' shared chain: per-SEED
+    * (the fixture's `doc_id % ImgSeedMod` collapses the corpus to
+    * ~ImgSeedMod distinct pixel images) it re-derives dims, formula
+    * luma, the 9×8 average-pooled cells, and every cross-multiplied
+    * dHash bit — the Spark side must decode ACTUAL container bytes
+    * (each rendered through doc-dependent filters) to reproduce the
+    * same 64 bits. Degenerate widths (w = 1 leaves no i+1 neighbor)
+    * fall out as hash 0 via the LEFT JOIN, matching the decoder's
+    * empty-cell compares. */
+  private def dhashCte: String = {
+    val M = graft.multimodal.Multimodal
+    s"""seeds AS (SELECT DISTINCT doc_id % ${M.ImgSeedMod} AS s FROM documents),
+       |dims AS (SELECT s, CAST(1 + s % ${M.PxWidthMod} AS BIGINT) AS w,
+       |           CAST(1 + s % ${M.PxHeightMod} AS BIGINT) AS h,
+       |           CAST(CASE WHEN s % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS ch
+       |         FROM seeds),
+       |px AS (SELECT s, w, h, ch, unnest(range(w)) AS x FROM dims),
+       |pxy AS (SELECT s, w, h, ch, x, unnest(range(h)) AS y FROM px),
+       |lum AS (SELECT s, w, h, x, y,
+       |          CASE WHEN ch = 1 THEN (s + 3*x + 7*y) % ${M.PxValMod}
+       |               ELSE (s + 3*x + 7*y) % ${M.PxValMod}
+       |                  + (s + 3*x + 7*y + 11) % ${M.PxValMod}
+       |                  + (s + 3*x + 7*y + 22) % ${M.PxValMod} END AS luma
+       |        FROM pxy),
+       |cells AS (SELECT s, (x*9)//w AS i, (y*8)//h AS j,
+       |            CAST(sum(luma) AS BIGINT) AS cell,
+       |            CAST(count(*) AS BIGINT) AS area
+       |          FROM lum GROUP BY s, (x*9)//w, (y*8)//h),
+       |bits AS (SELECT a.s, a.j*8 + a.i AS k,
+       |           CASE WHEN b.cell*a.area > a.cell*b.area THEN 1 ELSE 0 END AS bit
+       |         FROM cells a JOIN cells b
+       |           ON b.s = a.s AND b.j = a.j AND b.i = a.i + 1
+       |         WHERE a.i < 8),
+       |seedhash AS (SELECT s,
+       |    CAST(sum(CASE WHEN k >= 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+       |         ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |    CAST(sum(CASE WHEN k < 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+       |         ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM bits GROUP BY s),
+       |hs AS (SELECT d.s, d.w, d.h, d.ch,
+       |         COALESCE(sh.dhash_hi, 0) AS dhash_hi,
+       |         COALESCE(sh.dhash_lo, 0) AS dhash_lo
+       |       FROM dims d LEFT JOIN seedhash sh USING (s))""".stripMargin
+  }
+
   /** The q_audio_* oracles' field derivation — the audio twin of
     * [[imageFieldsCte]]: re-derives what [[graft.multimodal.Multimodal.audioTable]]
     * encodes into real RIFF/WAVE bytes and `wav_header` parses back
@@ -946,6 +993,29 @@ object SparkEntry {
       graft.multimodal.Multimodal.imagePixelStats(
         graft.multimodal.Multimodal.imagePixelTable(Tables.documents(s, dir)))
         .orderBy(col("media_id"))),
+
+    // perceptual image hash over REAL decoded pixels: 9x8 average-pooled
+    // luma dHash, integer-exact and division-free (cross-multiplied cell
+    // compares), the 64 bits re-derived by the oracle from the fixture's
+    // pixel formula; the fixture renders each pixel image through
+    // doc-dependent FILTER choices, so byte-identical containers never
+    // occur — the hash must see through the encoding
+    "q_image_dhash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageDHash(
+        graft.multimodal.Multimodal.imageDupTable(Tables.documents(s, dir)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("dhash_hi"), col("dhash_lo"))
+        .orderBy(col("media_id"))),
+
+    // the dedup half: exact-duplicate clusters by perceptual hash — one
+    // hash-keyed aggregation, never a pairwise join; the oracle groups
+    // the same doc population by its arithmetically re-derived hash
+    "q_image_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageDupClusters(
+        graft.multimodal.Multimodal.imageDHash(
+          graft.multimodal.Multimodal.imageDupTable(
+            Tables.documents(s, dir))))
+        .orderBy(col("dhash_hi"), col("dhash_lo"))),
 
     // REAL sample decode through the codec seam: WavPcmCodec walks the
     // RIFF chunks to the data payload and decodes every PCM sample
@@ -4593,6 +4663,30 @@ object SparkEntry {
            |  max(duration_ms) AS max_duration_ms
            |FROM aud GROUP BY sample_rate, bits_per_sample
            |ORDER BY sample_rate, bits_per_sample""".stripMargin,
+
+      // dHash oracle: the shared seed chain re-derives every pooled cell
+      // and cross-multiplied bit from the pixel formula — the Spark side
+      // decodes real container bytes (doc-varied filters, so no two
+      // containers are byte-identical) to the same 64 bits
+      "q_image_dhash" ->
+        s"""WITH $dhashCte
+           |SELECT doc_id AS media_id, hs.w AS width, hs.h AS height,
+           |       hs.ch AS channels, hs.dhash_hi, hs.dhash_lo
+           |FROM documents JOIN hs
+           |  ON documents.doc_id % ${graft.multimodal.Multimodal.ImgSeedMod} = hs.s
+           |ORDER BY media_id""".stripMargin,
+
+      // perceptual-dup oracle: the same seed hashes grouped at HASH
+      // level (seeds that collide to one hash merge, exactly as the
+      // engine's hash-keyed aggregation merges them)
+      "q_image_dups" ->
+        s"""WITH $dhashCte
+           |SELECT hs.dhash_hi, hs.dhash_lo,
+           |       CAST(count(*) AS BIGINT) AS n_images,
+           |       min(doc_id) AS min_media, max(doc_id) AS max_media
+           |FROM documents JOIN hs
+           |  ON documents.doc_id % ${graft.multimodal.Multimodal.ImgSeedMod} = hs.s
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // pixel-decode oracle: stats fall out of the fixture's
       // (doc_id + 3x + 7y + 11c) % 251 formula over the derived dims —

@@ -286,6 +286,125 @@ object Multimodal {
         "min_v", "max_v", "sum_v")
   }
 
+  /** Seed modulus for the duplicate-image fixture: docs sharing
+    * `doc_id % ImgSeedMod` render PIXEL-IDENTICAL images (same dims,
+    * same formula) through DIFFERENT container bytes (the per-row
+    * filter choice varies by doc_id), so content-level dedup has real
+    * clusters to find and byte-level dedup provably cannot find them. */
+  val ImgSeedMod = 17
+
+  /** Duplicate-image corpus: ~[[ImgSeedMod]] distinct pixel images, each
+    * rendered once per doc with doc-dependent PNG filters — bytewise all
+    * different, contentwise clustered. */
+  def imageDupTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = docId % ImgSeedMod
+        val w = (1L + s % PxWidthMod).toInt
+        val h = (1L + s % PxHeightMod).toInt
+        val colorType = if (s % 2 == 0) 0 else 2
+        val ch = if (colorType == 0) 1 else 3
+        val raw = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              raw((y * w + x) * ch + c) =
+                ((s + 3L * x + 7L * y + 11L * c) % PxValMod).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (docId, source,
+          PngCodec.encode(w, h, colorType, raw, y => ((y + docId) % 5).toInt))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** Perceptual image hash over REAL decoded pixels — the multimodal
+    * dedup signal the pixel decoder unlocks: difference-hash (dHash) on
+    * a 9×8 average-pooled luma grid, where bit `j*8+i` says whether grid
+    * cell (i+1, j) is brighter than cell (i, j). Entirely integer-exact
+    * and division-free: cells carry (luma sum, pixel count) and the
+    * brightness comparison cross-multiplies, so the oracle re-derives
+    * every bit from the fixture's pixel formula. Two byte-different
+    * encodings of the same pixels hash identically (the content-dedup
+    * property; byte-level dedup sees nothing). The 64-bit hash rides as
+    * two unsigned 32-bit halves (`dhash_hi`/`dhash_lo`) so neither
+    * engine plays two's-complement sign games. Undecodable rows report
+    * `channels = -1` with zero hashes — present, never dropped. */
+  def imageDHash(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("media_id").cast("long").as("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          PngCodec.decode(data) match {
+            case Some(img) if img.raw.nonEmpty =>
+              val w = img.width
+              val h = img.height
+              val ch = img.channels
+              val cell = Array.ofDim[Long](8, 9)
+              val area = Array.ofDim[Long](8, 9)
+              var y = 0
+              while (y < h) {
+                val j = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val i = x * 9 / w
+                  var l = 0L
+                  var c = 0
+                  while (c < ch) {
+                    l += (img.raw((y * w + x) * ch + c) & 0xff).toLong
+                    c += 1
+                  }
+                  cell(j)(i) += l
+                  area(j)(i) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              var hash = 0L
+              var j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 8) {
+                  // empty cells (w < 9 or h < 8) have area 0: both sides
+                  // of the cross-multiplied compare collapse to 0 > 0 —
+                  // bit 0, same as the oracle's absent-row default
+                  if (cell(j)(i + 1) * area(j)(i) > cell(j)(i) * area(j)(i + 1))
+                    hash |= 1L << (j * 8 + i)
+                  i += 1
+                }
+                j += 1
+              }
+              (id, w.toLong, h.toLong, ch.toLong, hash >>> 32,
+                hash & 0xffffffffL)
+            case _ => (id, 0L, 0L, -1L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "channels", "dhash_hi",
+        "dhash_lo")
+  }
+
+  /** Exact-duplicate image clusters by perceptual hash: one hash-keyed
+    * aggregation (map-side combinable) over [[imageDHash]] output —
+    * never a pairwise join, so a corpus where one image repeats a
+    * billion times costs one shuffled row, not a quadratic pair list. */
+  def imageDupClusters(hashes: DataFrame): DataFrame =
+    hashes.filter(col("channels") =!= -1L)
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("media_id")).as("min_media"),
+        max(col("media_id")).as("max_media"))
+
   private def crc32(bytes: Array[Byte]): Int = {
     val c = new java.util.zip.CRC32
     c.update(bytes)

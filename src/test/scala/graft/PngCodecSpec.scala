@@ -146,4 +146,32 @@ class PngCodecSpec extends SparkSpec {
     val r = Multimodal.imagePixelStats(broken).collect().head
     assert(r.getAs[Long]("channels") == -1L && r.getAs[Long]("n_values") == 0L)
   }
+
+  test("dHash is a content hash: same pixels through different filters collide, bytes differ") {
+    val s = spark
+    import s.implicits._
+    val raw = Array.tabulate[Byte](12 * 8 * 3)(k => ((k * 37 + 5) % 251).toByte)
+    val a = PngCodec.encode(12, 8, 2, raw, y => y % 5)      // mixed filters
+    val b = PngCodec.encode(12, 8, 2, raw, _ => 0)          // all-None filters
+    assert(!a.sameElements(b), "containers should be bytewise different")
+    // globally inverted pixels: brightness relations flip
+    val inv = raw.map(v => (255 - (v & 0xff)).toByte)
+    val c = PngCodec.encode(12, 8, 2, inv, _ => 0)
+    val out = Multimodal.imageDHash(
+      Seq((1L, a), (2L, b), (3L, c), (4L, "junk".getBytes("UTF-8")))
+        .toDF("media_id", "data"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("channels"), r.getAs[Long]("dhash_hi"),
+          r.getAs[Long]("dhash_lo"))).toMap
+    assert(out(1L) == out(2L), "same pixels must hash identically")
+    assert(out(1L) != out(3L), "inverted pixels must not collide")
+    assert(out(4L)._1 == -1L, "undecodable reports channels = -1")
+    // clusters: one hash-keyed aggregation, decodables only
+    val clusters = Multimodal.imageDupClusters(Multimodal.imageDHash(
+      Seq((1L, a), (2L, b), (3L, c), (4L, "junk".getBytes("UTF-8")))
+        .toDF("media_id", "data"))).collect()
+      .map(r => (r.getAs[Long]("n_images"), r.getAs[Long]("min_media"),
+        r.getAs[Long]("max_media"))).toSet
+    assert(clusters == Set((2L, 1L, 2L), (1L, 3L, 3L)))
+  }
 }
