@@ -367,6 +367,46 @@ object SparkEntry {
        |       FROM dims d LEFT JOIN seedhash sh USING (s))""".stripMargin
   }
 
+  /** The q_audio_fingerprint / q_audio_dups oracles' shared chain — the
+    * [[dhashCte]] twin over PCM: per SEED it re-derives the synthesis
+    * amplitudes ((j*7+3) % 251 bytes recombined per sample width), the
+    * 65 pooled windows, and every cross-multiplied mean-compare bit. */
+  private def audioFpCte: String = {
+    val M = graft.multimodal.Multimodal
+    s"""aseeds AS (SELECT DISTINCT doc_id % ${M.AudSeedMod} AS s FROM documents),
+       |an AS (SELECT s, CAST(1 + s % 2 AS BIGINT) AS ch,
+       |         CAST(CASE WHEN s % 4 >= 2 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+       |         CAST((1 + s % 2) * (80 + s * 7) AS BIGINT) AS n
+       |       FROM aseeds),
+       |samp AS (SELECT s, bits, n, unnest(range(n)) AS k FROM an),
+       |amp AS (SELECT s, n, k,
+       |        CASE WHEN bits = 16 THEN
+       |          CASE WHEN ((2*k*7+3) % 251) + 256 * (((2*k+1)*7+3) % 251) >= 32768
+       |               THEN ((2*k*7+3) % 251) + 256 * (((2*k+1)*7+3) % 251) - 65536
+       |               ELSE ((2*k*7+3) % 251) + 256 * (((2*k+1)*7+3) % 251) END
+       |        ELSE ((k*7+3) % 251) - 128 END AS a
+       |      FROM samp),
+       |awin AS (SELECT s, (k*65)//n AS w, CAST(sum(a) AS BIGINT) AS sm,
+       |           CAST(count(*) AS BIGINT) AS c
+       |         FROM amp GROUP BY s, (k*65)//n),
+       |abits AS (SELECT x.s, x.w AS i,
+       |           CASE WHEN y.sm*x.c > x.sm*y.c THEN 1 ELSE 0 END AS bit
+       |         FROM awin x JOIN awin y ON y.s = x.s AND y.w = x.w + 1
+       |         WHERE x.w < 64),
+       |afp AS (SELECT s,
+       |    CAST(sum(CASE WHEN i >= 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_hi,
+       |    CAST(sum(CASE WHEN i < 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_lo
+       |  FROM abits GROUP BY s),
+       |ahs AS (SELECT a.s, a.ch, a.bits, a.n,
+       |          COALESCE(f.fp_hi, 0) AS fp_hi,
+       |          COALESCE(f.fp_lo, 0) AS fp_lo
+       |        FROM an a LEFT JOIN afp f USING (s))""".stripMargin
+  }
+
   /** The q_audio_* oracles' field derivation — the audio twin of
     * [[imageFieldsCte]]: re-derives what [[graft.multimodal.Multimodal.audioTable]]
     * encodes into real RIFF/WAVE bytes and `wav_header` parses back
@@ -1016,6 +1056,26 @@ object SparkEntry {
           graft.multimodal.Multimodal.imageDupTable(
             Tables.documents(s, dir))))
         .orderBy(col("dhash_hi"), col("dhash_lo"))),
+
+    // perceptual audio fingerprint over REAL decoded PCM — the dHash
+    // twin for the audio modality: 65 pooled sample windows, bit i =
+    // window i+1's mean amplitude exceeds window i's (cross-multiplied,
+    // sign-safe); the fixture renders sample-identical WAVs through
+    // doc-varied container padding, so the fingerprint must see through
+    // the bytes to the samples
+    "q_audio_fingerprint" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioFingerprint(
+        graft.multimodal.Multimodal.audioDupTable(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+
+    // the dedup half: exact-duplicate audio clusters by fingerprint —
+    // one hash-keyed aggregation, the imageDupClusters shape
+    "q_audio_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioDupClusters(
+        graft.multimodal.Multimodal.audioFingerprint(
+          graft.multimodal.Multimodal.audioDupTable(
+            Tables.documents(s, dir))))
+        .orderBy(col("fp_hi"), col("fp_lo"))),
 
     // REAL sample decode through the codec seam: WavPcmCodec walks the
     // RIFF chunks to the data payload and decodes every PCM sample
@@ -4716,6 +4776,29 @@ object SparkEntry {
            |       CAST(sum(v) AS BIGINT) AS sum_v
            |FROM vals GROUP BY media_id, width, height, channels
            |ORDER BY media_id""".stripMargin,
+
+      // audio-fingerprint oracle: the shared seed chain re-derives every
+      // pooled window and mean-compare bit from the synthesis formula —
+      // the Spark side decodes real (byte-diverse) containers to the
+      // same 64 bits
+      "q_audio_fingerprint" ->
+        s"""WITH $audioFpCte
+           |SELECT doc_id AS media_id, ahs.ch AS channels,
+           |       ahs.bits AS bits_per_sample, ahs.n AS n_samples,
+           |       ahs.fp_hi, ahs.fp_lo
+           |FROM documents JOIN ahs
+           |  ON documents.doc_id % ${graft.multimodal.Multimodal.AudSeedMod} = ahs.s
+           |ORDER BY media_id""".stripMargin,
+
+      // audio-dup oracle: the same seed fingerprints grouped at HASH
+      // level, mirroring the engine's hash-keyed aggregation
+      "q_audio_dups" ->
+        s"""WITH $audioFpCte
+           |SELECT ahs.fp_hi, ahs.fp_lo, CAST(count(*) AS BIGINT) AS n_media,
+           |       min(doc_id) AS min_media, max(doc_id) AS max_media
+           |FROM documents JOIN ahs
+           |  ON documents.doc_id % ${graft.multimodal.Multimodal.AudSeedMod} = ahs.s
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // real-decode oracle: the per-sample amplitudes fall out of the
       // fixture's (j*7+3) % 251 byte formula — 16-bit samples recombine

@@ -558,13 +558,19 @@ object Multimodal {
   /** A complete little-endian PCM RIFF/WAVE byte stream: RIFF size, an
     * odd-sized LIST/INFO chunk (forces the pad byte), the 16-byte `fmt `
     * chunk, and a `data` chunk of `nFrames * blockAlign` deterministic
-    * sample bytes. */
-  def synthWav(channels: Int, sampleRate: Int, bitsPerSample: Int, nFrames: Int): Array[Byte] = {
+    * sample bytes. `junkLen` pads the LIST payload — SAMPLE-identical
+    * files with different container bytes, the audio-dedup fixture's
+    * byte-diversity knob. */
+  def synthWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nFrames: Int, junkLen: Int = 0): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val dataSize = nFrames * blockAlign
-    val listPayload = "INFOg".getBytes("US-ASCII") // odd size 5 -> pad byte
+    val listPayload = "INFOg".getBytes("US-ASCII") ++
+      Array.fill[Byte](junkLen)('j')
     val list = "LIST".getBytes("US-ASCII") ++ le32(listPayload.length) ++
-      listPayload ++ Array(0.toByte)
+      listPayload ++
+      (if ((listPayload.length & 1) == 1) Array(0.toByte)
+       else Array.emptyByteArray)
     val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
       le16(1) ++ le16(channels) ++ le32(sampleRate) ++
       le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample)
@@ -574,6 +580,86 @@ object Multimodal {
     val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
+
+  /** Seed modulus for the duplicate-audio fixture (the [[ImgSeedMod]]
+    * twin): docs sharing `doc_id % AudSeedMod` render SAMPLE-identical
+    * WAVs whose container bytes differ (doc-varied LIST padding). */
+  val AudSeedMod = 13
+
+  /** Duplicate-audio corpus: ~[[AudSeedMod]] distinct PCM streams, each
+    * rendered once per doc with a doc-dependent junk-chunk length —
+    * bytewise all different, samplewise clustered. */
+  def audioDupTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = docId % AudSeedMod
+        val channels = (1L + s % 2).toInt
+        val bits = if (s % 4 >= 2) 8 else 16
+        val nFrames = (80L + s * 7L).toInt
+        (docId, source, synthWav(channels, 8000, bits, nFrames,
+          junkLen = (docId % 37).toInt))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** Perceptual audio fingerprint over REAL decoded PCM — the
+    * [[imageDHash]] twin for the audio modality: the sample stream is
+    * pooled into 65 equal windows (integer boundaries `k*65/n`) and bit
+    * `i` says whether window i+1's MEAN amplitude exceeds window i's —
+    * division-free via cross-multiplied (sum, count) pairs, valid for
+    * signed amplitudes, so the oracle re-derives every bit from the
+    * fixture's synthesis formula. Container layout is invisible: two
+    * byte-different files with the same samples fingerprint
+    * identically. Undecodable rows report `channels = -1` with zero
+    * hashes. */
+  def audioFingerprint(audio: DataFrame): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select(col("media_id").cast("long").as("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          WavPcmCodec.locate(data) match {
+            case Some(p) if p.nSamples > 0 =>
+              val n = p.nSamples
+              val sum = new Array[Long](65)
+              val cnt = new Array[Long](65)
+              var k = 0
+              while (k < n) {
+                val w = (k.toLong * 65L / n).toInt
+                sum(w) += WavPcmCodec.sampleAt(data, p, k).toLong
+                cnt(w) += 1L
+                k += 1
+              }
+              var hash = 0L
+              var i = 0
+              while (i < 64) {
+                // empty windows (n < 65) compare 0 > 0 — bit 0, matching
+                // the oracle's absent-row default
+                if (sum(i + 1) * cnt(i) > sum(i) * cnt(i + 1))
+                  hash |= 1L << i
+                i += 1
+              }
+              (id, p.channels.toLong, p.bitsPerSample.toLong, n.toLong,
+                hash >>> 32, hash & 0xffffffffL)
+            case _ => (id, -1L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "channels", "bits_per_sample", "n_samples",
+        "fp_hi", "fp_lo")
+  }
+
+  /** Exact-duplicate audio clusters by perceptual fingerprint — the
+    * [[imageDupClusters]] shape: one hash-keyed map-side-combinable
+    * aggregation, never a pairwise join. */
+  def audioDupClusters(fps: DataFrame): DataFrame =
+    fps.filter(col("channels") =!= -1L)
+      .groupBy(col("fp_hi"), col("fp_lo"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("media_id")).as("min_media"),
+        max(col("media_id")).as("max_media"))
 
   /** Shared gate/oracle constant for the synthetic MP4 corpus: movie
     * duration units derive as `1 + n_chars % VidDurMod`. */

@@ -139,4 +139,32 @@ class MultimodalSpec extends SparkSpec {
     val stub = Multimodal.extractFeatures(media).collect()
     assert(stub.forall(_.features.length == Multimodal.StubCodec.FeatureDim))
   }
+
+  test("audio fingerprint is a content hash: byte-diverse containers, same samples, one cluster") {
+    val s = spark
+    import s.implicits._
+    // same PCM stream under three different LIST paddings, plus one
+    // different stream and one undecodable row
+    val rows = Seq(
+      (1L, Multimodal.synthWav(1, 8000, 16, 100, junkLen = 0)),
+      (2L, Multimodal.synthWav(1, 8000, 16, 100, junkLen = 9)),
+      (3L, Multimodal.synthWav(1, 8000, 16, 100, junkLen = 20)),
+      (4L, Multimodal.synthWav(2, 8000, 8, 100)),
+      (5L, "junk".getBytes("UTF-8"))).toDF("media_id", "data")
+    assert(rows.collect().map(r => r.getAs[Array[Byte]]("data").length)
+      .distinct.length >= 3, "containers should differ bytewise")
+    val fp = Multimodal.audioFingerprint(rows).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("channels"), r.getAs[Long]("fp_hi"),
+          r.getAs[Long]("fp_lo"))).toMap
+    assert(fp(1L) == fp(2L) && fp(2L) == fp(3L),
+      "same samples must fingerprint identically through any container")
+    assert(fp(1L) != fp(4L), "different streams must not collide")
+    assert(fp(5L)._1 == -1L)
+    val clusters = Multimodal.audioDupClusters(
+      Multimodal.audioFingerprint(rows)).collect()
+      .map(r => (r.getAs[Long]("n_media"), r.getAs[Long]("min_media"),
+        r.getAs[Long]("max_media"))).toSet
+    assert(clusters == Set((3L, 1L, 3L), (1L, 4L, 4L)))
+  }
 }
