@@ -407,6 +407,65 @@ object SparkEntry {
        |        FROM an a LEFT JOIN afp f USING (s))""".stripMargin
   }
 
+  /** Shared gate↔oracle constant for q_image_near_dups: the exact
+    * Hamming cutoff applied after band-candidate generation. */
+  private val NearDupMaxHamming = 8
+
+  /** The q_image_near_dups oracle chain: [[dhashCte]] extended to the
+    * (seed, perturbed) grain — the fixture's left-half top-row +5 bump
+    * rides the luma formula (`5 * ch` on the channel sum), and the node
+    * set is the DISTINCT hashes the doc population actually produces. */
+  private def nearDhashCte: String = {
+    val M = graft.multimodal.Multimodal
+    s"""nseeds AS (SELECT DISTINCT doc_id % ${M.ImgSeedMod} AS s,
+       |             CAST(doc_id % 3 = 0 AS INT) AS pert FROM documents),
+       |ndims AS (SELECT s, pert, CAST(1 + s % ${M.PxWidthMod} AS BIGINT) AS w,
+       |            CAST(1 + s % ${M.PxHeightMod} AS BIGINT) AS h,
+       |            CAST(CASE WHEN s % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS ch
+       |          FROM nseeds),
+       |npx AS (SELECT s, pert, w, h, ch, unnest(range(w)) AS x FROM ndims),
+       |npxy AS (SELECT s, pert, w, h, ch, x, unnest(range(h)) AS y FROM npx),
+       |nlum AS (SELECT s, pert, w, h, x, y,
+       |          (CASE WHEN ch = 1 THEN (s + 3*x + 7*y) % ${M.PxValMod}
+       |               ELSE (s + 3*x + 7*y) % ${M.PxValMod}
+       |                  + (s + 3*x + 7*y + 11) % ${M.PxValMod}
+       |                  + (s + 3*x + 7*y + 22) % ${M.PxValMod} END)
+       |          + CASE WHEN pert = 1 AND y = 0 AND x < w // 2
+       |                 THEN 5 * ch ELSE 0 END AS luma
+       |        FROM npxy),
+       |ncells AS (SELECT s, pert, (x*9)//w AS i, (y*8)//h AS j,
+       |             CAST(sum(luma) AS BIGINT) AS cell,
+       |             CAST(count(*) AS BIGINT) AS area
+       |           FROM nlum GROUP BY s, pert, (x*9)//w, (y*8)//h),
+       |nbits AS (SELECT a.s, a.pert, a.j*8 + a.i AS k,
+       |            CASE WHEN b.cell*a.area > a.cell*b.area THEN 1 ELSE 0 END AS bit
+       |          FROM ncells a JOIN ncells b
+       |            ON b.s = a.s AND b.pert = a.pert AND b.j = a.j AND b.i = a.i + 1
+       |          WHERE a.i < 8),
+       |nsh AS (SELECT s, pert,
+       |    CAST(sum(CASE WHEN k >= 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+       |         ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |    CAST(sum(CASE WHEN k < 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+       |         ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM nbits GROUP BY s, pert),
+       |nhs AS (SELECT d.s, d.pert, COALESCE(n.dhash_hi, 0) AS dhash_hi,
+       |          COALESCE(n.dhash_lo, 0) AS dhash_lo
+       |        FROM ndims d LEFT JOIN nsh n USING (s, pert)),
+       |nnodes AS (SELECT dhash_hi, dhash_lo,
+       |             CAST(count(*) AS BIGINT) AS n_images
+       |           FROM documents doc JOIN nhs
+       |             ON doc.doc_id % ${M.ImgSeedMod} = nhs.s
+       |            AND CAST(doc.doc_id % 3 = 0 AS INT) = nhs.pert
+       |           GROUP BY 1, 2),
+       |nbands AS (
+       |  SELECT dhash_hi, dhash_lo, n_images, 0 AS bi, dhash_lo % 65536 AS bv FROM nnodes
+       |  UNION ALL SELECT dhash_hi, dhash_lo, n_images, 1, (dhash_lo // 65536) % 65536 FROM nnodes
+       |  UNION ALL SELECT dhash_hi, dhash_lo, n_images, 2, dhash_hi % 65536 FROM nnodes
+       |  UNION ALL SELECT dhash_hi, dhash_lo, n_images, 3, (dhash_hi // 65536) % 65536 FROM nnodes)""".stripMargin
+  }
+
   /** The q_audio_* oracles' field derivation — the audio twin of
     * [[imageFieldsCte]]: re-derives what [[graft.multimodal.Multimodal.audioTable]]
     * encodes into real RIFF/WAVE bytes and `wav_header` parses back
@@ -1056,6 +1115,21 @@ object SparkEntry {
           graft.multimodal.Multimodal.imageDupTable(
             Tables.documents(s, dir))))
         .orderBy(col("dhash_hi"), col("dhash_lo"))),
+
+    // NEAR-dup images by banded perceptual hash: dedup to hash nodes,
+    // band each 64-bit dHash into four 16-bit bands, candidates share a
+    // band, exact bit_count Hamming filter — the LSH scale path over
+    // content hashes; the fixture perturbs the top-left scanline half
+    // of every third doc so each seed yields an (original, perturbed)
+    // node pair the banding must relate
+    "q_image_near_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageNearDupPairs(
+        graft.multimodal.Multimodal.imageDHash(
+          graft.multimodal.Multimodal.imageNearDupTable(
+            Tables.documents(s, dir))),
+        maxHamming = NearDupMaxHamming)
+        .orderBy(col("dhash_hi_a"), col("dhash_lo_a"),
+          col("dhash_hi_b"), col("dhash_lo_b"))),
 
     // perceptual audio fingerprint over REAL decoded PCM — the dHash
     // twin for the audio modality: 65 pooled sample windows, bit i =
@@ -4776,6 +4850,27 @@ object SparkEntry {
            |       CAST(sum(v) AS BIGINT) AS sum_v
            |FROM vals GROUP BY media_id, width, height, channels
            |ORDER BY media_id""".stripMargin,
+
+      // near-dup oracle: the perturbed dHash chain yields the node set,
+      // banding + exact bit_count Hamming replayed on candidates — both
+      // engines see exactly the pairs the 4-band index can see
+      "q_image_near_dups" ->
+        s"""WITH $nearDhashCte,
+           |cand AS (SELECT DISTINCT
+           |    a.dhash_hi AS dhash_hi_a, a.dhash_lo AS dhash_lo_a,
+           |    a.n_images AS n_a,
+           |    b.dhash_hi AS dhash_hi_b, b.dhash_lo AS dhash_lo_b,
+           |    b.n_images AS n_b
+           |  FROM nbands a JOIN nbands b ON a.bi = b.bi AND a.bv = b.bv
+           |  WHERE a.dhash_hi < b.dhash_hi
+           |     OR (a.dhash_hi = b.dhash_hi AND a.dhash_lo < b.dhash_lo))
+           |SELECT dhash_hi_a, dhash_lo_a, n_a, dhash_hi_b, dhash_lo_b, n_b,
+           |       CAST(bit_count(xor(dhash_hi_a, dhash_hi_b))
+           |          + bit_count(xor(dhash_lo_a, dhash_lo_b)) AS BIGINT) AS hamming
+           |FROM cand
+           |WHERE bit_count(xor(dhash_hi_a, dhash_hi_b))
+           |    + bit_count(xor(dhash_lo_a, dhash_lo_b)) <= $NearDupMaxHamming
+           |ORDER BY dhash_hi_a, dhash_lo_a, dhash_hi_b, dhash_lo_b""".stripMargin,
 
       // audio-fingerprint oracle: the shared seed chain re-derives every
       // pooled window and mean-compare bit from the synthesis formula —

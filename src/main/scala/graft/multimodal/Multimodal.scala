@@ -394,6 +394,90 @@ object Multimodal {
         "dhash_lo")
   }
 
+  /** Near-dup variant of [[imageDupTable]]: docs with `doc_id % 3 == 0`
+    * brighten the left half of their top scanline by +5 per channel — a
+    * LOCALIZED pixel edit that moves a few pooled comparisons, so each
+    * seed yields an (original, perturbed) hash pair a near-dup pass
+    * must relate and an exact-dup pass must keep apart. Perturbation is
+    * formula-level (the oracle replays it); container bytes still vary
+    * per doc. */
+  def imageNearDupTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = docId % ImgSeedMod
+        val pert = docId % 3 == 0
+        val w = (1L + s % PxWidthMod).toInt
+        val h = (1L + s % PxHeightMod).toInt
+        val colorType = if (s % 2 == 0) 0 else 2
+        val ch = if (colorType == 0) 1 else 3
+        val raw = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bump = if (pert && y == 0 && x < w / 2) 5L else 0L
+            var c = 0
+            while (c < ch) {
+              raw((y * w + x) * ch + c) =
+                ((s + 3L * x + 7L * y + 11L * c) % PxValMod + bump).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (docId, source,
+          PngCodec.encode(w, h, colorType, raw, y => ((y + docId) % 5).toInt))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** NEAR-duplicate pairs between DISTINCT perceptual hashes — the LSH
+    * scale path: dedup to hash NODES first ([[imageDupClusters]] grain,
+    * so a billion-repeat image is one node), band each 64-bit hash into
+    * four 16-bit bands, candidate node pairs share at least one band,
+    * and the exact Hamming distance (codegen `bit_count` over xor)
+    * filters to `maxHamming`. Standard banding recall: a pair differing
+    * in all four bands is invisible regardless of distance — with 4
+    * bands the guarantee holds through distance 3 and degrades
+    * gracefully after (both engines replay the identical banding, so
+    * the gate is exact about what the index CAN see). Pair volume is
+    * bounded by DISTINCT-hash band collisions, never by corpus size. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"maxHamming: $maxHamming")
+    val nodes = hashes.filter(col("channels") =!= -1L)
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_images"))
+    val bands = nodes.select(col("dhash_hi"), col("dhash_lo"),
+      col("n_images"),
+      posexplode(array(
+        col("dhash_lo").bitwiseAND(lit(65535L)),
+        (col("dhash_lo") / 65536L).cast("long").bitwiseAND(lit(65535L)),
+        col("dhash_hi").bitwiseAND(lit(65535L)),
+        (col("dhash_hi") / 65536L).cast("long").bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("dhash_hi").as("dhash_hi_a"),
+      col("dhash_lo").as("dhash_lo_a"), col("n_images").as("n_a"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("dhash_hi").as("dhash_hi_b"),
+      col("dhash_lo").as("dhash_lo_b"), col("n_images").as("n_b"),
+      col("band_idx"), col("band_val"))
+    val hamming = bit_count(col("dhash_hi_a").bitwiseXOR(col("dhash_hi_b")))
+      .cast("long") +
+      bit_count(col("dhash_lo_a").bitwiseXOR(col("dhash_lo_b"))).cast("long")
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("dhash_hi_a") < col("dhash_hi_b") ||
+        (col("dhash_hi_a") === col("dhash_hi_b") &&
+          col("dhash_lo_a") < col("dhash_lo_b")))
+      .select(col("dhash_hi_a"), col("dhash_lo_a"), col("n_a"),
+        col("dhash_hi_b"), col("dhash_lo_b"), col("n_b"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming.toLong)
+  }
+
   /** Exact-duplicate image clusters by perceptual hash: one hash-keyed
     * aggregation (map-side combinable) over [[imageDHash]] output —
     * never a pairwise join, so a corpus where one image repeats a

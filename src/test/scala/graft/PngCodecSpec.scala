@@ -174,4 +174,25 @@ class PngCodecSpec extends SparkSpec {
         r.getAs[Long]("max_media"))).toSet
     assert(clusters == Set((2L, 1L, 2L), (1L, 3L, 3L)))
   }
+
+  test("near-dup banding relates a locally perturbed image to its original") {
+    val s = spark
+    import s.implicits._
+    // one seed's original + perturbed renderings (different filters too)
+    val w = 12; val h = 8
+    def raw(bump: Boolean) = Array.tabulate[Byte](w * h) { k =>
+      val x = k % w; val y = k / w
+      val v = (3 * x + 7 * y) % 251 + (if (bump && y == 0 && x < w / 2) 5 else 0)
+      v.toByte
+    }
+    val hashes = Multimodal.imageDHash(Seq(
+      (1L, PngCodec.encode(w, h, 0, raw(bump = false), y => y % 5)),
+      (2L, PngCodec.encode(w, h, 0, raw(bump = true), _ => 0)))
+      .toDF("media_id", "data"))
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 8).collect()
+    assert(pairs.length == 1)
+    val hm = pairs.head.getAs[Long]("hamming")
+    assert(hm > 0L && hm <= 8L,
+      s"local perturbation should move a few bits, got $hm")
+  }
 }
