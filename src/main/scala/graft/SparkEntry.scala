@@ -248,6 +248,29 @@ object SparkEntry {
     * point of diffing manifests before re-emitting. */
   private val IncShards = 64
 
+  /** THE v2 corpus of every incremental gate (q_shard_incremental and
+    * the _apply / files-sync family) — one definition so the gate-side
+    * perturbation recipe can never drift from [[v2Cte]], its oracle
+    * twin: drop every 7th doc, append " v2" to every 11th, clone every
+    * 13th under doc_id + 1e6. */
+  private def v2Of(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
+  /** Oracle twin of [[v2Of]] — the `curr` CTE body shared by the
+    * incremental oracles. */
+  private val v2Cte: String =
+    """curr AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+
   /** The crawl-extraction + curation arc shared by q_crawl_to_corpus and
     * q_corpus_to_shards: five-layer parse (gzip members → WARC payload →
     * HTTP head → HTML text), landed once via localCheckpoint (the
@@ -2042,12 +2065,7 @@ object SparkEntry {
     "q_shard_incremental" -> ((s, dir) => {
       import graft.multimodal.ShardWriter
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val v2 = v2Of(docs)
       def manifest(d: DataFrame): DataFrame =
         ShardWriter.tfRecordManifest(ShardWriter.emitTfRecordShards(
           d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
@@ -2139,12 +2157,7 @@ object SparkEntry {
     "q_shard_incremental_apply" -> ((s, dir) => {
       import graft.multimodal.ShardWriter
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val v2 = v2Of(docs)
       def recordsOf(d: DataFrame): DataFrame =
         d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
           col("doc_id").as("order"),
@@ -2174,12 +2187,7 @@ object SparkEntry {
     "q_shard_files_sync" -> ((s, dir) => {
       import graft.multimodal.ShardWriter
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val v2 = v2Of(docs)
       def recordsOf(d: DataFrame): DataFrame =
         d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
           col("doc_id").as("order"),
@@ -2213,12 +2221,7 @@ object SparkEntry {
     "q_wds_files_sync" -> ((s, dir) => {
       import graft.multimodal.ShardWriter
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val v2 = v2Of(docs)
       def samplesOf(d: DataFrame): DataFrame =
         d.select(pmod(col("doc_id"), lit(IncShards.toLong)).as("shard"),
           col("doc_id").as("order"),
@@ -6102,12 +6105,7 @@ object SparkEntry {
       // diff a full outer join on shard — the Spark side must round-trip
       // real container bytes through the validating reader to match
       "q_shard_incremental" ->
-        s"""WITH curr AS (
-           |  SELECT doc_id,
-           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        s"""WITH $v2Cte,
            |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
            |        md5(COALESCE(text, '')) AS m FROM documents),
            |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
@@ -6245,12 +6243,7 @@ object SparkEntry {
       // at the identical manifest by re-emitting ONLY flagged shards and
       // carrying unchanged v1 blobs byte-for-byte
       "q_shard_incremental_apply" ->
-        s"""WITH curr AS (
-           |  SELECT doc_id,
-           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        s"""WITH $v2Cte,
            |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
            |        md5(COALESCE(text, '')) AS m FROM documents),
            |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
@@ -6276,12 +6269,7 @@ object SparkEntry {
       // comparison) — but the Spark side must recover it from the SYNCED
       // DIRECTORY's file bytes, with unchanged files untouched on disk
       "q_shard_files_sync" ->
-        s"""WITH curr AS (
-           |  SELECT doc_id,
-           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        s"""WITH $v2Cte,
            |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
            |        md5(COALESCE(text, '')) AS m FROM documents),
            |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
@@ -6305,12 +6293,7 @@ object SparkEntry {
       // wds-files-sync oracle: the incremental arithmetic over ustar
       // block accounting and name:md5 digests — one member per sample
       "q_wds_files_sync" ->
-        s"""WITH curr AS (
-           |  SELECT doc_id,
-           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
-           |  FROM documents WHERE doc_id % 7 <> 0
-           |  UNION ALL
-           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        s"""WITH $v2Cte,
            |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
            |        CAST(doc_id AS VARCHAR) || '.txt:' || md5(COALESCE(text, '')) AS atom
            |      FROM documents),

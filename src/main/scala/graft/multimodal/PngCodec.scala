@@ -102,7 +102,11 @@ object PngCodec extends Multimodal.MediaCodec {
       var got = 0
       while (got < expect && !inf.finished()) {
         val n = inf.inflate(filtered, got, expect - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // 0 progress with all input provided = truncated stream, a
+        // preset-dictionary (FDICT) request, or any other stall — bail
+        // on ALL of them or an adversarial zlib header spins this loop
+        // forever inside a task
+        if (n == 0) return None
         got += n
       }
       // exact size: a short stream is truncation, a longer one is not
@@ -111,11 +115,15 @@ object PngCodec extends Multimodal.MediaCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    Some(Img(w, h, ch, unfilter(filtered, w, h, ch)))
+    // null = unknown filter type mid-stream: undecodable, not an
+    // empty image (Some(empty raw) would crash sampleFrames and invent
+    // zero pixels downstream)
+    Option(unfilter(filtered, w, h, ch)).map(Img(w, h, ch, _))
   }
 
   /** Invert the per-scanline filters (RFC 2083 §6.3–6.9): byte math mod
-    * 256, `bpp = channels` at 8-bit depth. */
+    * 256, `bpp = channels` at 8-bit depth. Returns null on an unknown
+    * filter type — the caller maps that to an undecodable image. */
   private def unfilter(filtered: Array[Byte], w: Int, h: Int,
       ch: Int): Array[Byte] = {
     val rowBytes = w * ch
@@ -137,7 +145,7 @@ object PngCodec extends Multimodal.MediaCodec {
           case 2 => f + b
           case 3 => f + ((a + b) >> 1)
           case 4 => f + paeth(a, b, c)
-          case _ => return new Array[Byte](0) // unknown filter: undecodable
+          case _ => return null // unknown filter: undecodable
         }
         out(oRow + x) = (recon & 0xff).toByte
         x += 1

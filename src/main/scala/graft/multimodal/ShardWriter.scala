@@ -335,31 +335,41 @@ object ShardWriter {
     * directory to a new sample corpus, rewriting only the shards whose
     * [[sampleManifest]] digest moved. Same crash discipline; a dir
     * without a marker falls back to the full overwrite path. */
-  def syncWebDatasetShardFiles(samples: DataFrame, dir: String): DataFrame = {
-    val spark = samples.sparkSession
+  def syncWebDatasetShardFiles(samples: DataFrame, dir: String): DataFrame =
+    syncFiles(samples, dir, "tar", emitWebDatasetShards(_),
+      sampleManifest(_), writeWebDatasetShardFiles, countCol = "n_samples")
+
+  /** ONE sync discipline for both container formats — the crash-window
+    * ordering (marker check → bootstrap fallback → metadata-only diff →
+    * marker delete → changed-blob landing → removed-file delete → full
+    * manifest replace → marker last) is maintained here once. */
+  private def syncFiles(input: DataFrame, dir: String, ext: String,
+      emit: DataFrame => DataFrame, liveManifest: DataFrame => DataFrame,
+      writeAll: (DataFrame, String) => DataFrame,
+      countCol: String): DataFrame = {
+    val spark = input.sparkSession
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val curr = sampleManifest(samples).localCheckpoint(true)
     if (!fs.exists(new Path(root, "_SUCCESS"))) {
-      writeWebDatasetShardFiles(emitWebDatasetShards(samples), dir)
-      return curr.withColumn("rewritten", lit(1L))
-        .select(col("shard"), col("rewritten"), col("n_samples"),
-          col("n_members"), col("n_bytes"), col("content_digest"))
+      // no trusted previous state: full overwrite (cleans stale files);
+      // the writer already derives the manifest — don't digest twice
+      val m = writeAll(emit(input), dir).withColumn("rewritten", lit(1L))
+      return m.select(col("shard") +: col("rewritten") +:
+        m.columns.filter(c => c != "shard" && c != "rewritten").map(col): _*)
     }
+    val curr = liveManifest(input).localCheckpoint(true)
     val prev = readShardManifest(spark, dir)
-      .withColumnRenamed("n_samples", "n_records")
-    val work = shardDiff(prev,
-      curr.withColumnRenamed("n_samples", "n_records"))
+      .withColumnRenamed(countCol, "n_records")
+    val work = shardDiff(prev, curr.withColumnRenamed(countCol, "n_records"))
       .localCheckpoint(true)
-    fs.delete(new Path(root, "_SUCCESS"), false)
+    fs.delete(new Path(root, "_SUCCESS"), false) // invalidate first
     val redo = work.filter(col("status").isin("changed", "added"))
       .select(col("shard"))
-    writeBlobFiles(emitWebDatasetShards(
-      samples.join(broadcast(redo), Seq("shard"), "left_semi")),
-      dir, "tar")
+    writeBlobFiles(emit(
+      input.join(broadcast(redo), Seq("shard"), "left_semi")), dir, ext)
     work.filter(col("status") === "removed").select(col("shard"))
-      .collect().foreach { r =>
-        fs.delete(new Path(root, f"shard-${r.getLong(0)}%05d.tar"), false)
+      .collect().foreach { r => // removed set is diff-sized metadata
+        fs.delete(new Path(root, f"shard-${r.getLong(0)}%05d.$ext"), false)
       }
     curr.write.mode("overwrite")
       .parquet(new Path(root, "_manifest").toString)
@@ -367,8 +377,8 @@ object ShardWriter {
     curr.join(work.select(col("shard"),
         col("status").isin("changed", "added").cast("long")
           .as("rewritten")), Seq("shard"))
-      .select(col("shard"), col("rewritten"), col("n_samples"),
-        col("n_members"), col("n_bytes"), col("content_digest"))
+      .select(col("shard") +: col("rewritten") +:
+        curr.columns.filter(_ != "shard").map(col): _*)
   }
 
   /** Incrementally SYNC a shard-file directory to a new corpus — the
@@ -387,40 +397,9 @@ object ShardWriter {
     * `(shard, rewritten, n_records, n_bytes, content_digest)` — the
     * final directory state annotated with what the sync actually
     * rewrote. */
-  def syncTfRecordShardFiles(records: DataFrame, dir: String): DataFrame = {
-    val spark = records.sparkSession
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val curr = recordManifest(records).localCheckpoint(true)
-    if (!fs.exists(new Path(root, "_SUCCESS"))) {
-      // no trusted previous state: full overwrite (cleans stale files)
-      writeTfRecordShardFiles(emitTfRecordShards(records), dir)
-      return curr.withColumn("rewritten", lit(1L))
-        .select(col("shard"), col("rewritten"), col("n_records"),
-          col("n_bytes"), col("content_digest"))
-    }
-    val prev = readShardManifest(spark, dir)
-    val work = shardDiff(prev, curr).localCheckpoint(true)
-    fs.delete(new Path(root, "_SUCCESS"), false) // invalidate first
-    val redo = work.filter(col("status").isin("changed", "added"))
-      .select(col("shard"))
-    writeBlobFiles(emitTfRecordShards(
-      records.join(broadcast(redo), Seq("shard"), "left_semi")),
-      dir, "tfrecord")
-    work.filter(col("status") === "removed").select(col("shard"))
-      .collect().foreach { r => // removed set is diff-sized metadata
-        fs.delete(new Path(root,
-          f"shard-${r.getLong(0)}%05d.tfrecord"), false)
-      }
-    curr.write.mode("overwrite")
-      .parquet(new Path(root, "_manifest").toString)
-    fs.create(new Path(root, "_SUCCESS"), true).close()
-    curr.join(work.select(col("shard"),
-        col("status").isin("changed", "added").cast("long")
-          .as("rewritten")), Seq("shard"))
-      .select(col("shard"), col("rewritten"), col("n_records"),
-        col("n_bytes"), col("content_digest"))
-  }
+  def syncTfRecordShardFiles(records: DataFrame, dir: String): DataFrame =
+    syncFiles(records, dir, "tfrecord", emitTfRecordShards(_),
+      recordManifest(_), writeTfRecordShardFiles, countCol = "n_records")
 
   /** EXECUTE a [[shardDiff]] work list — the incremental re-emit that
     * makes the 100 TB resume story real: shards the diff marked
@@ -495,9 +474,26 @@ object ShardWriter {
     ok.close()
   }
 
+  /** THE atomic blob landing — every file this module (and the live
+    * [[graft.streaming.StreamShardEmit]] landing) puts on disk goes
+    * through this one temp-write+rename sequence, so a hardening (fsync
+    * before rename, object-store overwrite flags, tmp cleanup) lands
+    * everywhere at once. */
+  private[graft] def writeBlob(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dir, s"_tmp.$name")
+    val out = fs.create(tmp, true)
+    try out.write(Option(bytes).getOrElse(Array.emptyByteArray))
+    finally out.close()
+    val dst = new Path(dir, name)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
   /** The distributed blob-landing pass shared by the full writer and the
-    * incremental sync: each task writes its partition's blobs to temp
-    * names and renames into place — atomic-or-absent per file. */
+    * incremental sync: each task writes its partition's blobs via
+    * [[writeBlob]] — atomic-or-absent per file. */
   private def writeBlobFiles(shards: DataFrame, dir: String,
       ext: String): Unit = {
     val spark = shards.sparkSession
@@ -511,15 +507,7 @@ object ShardWriter {
           val tfs = new Path(dir).getFileSystem(conf.value)
           it.foreach { case (shard, data) =>
             require(shard >= 0L, s"file sink requires non-negative shard ids: $shard")
-            val name = f"shard-$shard%05d.$ext"
-            val tmp = new Path(dir, s"_tmp.$name")
-            val out = tfs.create(tmp, true)
-            try out.write(Option(data).getOrElse(Array.emptyByteArray))
-            finally out.close()
-            val dst = new Path(dir, name)
-            tfs.delete(dst, false)
-            if (!tfs.rename(tmp, dst))
-              throw new java.io.IOException(s"rename $tmp -> $dst failed")
+            writeBlob(tfs, dir, f"shard-$shard%05d.$ext", data)
           }
         }
       }

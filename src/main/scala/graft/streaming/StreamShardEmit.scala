@@ -230,15 +230,8 @@ object StreamShardEmit {
             // metacharacters instead of silently mangling them
             require(sh.stream != null && sh.stream.matches("[A-Za-z0-9._-]+"),
               s"stream id not file-name-safe: ${sh.stream}")
-            val name = f"${sh.stream}-${sh.shard_seq}%09d.tfrecord"
-            val tmp = new Path(dir, s"_tmp.$name")
-            val out = tfs.create(tmp, true)
-            try out.write(sh.data)
-            finally out.close()
-            val dst = new Path(dir, name)
-            tfs.delete(dst, false)
-            if (!tfs.rename(tmp, dst))
-              throw new java.io.IOException(s"rename $tmp -> $dst failed")
+            ShardWriter.writeBlob(tfs, dir,
+              f"${sh.stream}-${sh.shard_seq}%09d.tfrecord", sh.data)
           }
         }
       }

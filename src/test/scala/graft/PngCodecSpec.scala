@@ -195,4 +195,20 @@ class PngCodecSpec extends SparkSpec {
     assert(hm > 0L && hm <= 8L,
       s"local perturbation should move a few bits, got $hm")
   }
+
+  test("adversarial zlib/filter streams decode to None, never hang or crash") {
+    // FDICT flag set in an otherwise CRC-valid IDAT: Inflater returns 0
+    // forever with needsInput=false — decode must bail, not spin
+    val idat = Array[Byte](0x78, 0x20, 0, 0, 0, 0) // CMF + FLG(FDICT), junk
+    val evil = sig ++ chunk("IHDR", be32(3) ++ be32(2) ++
+      Array(8.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte)) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode(evil).isEmpty) // would previously hang forever
+    // unknown scanline filter type (>= 5) with valid CRCs: undecodable,
+    // not Some(empty) — sampleFrames must yield no frames, not throw
+    val badFilter = png(3, 2, 0, Array[Byte](7, 1, 2, 3, 0, 4, 5, 6))
+    assert(PngCodec.decode(badFilter).isEmpty)
+    assert(PngCodec.sampleFrames(badFilter, 3, 1).isEmpty)
+    assert(PngCodec.decodeFeatures(badFilter).forall(_ == 0f))
+  }
 }
