@@ -445,34 +445,60 @@ object Multimodal {
     * gracefully after (both engines replay the identical banding, so
     * the gate is exact about what the index CAN see). Pair volume is
     * bounded by DISTINCT-hash band collisions, never by corpus size. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame =
+    bandedHammingPairs(
+      hashes.filter(col("channels") =!= -1L)
+        .groupBy(col("dhash_hi"), col("dhash_lo"))
+        .agg(count(lit(1)).as("n_images")),
+      hi = "dhash_hi", lo = "dhash_lo", cnt = "n_images",
+      maxHamming = maxHamming)
+
+  /** Audio twin of [[imageNearDupPairs]]: the same banded-LSH machinery
+    * over DISTINCT perceptual fingerprints ([[audioFingerprint]] output)
+    * — near-duplicate renderings of the same audio content (a few
+    * perturbed sample windows, the fixture's knob) land within a small
+    * Hamming distance and share a band; pair volume is bounded by
+    * distinct-fingerprint band collisions, never corpus size. */
+  def audioNearDupPairs(fps: DataFrame, maxHamming: Int = 8): DataFrame =
+    bandedHammingPairs(
+      fps.filter(col("channels") =!= -1L)
+        .groupBy(col("fp_hi"), col("fp_lo"))
+        .agg(count(lit(1)).as("n_media")),
+      hi = "fp_hi", lo = "fp_lo", cnt = "n_media", maxHamming = maxHamming)
+
+  /** ONE banded-Hamming LSH join for every 64-bit perceptual hash
+    * family (image dHash, audio fingerprints): nodes carry the hash as
+    * two unsigned 32-bit halves (`hi`/`lo`) plus a member count; each
+    * half splits into two exact 16-bit bit-slice bands
+    * (`shiftrightunsigned` — Column `/` is DOUBLE division, which drops
+    * low bits of wide values at carry boundaries and would silently
+    * nick the distance-3 banding guarantee), candidate pairs share at
+    * least one band, and codegen `bit_count` over xor applies the exact
+    * Hamming cutoff. Output columns are `<hi>_a, <lo>_a, n_a, <hi>_b,
+    * <lo>_b, n_b, hamming`. */
+  private def bandedHammingPairs(nodes: DataFrame, hi: String, lo: String,
+      cnt: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, s"maxHamming: $maxHamming")
-    val nodes = hashes.filter(col("channels") =!= -1L)
-      .groupBy(col("dhash_hi"), col("dhash_lo"))
-      .agg(count(lit(1)).as("n_images"))
-    val bands = nodes.select(col("dhash_hi"), col("dhash_lo"),
-      col("n_images"),
+    val bands = nodes.select(col(hi), col(lo), col(cnt),
       posexplode(array(
-        col("dhash_lo").bitwiseAND(lit(65535L)),
-        (col("dhash_lo") / 65536L).cast("long").bitwiseAND(lit(65535L)),
-        col("dhash_hi").bitwiseAND(lit(65535L)),
-        (col("dhash_hi") / 65536L).cast("long").bitwiseAND(lit(65535L))))
+        col(lo).bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col(lo), 16).bitwiseAND(lit(65535L)),
+        col(hi).bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col(hi), 16).bitwiseAND(lit(65535L))))
         .as(Seq("band_idx", "band_val")))
-    val a = bands.select(col("dhash_hi").as("dhash_hi_a"),
-      col("dhash_lo").as("dhash_lo_a"), col("n_images").as("n_a"),
-      col("band_idx"), col("band_val"))
-    val b = bands.select(col("dhash_hi").as("dhash_hi_b"),
-      col("dhash_lo").as("dhash_lo_b"), col("n_images").as("n_b"),
-      col("band_idx"), col("band_val"))
-    val hamming = bit_count(col("dhash_hi_a").bitwiseXOR(col("dhash_hi_b")))
+    val a = bands.select(col(hi).as(s"${hi}_a"), col(lo).as(s"${lo}_a"),
+      col(cnt).as("n_a"), col("band_idx"), col("band_val"))
+    val b = bands.select(col(hi).as(s"${hi}_b"), col(lo).as(s"${lo}_b"),
+      col(cnt).as("n_b"), col("band_idx"), col("band_val"))
+    val hamming = bit_count(col(s"${hi}_a").bitwiseXOR(col(s"${hi}_b")))
       .cast("long") +
-      bit_count(col("dhash_lo_a").bitwiseXOR(col("dhash_lo_b"))).cast("long")
+      bit_count(col(s"${lo}_a").bitwiseXOR(col(s"${lo}_b"))).cast("long")
     a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("dhash_hi_a") < col("dhash_hi_b") ||
-        (col("dhash_hi_a") === col("dhash_hi_b") &&
-          col("dhash_lo_a") < col("dhash_lo_b")))
-      .select(col("dhash_hi_a"), col("dhash_lo_a"), col("n_a"),
-        col("dhash_hi_b"), col("dhash_lo_b"), col("n_b"))
+      .filter(col(s"${hi}_a") < col(s"${hi}_b") ||
+        (col(s"${hi}_a") === col(s"${hi}_b") &&
+          col(s"${lo}_a") < col(s"${lo}_b")))
+      .select(col(s"${hi}_a"), col(s"${lo}_a"), col("n_a"),
+        col(s"${hi}_b"), col(s"${lo}_b"), col("n_b"))
       .distinct()
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming.toLong)

@@ -196,6 +196,26 @@ class PngCodecSpec extends SparkSpec {
       s"local perturbation should move a few bits, got $hm")
   }
 
+  test("banding is an exact bit slice even at double-precision carry boundaries") {
+    val s = spark
+    import s.implicits._
+    // lo values past 2^53: (lo / 65536.0).toLong — the old double-division
+    // band extraction — reads bits 16–31 of 0x2000000000ffff as 1, of
+    // (^3) as 0, so the pair's only true shared band (bits 16–31 == 0)
+    // would be missed; shiftrightunsigned slices both to 0 exactly.
+    // Every other band genuinely differs (low-16 bits, both hi halves),
+    // so this pair is visible IFF the bit-slice banding is exact.
+    val loA = 0x2000000000ffffL
+    val loB = loA ^ 3L // 2 xor bits in the low 16
+    val hashes = Seq(
+      (1L, 1L, 0x10001L, loA),
+      (2L, 1L, 0x20002L, loB)) // hi xor 0x30003: 4 bits, both halves move
+      .toDF("media_id", "channels", "dhash_hi", "dhash_lo")
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 8).collect()
+    assert(pairs.length == 1, "carry-boundary pair must share the bits-16-31 band")
+    assert(pairs.head.getAs[Long]("hamming") == 6L)
+  }
+
   test("adversarial zlib/filter streams decode to None, never hang or crash") {
     // FDICT flag set in an otherwise CRC-valid IDAT: Inflater returns 0
     // forever with needsInput=false — decode must bail, not spin
