@@ -434,6 +434,14 @@ object SparkEntry {
     * Hamming cutoff applied after band-candidate generation. */
   private val NearDupMaxHamming = 8
 
+  /** Oracle-side twin of [[graft.multimodal.ShardWriter.tarMemberAtom]]:
+    * the `<name-length>:<name>:<md5>` digest atom as DuckDB SQL over a
+    * name expression and an md5 expression. Length in CHARACTERS
+    * (DuckDB `length` == Spark `length`) — the prefix makes atoms
+    * unambiguous even when names contain `:` or `,`. */
+  private def tarAtomSql(nameExpr: String, md5Expr: String): String =
+    s"CAST(length($nameExpr) AS VARCHAR) || ':' || $nameExpr || ':' || $md5Expr"
+
   /** The q_image_near_dups oracle chain: [[dhashCte]] extended to the
     * (seed, perturbed) grain — the fixture's left-half top-row +5 bump
     * rides the luma formula (`5 * ch` on the channel sum), and the node
@@ -1963,9 +1971,8 @@ object SparkEntry {
         .toDF()
         .select(col("stream"), col("shard_seq"), col("n_records"),
           col("n_bytes"), col("first_seq"), col("last_seq"),
-          md5(concat_ws(",", transform(
-            graft.functions.TfRecords.tfrecord_entries(col("data")),
-            e => e.getField("payload_md5")))).as("content_digest"))
+          graft.multimodal.ShardWriter.tfRecordContentDigest(col("data"))
+            .as("content_digest"))
         .orderBy(col("stream"), col("shard_seq"))
     }),
 
@@ -1991,9 +1998,8 @@ object SparkEntry {
       StreamShardEmit.readSealedFiles(s, out)
         .select(col("stream"), col("shard_seq"), col("n_records"),
           col("n_bytes"),
-          md5(concat_ws(",", transform(
-            graft.functions.TfRecords.tfrecord_entries(col("data")),
-            e => e.getField("payload_md5")))).as("disk_digest"),
+          graft.multimodal.ShardWriter.tfRecordContentDigest(col("data"))
+            .as("disk_digest"),
           col("content_digest"))
         .filter(col("disk_digest") === col("content_digest"))
         .select(col("stream"), col("shard_seq"), col("n_records"),
@@ -2027,9 +2033,7 @@ object SparkEntry {
         .select(col("stream"), col("shard_seq"), col("n_samples"),
           col("n_members"), col("n_bytes"), col("first_seq"),
           col("last_seq"),
-          md5(concat_ws(",", transform(
-            graft.functions.TarEntries.tar_entries(col("data")),
-            e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
+          graft.multimodal.ShardWriter.tarContentDigest(col("data"))
             .as("content_digest"))
         .orderBy(col("stream"), col("shard_seq"))
     }),
@@ -2137,10 +2141,7 @@ object SparkEntry {
       val fromDisk = ShardWriter.readShardFiles(s, out, "tar")
         .select(col("shard"),
           length(col("data")).cast("long").as("n_bytes"),
-          md5(concat_ws(",", transform(
-            graft.functions.TarEntries.tar_entries(col("data")),
-            e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
-            .as("content_digest"))
+          ShardWriter.tarContentDigest(col("data")).as("content_digest"))
       fromDisk.join(ShardWriter.readShardManifest(s, out),
           Seq("shard", "n_bytes", "content_digest"))
         .select(col("shard"), col("n_samples"), col("n_members"),
@@ -2237,10 +2238,7 @@ object SparkEntry {
       val disk = ShardWriter.readShardFiles(s, out, "tar")
         .select(col("shard"),
           length(col("data")).cast("long").as("n_bytes"),
-          md5(concat_ws(",", transform(
-            graft.functions.TarEntries.tar_entries(col("data")),
-            e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
-            .as("content_digest"))
+          ShardWriter.tarContentDigest(col("data")).as("content_digest"))
       disk.join(ShardWriter.readShardManifest(s, out),
           Seq("shard", "n_bytes", "content_digest"))
         .join(sync, Seq("shard"))
@@ -6061,8 +6059,8 @@ object SparkEntry {
            |        CAST(sum(rec) + 1024 AS BIGINT) AS n_bytes,
            |        min(doc_id) AS first_seq, max(doc_id) AS last_seq,
            |        md5(string_agg(
-           |          CAST(doc_id AS VARCHAR) || '.txt:' || md5(text) || ',' ||
-           |          CAST(doc_id AS VARCHAR) || '.src:' || md5(source),
+           |          ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.txt'", "md5(text)")} || ',' ||
+           |          ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.src'", "md5(source)")},
            |          ',' ORDER BY doc_id)) AS content_digest
            |      FROM p GROUP BY source, shard_seq),
            |sealed AS (SELECT g.*, max(shard_seq) OVER (PARTITION BY stream) AS mx
@@ -6096,7 +6094,7 @@ object SparkEntry {
            |       CAST(count(*) AS BIGINT) AS n_members,
            |       CAST(sum(512 + ((strlen(body) + 511) // 512) * 512)
            |            + 1024 AS BIGINT) AS n_bytes,
-           |       md5(string_agg(name || ':' || md5(body), ','
+           |       md5(string_agg(${tarAtomSql("name", "md5(body)")}, ','
            |           ORDER BY doc_id, mi)) AS content_digest
            |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
@@ -6233,7 +6231,7 @@ object SparkEntry {
            |       CAST(count(*) AS BIGINT) AS n_members,
            |       CAST(sum(512 + ((strlen(body) + 511) // 512) * 512)
            |            + 1024 AS BIGINT) AS n_bytes,
-           |       md5(string_agg(name || ':' || md5(body), ','
+           |       md5(string_agg(${tarAtomSql("name", "md5(body)")}, ','
            |           ORDER BY doc_id, mi)) AS content_digest
            |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
@@ -6295,11 +6293,11 @@ object SparkEntry {
       "q_wds_files_sync" ->
         s"""WITH $v2Cte,
            |p AS (SELECT doc_id % $IncShards AS shard, doc_id,
-           |        CAST(doc_id AS VARCHAR) || '.txt:' || md5(COALESCE(text, '')) AS atom
+           |        ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.txt'", "md5(COALESCE(text, ''))")} AS atom
            |      FROM documents),
            |c AS (SELECT doc_id % $IncShards AS shard, doc_id,
            |        COALESCE(text, '') AS text,
-           |        CAST(doc_id AS VARCHAR) || '.txt:' || md5(COALESCE(text, '')) AS atom
+           |        ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.txt'", "md5(COALESCE(text, ''))")} AS atom
            |      FROM curr),
            |pm AS (SELECT shard,
            |         md5(string_agg(atom, ',' ORDER BY doc_id)) AS prev_digest

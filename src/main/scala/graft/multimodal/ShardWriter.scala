@@ -177,9 +177,42 @@ object ShardWriter {
     * while the reader's checksum walk still vouches for the bytes. */
   def tfRecordManifest(shards: DataFrame): DataFrame =
     shards.select(col("shard"), col("n_records"), col("n_bytes"),
-      md5(concat_ws(",", transform(
-        graft.functions.TfRecords.tfrecord_entries(col("data")),
-        e => e.getField("payload_md5")))).as("content_digest"))
+      tfRecordContentDigest(col("data")).as("content_digest"))
+
+  /** THE TFRecord content-digest definition — md5 of the comma-joined
+    * record payload md5s in record order, derived by re-parsing container
+    * bytes through the VALIDATING reader. Single-sourced here because the
+    * batch manifest, the live streaming manifest
+    * ([[graft.streaming.StreamShardEmit.sealedManifest]]) and the
+    * file-landing gates must all agree on it character-for-character —
+    * a drifted copy would mark every shard `changed`. */
+  def tfRecordContentDigest(data: Column): Column =
+    md5(concat_ws(",", transform(
+      graft.functions.TfRecords.tfrecord_entries(data),
+      e => e.getField("payload_md5"))))
+
+  /** One tar-member digest ATOM: `<name-length>:<name>:<payload-md5>`.
+    * The length prefix makes atom boundaries unambiguous — member names
+    * may themselves contain `:` or `,`, and without the prefix two
+    * different member lists could alias to one joined digest string
+    * (e.g. name "a:b" vs name "a" whose md5 text starts "b..."), which
+    * would let an incremental sync skip a genuinely changed shard.
+    * Length is in CHARACTERS (Spark `length` == DuckDB `length`), the
+    * unit both engines share. */
+  def tarMemberAtom(name: Column, payloadMd5: Column): Column = {
+    val n = coalesce(name.cast("string"), lit(""))
+    concat_ws(":", length(n).cast("string"), n, payloadMd5)
+  }
+
+  /** THE WebDataset content-digest definition — md5 of the comma-joined
+    * [[tarMemberAtom]]s in member order, names included because
+    * WebDataset pairing is by filename stem (a rename IS a content
+    * change). The [[tfRecordContentDigest]] single-sourcing argument,
+    * tar flavor. */
+  def tarContentDigest(data: Column): Column =
+    md5(concat_ws(",", transform(
+      graft.functions.TarEntries.tar_entries(data),
+      e => tarMemberAtom(e.getField("name"), e.getField("payload_md5")))))
 
   /** WebDataset twin of [[tfRecordManifest]]: per-shard content digest
     * over the tar reader's `name:payload_md5` sequence in member order —
@@ -189,10 +222,7 @@ object ShardWriter {
   def tarManifest(shards: DataFrame): DataFrame =
     shards.select(col("shard"), col("n_samples"), col("n_members"),
       col("n_bytes"),
-      md5(concat_ws(",", transform(
-        graft.functions.TarEntries.tar_entries(col("data")),
-        e => concat_ws(":", e.getField("name"), e.getField("payload_md5")))))
-        .as("content_digest"))
+      tarContentDigest(col("data")).as("content_digest"))
 
   /** Shard-level snapshot diff — WHICH SHARDS NEED REWRITING when the
     * corpus moves: full outer join of two manifests on shard, each shard
@@ -279,7 +309,7 @@ object ShardWriter {
     val s = samples.sparkSession
     import s.implicits._
     val part = concat_ws(",", transform(membersCol, e =>
-      concat_ws(":", coalesce(e.getField("name").cast("string"), lit("")),
+      tarMemberAtom(e.getField("name"),
         md5(coalesce(e.getField("data").cast("binary"),
           lit(Array.emptyByteArray))))))
     val bytes = aggregate(membersCol, lit(0L), (acc, e) =>

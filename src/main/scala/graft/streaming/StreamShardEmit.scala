@@ -192,9 +192,7 @@ object StreamShardEmit {
   def sealedManifest(shards: Dataset[SealedShard]): DataFrame =
     shards.toDF().select(col("stream"), col("shard_seq"),
       col("n_records"), col("n_bytes"), col("flushed"),
-      md5(concat_ws(",", transform(
-        graft.functions.TfRecords.tfrecord_entries(col("data")),
-        e => e.getField("payload_md5")))).as("content_digest"))
+      ShardWriter.tfRecordContentDigest(col("data")).as("content_digest"))
 
   // ------------------------------------------------------------------
   // The live FILE landing — foreachBatch glue between the sealer and
