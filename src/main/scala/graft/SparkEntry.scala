@@ -442,6 +442,45 @@ object SparkEntry {
   private def tarAtomSql(nameExpr: String, md5Expr: String): String =
     s"CAST(length($nameExpr) AS VARCHAR) || ':' || $nameExpr || ':' || $md5Expr"
 
+  /** The WDS greedy-seal replay chain shared by the q_wds_seal_replay /
+    * q_wds_seal_files oracles (RECURSIVE — the caller's WITH must say
+    * so): per source in doc_id order, each two-member sample costs its
+    * ustar header+padded-payload blocks, the seal trips when the FILE
+    * (members + the 1024 close bytes) would overflow
+    * [[WdsSealBudgetBytes]], digests fold the length-prefixed name:md5
+    * atoms in member order, and `sealed` carries `mx` so callers can
+    * exclude each stream's trailing open shard. */
+  private def wdsSealChainCte: String =
+    s"""d AS (
+       |  SELECT source, doc_id, COALESCE(text, '') AS text,
+       |         CAST(512 + ((strlen(COALESCE(text, '')) + 511) // 512) * 512
+       |            + 512 + ((strlen(source) + 511) // 512) * 512 AS BIGINT) AS rec,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+       |  FROM documents),
+       |p AS (
+       |  SELECT source, doc_id, text, rec, rn,
+       |         CAST(0 AS BIGINT) AS shard_seq, rec AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.doc_id, d.text, d.rec, d.rn,
+       |         CASE WHEN p.fill + d.rec + 1024 > $WdsSealBudgetBytes
+       |              THEN p.shard_seq + 1 ELSE p.shard_seq END,
+       |         CASE WHEN p.fill + d.rec + 1024 > $WdsSealBudgetBytes
+       |              THEN d.rec ELSE p.fill + d.rec END
+       |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
+       |g AS (SELECT source AS stream, shard_seq,
+       |        CAST(count(*) AS BIGINT) AS n_samples,
+       |        CAST(2 * count(*) AS BIGINT) AS n_members,
+       |        CAST(sum(rec) + 1024 AS BIGINT) AS n_bytes,
+       |        min(doc_id) AS first_seq, max(doc_id) AS last_seq,
+       |        md5(string_agg(
+       |          ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.txt'", "md5(text)")} || ',' ||
+       |          ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.src'", "md5(source)")},
+       |          ',' ORDER BY doc_id)) AS content_digest
+       |      FROM p GROUP BY source, shard_seq),
+       |sealed AS (SELECT g.*, max(shard_seq) OVER (PARTITION BY stream) AS mx
+       |           FROM g)""".stripMargin
+
   /** The q_image_near_dups oracle chain: [[dhashCte]] extended to the
     * (seed, perturbed) grain — the fixture's left-half top-row +5 bump
     * rides the luma formula (`5 * ch` on the channel sum), and the node
@@ -2035,6 +2074,44 @@ object SparkEntry {
           col("last_seq"),
           graft.multimodal.ShardWriter.tarContentDigest(col("data"))
             .as("content_digest"))
+        .orderBy(col("stream"), col("shard_seq"))
+    }),
+
+    // the WebDataset live landing, ON-DISK — q_seal_files' ustar twin:
+    // sealed archives landed through the foreachBatch sink as
+    // `<stream>-<seq>.tar` files with a batch-partitioned manifest,
+    // read back via the manifest join and re-walked checksum-by-
+    // checksum FROM THE FILE BYTES; the re-derived name:md5 digest must
+    // equal the manifest's, and boundaries/accounting must match the
+    // oracle's recursive ustar-block replay
+    "q_wds_seal_files" -> ((s, dir) => {
+      import graft.streaming.StreamShardEmit
+      val sess = s
+      import sess.implicits._
+      val events = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .as[(String, Long, String)]
+        .map { case (src, id, text) =>
+          StreamShardEmit.SampleEvent(src, id, Seq(
+            (s"$id.txt", text.getBytes("UTF-8")),
+            (s"$id.src", src.getBytes("UTF-8"))))
+        }
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q-wds-seal-files").toString
+      StreamShardEmit.landSealedWdsBatch(
+        StreamShardEmit.batchReplayWds(events,
+          budgetBytes = WdsSealBudgetBytes),
+        out, batchId = 0L)
+      StreamShardEmit.readSealedWdsFiles(s, out)
+        .select(col("stream"), col("shard_seq"), col("n_samples"),
+          col("n_members"), col("n_bytes"),
+          graft.multimodal.ShardWriter.tarContentDigest(col("data"))
+            .as("disk_digest"),
+          col("content_digest"))
+        .filter(col("disk_digest") === col("content_digest"))
+        .select(col("stream"), col("shard_seq"), col("n_samples"),
+          col("n_members"), col("n_bytes"), col("content_digest"))
         .orderBy(col("stream"), col("shard_seq"))
     }),
 
@@ -6036,37 +6113,21 @@ object SparkEntry {
       // (members + 1024 close bytes) would overflow, digests fold the
       // name:md5 pairs in member order, trailing open shard excluded
       "q_wds_seal_replay" ->
-        s"""WITH RECURSIVE d AS (
-           |  SELECT source, doc_id, COALESCE(text, '') AS text,
-           |         CAST(512 + ((strlen(COALESCE(text, '')) + 511) // 512) * 512
-           |            + 512 + ((strlen(source) + 511) // 512) * 512 AS BIGINT) AS rec,
-           |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
-           |  FROM documents),
-           |p AS (
-           |  SELECT source, doc_id, text, rec, rn,
-           |         CAST(0 AS BIGINT) AS shard_seq, rec AS fill
-           |  FROM d WHERE rn = 1
-           |  UNION ALL
-           |  SELECT d.source, d.doc_id, d.text, d.rec, d.rn,
-           |         CASE WHEN p.fill + d.rec + 1024 > $WdsSealBudgetBytes
-           |              THEN p.shard_seq + 1 ELSE p.shard_seq END,
-           |         CASE WHEN p.fill + d.rec + 1024 > $WdsSealBudgetBytes
-           |              THEN d.rec ELSE p.fill + d.rec END
-           |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
-           |g AS (SELECT source AS stream, shard_seq,
-           |        CAST(count(*) AS BIGINT) AS n_samples,
-           |        CAST(2 * count(*) AS BIGINT) AS n_members,
-           |        CAST(sum(rec) + 1024 AS BIGINT) AS n_bytes,
-           |        min(doc_id) AS first_seq, max(doc_id) AS last_seq,
-           |        md5(string_agg(
-           |          ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.txt'", "md5(text)")} || ',' ||
-           |          ${tarAtomSql("CAST(doc_id AS VARCHAR) || '.src'", "md5(source)")},
-           |          ',' ORDER BY doc_id)) AS content_digest
-           |      FROM p GROUP BY source, shard_seq),
-           |sealed AS (SELECT g.*, max(shard_seq) OVER (PARTITION BY stream) AS mx
-           |           FROM g)
+        s"""WITH RECURSIVE $wdsSealChainCte
            |SELECT stream, shard_seq, n_samples, n_members, n_bytes,
            |       first_seq, last_seq, content_digest
+           |FROM sealed WHERE shard_seq < mx
+           |ORDER BY stream, shard_seq""".stripMargin,
+
+      // wds-seal-files oracle: the q_wds_seal_replay arithmetic minus
+      // first/last seq (the landing's manifest carries digests and
+      // accounting) — the Spark side must land real tar files and
+      // recover identical rows FROM DISK, the re-walked digest equal to
+      // the manifest's
+      "q_wds_seal_files" ->
+        s"""WITH RECURSIVE $wdsSealChainCte
+           |SELECT stream, shard_seq, n_samples, n_members, n_bytes,
+           |       content_digest
            |FROM sealed WHERE shard_seq < mx
            |ORDER BY stream, shard_seq""".stripMargin,
 

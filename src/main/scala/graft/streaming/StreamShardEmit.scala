@@ -194,6 +194,16 @@ object StreamShardEmit {
       col("n_records"), col("n_bytes"), col("flushed"),
       ShardWriter.tfRecordContentDigest(col("data")).as("content_digest"))
 
+  /** WebDataset twin of [[sealedManifest]]: the stateless digest
+    * projection over sealed archives, every tar re-walked checksum-by-
+    * checksum by the validating reader into the SAME length-prefixed
+    * `name:md5` digest [[ShardWriter.tarManifest]] derives — so the live
+    * stream feeds [[ShardWriter.shardDiff]] for the WDS container too. */
+  def sealedWdsManifest(shards: Dataset[SealedWdsShard]): DataFrame =
+    shards.toDF().select(col("stream"), col("shard_seq"),
+      col("n_samples"), col("n_members"), col("n_bytes"), col("flushed"),
+      ShardWriter.tarContentDigest(col("data")).as("content_digest"))
+
   // ------------------------------------------------------------------
   // The live FILE landing — foreachBatch glue between the sealer and
   // the batch sink's directory discipline ([[ShardWriter]] file sink):
@@ -208,37 +218,59 @@ object StreamShardEmit {
   // replay re-describes), never phantom data.
   // ------------------------------------------------------------------
 
-  /** Land one micro-batch of sealed shards — pass to `foreachBatch`
-    * via [[sealedFileSink]], or call directly for backfills. */
+  /** Land one micro-batch of sealed TFRecord shards — pass to
+    * `foreachBatch` via [[sealedFileSink]], or call directly for
+    * backfills. */
   def landSealedBatch(batch: Dataset[SealedShard], dir: String,
       batchId: Long): Unit = {
-    val spark = batch.sparkSession
+    batch.persist() // consumed twice (blobs, manifest); seal chain runs once
+    try landCore(batch.toDF(), sealedManifest(batch), dir, batchId,
+      ext = "tfrecord")
+    finally batch.unpersist()
+  }
+
+  /** WebDataset twin of [[landSealedBatch]]: sealed archives land as
+    * `<stream>-<seq>.tar` files under the same crash/replay discipline,
+    * described by [[sealedWdsManifest]]. */
+  def landSealedWdsBatch(batch: Dataset[SealedWdsShard], dir: String,
+      batchId: Long): Unit = {
+    batch.persist()
+    try landCore(batch.toDF(), sealedWdsManifest(batch), dir, batchId,
+      ext = "tar")
+    finally batch.unpersist()
+  }
+
+  /** ONE landing discipline for both containers: blobs written
+    * executor-side through [[ShardWriter.writeBlob]] under deterministic
+    * `<stream>-<seq>.<ext>` names (replay rewrites identical files), the
+    * batch's manifest partition overwritten, `_SUCCESS` last. */
+  private def landCore(batchDf: DataFrame, manifest: DataFrame,
+      dir: String, batchId: Long, ext: String): Unit = {
+    val spark = batchDf.sparkSession
+    import spark.implicits._
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
     fs.mkdirs(root)
-    batch.persist() // consumed twice (blobs, manifest); seal chain runs once
-    try {
-      batch.foreachPartition { it: Iterator[SealedShard] =>
+    batchDf.select(col("stream"), col("shard_seq"), col("data"))
+      .as[(String, Long, Array[Byte])]
+      .foreachPartition { it: Iterator[(String, Long, Array[Byte])] =>
         if (it.hasNext) {
           val tfs = new Path(dir).getFileSystem(conf.value)
-          it.foreach { sh =>
+          it.foreach { case (stream, seq, data) =>
             // the stream id becomes a file-name component: reject path
             // metacharacters instead of silently mangling them
-            require(sh.stream != null && sh.stream.matches("[A-Za-z0-9._-]+"),
-              s"stream id not file-name-safe: ${sh.stream}")
-            ShardWriter.writeBlob(tfs, dir,
-              f"${sh.stream}-${sh.shard_seq}%09d.tfrecord", sh.data)
+            require(stream != null && stream.matches("[A-Za-z0-9._-]+"),
+              s"stream id not file-name-safe: $stream")
+            ShardWriter.writeBlob(tfs, dir, f"$stream-$seq%09d.$ext", data)
           }
         }
       }
-      sealedManifest(batch)
-        .write.mode("overwrite")
-        .parquet(new Path(root, s"_manifest/batch=$batchId").toString)
-      val ok = fs.create(new Path(root, "_SUCCESS"), true)
-      ok.close()
-    } finally batch.unpersist()
+    manifest.write.mode("overwrite")
+      .parquet(new Path(root, s"_manifest/batch=$batchId").toString)
+    val ok = fs.create(new Path(root, "_SUCCESS"), true)
+    ok.close()
   }
 
   /** The `foreachBatch` function for a live shard-landing query:
@@ -249,26 +281,41 @@ object StreamShardEmit {
   def sealedFileSink(dir: String): (Dataset[SealedShard], Long) => Unit =
     (batch, batchId) => landSealedBatch(batch, dir, batchId)
 
+  /** [[sealedFileSink]]'s WebDataset twin. */
+  def sealedWdsFileSink(dir: String): (Dataset[SealedWdsShard], Long) => Unit =
+    (batch, batchId) => landSealedWdsBatch(batch, dir, batchId)
+
   /** The manifest-described on-disk shard set of a live landing dir:
     * blob rows inner-joined against the manifest, so files from a
     * crashed, not-yet-replayed batch are invisible until described.
     * Returns `(stream, shard_seq, n_records, n_bytes, flushed,
     * content_digest, data)`. */
-  def readSealedFiles(spark: SparkSession, dir: String): DataFrame = {
+  def readSealedFiles(spark: SparkSession, dir: String): DataFrame =
+    readSealedCore(spark, dir, ext = "tfrecord",
+      meta = Seq("n_records", "n_bytes", "flushed", "content_digest"))
+
+  /** [[readSealedFiles]]' WebDataset twin: `(stream, shard_seq,
+    * n_samples, n_members, n_bytes, flushed, content_digest, data)`. */
+  def readSealedWdsFiles(spark: SparkSession, dir: String): DataFrame =
+    readSealedCore(spark, dir, ext = "tar",
+      meta = Seq("n_samples", "n_members", "n_bytes", "flushed",
+        "content_digest"))
+
+  private def readSealedCore(spark: SparkSession, dir: String, ext: String,
+      meta: Seq[String]): DataFrame = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(root, "_SUCCESS")),
       s"$dir has no _SUCCESS marker — no completed landing batch")
     val manifest = spark.read.parquet(new Path(root, "_manifest").toString)
-      .select(col("stream"), col("shard_seq"), col("n_records"),
-        col("n_bytes"), col("flushed"), col("content_digest"))
+      .select((Seq("stream", "shard_seq") ++ meta).map(col): _*)
       .dropDuplicates("stream", "shard_seq") // replays re-describe identically
     val blobs = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord").load(dir)
+      .option("pathGlobFilter", s"*.$ext").load(dir)
       .select(
-        regexp_extract(col("path"), "([A-Za-z0-9._-]+)-(\\d+)\\.tfrecord$", 1)
+        regexp_extract(col("path"), s"([A-Za-z0-9._-]+)-(\\d+)\\.$ext$$", 1)
           .as("stream"),
-        regexp_extract(col("path"), "([A-Za-z0-9._-]+)-(\\d+)\\.tfrecord$", 2)
+        regexp_extract(col("path"), s"([A-Za-z0-9._-]+)-(\\d+)\\.$ext$$", 2)
           .cast("long").as("shard_seq"),
         col("content").as("data"))
     manifest.join(blobs, Seq("stream", "shard_seq"))

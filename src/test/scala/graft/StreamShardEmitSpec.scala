@@ -366,6 +366,83 @@ class StreamShardEmitSpec extends SparkSpec {
       first.size.toLong)
   }
 
+  test("wds streamed manifest equals batch manifest over the same sealed archives") {
+    val s = spark
+    import s.implicits._
+    val events = (0L until 24L).map(i =>
+      SampleEvent(if (i % 3 == 0) "a" else "b", i,
+        Seq((s"$i.txt", bytes((i % 5).toInt * 13 + 1)))))
+    val input = MemoryStream[SampleEvent](s)
+    val q = StreamShardEmit.sealedWdsManifest(
+        StreamShardEmit.emitWds(input.toDS(), budgetBytes = 4096L))
+      .writeStream.format("memory").queryName("livewdsmanifest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(9): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(9): _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("stream"), r.getAs[Long]("shard_seq"),
+          r.getAs[Long]("n_samples"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("n_bytes"), r.getAs[Boolean]("flushed"),
+          r.getAs[String]("content_digest"))).toSet
+      val streamed = rows(spark.table("livewdsmanifest"))
+      val batch = rows(StreamShardEmit.sealedWdsManifest(
+        StreamShardEmit.batchReplayWds(events.toDS(), budgetBytes = 4096L)))
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("wds live file landing: manifest-described on-disk tars equal the seal chain") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-land").toString
+    val events = (0L until 20L).map(i =>
+      SampleEvent(if (i % 2 == 0) "alpha" else "beta.2", i,
+        Seq((s"$i.txt", bytes((i % 4).toInt * 17 + 1)),
+          (s"$i.src", bytes(5)))))
+    val input = MemoryStream[SampleEvent](s)
+    val q = StreamShardEmit.emitWds(input.toDS(), budgetBytes = 4096L)
+      .writeStream
+      .foreachBatch(StreamShardEmit.sealedWdsFileSink(dir))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(7): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(7): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // on-disk described set == the batch twin, digest for digest
+    val want = StreamShardEmit.sealedWdsManifest(
+      StreamShardEmit.batchReplayWds(events.toDS(), budgetBytes = 4096L))
+      .collect().map(r => (r.getAs[String]("stream"),
+        r.getAs[Long]("shard_seq"), r.getAs[Long]("n_samples"),
+        r.getAs[String]("content_digest"))).toSet
+    val got = StreamShardEmit.readSealedWdsFiles(spark, dir)
+      .select("stream", "shard_seq", "n_samples", "content_digest")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // the on-disk BYTES re-walk through the gated tar reader, and a
+    // replayed landing is idempotent
+    val sealedShards = StreamShardEmit.batchReplayWds(events.toDS(),
+      budgetBytes = 4096L)
+    StreamShardEmit.landSealedWdsBatch(sealedShards, dir, batchId = 0L)
+    StreamShardEmit.readSealedWdsFiles(spark, dir).collect().foreach { r =>
+      assert(TarEntries.parse(r.getAs[Array[Byte]]("data"))
+        .numElements().toLong == r.getAs[Long]("n_members"))
+    }
+    assert(StreamShardEmit.readSealedWdsFiles(spark, dir).count() ==
+      got.size.toLong)
+    // an undescribed file (crashed batch debris) is invisible to readers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "ghost-000000099.tar"),
+      Array[Byte](1, 2, 3))
+    assert(StreamShardEmit.readSealedWdsFiles(spark, dir)
+      .where("stream = 'ghost'").count() == 0)
+  }
+
   test("webdataset keepalive flushes the trailing open archive too") {
     val s = spark
     import s.implicits._
