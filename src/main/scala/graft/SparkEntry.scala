@@ -434,6 +434,65 @@ object SparkEntry {
     * Hamming cutoff applied after band-candidate generation. */
   private val NearDupMaxHamming = 8
 
+  /** The q_audio_near_dups oracle chain — [[audioFpCte]] extended to the
+    * (seed, perturbed) grain: the fixture bitwise-NOTs (`-1 - a`) every
+    * sample in [[graft.multimodal.Multimodal.AudNearPertWindows]],
+    * amplitudes recombine per sample width, and the node set is the
+    * DISTINCT fingerprints the doc population produces, banded into
+    * four exact 16-bit slices. */
+  private def nearAudioFpCte: String = {
+    val M = graft.multimodal.Multimodal
+    val pertIn = M.AudNearPertWindows.mkString("(", ", ", ")")
+    s"""naseeds AS (SELECT DISTINCT doc_id % ${M.AudSeedMod} AS s,
+       |              CAST(doc_id % 3 = 0 AS INT) AS pert FROM documents),
+       |nan AS (SELECT s, pert, CAST(1 + s % 2 AS BIGINT) AS ch,
+       |          CAST(CASE WHEN s % 4 >= 2 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+       |          CAST((1 + s % 2) * (80 + s * 7) AS BIGINT) AS n
+       |        FROM naseeds),
+       |nsamp AS (SELECT s, pert, bits, n, unnest(range(n)) AS k FROM nan),
+       |nbase AS (SELECT s, pert, n, k,
+       |           CASE WHEN bits = 16 THEN
+       |             CASE WHEN (2*k*7+3) % 251 + 256 * (((2*k+1)*7+3) % 251) >= 32768
+       |                  THEN (2*k*7+3) % 251 + 256 * (((2*k+1)*7+3) % 251) - 65536
+       |                  ELSE (2*k*7+3) % 251 + 256 * (((2*k+1)*7+3) % 251) END
+       |           ELSE (k*7+3) % 251 - 128 END AS a0
+       |         FROM nsamp),
+       |namp AS (SELECT s, pert, n, k,
+       |           CASE WHEN pert = 1 AND (k*65)//n IN $pertIn
+       |                THEN -1 - a0 ELSE a0 END AS a
+       |         FROM nbase),
+       |nawin AS (SELECT s, pert, (k*65)//n AS w, CAST(sum(a) AS BIGINT) AS sm,
+       |            CAST(count(*) AS BIGINT) AS c
+       |          FROM namp GROUP BY s, pert, (k*65)//n),
+       |nabits AS (SELECT x.s, x.pert, x.w AS i,
+       |             CASE WHEN y.sm*x.c > x.sm*y.c THEN 1 ELSE 0 END AS bit
+       |           FROM nawin x JOIN nawin y
+       |             ON y.s = x.s AND y.pert = x.pert AND y.w = x.w + 1
+       |           WHERE x.w < 64),
+       |nafp AS (SELECT s, pert,
+       |    CAST(sum(CASE WHEN i >= 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_hi,
+       |    CAST(sum(CASE WHEN i < 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_lo
+       |  FROM nabits GROUP BY s, pert),
+       |nahs AS (SELECT a.s, a.pert, COALESCE(f.fp_hi, 0) AS fp_hi,
+       |           COALESCE(f.fp_lo, 0) AS fp_lo
+       |         FROM nan a LEFT JOIN nafp f USING (s, pert)),
+       |nanodes AS (SELECT fp_hi, fp_lo,
+       |              CAST(count(*) AS BIGINT) AS n_media
+       |            FROM documents d JOIN nahs
+       |              ON d.doc_id % ${M.AudSeedMod} = nahs.s
+       |             AND CAST(d.doc_id % 3 = 0 AS INT) = nahs.pert
+       |            GROUP BY 1, 2),
+       |nabands AS (
+       |  SELECT fp_hi, fp_lo, n_media, 0 AS bi, fp_lo % 65536 AS bv FROM nanodes
+       |  UNION ALL SELECT fp_hi, fp_lo, n_media, 1, (fp_lo // 65536) % 65536 FROM nanodes
+       |  UNION ALL SELECT fp_hi, fp_lo, n_media, 2, fp_hi % 65536 FROM nanodes
+       |  UNION ALL SELECT fp_hi, fp_lo, n_media, 3, (fp_hi // 65536) % 65536 FROM nanodes)""".stripMargin
+  }
+
   /** Oracle-side twin of [[graft.multimodal.ShardWriter.tarMemberAtom]]:
     * the `<name-length>:<name>:<md5>` digest atom as DuckDB SQL over a
     * name expression and an md5 expression. Length in CHARACTERS
@@ -1220,6 +1279,21 @@ object SparkEntry {
           graft.multimodal.Multimodal.audioDupTable(
             Tables.documents(s, dir))))
         .orderBy(col("fp_hi"), col("fp_lo"))),
+
+    // NEAR-dup audio by banded perceptual fingerprint — the
+    // q_image_near_dups machinery over the audio modality: distinct
+    // fingerprint nodes, four 16-bit bit-slice bands, exact bit_count
+    // Hamming filter; the fixture bumps the first eighth of every third
+    // doc's PCM bytes so each seed yields an (original, perturbed)
+    // fingerprint pair the banding must relate
+    "q_audio_near_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioNearDupPairs(
+        graft.multimodal.Multimodal.audioFingerprint(
+          graft.multimodal.Multimodal.audioNearDupTable(
+            Tables.documents(s, dir))),
+        maxHamming = NearDupMaxHamming)
+        .orderBy(col("fp_hi_a"), col("fp_lo_a"),
+          col("fp_hi_b"), col("fp_lo_b"))),
 
     // REAL sample decode through the codec seam: WavPcmCodec walks the
     // RIFF chunks to the data payload and decodes every PCM sample
@@ -4972,6 +5046,26 @@ object SparkEntry {
            |FROM documents JOIN ahs
            |  ON documents.doc_id % ${graft.multimodal.Multimodal.AudSeedMod} = ahs.s
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // audio near-dup oracle: the perturbed fingerprint chain yields
+      // the node set, banding + exact bit_count Hamming replayed on
+      // candidates — both engines see exactly the pairs the 4-band
+      // index can see
+      "q_audio_near_dups" ->
+        s"""WITH $nearAudioFpCte,
+           |cand AS (SELECT DISTINCT
+           |    a.fp_hi AS fp_hi_a, a.fp_lo AS fp_lo_a, a.n_media AS n_a,
+           |    b.fp_hi AS fp_hi_b, b.fp_lo AS fp_lo_b, b.n_media AS n_b
+           |  FROM nabands a JOIN nabands b ON a.bi = b.bi AND a.bv = b.bv
+           |  WHERE a.fp_hi < b.fp_hi
+           |     OR (a.fp_hi = b.fp_hi AND a.fp_lo < b.fp_lo))
+           |SELECT fp_hi_a, fp_lo_a, n_a, fp_hi_b, fp_lo_b, n_b,
+           |       CAST(bit_count(xor(fp_hi_a, fp_hi_b))
+           |          + bit_count(xor(fp_lo_a, fp_lo_b)) AS BIGINT) AS hamming
+           |FROM cand
+           |WHERE bit_count(xor(fp_hi_a, fp_hi_b))
+           |    + bit_count(xor(fp_lo_a, fp_lo_b)) <= $NearDupMaxHamming
+           |ORDER BY fp_hi_a, fp_lo_a, fp_hi_b, fp_lo_b""".stripMargin,
 
       // real-decode oracle: the per-sample amplitudes fall out of the
       // fixture's (j*7+3) % 251 byte formula — 16-bit samples recombine

@@ -675,6 +675,35 @@ object Multimodal {
       nFrames: Int, junkLen: Int = 0): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val dataSize = nFrames * blockAlign
+    wavContainer(channels, sampleRate, bitsPerSample,
+      Array.tabulate[Byte](dataSize)(j => ((j * 7 + 3) % 251).toByte),
+      junkLen)
+  }
+
+  /** A PCM RIFF/WAVE stream around GIVEN amplitudes — the
+    * [[synthWav]] container with caller-supplied samples (16-bit signed
+    * LE pairs, or 8-bit offset-128 bytes), the audio near-dup fixture's
+    * encoder. */
+  def synthWavFromAmps(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      amps: Array[Int], junkLen: Int = 0): Array[Byte] = {
+    val data =
+      if (bitsPerSample == 16) {
+        val b = new Array[Byte](amps.length * 2)
+        var k = 0
+        while (k < amps.length) {
+          b(2 * k) = (amps(k) & 0xff).toByte
+          b(2 * k + 1) = ((amps(k) >> 8) & 0xff).toByte
+          k += 1
+        }
+        b
+      } else amps.map(a => (a + 128).toByte)
+    wavContainer(channels, sampleRate, bitsPerSample, data, junkLen)
+  }
+
+  private def wavContainer(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, samples: Array[Byte], junkLen: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = samples.length
     val listPayload = "INFOg".getBytes("US-ASCII") ++
       Array.fill[Byte](junkLen)('j')
     val list = "LIST".getBytes("US-ASCII") ++ le32(listPayload.length) ++
@@ -684,7 +713,6 @@ object Multimodal {
     val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
       le16(1) ++ le16(channels) ++ le32(sampleRate) ++
       le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample)
-    val samples = Array.tabulate[Byte](dataSize)(j => ((j * 7 + 3) % 251).toByte)
     val data = "data".getBytes("US-ASCII") ++ le32(dataSize) ++ samples ++
       (if ((dataSize & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
     val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
@@ -709,6 +737,50 @@ object Multimodal {
         val bits = if (s % 4 >= 2) 8 else 16
         val nFrames = (80L + s * 7L).toInt
         (docId, source, synthWav(channels, 8000, bits, nFrames,
+          junkLen = (docId % 37).toInt))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** The audio near-dup fixture's perturbed pooled windows (of the
+    * fingerprint's 65): pert docs bitwise-NOT every sample in these —
+    * each NOTed window can flip only its two boundary comparisons, so
+    * the (original, perturbed) fingerprint distance stays ≤ 8. Shared
+    * with the oracle's replay. */
+  val AudNearPertWindows: Seq[Int] = Seq(10, 20, 30, 40)
+
+  /** Near-dup variant of [[audioDupTable]] — the [[imageNearDupTable]]
+    * twin for audio: docs with `doc_id % 3 == 0` render the SAME seed
+    * stream with the samples in [[AudNearPertWindows]] bitwise-NOTed
+    * (`a' = -1 - a`, always in range for both sample widths) — a
+    * LOCALIZED sample edit that moves a few pooled window-mean
+    * comparisons, so each seed yields an (original, perturbed)
+    * fingerprint pair a near-dup pass must relate and an exact-dup pass
+    * must keep apart. The perturbation is formula-level (the oracle
+    * replays it amplitude-for-amplitude); container bytes still vary
+    * per doc via the junk padding. */
+  def audioNearDupTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pertWindows = AudNearPertWindows.toSet
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = docId % AudSeedMod
+        val channels = (1L + s % 2).toInt
+        val bits = if (s % 4 >= 2) 8 else 16
+        val nFrames = (80L + s * 7L).toInt
+        val n = nFrames * channels
+        val pert = docId % 3 == 0
+        val amps = Array.tabulate(n) { k =>
+          val a =
+            if (bits == 16) {
+              val v = (2 * k * 7 + 3) % 251 + 256 * (((2 * k + 1) * 7 + 3) % 251)
+              if (v >= 32768) v - 65536 else v
+            } else (k * 7 + 3) % 251 - 128
+          if (pert && pertWindows(((k.toLong * 65L) / n).toInt)) -1 - a
+          else a
+        }
+        (docId, source, synthWavFromAmps(channels, 8000, bits, amps,
           junkLen = (docId % 37).toInt))
       }
       .toDF("media_id", "source", "data")

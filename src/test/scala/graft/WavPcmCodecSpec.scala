@@ -79,6 +79,32 @@ class WavPcmCodecSpec extends SparkSpec {
     }
   }
 
+  test("near-dup banding relates an original and its NOT-window perturbation") {
+    val s = spark
+    import s.implicits._
+    // one seed's original + perturbed renderings (different container
+    // padding too): NOTed windows flip only boundary comparisons, so
+    // the pair sits at a small positive Hamming distance
+    val bits = 16
+    val n = 160
+    val pertWindows = Multimodal.AudNearPertWindows.toSet
+    def amps(pert: Boolean) = Array.tabulate(n) { k =>
+      val a = synthAmp(bits, k)
+      if (pert && pertWindows((k.toLong * 65L / n).toInt)) -1 - a else a
+    }
+    val fps = Multimodal.audioFingerprint(Seq(
+      (1L, Multimodal.synthWavFromAmps(1, 8000, bits, amps(pert = false),
+        junkLen = 3)),
+      (2L, Multimodal.synthWavFromAmps(1, 8000, bits, amps(pert = true),
+        junkLen = 17)))
+      .toDF("media_id", "data"))
+    val pairs = Multimodal.audioNearDupPairs(fps, maxHamming = 8).collect()
+    assert(pairs.length == 1)
+    val hm = pairs.head.getAs[Long]("hamming")
+    assert(hm > 0L && hm <= 8L,
+      s"window NOTs should move a few bits, got $hm")
+  }
+
   test("the codec seam runs the REAL decoder end to end over real bytes") {
     val s = spark
     import s.implicits._
