@@ -563,9 +563,14 @@ object ShardWriter {
 
   /** Read a shard-file directory back as `(shard, data)` blob rows —
     * refusing a directory without the `_SUCCESS` marker (a crashed or
-    * in-progress write is not data). The distributed `binaryFile`
-    * source does the scan; shard ids come from the file names the
-    * writer controls. */
+    * in-progress write is not data), and returning ONLY shards the
+    * persisted manifest describes (the
+    * [[graft.streaming.StreamShardEmit.readSealedFiles]] discipline): a
+    * file a foreign writer dropped into the directory — which an
+    * incremental [[syncFiles]] would neither rewrite nor delete — is
+    * invisible, never phantom data. The distributed `binaryFile` source
+    * does the scan; shard ids come from the file names the writer
+    * controls. */
   def readShardFiles(spark: SparkSession, dir: String,
       ext: String = "tfrecord"): DataFrame = {
     require(ext.matches("[A-Za-z0-9]+"), s"bad extension: $ext")
@@ -573,12 +578,15 @@ object ShardWriter {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(root, "_SUCCESS")),
       s"$dir has no _SUCCESS marker — incomplete, crashed, or not a shard directory")
+    val described = spark.read
+      .parquet(new Path(root, "_manifest").toString).select(col("shard"))
     spark.read.format("binaryFile")
       .option("pathGlobFilter", s"shard-*.$ext").load(dir)
       .select(
         regexp_extract(col("path"), s"shard-(\\d+)\\.$ext$$", 1)
           .cast("long").as("shard"),
         col("content").as("data"))
+      .join(broadcast(described), Seq("shard"), "left_semi")
   }
 
   /** The persisted manifest of a `_SUCCESS`-gated shard directory. */

@@ -228,6 +228,28 @@ class ShardFilesSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("shard")).toSet == Set(0L, 1L))
   }
 
+  test("an undescribed shard file is invisible to readers, even across a sync") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft-files-foreign")
+    def corpus(v2: Boolean) =
+      Seq((0L, 0L, "a"), (1L, 1L, if (v2) "b2" else "b"))
+        .map { case (sh, o, t) => (sh, o, t.getBytes("UTF-8")) }
+        .toDF("shard", "order", "payload")
+    ShardWriter.syncTfRecordShardFiles(corpus(v2 = false), dir)
+    // a foreign writer drops an undescribed file into the marked dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-99999.tfrecord"),
+      Array[Byte](1, 2, 3))
+    assert(ShardWriter.readShardFiles(spark, dir, "tfrecord")
+      .collect().map(_.getAs[Long]("shard")).toSet == Set(0L, 1L))
+    // the incremental sync neither rewrites nor deletes it (it is in
+    // neither manifest) — readers must STILL not see it
+    ShardWriter.syncTfRecordShardFiles(corpus(v2 = true), dir)
+    assert(ShardWriter.readShardFiles(spark, dir, "tfrecord")
+      .collect().map(_.getAs[Long]("shard")).toSet == Set(0L, 1L))
+  }
+
   test("sampleManifest equals the framed tar manifest without moving payloads") {
     val s = spark
     import s.implicits._
