@@ -1321,6 +1321,18 @@ object SparkEntry {
           col("h.width").as("width"), col("h.height").as("height"))
         .orderBy(col("media_id")).limit(500)),
 
+    // REAL frame decode through the codec seam — the video twin of
+    // q_image_features at FRAME grain: Y4mCodec walks the y4m stream
+    // (header params, FRAME markers, planar payloads — every third doc
+    // carries an unknown header param, every fifth a FRAME param) into
+    // integer-exact per-frame stats; the oracle re-derives the same
+    // sums from the fixture's (s + 3x + 7y + 11p + 13f) % 251 formula —
+    // the decoder proven against the generator, cross-engine
+    "q_video_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoFrameStats(
+        graft.multimodal.Multimodal.videoPixelTable(Tables.documents(s, dir)))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
     // WARC crawl-container framing: real ISO 28500 streams (one blob per
     // (source, bucket), Content-Length framing, skip-worthy extra
     // headers) split back into records by warc_records; the oracle
@@ -5098,6 +5110,38 @@ object SparkEntry {
            |SELECT media_id, format, major_brand, timescale, duration_ms,
            |       n_tracks, width, height
            |FROM vid ORDER BY media_id LIMIT 500""".stripMargin,
+
+      // video-frame oracle: per-seed, per-frame pixel stats re-derived
+      // from the fixture's plane-value formula — the Spark side must
+      // decode ACTUAL y4m container bytes (headers, FRAME markers,
+      // planar layout) to reproduce them
+      "q_video_features" -> {
+        val M = graft.multimodal.Multimodal
+        s"""WITH vseeds AS (SELECT DISTINCT doc_id % ${M.VidSeedMod} AS s FROM documents),
+           |vdims AS (SELECT s, CAST(1 + s % ${M.VidPxWMod} AS BIGINT) AS w,
+           |            CAST(1 + s % ${M.VidPxHMod} AS BIGINT) AS h,
+           |            CAST(1 + s % ${M.VidPxFrMod} AS BIGINT) AS nf,
+           |            CAST(CASE WHEN s % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS ch
+           |          FROM vseeds),
+           |vfr AS (SELECT s, w, h, ch, unnest(range(nf)) AS f FROM vdims),
+           |vpl AS (SELECT s, w, h, ch, f, unnest(range(ch)) AS p FROM vfr),
+           |vx AS (SELECT s, w, h, ch, f, p, unnest(range(w)) AS x FROM vpl),
+           |vxy AS (SELECT s, w, h, ch, f, p, x, unnest(range(h)) AS y FROM vx),
+           |vval AS (SELECT s, w, h, ch, f,
+           |           CAST((s + 3*x + 7*y + 11*p + 13*f) % ${M.PxValMod} AS BIGINT) AS v
+           |         FROM vxy),
+           |vstat AS (SELECT s, w, h, ch, f,
+           |            CAST(count(*) AS BIGINT) AS n_values,
+           |            min(v) AS min_v, max(v) AS max_v,
+           |            CAST(sum(v) AS BIGINT) AS sum_v
+           |          FROM vval GROUP BY s, w, h, ch, f)
+           |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           |       w AS width, h AS height, ch AS channels,
+           |       n_values, min_v, max_v, sum_v
+           |FROM documents JOIN vstat
+           |  ON documents.doc_id % ${M.VidSeedMod} = vstat.s
+           |ORDER BY media_id, frame_idx""".stripMargin
+      },
 
       // WARC framing oracle: never parses bytes — record sizes fall out
       // of the template arithmetic (the shared WarcFixedOverhead constant

@@ -843,6 +843,97 @@ object Multimodal {
         min(col("media_id")).as("min_media"),
         max(col("media_id")).as("max_media"))
 
+  /** Shared gate/oracle constants for the synthetic y4m pixel corpus —
+    * the video twin of the PxWidthMod family: per seed
+    * `s = doc_id % VidSeedMod`, frame dims are `1 + s % VidPxWMod` ×
+    * `1 + s % VidPxHMod`, frame count `1 + s % VidPxFrMod`, colorspace
+    * mono (even seeds) or 444 (odd), and plane byte
+    * `(s + 3x + 7y + 11p + 13f) % PxValMod`. */
+  val VidSeedMod = 11
+  val VidPxWMod = 12
+  val VidPxHMod = 9
+  val VidPxFrMod = 5
+
+  /** Deterministic corpus of REAL YUV4MPEG2 streams — the frame leg of
+    * the real-decode fixtures ([[imagePixelTable]]'s video twin): per
+    * seed, formula-valued planar frames in a live y4m container; every
+    * third doc carries an unknown `X` header parameter and every fifth
+    * a FRAME-line parameter, so the decoder's skip paths are exercised
+    * by the gate, not just by specs. Container bytes vary per doc while
+    * pixels depend only on the seed. */
+  def videoPixelTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = (docId % VidSeedMod).toInt
+        val w = 1 + s % VidPxWMod
+        val h = 1 + s % VidPxHMod
+        val nf = 1 + s % VidPxFrMod
+        val cs = if (s % 2 == 0) "mono" else "444"
+        val ch = if (cs == "mono") 1 else 3
+        val frames = (0 until nf).map { f =>
+          val b = new Array[Byte](ch * w * h)
+          var p = 0
+          while (p < ch) {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                b(p * w * h + y * w + x) =
+                  ((s + 3 * x + 7 * y + 11 * p + 13 * f) % PxValMod).toByte
+                x += 1
+              }
+              y += 1
+            }
+            p += 1
+          }
+          b
+        }
+        (docId, source, Y4mCodec.encode(w, h, cs, frames,
+          headerExtra = if (docId % 3 == 0) " Xgraft" else "",
+          frameExtra = if (docId % 5 == 0) " Xf" else ""))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** Integer-exact per-FRAME pixel audit over REAL decoded y4m streams —
+    * the gate surface of [[Y4mCodec]], at frame grain so the decoder's
+    * frame boundaries are pinned, not just stream totals: per (media,
+    * frame), the plane byte count and min/max/sum. Undecodable rows
+    * report one `frame_idx = -1, channels = -1` row with zero stats —
+    * present, never dropped, never an exception. */
+  def videoFrameStats(videos: DataFrame): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.select(col("media_id").cast("long").as("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          Y4mCodec.decode(data) match {
+            case Some(v) if v.frames.nonEmpty =>
+              v.frames.zipWithIndex.map { case (f, fi) =>
+                var k = 0
+                var mn = 255L
+                var mx = 0L
+                var sum = 0L
+                while (k < f.length) {
+                  val px = (f(k) & 0xff).toLong
+                  if (px < mn) mn = px
+                  if (px > mx) mx = px
+                  sum += px
+                  k += 1
+                }
+                (id, fi.toLong, v.width.toLong, v.height.toLong,
+                  v.channels.toLong, f.length.toLong, mn, mx, sum)
+              }
+            case _ => Seq((id, -1L, 0L, 0L, -1L, 0L, 0L, 0L, 0L))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "channels",
+        "n_values", "min_v", "max_v", "sum_v")
+  }
+
   /** Shared gate/oracle constant for the synthetic MP4 corpus: movie
     * duration units derive as `1 + n_chars % VidDurMod`. */
   val VidDurMod = 100000

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Multimodal, Y4mCodec}
+
+/** Y4mCodec's decode contract, pinned against HAND-ASSEMBLED streams
+  * built without the encoder — an encoder/decoder pair agreeing on a
+  * wrong layout would still fail here. */
+class Y4mCodecSpec extends SparkSpec {
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  test("hand-built mono stream decodes frame-exactly") {
+    val f0 = Array.tabulate[Byte](6)(i => i.toByte)        // 3x2 mono
+    val f1 = Array.tabulate[Byte](6)(i => (10 + i).toByte)
+    val y4m = ascii("YUV4MPEG2 W3 H2 F25:1 Ip A1:1 Cmono\n") ++
+      ascii("FRAME\n") ++ f0 ++ ascii("FRAME\n") ++ f1
+    val v = Y4mCodec.decode(y4m).get
+    assert(v.width == 3 && v.height == 2 && v.channels == 1)
+    assert(v.frames.length == 2)
+    assert(v.frames(0).toSeq == f0.toSeq && v.frames(1).toSeq == f1.toSeq)
+  }
+
+  test("444 and 420jpeg frame sizes; unknown header/frame params skipped") {
+    // 2x2 C444: 12 bytes per frame; unknown X params on both lines
+    val f = Array.tabulate[Byte](12)(i => (i * 3).toByte)
+    val v = Y4mCodec.decode(
+      ascii("YUV4MPEG2 W2 H2 Xsome:meta C444\n") ++
+        ascii("FRAME Xtimecode=1\n") ++ f).get
+    assert(v.channels == 3 && v.frameBytes == 12 &&
+      v.frames.head.toSeq == f.toSeq)
+    // 4x2 C420jpeg: 8 luma + 2*(2*1) chroma = 12 bytes; C default is
+    // 420jpeg when absent
+    val g = Array.tabulate[Byte](12)(i => (i * 5).toByte)
+    val v420 = Y4mCodec.decode(
+      ascii("YUV4MPEG2 W4 H2\n") ++ ascii("FRAME\n") ++ g).get
+    assert(v420.colorspace == "420jpeg" && v420.frameBytes == 12)
+  }
+
+  test("adversarial streams decode to None, never throw") {
+    val good = ascii("YUV4MPEG2 W3 H2 Cmono\n") ++ ascii("FRAME\n") ++
+      new Array[Byte](6)
+    assert(Y4mCodec.decode(good).isDefined)
+    // bad magic / missing newline / unknown colorspace / odd 420 dims
+    assert(Y4mCodec.decode(ascii("YUV4MPEG3 W3 H2 Cmono\nFRAME\n")).isEmpty)
+    assert(Y4mCodec.decode(ascii("YUV4MPEG2 W3 H2 Cmono")).isEmpty)
+    assert(Y4mCodec.decode(ascii("YUV4MPEG2 W3 H2 Cweird\nFRAME\n")).isEmpty)
+    assert(Y4mCodec.decode(
+      ascii("YUV4MPEG2 W3 H3\n") ++ ascii("FRAME\n") ++
+        new Array[Byte](14)).isEmpty) // 420 needs even dims
+    // truncated payload / garbage between frames / giant claimed dims
+    assert(Y4mCodec.decode(good.dropRight(1)).isEmpty)
+    assert(Y4mCodec.decode(good ++ ascii("JUNK")).isEmpty)
+    assert(Y4mCodec.decode(good ++ ascii("FRAMEX\n") ++
+      new Array[Byte](6)).isEmpty)
+    assert(Y4mCodec.decode(
+      ascii("YUV4MPEG2 W999999 H999999 Cmono\nFRAME\n")).isEmpty)
+    assert(Y4mCodec.decode(ascii("YUV4MPEG2 W-3 H2 Cmono\n")).isEmpty)
+    assert(Y4mCodec.decode(null).isEmpty)
+    // property loop: random bytes never throw
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Y4mCodec.decode(ascii("YUV4MPEG2") ++ b)
+      Y4mCodec.decode(b)
+    }
+  }
+
+  test("sampleFrames extracts real frames; resize crops whole frames and re-parses") {
+    val frames = (0 until 5).map(f =>
+      Array.tabulate[Byte](6)(i => (f * 10 + i).toByte))
+    val y4m = Y4mCodec.encode(3, 2, "mono", frames)
+    val sampled = Y4mCodec.sampleFrames(y4m, frameBytes = 6, stride = 2)
+    assert(sampled.map(_.toSeq) ==
+      Seq(frames(0).toSeq, frames(2).toSeq, frames(4).toSeq))
+    // truncation to frameBytes
+    assert(Y4mCodec.sampleFrames(y4m, frameBytes = 4, stride = 2)
+      .head.toSeq == frames(0).take(4).toSeq)
+    // resize keeps whole frames and yields a valid stream
+    val clipped = Y4mCodec.resize(y4m, targetBytes = 13) // 2 frames fit
+    val v = Y4mCodec.decode(clipped).get
+    assert(v.frames.length == 2 &&
+      v.frames(1).toSeq == frames(1).toSeq)
+    // inside the bound or undecodable: pass-through
+    assert(Y4mCodec.resize(y4m, targetBytes = 1 << 20).eq(y4m))
+    val junk = ascii("not a video")
+    assert(Y4mCodec.resize(junk, 4).eq(junk))
+  }
+
+  test("the codec seam runs the REAL frame decoder end to end over real bytes") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a" * 123, "en", "web", 123L),
+      (1L, "b" * 502, "en", "web", 502L),
+      (2L, "c" * 999, "en", "book", 999L),
+      (7L, "d" * 77, "en", "book", 77L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.videoPixelTable(docs)
+      .select(col("media_id"), lit("video").as("kind"), lit("y4m").as("format"),
+        col("data"), lit(-1).as("width"), lit(-1).as("height"),
+        lit(-1).as("sample_rate"), lit(0L).as("duration_ms"))
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(media),
+      codec = Y4mCodec).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.features.length == Y4mCodec.FeatureDim))
+    // real y4m bytes always decode: histogram mass present on every row
+    assert(feats.forall(_.features.drop(4).sum > 0.99f))
+    // frame stats match a hand computation for one doc
+    val stats = Multimodal.videoFrameStats(
+      Multimodal.videoPixelTable(docs)).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("n_values"), r.getAs[Long]("sum_v"))).toMap
+    // doc 2: s=2, w=3, h=3, nf=3, mono
+    val want = (0 until 3).map { f =>
+      val vals = for (y <- 0 until 3; x <- 0 until 3)
+        yield (2 + 3 * x + 7 * y + 13 * f) % 251
+      (f.toLong, (vals.size.toLong, vals.map(_.toLong).sum))
+    }.toMap
+    want.foreach { case (f, (n, sum)) =>
+      assert(stats((2L, f)) == ((n, sum)))
+    }
+    // undecodable media reports the sentinel row, never drops
+    val bad = Seq((99L, "nope".getBytes("US-ASCII")))
+      .toDF("media_id", "data")
+    val sentinel = Multimodal.videoFrameStats(bad).collect()
+    assert(sentinel.length == 1 &&
+      sentinel.head.getAs[Long]("channels") == -1L &&
+      sentinel.head.getAs[Long]("frame_idx") == -1L)
+  }
+}
