@@ -248,28 +248,36 @@ object SparkEntry {
     * point of diffing manifests before re-emitting. */
   private val IncShards = 64
 
+  /** Clone-id offset for the synthetic v2 corpora: far above any scale
+    * factor's real doc_id range (2^40 ≈ 1.1e12 — even a 100 TB corpus
+    * is orders of magnitude fewer documents), so clone ids can NEVER
+    * collide with real ones. A collision would make duplicate
+    * (shard, order) keys whose tie order turns the incremental-gate
+    * digests nondeterministic on both engines. */
+  private val V2CloneOffset = 1L << 40
+
   /** THE v2 corpus of every incremental gate (q_shard_incremental and
     * the _apply / files-sync family) — one definition so the gate-side
     * perturbation recipe can never drift from [[v2Cte]], its oracle
     * twin: drop every 7th doc, append " v2" to every 11th, clone every
-    * 13th under doc_id + 1e6. */
+    * 13th under doc_id + [[V2CloneOffset]]. */
   private def v2Of(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + V2CloneOffset).as("doc_id"), col("text")))
 
   /** Oracle twin of [[v2Of]] — the `curr` CTE body shared by the
     * incremental oracles. */
   private val v2Cte: String =
-    """curr AS (
+    s"""curr AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
       |  FROM documents WHERE doc_id % 7 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+      |  SELECT doc_id + $V2CloneOffset AS doc_id, text FROM documents WHERE doc_id % 13 = 0)""".stripMargin
 
   /** The crawl-extraction + curation arc shared by q_crawl_to_corpus and
     * q_corpus_to_shards: five-layer parse (gzip members → WARC payload →
@@ -2451,7 +2459,7 @@ object SparkEntry {
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       val added = docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + V2CloneOffset).as("doc_id"), col("text"))
       Dedup.snapshotDiff(docs, kept.unionByName(added), "doc_id", col("text"))
         .orderBy(col("doc_id"))
     }),
@@ -6606,12 +6614,12 @@ object SparkEntry {
       // snapshot diff: identical digest-only full outer join over the same
       // synthetic v2 construction
       "q_corpus_diff" ->
-        """WITH curr AS (
+        s"""WITH curr AS (
           |  SELECT doc_id,
           |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
           |  FROM documents WHERE doc_id % 7 <> 0
           |  UNION ALL
-          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+          |  SELECT doc_id + $V2CloneOffset AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
           |p AS (SELECT doc_id, md5(text) AS prev_hash FROM documents),
           |c AS (SELECT doc_id, md5(text) AS curr_hash FROM curr)
           |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,

@@ -511,14 +511,28 @@ object ShardWriter {
     * everywhere at once. */
   private[graft] def writeBlob(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, name: String, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(dir, s"_tmp.$name")
+    val tmp = fs.makeQualified(new Path(dir, s"_tmp.$name"))
     val out = fs.create(tmp, true)
     try out.write(Option(bytes).getOrElse(Array.emptyByteArray))
     finally out.close()
-    val dst = new Path(dir, name)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    val dst = fs.makeQualified(new Path(dir, name))
+    // ATOMIC overwrite-rename where the FileSystem supports it
+    // (FileContext exposes Options.Rename.OVERWRITE; plain
+    // FileSystem.rename has no overwrite flag) — so a reader of a live
+    // landing dir never sees the delete→rename gap where a
+    // manifest-described blob is transiently missing during a
+    // micro-batch replay. Filesystems without a FileContext binding
+    // fall back to delete-then-rename; their readers keep the
+    // manifest-join discipline as the safety net.
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
   }
 
   /** The distributed blob-landing pass shared by the full writer and the

@@ -44,6 +44,19 @@ import graft.multimodal.ShardWriter
   * the budget-sealed set. */
 object StreamShardEmit {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(StreamShardEmit.getClass)
+
+  /** The keepalive's silent misconfiguration is a busy loop
+    * (`shouldRunAnotherBatch` is unconditionally true under
+    * ProcessingTimeTimeout, so the default as-fast-as-possible trigger
+    * schedules timeout-only batches forever) — warn at query-build time
+    * since the query itself still "works". */
+  private def warnKeepalive(where: String): Unit =
+    log.warn(s"$where: idleFlushMs > 0 arms a processing-time state " +
+      "timeout — pair the query with Trigger.ProcessingTime(...) or the " +
+      "engine will busy-loop empty micro-batches")
+
   final case class DocEvent(stream: String, seq: Long, payload: Array[Byte])
 
   final case class ShardState(shardSeq: Long, fill: Long,
@@ -132,6 +145,7 @@ object StreamShardEmit {
       idleFlushMs: Long = 0L): Dataset[SealedShard] = {
     requireBudget(budgetBytes)
     require(idleFlushMs >= 0L, s"idleFlushMs must be >= 0: $idleFlushMs")
+    if (idleFlushMs > 0L) warnKeepalive("emit")
     import events.sparkSession.implicits._
     val step: (String, Iterator[DocEvent], GroupState[ShardState]) => Iterator[SealedShard] = {
       case (stream, rows, state) =>
@@ -376,6 +390,7 @@ object StreamShardEmit {
       idleFlushMs: Long = 0L): Dataset[SealedWdsShard] = {
     requireBudget(budgetBytes)
     require(idleFlushMs >= 0L, s"idleFlushMs must be >= 0: $idleFlushMs")
+    if (idleFlushMs > 0L) warnKeepalive("emitWds")
     import events.sparkSession.implicits._
     val step: (String, Iterator[SampleEvent], GroupState[WdsState]) => Iterator[SealedWdsShard] = {
       case (stream, rows, state) =>
