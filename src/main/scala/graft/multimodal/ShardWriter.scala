@@ -509,30 +509,29 @@ object ShardWriter {
     * through this one temp-write+rename sequence, so a hardening (fsync
     * before rename, object-store overwrite flags, tmp cleanup) lands
     * everywhere at once. */
+  /** Rename discipline is delete-then-rename, NOT an overwrite-capable
+    * `FileContext.rename(..., OVERWRITE)`, deliberately: FileContext's
+    * local binding is RawLocalFs while `fs.create` writes through
+    * ChecksumFileSystem, so an fc rename strands the `.crc` sidecars —
+    * and it benchmarked ~25 ms per blob (2-3x on the blob-per-file sync
+    * paths). The cost of delete-then-rename is a transient window where
+    * a REPLAYED blob (identical bytes being rewritten in place) is
+    * momentarily absent; every reader of a live landing dir is
+    * manifest-joined ([[readShardFiles]],
+    * [[graft.streaming.StreamShardEmit.readSealedFiles]]), so the row
+    * drops from that read and reappears — never phantom or torn data.
+    * First writes (the non-replay case) are unaffected: the destination
+    * doesn't exist yet, so they stay atomic-or-absent. */
   private[graft] def writeBlob(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, name: String, bytes: Array[Byte]): Unit = {
-    val tmp = fs.makeQualified(new Path(dir, s"_tmp.$name"))
+    val tmp = new Path(dir, s"_tmp.$name")
     val out = fs.create(tmp, true)
     try out.write(Option(bytes).getOrElse(Array.emptyByteArray))
     finally out.close()
-    val dst = fs.makeQualified(new Path(dir, name))
-    // ATOMIC overwrite-rename where the FileSystem supports it
-    // (FileContext exposes Options.Rename.OVERWRITE; plain
-    // FileSystem.rename has no overwrite flag) — so a reader of a live
-    // landing dir never sees the delete→rename gap where a
-    // manifest-described blob is transiently missing during a
-    // micro-batch replay. Filesystems without a FileContext binding
-    // fall back to delete-then-rename; their readers keep the
-    // manifest-join discipline as the safety net.
-    try {
-      org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, fs.getConf)
-        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"rename $tmp -> $dst failed")
-    }
+    val dst = new Path(dir, name)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
   /** The distributed blob-landing pass shared by the full writer and the
