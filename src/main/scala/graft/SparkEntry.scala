@@ -501,6 +501,106 @@ object SparkEntry {
        |  UNION ALL SELECT fp_hi, fp_lo, n_media, 3, (fp_hi // 65536) % 65536 FROM nanodes)""".stripMargin
   }
 
+  /** The q_video_fingerprint / q_video_dups oracles' shared chain — the
+    * [[audioFpCte]] twin over decoded y4m planes: per SEED it re-derives
+    * the fixture's plane byte at every concatenated-stream index k
+    * (frame-major decomposition `x = k%w, y = (k//w)%h, p = (k//wh)%ch,
+    * f = k//whc`), the 65 pooled windows, and every cross-multiplied
+    * mean-compare bit. */
+  private def videoFpCte: String = {
+    val M = graft.multimodal.Multimodal
+    s"""vdseeds AS (SELECT DISTINCT doc_id % ${M.VidDupSeedMod} AS s FROM documents),
+       |vdn AS (SELECT s,
+       |          CAST(CASE WHEN s % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS ch,
+       |          CAST(8 + s AS BIGINT) AS w, CAST(6 + s % 4 AS BIGINT) AS h,
+       |          CAST(2 + s % 3 AS BIGINT) AS nf
+       |        FROM vdseeds),
+       |vdsz AS (SELECT s, ch, w, h, nf, ch*w*h*nf AS n FROM vdn),
+       |vdsamp AS (SELECT s, ch, w, h, n, unnest(range(n)) AS k FROM vdsz),
+       |vdval AS (SELECT s, n, k,
+       |            (s + 3*(k % w) + 7*((k // w) % h)
+       |               + 11*((k // (w*h)) % ch)
+       |               + 13*(k // (w*h*ch))) % ${M.PxValMod} AS v
+       |          FROM vdsamp),
+       |vdwin AS (SELECT s, (k*65)//n AS w, CAST(sum(v) AS BIGINT) AS sm,
+       |            CAST(count(*) AS BIGINT) AS c
+       |          FROM vdval GROUP BY s, (k*65)//n),
+       |vdbits AS (SELECT x.s, x.w AS i,
+       |             CASE WHEN y.sm*x.c > x.sm*y.c THEN 1 ELSE 0 END AS bit
+       |           FROM vdwin x JOIN vdwin y ON y.s = x.s AND y.w = x.w + 1
+       |           WHERE x.w < 64),
+       |vdfp AS (SELECT s,
+       |    CAST(sum(CASE WHEN i >= 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_hi,
+       |    CAST(sum(CASE WHEN i < 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_lo
+       |  FROM vdbits GROUP BY s),
+       |vdhs AS (SELECT z.s, z.ch, z.nf, z.n,
+       |           COALESCE(f.fp_hi, 0) AS fp_hi,
+       |           COALESCE(f.fp_lo, 0) AS fp_lo
+       |         FROM vdsz z LEFT JOIN vdfp f USING (s))""".stripMargin
+  }
+
+  /** The q_video_near_dups oracle chain — [[videoFpCte]] extended to the
+    * (seed, perturbed) grain: the fixture inverts (`250 - v`) every
+    * plane byte in [[graft.multimodal.Multimodal.VidNearPertWindows]],
+    * and the node set is the DISTINCT fingerprints the doc population
+    * produces, banded into four exact 16-bit slices. */
+  private def nearVideoFpCte: String = {
+    val M = graft.multimodal.Multimodal
+    val pertIn = M.VidNearPertWindows.mkString("(", ", ", ")")
+    s"""nvseeds AS (SELECT DISTINCT doc_id % ${M.VidDupSeedMod} AS s,
+       |              CAST(doc_id % 3 = 0 AS INT) AS pert FROM documents),
+       |nvn AS (SELECT s, pert,
+       |          CAST(CASE WHEN s % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS ch,
+       |          CAST(8 + s AS BIGINT) AS w, CAST(6 + s % 4 AS BIGINT) AS h,
+       |          CAST(2 + s % 3 AS BIGINT) AS nf
+       |        FROM nvseeds),
+       |nvsz AS (SELECT s, pert, ch, w, h, nf, ch*w*h*nf AS n FROM nvn),
+       |nvsamp AS (SELECT s, pert, ch, w, h, n, unnest(range(n)) AS k FROM nvsz),
+       |nvbase AS (SELECT s, pert, n, k,
+       |             (s + 3*(k % w) + 7*((k // w) % h)
+       |                + 11*((k // (w*h)) % ch)
+       |                + 13*(k // (w*h*ch))) % ${M.PxValMod} AS v0
+       |           FROM nvsamp),
+       |nvval AS (SELECT s, pert, n, k,
+       |            CASE WHEN pert = 1 AND (k*65)//n IN $pertIn
+       |                 THEN 250 - v0 ELSE v0 END AS v
+       |          FROM nvbase),
+       |nvwin AS (SELECT s, pert, (k*65)//n AS w, CAST(sum(v) AS BIGINT) AS sm,
+       |            CAST(count(*) AS BIGINT) AS c
+       |          FROM nvval GROUP BY s, pert, (k*65)//n),
+       |nvbits AS (SELECT x.s, x.pert, x.w AS i,
+       |             CASE WHEN y.sm*x.c > x.sm*y.c THEN 1 ELSE 0 END AS bit
+       |           FROM nvwin x JOIN nvwin y
+       |             ON y.s = x.s AND y.pert = x.pert AND y.w = x.w + 1
+       |           WHERE x.w < 64),
+       |nvfp AS (SELECT s, pert,
+       |    CAST(sum(CASE WHEN i >= 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_hi,
+       |    CAST(sum(CASE WHEN i < 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |         ELSE 0 END) AS BIGINT) AS fp_lo
+       |  FROM nvbits GROUP BY s, pert),
+       |nvhs AS (SELECT a.s, a.pert, COALESCE(f.fp_hi, 0) AS fp_hi,
+       |           COALESCE(f.fp_lo, 0) AS fp_lo
+       |         FROM nvn a LEFT JOIN nvfp f USING (s, pert)),
+       |nvnodes AS (SELECT fp_hi, fp_lo,
+       |              CAST(count(*) AS BIGINT) AS n_media
+       |            FROM documents d JOIN nvhs
+       |              ON d.doc_id % ${M.VidDupSeedMod} = nvhs.s
+       |             AND CAST(d.doc_id % 3 = 0 AS INT) = nvhs.pert
+       |            GROUP BY 1, 2),
+       |nvbands AS (
+       |  SELECT fp_hi, fp_lo, n_media, 0 AS bi, fp_lo % 65536 AS bv FROM nvnodes
+       |  UNION ALL SELECT fp_hi, fp_lo, n_media, 1, (fp_lo // 65536) % 65536 FROM nvnodes
+       |  UNION ALL SELECT fp_hi, fp_lo, n_media, 2, fp_hi % 65536 FROM nvnodes
+       |  UNION ALL SELECT fp_hi, fp_lo, n_media, 3, (fp_hi // 65536) % 65536 FROM nvnodes)""".stripMargin
+  }
+
   /** Oracle-side twin of [[graft.multimodal.ShardWriter.tarMemberAtom]]:
     * the `<name-length>:<name>:<md5>` digest atom as DuckDB SQL over a
     * name expression and an md5 expression. Length in CHARACTERS
@@ -1298,6 +1398,41 @@ object SparkEntry {
       graft.multimodal.Multimodal.audioNearDupPairs(
         graft.multimodal.Multimodal.audioFingerprint(
           graft.multimodal.Multimodal.audioNearDupTable(
+            Tables.documents(s, dir))),
+        maxHamming = NearDupMaxHamming)
+        .orderBy(col("fp_hi_a"), col("fp_lo_a"),
+          col("fp_hi_b"), col("fp_lo_b"))),
+
+    // perceptual video fingerprint over REAL decoded y4m frames — the
+    // modality that completes the triad: 65 pooled windows over the
+    // concatenated plane-byte stream, bit i = window i+1's mean exceeds
+    // window i's (cross-multiplied); the fixture renders pixel-identical
+    // streams through doc-varied unknown header parameters, so the
+    // fingerprint must see through the container bytes to the frames
+    "q_video_fingerprint" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoFingerprint(
+        graft.multimodal.Multimodal.videoDupTable(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+
+    // the dedup half: exact-duplicate video clusters by fingerprint —
+    // one hash-keyed aggregation, the imageDupClusters shape
+    "q_video_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoDupClusters(
+        graft.multimodal.Multimodal.videoFingerprint(
+          graft.multimodal.Multimodal.videoDupTable(
+            Tables.documents(s, dir))))
+        .orderBy(col("fp_hi"), col("fp_lo"))),
+
+    // NEAR-dup video by banded perceptual fingerprint — the
+    // q_image_near_dups machinery over the video modality: distinct
+    // fingerprint nodes, four exact 16-bit bit-slice bands, codegen
+    // bit_count Hamming filter; the fixture inverts four pooled pixel
+    // windows of every third doc's frames so each seed yields an
+    // (original, perturbed) fingerprint pair the banding must relate
+    "q_video_near_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoNearDupPairs(
+        graft.multimodal.Multimodal.videoFingerprint(
+          graft.multimodal.Multimodal.videoNearDupTable(
             Tables.documents(s, dir))),
         maxHamming = NearDupMaxHamming)
         .orderBy(col("fp_hi_a"), col("fp_lo_a"),
@@ -5083,6 +5218,49 @@ object SparkEntry {
            |       CAST(bit_count(xor(fp_hi_a, fp_hi_b))
            |          + bit_count(xor(fp_lo_a, fp_lo_b)) AS BIGINT) AS hamming
            |FROM cand
+           |WHERE bit_count(xor(fp_hi_a, fp_hi_b))
+           |    + bit_count(xor(fp_lo_a, fp_lo_b)) <= $NearDupMaxHamming
+           |ORDER BY fp_hi_a, fp_lo_a, fp_hi_b, fp_lo_b""".stripMargin,
+
+      // video-fingerprint oracle: the shared seed chain re-derives every
+      // pooled plane-byte window and mean-compare bit from the pixel
+      // formula — the Spark side decodes real (byte-diverse) y4m
+      // containers to the same 64 bits
+      "q_video_fingerprint" ->
+        s"""WITH $videoFpCte
+           |SELECT doc_id AS media_id, vdhs.ch AS channels,
+           |       vdhs.nf AS n_frames, vdhs.n AS n_values,
+           |       vdhs.fp_hi, vdhs.fp_lo
+           |FROM documents JOIN vdhs
+           |  ON documents.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = vdhs.s
+           |ORDER BY media_id""".stripMargin,
+
+      // video-dup oracle: the same seed fingerprints grouped at HASH
+      // level, mirroring the engine's hash-keyed aggregation
+      "q_video_dups" ->
+        s"""WITH $videoFpCte
+           |SELECT vdhs.fp_hi, vdhs.fp_lo, CAST(count(*) AS BIGINT) AS n_media,
+           |       min(doc_id) AS min_media, max(doc_id) AS max_media
+           |FROM documents JOIN vdhs
+           |  ON documents.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = vdhs.s
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // video near-dup oracle: the perturbed fingerprint chain yields
+      // the node set, banding + exact bit_count Hamming replayed on
+      // candidates — both engines see exactly the pairs the 4-band
+      // index can see
+      "q_video_near_dups" ->
+        s"""WITH $nearVideoFpCte,
+           |vcand AS (SELECT DISTINCT
+           |    a.fp_hi AS fp_hi_a, a.fp_lo AS fp_lo_a, a.n_media AS n_a,
+           |    b.fp_hi AS fp_hi_b, b.fp_lo AS fp_lo_b, b.n_media AS n_b
+           |  FROM nvbands a JOIN nvbands b ON a.bi = b.bi AND a.bv = b.bv
+           |  WHERE a.fp_hi < b.fp_hi
+           |     OR (a.fp_hi = b.fp_hi AND a.fp_lo < b.fp_lo))
+           |SELECT fp_hi_a, fp_lo_a, n_a, fp_hi_b, fp_lo_b, n_b,
+           |       CAST(bit_count(xor(fp_hi_a, fp_hi_b))
+           |          + bit_count(xor(fp_lo_a, fp_lo_b)) AS BIGINT) AS hamming
+           |FROM vcand
            |WHERE bit_count(xor(fp_hi_a, fp_hi_b))
            |    + bit_count(xor(fp_lo_a, fp_lo_b)) <= $NearDupMaxHamming
            |ORDER BY fp_hi_a, fp_lo_a, fp_hi_b, fp_lo_b""".stripMargin,

@@ -843,6 +843,164 @@ object Multimodal {
         min(col("media_id")).as("min_media"),
         max(col("media_id")).as("max_media"))
 
+  /** Seed modulus for the duplicate-video fixture (the [[AudSeedMod]]
+    * twin): docs sharing `doc_id % VidDupSeedMod` render PIXEL-identical
+    * y4m streams whose container bytes differ (doc-varied unknown
+    * header parameters). Per seed: mono (even) or 444 (odd), frame dims
+    * `(8+s) × (6+s%4)`, `2+s%3` frames — every stream ≥ 96 plane bytes
+    * so all 65 fingerprint windows are nonempty. COPRIME with the
+    * near-dup fixture's `doc_id % 3` perturbation grain, so every seed's
+    * doc population contains BOTH an original and a perturbed rendering
+    * (a modulus sharing a factor with 3 would give each seed only one
+    * variant and the near-dup gate nothing to relate). */
+  val VidDupSeedMod = 10
+
+  /** Duplicate-video corpus: ~[[VidDupSeedMod]] distinct pixel streams,
+    * each rendered once per doc with a doc-dependent unknown y4m header
+    * parameter (and a FRAME parameter on every 5th doc) — bytewise all
+    * different, pixelwise clustered. Plane byte k of the concatenated
+    * stream is `(s + 3x + 7y + 11p + 13f) % 251` under the
+    * frame-major/plane-major decomposition the oracle replays. */
+  def videoDupTable(docs: DataFrame): DataFrame =
+    videoDupCorpus(docs, perturb = false)
+
+  /** The video near-dup fixture's perturbed pooled windows (of the
+    * fingerprint's 65): pert docs replace every plane byte in these
+    * with `250 - v` (range-preserving for the 0..250 formula values) —
+    * each perturbed window can flip only its two boundary comparisons,
+    * so the (original, perturbed) fingerprint distance stays ≤ 8.
+    * Shared with the oracle's replay. */
+  val VidNearPertWindows: Seq[Int] = Seq(10, 20, 30, 40)
+
+  /** Near-dup variant of [[videoDupTable]] — the [[audioNearDupTable]]
+    * twin for video: docs with `doc_id % 3 == 0` render the SAME seed
+    * stream with plane bytes in [[VidNearPertWindows]] inverted
+    * (`v' = 250 - v`) — a LOCALIZED pixel edit that moves a few pooled
+    * window-mean comparisons, so each seed yields an (original,
+    * perturbed) fingerprint pair a near-dup pass must relate and an
+    * exact-dup pass must keep apart. Formula-level, oracle-replayed;
+    * container bytes still vary per doc. */
+  def videoNearDupTable(docs: DataFrame): DataFrame =
+    videoDupCorpus(docs, perturb = true)
+
+  private def videoDupCorpus(docs: DataFrame, perturb: Boolean): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pertWindows = VidNearPertWindows.toSet
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = (docId % VidDupSeedMod).toInt
+        val ch = if (s % 2 == 0) 1 else 3
+        val cs = if (ch == 1) "mono" else "444"
+        val w = 8 + s
+        val h = 6 + s % 4
+        val nf = 2 + s % 3
+        val n = ch * w * h * nf
+        val pert = perturb && docId % 3 == 0
+        val frames = (0 until nf).map { f =>
+          val b = new Array[Byte](ch * w * h)
+          var p = 0
+          while (p < ch) {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val k = ((f * ch + p) * h + y) * w + x
+                val v = (s + 3 * x + 7 * y + 11 * p + 13 * f) % PxValMod
+                b(k - f * ch * w * h) =
+                  (if (pert && pertWindows((k.toLong * 65L / n).toInt)) 250 - v
+                   else v).toByte
+                x += 1
+              }
+              y += 1
+            }
+            p += 1
+          }
+          b
+        }
+        (docId, source, Y4mCodec.encode(w, h, cs, frames,
+          headerExtra = s" Xg${docId % 37}",
+          frameExtra = if (docId % 5 == 0) " Xf" else ""))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** Perceptual video fingerprint over REAL decoded y4m frames — the
+    * [[audioFingerprint]] twin for the video modality: the concatenated
+    * plane-byte stream of every frame (frame-major, planes in order) is
+    * pooled into 65 equal windows (integer boundaries `k*65/n`) and bit
+    * `i` says whether window i+1's MEAN value exceeds window i's —
+    * division-free via cross-multiplied (sum, count) pairs, so the
+    * oracle re-derives every bit from the fixture's pixel formula.
+    * Container layout is invisible: two byte-different y4m files with
+    * the same frames fingerprint identically. Undecodable rows report
+    * `channels = -1` with zero hashes. */
+  def videoFingerprint(videos: DataFrame): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.select(col("media_id").cast("long").as("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          Y4mCodec.decode(data) match {
+            case Some(v) if v.frames.nonEmpty =>
+              val n = v.frames.length.toLong * v.frameBytes
+              val sum = new Array[Long](65)
+              val cnt = new Array[Long](65)
+              var fi = 0
+              while (fi < v.frames.length) {
+                val f = v.frames(fi)
+                val base = fi.toLong * v.frameBytes
+                var j = 0
+                while (j < f.length) {
+                  val w = ((base + j) * 65L / n).toInt
+                  sum(w) += (f(j) & 0xff).toLong
+                  cnt(w) += 1L
+                  j += 1
+                }
+                fi += 1
+              }
+              var hash = 0L
+              var i = 0
+              while (i < 64) {
+                // empty windows (n < 65) compare 0 > 0 — bit 0, matching
+                // the oracle's absent-row default
+                if (sum(i + 1) * cnt(i) > sum(i) * cnt(i + 1))
+                  hash |= 1L << i
+                i += 1
+              }
+              (id, v.channels.toLong, v.frames.length.toLong, n,
+                hash >>> 32, hash & 0xffffffffL)
+            case _ => (id, -1L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "channels", "n_frames", "n_values",
+        "fp_hi", "fp_lo")
+  }
+
+  /** Exact-duplicate video clusters by perceptual fingerprint — the
+    * [[imageDupClusters]] shape: one hash-keyed map-side-combinable
+    * aggregation, never a pairwise join. */
+  def videoDupClusters(fps: DataFrame): DataFrame =
+    fps.filter(col("channels") =!= -1L)
+      .groupBy(col("fp_hi"), col("fp_lo"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("media_id")).as("min_media"),
+        max(col("media_id")).as("max_media"))
+
+  /** Video twin of [[imageNearDupPairs]] / [[audioNearDupPairs]]: the
+    * same banded-LSH machinery over DISTINCT perceptual video
+    * fingerprints — near-duplicate renderings of the same footage (a
+    * few perturbed pixel windows, the fixture's knob) land within a
+    * small Hamming distance and share a band; pair volume is bounded by
+    * distinct-fingerprint band collisions, never corpus size. */
+  def videoNearDupPairs(fps: DataFrame, maxHamming: Int = 8): DataFrame =
+    bandedHammingPairs(
+      fps.filter(col("channels") =!= -1L)
+        .groupBy(col("fp_hi"), col("fp_lo"))
+        .agg(count(lit(1)).as("n_media")),
+      hi = "fp_hi", lo = "fp_lo", cnt = "n_media", maxHamming = maxHamming)
+
   /** Shared gate/oracle constants for the synthetic y4m pixel corpus —
     * the video twin of the PxWidthMod family: per seed
     * `s = doc_id % VidSeedMod`, frame dims are `1 + s % VidPxWMod` ×

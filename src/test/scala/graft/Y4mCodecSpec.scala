@@ -130,4 +130,57 @@ class Y4mCodecSpec extends SparkSpec {
       sentinel.head.getAs[Long]("channels") == -1L &&
       sentinel.head.getAs[Long]("frame_idx") == -1L)
   }
+
+  test("perceptual fingerprint sees through byte-diverse containers") {
+    val s = spark
+    import s.implicits._
+    // docs 3 and 13 share seed 3 (mod VidDupSeedMod = 10) but render
+    // byte-different containers (doc-varied unknown header params);
+    // doc 4 is a different seed entirely
+    val docs = Seq(
+      (3L, "a", "en", "web", 1L),
+      (13L, "b", "en", "web", 1L),
+      (4L, "c", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val table = Multimodal.videoDupTable(docs).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("data"))
+      .toMap
+    assert(!java.util.Arrays.equals(table(3L), table(13L)),
+      "same-seed containers must differ bytewise")
+    val fps = Multimodal.videoFingerprint(
+      Multimodal.videoDupTable(docs)).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("fp_hi"), r.getAs[Long]("fp_lo"))).toMap
+    assert(fps(3L) == fps(13L), "pixel-identical streams must collide")
+    assert(fps(3L) != fps(4L), "different seeds must not")
+    // exact-dup clustering is hash-keyed: one cluster of two, one of one
+    val clusters = Multimodal.videoDupClusters(
+      Multimodal.videoFingerprint(Multimodal.videoDupTable(docs)))
+      .collect().map(_.getAs[Long]("n_media")).sorted
+    assert(clusters.toSeq == Seq(1L, 2L))
+  }
+
+  test("near-dup banding relates an original and its inverted-window twin") {
+    val s = spark
+    import s.implicits._
+    // doc 7 renders seed 7 unperturbed; doc 27 (7 mod 10, 0 mod 3)
+    // renders the SAME pixels with the four pert windows inverted —
+    // a localized edit that must land within the banding's reach
+    val docs = Seq(
+      (7L, "a", "en", "web", 1L),
+      (27L, "b", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Multimodal.videoNearDupPairs(
+      Multimodal.videoFingerprint(Multimodal.videoNearDupTable(docs)),
+      maxHamming = 8).collect()
+    assert(pairs.length == 1)
+    val hm = pairs.head.getAs[Long]("hamming")
+    assert(hm > 0L && hm <= 8L,
+      s"window inversions should move a few bits, got $hm")
+    // and the exact-dup pass keeps the two apart
+    val clusters = Multimodal.videoDupClusters(
+      Multimodal.videoFingerprint(Multimodal.videoNearDupTable(docs)))
+      .collect()
+    assert(clusters.length == 2)
+  }
 }
