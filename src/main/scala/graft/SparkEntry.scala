@@ -601,6 +601,57 @@ object SparkEntry {
        |  UNION ALL SELECT fp_hi, fp_lo, n_media, 3, (fp_hi // 65536) % 65536 FROM nvnodes)""".stripMargin
   }
 
+  /** The q_frame_dhash / q_still_frames oracles' shared chain: per
+    * (seed, frame, pert) it re-derives the still-fixture plane values
+    * (`(s + 3x + 7y + 11p + 13f + 5xy) % 251`, pert inverting row 0's
+    * left half per channel), pools the 8×9 dHash grid, and emits every
+    * cross-multiplied cell-compare bit — the video side reads pert = 0
+    * rows over all frames, the image side the `f = s % nf` row at each
+    * doc's own pert flag. */
+  private def frameDHashCte: String = {
+    val M = graft.multimodal.Multimodal
+    def vp(p: Int) =
+      s"((s + 3*x + 7*y + ${11 * p} + 13*f + 5*x*y) % ${M.PxValMod})"
+    def bp(p: Int) =
+      s"(CASE WHEN pert = 1 AND y = 0 AND x < w // 2 THEN 250 - ${vp(p)} ELSE ${vp(p)} END)"
+    s"""fdseeds AS (SELECT DISTINCT doc_id % ${M.VidDupSeedMod} AS s FROM documents),
+       |fdn AS (SELECT s,
+       |          CAST(CASE WHEN s % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS ch,
+       |          CAST(8 + s AS BIGINT) AS w, CAST(6 + s % 4 AS BIGINT) AS h,
+       |          CAST(2 + s % 3 AS BIGINT) AS nf
+       |        FROM fdseeds),
+       |fdf AS (SELECT s, ch, w, h, nf, unnest(range(nf)) AS f FROM fdn),
+       |fdp AS (SELECT s, ch, w, h, nf, f, unnest([0, 1]) AS pert FROM fdf),
+       |fdy AS (SELECT s, ch, w, h, nf, f, pert, unnest(range(h)) AS y FROM fdp),
+       |fdx AS (SELECT s, ch, w, h, nf, f, pert, y, unnest(range(w)) AS x FROM fdy),
+       |fdl AS (SELECT s, f, pert, w, h, x, y,
+       |          CASE WHEN ch = 1 THEN ${bp(0)}
+       |               ELSE ${bp(0)} + ${bp(1)} + ${bp(2)} END AS l
+       |        FROM fdx),
+       |fdcell AS (SELECT s, f, pert, (y*8)//h AS cj, (x*9)//w AS ci,
+       |             CAST(sum(l) AS BIGINT) AS sm,
+       |             CAST(count(*) AS BIGINT) AS c
+       |           FROM fdl GROUP BY s, f, pert, (y*8)//h, (x*9)//w),
+       |fdbits AS (SELECT a.s, a.f, a.pert, a.cj*8 + a.ci AS i,
+       |             CASE WHEN b.sm*a.c > a.sm*b.c THEN 1 ELSE 0 END AS bit
+       |           FROM fdcell a JOIN fdcell b
+       |             ON b.s = a.s AND b.f = a.f AND b.pert = a.pert
+       |            AND b.cj = a.cj AND b.ci = a.ci + 1
+       |           WHERE a.ci < 8),
+       |fdfp AS (SELECT s, f, pert,
+       |    CAST(sum(CASE WHEN i >= 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+       |         ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |    CAST(sum(CASE WHEN i < 32
+       |         THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |         ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM fdbits GROUP BY s, f, pert),
+       |fdhs AS (SELECT g.s, g.ch, g.w, g.h, g.nf, g.f, g.pert,
+       |           COALESCE(p.dhash_hi, 0) AS dhash_hi,
+       |           COALESCE(p.dhash_lo, 0) AS dhash_lo
+       |         FROM fdp g LEFT JOIN fdfp p USING (s, f, pert))""".stripMargin
+  }
+
   /** Oracle-side twin of [[graft.multimodal.ShardWriter.tarMemberAtom]]:
     * the `<name-length>:<name>:<md5>` digest atom as DuckDB SQL over a
     * name expression and an md5 expression. Length in CHARACTERS
@@ -1437,6 +1488,31 @@ object SparkEntry {
         maxHamming = NearDupMaxHamming)
         .orderBy(col("fp_hi_a"), col("fp_lo_a"),
           col("fp_hi_b"), col("fp_lo_b"))),
+
+    // FRAME-grain perceptual index: the imageDHash 8×9 grid applied to
+    // every decoded y4m frame (plane-sum luma ↔ channel-sum luma), over
+    // the spatially-wrapping still fixture whose per-frame content
+    // actually discriminates — the surface the cross-modal match builds on
+    "q_frame_dhash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoFrameDHash(
+        graft.multimodal.Multimodal.stillVideoTable(Tables.documents(s, dir)))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // CROSS-MODAL contamination: video frames whose dHash lands within
+    // the Hamming cutoff of a known image's — the image fixture renders
+    // REAL PNGs from the SAME formula as one chosen frame per seed
+    // (exact hits) and inverts half of row 0 on every third doc (near
+    // hits); bipartite banded join over distinct-hash nodes on both sides
+    "q_still_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.stillFrameMatches(
+        graft.multimodal.Multimodal.videoFrameDHash(
+          graft.multimodal.Multimodal.stillVideoTable(
+            Tables.documents(s, dir))),
+        graft.multimodal.Multimodal.imageDHash(
+          graft.multimodal.Multimodal.stillImageTable(
+            Tables.documents(s, dir))),
+        maxHamming = NearDupMaxHamming)
+        .orderBy(col("fr_hi"), col("fr_lo"), col("im_hi"), col("im_lo"))),
 
     // REAL sample decode through the codec seam: WavPcmCodec walks the
     // RIFF chunks to the data payload and decodes every PCM sample
@@ -5264,6 +5340,60 @@ object SparkEntry {
            |WHERE bit_count(xor(fp_hi_a, fp_hi_b))
            |    + bit_count(xor(fp_lo_a, fp_lo_b)) <= $NearDupMaxHamming
            |ORDER BY fp_hi_a, fp_lo_a, fp_hi_b, fp_lo_b""".stripMargin,
+
+      // frame-dHash oracle: the shared (seed, frame, pert) chain
+      // re-derives every pooled cell and compare bit from the wrapping
+      // pixel formula — the Spark side decodes real y4m containers to
+      // the same per-frame 64 bits
+      "q_frame_dhash" ->
+        s"""WITH $frameDHashCte
+           |SELECT doc_id AS media_id, fdhs.f AS frame_idx,
+           |       fdhs.w AS width, fdhs.h AS height, fdhs.ch AS channels,
+           |       fdhs.dhash_hi, fdhs.dhash_lo
+           |FROM documents JOIN fdhs
+           |  ON documents.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = fdhs.s
+           | AND fdhs.pert = 0
+           |ORDER BY media_id, frame_idx""".stripMargin,
+
+      // cross-modal oracle: video nodes are the pert = 0 rows over all
+      // frames, image nodes each doc's own pert flag at its seed's
+      // chosen frame f = s % nf; banding + exact bit_count Hamming
+      // replayed bipartite — both engines see exactly the matches the
+      // 4-band index can see
+      "q_still_frames" ->
+        s"""WITH $frameDHashCte,
+           |sfv AS (SELECT dhash_hi, dhash_lo,
+           |          CAST(count(*) AS BIGINT) AS n_frames
+           |        FROM documents d JOIN fdhs
+           |          ON d.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = fdhs.s
+           |         AND fdhs.pert = 0
+           |        GROUP BY 1, 2),
+           |sfi AS (SELECT dhash_hi, dhash_lo,
+           |          CAST(count(*) AS BIGINT) AS n_images
+           |        FROM documents d JOIN fdhs
+           |          ON d.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = fdhs.s
+           |         AND fdhs.pert = CAST(d.doc_id % 3 = 0 AS INT)
+           |         AND fdhs.f = fdhs.s % fdhs.nf
+           |        GROUP BY 1, 2),
+           |sfvb AS (
+           |  SELECT dhash_hi AS fr_hi, dhash_lo AS fr_lo, n_frames, 0 AS bi, dhash_lo % 65536 AS bv FROM sfv
+           |  UNION ALL SELECT dhash_hi, dhash_lo, n_frames, 1, (dhash_lo // 65536) % 65536 FROM sfv
+           |  UNION ALL SELECT dhash_hi, dhash_lo, n_frames, 2, dhash_hi % 65536 FROM sfv
+           |  UNION ALL SELECT dhash_hi, dhash_lo, n_frames, 3, (dhash_hi // 65536) % 65536 FROM sfv),
+           |sfib AS (
+           |  SELECT dhash_hi AS im_hi, dhash_lo AS im_lo, n_images, 0 AS bi, dhash_lo % 65536 AS bv FROM sfi
+           |  UNION ALL SELECT dhash_hi, dhash_lo, n_images, 1, (dhash_lo // 65536) % 65536 FROM sfi
+           |  UNION ALL SELECT dhash_hi, dhash_lo, n_images, 2, dhash_hi % 65536 FROM sfi
+           |  UNION ALL SELECT dhash_hi, dhash_lo, n_images, 3, (dhash_hi // 65536) % 65536 FROM sfi),
+           |sfc AS (SELECT DISTINCT fr_hi, fr_lo, n_frames, im_hi, im_lo, n_images
+           |        FROM sfvb a JOIN sfib b ON a.bi = b.bi AND a.bv = b.bv)
+           |SELECT fr_hi, fr_lo, n_frames, im_hi, im_lo, n_images,
+           |       CAST(bit_count(xor(fr_hi, im_hi))
+           |          + bit_count(xor(fr_lo, im_lo)) AS BIGINT) AS hamming
+           |FROM sfc
+           |WHERE bit_count(xor(fr_hi, im_hi))
+           |    + bit_count(xor(fr_lo, im_lo)) <= $NearDupMaxHamming
+           |ORDER BY fr_hi, fr_lo, im_hi, im_lo""".stripMargin,
 
       // real-decode oracle: the per-sample amplitudes fall out of the
       // fixture's (j*7+3) % 251 byte formula — 16-bit samples recombine

@@ -883,6 +883,11 @@ object Multimodal {
   def videoNearDupTable(docs: DataFrame): DataFrame =
     videoDupCorpus(docs, perturb = true)
 
+  /** Per-seed dims shared by every [[VidDupSeedMod]]-keyed video fixture
+    * (and their oracle chains): (channels, width, height, frames). */
+  private def vidDims(s: Int): (Int, Int, Int, Int) =
+    (if (s % 2 == 0) 1 else 3, 8 + s, 6 + s % 4, 2 + s % 3)
+
   private def videoDupCorpus(docs: DataFrame, perturb: Boolean): DataFrame = {
     import docs.sparkSession.implicits._
     val pertWindows = VidNearPertWindows.toSet
@@ -890,11 +895,8 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (docId, source) =>
         val s = (docId % VidDupSeedMod).toInt
-        val ch = if (s % 2 == 0) 1 else 3
+        val (ch, w, h, nf) = vidDims(s)
         val cs = if (ch == 1) "mono" else "444"
-        val w = 8 + s
-        val h = 6 + s % 4
-        val nf = 2 + s % 3
         val n = ch * w * h * nf
         val pert = perturb && docId % 3 == 0
         val frames = (0 until nf).map { f =>
@@ -1000,6 +1002,197 @@ object Multimodal {
         .groupBy(col("fp_hi"), col("fp_lo"))
         .agg(count(lit(1)).as("n_media")),
       hi = "fp_hi", lo = "fp_lo", cnt = "n_media", maxHamming = maxHamming)
+
+  /** Deterministic y4m corpus for the CROSS-MODAL still-frame gate —
+    * the [[videoDupTable]] dims under a spatially-WRAPPING pixel formula
+    * `(s + 3x + 7y + 11p + 13f + 5xy) % 251`: the `5xy` term wraps the
+    * value ramp inside every frame, so per-frame dHashes discriminate
+    * (the dup fixture's linear ramp is monotone in x — every frame
+    * pools to the same all-ones spatial hash, useless for a spatial
+    * index). Container bytes vary per doc; pixels depend only on the
+    * seed. */
+  def stillVideoTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = (docId % VidDupSeedMod).toInt
+        val (ch, w, h, nf) = vidDims(s)
+        val cs = if (ch == 1) "mono" else "444"
+        val frames = (0 until nf).map { f =>
+          val b = new Array[Byte](ch * w * h)
+          var p = 0
+          while (p < ch) {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                b(p * w * h + y * w + x) =
+                  ((s + 3 * x + 7 * y + 11 * p + 13 * f + 5 * x * y)
+                    % PxValMod).toByte
+                x += 1
+              }
+              y += 1
+            }
+            p += 1
+          }
+          b
+        }
+        (docId, source, Y4mCodec.encode(w, h, cs, frames,
+          headerExtra = s" Xg${docId % 37}",
+          frameExtra = if (docId % 5 == 0) " Xf" else ""))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** The still-image side of the cross-modal fixture: per doc, a REAL
+    * PNG rendered from the SAME formula as [[stillVideoTable]]'s frame
+    * `fStar = s % nf` (channel c ↔ plane p), so an unperturbed image's
+    * dHash equals that frame's dHash EXACTLY — a training corpus
+    * contaminated with stills lifted from known footage. Docs with
+    * `doc_id % 3 == 0` invert (`250 - v`) the left half of row 0 per
+    * channel — a localized edit that moves 1-4 dHash bits, the
+    * near-match knob. Container bytes vary per doc (filter choice). */
+  def stillImageTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = (docId % VidDupSeedMod).toInt
+        val (ch, w, h, nf) = vidDims(s)
+        val fStar = s % nf
+        val colorType = if (ch == 1) 0 else 2
+        val pert = docId % 3 == 0
+        val raw = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              val v = (s + 3 * x + 7 * y + 11 * c + 13 * fStar + 5 * x * y) %
+                PxValMod
+              raw((y * w + x) * ch + c) =
+                (if (pert && y == 0 && x < w / 2) 250 - v else v).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (docId, source,
+          PngCodec.encode(w, h, colorType, raw, r => ((r + docId) % 5).toInt))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** Per-FRAME perceptual dHash over REAL decoded y4m streams — the
+    * [[imageDHash]] grid (8 rows × 9 pooled columns, bit = right cell's
+    * mean luma exceeds left's, cross-multiplied) applied to each frame,
+    * with per-pixel luma the sum over planes exactly as image luma sums
+    * channels — so a PNG of a frame and the frame itself hash
+    * IDENTICALLY. The frame-grain index for cross-modal matching.
+    * Undecodable rows report one `frame_idx = -1, channels = -1` row. */
+  def videoFrameDHash(videos: DataFrame): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.select(col("media_id").cast("long").as("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          Y4mCodec.decode(data) match {
+            case Some(v) if v.frames.nonEmpty =>
+              val w = v.width
+              val h = v.height
+              // mono/444 sum full-resolution planes (channel-sum luma,
+              // matching imageDHash); 420's chroma is subsampled, so its
+              // hash pools the full-res luma plane alone
+              val ch = if (v.colorspace == "420jpeg") 1 else v.channels
+              v.frames.zipWithIndex.map { case (f, fi) =>
+                val cell = Array.ofDim[Long](8, 9)
+                val area = Array.ofDim[Long](8, 9)
+                var y = 0
+                while (y < h) {
+                  val j = y * 8 / h
+                  var x = 0
+                  while (x < w) {
+                    val i = x * 9 / w
+                    var l = 0L
+                    var p = 0
+                    while (p < ch) {
+                      l += (f(p * w * h + y * w + x) & 0xff).toLong
+                      p += 1
+                    }
+                    cell(j)(i) += l
+                    area(j)(i) += 1L
+                    x += 1
+                  }
+                  y += 1
+                }
+                var hash = 0L
+                var j = 0
+                while (j < 8) {
+                  var i = 0
+                  while (i < 8) {
+                    if (cell(j)(i + 1) * area(j)(i) >
+                        cell(j)(i) * area(j)(i + 1))
+                      hash |= 1L << (j * 8 + i)
+                    i += 1
+                  }
+                  j += 1
+                }
+                (id, fi.toLong, w.toLong, h.toLong, v.channels.toLong,
+                  hash >>> 32, hash & 0xffffffffL)
+              }
+            case _ => Seq((id, -1L, 0L, 0L, -1L, 0L, 0L))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "channels",
+        "dhash_hi", "dhash_lo")
+  }
+
+  /** CROSS-MODAL near-match: video frames whose perceptual dHash lands
+    * within `maxHamming` of a known image's — still-frame / thumbnail
+    * contamination detection between a video corpus and an image
+    * corpus. Bipartite twin of [[imageNearDupPairs]]: both sides dedup
+    * to DISTINCT-hash nodes first (`n_frames` counts (video, frame)
+    * occurrences, `n_images` images), nodes band into four exact 16-bit
+    * slices, candidates share a band, codegen `bit_count` applies the
+    * exact cutoff. Pair volume is bounded by cross-side band
+    * collisions, never by corpus sizes. */
+  def stillFrameMatches(frames: DataFrame, images: DataFrame,
+      maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"maxHamming: $maxHamming")
+    val frNodes = frames.filter(col("channels") =!= -1L)
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_frames"))
+    val imNodes = images.filter(col("channels") =!= -1L)
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_images"))
+    def banded(nodes: DataFrame, cnt: String) =
+      nodes.select(col("dhash_hi"), col("dhash_lo"), col(cnt),
+        posexplode(array(
+          col("dhash_lo").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(65535L)),
+          col("dhash_hi").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_idx", "band_val")))
+    val a = banded(frNodes, "n_frames")
+      .select(col("dhash_hi").as("fr_hi"), col("dhash_lo").as("fr_lo"),
+        col("n_frames"), col("band_idx"), col("band_val"))
+    val b = banded(imNodes, "n_images")
+      .select(col("dhash_hi").as("im_hi"), col("dhash_lo").as("im_lo"),
+        col("n_images"), col("band_idx"), col("band_val"))
+    val hamming = bit_count(col("fr_hi").bitwiseXOR(col("im_hi")))
+      .cast("long") +
+      bit_count(col("fr_lo").bitwiseXOR(col("im_lo"))).cast("long")
+    a.join(b, Seq("band_idx", "band_val"))
+      .select(col("fr_hi"), col("fr_lo"), col("n_frames"),
+        col("im_hi"), col("im_lo"), col("n_images"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming.toLong)
+  }
 
   /** Shared gate/oracle constants for the synthetic y4m pixel corpus —
     * the video twin of the PxWidthMod family: per seed

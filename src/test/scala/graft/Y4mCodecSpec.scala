@@ -183,4 +183,41 @@ class Y4mCodecSpec extends SparkSpec {
       .collect()
     assert(clusters.length == 2)
   }
+
+  test("a still PNG lifted from a frame hashes identically to the frame") {
+    val s = spark
+    import s.implicits._
+    // doc 5 (seed 5, not 0 mod 3): the image fixture renders frame
+    // fStar = 5 % nf of seed 5's footage as a real PNG; decoding two
+    // DIFFERENT containers (y4m vs PNG) must land on one dHash
+    val docs = Seq((5L, "a", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val nf = 2 + 5 % 3
+    val fStar = 5 % nf
+    val frame = Multimodal.videoFrameDHash(Multimodal.stillVideoTable(docs))
+      .filter(col("frame_idx") === fStar).collect().head
+    val image = Multimodal.imageDHash(Multimodal.stillImageTable(docs))
+      .collect().head
+    assert(frame.getAs[Long]("dhash_hi") == image.getAs[Long]("dhash_hi") &&
+      frame.getAs[Long]("dhash_lo") == image.getAs[Long]("dhash_lo"))
+  }
+
+  test("cross-modal banding finds planted stills, exact and perturbed") {
+    val s = spark
+    import s.implicits._
+    // seed 4 footage; doc 14 renders its still exactly, doc 24
+    // (0 mod 3) perturbs row 0 — both must surface as matches
+    val vids = Seq((4L, "a", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val imgs = Seq((14L, "b", "en", "web", 1L), (24L, "c", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val matches = Multimodal.stillFrameMatches(
+      Multimodal.videoFrameDHash(Multimodal.stillVideoTable(vids)),
+      Multimodal.imageDHash(Multimodal.stillImageTable(imgs)),
+      maxHamming = 8).collect()
+    val dists = matches.map(_.getAs[Long]("hamming")).sorted
+    assert(dists.contains(0L), s"exact still must match at distance 0: ${dists.toSeq}")
+    assert(dists.exists(d => d > 0L && d <= 8L),
+      s"perturbed still must match at a small positive distance: ${dists.toSeq}")
+  }
 }
