@@ -1498,6 +1498,25 @@ object SparkEntry {
         graft.multimodal.Multimodal.stillVideoTable(Tables.documents(s, dir)))
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    // footage-SET dedup: a video's distinct frame hashes fold to one
+    // order-canonical signature (padded atoms, md5 over the sorted
+    // join), so re-encoded/re-containered copies of the same footage
+    // cluster through ONE signature-keyed aggregation — never pairwise
+    "q_footage_sig" -> ((s, dir) =>
+      graft.multimodal.Multimodal.footageSignature(
+        graft.multimodal.Multimodal.videoFrameDHash(
+          graft.multimodal.Multimodal.stillVideoTable(
+            Tables.documents(s, dir))))
+        .orderBy(col("media_id"))),
+
+    "q_footage_clusters" -> ((s, dir) =>
+      graft.multimodal.Multimodal.footageClusters(
+        graft.multimodal.Multimodal.footageSignature(
+          graft.multimodal.Multimodal.videoFrameDHash(
+            graft.multimodal.Multimodal.stillVideoTable(
+              Tables.documents(s, dir)))))
+        .orderBy(col("footage_sig"))),
+
     // CROSS-MODAL contamination: video frames whose dHash lands within
     // the Hamming cutoff of a known image's — the image fixture renders
     // REAL PNGs from the SAME formula as one chosen frame per seed
@@ -5354,6 +5373,37 @@ object SparkEntry {
            |  ON documents.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = fdhs.s
            | AND fdhs.pert = 0
            |ORDER BY media_id, frame_idx""".stripMargin,
+
+      // footage-signature oracle: per doc, the distinct (hi, lo) frame
+      // hashes from the shared chain join as padded atoms, sort, and
+      // md5 — the engine's one-aggregation signature re-derived whole
+      "q_footage_sig" ->
+        s"""WITH $frameDHashCte,
+           |fsd AS (SELECT DISTINCT d.doc_id,
+           |          lpad(CAST(fdhs.dhash_hi AS VARCHAR), 10, '0') || ':' ||
+           |          lpad(CAST(fdhs.dhash_lo AS VARCHAR), 10, '0') AS atom
+           |        FROM documents d JOIN fdhs
+           |          ON d.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = fdhs.s
+           |         AND fdhs.pert = 0)
+           |SELECT doc_id AS media_id,
+           |       md5(string_agg(atom, ',' ORDER BY atom)) AS footage_sig,
+           |       CAST(count(*) AS BIGINT) AS n_distinct_frames
+           |FROM fsd GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+      "q_footage_clusters" ->
+        s"""WITH $frameDHashCte,
+           |fsd AS (SELECT DISTINCT d.doc_id,
+           |          lpad(CAST(fdhs.dhash_hi AS VARCHAR), 10, '0') || ':' ||
+           |          lpad(CAST(fdhs.dhash_lo AS VARCHAR), 10, '0') AS atom
+           |        FROM documents d JOIN fdhs
+           |          ON d.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = fdhs.s
+           |         AND fdhs.pert = 0),
+           |fsig AS (SELECT doc_id,
+           |           md5(string_agg(atom, ',' ORDER BY atom)) AS footage_sig
+           |         FROM fsd GROUP BY doc_id)
+           |SELECT footage_sig, CAST(count(*) AS BIGINT) AS n_videos,
+           |       min(doc_id) AS min_media, max(doc_id) AS max_media
+           |FROM fsig GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // cross-modal oracle: video nodes are the pert = 0 rows over all
       // frames, image nodes each doc's own pert flag at its seed's

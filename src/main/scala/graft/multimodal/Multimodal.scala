@@ -1151,6 +1151,33 @@ object Multimodal {
         "dhash_hi", "dhash_lo")
   }
 
+  /** Order-canonical signature of a video's DISTINCT frame-hash SET —
+    * footage-set dedup: the same footage re-encoded, re-containered, or
+    * with frames repeated hashes to the same signature (atoms are
+    * zero-padded decimal `hi:lo` so lexicographic sort equals numeric
+    * sort on both engines; md5 over the comma-joined sorted set). One
+    * aggregation per video — the frame list never leaves its group and
+    * nothing goes pairwise. */
+  def footageSignature(frames: DataFrame): DataFrame =
+    frames.filter(col("channels") =!= -1L)
+      .select(col("media_id"),
+        concat(lpad(col("dhash_hi").cast("string"), 10, "0"), lit(":"),
+          lpad(col("dhash_lo").cast("string"), 10, "0")).as("atom"))
+      .distinct()
+      .groupBy(col("media_id"))
+      .agg(md5(concat_ws(",", array_sort(collect_list(col("atom"))))
+          .cast("binary")).as("footage_sig"),
+        count(lit(1)).as("n_distinct_frames"))
+
+  /** Exact footage-set clusters — the [[imageDupClusters]] shape at the
+    * VIDEO grain: one signature-keyed map-side-combinable aggregation,
+    * so a billion re-encodings of one clip cost one shuffled row. */
+  def footageClusters(sigs: DataFrame): DataFrame =
+    sigs.groupBy(col("footage_sig"))
+      .agg(count(lit(1)).as("n_videos"),
+        min(col("media_id")).as("min_media"),
+        max(col("media_id")).as("max_media"))
+
   /** CROSS-MODAL near-match: video frames whose perceptual dHash lands
     * within `maxHamming` of a known image's — still-frame / thumbnail
     * contamination detection between a video corpus and an image

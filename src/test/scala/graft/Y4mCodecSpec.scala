@@ -220,4 +220,38 @@ class Y4mCodecSpec extends SparkSpec {
     assert(dists.exists(d => d > 0L && d <= 8L),
       s"perturbed still must match at a small positive distance: ${dists.toSeq}")
   }
+
+  test("footage signature ignores container bytes and frame repetition") {
+    val s = spark
+    import s.implicits._
+    // two spatially-distinct frames under the wrapping formula
+    def frame(f: Int): Array[Byte] = Array.tabulate(10 * 8) { k =>
+      val x = k % 10
+      val y = k / 10
+      ((3 + 3 * x + 7 * y + 13 * f + 5 * x * y) % 251).toByte
+    }
+    val videos = Seq(
+      // same footage, different container params
+      (1L, Y4mCodec.encode(10, 8, "mono", Seq(frame(0), frame(1)),
+        headerExtra = " Xa")),
+      (2L, Y4mCodec.encode(10, 8, "mono", Seq(frame(0), frame(1)),
+        headerExtra = " Xbb", frameExtra = " Xf")),
+      // same footage with a frame REPEATED — the distinct set is equal
+      (3L, Y4mCodec.encode(10, 8, "mono",
+        Seq(frame(0), frame(1), frame(0)))),
+      // different footage
+      (4L, Y4mCodec.encode(10, 8, "mono", Seq(frame(2)))))
+      .toDF("media_id", "data")
+    val sigs = Multimodal.footageSignature(
+      Multimodal.videoFrameDHash(videos)).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("footage_sig")).toMap
+    assert(sigs(1L) == sigs(2L), "re-containered footage must collide")
+    assert(sigs(1L) == sigs(3L), "frame repetition must not change the set")
+    assert(sigs(1L) != sigs(4L), "different footage must not collide")
+    val clusters = Multimodal.footageClusters(
+      Multimodal.footageSignature(Multimodal.videoFrameDHash(videos)))
+      .collect().map(_.getAs[Long]("n_videos")).sorted
+    assert(clusters.toSeq == Seq(1L, 3L))
+  }
 }
