@@ -343,56 +343,61 @@ object Multimodal {
     import images.sparkSession.implicits._
     images.select(col("media_id").cast("long").as("media_id"), col("data"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, data) =>
-          PngCodec.decode(data) match {
-            case Some(img) if img.raw.nonEmpty =>
-              val w = img.width
-              val h = img.height
-              val ch = img.channels
-              val cell = Array.ofDim[Long](8, 9)
-              val area = Array.ofDim[Long](8, 9)
-              var y = 0
-              while (y < h) {
-                val j = y * 8 / h
-                var x = 0
-                while (x < w) {
-                  val i = x * 9 / w
-                  var l = 0L
-                  var c = 0
-                  while (c < ch) {
-                    l += (img.raw((y * w + x) * ch + c) & 0xff).toLong
-                    c += 1
-                  }
-                  cell(j)(i) += l
-                  area(j)(i) += 1L
-                  x += 1
-                }
-                y += 1
-              }
-              var hash = 0L
-              var j = 0
-              while (j < 8) {
-                var i = 0
-                while (i < 8) {
-                  // empty cells (w < 9 or h < 8) have area 0: both sides
-                  // of the cross-multiplied compare collapse to 0 > 0 —
-                  // bit 0, same as the oracle's absent-row default
-                  if (cell(j)(i + 1) * area(j)(i) > cell(j)(i) * area(j)(i + 1))
-                    hash |= 1L << (j * 8 + i)
-                  i += 1
-                }
-                j += 1
-              }
-              (id, w.toLong, h.toLong, ch.toLong, hash >>> 32,
-                hash & 0xffffffffL)
-            case _ => (id, 0L, 0L, -1L, 0L, 0L)
-          }
-        }
-      }
+      .mapPartitions(_.map { case (id, data) =>
+        val (w, h, ch, hi, lo) = imageDHashRow(data)
+        (id, w, h, ch, hi, lo)
+      })
       .toDF("media_id", "width", "height", "channels", "dhash_hi",
         "dhash_lo")
   }
+
+  /** Per-row half of [[imageDHash]] — `(width, height, channels,
+    * dhash_hi, dhash_lo)`, `channels = -1` when undecodable — so
+    * streaming consumers key on the identical arithmetic. */
+  private[graft] def imageDHashRow(
+      data: Array[Byte]): (Long, Long, Long, Long, Long) =
+    PngCodec.decode(data) match {
+      case Some(img) if img.raw.nonEmpty =>
+        val w = img.width
+        val h = img.height
+        val ch = img.channels
+        val cell = Array.ofDim[Long](8, 9)
+        val area = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val j = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val i = x * 9 / w
+            var l = 0L
+            var c = 0
+            while (c < ch) {
+              l += (img.raw((y * w + x) * ch + c) & 0xff).toLong
+              c += 1
+            }
+            cell(j)(i) += l
+            area(j)(i) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            // empty cells (w < 9 or h < 8) have area 0: both sides
+            // of the cross-multiplied compare collapse to 0 > 0 —
+            // bit 0, same as the oracle's absent-row default
+            if (cell(j)(i + 1) * area(j)(i) > cell(j)(i) * area(j)(i + 1))
+              hash |= 1L << (j * 8 + i)
+            i += 1
+          }
+          j += 1
+        }
+        (w.toLong, h.toLong, ch.toLong, hash >>> 32, hash & 0xffffffffL)
+      case _ => (0L, 0L, -1L, 0L, 0L)
+    }
 
   /** Near-dup variant of [[imageDupTable]]: docs with `doc_id % 3 == 0`
     * brighten the left half of their top scanline by +5 per channel — a
@@ -800,38 +805,44 @@ object Multimodal {
     import audio.sparkSession.implicits._
     audio.select(col("media_id").cast("long").as("media_id"), col("data"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, data) =>
-          WavPcmCodec.locate(data) match {
-            case Some(p) if p.nSamples > 0 =>
-              val n = p.nSamples
-              val sum = new Array[Long](65)
-              val cnt = new Array[Long](65)
-              var k = 0
-              while (k < n) {
-                val w = (k.toLong * 65L / n).toInt
-                sum(w) += WavPcmCodec.sampleAt(data, p, k).toLong
-                cnt(w) += 1L
-                k += 1
-              }
-              var hash = 0L
-              var i = 0
-              while (i < 64) {
-                // empty windows (n < 65) compare 0 > 0 — bit 0, matching
-                // the oracle's absent-row default
-                if (sum(i + 1) * cnt(i) > sum(i) * cnt(i + 1))
-                  hash |= 1L << i
-                i += 1
-              }
-              (id, p.channels.toLong, p.bitsPerSample.toLong, n.toLong,
-                hash >>> 32, hash & 0xffffffffL)
-            case _ => (id, -1L, 0L, 0L, 0L, 0L)
-          }
-        }
-      }
+      .mapPartitions(_.map { case (id, data) =>
+        val (ch, bits, n, hi, lo) = audioFpRow(data)
+        (id, ch, bits, n, hi, lo)
+      })
       .toDF("media_id", "channels", "bits_per_sample", "n_samples",
         "fp_hi", "fp_lo")
   }
+
+  /** Per-row half of [[audioFingerprint]] — `(channels, bits_per_sample,
+    * n_samples, fp_hi, fp_lo)`, `channels = -1` when undecodable — so
+    * streaming consumers key on the identical arithmetic. */
+  private[graft] def audioFpRow(
+      data: Array[Byte]): (Long, Long, Long, Long, Long) =
+    WavPcmCodec.locate(data) match {
+      case Some(p) if p.nSamples > 0 =>
+        val n = p.nSamples
+        val sum = new Array[Long](65)
+        val cnt = new Array[Long](65)
+        var k = 0
+        while (k < n) {
+          val w = (k.toLong * 65L / n).toInt
+          sum(w) += WavPcmCodec.sampleAt(data, p, k).toLong
+          cnt(w) += 1L
+          k += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          // empty windows (n < 65) compare 0 > 0 — bit 0, matching
+          // the oracle's absent-row default
+          if (sum(i + 1) * cnt(i) > sum(i) * cnt(i + 1))
+            hash |= 1L << i
+          i += 1
+        }
+        (p.channels.toLong, p.bitsPerSample.toLong, n.toLong,
+          hash >>> 32, hash & 0xffffffffL)
+      case _ => (-1L, 0L, 0L, 0L, 0L)
+    }
 
   /** Exact-duplicate audio clusters by perceptual fingerprint — the
     * [[imageDupClusters]] shape: one hash-keyed map-side-combinable
@@ -941,44 +952,50 @@ object Multimodal {
     import videos.sparkSession.implicits._
     videos.select(col("media_id").cast("long").as("media_id"), col("data"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, data) =>
-          Y4mCodec.decode(data) match {
-            case Some(v) if v.frames.nonEmpty =>
-              val n = v.frames.length.toLong * v.frameBytes
-              val sum = new Array[Long](65)
-              val cnt = new Array[Long](65)
-              var fi = 0
-              while (fi < v.frames.length) {
-                val f = v.frames(fi)
-                val base = fi.toLong * v.frameBytes
-                var j = 0
-                while (j < f.length) {
-                  val w = ((base + j) * 65L / n).toInt
-                  sum(w) += (f(j) & 0xff).toLong
-                  cnt(w) += 1L
-                  j += 1
-                }
-                fi += 1
-              }
-              var hash = 0L
-              var i = 0
-              while (i < 64) {
-                // empty windows (n < 65) compare 0 > 0 — bit 0, matching
-                // the oracle's absent-row default
-                if (sum(i + 1) * cnt(i) > sum(i) * cnt(i + 1))
-                  hash |= 1L << i
-                i += 1
-              }
-              (id, v.channels.toLong, v.frames.length.toLong, n,
-                hash >>> 32, hash & 0xffffffffL)
-            case _ => (id, -1L, 0L, 0L, 0L, 0L)
-          }
-        }
-      }
+      .mapPartitions(_.map { case (id, data) =>
+        val (ch, nf, n, hi, lo) = videoFpRow(data)
+        (id, ch, nf, n, hi, lo)
+      })
       .toDF("media_id", "channels", "n_frames", "n_values",
         "fp_hi", "fp_lo")
   }
+
+  /** Per-row half of [[videoFingerprint]] — `(channels, n_frames,
+    * n_values, fp_hi, fp_lo)`, `channels = -1` when undecodable — so
+    * streaming consumers key on the identical arithmetic. */
+  private[graft] def videoFpRow(
+      data: Array[Byte]): (Long, Long, Long, Long, Long) =
+    Y4mCodec.decode(data) match {
+      case Some(v) if v.frames.nonEmpty =>
+        val n = v.frames.length.toLong * v.frameBytes
+        val sum = new Array[Long](65)
+        val cnt = new Array[Long](65)
+        var fi = 0
+        while (fi < v.frames.length) {
+          val f = v.frames(fi)
+          val base = fi.toLong * v.frameBytes
+          var j = 0
+          while (j < f.length) {
+            val w = ((base + j) * 65L / n).toInt
+            sum(w) += (f(j) & 0xff).toLong
+            cnt(w) += 1L
+            j += 1
+          }
+          fi += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          // empty windows (n < 65) compare 0 > 0 — bit 0, matching
+          // the oracle's absent-row default
+          if (sum(i + 1) * cnt(i) > sum(i) * cnt(i + 1))
+            hash |= 1L << i
+          i += 1
+        }
+        (v.channels.toLong, v.frames.length.toLong, n,
+          hash >>> 32, hash & 0xffffffffL)
+      case _ => (-1L, 0L, 0L, 0L, 0L)
+    }
 
   /** Exact-duplicate video clusters by perceptual fingerprint — the
     * [[imageDupClusters]] shape: one hash-keyed map-side-combinable
