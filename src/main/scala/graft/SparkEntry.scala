@@ -442,6 +442,11 @@ object SparkEntry {
     * Hamming cutoff applied after band-candidate generation. */
   private val NearDupMaxHamming = 8
 
+  /** Shared gate↔oracle constant for q_footage_near: the doc subset the
+    * clip gate runs on — gate-side cost control (the DuckDB oracle
+    * replays a 16-hash MinHash per doc), not an operator property. */
+  private val FootageClipDocCap = 120L
+
   /** The q_audio_near_dups oracle chain — [[audioFpCte]] extended to the
     * (seed, perturbed) grain: the fixture bitwise-NOTs (`-1 - a`) every
     * sample in [[graft.multimodal.Multimodal.AudNearPertWindows]],
@@ -1516,6 +1521,21 @@ object SparkEntry {
             graft.multimodal.Multimodal.stillVideoTable(
               Tables.documents(s, dir)))))
         .orderBy(col("footage_sig"))),
+
+    // NEAR-duplicate footage: overlapping clips of the same source
+    // related by MinHash-LSH over frame-hash atoms — the text near-dup
+    // machinery reused whole with frames as the token unit; the clip
+    // fixture renders doc-positioned windows of each seed's footage so
+    // same-seed offsets share most-but-not-all frames. Doc cap is
+    // GATE-side only (bounds the oracle's signature replay) — the
+    // operator itself is banded, never pairwise
+    "q_footage_near" -> ((s, dir) =>
+      graft.multimodal.Multimodal.footageNearDupPairs(
+        graft.multimodal.Multimodal.videoFrameDHash(
+          graft.multimodal.Multimodal.clipTable(
+            Tables.documents(s, dir)
+              .filter(col("doc_id") < FootageClipDocCap))))
+        .orderBy(col("video_a"), col("video_b"))),
 
     // CROSS-MODAL contamination: video frames whose dHash lands within
     // the Hamming cutoff of a known image's — the image fixture renders
@@ -5404,6 +5424,43 @@ object SparkEntry {
            |SELECT footage_sig, CAST(count(*) AS BIGINT) AS n_videos,
            |       min(doc_id) AS min_media, max(doc_id) AS max_media
            |FROM fsig GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // footage near-dup oracle: clip frame sets from the shared chain
+      // (doc-positioned windows over pert = 0 rows), then the standard
+      // MinHash replay — 16 md5-derived minima, 4-band bucketing,
+      // signature-agreement scoring — the q_minhash_lsh discipline over
+      // frame atoms instead of text shingles
+      "q_footage_near" ->
+        s"""WITH $frameDHashCte,
+           |fcl AS (SELECT d.doc_id, fdhs.dhash_hi, fdhs.dhash_lo
+           |        FROM documents d JOIN fdhs
+           |          ON d.doc_id % ${graft.multimodal.Multimodal.VidDupSeedMod} = fdhs.s
+           |         AND fdhs.pert = 0
+           |         AND fdhs.f >= (d.doc_id // ${graft.multimodal.Multimodal.VidDupSeedMod}) % 2
+           |         AND fdhs.f < (d.doc_id // ${graft.multimodal.Multimodal.VidDupSeedMod}) % 2 + fdhs.nf - 1
+           |        WHERE d.doc_id < $FootageClipDocCap),
+           |fca AS (SELECT DISTINCT doc_id,
+           |          lpad(CAST(dhash_hi AS VARCHAR), 10, '0') || ':' ||
+           |          lpad(CAST(dhash_lo AS VARCHAR), 10, '0') AS shingle
+           |        FROM fcl),
+           |fmh AS (SELECT doc_id, i,
+           |          min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT) AS h
+           |        FROM fca CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+           |fsg AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM fmh GROUP BY 1),
+           |fbd AS (SELECT doc_id, b,
+           |          md5(CAST(sig[4*b+1] AS VARCHAR) || ',' || CAST(sig[4*b+2] AS VARCHAR)
+           |            || ',' || CAST(sig[4*b+3] AS VARCHAR) || ',' || CAST(sig[4*b+4] AS VARCHAR)) AS bkey
+           |        FROM fsg CROSS JOIN range(4) rb(b)),
+           |fcd AS (SELECT DISTINCT a.doc_id AS video_a, b.doc_id AS video_b
+           |        FROM fbd a JOIN fbd b
+           |          ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |SELECT video_a, video_b,
+           |       CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS matches,
+           |       CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 16.0 AS est_sim
+           |FROM fcd
+           |JOIN fsg sa ON video_a = sa.doc_id
+           |JOIN fsg sb ON video_b = sb.doc_id
+           |ORDER BY video_a, video_b""".stripMargin,
 
       // cross-modal oracle: video nodes are the pert = 0 rows over all
       // frames, image nodes each doc's own pert flag at its seed's

@@ -738,11 +738,18 @@ object Dedup {
 
   /** MinHash signatures: numHashes column-wise minima of md5-derived hash
     * families over the shingle set. One groupBy on doc_id. */
-  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = shingleTable(docs, k)
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame =
+    minhashSignaturesOver(shingleTable(docs, k), numHashes)
+
+  /** [[minhashSignatures]] over an arbitrary precomputed token table
+    * (`doc_id`, `shingle`) — the shingling unit supplied by the caller
+    * (text n-grams, frame hashes, any set-valued feature). Identical
+    * hash family, so signatures over equal token sets are equal
+    * regardless of what produced the tokens. */
+  def minhashSignaturesOver(tokens: DataFrame, numHashes: Int = 16): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(md5Int32(concat(lit(s"$i:"), col("shingle").cast("string")))).as(s"h$i"))
-    sh.groupBy(col("doc_id"))
+    tokens.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -752,10 +759,14 @@ object Dedup {
     * signature rides along so callers that score candidates by signature
     * agreement don't re-aggregate the corpus. */
   private def lshBandEntries(
-      docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame = {
+      docs: DataFrame, k: Int, numHashes: Int, bands: Int): DataFrame =
+    lshBandEntriesOver(shingleTable(docs, k), numHashes, bands)
+
+  private def lshBandEntriesOver(
+      tokens: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    minhashSignatures(docs, k, numHashes).select(
+    minhashSignaturesOver(tokens, numHashes).select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(
@@ -771,8 +782,15 @@ object Dedup {
     * keys bucket candidate pairs; each surviving pair is scored by exact
     * signature agreement (matches / numHashes estimates Jaccard). */
   def minhashLshPairs(
-      docs: DataFrame, k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val bandEntries = lshBandEntries(docs, k, numHashes, bands)
+      docs: DataFrame, k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashLshPairsOver(shingleTable(docs, k), numHashes, bands)
+
+  /** [[minhashLshPairs]] over a caller-supplied token table — the
+    * banding, candidate join, and signature-agreement scoring unchanged,
+    * only the set-valued unit differs. */
+  def minhashLshPairsOver(
+      tokens: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val bandEntries = lshBandEntriesOver(tokens, numHashes, bands)
     bandEntries.as("a")
       .join(bandEntries.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video carried
@@ -1175,11 +1175,16 @@ object Multimodal {
     * sort on both engines; md5 over the comma-joined sorted set). One
     * aggregation per video — the frame list never leaves its group and
     * nothing goes pairwise. */
+  /** One frame hash as a fixed-width text atom (`hi:lo`, zero-padded so
+    * lexicographic order equals numeric) — the token unit shared by the
+    * footage signature and the footage MinHash. */
+  private def frameAtom: Column =
+    concat(lpad(col("dhash_hi").cast("string"), 10, "0"), lit(":"),
+      lpad(col("dhash_lo").cast("string"), 10, "0"))
+
   def footageSignature(frames: DataFrame): DataFrame =
     frames.filter(col("channels") =!= -1L)
-      .select(col("media_id"),
-        concat(lpad(col("dhash_hi").cast("string"), 10, "0"), lit(":"),
-          lpad(col("dhash_lo").cast("string"), 10, "0")).as("atom"))
+      .select(col("media_id"), frameAtom.as("atom"))
       .distinct()
       .groupBy(col("media_id"))
       .agg(md5(concat_ws(",", array_sort(collect_list(col("atom"))))
@@ -1194,6 +1199,67 @@ object Multimodal {
       .agg(count(lit(1)).as("n_videos"),
         min(col("media_id")).as("min_media"),
         max(col("media_id")).as("max_media"))
+
+  /** CLIP corpus for the near-duplicate-footage gate: per doc, a
+    * doc-positioned WINDOW of its seed's [[stillVideoTable]] footage —
+    * frames `[off, off + nf - 1)` with `off = (doc_id / VidDupSeedMod)
+    * % 2` (NOT `doc_id % 2`, which is constant within a seed class
+    * because the seed modulus is even) — so same-seed docs at different
+    * offsets share most but not all frames (the trailer-cut-from-film
+    * shape), and container bytes still vary per doc. */
+  def clipTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .map { case (docId, source) =>
+        val s = (docId % VidDupSeedMod).toInt
+        val (ch, w, h, nf) = vidDims(s)
+        val cs = if (ch == 1) "mono" else "444"
+        val off = ((docId / VidDupSeedMod) % 2).toInt
+        val frames = (off until off + nf - 1).map { f =>
+          val b = new Array[Byte](ch * w * h)
+          var p = 0
+          while (p < ch) {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                b(p * w * h + y * w + x) =
+                  ((s + 3 * x + 7 * y + 11 * p + 13 * f + 5 * x * y)
+                    % PxValMod).toByte
+                x += 1
+              }
+              y += 1
+            }
+            p += 1
+          }
+          b
+        }
+        (docId, source, Y4mCodec.encode(w, h, cs, frames,
+          headerExtra = s" Xg${docId % 37}",
+          frameExtra = if (docId % 5 == 0) " Xf" else ""))
+      }
+      .toDF("media_id", "source", "data")
+  }
+
+  /** NEAR-duplicate footage: video pairs sharing a large fraction of
+    * their distinct frame hashes — a clip embedded in a compilation, a
+    * trailer cut from a film, re-edits of the same source. The text
+    * near-dup machinery reused whole
+    * ([[graft.dedup.Dedup.minhashLshPairsOver]]) with frame-hash atoms
+    * as the token unit: per-video MinHash signatures (one aggregation),
+    * banded candidate generation, exact signature-agreement scoring —
+    * pair volume bounded by band collisions, never by corpus size.
+    * Output `(video_a, video_b, matches, est_sim)`. */
+  def footageNearDupPairs(frames: DataFrame, numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    graft.dedup.Dedup.minhashLshPairsOver(
+      frames.filter(col("channels") =!= -1L)
+        .select(col("media_id").as("doc_id"), frameAtom.as("shingle"))
+        .distinct(),
+      numHashes = numHashes, bands = bands)
+      .select(col("doc_a").as("video_a"), col("doc_b").as("video_b"),
+        col("matches"), col("est_sim"))
 
   /** CROSS-MODAL near-match: video frames whose perceptual dHash lands
     * within `maxHamming` of a known image's — still-frame / thumbnail

@@ -254,4 +254,26 @@ class Y4mCodecSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("n_videos")).sorted
     assert(clusters.toSeq == Seq(1L, 3L))
   }
+
+  test("overlapping clips of one source relate as near-duplicate footage") {
+    val s = spark
+    import s.implicits._
+    // seed 2 (nf = 4, clips of 3 frames): docs 2 and 22 cut window 0
+    // ({0,1,2}), doc 12 window 1 ({1,2,3}) — 2↔22 duplicate exactly,
+    // 2↔12 overlap 2 of 4 distinct frames
+    val docs = Seq(
+      (2L, "a", "en", "web", 1L),
+      (12L, "b", "en", "web", 1L),
+      (22L, "c", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Multimodal.footageNearDupPairs(
+      Multimodal.videoFrameDHash(Multimodal.clipTable(docs)))
+      .collect()
+      .map(r => (r.getAs[Long]("video_a"), r.getAs[Long]("video_b")) ->
+        r.getAs[Double]("est_sim")).toMap
+    assert(pairs((2L, 22L)) == 1.0, s"identical clips must score 1.0: $pairs")
+    val near = pairs.get((2L, 12L))
+    assert(near.exists(v => v > 0.0 && v < 1.0),
+      s"overlapping clips must relate below 1.0: $pairs")
+  }
 }
