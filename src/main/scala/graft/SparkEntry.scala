@@ -288,7 +288,12 @@ object SparkEntry {
     * dedup → 0.5-Jaccard near-dedup → Gopher quality → hash split.
     * Returns `(doc_id, text, split)`. */
   private def crawlCurated(s: SparkSession, dir: String): DataFrame = {
-    val parsed = graft.multimodal.Multimodal.crawlTable(Tables.documents(s, dir))
+    // documents.parquet is a single file => a single scan split; the
+    // gzip→WARC→HTTP→HTML parse is pure per-row CPU, so spread the blobs
+    // across the cores first (same rationale as docsParallel — one small
+    // shuffle at fixture scale, idle cores otherwise; r18 event logs
+    // showed the parse serialized on one task)
+    val parsed = graft.multimodal.Multimodal.crawlTable(docsParallel(s, dir))
       .select(posexplode(graft.functions.GzipMembers.gzip_members(col("data")))
         .as(Seq("mi", "m")))
       .select(element_at(
@@ -300,10 +305,29 @@ object SparkEntry {
       .select(expr("CAST(substring(t.title, 5) AS BIGINT)").as("doc_id"),
         col("t.body").as("text"))
       .localCheckpoint(true)
-    val exact = Dedup.exactDedup(parsed)
+    // land the two frames the chain consumes more than once: `exact`
+    // feeds both the shingle table and the anti-join left side, and
+    // `deduped` feeds both the Gopher scorer and the semi-join left side
+    // — without the barriers the uncapped 0.5-Jaccard self-join subtree
+    // (the most expensive stage of this chain, r18 probe: ~6 s of the
+    // query) re-executes once per consumer (the r18 before-plan shows
+    // the shingle-explode Generate three times). Both frames are
+    // corpus-bounded (≤ the 500-doc crawl slice), so the landing is a
+    // sub-100ms job that removes a full re-run of the join
+    // repartition BEFORE each landing: the landed frames are tiny (≤500
+    // rows) so AQE coalesces their final stage to ONE partition, and a
+    // 1-partition checkpoint serializes every downstream per-row map
+    // (the shingle explode+md5 of the Jaccard join, the Gopher text
+    // stats) onto one core — r18 event logs showed exactly that. The
+    // round-robin shuffle of ≤500 rows is sub-ms; the downstream maps
+    // are the expensive part worth keeping wide.
+    val width = s.sparkContext.defaultParallelism
+    val exact = Dedup.exactDedup(parsed).repartition(width)
+      .localCheckpoint(true)
     val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+      .repartition(width).localCheckpoint(true)
     val quality = deduped.join(
       TextAnalysis.gopherQuality(deduped)
         .filter(col("passes_gopher") === 1).select(col("doc_id")),
@@ -1726,12 +1750,18 @@ object SparkEntry {
       val train = crawlCurated(s, dir)
         .filter(col("split") === "train").select(col("doc_id"), col("text"))
         // the BPE join, the padding histogram, and the shard ranking all
-        // rescan the (bounded, post-curation) corpus — land it once
+        // rescan the (bounded, post-curation) corpus — land it once.
+        // repartition first: a ≤500-row landing AQE-coalesces to ONE
+        // partition, and the BPE word-explode downstream (≈520 words/doc)
+        // then runs single-threaded (r18 event log: two 4s one-task
+        // stages exploding 260k words each inside the encode plan)
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       // three consumers (padding plan, shard balance, payload assembly)
       // rescan the encoded corpus — land the BPE join's output once, the
       // same discipline as the extraction landing above
-      val enc = graft.text.Bpe.encode(train, EncodeMerges).localCheckpoint(true)
+      val enc = graft.text.Bpe.encode(train, EncodeMerges)
+        .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
       val pa = graft.operators.Packing.paddingApply(enc,
         buckets = PaddingPlanBuckets, budget = PaddingPlanBudget,
         tokens = col("n_subwords"))
@@ -2862,10 +2892,15 @@ object SparkEntry {
     // (e.g. dedup before quality, split only over survivors) can't drift
     "q_pipeline" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
+      // same multi-consumer landings as crawlCurated: `exact` and
+      // `deduped` are each read twice below, and the uncapped Jaccard
+      // self-join between them must execute once, not once per consumer
       val exact = Dedup.exactDedup(docs)
+        .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
       val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+        .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
       val quality = deduped.join(
         TextAnalysis.gopherQuality(deduped)
           .filter(col("passes_gopher") === 1).select(col("doc_id")),

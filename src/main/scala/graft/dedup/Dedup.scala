@@ -156,7 +156,13 @@ object Dedup {
       case None => sh
     }
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = shc.as("a")
+    // SHUFFLE_HASH: the equi-key self-join needs no sorted output and the
+    // per-partition build side is one shingle-hash slice of narrow long
+    // pairs, so a hash join skips the two full sorts the default
+    // sort-merge join pays on both reads of the shared exchange (guide
+    // §3.1 — pick the strategy deliberately; r18 measured the SMJ sorts
+    // as pure overhead on this shape)
+    val pairs = shc.as("a").hint("shuffle_hash")
       .join(shc.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -475,11 +481,27 @@ object Dedup {
           i => md5Int60(col("text").substr(i, lit(k)))).as("h"))
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("h")) - (w - 1)), j => {
-          val win = slice(col("h"), j, lit(w))
-          val m = array_min(win)
-          val rpos = lit(w) + 1 -
-            call_function("array_position", reverse(win), m)
-          struct((j + rpos - 1).cast("long").as("pos"), m.as("fp"))
+          if (w == 1)
+            // degenerate window: every gram is its own rightmost min
+            struct(j.cast("long").as("pos"), element_at(col("h"), j).as("fp"))
+          else
+          // rightmost-min of the window [j, j+w-1] in ONE pass: fold the
+          // w-1 trailing offsets with a (min, rightmost-offset) state,
+          // `<=` keeping the LATEST position on ties — equivalent to the
+          // textbook array_min + rightmost array_position selection, but
+          // without the slice/reverse array allocations and the three
+          // extra O(w) scans per window position (r18: the window fold
+          // was the dominant per-row cost of the fingerprint map)
+          aggregate(
+            sequence(lit(1), lit(w - 1)),
+            struct(element_at(col("h"), j).as("fp"), lit(0).as("off")),
+            (acc, i) => {
+              val v = element_at(col("h"), j + i)
+              when(v <= acc.getField("fp"),
+                struct(v.as("fp"), i.as("off"))).otherwise(acc)
+            },
+            acc => struct((j + acc.getField("off")).cast("long").as("pos"),
+              acc.getField("fp").as("fp")))
         })).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
       .distinct()
@@ -1458,7 +1480,9 @@ object Dedup {
       case None => sh
     }
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = shc.as("a")
+    // SHUFFLE_HASH — same strategy pick as [[ngramJaccardPairs]]: skip
+    // the sort-merge sorts on the shared shingle exchange
+    val pairs = shc.as("a").hint("shuffle_hash")
       .join(shc.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -157,6 +157,12 @@ object RobustStats {
       .withColumn("rn", row_number().over(recentW))
       .filter(col("rn") <= lastN)
       .select(col(group), col("t"), col("v"))
+      // the self-join below consumes `recent` TWICE; without a barrier each
+      // side re-scans and re-window-sorts the FULL event table (the r18
+      // before-plan shows the whole scan→Exchange→WindowGroupLimit subtree
+      // duplicated). The window output is tiny by construction (≤ lastN
+      // rows per group), so land it once and join the landed table
+      .localCheckpoint(true)
     val pairs = recent.select(col(group), col("t").as("ta"), col("v").as("va"))
       .join(recent.select(col(group), col("t").as("tb"), col("v").as("vb")),
         Seq(group))

@@ -238,7 +238,17 @@ object MessageStore {
   private def appendWith(messages: DataFrame, path: String, bucket: Column): Unit =
     messages
       .withColumn("bucket", bucket)
-      .repartition(col("stream_id"), col("stream_partition"), col("bucket"))
+      // explicit partition count: the keyed repartition alone lets AQE
+      // coalesce this small exchange to a handful of tasks, and each
+      // write task then creates its partition DIRECTORIES serially — r18
+      // event logs showed the sf0.1 append collapsed to 6 tasks spending
+      // 8s wall / 3s CPU on ~1,200 dir+file creations. Pinning the count
+      // to defaultParallelism keeps one file per bucket dir (the keyed
+      // hash still routes a bucket to one task) while spreading the
+      // filesystem work across the cluster width — scale-adaptive, not a
+      // local[32] constant.
+      .repartition(messages.sparkSession.sparkContext.defaultParallelism,
+        col("stream_id"), col("stream_partition"), col("bucket"))
       .write
       .partitionBy("stream_id", "stream_partition", "bucket")
       .mode("append")

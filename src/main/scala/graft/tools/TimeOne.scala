@@ -13,6 +13,13 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_EVENTLOG=<dir>: write Spark event logs for stage-level
+      // attribution (parsed offline — the UI stays off)
+      .config("spark.eventLog.enabled",
+        sys.env.contains("SPARK_GRAFT_EVENTLOG").toString)
+      .config("spark.eventLog.compress", "false")
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm docs
