@@ -474,35 +474,16 @@ object Dedup {
     * (below the guarantee threshold, the paper's own boundary). */
   def winnow(docs: DataFrame, k: Int = 16, w: Int = 16): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
-    val nGrams = length(col("text")) - (k - 1)
+    // the gram hashing + rightmost-min window selection runs as ONE
+    // native codegen expression ([[graft.functions.WinnowFps]] — an O(n)
+    // ascending-minima deque): the declarative transform/fold chain it
+    // replaces was an interpreted higher-order function paying a closure
+    // call per WINDOW STEP (O(n·w) of them — 73 CPU-seconds on the r18
+    // sf0.1 consensus sweep), value-identical by the expression's
+    // contract (same md5Int60 gram hashes, same rightmost-tie rule)
     docs.filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
-        transform(sequence(lit(1), nGrams),
-          i => md5Int60(col("text").substr(i, lit(k)))).as("h"))
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("h")) - (w - 1)), j => {
-          if (w == 1)
-            // degenerate window: every gram is its own rightmost min
-            struct(j.cast("long").as("pos"), element_at(col("h"), j).as("fp"))
-          else
-          // rightmost-min of the window [j, j+w-1] in ONE pass: fold the
-          // w-1 trailing offsets with a (min, rightmost-offset) state,
-          // `<=` keeping the LATEST position on ties — equivalent to the
-          // textbook array_min + rightmost array_position selection, but
-          // without the slice/reverse array allocations and the three
-          // extra O(w) scans per window position (r18: the window fold
-          // was the dominant per-row cost of the fingerprint map)
-          aggregate(
-            sequence(lit(1), lit(w - 1)),
-            struct(element_at(col("h"), j).as("fp"), lit(0).as("off")),
-            (acc, i) => {
-              val v = element_at(col("h"), j + i)
-              when(v <= acc.getField("fp"),
-                struct(v.as("fp"), i.as("off"))).otherwise(acc)
-            },
-            acc => struct((j + acc.getField("off")).cast("long").as("pos"),
-              acc.getField("fp").as("fp")))
-        })).as("s"))
+        explode(graft.functions.WinnowFps.winnow_fps(col("text"), k, w)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
       .distinct()
   }

@@ -58,6 +58,11 @@ object Md5Int {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  /** Shared per-thread digest for sibling native expressions that hash
+    * many byte slices per row (e.g. [[WinnowFps]]) without re-allocating
+    * a MessageDigest per value. Callers must `reset()` before use. */
+  private[functions] def digest(): MessageDigest = digests.get()
+
   /** Static entry point shared by interpreted eval and generated code:
     * accumulate the first `hexDigits` nibbles of the digest big-endian,
     * exactly the value of parsing the hex-prefix string base 16. */

@@ -365,6 +365,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("winnow native expression == naive reference on tie-heavy and unicode text") {
+    // the WinnowFps codegen expression replaced the declarative fold
+    // (r18): pin it against a naive scala replay — tiny alphabet forces
+    // repeated grams (rightmost-tie rule exercised), multi-byte chars pin
+    // the character-based substring semantics
+    val s = spark
+    import s.implicits._
+    def md60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    def ref(text: String, k: Int, w: Int): Set[(Long, Long)] =
+      if (text.codePointCount(0, text.length) < k + w - 1) Set.empty
+      else {
+        val chars = text.toSeq.map(_.toString) // BMP-only fixtures below
+        val h = (0 to chars.size - k).map(i => md60(chars.slice(i, i + k).mkString))
+        (0 to h.size - w).map { j =>
+          val win = h.slice(j, j + w)
+          val m = win.min
+          ((j + win.lastIndexOf(m) + 1).toLong, m)
+        }.toSet
+      }
+    val rnd = new scala.util.Random(7)
+    val texts = (1L to 20L).map { id =>
+      // alphabet of 2: dense gram collisions => tied window minima
+      id -> (1 to (8 + rnd.nextInt(60))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+    } :+ (21L -> "añoñería grüße ñañañaña βββαβ") :+ (22L -> "aaaaaaaaaaaaaaaa")
+    val docs = texts.toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 3), (2, 5), (1, 1))) {
+      val got = Dedup.winnow(docs, k = k, w = w).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      texts.foreach { case (id, t) =>
+        val expect = ref(t, k, w)
+        assert(got.getOrElse(id, Set.empty) == expect,
+          s"doc $id k=$k w=$w selection mismatch")
+      }
+    }
+  }
+
   test("winnowPairs: maxDf drops boilerplate fingerprints before the self-join") {
     val s = spark
     import s.implicits._
