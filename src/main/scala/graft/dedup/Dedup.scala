@@ -119,8 +119,15 @@ object Dedup {
     * looks free but makes ProjectCollapse inline — and thus recompute —
     * the whole shingle array per reference. */
   private def shingleTable(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh_str"))
-      .select(col("doc_id"), md5Int60(col("sh_str")).as("shingle"))
+    // one native codegen expression ([[graft.functions.Md5Shingles]]):
+    // the k-token windows are contiguous byte slices of the text, hashed
+    // in place — replaces the interpreted transform/concat_ws/
+    // array_distinct chain + per-gram md5Int60, value-identical by the
+    // expression's contract (r18: this map dominated every shingle-keyed
+    // operator's CPU)
+    docs.select(col("doc_id"), explode(
+      graft.functions.Md5Shingles.md5_shingles(col("text"), k, distinct = true))
+      .as("shingle"))
 
   /** n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
     * clearing `threshold`.
@@ -200,8 +207,9 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val tc = docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        explode(shinglesAll(col("text"), k)).as("w"))
-      .select(col("doc_id"), md5Int60(col("w")).as("tok"))
+        // multiset variant of the native shingle hasher (distinct=false)
+        explode(graft.functions.Md5Shingles.md5_shingles(
+          col("text"), k, distinct = false)).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .repartition(col("tok"))
     val kept = maxDocFrequency match {

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word k-gram shingle hashes of a single-space-tokenized text as ONE
+  * native codegen expression: `array<bigint>` of
+  * `md5_int(shingle, 15)` values, where the shingles are exactly
+  * [[graft.dedup.Dedup.shinglesAll]]'s — every window of `k` consecutive
+  * `split(text, " ")` tokens joined by single spaces, in document order,
+  * empty array below `k` tokens. With `distinct = true` the windows
+  * dedupe by STRING value keeping first-occurrence order
+  * ([[graft.dedup.Dedup.shingles]]' `array_distinct` semantics — the
+  * dedupe happens before hashing, so a (cryptographically negligible)
+  * md5-prefix collision between distinct grams still yields two array
+  * entries, exactly as the declarative form).
+  *
+  * Key byte-level identity this exploits: `split` delimits on EVERY
+  * single space (empty tokens between consecutive spaces included), and
+  * `concat_ws(" ", ...)` re-joins with single spaces — so each shingle's
+  * UTF-8 bytes are a CONTIGUOUS slice of the original text, from the
+  * start of token `i` to the end of token `i+k-1`. The digest is fed
+  * that slice in place: no token array, no per-gram string, no
+  * interpreted higher-order functions (the declarative chain paid a
+  * closure call + `k` `element_at`s + a `concat_ws` allocation per
+  * window and ran outside whole-stage codegen; r18 measured it as the
+  * dominant map cost of every shingle-keyed operator).
+  */
+case class Md5Shingles(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, BooleanType)
+          if second.foldable && third.foldable =>
+        val k = second.eval().asInstanceOf[Int]
+        if (k >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs positive k, got $k")
+      case (t, kk, dd) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable int, foldable boolean), " +
+          s"got (${t.catalogString}, ${kk.catalogString}, ${dd.catalogString})")
+    }
+
+  override def nullSafeEval(text: Any, k: Any, distinct: Any): Any =
+    Md5Shingles.hashes(text.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], distinct.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k, d) => s"graft.functions.Md5Shingles.hashes($t, $k, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Md5Shingles =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Md5Shingles {
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def hashes(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    // token start offsets: a token begins at 0 and after every 0x20 byte
+    // (space is a single UTF-8 byte, never part of a multibyte sequence);
+    // token i spans [starts(i), ends(i)) with ends(i) = next space or EOF
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) nTokens += 1
+      i += 1
+    }
+    val nShingles = nTokens - (k - 1)
+    if (nShingles <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    starts(0) = 0
+    var t = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) {
+        ends(t) = i
+        t += 1
+        starts(t) = i + 1
+      }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val md = Md5Int.digest()
+    val out = new Array[Long](nShingles)
+    val seen = if (distinct) new java.util.HashSet[String](nShingles * 2) else null
+    var n = 0
+    var s = 0
+    while (s < nShingles) {
+      val from = starts(s)
+      val until = ends(s + k - 1)
+      // distinct on the gram STRING (array_distinct ran on strings in the
+      // declarative form) — only materialized when deduping is on
+      if (seen == null ||
+          seen.add(new String(bytes, from, until - from, "UTF-8"))) {
+        md.reset()
+        md.update(bytes, from, until - from)
+        val d = md.digest()
+        var acc = 0L
+        var j = 0
+        while (j < 15) {
+          val b = d(j >> 1)
+          val nibble = if ((j & 1) == 0) (b >> 4) & 0xf else b & 0xf
+          acc = (acc << 4) | nibble
+          j += 1
+        }
+        out(n) = acc
+        n += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(if (n == nShingles) out else out.take(n))
+  }
+
+  def md5_shingles(text: Column, k: Int, distinct: Boolean): Column =
+    Bridge.column(Md5Shingles(
+      Bridge.expression(text),
+      Bridge.expression(org.apache.spark.sql.functions.lit(k)),
+      Bridge.expression(org.apache.spark.sql.functions.lit(distinct))))
+}

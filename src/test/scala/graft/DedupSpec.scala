@@ -365,6 +365,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("md5_shingles native expression == declarative shingles (spaces, unicode, multiset)") {
+    // Md5Shingles replaced the transform/concat_ws/array_distinct chain
+    // (r18): pin both variants against the declarative columns on texts
+    // with consecutive/leading/trailing spaces (empty tokens), multi-byte
+    // chars, repeated spans (multiset multiplicity), and short docs
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      1L -> "a b c d e",
+      2L -> "a  b   c d",      // empty tokens between spaces
+      3L -> " a b c ",          // leading/trailing empties
+      4L -> "x y x y x y x y",  // repeated shingles (distinct vs multiset)
+      5L -> "añé βγ δ ñ ü",
+      6L -> "one two",          // below k=3 tokens -> empty
+      7L -> "")
+    val docs = texts.toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val declDistinct = docs.select(col("doc_id"),
+        transform(Dedup.shingles(col("text"), k),
+          g => graft.text.TextAnalysis.md5Int60(g)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val declAll = docs.select(col("doc_id"),
+        transform(Dedup.shinglesAll(col("text"), k),
+          g => graft.text.TextAnalysis.md5Int60(g)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val natDistinct = docs.select(col("doc_id"),
+        graft.functions.Md5Shingles.md5_shingles(col("text"), k, distinct = true).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val natAll = docs.select(col("doc_id"),
+        graft.functions.Md5Shingles.md5_shingles(col("text"), k, distinct = false).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.foreach { case (id, _) =>
+        assert(natDistinct(id) == declDistinct(id), s"doc $id k=$k distinct mismatch")
+        assert(natAll(id) == declAll(id), s"doc $id k=$k multiset mismatch")
+      }
+    }
+  }
+
   test("winnow native expression == naive reference on tie-heavy and unicode text") {
     // the WinnowFps codegen expression replaced the declarative fold
     // (r18): pin it against a naive scala replay — tiny alphabet forces
