@@ -714,16 +714,16 @@ object Dedup {
       substring(col("text"), 1, prefixLen).as("pfx"))
       .withColumn("plen", length(col("pfx")).cast("long"))
     val eligible = base
-      .withColumn("grams", when(length(col("pfx")) >= q,
-        array_distinct(transform(
-          sequence(lit(1), length(col("pfx")) - q + 1),
-          i => col("pfx").substr(i, lit(q)))))
-        .otherwise(array().cast("array<string>")))
+      // native char-gram hasher (r18): same distinct grams + md5Int60
+      // values as the interpreted array_distinct(transform(substr))
+      // chain, one codegen loop per row; shorter-than-q prefixes yield
+      // an empty array exactly like the old when/otherwise guard
+      .withColumn("grams", graft.functions.Md5CharGrams.md5_chargrams(
+        col("pfx"), q, distinct = true))
       .withColumn("ng", size(col("grams")).cast("long"))
       .filter(col("ng") > maxDist * q)
     val tok = eligible
-      .select(col("doc_id"), col("plen"), explode(col("grams")).as("gs"))
-      .select(col("doc_id"), col("plen"), md5Int60(col("gs")).as("tok"))
+      .select(col("doc_id"), col("plen"), explode(col("grams")).as("tok"))
       .repartition(col("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val pre = tok.join(dfreq, "tok")
@@ -898,8 +898,10 @@ object Dedup {
     * document. */
   def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), md5Int32(col("t")).as("h"))
+      // native 1-gram (token) hasher at md5Int32 width — same values as
+      // exploding split(text, " ") and hashing each token (r18)
+      .select(col("doc_id"), explode(graft.functions.Md5Shingles.md5_shingles(
+        col("text"), 1, distinct = false, digits = 8)).as("h"))
     val sums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
     tok.groupBy(col("doc_id"))

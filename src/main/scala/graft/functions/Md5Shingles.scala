@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -32,42 +32,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * window and ran outside whole-stage codegen; r18 measured it as the
   * dominant map cost of every shingle-keyed operator).
   */
-case class Md5Shingles(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+case class Md5Shingles(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_shingles"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType) match {
-      case (StringType, IntegerType, BooleanType)
-          if second.foldable && third.foldable =>
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (StringType, IntegerType, BooleanType, IntegerType)
+          if second.foldable && third.foldable && fourth.foldable =>
         val k = second.eval().asInstanceOf[Int]
-        if (k >= 1) TypeCheckResult.TypeCheckSuccess
+        val digits = fourth.eval().asInstanceOf[Int]
+        if (k >= 1 && digits >= 1 && digits <= 15) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          s"$prettyName needs positive k, got $k")
-      case (t, kk, dd) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (string, foldable int, foldable boolean), " +
-          s"got (${t.catalogString}, ${kk.catalogString}, ${dd.catalogString})")
+          s"$prettyName needs positive k and digits in [1, 15], got k=$k digits=$digits")
+      case (t, kk, dd, gg) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable int, foldable boolean, " +
+          s"foldable int), got (${t.catalogString}, ${kk.catalogString}, " +
+          s"${dd.catalogString}, ${gg.catalogString})")
     }
 
-  override def nullSafeEval(text: Any, k: Any, distinct: Any): Any =
+  override def nullSafeEval(text: Any, k: Any, distinct: Any, digits: Any): Any =
     Md5Shingles.hashes(text.asInstanceOf[UTF8String],
-      k.asInstanceOf[Int], distinct.asInstanceOf[Boolean])
+      k.asInstanceOf[Int], distinct.asInstanceOf[Boolean], digits.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (t, k, d) => s"graft.functions.Md5Shingles.hashes($t, $k, $d)")
+      (t, k, d, g) => s"graft.functions.Md5Shingles.hashes($t, $k, $d, $g)")
 
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): Md5Shingles =
-    copy(first = newFirst, second = newSecond, third = newThird)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Md5Shingles =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 object Md5Shingles {
 
-  /** Static entry point shared by interpreted eval and generated code. */
-  def hashes(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+  /** Static entry point shared by interpreted eval and generated code:
+    * `digits` = md5 hex-prefix nibbles kept (15 = the md5Int60 key, 8 =
+    * the md5Int32 feature hash). */
+  def hashes(text: UTF8String, k: Int, distinct: Boolean, digits: Int): ArrayData = {
     val bytes = text.getBytes
     // token start offsets: a token begins at 0 and after every 0x20 byte
     // (space is a single UTF-8 byte, never part of a multibyte sequence);
@@ -111,7 +117,7 @@ object Md5Shingles {
         val d = md.digest()
         var acc = 0L
         var j = 0
-        while (j < 15) {
+        while (j < digits) {
           val b = d(j >> 1)
           val nibble = if ((j & 1) == 0) (b >> 4) & 0xf else b & 0xf
           acc = (acc << 4) | nibble
@@ -125,9 +131,11 @@ object Md5Shingles {
     new GenericArrayData(if (n == nShingles) out else out.take(n))
   }
 
-  def md5_shingles(text: Column, k: Int, distinct: Boolean): Column =
+  def md5_shingles(text: Column, k: Int, distinct: Boolean,
+      digits: Int = 15): Column =
     Bridge.column(Md5Shingles(
       Bridge.expression(text),
       Bridge.expression(org.apache.spark.sql.functions.lit(k)),
-      Bridge.expression(org.apache.spark.sql.functions.lit(distinct))))
+      Bridge.expression(org.apache.spark.sql.functions.lit(distinct)),
+      Bridge.expression(org.apache.spark.sql.functions.lit(digits))))
 }

@@ -492,12 +492,12 @@ object TextAnalysis {
     * partition, which a universal gram would skew at corpus scale. */
   def boilerplate(docs: DataFrame, k: Int = 3, minDocs: Int = 5): DataFrame = {
     require(k >= 1 && minDocs >= 1, "need k >= 1 and minDocs >= 1")
-    val toks = wsTokens(col("text"))
+    // native multiset shingle hasher (r18): same md5Int60 values as the
+    // interpreted transform/concat_ws chain, one codegen loop per row;
+    // <k-token docs yield an empty array exactly like the old guard
     val grams = docs.select(col("doc_id"),
-      explode(when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => md5Int60(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-        .otherwise(array().cast("array<bigint>"))).as("gh"))
+      explode(graft.functions.Md5Shingles.md5_shingles(
+        col("text"), k, distinct = false)).as("gh"))
     val docGram = grams.groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).as("c"))
       .repartition(col("gh"))
@@ -922,14 +922,15 @@ object TextAnalysis {
   def dsirScores(target: DataFrame, raw: DataFrame, buckets: Int = 256,
       selectK: Int = 100, slices: Int = 32): DataFrame = {
     def features(docs: DataFrame): DataFrame = {
-      val toks = wsTokens(col("text"))
+      import graft.functions.Md5Shingles.md5_shingles
+      // unigrams ++ bigrams through the native multiset hasher at
+      // md5Int32 width (r18): same feature hash values as exploding the
+      // token/bigram strings and hashing each, without the interpreted
+      // transform/concat_ws chain
       docs.select(col("doc_id"),
-        explode(concat(toks,
-          when(size(toks) >= 2,
-            transform(sequence(lit(0), size(toks) - 2),
-              i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-            .otherwise(array().cast("array<string>")))).as("g"))
-        .select(col("doc_id"), pmod(md5Int32(col("g")), lit(buckets.toLong)).as("b"))
+        explode(concat(md5_shingles(col("text"), 1, distinct = false, digits = 8),
+          md5_shingles(col("text"), 2, distinct = false, digits = 8))).as("g"))
+        .select(col("doc_id"), pmod(col("g"), lit(buckets.toLong)).as("b"))
     }
     def bits(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val ft = features(target)

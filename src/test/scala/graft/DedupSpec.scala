@@ -396,9 +396,19 @@ class DedupSpec extends SparkSpec {
       val natAll = docs.select(col("doc_id"),
         graft.functions.Md5Shingles.md5_shingles(col("text"), k, distinct = false).as("h"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // md5Int32-width variant (digits = 8): the DSIR/simhash feature hash
+      val declAll32 = docs.select(col("doc_id"),
+        transform(Dedup.shinglesAll(col("text"), k),
+          g => graft.text.TextAnalysis.md5Int32(g)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val natAll32 = docs.select(col("doc_id"),
+        graft.functions.Md5Shingles.md5_shingles(
+          col("text"), k, distinct = false, digits = 8).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       texts.foreach { case (id, _) =>
         assert(natDistinct(id) == declDistinct(id), s"doc $id k=$k distinct mismatch")
         assert(natAll(id) == declAll(id), s"doc $id k=$k multiset mismatch")
+        assert(natAll32(id) == declAll32(id), s"doc $id k=$k digits=8 mismatch")
       }
     }
   }
