@@ -26,13 +26,11 @@ object Dedup {
   /** All word k-gram shingles of a single-space-tokenized text in document
     * order (multiset — repeated spans keep their multiplicity); empty
     * array when the document has fewer than k tokens. */
-  def shinglesAll(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shinglesAll(text: Column, k: Int = 3): Column =
+    // native codegen expression (r18): same gram strings as the
+    // transform/concat_ws window chain (each gram is a zero-copy byte
+    // slice of the text), empty array below k tokens
+    graft.functions.TokenGrams.token_grams(text, k)
 
   /** Distinct word k-gram shingles of a single-space-tokenized text; empty
     * array when the document has fewer than k tokens. */

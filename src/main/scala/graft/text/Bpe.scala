@@ -91,10 +91,13 @@ object Bpe {
   def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val toks = TextAnalysis.wsTokens(col("text"))
     val vocab = docs.select(explode(toks).as("w")).distinct()
-    val seg = merges.foldLeft(
-      vocab.withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))) {
-      case (v, (a, b)) => v.withColumn("syms", applyMerge(col("syms"), a, b))
-    }
+    // the whole merge-table application runs as ONE native codegen
+    // expression per distinct word (r18): the K chained [[applyMerge]]
+    // aggregate HOFs it replaces ran interpreted and copied the symbol
+    // array per step; value-identical greedy left-to-right fold
+    // ([[graft.functions.BpeEncodeWord]], pinned by BpeSpec)
+    val seg = vocab.withColumn("syms",
+      graft.functions.BpeEncodeWord.bpe_encode_word(col("w"), merges))
     docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
       .join(seg, Seq("w"))
       .groupBy(col("doc_id"))

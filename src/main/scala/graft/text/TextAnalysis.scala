@@ -101,10 +101,7 @@ object TextAnalysis {
     // negative and sequence() produces a descending index list whose
     // element_at(0) throws at runtime.
     val bigrams = docs.select(col("doc_id"),
-      explode(when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>"))).as("b"))
+      explode(graft.dedup.Dedup.shinglesAll(col("text"), 2)).as("b"))
     val wordStats = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct_words"),
@@ -528,10 +525,7 @@ object TextAnalysis {
     val toks = wsTokens(col("text"))
     // all occurrences (NOT distinct — tf counts repeats within a doc)
     val grams = docs.select(col("doc_id"),
-      explode(when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))).as("ngram"))
+      explode(graft.dedup.Dedup.shinglesAll(col("text"), n)).as("ngram"))
     grams.groupBy(col("ngram"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("ngram"))
@@ -598,14 +592,9 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
   }
 
-  private def docBigrams(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(col("text"))
+  private def docBigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-        .otherwise(array().cast("array<string>"))).as("bigram"))
-  }
+      explode(graft.dedup.Dedup.shinglesAll(col("text"), 2)).as("bigram"))
 
   /** Two-corpus form — the actual CCNet shape: the LM counts come from
     * `train` (the clean reference corpus), `score` is the corpus being
@@ -669,8 +658,7 @@ object TextAnalysis {
     val toks = wsTokens(col("text"))
     def grams(docs: DataFrame, n: Int, out: String): DataFrame =
       docs.filter(size(toks) >= n).select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))).as(out))
+        explode(graft.dedup.Dedup.shinglesAll(col("text"), n)).as(out))
     val c1 = grams(train, 1, "tok").groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val totals = c1.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("vocab"))
     val c2 = grams(train, 2, "bg").groupBy(col("bg")).agg(count(lit(1)).as("c2"))
@@ -1359,8 +1347,7 @@ object TextAnalysis {
         s"goodTuring: $what exceeds the exact DECIMAL(38) bound")))
     val toks = wsTokens(col("text"))
     val hist = docs.filter(size(toks) >= n)
-      .select(explode(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))).as("g"))
+      .select(explode(graft.dedup.Dedup.shinglesAll(col("text"), n)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("r"))
       .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
     val byR = Window.orderBy(col("r").asc)

@@ -6,6 +6,36 @@ import graft.text.Bpe
 
 class BpeSpec extends SparkSpec {
 
+  test("bpe_encode_word native expression == declarative applyMerge chain") {
+    // BpeEncodeWord replaced the chained aggregate-HOF applyMerge folds
+    // (r18): pin against an inline declarative replay on words that
+    // exercise greedy non-overlap ("aaa"), chained merges (t+h, th+e),
+    // repeats, unicode code points, and the empty word
+    val s = spark
+    import s.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "a", "e" -> "r")
+    def declApply(syms: org.apache.spark.sql.Column, a: String, b: String) =
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, size(acc)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    val words = Seq("the", "ther", "aaa", "aaaa", "thethe", "x", "",
+      "añot", "βthe", "tha", "eee").toDF("w")
+    val decl = merges.foldLeft(
+      words.withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))) {
+      case (v, (a, b)) => v.withColumn("syms", declApply(col("syms"), a, b))
+    }.select(col("w"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val nat = words.select(col("w"),
+      graft.functions.BpeEncodeWord.bpe_encode_word(col("w"), merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    decl.keys.foreach { w =>
+      assert(nat(w) == decl(w), s"word '$w' segmentation mismatch")
+    }
+  }
+
+
   private def docsOf(rows: (Long, String, String, String)*) = {
     val s = spark
     import s.implicits._

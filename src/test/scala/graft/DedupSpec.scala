@@ -381,15 +381,32 @@ class DedupSpec extends SparkSpec {
       6L -> "one two",          // below k=3 tokens -> empty
       7L -> "")
     val docs = texts.toDF("doc_id", "text")
+    // independent declarative reference (the pre-r18 chain, spelled out —
+    // Dedup.shinglesAll itself is native now, so the reference must not
+    // route through it)
+    def declShinglesAll(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = split(text, " ")
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k), i =>
+          concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
     for (k <- Seq(1, 2, 3)) {
       val declDistinct = docs.select(col("doc_id"),
-        transform(Dedup.shingles(col("text"), k),
+        transform(array_distinct(declShinglesAll(col("text"), k)),
           g => graft.text.TextAnalysis.md5Int60(g)).as("h"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       val declAll = docs.select(col("doc_id"),
-        transform(Dedup.shinglesAll(col("text"), k),
+        transform(declShinglesAll(col("text"), k),
           g => graft.text.TextAnalysis.md5Int60(g)).as("h"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // TokenGrams (the native shinglesAll) against the same reference
+      val natStrings = docs.select(col("doc_id"),
+        graft.functions.TokenGrams.token_grams(col("text"), k).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val declStrings = docs.select(col("doc_id"),
+        declShinglesAll(col("text"), k).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
       val natDistinct = docs.select(col("doc_id"),
         graft.functions.Md5Shingles.md5_shingles(col("text"), k, distinct = true).as("h"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -398,7 +415,7 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       // md5Int32-width variant (digits = 8): the DSIR/simhash feature hash
       val declAll32 = docs.select(col("doc_id"),
-        transform(Dedup.shinglesAll(col("text"), k),
+        transform(declShinglesAll(col("text"), k),
           g => graft.text.TextAnalysis.md5Int32(g)).as("h"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       val natAll32 = docs.select(col("doc_id"),
@@ -409,6 +426,7 @@ class DedupSpec extends SparkSpec {
         assert(natDistinct(id) == declDistinct(id), s"doc $id k=$k distinct mismatch")
         assert(natAll(id) == declAll(id), s"doc $id k=$k multiset mismatch")
         assert(natAll32(id) == declAll32(id), s"doc $id k=$k digits=8 mismatch")
+        assert(natStrings(id) == declStrings(id), s"doc $id k=$k gram-string mismatch")
       }
     }
   }
