@@ -267,14 +267,15 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(v => ms(v._1))},"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_._1)},"first":${obj(_._2)},"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson,$canaryTrace}"""
+    // ONE JSON line on stdout — the driver contract: the full record
+    // with the per-query map, printed LAST so a reader of the whole
+    // stream takes this line. (Three rounds of the driver's ~2 KB tail
+    // capture cutting a 6 KB line mid-way taught us not to print
+    // anything after it; the r17 attempt — a short summary line AFTER
+    // the map — was skipped by the parser because it lacks "queries".
+    // The full-precision record with the canary/re-run trace still goes
+    // to the file below, which cannot be cut mid-line.)
     println(compact)
-    // the driver captures only a ~2 KB stdout TAIL; at 265 queries the
-    // compact line outgrew it (BENCH_r16 parsed:null — the tail began
-    // mid-line), so the FINAL line is a short parseable summary without
-    // the per-query map; the map lives one line up and, with full
-    // precision, in the record file
-    val nQ = results2.count(_._2._1 >= 0)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":$nQ,"sf":"$sfDir","runs":$runs,"agg":"min",$canaryJson}""")
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
