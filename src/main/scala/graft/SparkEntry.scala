@@ -1762,14 +1762,17 @@ object SparkEntry {
       // same discipline as the extraction landing above
       val enc = graft.text.Bpe.encode(train, EncodeMerges)
         .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
-      val pa = graft.operators.Packing.paddingApply(enc,
+      // padding-plan + LPT shard balance in ONE decision pass
+      // (Packing.batchAndShard — both key on n_subwords' length rank;
+      // the composed pair re-scanned `enc` and paid a second doc_id
+      // join; PackingSpec pins value-identity to the composition, and
+      // n_subwords is non-null by construction from Bpe.encode)
+      val dec = graft.operators.Packing.batchAndShard(enc,
         buckets = PaddingPlanBuckets, budget = PaddingPlanBudget,
-        tokens = col("n_subwords"))
-      val sb = graft.operators.Packing.shardBalance(enc,
         shards = CorpusShards, tokens = col("n_subwords"))
       val payload = enc
-        .join(pa.select(col("doc_id"), col("bucket"), col("batch")), "doc_id")
-        .join(sb.select(col("doc_id"), col("shard")), "doc_id")
+        .join(dec.select(col("doc_id"), col("bucket"), col("batch"),
+          col("shard")), "doc_id")
         .select(col("shard"), col("doc_id").as("order"),
           encode(concat_ws("|", col("doc_id"), col("bucket"),
             coalesce(col("batch"), lit(-1L)), col("encoded")), "UTF-8")

@@ -140,8 +140,10 @@ object Dedup {
     * functions).
     *
     * Uncapped (`None`): the exact variant — the same self-join with no df
-    * filter (never n²; pairs only where overlap exists). Semantics-changing
-    * cap => the two variants are gated by separate oracles.
+    * filter (never n²; pairs only where overlap exists), with per-doc set
+    * sizes carried ON the shingle rows and a lossless size-ratio
+    * prefilter in the join condition (see the case body). Semantics-
+    * changing cap => the two variants are gated by separate oracles.
     *
     * One shingle materialization per plan: the scan → explode → md5 subtree
     * is routed through a single explicit `repartition(shingle)` exchange, so
@@ -150,35 +152,97 @@ object Dedup {
     * dedupes the identical exchange subtrees, and the downstream
     * shingle-keyed aggregate and join need no further shuffle because the
     * required distribution is already satisfied. */
+  /** Threshold above which the uncapped variant's size-ratio prefilter
+    * pays for its carry cost. The filter keeps pairs with
+    * `min(na,nb)/max(na,nb) >= t`: at t = 0.5 it kills every pair whose
+    * set sizes differ more than 2× (selective on real corpora); at
+    * t = 0.1 it only kills >10× mismatches (r19 measured the prefiltered
+    * shape 0.3–0.8 s SLOWER there — the wider pair aggregate and the
+    * struct-wrapped explode cost more than the filter saves), so weak
+    * thresholds keep the classic shape. Both shapes emit identical rows
+    * (the filter is lossless), so the cutover is a pure plan choice. */
+  private val SizeRatioPrefilterMinThreshold = 0.25
+
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.1,
-      maxDocFrequency: Option[Int] = None): DataFrame = {
-    val sh = shingleTable(docs, k).repartition(col("shingle"))
-    val shc = maxDocFrequency match {
-      case Some(cap) =>
-        val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("shingle"))
-        sh.join(kept, Seq("shingle"))
-      case None => sh
-    }
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // SHUFFLE_HASH: the equi-key self-join needs no sorted output and the
-    // per-partition build side is one shingle-hash slice of narrow long
-    // pairs, so a hash join skips the two full sorts the default
-    // sort-merge join pays on both reads of the shared exchange (guide
-    // §3.1 — pick the strategy deliberately; r18 measured the SMJ sorts
-    // as pure overhead on this shape)
-    val pairs = shc.as("a").hint("shuffle_hash")
-      .join(shc.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("union_size", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_size").cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"), col("jaccard"))
+      maxDocFrequency: Option[Int] = None): DataFrame =
+    ngramJaccardPairsImpl(docs, k, threshold, maxDocFrequency,
+      prefilter = threshold >= SizeRatioPrefilterMinThreshold)
+
+  private[graft] def ngramJaccardPairsImpl(docs: DataFrame, k: Int,
+      threshold: Double, maxDocFrequency: Option[Int],
+      prefilter: Boolean): DataFrame = maxDocFrequency match {
+    case None if prefilter =>
+      // Uncapped variant at a SELECTIVE threshold: per-doc set sizes ride
+      // the shingle rows instead of a separate doc-keyed aggregation —
+      // `n` comes out of the SAME explode via
+      // [[graft.functions.WithSize]] (no join, no extra shuffle, ONE
+      // md5_shingles eval per row — see WithSize's scaladoc for the
+      // InferFiltersFromGenerate triple-eval trap a plain `size(__arr)` +
+      // `explode(__arr)` pair falls into). That enables
+      //   (1) a LOSSLESS size-ratio prefilter inside the join condition:
+      //       jaccard = inter/union ≤ min(na,nb)/max(na,nb) exactly, and
+      //       double rounding is monotone, so fl(inter/union) ≥ t implies
+      //       fl(min/max) ≥ t — a pair dropped here could never clear the
+      //       final `jaccard >= threshold` filter. At the crawl chain's
+      //       t = 0.5 this kills every pair whose sizes differ > 2×
+      //       BEFORE the O(shared-shingles) pair stream is aggregated
+      //       (guide §3.2 — reduce the join output early);
+      //   (2) na/nb folded into the pair aggregate (max of a constant),
+      //       deleting the two doc-keyed size joins of the old tail.
+      val sh = docs
+        .select(col("doc_id"), explode(graft.functions.WithSize.with_size(
+          graft.functions.Md5Shingles.md5_shingles(
+            col("text"), k, distinct = true))).as("e"))
+        .select(col("doc_id"), col("e.n").cast("long").as("n"),
+          col("e.v").as("shingle"))
+        .repartition(col("shingle"))
+      val pairs = sh.as("a").hint("shuffle_hash")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n"), col("b.n")).cast("double") /
+              greatest(col("a.n"), col("b.n")).cast("double") >= threshold)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"),
+          max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      pairs
+        .withColumn("union_size", col("na") + col("nb") - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("union_size").cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"), col("jaccard"))
+    case capOpt =>
+      // Classic shape (capped, and uncapped at weak thresholds where the
+      // prefilter does not pay — see SizeRatioPrefilterMinThreshold).
+      val sh = shingleTable(docs, k).repartition(col("shingle"))
+      val shc = capOpt match {
+        case Some(cap) =>
+          val kept = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap).select(col("shingle"))
+          sh.join(kept, Seq("shingle"))
+        case None => sh
+      }
+      val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // SHUFFLE_HASH: the equi-key self-join needs no sorted output and
+      // the per-partition build side is one shingle-hash slice of narrow
+      // long pairs, so a hash join skips the two full sorts the default
+      // sort-merge join pays on both reads of the shared exchange (guide
+      // §3.1 — pick the strategy deliberately; r18 measured the SMJ sorts
+      // as pure overhead on this shape). Skew safety of the hash build:
+      // with a `cap`, a build partition holds at most `cap` rows per
+      // shingle key; uncapped call sites rely on Spark 4's spillable
+      // ShuffledHashJoin (degrades, never OOMs) — see the scaladoc.
+      val pairs = shc.as("a").hint("shuffle_hash")
+        .join(shc.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("union_size", col("na") + col("nb") - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("union_size").cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"), col("jaccard"))
   }
 
   /** Weighted (multiset) Jaccard near-dup pairs over k-shingle BAGS:

@@ -71,14 +71,17 @@ object Md5CharGrams {
     offs(nChars) = bytes.length
     val md = Md5Int.digest()
     val out = new Array[Long](nGrams)
-    val seen = if (distinct) new java.util.HashSet[String](nGrams * 2) else null
+    val seen =
+      if (distinct) new java.util.HashSet[UTF8String](nGrams * 2) else null
     var n = 0
     var g = 0
     while (g < nGrams) {
       val from = offs(g)
       val until = offs(g + q)
+      // dedupe on raw bytes (zero-copy wrapper) — array_distinct's binary
+      // UTF8String equality, not the lossy java.lang.String decode
       if (seen == null ||
-          seen.add(new String(bytes, from, until - from, "UTF-8"))) {
+          seen.add(UTF8String.fromBytes(bytes, from, until - from))) {
         md.reset()
         md.update(bytes, from, until - from)
         val d = md.digest()

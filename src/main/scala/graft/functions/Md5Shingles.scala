@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.dedup.Dedup.shinglesAll]]'s — every window of `k` consecutive
   * `split(text, " ")` tokens joined by single spaces, in document order,
   * empty array below `k` tokens. With `distinct = true` the windows
-  * dedupe by STRING value keeping first-occurrence order
+  * dedupe by raw-byte value (UTF8String binary equality)
+  * keeping first-occurrence order
   * ([[graft.dedup.Dedup.shingles]]' `array_distinct` semantics — the
   * dedupe happens before hashing, so a (cryptographically negligible)
   * md5-prefix collision between distinct grams still yields two array
@@ -102,16 +103,19 @@ object Md5Shingles {
     ends(t) = bytes.length
     val md = Md5Int.digest()
     val out = new Array[Long](nShingles)
-    val seen = if (distinct) new java.util.HashSet[String](nShingles * 2) else null
+    val seen =
+      if (distinct) new java.util.HashSet[UTF8String](nShingles * 2) else null
     var n = 0
     var s = 0
     while (s < nShingles) {
       val from = starts(s)
       val until = ends(s + k - 1)
-      // distinct on the gram STRING (array_distinct ran on strings in the
-      // declarative form) — only materialized when deduping is on
+      // distinct on the gram's RAW BYTES (zero-copy UTF8String wrapper) —
+      // `array_distinct` compares UTF8String binary content, and a
+      // java.lang.String decode is LOSSY there: distinct invalid-UTF-8
+      // byte sequences collapse to U+FFFD-equal strings and would merge
       if (seen == null ||
-          seen.add(new String(bytes, from, until - from, "UTF-8"))) {
+          seen.add(UTF8String.fromBytes(bytes, from, until - from))) {
         md.reset()
         md.update(bytes, from, until - from)
         val d = md.digest()

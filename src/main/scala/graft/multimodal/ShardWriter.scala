@@ -534,6 +534,24 @@ object ShardWriter {
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
+  /** Blob-writer task FileSystem: the RAW layer when the scheme's FS is
+    * checksummed (file:// — Hadoop's ChecksumFileSystem writes a `.crc`
+    * sidecar per file, DOUBLING every create/rename/delete of a blob
+    * landing; r19 measured the sidecars as half of all files in every
+    * landing dir). The blobs' integrity story does not ride the
+    * sidecars: every landing is manifest-described with content digests
+    * derived through the validating readers, and the gates re-walk the
+    * on-disk bytes. HDFS/S3A pass through unchanged (their checksumming
+    * is server-side, not a client sidecar). Per-path resolution, no
+    * global FileSystem-cache mutation. */
+  private[graft] def blobFs(dir: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.fs.FileSystem =
+    new Path(dir).getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
   /** The distributed blob-landing pass shared by the full writer and the
     * incremental sync: each task writes its partition's blobs via
     * [[writeBlob]] — atomic-or-absent per file. */
@@ -547,7 +565,7 @@ object ShardWriter {
       .as[(Long, Array[Byte])]
       .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
         if (it.hasNext) {
-          val tfs = new Path(dir).getFileSystem(conf.value)
+          val tfs = blobFs(dir, conf.value)
           it.foreach { case (shard, data) =>
             require(shard >= 0L, s"file sink requires non-negative shard ids: $shard")
             writeBlob(tfs, dir, f"shard-$shard%05d.$ext", data)

@@ -313,6 +313,86 @@ object Packing {
           expr("rank_b div batch_docs")).as("batch"))
   }
 
+  /** [[paddingApply]] ⨝ [[shardBalance]] in ONE decision pass:
+    * `(doc_id, bucket, batch, shard)` — value-identical to
+    * `paddingApply(docs,...).join(shardBalance(docs,...), "doc_id")` for
+    * corpora with NON-NULL, non-negative token counts (PackingSpec pins
+    * the equivalence, including a 90%-one-length corpus). Both operators
+    * decompose the SAME global (len, doc_id) rank over the same
+    * metadata-sized length histogram; composing them re-scans the corpus
+    * and pays a second doc_id-keyed join for nothing. Here the corpus
+    * reduces once to the (len, stripe) histogram, the within-length rank
+    * is computed once, and the bucket/batch (ascending-length cumulative)
+    * and LPT-snake shard (descending-length cumulative) decisions both
+    * derive from it — one corpus scan, one keyed exchange, zero extra
+    * doc_id joins (the caller attaches the ONE decision table to its
+    * payload rows).
+    *
+    * Null/negative token counts: this operator normalizes them to 0
+    * (paddingApply's [[normLen]] contract); shardBalance standalone
+    * DROPS null-token docs at its histogram join, so the composition and
+    * the fusion differ there — callers with nullable token counts must
+    * keep the composed form. */
+  def batchAndShard(docs: DataFrame, buckets: Int, budget: Long,
+      shards: Int, tokens: Column, subStride: Long = 4096L): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    require(subStride > 0, s"subStride must be positive: $subStride")
+    val s = shards.toLong
+    val sized = docs.select(col("doc_id").cast("long").as("doc_id"),
+      normLen(tokens).as("len"))
+      .withColumn("sub",
+        expr(s"(doc_id - pmod(doc_id, ${subStride}L)) div ${subStride}L"))
+    val h2 = sized.groupBy(col("len"), col("sub")).agg(count(lit(1)).as("cnt2"))
+    val hist = h2.groupBy(col("len")).agg(sum(col("cnt2")).as("cnt"))
+    val all = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // descending cumulative for the LPT rank — same histogram, second
+    // full-frame window over metadata-sized rows
+    val beforeDesc = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = hist
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("bef", coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .withColumn("bucket", expr(s"(bef * ${buckets}L) div n"))
+      .withColumn("before_d",
+        coalesce(sum(col("cnt")).over(beforeDesc), lit(0L)))
+    val plan = b.groupBy(col("bucket")).agg(max(col("len")).as("cap"))
+      .withColumn("batch_docs",
+        when(col("cap") > 0, expr(s"${budget}L div cap")))
+    val befInBucket = Window.partitionBy(col("bucket")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lenMeta = b
+      .withColumn("bef_b", coalesce(sum(col("cnt")).over(befInBucket), lit(0L)))
+      .select(col("len"), col("bucket"), col("bef_b"), col("before_d"))
+    val befSub = Window.partitionBy(col("len")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subOff = h2
+      .withColumn("bef_s", coalesce(sum(col("cnt2")).over(befSub), lit(0L)))
+      .select(col("len"), col("sub"), col("bef_s"))
+    val rankInStripe = row_number().over(
+      Window.partitionBy(col("len"), col("sub")).orderBy(col("doc_id")))
+      .cast("long")
+    // shardBalance's exact snake arithmetic over the SAME within-length
+    // rank (rank_l here == its per-length row_number by construction)
+    val rn = col("before_d") + col("rank_l") - 1L
+    val pass = floor(rn / s).cast("long")
+    val pos = pmod(rn, lit(s))
+    sized.join(subOff, Seq("len", "sub"))
+      .withColumn("rank_l", col("bef_s") + rankInStripe)
+      .join(broadcast(lenMeta), "len")
+      .withColumn("rank_b", col("bef_b") + col("rank_l") - 1L)
+      .join(broadcast(plan), "bucket")
+      .select(col("doc_id"), col("bucket"),
+        when(col("batch_docs") >= 1,
+          expr("rank_b div batch_docs")).as("batch"),
+        when(pmod(pass, lit(2L)) === 0, pos)
+          .otherwise(lit(s) - 1 - pos).cast("long").as("shard"))
+  }
+
   /** Highest-random-weight (rendezvous) node assignment — Thaler &
     * Ravishankar 1998: each key goes to `argmax_node md5(node ':' key)`,
     * so when membership changes ONLY the keys owned by the departed (or

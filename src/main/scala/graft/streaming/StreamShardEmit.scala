@@ -271,7 +271,8 @@ object StreamShardEmit {
       .as[(String, Long, Array[Byte])]
       .foreachPartition { it: Iterator[(String, Long, Array[Byte])] =>
         if (it.hasNext) {
-          val tfs = new Path(dir).getFileSystem(conf.value)
+          // raw FS on checksummed schemes — see [[ShardWriter.blobFs]]
+          val tfs = ShardWriter.blobFs(dir, conf.value)
           it.foreach { case (stream, seq, data) =>
             // the stream id becomes a file-name component: reject path
             // metacharacters instead of silently mangling them

@@ -293,21 +293,28 @@ object TextAnalysis {
     * mean word length bounds, symbol-to-word ratio, and the
     * alphabetic-word fraction, plus the combined pass/fail verdict the
     * filter pipeline consumes. Exact integers divided once at the output
-    * edge; one narrow map (the word filters are interpreted HOF lambdas —
-    * linear per row, the [[stats]] precedent). */
+    * edge; the four counters come from ONE native codegen byte walk
+    * ([[graft.functions.GopherStats]] — replaces the interpreted
+    * `filter(toks, rlike)` HOF plus two regexp passes, value-identical
+    * by the expression's contract, GopherStatsSpec-pinned). */
   def gopherQuality(docs: DataFrame,
       minWords: Int = 5, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): DataFrame = {
-    val toks = wsTokens(col("text"))
-    val nWords = size(toks).cast("long")
-    val charSum = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
-    val symbolCount = regexp_count(col("text"), lit("[#]|[.][.][.]")).cast("long")
+    // two projection steps so the byte walk runs ONCE per row (the
+    // derived ratios reference the counters eight times; going through a
+    // materialized struct column never relies on codegen subexpression
+    // elimination to avoid 8 walks)
+    val counted = docs.select(col("doc_id"),
+      graft.functions.GopherStats.gopher_stats(col("text")).as("__g"))
+    val nWords = col("__g.n_words")
+    val charSum = col("__g.word_chars")
+    val alphaWords = col("__g.n_alpha_words")
+    val symbolCount = col("__g.n_symbols")
     val meanLen = charSum.cast("double") / nWords.cast("double")
     val symbolRatio = symbolCount.cast("double") / nWords.cast("double")
     val alphaFrac = alphaWords.cast("double") / nWords.cast("double")
-    docs.select(
+    counted.select(
       col("doc_id"), nWords.as("n_words"), charSum.as("word_chars"),
       alphaWords.as("n_alpha_words"), symbolCount.as("n_symbols"),
       meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),

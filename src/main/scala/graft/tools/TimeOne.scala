@@ -20,6 +20,12 @@ object TimeOne {
       .config("spark.eventLog.compress", "false")
       .config("spark.eventLog.dir",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp"))
+      // SPARK_GRAFT_RAWFS=1: probe the cost of Hadoop ChecksumFileSystem
+      // crc sidecars on file:// writes (measurement aid, not the bench)
+      .config("spark.hadoop.fs.file.impl",
+        if (sys.env.contains("SPARK_GRAFT_RAWFS"))
+          "org.apache.hadoop.fs.RawLocalFileSystem"
+        else "org.apache.hadoop.fs.LocalFileSystem")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm docs

@@ -256,4 +256,33 @@ class PackingSpec extends SparkSpec {
       .findFirstIn(plan).isDefined,
       "found a len-only-partitioned doc window (the skew hazard)")
   }
+
+  test("batchAndShard == paddingApply ⨝ shardBalance, incl. one-length skew") {
+    val s = spark
+    import s.implicits._
+    // mixed corpus: a hot length (60% of docs), sparse long docs, len-0
+    // docs, ids out of order and past one stripe
+    val docs = (0 until 120).map { i =>
+      val n = if (i % 5 < 3) 4 else if (i % 5 == 3) i % 17 else 0
+      (i.toLong * 7 % 251, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (shards <- Seq(1, 3, 7); buckets <- Seq(1, 2, 5)) {
+      val composed = Packing
+        .paddingApply(docs, buckets = buckets, budget = 9L, subStride = 8L)
+        .select(col("doc_id"), col("bucket"), col("batch"))
+        .join(Packing.shardBalance(docs, shards = shards)
+          .select(col("doc_id"), col("shard")), "doc_id")
+      val fused = Packing.batchAndShard(docs, buckets = buckets,
+        budget = 9L, shards = shards,
+        tokens = size(graft.text.TextAnalysis.wsTokens(col("text"))),
+        subStride = 8L)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("bucket"),
+          if (r.isNullAt(r.fieldIndex("batch"))) -1L else r.getAs[Long]("batch"),
+          r.getAs[Long]("shard"))).toSeq
+      assert(rows(fused) == rows(composed),
+        s"fusion drifted at shards=$shards buckets=$buckets")
+    }
+  }
 }
