@@ -148,15 +148,21 @@ object Bench {
     // window 1.4x slower than the floors' recording window, floors widen
     // 1.4x; on a faster window they TIGHTEN, so a real regression cannot
     // hide behind a slow-window floor. The window's speed estimate is the
-    // MINIMUM canary observed so far (one inflated opening canary — this
-    // round's first run read 0.168 against a 0.093 window — must not
-    // loosen every floor for the whole sweep; the min self-corrects at
-    // the first clean inter-query canary).
-    var canaryMinSeen = canaryBefore
-    def floorNorm: Double =
-      if (floorCanary > 0 && canaryMinSeen > 0)
-        math.max(1.0 / 3, math.min(3.0, canaryMinSeen / floorCanary))
+    // MEDIAN canary observed so far: one inflated opening canary (this
+    // round's first run read 0.168 against a 0.093 window) must not
+    // loosen every floor, and one freak-fast reading (the same sweep
+    // later read 0.052 — min-based norm 0.53 falsely flagged a healthy
+    // q_store_roundtrip) must not hair-trigger them; the median ignores
+    // both tails and converges on the window's true speed within a few
+    // inter-query checkpoints.
+    val canarySeen = scala.collection.mutable.ArrayBuffer[Double](canaryBefore)
+    def floorNorm: Double = {
+      val sorted = canarySeen.sorted
+      val med = sorted(sorted.size / 2)
+      if (floorCanary > 0 && med > 0)
+        math.max(1.0 / 3, math.min(3.0, med / floorCanary))
       else 1.0
+    }
     def floorBad(name: String, sec: Double): Boolean =
       sec >= 0 && floors.get(name).exists(f =>
         sec > floorRatio * f * floorNorm + floorSlack)
@@ -187,7 +193,7 @@ object Bench {
       var ok = times.flatten.toList
       var anyDirty = dirty(canaryPrev)
       var cHere = canaryAtPoint()
-      canaryMinSeen = math.min(canaryMinSeen, cHere)
+      canarySeen += cHere
       anyDirty ||= dirty(cHere)
       // re-run when the floor says the min is inflated, or — floor-less
       // query — when an adjacent canary says the machine was busy; min-of-
@@ -199,7 +205,7 @@ object Bench {
         extra += 1; rerunBudget -= 1
         one().foreach(t => ok = t :: ok)
         cHere = canaryAtPoint()
-        canaryMinSeen = math.min(canaryMinSeen, cHere)
+        canarySeen += cHere
         anyDirty ||= dirty(cHere)
       }
       if (extra > 0) reruns(name) = extra
