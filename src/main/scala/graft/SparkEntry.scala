@@ -327,11 +327,14 @@ object SparkEntry {
     val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
-      .repartition(width).localCheckpoint(true)
-    val quality = deduped.join(
-      TextAnalysis.gopherQuality(deduped)
-        .filter(col("passes_gopher") === 1).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // Gopher gate as a direct filter (gopherKeep — doc_id is unique
+    // post-dedup, so filter == the old self-semi-join, value-identical);
+    // with the join gone `deduped` has ONE consumer, so its r18 landing
+    // (repartition + localCheckpoint) is gone too — one fewer
+    // checkpoint barrier, and the anti-join's output keeps `exact`'s
+    // landed width for the downstream per-row maps (the losers side
+    // broadcasts; no exchange is added)
+    val quality = TextAnalysis.gopherKeep(deduped)
     graft.operators.Sampling.splitAssign(quality, col("doc_id"),
       Seq("train" -> 8, "val" -> 1, "test" -> 1))
       .select(col("doc_id"), col("text"), col("split"))
@@ -2895,19 +2898,17 @@ object SparkEntry {
     // (e.g. dedup before quality, split only over survivors) can't drift
     "q_pipeline" -> ((s, dir) => {
       val docs = docsParallel(s, dir)
-      // same multi-consumer landings as crawlCurated: `exact` and
-      // `deduped` are each read twice below, and the uncapped Jaccard
-      // self-join between them must execute once, not once per consumer
+      // same landing discipline as crawlCurated: `exact` is read twice
+      // (shingle table + anti-join left side) and the uncapped Jaccard
+      // self-join must execute once, not once per consumer; the Gopher
+      // gate is a direct filter (gopherKeep), so `deduped` is
+      // single-consumer and needs no landing of its own
       val exact = Dedup.exactDedup(docs)
         .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
       val losers = Dedup.ngramJaccardPairs(exact, k = 3, threshold = 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
-        .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true)
-      val quality = deduped.join(
-        TextAnalysis.gopherQuality(deduped)
-          .filter(col("passes_gopher") === 1).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+      val quality = TextAnalysis.gopherKeep(deduped)
       graft.operators.Sampling.splitAssign(quality, col("doc_id"),
         Seq("train" -> 8, "val" -> 1, "test" -> 1))
         .select(col("doc_id"), col("lang"), col("split"))

@@ -325,6 +325,35 @@ object TextAnalysis {
         .cast("long").as("passes_gopher"))
   }
 
+  /** [[gopherQuality]]'s verdict as a direct FILTER: keeps exactly the
+    * rows (all columns preserved) whose doc would have
+    * `passes_gopher = 1` — for a frame with unique `doc_id`s this is
+    * value-identical to the
+    * `docs.join(gopherQuality(docs).filter(passes).select(doc_id),
+    * "left_semi")` composition the curation chains used, minus the
+    * self-join (the chains re-scanned `docs` twice and paid a join to
+    * re-attach a verdict that is a pure per-row function — guide §2.4).
+    * Null text propagates to a null verdict and the row drops, exactly
+    * as the semi-join dropped it. One [[graft.functions.GopherStats]]
+    * byte walk per row via a materialized struct column. */
+  def gopherKeep(docs: DataFrame,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): DataFrame = {
+    val cols = docs.columns.toSeq.map(col)
+    val counted = docs.withColumn("__g",
+      graft.functions.GopherStats.gopher_stats(col("text")))
+    val nWords = col("__g.n_words")
+    val meanLen = col("__g.word_chars").cast("double") / nWords.cast("double")
+    val symbolRatio = col("__g.n_symbols").cast("double") / nWords.cast("double")
+    val alphaFrac = col("__g.n_alpha_words").cast("double") / nWords.cast("double")
+    counted.filter(
+      nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac)
+      .select(cols: _*)
+  }
+
   /** Language-ID: score each language's marker set against the document's
     * tokens (with multiplicity); predicted language = argmax with
     * alphabetical tiebreak. Emitted per doc with the true label for

@@ -77,6 +77,24 @@ class GopherStatsSpec extends SparkSpec {
     assert(out(1).getLong(out(1).fieldIndex("passes_gopher")) == 1L)
   }
 
+  test("gopherKeep == the semi-join composition, all columns preserved") {
+    val s = spark
+    import s.implicits._
+    val docs = (edges.zipWithIndex.map { case (t, i) => (i.toLong, t, s"L$i") }
+      :+ ((99L, null: String, "LN")))
+      .toDF("doc_id", "text", "lang")
+    val composed = docs.join(
+      graft.text.TextAnalysis.gopherQuality(docs)
+        .filter(col("passes_gopher") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val fused = graft.text.TextAnalysis.gopherKeep(docs)
+    assert(fused.columns.toSeq == docs.columns.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(fused) == rows(composed))
+    assert(rows(fused).nonEmpty)
+  }
+
   test("gopherQuality schema and verdict unchanged by the native rewrite") {
     val s = spark
     import s.implicits._
