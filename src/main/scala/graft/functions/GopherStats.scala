@@ -108,4 +108,62 @@ object GopherStats {
 
   def gopher_stats(text: Column): Column =
     Bridge.column(GopherStats(Bridge.expression(text)))
+
+  /** The combined pass/fail verdict over the same counters, in one walk:
+    * exactly `gopherQuality`'s `passes_gopher = 1` predicate (same IEEE
+    * double divisions and comparisons, null text → null → row drops
+    * under a filter). Shared by interpreted eval and generated code. */
+  def passes(text: UTF8String, minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, minAlphaFrac: Double): Boolean = {
+    val r = stats(text)
+    val nWords = r.getLong(0)
+    val meanLen = r.getLong(1).toDouble / nWords.toDouble
+    val symbolRatio = r.getLong(3).toDouble / nWords.toDouble
+    val alphaFrac = r.getLong(2).toDouble / nWords.toDouble
+    nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symbolRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac
+  }
+
+  def gopher_pass(text: Column, minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, minAlphaFrac: Double): Column =
+    Bridge.column(GopherPass(Bridge.expression(text), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minAlphaFrac))
+}
+
+/** `gopher_pass(text)` → boolean: [[GopherStats.passes]] as ONE
+  * expression with the thresholds as literals-in-the-node, so a filter
+  * on the verdict evaluates the byte walk exactly once per row — a
+  * struct-column + multi-field predicate gets its alias substituted by
+  * predicate pushdown into one `gopher_stats(text)` call PER FIELD
+  * REFERENCE (nine in the full verdict; observed in the q_pipeline plan
+  * before this expression existed). */
+case class GopherPass(child: Expression, minWords: Int, maxWords: Int,
+    minMeanWordLen: Double, maxMeanWordLen: Double,
+    maxSymbolRatio: Double, minAlphaFrac: Double) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "gopher_pass"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    GopherStats.passes(text.asInstanceOf[UTF8String], minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minAlphaFrac)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.GopherStats.passes($t, $minWords, $maxWords, " +
+        s"$minMeanWordLen, $maxMeanWordLen, $maxSymbolRatio, $minAlphaFrac)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherPass =
+    copy(child = newChild)
 }

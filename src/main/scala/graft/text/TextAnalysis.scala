@@ -339,20 +339,13 @@ object TextAnalysis {
   def gopherKeep(docs: DataFrame,
       minWords: Int = 5, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): DataFrame = {
-    val cols = docs.columns.toSeq.map(col)
-    val counted = docs.withColumn("__g",
-      graft.functions.GopherStats.gopher_stats(col("text")))
-    val nWords = col("__g.n_words")
-    val meanLen = col("__g.word_chars").cast("double") / nWords.cast("double")
-    val symbolRatio = col("__g.n_symbols").cast("double") / nWords.cast("double")
-    val alphaFrac = col("__g.n_alpha_words").cast("double") / nWords.cast("double")
-    counted.filter(
-      nWords >= minWords && nWords <= maxWords &&
-        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
-        symbolRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac)
-      .select(cols: _*)
-  }
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): DataFrame =
+    // single-expression verdict: a struct-column + multi-field predicate
+    // would get its alias substituted by predicate pushdown into one
+    // byte walk PER FIELD REFERENCE (nine) — GopherPass's scaladoc
+    docs.filter(graft.functions.GopherStats.gopher_pass(col("text"),
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, minAlphaFrac))
 
   /** Language-ID: score each language's marker set against the document's
     * tokens (with multiplicity); predicted language = argmax with
